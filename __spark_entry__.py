@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query (smoke, sf0.001)
+queries()      — every implemented operator from SURVEY.md §2
+oracle_sql()   — matching DuckDB ANSI SQL per query (correctness gate)
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-style pricing summary, routed through the
+    engine's own Parquet sink+scan (SURVEY.md A1/A2) to exercise the full
+    COPY TO → COPY FROM surface end-to-end."""
+    from pg_parquet_spark.operators.queries import q1_pricing_summary
+    from pg_parquet_spark.sources import read_parquet, write_parquet
+
+    sf_dir = "/root/testdata/sf0.001"
+    result = q1_pricing_summary(spark, sf_dir)
+
+    out = os.path.join(tempfile.gettempdir(), "pgpq_flagship.parquet")
+    write_parquet(result, out)
+    return read_parquet(spark, out)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pg_parquet_spark.operators.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pg_parquet_spark.operators.registry import all_oracles
+
+    return all_oracles()

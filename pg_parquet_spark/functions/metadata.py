@@ -1,0 +1,357 @@
+"""The six ``parquet.*`` metadata table functions (SURVEY.md A16-A21).
+
+Each reads only the Parquet *footer* via pyarrow (the reference does the
+same over object_store — a head + footer fetch, uri_utils.rs:235-259) and
+returns a small Spark DataFrame, composable with full Spark SQL exactly as
+the reference's FunctionScan rows compose with PG SQL.
+
+Column layouts follow sql/pg_parquet.sql:19-106; the cross-row-group
+min/max/null/distinct fold in ``parquet_column_stats`` mirrors
+src/parquet_udfs/stats.rs:96-165.
+
+Scale note: footer decoding is driver-side by design — footers are KBs.
+For *many* files, ``parquet_list`` + a distributed ``mapInPandas`` over
+the file list would shard footer reads; single-uri functions match the
+reference's per-file contract.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _local(uri: str) -> str:
+    return uri[len("file://"):] if uri.startswith("file://") else uri
+
+
+def _parquet_file(uri: str):
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(_local(uri))
+
+
+_SCHEMA_COLS = StructType(
+    [
+        StructField("uri", StringType()),
+        StructField("name", StringType()),
+        StructField("type_name", StringType()),
+        StructField("type_length", StringType()),
+        StructField("repetition_type", StringType()),
+        StructField("num_children", IntegerType()),
+        StructField("converted_type", StringType()),
+        StructField("scale", IntegerType()),
+        StructField("precision", IntegerType()),
+        StructField("field_id", IntegerType()),
+        StructField("logical_type", StringType()),
+    ]
+)
+
+
+def parquet_schema(spark: SparkSession, uri: str) -> DataFrame:
+    """`parquet.schema(uri)` — one row per thrift schema element
+    (src/parquet_udfs/schema.rs:15-91)."""
+    pf = _parquet_file(uri)
+    rows = _walk_schema_rows(uri, pf)
+    return spark.createDataFrame(rows, _SCHEMA_COLS)
+
+
+def _walk_schema_rows(uri: str, pf) -> list[tuple]:
+    """Reconstruct the thrift schema-element walk (schema.rs:41-89):
+    pre-order over groups and leaves with name/type/repetition/
+    num_children/converted/scale/precision/field_id/logical type."""
+    import pyarrow.parquet as pq  # noqa: F401
+
+    meta = pf.metadata.schema  # ParquetSchema (flat leaf view)
+    arrow = pf.schema_arrow
+
+    rows: list[tuple] = []
+    rows.append(
+        (uri, "arrow_schema", None, None, None, len(arrow), None, None, None, None, None)
+    )
+
+    leaf_iter = iter(range(len(meta)))
+
+    def field_id_of(pa_field) -> int | None:
+        md = pa_field.metadata or {}
+        raw = md.get(b"PARQUET:field_id")
+        try:
+            return int(raw) if raw is not None else None
+        except (TypeError, ValueError):
+            return None
+
+    def visit(pa_field, repetition: str):
+        import pyarrow as pa
+
+        t = pa_field.type
+        fid = field_id_of(pa_field)
+        if pa.types.is_struct(t):
+            rows.append((uri, pa_field.name, None, None, repetition, t.num_fields,
+                         None, None, None, fid, None))
+            for i in range(t.num_fields):
+                f = t.field(i)
+                visit(f, "OPTIONAL" if f.nullable else "REQUIRED")
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            rows.append((uri, pa_field.name, None, None, repetition, 1,
+                         "LIST", None, None, fid, "LIST"))
+            rows.append((uri, "list", None, None, "REPEATED", 1, None, None, None, None, None))
+            elem = t.value_field
+            visit(elem, "OPTIONAL" if elem.nullable else "REQUIRED")
+        elif pa.types.is_map(t):
+            rows.append((uri, pa_field.name, None, None, repetition, 1,
+                         "MAP", None, None, fid, "MAP"))
+            rows.append((uri, "key_value", None, None, "REPEATED", 2, None, None, None, None, None))
+            visit(t.key_field, "REQUIRED")
+            visit(t.item_field, "OPTIONAL" if t.item_field.nullable else "REQUIRED")
+        else:
+            idx = next(leaf_iter)
+            col = meta.column(idx)
+            logical = str(col.logical_type) if str(col.logical_type) != "None" else None
+            conv = col.converted_type if str(col.converted_type) not in ("NONE", "None") else None
+            scale = prec = None
+            lt = col.logical_type
+            if lt is not None and getattr(lt, "type", None) == "DECIMAL":
+                scale, prec = lt.scale, lt.precision
+            type_len = (
+                str(col.length)
+                if col.physical_type == "FIXED_LEN_BYTE_ARRAY"
+                else None
+            )
+            rows.append(
+                (uri, pa_field.name, col.physical_type, type_len, repetition,
+                 None, str(conv) if conv else None, scale, prec, fid, logical)
+            )
+
+    for name in arrow.names:
+        f = arrow.field(name)
+        visit(f, "OPTIONAL" if f.nullable else "REQUIRED")
+    return rows
+
+
+_METADATA_COLS = StructType(
+    [
+        StructField("uri", StringType()),
+        StructField("row_group_id", LongType()),
+        StructField("row_group_num_rows", LongType()),
+        StructField("row_group_num_columns", LongType()),
+        StructField("row_group_bytes", LongType()),
+        StructField("column_id", LongType()),
+        StructField("file_offset", LongType()),
+        StructField("num_values", LongType()),
+        StructField("path_in_schema", StringType()),
+        StructField("type_name", StringType()),
+        StructField("stats_null_count", LongType()),
+        StructField("stats_distinct_count", LongType()),
+        StructField("stats_min", StringType()),
+        StructField("stats_max", StringType()),
+        StructField("compression", StringType()),
+        StructField("encodings", StringType()),
+        StructField("index_page_offset", LongType()),
+        StructField("dictionary_page_offset", LongType()),
+        StructField("data_page_offset", LongType()),
+        StructField("total_compressed_size", LongType()),
+        StructField("total_uncompressed_size", LongType()),
+    ]
+)
+
+
+def _render_stat(v) -> str | None:
+    """PG-text rendering of a stat value (stats.rs:168-384): bytes → hex
+    with a \\x prefix, everything else via str()."""
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return "\\x" + v.hex()
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    return str(v)
+
+
+def parquet_metadata(spark: SparkSession, uri: str) -> DataFrame:
+    """`parquet.metadata(uri)` — one row per row-group × column chunk
+    (src/parquet_udfs/metadata.rs:14-132)."""
+    pf = _parquet_file(uri)
+    md = pf.metadata
+    rows = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            st = c.statistics
+            rows.append(
+                (
+                    uri,
+                    rg,
+                    g.num_rows,
+                    g.num_columns,
+                    g.total_byte_size,
+                    ci,
+                    c.file_offset,
+                    c.num_values,
+                    c.path_in_schema,
+                    c.physical_type,
+                    st.null_count if st and st.has_null_count else None,
+                    st.distinct_count if st and st.has_distinct_count else None,
+                    _render_stat(st.min) if st and st.has_min_max else None,
+                    _render_stat(st.max) if st and st.has_min_max else None,
+                    c.compression,
+                    ",".join(c.encodings),
+                    None,
+                    c.dictionary_page_offset,
+                    c.data_page_offset,
+                    c.total_compressed_size,
+                    c.total_uncompressed_size,
+                )
+            )
+    return spark.createDataFrame(rows, _METADATA_COLS)
+
+
+_FILE_METADATA_COLS = StructType(
+    [
+        StructField("uri", StringType()),
+        StructField("created_by", StringType()),
+        StructField("num_rows", LongType()),
+        StructField("num_row_groups", LongType()),
+        StructField("format_version", StringType()),
+    ]
+)
+
+
+def parquet_file_metadata(spark: SparkSession, uri: str) -> DataFrame:
+    """`parquet.file_metadata(uri)` (src/parquet_udfs/metadata.rs:134-174)."""
+    md = _parquet_file(uri).metadata
+    row = (uri, md.created_by, md.num_rows, md.num_row_groups, md.format_version)
+    return spark.createDataFrame([row], _FILE_METADATA_COLS)
+
+
+_KV_COLS = StructType(
+    [
+        StructField("uri", StringType()),
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+    ]
+)
+
+
+def parquet_kv_metadata(spark: SparkSession, uri: str) -> DataFrame:
+    """`parquet.kv_metadata(uri)` (src/parquet_udfs/metadata.rs:176-215)."""
+    md = _parquet_file(uri).metadata.metadata or {}
+    rows = [(uri, bytearray(k), bytearray(v)) for k, v in md.items()]
+    return spark.createDataFrame(rows, _KV_COLS)
+
+
+_COLUMN_STATS_COLS = StructType(
+    [
+        StructField("column_id", IntegerType()),
+        StructField("field_id", IntegerType()),
+        StructField("stats_min", StringType()),
+        StructField("stats_max", StringType()),
+        StructField("stats_null_count", LongType()),
+        StructField("stats_distinct_count", LongType()),
+    ]
+)
+
+
+def parquet_column_stats(spark: SparkSession, uri: str) -> DataFrame:
+    """`parquet.column_stats(uri)` — min of mins / max of maxes / summed
+    null+distinct counts across row groups per leaf column
+    (src/parquet_udfs/stats.rs:96-165)."""
+    pf = _parquet_file(uri)
+    md = pf.metadata
+    ncols = md.num_columns
+
+    mins: list = [None] * ncols
+    maxs: list = [None] * ncols
+    nulls: list = [None] * ncols
+    distincts: list = [None] * ncols
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(ncols):
+            st = g.column(ci).statistics
+            if st is None:
+                continue
+            if st.has_min_max:
+                mins[ci] = st.min if mins[ci] is None else min(mins[ci], st.min)
+                maxs[ci] = st.max if maxs[ci] is None else max(maxs[ci], st.max)
+            if st.has_null_count:
+                nulls[ci] = (nulls[ci] or 0) + st.null_count
+            if st.has_distinct_count:
+                distincts[ci] = (distincts[ci] or 0) + st.distinct_count
+
+    # field ids from the arrow schema leaves, when stamped
+    fids = _leaf_field_ids(pf)
+    rows = [
+        (
+            ci,
+            fids[ci] if ci < len(fids) else None,
+            _render_stat(mins[ci]),
+            _render_stat(maxs[ci]),
+            nulls[ci],
+            distincts[ci],
+        )
+        for ci in range(ncols)
+    ]
+    return spark.createDataFrame(rows, _COLUMN_STATS_COLS)
+
+
+def _leaf_field_ids(pf) -> list:
+    import pyarrow as pa
+
+    out: list = []
+
+    def visit(field: pa.Field):
+        t = field.type
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                visit(t.field(i))
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            visit(t.value_field)
+        elif pa.types.is_map(t):
+            visit(t.key_field)
+            visit(t.item_field)
+        else:
+            md = field.metadata or {}
+            raw = md.get(b"PARQUET:field_id")
+            try:
+                out.append(int(raw) if raw is not None else None)
+            except (TypeError, ValueError):
+                out.append(None)
+
+    for name in pf.schema_arrow.names:
+        visit(pf.schema_arrow.field(name))
+    return out
+
+
+_LIST_COLS = StructType(
+    [StructField("uri", StringType()), StructField("size", LongType())]
+)
+
+
+def parquet_list(spark: SparkSession, uri_pattern: str) -> DataFrame:
+    """`parquet.list(pattern)` — glob over the store, uri + size
+    (src/parquet_udfs/list.rs:15-96); http(s) unsupported (parity)."""
+    if uri_pattern.startswith(("http://", "https://")):
+        raise ValueError("parquet.list is not supported for http(s) uris")
+    path = _local(uri_pattern)
+    matches: Iterable[str]
+    if any(ch in path for ch in "*?["):
+        matches = sorted(_glob.glob(path, recursive=True))
+    elif os.path.isdir(path):
+        matches = sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    else:
+        matches = [path] if os.path.exists(path) else []
+    rows = [(m, os.path.getsize(m)) for m in matches]
+    return spark.createDataFrame(rows, _LIST_COLS)

@@ -1,0 +1,635 @@
+"""The delegated query surface (SURVEY.md §2.B) as (spark, sf_dir) → DataFrame
+callables, each paired with an ANSI-SQL oracle DuckDB runs on the same
+parquet tables.
+
+The reference delegates every relational operator to the PostgreSQL
+executor (COPY (SELECT ...) TO, src/parquet_copy_hook/copy_to.rs:55-104);
+here the same surface is the Spark DataFrame/SQL engine. Each query below
+is one row of the §2.B inventory.
+
+Determinism contract with the oracle: aggregate arithmetic over DOUBLE
+columns is routed through DECIMAL casts (exact, order-independent) so
+Spark's distributed partial aggregation and DuckDB's single-node fold
+produce identical values; every computed column is aliased identically on
+both sides (the driver compare sorts columns by name and hashes values).
+
+Scale notes are inline per query: broadcast hints for dimension tables,
+pushdown-friendly filters first, no collect-driven logic anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.session import table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _dec(col, prec=12, scale=2):
+    return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(
+        f"decimal({prec},{scale})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (filter → groupBy → multi-agg → sort)
+# Spark plan: scan w/ pushed l_shipdate filter → partial hash agg →
+# shuffle on (returnflag, linestatus) [tiny key space → 6 groups] → final.
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
+    charge = disc * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax", 12, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# projection + filter (A4/A5/A6): pushdown-friendly — filter lands in
+# PushedFilters, only 3 columns in ReadSchema.
+
+def q_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.03))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q_PROJECTION_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.03
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins — inner equi-join with broadcast dimension (customer ⋈ orders ⋈ nation)
+# Scale: nation (25 rows) and customer (0.15% of lineitem) broadcast; the
+# orders-side stays un-shuffled.
+
+def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(_dec("o_totalprice")).alias("total_revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q_JOIN_INNER_ORACLE = """
+SELECT n_name, COUNT(*) AS order_count,
+       SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# left join + null handling
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+        .orderBy("c_custkey")
+    )
+
+
+Q_JOIN_LEFT_ORACLE = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name ORDER BY c_custkey
+"""
+
+
+# semi join (EXISTS)
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q_JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+ORDER BY c_custkey
+"""
+
+
+# anti join (NOT EXISTS)
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+Q_JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
+# multi-join across the star (region→nation→customer→orders→lineitem):
+# TPC-H Q5 shape. Scale: all dims broadcast, single shuffle for the agg.
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation variants
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_AGG_DISTINCT_ORACLE = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_customers,
+       COUNT(*) AS order_count
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+Q_AGG_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+Q_AGG_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_count
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE ...) aggregates — PG Agg feature (§2.B)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_quantity") > 25, 1)).alias("big_qty_count"),
+            F.count(F.when(F.col("l_discount") >= 0.05, 1)).alias("high_disc_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_AGG_FILTERED_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS big_qty_count,
+       COUNT(*) FILTER (WHERE l_discount >= 0.05) AS high_disc_count
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# window functions
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/row_number per partition — top-3 orders per customer."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+Q_WINDOW_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) t
+WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event sequences (events table)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+Q_WINDOW_LAG_LEAD_ORACLE = """
+SELECT user_id, event_id, event_type,
+       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events ORDER BY user_id, event_id
+"""
+
+
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """running sum with ROWS BETWEEN frame."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice")).over(w).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q_WINDOW_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+FROM orders ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / top-k (TakeOrderedAndProject in the physical plan)
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+Q_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 250000).select("o_orderkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return hi.unionAll(urgent).orderBy("o_orderkey")
+
+
+Q_UNION_ALL_ORACLE = """
+SELECT o_orderkey FROM orders WHERE o_totalprice > 250000
+UNION ALL
+SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY o_orderkey
+"""
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return hi.intersect(recent).orderBy("o_custkey")
+
+
+Q_INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+ORDER BY o_custkey
+"""
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    all_cust = orders.select(F.col("o_custkey").alias("custkey"))
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return all_cust.subtract(recent).orderBy("custkey")
+
+
+Q_EXCEPT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+ORDER BY custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar functions: string / date / math / json
+
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+            F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
+            F.length(F.col("p_type")).alias("type_len"),
+            F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowels"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+Q_SCALAR_STRING_ORACLE = """
+SELECT p_partkey, UPPER(p_brand) AS brand_upper,
+       SUBSTRING(p_name, 1, 5) AS name_prefix,
+       LENGTH(p_type) AS type_len,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowels
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q_SCALAR_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+       CAST(EXTRACT(day FROM o_orderdate) AS INT) AS order_day,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+            F.round(F.col("l_extendedprice") / 100, 2).alias("price_hundreds"),
+            F.floor(F.col("l_quantity")).cast("long").alias("qty_floor"),
+            F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+            F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q_SCALAR_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_quantity - 25) AS qty_dev,
+       ROUND(l_extendedprice / 100, 2) AS price_hundreds,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+       l_orderkey % 7 AS key_mod7
+FROM lineitem WHERE l_orderkey <= 100
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access on events.props (reference maps json→string + access
+    functions, SURVEY.md §1.2)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_value"),
+        )
+        .filter(F.col("k_value") > 90)
+        .orderBy("event_id")
+    )
+
+
+Q_SCALAR_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CASE / conditional + grouped agg over it
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+    )
+    return (
+        li.groupBy(bucket.alias("qty_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("qty_bucket")
+    )
+
+
+Q_CASE_WHEN_ORACLE = """
+SELECT CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 30 THEN 'mid'
+            ELSE 'high' END AS qty_bucket,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY 1 ORDER BY qty_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q_projection_filter": q_projection_filter,
+    "q_join_inner_broadcast": q_join_inner_broadcast,
+    "q_join_left": q_join_left,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q_agg_distinct": q_agg_distinct,
+    "q_agg_rollup": q_agg_rollup,
+    "q_agg_cube": q_agg_cube,
+    "q_agg_filtered": q_agg_filtered,
+    "q_window_rank": q_window_rank,
+    "q_window_lag_lead": q_window_lag_lead,
+    "q_window_frame": q_window_frame,
+    "q_topk": q_topk,
+    "q_union_all": q_union_all,
+    "q_intersect": q_intersect,
+    "q_except": q_except,
+    "q_scalar_string": q_scalar_string,
+    "q_scalar_date": q_scalar_date,
+    "q_scalar_math": q_scalar_math,
+    "q_scalar_json": q_scalar_json,
+    "q_case_when": q_case_when,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_ORACLE,
+    "q_projection_filter": Q_PROJECTION_FILTER_ORACLE,
+    "q_join_inner_broadcast": Q_JOIN_INNER_ORACLE,
+    "q_join_left": Q_JOIN_LEFT_ORACLE,
+    "q_join_semi": Q_JOIN_SEMI_ORACLE,
+    "q_join_anti": Q_JOIN_ANTI_ORACLE,
+    "q5_local_supplier_volume": Q5_ORACLE,
+    "q_agg_distinct": Q_AGG_DISTINCT_ORACLE,
+    "q_agg_rollup": Q_AGG_ROLLUP_ORACLE,
+    "q_agg_cube": Q_AGG_CUBE_ORACLE,
+    "q_agg_filtered": Q_AGG_FILTERED_ORACLE,
+    "q_window_rank": Q_WINDOW_RANK_ORACLE,
+    "q_window_lag_lead": Q_WINDOW_LAG_LEAD_ORACLE,
+    "q_window_frame": Q_WINDOW_FRAME_ORACLE,
+    "q_topk": Q_TOPK_ORACLE,
+    "q_union_all": Q_UNION_ALL_ORACLE,
+    "q_intersect": Q_INTERSECT_ORACLE,
+    "q_except": Q_EXCEPT_ORACLE,
+    "q_scalar_string": Q_SCALAR_STRING_ORACLE,
+    "q_scalar_date": Q_SCALAR_DATE_ORACLE,
+    "q_scalar_math": Q_SCALAR_MATH_ORACLE,
+    "q_scalar_json": Q_SCALAR_JSON_ORACLE,
+    "q_case_when": Q_CASE_WHEN_ORACLE,
+}

@@ -1,0 +1,146 @@
+"""SparkSession factory with reference-equivalent defaults.
+
+pg_parquet's performance/semantics-relevant constants (BASELINE.md §1):
+
+- strict casts — reads cast file→table types with ``safe: false`` so a
+  failed cast errors instead of producing NULL
+  (reference: src/arrow_parquet/parquet_reader.rs:151-155). Spark
+  equivalent: ``spark.sql.ansi.enabled=true``.
+- default compression snappy (src/arrow_parquet/compression.rs:8-11).
+- default writer version v1 (src/arrow_parquet/parquet_version.rs:8-10).
+- default row-group bytes 125,829,120 (parquet_writer.rs:37-38) →
+  ``parquet.block.size`` ≈ 128 MiB (Spark's default).
+- field-id write support for the ``field_ids`` option
+  (src/arrow_parquet/field_ids.rs).
+
+Scale posture (100 TB target): AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), parquet filter pushdown + nested schema
+pruning on, session timezone pinned UTC so timestamp semantics are
+deterministic across driver/executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver materializes under /root/testdata/sf*/ (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: GUC-equivalent kill switch (reference: pg_parquet.enable_copy_hooks,
+#: src/lib.rs:40-61). When false, read_parquet/write_parquet refuse the
+#: parquet fast path, mirroring the hook being disabled.
+_ENGINE_FLAGS = {"enable_copy_hooks": True}
+
+
+def set_copy_hooks_enabled(enabled: bool) -> None:
+    _ENGINE_FLAGS["enable_copy_hooks"] = bool(enabled)
+
+
+def copy_hooks_enabled() -> bool:
+    return _ENGINE_FLAGS["enable_copy_hooks"]
+
+
+def session_builder(app_name: str = "pg_parquet_spark") -> SparkSession.Builder:
+    """Builder with the engine defaults; callers may override before build."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # strict-cast parity with CastOptions{safe:false}
+        .config("spark.sql.ansi.enabled", "true")
+        # deterministic timestamp semantics
+        .config("spark.sql.session.timeZone", "UTC")
+        # reference defaults: snappy + writer v1 + ~128MiB row groups
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.hadoop.parquet.writer.version", "PARQUET_1_0")
+        .config("spark.hadoop.parquet.block.size", str(122880 * 1024))
+        # field_ids option support (SURVEY.md A13)
+        .config("spark.sql.parquet.fieldId.write.enabled", "true")
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        # scale posture: AQE re-plans at runtime (skew join, coalesce)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # pushdown / pruning are on by default — pinned explicitly because
+        # the engine's read path depends on them (SURVEY.md §4)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # parquet TIMESTAMP(NANOS) (pandas-written) is otherwise illegal in
+        # Spark; read as int64 ns and convert in table() below
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local[32] ergonomics: one shuffle partition per core; AQE
+        # coalesces down, and a real cluster would raise this via conf
+        .config("spark.sql.shuffle.partitions", cpus)
+        # Arrow for any pandas interchange (vectorized UDF boundary)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder
+
+
+def get_spark(app_name: str = "pg_parquet_spark") -> SparkSession:
+    return session_builder(app_name).getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver star schema and register temp views.
+
+    Equivalent of the reference's "the query surface is whatever SQL can
+    see" — pg_parquet delegates the inner query to the PG executor over
+    its catalog (SURVEY.md §2.B); here the catalog is temp views over the
+    sf parquet tables.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _ns_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    int64 ns (nanosAsLong) and we restore timestamp semantics."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.ParquetFile(path).schema_arrow
+    except Exception:  # pragma: no cover - directories/remote stores
+        return []
+    out = []
+    for i in range(len(schema)):
+        f = schema.field(i)
+        if str(f.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]"):
+            out.append(f.name)
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table (no view registration)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _ns_timestamp_columns(path):
+        # ns → µs (floor) → wall-clock TIMESTAMP_NTZ (session tz is UTC)
+        # integer `div` — float division would lose precision on ~1e18 ns
+        df = df.withColumn(
+            col,
+            F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+        )
+    return df

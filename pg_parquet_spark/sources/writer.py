@@ -1,0 +1,271 @@
+"""``write_parquet`` — the COPY TO surface (SURVEY.md A1, A8-A13).
+
+Reference behavior (src/parquet_copy_hook/copy_to.rs, copy_utils.rs,
+copy_to_split_dest_receiver.rs, src/arrow_parquet/parquet_writer.rs):
+
+- a ``*.parquet`` target uri means ONE parquet file;
+- ``file_size_bytes`` switches to a directory named like the target with
+  children ``data_{i}.parquet`` rotated when the running file exceeds the
+  threshold (copy_to_split_dest_receiver.rs:47-191);
+- options: compression(+level, inferable from ``*.parquet.gz|zst|br|lz4``
+  extension), row_group_size (rows, default 122880), row_group_size_bytes
+  (default 122880*1024), parquet_version v1|v2, field_ids none|auto|json.
+
+Spark-first design: three write paths, picked by target shape —
+
+1. **Directory target** (uri without ``.parquet`` suffix): plain
+   distributed ``df.write.parquet`` — the 100 TB path. All tasks write in
+   parallel; row-group bytes via ``parquet.block.size``.
+2. **Single-file target**: the semantics are inherently single-writer
+   (the reference runs one backend thread, src/lib.rs:30-37). Distributed
+   compute still happens upstream; only the final sink is coalesced. The
+   physical write goes through pyarrow when row-exact row groups /
+   field_ids / custom kv metadata are requested (Spark cannot express
+   those), else through Spark + an atomic rename.
+3. **file_size_bytes**: distributed write with ``maxRecordsPerFile``
+   derived from a sampled average row size, then children renamed to
+   ``data_{i}.parquet`` for naming parity.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+import tempfile
+import uuid as _uuid
+
+from pyspark.sql import DataFrame
+
+from pg_parquet_spark.functions.types import apply_write_policies
+from pg_parquet_spark.session import copy_hooks_enabled
+from pg_parquet_spark.sources.field_ids import (
+    spark_schema_with_field_ids,
+    stamp_field_ids,
+)
+from pg_parquet_spark.sources.options import OptionError, WriteOptions, is_parquet_uri
+
+
+class CopyHookDisabled(RuntimeError):
+    """Parity with GUC pg_parquet.enable_copy_hooks=off (src/lib.rs:40-61)."""
+
+
+def _strip_scheme(uri: str) -> str:
+    return uri[len("file://"):] if uri.startswith("file://") else uri
+
+
+def _pyarrow_needed(opts: WriteOptions, row_group_size: int | None, kv_metadata) -> bool:
+    return (
+        row_group_size is not None
+        or opts.field_ids not in ("none",)
+        or kv_metadata is not None
+    )
+
+
+def write_parquet(
+    df: DataFrame,
+    uri: str,
+    *,
+    compression: str | None = None,
+    compression_level: int | None = None,
+    row_group_size: int | None = None,
+    row_group_size_bytes: int | None = None,
+    file_size_bytes: int | str | None = None,
+    field_ids: str | dict = "none",
+    parquet_version: str = "v1",
+    kv_metadata: dict[str, str] | None = None,
+    mode: str = "overwrite",
+) -> list[str]:
+    """Write ``df`` to ``uri`` with pg_parquet's COPY TO option surface.
+
+    Returns the list of files written. See module docstring for path
+    selection; option validation errors mirror
+    copy_utils.rs:37-172 / compression.rs.
+    """
+    if not copy_hooks_enabled():
+        raise CopyHookDisabled("pg_parquet_spark copy hooks are disabled")
+
+    opts = WriteOptions.validate(
+        uri,
+        compression=compression,
+        compression_level=compression_level,
+        row_group_size=row_group_size,
+        row_group_size_bytes=row_group_size_bytes,
+        file_size_bytes=file_size_bytes,
+        field_ids=field_ids if isinstance(field_ids, str) else "explicit",
+    # keep the raw mapping for the stamper
+        parquet_version=parquet_version,
+    )
+    raw_field_ids = field_ids
+
+    df = apply_write_policies(df)
+    path = _strip_scheme(uri)
+    spark = df.sparkSession
+
+    if opts.file_size_bytes is not None:
+        return _write_split(df, path, opts, raw_field_ids)
+
+    single_file = path.rstrip("/").lower().endswith(
+        (".parquet", ".gz", ".zst", ".br", ".lz4", ".snappy")
+    )
+    if not single_file:
+        # scale path: distributed directory write
+        schema = spark_schema_with_field_ids(df.schema, raw_field_ids)
+        out = _restamp(df, schema) if schema is not df.schema else df
+        _apply_level_conf(spark, opts)
+        (
+            out.write.mode(mode)
+            .option("compression", opts.compression)
+            .option("parquet.block.size", str(opts.row_group_size_bytes))
+            .parquet(uri)
+        )
+        return sorted(
+            _glob.glob(os.path.join(path, "*.parquet"))
+            or _glob.glob(os.path.join(path, "part-*"))
+        )
+
+    if _pyarrow_needed(opts, row_group_size, kv_metadata):
+        _write_single_file_pyarrow(df, path, opts, raw_field_ids, kv_metadata)
+        return [path]
+
+    _write_single_file_spark(df, path, opts)
+    return [path]
+
+
+def _restamp(df: DataFrame, schema) -> DataFrame:
+    """Re-apply a metadata-stamped schema without touching data."""
+    out = df
+    for f in schema.fields:
+        out = out.withMetadata(f.name, f.metadata)
+    return out
+
+
+def _apply_level_conf(spark, opts: WriteOptions) -> None:
+    if opts.compression_level is None:
+        return
+    codec = opts.compression
+    # parquet-mr reads these hadoop confs for codec levels
+    key = {
+        "zstd": "parquet.compression.codec.zstd.level",
+        "gzip": "zlib.compress.level",
+        "brotli": "compression.brotli.quality",
+    }.get(codec)
+    if key:
+        spark.conf.set(f"spark.hadoop.{key}", str(opts.compression_level))
+
+
+def _write_single_file_spark(df: DataFrame, path: str, opts: WriteOptions) -> None:
+    """Distributed compute, single-writer sink, atomic rename to ``path``."""
+    tmp = tempfile.mkdtemp(prefix="pgpq_write_")
+    try:
+        _apply_level_conf(df.sparkSession, opts)
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", opts.compression)
+            .option("parquet.block.size", str(opts.row_group_size_bytes))
+            .parquet(os.path.join(tmp, "out"))
+        )
+        part = _glob.glob(os.path.join(tmp, "out", "part-*"))
+        if len(part) != 1:
+            raise RuntimeError(f"expected exactly one part file, got {part}")
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        shutil.move(part[0], path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _pyarrow_compression(opts: WriteOptions) -> tuple[str, int | None]:
+    codec = {"uncompressed": "none", "lz4_raw": "lz4"}.get(opts.compression, opts.compression)
+    return codec, opts.compression_level
+
+
+def _write_single_file_pyarrow(
+    df: DataFrame,
+    path: str,
+    opts: WriteOptions,
+    field_ids,
+    kv_metadata: dict[str, str] | None,
+) -> None:
+    """Parity path: row-exact row groups, full-fidelity field ids, custom
+    footer kv metadata (the reference's `geo` key, parquet_writer.rs:100-107).
+
+    Collects via Arrow — reserved for option-parity workloads; the scale
+    path is the directory write.
+    """
+    import pyarrow.parquet as pq
+
+    table = df.toArrow()
+    schema = stamp_field_ids(table.schema, field_ids)
+    table = table.cast(schema)
+    if kv_metadata:
+        md = dict(schema.metadata or {})
+        md.update({k.encode(): v.encode() if isinstance(v, str) else v for k, v in kv_metadata.items()})
+        table = table.replace_schema_metadata(md)
+    codec, level = _pyarrow_compression(opts)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    pq.write_table(
+        table,
+        path,
+        row_group_size=opts.row_group_size,
+        compression=codec,
+        compression_level=level,
+        data_page_version="1.0" if opts.parquet_version == "PARQUET_1_0" else "2.0",
+        write_statistics=True,
+        store_schema=True,
+    )
+
+
+def _write_split(df: DataFrame, path: str, opts: WriteOptions, field_ids) -> list[str]:
+    """file_size_bytes → directory of ``data_{i}.parquet``
+    (copy_to_split_dest_receiver.rs:47-191). Row-count per file is derived
+    from a sampled average on-disk row size, then a distributed write with
+    ``maxRecordsPerFile`` and a rename pass for naming parity."""
+    spark = df.sparkSession
+    tmp = tempfile.mkdtemp(prefix="pgpq_split_")
+    try:
+        sample_path = os.path.join(tmp, "sample")
+        df.limit(10_000).write.mode("overwrite").option(
+            "compression", opts.compression
+        ).parquet(sample_path)
+        sampled = [
+            (f, os.path.getsize(f))
+            for f in _glob.glob(os.path.join(sample_path, "part-*"))
+        ]
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f, _ in sampled) or 1
+        nbytes = sum(s for _, s in sampled) or 1
+        avg_row = max(nbytes / rows, 1e-6)
+        max_records = max(int(opts.file_size_bytes / avg_row), 1)
+
+        out_tmp = os.path.join(tmp, "out")
+        (
+            df.write.mode("overwrite")
+            .option("compression", opts.compression)
+            .option("maxRecordsPerFile", str(max_records))
+            .parquet(out_tmp)
+        )
+        if os.path.isdir(path) or os.path.isfile(path):
+            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        os.makedirs(path, exist_ok=True)
+        written = []
+        parts = sorted(_glob.glob(os.path.join(out_tmp, "part-*")))
+        for i, part in enumerate(parts):
+            target = os.path.join(path, f"data_{i}.parquet")
+            shutil.move(part, target)
+            written.append(target)
+        return written
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def copy_to(df: DataFrame, uri: str, **options) -> list[str]:
+    """COPY (query) TO '<uri>' alias; engages only for parquet uris the
+    way the hook does (copy_utils.rs:430-515)."""
+    if not is_parquet_uri(uri) and "format" not in options:
+        raise OptionError(f"uri {uri} is not a parquet target")
+    options.pop("format", None)
+    return write_parquet(df, uri, **options)
