@@ -1,0 +1,78 @@
+"""Benchmark harness — driver contract (BASELINE.md §2).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop-format write (full computation, no
+driver-side collect — the measurement reflects engine throughput, not
+result serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q_join_inner_broadcast",
+    "q_join_left",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_window_rank",
+    "q_window_frame",
+    "q_topk",
+    "q_union_all",
+    "q_scalar_json",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pg_parquet_spark.operators.registry import all_queries
+    from pg_parquet_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # extend with any registered pipeline benchmarks
+    names += [n for n in queries if n.startswith("bench_") and n not in names]
+
+    # warm-up: JVM + parquet footer caches (one light query, not timed)
+    queries["q_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

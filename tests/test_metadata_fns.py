@@ -1,0 +1,123 @@
+"""Golden tests for the six parquet.* metadata functions (SURVEY.md
+A16-A21; reference: src/pgrx_tests/udfs.rs)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pg_parquet_spark.functions import (
+    parquet_column_stats,
+    parquet_file_metadata,
+    parquet_kv_metadata,
+    parquet_list,
+    parquet_metadata,
+    parquet_schema,
+)
+from pg_parquet_spark.sources import write_parquet
+
+
+@pytest.fixture()
+def sample(spark, tmp_path):
+    """Two row groups to prove cross-group aggregation (stats.rs:96-165)."""
+    path = str(tmp_path / "sample.parquet")
+    t = pa.table(
+        {
+            "id": pa.array(range(100), pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(100)]),
+            "val": pa.array([float(i) for i in range(100)]),
+        }
+    )
+    pq.write_table(t, path, row_group_size=50)
+    return path
+
+
+def test_file_metadata(spark, sample):
+    rows = parquet_file_metadata(spark, sample).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.num_rows == 100
+    assert r.num_row_groups == 2
+    assert r.uri == sample
+    assert r.format_version in ("1.0", "2.4", "2.6")
+
+
+def test_metadata_per_chunk(spark, sample):
+    df = parquet_metadata(spark, sample)
+    rows = df.collect()
+    assert len(rows) == 2 * 3  # 2 row groups × 3 columns
+    assert {r.row_group_id for r in rows} == {0, 1}
+    assert {r.path_in_schema for r in rows} == {"id", "name", "val"}
+    byrg = {r.row_group_id for r in rows if r.row_group_num_rows == 50}
+    assert byrg == {0, 1}
+    assert all(r.compression for r in rows)
+    assert all(r.total_compressed_size > 0 for r in rows)
+
+
+def test_column_stats_cross_row_group_fold(spark, sample):
+    rows = {r.column_id: r for r in parquet_column_stats(spark, sample).collect()}
+    # min of mins / max of maxes across both groups (stats.rs:118-164)
+    assert rows[0].stats_min == "0" and rows[0].stats_max == "99"
+    # parquet writers may widen float zero to -0.0 in stats (spec-allowed)
+    assert float(rows[2].stats_min) == 0.0 and float(rows[2].stats_max) == 99.0
+    assert rows[0].stats_null_count == 0
+
+
+def test_schema_walk(spark, sample):
+    rows = parquet_schema(spark, sample).collect()
+    names = [r.name for r in rows]
+    assert names[0] == "arrow_schema"  # root
+    assert set(names[1:]) == {"id", "name", "val"}
+    by = {r.name: r for r in rows[1:]}
+    assert by["id"].type_name == "INT64"
+    assert by["val"].type_name == "DOUBLE"
+    assert by["name"].type_name == "BYTE_ARRAY"
+    assert by["name"].logical_type and "String" in by["name"].logical_type
+
+
+def test_schema_nested_groups(spark, tmp_path):
+    path = str(tmp_path / "nested.parquet")
+    t = pa.table(
+        {
+            "s": pa.array([{"x": 1, "ys": [1, 2]}], pa.struct({"x": pa.int32(), "ys": pa.list_(pa.int64())})),
+            "m": pa.array([[(1, "a")]], pa.map_(pa.int32(), pa.string())),
+        }
+    )
+    pq.write_table(t, path)
+    rows = parquet_schema(spark, path).collect()
+    names = [r.name for r in rows]
+    # group rows present with converted types
+    assert "s" in names and "ys" in names and "m" in names
+    by = {r.name: r for r in rows}
+    assert by["s"].num_children == 2
+    assert by["ys"].converted_type == "LIST"
+    assert by["m"].converted_type == "MAP"
+    assert by["key_value"].num_children == 2
+
+
+def test_kv_metadata(spark, tmp_path):
+    from pg_parquet_spark.session import table as load
+
+    df = load(spark, "/root/testdata/sf0.001", "region")
+    path = str(tmp_path / "kv.parquet")
+    write_parquet(df, path, kv_metadata={"geo": '{"version":"1.1.0"}'})
+    rows = parquet_kv_metadata(spark, path).collect()
+    keys = {bytes(r.key).decode() for r in rows}
+    assert "geo" in keys
+    geo = [bytes(r.value).decode() for r in rows if bytes(r.key) == b"geo"][0]
+    assert "1.1.0" in geo
+
+
+def test_list_glob(spark, tmp_path):
+    for i in range(3):
+        pq.write_table(pa.table({"a": pa.array([i])}), str(tmp_path / f"f{i}.parquet"))
+    rows = parquet_list(spark, str(tmp_path / "*.parquet")).collect()
+    assert len(rows) == 3
+    assert all(r.size > 0 for r in rows)
+    # directory form
+    rows2 = parquet_list(spark, str(tmp_path)).collect()
+    assert len(rows2) == 3
+
+
+def test_list_http_unsupported(spark):
+    with pytest.raises(ValueError, match="http"):
+        parquet_list(spark, "https://example.com/*.parquet")

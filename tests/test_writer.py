@@ -1,0 +1,75 @@
+"""Writer-path behaviors: row group sizing, splitting, compression —
+asserted via our own metadata functions, exactly as the reference
+self-hosts its checks (copy_options.rs:348-565)."""
+
+import glob
+import os
+
+import pytest
+
+from pg_parquet_spark.functions import parquet_file_metadata, parquet_metadata
+from pg_parquet_spark.session import table as load
+from pg_parquet_spark.sources import read_parquet, write_parquet
+from pg_parquet_spark.sources.options import OptionError
+
+
+def test_row_group_size_rows(spark, tmp_path):
+    # row_group_size effect observed via parquet.metadata (copy_options.rs:348)
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")  # 6000 rows
+    path = str(tmp_path / "rg.parquet")
+    write_parquet(li, path, row_group_size=1000)
+    md = parquet_file_metadata(spark, path).collect()[0]
+    assert md.num_rows == 6000
+    assert md.num_row_groups == 6
+    per_group = {
+        r.row_group_id: r.row_group_num_rows
+        for r in parquet_metadata(spark, path).collect()
+    }
+    assert all(v == 1000 for v in per_group.values())
+
+
+def test_file_size_bytes_split_naming(spark, tmp_path):
+    # children data_{i}.parquet (copy_to_split_dest_receiver.rs:105-136)
+    li = load(spark, "/root/testdata/sf0.01", "lineitem")
+    out = str(tmp_path / "split_out")
+    files = write_parquet(li, out, file_size_bytes="1MB")
+    assert len(files) >= 2
+    assert [os.path.basename(f) for f in files] == [
+        f"data_{i}.parquet" for i in range(len(files))
+    ]
+    back = read_parquet(spark, out + "/*.parquet")
+    assert back.count() == li.count()
+
+
+def test_file_size_bytes_min_enforced(spark, tmp_path):
+    li = load(spark, "/root/testdata/sf0.001", "region")
+    with pytest.raises(OptionError, match="at least 1MB"):
+        write_parquet(li, str(tmp_path / "x"), file_size_bytes=1000)
+
+
+@pytest.mark.parametrize("codec", ["snappy", "gzip", "zstd", "uncompressed"])
+def test_compression_codecs_roundtrip(spark, tmp_path, codec):
+    df = load(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / f"c_{codec}.parquet")
+    write_parquet(df, path, compression=codec)
+    md = parquet_metadata(spark, path).collect()
+    expected = {"uncompressed": "UNCOMPRESSED", "snappy": "SNAPPY", "gzip": "GZIP", "zstd": "ZSTD"}[codec]
+    assert all(r.compression == expected for r in md)
+    assert read_parquet(spark, path).count() == df.count()
+
+
+def test_compression_from_extension(spark, tmp_path):
+    # *.parquet.zst → zstd (compression.rs:135-155)
+    df = load(spark, "/root/testdata/sf0.001", "region")
+    path = str(tmp_path / "r.parquet.zst")
+    write_parquet(df, path)
+    md = parquet_metadata(spark, path).collect()
+    assert all(r.compression == "ZSTD" for r in md)
+
+
+def test_directory_target_distributed_write(spark, tmp_path):
+    out = str(tmp_path / "dataset_dir")
+    df = load(spark, "/root/testdata/sf0.001", "lineitem").repartition(4)
+    files = write_parquet(df, out)
+    assert len(files) >= 1
+    assert read_parquet(spark, out).count() == 6000
