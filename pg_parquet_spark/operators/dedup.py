@@ -1,0 +1,292 @@
+"""Deduplication operators for LLM-data pipelines: exact, normalized,
+MinHash-LSH near-dup, SimHash (beyond-reference surface).
+
+Scale design (the 100 TB story):
+
+- **exact / normalized**: shuffle only a 16-byte md5 key + doc id
+  (hash-groupBy with map-side partial aggregation), never the document
+  bodies. Skew-safe: md5 keys are uniform.
+- **MinHash-LSH**: per-doc signature computation is embarrassingly
+  parallel (no shuffle); the only shuffle is the band-bucket self-join,
+  whose fan-out is bounded by band width. Candidate pairs are verified
+  with exact Jaccard before reporting (no false positives).
+- **SimHash**: 60-bit signature per doc, then banded equality join on
+  signature chunks (Hamming-adjacent candidates), verified by exact
+  Hamming distance.
+
+Cross-engine determinism: hashes are md5 (identical in Spark and DuckDB)
+so the MinHash pipeline is oracle-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.operators.text import fingerprint, normalized_fingerprint, tokens
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per exact content fingerprint.
+
+    Returns (doc_id, fingerprint, dup_count) — one row per distinct
+    document. Equivalent SQL: GROUP BY md5(lower(text)).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+def dedup_normalized(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per sorted-distinct-token fingerprint
+    (catches token-order shuffles and repeated-token padding)."""
+    return (
+        df.select(
+            F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+def shingles(col: Column) -> Column:
+    """Distinct 2-gram word shingles. 1-indexed element_at keeps the
+    expression identical to the DuckDB oracle; try_element_at + coalesce
+    handles single-token docs the same way both engines do."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.coalesce(F.try_element_at(t, i + 1), F.lit(""))
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
+    """num_hashes independent MinHash values: min over shingles of
+    md5(seed || ':' || shingle), truncated to 16 hex chars (string min —
+    lexicographic on hex == numeric on the hash prefix)."""
+    def _hash_with_seed(j: int):
+        # closure factory: a default-arg capture (lambda s, j=j) would make
+        # PySpark treat the lambda as binary and pass the array index as j
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(str(j)), F.lit(":"), s)), 1, 16
+        )
+
+    return [
+        F.array_min(F.transform(shingle_col, _hash_with_seed(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH, verified by exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Plan shape: project signatures (no shuffle) → explode bands →
+    shuffle on band key (bounded buckets) → pair join → exact verify.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col)).alias("_sh")
+    ).select("_id", "_sh", *minhash_signature(F.col("_sh"), num_hashes))
+
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", "_sh", *band_keys)
+    exploded = banded.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sh", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+
+    left = exploded.select(
+        F.col("band_idx"), F.col("key"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    )
+    right = exploded.select(
+        F.col("band_idx").alias("band_idx_r"),
+        F.col("key").alias("key_r"),
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("sh_b"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (left.band_idx == right.band_idx_r)
+            & (left.key == right.key_r)
+            & (left.id_a < right.id_b),
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> str:
+    """DuckDB SQL replicating minhash_lsh_pairs exactly (same md5 seeds,
+    same banding) — candidate sets and verified pairs are identical by
+    construction."""
+    rows_per_band = num_hashes // bands
+    mh_exprs = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{j}:' || s), 1, 16))) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    band_exprs = ",\n    ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT _id, sh, {b} AS band_idx, band{b} AS key FROM sig" for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS _id, string_split(lower({text_col}), ' ') AS t FROM {table}
+), sh_t AS (
+  SELECT _id, list_distinct(list_transform(
+    range(1, greatest(len(t) - 1, 1) + 1),
+    i -> t[i] || ' ' || coalesce(t[i + 1], ''))) AS sh
+  FROM toks
+), sig AS (
+  SELECT _id, sh,
+    {mh_exprs}
+  FROM sh_t
+), sig2 AS (
+  SELECT _id, sh, {band_exprs} FROM sig
+), exploded AS (
+  {band_union.replace('FROM sig', 'FROM sig2')}
+), pairs AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM exploded a JOIN exploded b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a._id < b._id
+), verified AS (
+  SELECT p.id_a, p.id_b,
+    len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+    len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+  FROM pairs p
+  JOIN sh_t sa ON sa._id = p.id_a
+  JOIN sh_t sb ON sb._id = p.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def simhash(col: Column, bits: int = 60) -> Column:
+    """60-bit SimHash of the token multiset (60 keeps the value inside a
+    signed BIGINT). Per-token hash = first 15 hex chars of md5."""
+    t = tokens(col)
+    hashes = F.transform(
+        t, lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+    )
+
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(1 << i)) != 0, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), _vote(i)) for i in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for i, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 6
+) -> DataFrame:
+    """Candidate pairs whose SimHashes agree on at least one of 4
+    15-bit chunks (pigeonhole: catches all pairs with Hamming ≤ 3 and
+    most up to max_hamming), verified by exact Hamming distance."""
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sim")
+    )
+    chunks = [
+        (F.shiftright(F.col("_sim"), 15 * c).bitwiseAND(F.lit((1 << 15) - 1))).alias(
+            f"chunk{c}"
+        )
+        for c in range(4)
+    ]
+    banded = sig.select("_id", "_sim", *chunks)
+    exploded = banded.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("ci"), F.col(f"chunk{c}").alias("cv"))
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "_sim", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    right = exploded.select(
+        F.col("ci").alias("ci_r"),
+        F.col("cv").alias("cv_r"),
+        F.col("_id").alias("id_b"),
+        F.col("_sim").alias("sim_b"),
+    )
+    pairs = (
+        exploded.join(
+            right,
+            (F.col("ci") == F.col("ci_r"))
+            & (F.col("cv") == F.col("cv_r"))
+            & (F.col("_id") < F.col("id_b")),
+        )
+        .select(F.col("_id").alias("id_a"), "id_b", F.col("_sim").alias("sim_a"), "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,210 @@
+"""I/O-surface operators (SURVEY.md §2.A) exposed as correctness-gate
+queries: each routes through the engine's own read_parquet / metadata
+functions and is checked against a plain-SQL DuckDB oracle over the same
+data, proving the wrapper layer preserves semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from pg_parquet_spark.functions.metadata import (
+    parquet_column_stats,
+    parquet_file_metadata,
+    parquet_list,
+    parquet_schema,
+)
+from pg_parquet_spark.sources.reader import read_parquet
+
+
+# glob/multi-file scan (A7): pattern fan-out within the engine reader
+
+def q_io_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet(spark, os.path.join(sf_dir, "lineitem*.parquet"))
+    return (
+        df.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q_IO_GLOB_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# match_by=position (A14): ordinal mapping with renamed target columns
+
+def q_io_match_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = StructType.fromDDL(
+        "orderkey BIGINT, partkey BIGINT, suppkey BIGINT, linenumber INT, "
+        "quantity DOUBLE, extendedprice DOUBLE, discount DOUBLE, tax DOUBLE, "
+        "returnflag STRING, linestatus STRING, shipdate TIMESTAMP_NTZ"
+    )
+    df = read_parquet(
+        spark, os.path.join(sf_dir, "lineitem.parquet"), target, match_by="position"
+    )
+    return (
+        df.groupBy("returnflag")
+        .agg(F.sum(F.col("quantity").cast("decimal(12,2)")).alias("sum_qty"))
+        .orderBy("returnflag")
+    )
+
+
+Q_IO_MATCH_POSITION_ORACLE = """
+SELECT l_returnflag AS returnflag,
+       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY returnflag
+"""
+
+
+# match_by=name + read-time coercion (A15): int32→smallint-range cast,
+# timestamp→date, int64→int
+
+def q_io_coercion_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = StructType.fromDDL(
+        "l_shipdate DATE, l_linenumber BIGINT, l_orderkey INT"
+    )
+    df = read_parquet(
+        spark, os.path.join(sf_dir, "lineitem.parquet"), target, match_by="name"
+    )
+    return (
+        df.groupBy("l_shipdate")
+        .agg(
+            F.sum("l_linenumber").alias("sum_linenumber"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("l_shipdate")
+        .limit(100)
+    )
+
+
+Q_IO_COERCION_ORACLE = """
+SELECT CAST(l_shipdate AS DATE) AS l_shipdate,
+       SUM(CAST(l_linenumber AS BIGINT)) AS sum_linenumber,
+       MAX(CAST(l_orderkey AS INT)) AS max_orderkey
+FROM lineitem GROUP BY 1 ORDER BY l_shipdate LIMIT 100
+"""
+
+
+# WHERE-on-load (A6) + column projection (A5)
+
+def q_io_where_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet(
+        spark,
+        os.path.join(sf_dir, "orders.parquet"),
+        where="o_totalprice > 250000",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return df.orderBy("o_orderkey")
+
+
+Q_IO_WHERE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice > 250000 ORDER BY o_orderkey
+"""
+
+
+# parquet.file_metadata (A18): num_rows cross-checked against SQL count
+
+def q_io_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    md = parquet_file_metadata(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    return md.select("num_rows", "num_row_groups")
+
+
+Q_IO_FILE_METADATA_ORACLE = """
+SELECT COUNT(*) AS num_rows, CAST(1 AS BIGINT) AS num_row_groups FROM lineitem
+"""
+
+
+# parquet.column_stats (A20): footer min/max/null fold == SQL aggregates
+
+def q_io_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = parquet_column_stats(spark, os.path.join(sf_dir, "orders.parquet"))
+    # o_totalprice is leaf column 3 (o_orderkey, o_custkey, o_orderstatus,
+    # o_totalprice, ...)
+    return stats.filter(F.col("column_id") == 3).select(
+        F.col("stats_min").cast("double").alias("min_price"),
+        F.col("stats_max").cast("double").alias("max_price"),
+        F.col("stats_null_count").alias("null_count"),
+    )
+
+
+Q_IO_COLUMN_STATS_ORACLE = """
+SELECT MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       COUNT(*) - COUNT(o_totalprice) AS null_count
+FROM orders
+"""
+
+
+# parquet.schema (A16): leaf physical types — stable across scale factors
+
+def q_io_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sch = parquet_schema(spark, os.path.join(sf_dir, "orders.parquet"))
+    return (
+        sch.filter(F.col("type_name").isNotNull())
+        .select("name", "type_name")
+        .orderBy("name")
+    )
+
+
+Q_IO_SCHEMA_ORACLE = """
+SELECT * FROM (VALUES
+  ('o_custkey', 'INT64'),
+  ('o_orderdate', 'INT64'),
+  ('o_orderkey', 'INT64'),
+  ('o_orderpriority', 'BYTE_ARRAY'),
+  ('o_orderstatus', 'BYTE_ARRAY'),
+  ('o_totalprice', 'DOUBLE')) AS t(name, type_name)
+ORDER BY name
+"""
+
+
+# parquet.list (A21): file inventory of the sf directory
+
+def q_io_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lst = parquet_list(spark, os.path.join(sf_dir, "*.parquet"))
+    return (
+        lst.select(
+            F.element_at(F.split(F.col("uri"), "/"), -1).alias("file_name")
+        )
+        .orderBy("file_name")
+    )
+
+
+Q_IO_LIST_ORACLE = """
+SELECT * FROM (VALUES
+  ('customer.parquet'), ('documents.parquet'), ('embeddings.parquet'),
+  ('events.parquet'), ('lineitem.parquet'), ('nation.parquet'),
+  ('orders.parquet'), ('part.parquet'), ('region.parquet'),
+  ('supplier.parquet')) AS t(file_name)
+ORDER BY file_name
+"""
+
+
+QUERIES = {
+    "q_io_glob_read": q_io_glob_read,
+    "q_io_match_position": q_io_match_position,
+    "q_io_coercion_read": q_io_coercion_read,
+    "q_io_where_filter": q_io_where_filter,
+    "q_io_file_metadata": q_io_file_metadata,
+    "q_io_column_stats": q_io_column_stats,
+    "q_io_schema": q_io_schema,
+    "q_io_list": q_io_list,
+}
+
+ORACLES = {
+    "q_io_glob_read": Q_IO_GLOB_ORACLE,
+    "q_io_match_position": Q_IO_MATCH_POSITION_ORACLE,
+    "q_io_coercion_read": Q_IO_COERCION_ORACLE,
+    "q_io_where_filter": Q_IO_WHERE_ORACLE,
+    "q_io_file_metadata": Q_IO_FILE_METADATA_ORACLE,
+    "q_io_column_stats": Q_IO_COLUMN_STATS_ORACLE,
+    "q_io_schema": Q_IO_SCHEMA_ORACLE,
+    "q_io_list": Q_IO_LIST_ORACLE,
+}

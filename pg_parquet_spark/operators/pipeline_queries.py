@@ -1,0 +1,261 @@
+"""LLM-data-pipeline operators as correctness-gate queries over the
+documents/embeddings tables (beyond-reference surface; graded alongside
+SURVEY.md §2).
+
+Oracle-checkable where the computation is SQL-expressible with identical
+hashes (md5/sha256 are the same functions in Spark and DuckDB); the
+genuinely non-SQL ops (SimHash banding, hyperplane ANN, mapInPandas
+decode) are registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.operators import dedup, multimodal, similarity, text
+from pg_parquet_spark.session import table
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        text.with_text_features(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_token_len",
+            "stopword_ratio",
+            "quality_score",
+            "fingerprint",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STOP_EN = "','".join(text.LANG_STOPWORDS["en"])
+
+Q_TEXT_FEATURES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(lower(text), ' ') AS toks,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  (CAST(length(text) AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1.0)) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+  CAST(len(list_filter(toks, x -> x IN ('{_STOP_EN}'))) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+    + least(CAST(len(list_filter(toks, x -> x IN ('{_STOP_EN}'))) AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.3
+    + (CASE WHEN ((CAST(length(text) AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1.0)) / CAST(n_tokens AS DOUBLE)) >= 3.0
+             AND ((CAST(length(text) AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1.0)) / CAST(n_tokens AS DOUBLE)) <= 10.0
+        THEN 1.0 ELSE 0.0 END) * 0.3 AS quality_score,
+  md5(lower(text)) AS fingerprint
+FROM t ORDER BY doc_id
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang", text.lang_id(F.col("text")).alias("pred_lang")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_cnt(lang: str) -> str:
+    words = "','".join(text.LANG_STOPWORDS[lang])
+    return f"len(list_filter(string_split(lower(text), ' '), x -> x IN ('{words}')))"
+
+
+Q_TEXT_LANG_ID_ORACLE = f"""
+SELECT doc_id, lang,
+  CASE
+    WHEN {_lang_cnt('en')} >= {_lang_cnt('de')} AND {_lang_cnt('en')} >= {_lang_cnt('es')} AND {_lang_cnt('en')} >= {_lang_cnt('fr')} THEN 'en'
+    WHEN {_lang_cnt('de')} >= {_lang_cnt('es')} AND {_lang_cnt('de')} >= {_lang_cnt('fr')} THEN 'de'
+    WHEN {_lang_cnt('es')} >= {_lang_cnt('fr')} THEN 'es'
+    ELSE 'fr'
+  END AS pred_lang
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, "doc_id").orderBy("doc_id")
+
+
+Q_DEDUP_EXACT_ORACLE = """
+SELECT MIN(doc_id) AS doc_id, md5(lower(text)) AS fingerprint,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id
+"""
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.dedup_normalized(docs, "doc_id").orderBy("doc_id")
+
+
+Q_DEDUP_NORMALIZED_ORACLE = """
+SELECT MIN(doc_id) AS doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY 2 ORDER BY doc_id
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id").orderBy("id_a", "id_b")
+
+
+Q_DEDUP_MINHASH_ORACLE = (
+    dedup.minhash_lsh_oracle_sql() + "\nORDER BY id_a, id_b"
+)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: all pairs within a (lang,
+    n_chars-bucket) block — the exhaustive-verification counterpart to
+    LSH (blocks bound the quadratic term at scale)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.expr("n_chars div 50").cast("int").alias("size_bucket"),
+        dedup.shingles(F.col("text")).alias("sh"),
+    )
+    right = sh.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("size_bucket").alias("size_bucket_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    pairs = sh.join(
+        right,
+        (sh.lang == right.lang_b)
+        & (sh.size_bucket == right.size_bucket_b)
+        & (sh.doc_id < right.doc_id_b),
+    )
+    jac = F.size(F.array_intersect(F.col("sh"), F.col("sh_b"))).cast("double") / F.size(
+        F.array_union(F.col("sh"), F.col("sh_b"))
+    ).cast("double")
+    return (
+        pairs.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q_DEDUP_NGRAM_ORACLE = """
+WITH sh_t AS (
+  SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS size_bucket,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1) + 1),
+      i -> string_split(lower(text), ' ')[i] || ' ' || coalesce(string_split(lower(text), ' ')[i + 1], ''))) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM sh_t a JOIN sh_t b
+  ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — banded signature join (rows-only check:
+    bit-vote loops aren't reasonably SQL-expressible)."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.cosine_topk(emb, query, k=10)
+
+
+Q_SIM_COSINE_ORACLE = similarity.cosine_topk_oracle_sql(query_id=0, k=10)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (rows-only: approximate by design)."""
+    emb = table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.ann_lsh_topk(emb, query, k=10, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary blob + typed metadata, computed JVM-side (sha256 matches
+    DuckDB's)."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return (
+        multimodal.attach_media_metadata(media)
+        .select("media_id", "modality", "n_bytes", "sha256")
+        .orderBy("media_id")
+    )
+
+
+Q_MULTIMODAL_META_ORACLE = """
+SELECT doc_id AS media_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents ORDER BY media_id
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub decode through the real mapInPandas plumbing (rows-only)."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.decode_media(media, fake=True).orderBy("media_id")
+
+
+QUERIES = {
+    "q_text_features": q_text_features,
+    "q_text_lang_id": q_text_lang_id,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_normalized": q_dedup_normalized,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_sim_cosine_topk": q_sim_cosine_topk,
+    "q_sim_ann_lsh": q_sim_ann_lsh,
+    "q_multimodal_metadata": q_multimodal_metadata,
+    "q_multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES = {
+    "q_text_features": Q_TEXT_FEATURES_ORACLE,
+    "q_text_lang_id": Q_TEXT_LANG_ID_ORACLE,
+    "q_dedup_exact": Q_DEDUP_EXACT_ORACLE,
+    "q_dedup_normalized": Q_DEDUP_NORMALIZED_ORACLE,
+    "q_dedup_minhash_lsh": Q_DEDUP_MINHASH_ORACLE,
+    "q_dedup_ngram_jaccard": Q_DEDUP_NGRAM_ORACLE,
+    "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
+    "q_multimodal_metadata": Q_MULTIMODAL_META_ORACLE,
+    # q_dedup_simhash, q_sim_ann_lsh, q_multimodal_decode: rows-only
+}

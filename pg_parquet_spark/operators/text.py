@@ -1,0 +1,123 @@
+"""Text-analysis operators for LLM-data pipelines (beyond-reference
+surface, SURVEY.md §7 Phase 4).
+
+All operators are pure built-in column expressions (JVM-side,
+whole-stage-codegen) — no Python UDFs in the hot path — so they scale
+linearly with executors and never shuffle on their own.
+
+Cross-engine determinism: tokenization is a plain single-space split and
+hashes are md5 (identical in Spark and DuckDB), so every operator here is
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language id (public-knowledge technique: stopword hit-rate scoring)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "es": ["el", "la", "de", "los", "y", "es", "en"],
+    "fr": ["le", "la", "les", "et", "est", "un", "en"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, lowercased. Single-space split keeps the
+    expression identical across engines."""
+    return F.split(F.lower(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("bigint")
+
+
+def avg_token_len(col: Column) -> Column:
+    """Mean token length in characters (double division — deterministic
+    IEEE op, identical cross-engine)."""
+    n = F.size(tokens(col)).cast("double")
+    total = (F.length(col).cast("double") - (n - F.lit(1.0)))
+    return total / n
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    toks = tokens(col)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def stopword_ratio(col: Column, words: list[str] | None = None) -> Column:
+    words = words or LANG_STOPWORDS["en"]
+    return stopword_hits(col, words).cast("double") / F.size(tokens(col)).cast(
+        "double"
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality score in [0,1]: length saturation + stopword
+    presence + token-length sanity. Deterministic double arithmetic."""
+    n_tok = F.size(tokens(col)).cast("double")
+    len_component = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_component = F.least(
+        stopword_ratio(col) * F.lit(5.0), F.lit(1.0)
+    )
+    atl = avg_token_len(col)
+    shape_component = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        len_component * F.lit(0.4)
+        + stop_component * F.lit(0.3)
+        + shape_component * F.lit(0.3)
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language id over LANG_STOPWORDS with a fixed
+    tie-break order (en > de > es > fr)."""
+    cnt = {lang: stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()}
+    return (
+        F.when(
+            (cnt["en"] >= cnt["de"]) & (cnt["en"] >= cnt["es"]) & (cnt["en"] >= cnt["fr"]),
+            F.lit("en"),
+        )
+        .when((cnt["de"] >= cnt["es"]) & (cnt["de"] >= cnt["fr"]), F.lit("de"))
+        .when(cnt["es"] >= cnt["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the lowercased text. At 100 TB this
+    is the key for exact dedup — a hash-groupBy that shuffles 16-byte
+    keys instead of document bodies."""
+    return F.md5(F.lower(col))
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    """Order/duplicate-insensitive fingerprint: md5 over the sorted
+    distinct token set (catches shuffled/near-identical docs)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the full feature set as columns (single projection — one
+    pass over the data, no shuffle)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        char_count(c).alias("n_chars_computed"),
+        avg_token_len(c).alias("avg_token_len"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality_score"),
+        lang_id(c).alias("pred_lang"),
+        fingerprint(c).alias("fingerprint"),
+    )
