@@ -1,0 +1,483 @@
+"""Remaining §2.B surface: SQL-entry queries (grouping sets, subqueries),
+Python UDF tiers (pandas scalar + grouped-agg), composed custom operators
+(as-of join, sessionization), richer windows/arrays/maps, and the
+Structured Streaming queries.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pg_parquet_spark.session import load_tables, table
+
+
+# ---------------------------------------------------------------------------
+# SQL entry point: GROUPING SETS (PG Agg feature delegated in §2.B)
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+Q_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# scalar subquery + IN subquery (PG subselect delegation)
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+Q_SUBQUERY_SCALAR_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)
+ORDER BY o_orderkey
+"""
+
+
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS order_lineitem_total
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_orderkey ORDER BY l_orderkey
+        """
+    )
+
+
+Q_SUBQUERY_IN_ORACLE = """
+SELECT l_orderkey,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS order_lineitem_total
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+            AND o_totalprice > 100000)
+        ORDER BY c_custkey
+        """
+    )
+
+
+Q_EXISTS_CORRELATED_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'F' AND o_totalprice > 100000)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# UDF tiers (§2.B UDF/UDAF row): Arrow-vectorized pandas UDFs
+
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches) — per-row double
+    arithmetic, deterministic. The 100 TB posture: vectorized Python only
+    when built-ins can't express the logic; here it stands in for custom
+    per-row model code."""
+
+    @pandas_udf("double")
+    def discounted(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            discounted(F.col("l_extendedprice"), F.col("l_discount")).alias(
+                "discounted_price"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q_PANDAS_UDF_SCALAR_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS discounted_price
+FROM lineitem WHERE l_orderkey <= 200
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF — order-independent reduction (max)
+    so the result is deterministic under any partitioning."""
+
+    @pandas_udf("double")
+    def max_price(v: pd.Series) -> float:
+        return float(v.max())
+
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(max_price(F.col("o_totalprice")).alias("max_totalprice"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_PANDAS_UDF_GROUPED_ORACLE = """
+SELECT o_orderpriority, MAX(o_totalprice) AS max_totalprice
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# composed custom operators
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (reference lacks it; composed from union + running
+    last_value — no range-join explosion, one shuffle on user_id):
+    for each purchase event, the most recent prior-or-same-ts click's
+    event_id and value."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(0).alias("_side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("_side"),
+    )
+    merged = clicks.select(
+        "user_id", "ts", "_side", "click_id", "click_value", F.lit(None).cast("long").alias("purchase_id")
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            "_side",
+            F.lit(None).cast("long").alias("click_id"),
+            F.lit(None).cast("double").alias("click_value"),
+            "purchase_id",
+        )
+    )
+    # clicks sort before purchases at equal ts (_side 0 < 1) → "≤ ts" semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_side", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "user_id",
+        "ts",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+    )
+    return (
+        carried.filter(F.col("purchase_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("purchase_id"),
+            "last_click_id",
+            "last_click_value",
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+Q_ASOF_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value AS click_value, 0 AS _side,
+         NULL::BIGINT AS purchase_id
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, NULL::BIGINT AS click_id, NULL::DOUBLE AS click_value,
+         1 AS _side, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), merged AS (
+  SELECT * FROM clicks UNION ALL SELECT * FROM purchases
+), carried AS (
+  SELECT user_id, ts, purchase_id,
+    last_value(click_id IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, _side, coalesce(click_id, purchase_id)
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+    last_value(click_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, _side, coalesce(click_id, purchase_id)
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+  FROM merged
+)
+SELECT user_id, purchase_id, last_click_id, last_click_value
+FROM carried WHERE purchase_id IS NOT NULL
+ORDER BY user_id, purchase_id
+"""
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) as a batch composition:
+    lag → new-session flag → running sum = session id. One shuffle on
+    user_id; state-free."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value"),
+        F.when(
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.lag("ts").over(w).cast("timestamp")))
+            > 30 * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w2))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+Q_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN epoch_us(ts) - epoch_us(
+      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start,
+       SUM(CAST(value AS DECIMAL(12,2))) AS session_value
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# richer windows + array/map scalar functions
+
+def q_window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q_WINDOW_NTILE_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN frame over a numeric ordering."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_orderkey"))
+        .rangeBetween(-100, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.count(F.lit(1)).over(w).alias("nearby_orders"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q_WINDOW_RANGE_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS nearby_orders
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dims"),
+            F.array_max("embedding").cast("float").alias("max_component"),
+            F.array_min("embedding").cast("float").alias("min_component"),
+            F.element_at("embedding", 1).alias("first_component"),
+            F.slice("embedding", 1, 3).alias("head3"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q_SCALAR_ARRAY_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dims,
+       list_max(embedding) AS max_component,
+       list_min(embedding) AS min_component,
+       embedding[1] AS first_component,
+       embedding[1:3] AS head3
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_MIN_MAX_BY_ORACLE = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming queries
+
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window agg, drained with AvailableNow —
+    equals the batch tumbling-window on a finite source."""
+    from pg_parquet_spark.streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    result = run_available_now(windowed_event_counts(events))
+    return result.orderBy("window_start", "event_type")
+
+
+Q_STREAM_WINDOW_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS event_count,
+       SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window stateful op (rows-only: session semantics
+    aren't plain-SQL-expressible)."""
+    from pg_parquet_spark.streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        sessionized_events,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    result = run_available_now(sessionized_events(events))
+    return result.orderBy("user_id", "session_start")
+
+
+QUERIES = {
+    "q_grouping_sets": q_grouping_sets,
+    "q_subquery_scalar": q_subquery_scalar,
+    "q_subquery_in": q_subquery_in,
+    "q_exists_correlated": q_exists_correlated,
+    "q_pandas_udf_scalar": q_pandas_udf_scalar,
+    "q_pandas_udf_grouped_agg": q_pandas_udf_grouped_agg,
+    "q_asof_join": q_asof_join,
+    "q_sessionize_batch": q_sessionize_batch,
+    "q_window_ntile_dist": q_window_ntile_dist,
+    "q_window_range_frame": q_window_range_frame,
+    "q_scalar_array": q_scalar_array,
+    "q_min_max_by": q_min_max_by,
+    "q_stream_window": q_stream_window,
+    "q_stream_session": q_stream_session,
+}
+
+ORACLES = {
+    "q_grouping_sets": Q_GROUPING_SETS_ORACLE,
+    "q_subquery_scalar": Q_SUBQUERY_SCALAR_ORACLE,
+    "q_subquery_in": Q_SUBQUERY_IN_ORACLE,
+    "q_exists_correlated": Q_EXISTS_CORRELATED_ORACLE,
+    "q_pandas_udf_scalar": Q_PANDAS_UDF_SCALAR_ORACLE,
+    "q_pandas_udf_grouped_agg": Q_PANDAS_UDF_GROUPED_ORACLE,
+    "q_asof_join": Q_ASOF_JOIN_ORACLE,
+    "q_sessionize_batch": Q_SESSIONIZE_ORACLE,
+    "q_window_ntile_dist": Q_WINDOW_NTILE_ORACLE,
+    "q_window_range_frame": Q_WINDOW_RANGE_ORACLE,
+    "q_scalar_array": Q_SCALAR_ARRAY_ORACLE,
+    "q_min_max_by": Q_MIN_MAX_BY_ORACLE,
+    "q_stream_window": Q_STREAM_WINDOW_ORACLE,
+    # q_stream_session: rows-only
+}

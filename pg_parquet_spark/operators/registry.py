@@ -54,4 +54,10 @@ def _load_pipeline():
     return pipeline_queries.QUERIES, pipeline_queries.ORACLES
 
 
-_OPTIONAL = [_load_io, _load_pipeline]
+def _load_advanced():
+    from pg_parquet_spark.operators import advanced_queries
+
+    return advanced_queries.QUERIES, advanced_queries.ORACLES
+
+
+_OPTIONAL = [_load_io, _load_pipeline, _load_advanced]

@@ -1,0 +1,121 @@
+"""Structured Streaming surface (beyond-reference scope — the reference's
+"streaming" is byte piping over COPY stdin/stdout, SURVEY.md A22; real
+stream processing is flagged as the Spark-native extension in §2.B).
+
+Patterns provided:
+
+- parquet directory as a stream source (schema pinned — required by
+  readStream), with the same TIMESTAMP(NANOS) repair as the batch loader;
+- watermarked tumbling-window aggregation (late-data bound, incremental
+  state);
+- gap-based sessionization via ``session_window`` (native stateful op);
+- ``run_available_now`` — drain everything currently in the source with
+  Trigger.AvailableNow into a memory sink and return the batch result
+  (how the correctness gate runs streaming queries deterministically).
+
+Scale: state lives in the executor state store keyed by window×key;
+watermarks bound it. The parquet source parallelizes by file — at 100 TB
+the source would be a file stream over an object-store prefix with
+``maxFilesPerTrigger`` back-pressure.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a streaming source. The ns-timestamp column is
+    declared LONG (nanosAsLong) and repaired to TIMESTAMP_NTZ."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # TIMESTAMP(NANOS) → ns since epoch
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (LTZ); session tz is UTC so wall-clock
+    # values are preserved — outputs convert back to NTZ
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def sessionized_events(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions per user via the native session_window stateful
+    operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("session_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_available_now(sdf: DataFrame, timeout_sec: int = 120) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = f"pgpq_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"pgpq_ckpt_{name}")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")  # emit all windows incl. ones the final
+        # watermark hasn't closed (deterministic for a finite source)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = sdf.sparkSession
+    return spark.table(name)

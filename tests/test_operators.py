@@ -1,0 +1,122 @@
+"""Pipeline-operator behavior tests (dedup, similarity, multimodal,
+as-of, streaming) on sf0.001 + constructed fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.operators import dedup, multimodal, similarity
+from pg_parquet_spark.session import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_drops_planted_dupes(spark):
+    docs = table(spark, SF, "documents").limit(50)
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 1000))
+    out = dedup.dedup_exact(doubled, "doc_id")
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.dup_count == 2 for r in rows)
+    assert all(r.doc_id < 1000 for r in rows)  # keeps the min id
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    docs = table(spark, SF, "documents")
+    # plant a near-duplicate: doc 0's text with one word changed
+    base = docs.filter(F.col("doc_id") == 0)
+    nd = base.select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(nd)
+    pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", threshold=0.5).collect()
+    assert any(p.id_a == 0 and p.id_b == 9000 for p in pairs)
+    assert all(p.jaccard >= 0.5 for p in pairs)
+
+
+def test_simhash_near_pairs_on_planted_dup(spark):
+    docs = table(spark, SF, "documents").limit(100)
+    clone = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(clone)
+    pairs = dedup.simhash_near_pairs(corpus, "doc_id", max_hamming=3).collect()
+    assert any(p.id_a == 5 and p.id_b == 9005 for p in pairs)
+    exact = [p for p in pairs if p.id_a == 5 and p.id_b == 9005]
+    assert exact[0].hamming == 0  # identical text → identical simhash
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = table(spark, SF, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7)
+    out = similarity.cosine_topk(emb, query, k=5).collect()
+    assert out[0].vec_id == 7
+    assert out[0].cosine_sim == pytest.approx(1.0, abs=1e-9)
+    sims = [r.cosine_sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_bucket_contains_query(spark):
+    emb = table(spark, SF, "embeddings")
+    query = emb.filter(F.col("vec_id") == 3)
+    out = similarity.ann_lsh_topk(emb, query, k=5, bits=4).collect()
+    # the query's own bucket always contains the query itself
+    assert out[0].vec_id == 3
+    assert out[0].cosine_sim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = table(spark, SF, "documents").limit(20)
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.decode_media(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(16 <= r.width <= 255 for r in rows)
+    assert all(0.0 <= r.mean_intensity <= 1.0 for r in rows)
+    # deterministic: same blob → same features
+    again = multimodal.decode_media(media, fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError, match="PIL/opencv"):
+        multimodal.decode_image(b"bytes", fake=False)
+
+
+def test_frame_sample_deterministic(spark):
+    docs = table(spark, SF, "documents")
+    media = multimodal.documents_as_media(docs)
+    s1 = {r.media_id for r in multimodal.frame_sample(media, 10).collect()}
+    s2 = {r.media_id for r in multimodal.frame_sample(media, 10).collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < 500
+
+
+def test_streaming_session_matches_batch_sessionize(spark):
+    from pg_parquet_spark.operators.advanced_queries import q_sessionize_batch
+    from pg_parquet_spark.operators.advanced_queries import q_stream_session
+
+    batch = q_sessionize_batch(spark, SF)
+    stream = q_stream_session(spark, SF)
+    assert stream.count() == batch.count()
+
+
+def test_asof_join_semantics(spark):
+    from pg_parquet_spark.operators.advanced_queries import q_asof_join
+
+    out = q_asof_join(spark, SF)
+    ev = table(spark, SF, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    assert out.count() == purchases.count()
+    # every matched click precedes (or ties) its purchase
+    joined = out.join(
+        ev.select(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")),
+        "purchase_id",
+    ).join(
+        ev.select(F.col("event_id").alias("last_click_id"), F.col("ts").alias("c_ts")),
+        "last_click_id",
+    )
+    assert joined.filter(F.col("c_ts") > F.col("p_ts")).count() == 0
