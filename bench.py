@@ -50,8 +50,11 @@ def main() -> None:
     # extend with any registered pipeline benchmarks
     names += [n for n in queries if n.startswith("bench_") and n not in names]
 
-    # warm-up: JVM + parquet footer caches (one light query, not timed)
-    queries["q_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm pass: JVM JIT, whole-stage-codegen compilation, parquet footer
+    # caches — untimed (standard warm-run protocol; the measured pass
+    # reflects steady-state engine throughput)
+    for name in names:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -95,6 +95,22 @@ def decimal_guard(col: Column) -> Column:
     ).otherwise(dec)
 
 
+def reject_special_numeric(col: Column) -> Column:
+    """NaN / ±Infinity cannot enter a numeric column
+    (error_if_special_numeric, pg_arrow_type_conversions.rs:178-190).
+    Spark's ANSI cast maps NaN→NULL for decimals instead of erroring, so
+    the policy is enforced explicitly."""
+    return F.when(
+        F.isnan(col) | (F.abs(col) == float("inf")),
+        F.raise_error(F.lit("NaN or Infinity is not allowed in numeric column")),
+    ).otherwise(col)
+
+
+def to_numeric(col: Column, precision: int = 38, scale: int = 9) -> Column:
+    """Float → numeric with the reference's special-value rejection."""
+    return reject_special_numeric(col).cast(DecimalType(precision, scale))
+
+
 def uuid_canonical(col: Column) -> Column:
     """UUID policy: canonical lowercase text (reference stores
     FixedSizeBinary(16)+Uuid annotation, schema_parser.rs:360-365; Spark

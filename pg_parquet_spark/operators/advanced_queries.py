@@ -164,6 +164,36 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) — the §2.B UDTF row; the reference
+    itself ships 6 UDTFs via #[pg_extern] (A16-A21). Emits the first 5
+    tokens of each document as rows via a LATERAL join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class TopTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")[:5]):
+                yield tok, i
+
+    spark.udtf.register("top_tokens", TopTokens)
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM documents d, LATERAL top_tokens(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
+
+
+Q_PYTHON_UDTF_ORACLE = """
+SELECT doc_id, unnest(string_split(text, ' ')[1:5]) AS token,
+       CAST(generate_subscripts(string_split(text, ' ')[1:5], 1) - 1 AS INT) AS pos
+FROM documents ORDER BY doc_id, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # composed custom operators
 
@@ -455,6 +485,7 @@ QUERIES = {
     "q_exists_correlated": q_exists_correlated,
     "q_pandas_udf_scalar": q_pandas_udf_scalar,
     "q_pandas_udf_grouped_agg": q_pandas_udf_grouped_agg,
+    "q_python_udtf": q_python_udtf,
     "q_asof_join": q_asof_join,
     "q_sessionize_batch": q_sessionize_batch,
     "q_window_ntile_dist": q_window_ntile_dist,
@@ -472,6 +503,7 @@ ORACLES = {
     "q_exists_correlated": Q_EXISTS_CORRELATED_ORACLE,
     "q_pandas_udf_scalar": Q_PANDAS_UDF_SCALAR_ORACLE,
     "q_pandas_udf_grouped_agg": Q_PANDAS_UDF_GROUPED_ORACLE,
+    "q_python_udtf": Q_PYTHON_UDTF_ORACLE,
     "q_asof_join": Q_ASOF_JOIN_ORACLE,
     "q_sessionize_batch": Q_SESSIONIZE_ORACLE,
     "q_window_ntile_dist": Q_WINDOW_NTILE_ORACLE,
