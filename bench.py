@@ -20,6 +20,7 @@ import time
 
 
 HEADLINE = [
+    # TPC-H-ish SQL surface
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "q_join_inner_broadcast",
@@ -31,6 +32,13 @@ HEADLINE = [
     "q_topk",
     "q_union_all",
     "q_scalar_json",
+    # LLM-pipeline operators (north-star workloads)
+    "q_text_features",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_sim_cosine_topk",
+    "q_asof_join",
+    "q_sessionize_batch",
 ]
 
 

@@ -419,6 +419,36 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column construction + access (§2.B map_* functions;
+    the reference's crunchy_map → MapType, SURVEY.md A30)."""
+    ev = table(spark, sf_dir, "events")
+    kmap = F.from_json(F.col("props"), "map<string,int>")
+    # the raw map stays internal (engines render MAP differently when
+    # collected); outputs are map-function results
+    return (
+        ev.filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            F.map_keys(kmap).alias("prop_keys"),
+            F.size(F.map_values(kmap)).alias("n_props"),
+            F.element_at(kmap, "k").alias("k_value"),
+            F.element_at(F.map_concat(kmap, F.create_map(F.lit("extra"), F.lit(1))), "extra").alias("extra_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_SCALAR_MAP_ORACLE = """
+SELECT event_id,
+       ['k'] AS prop_keys,
+       1 AS n_props,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+       1 AS extra_value
+FROM events WHERE event_id < 100 ORDER BY event_id
+"""
+
+
 def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return (
@@ -491,6 +521,7 @@ QUERIES = {
     "q_window_ntile_dist": q_window_ntile_dist,
     "q_window_range_frame": q_window_range_frame,
     "q_scalar_array": q_scalar_array,
+    "q_scalar_map": q_scalar_map,
     "q_min_max_by": q_min_max_by,
     "q_stream_window": q_stream_window,
     "q_stream_session": q_stream_session,
@@ -509,6 +540,7 @@ ORACLES = {
     "q_window_ntile_dist": Q_WINDOW_NTILE_ORACLE,
     "q_window_range_frame": Q_WINDOW_RANGE_ORACLE,
     "q_scalar_array": Q_SCALAR_ARRAY_ORACLE,
+    "q_scalar_map": Q_SCALAR_MAP_ORACLE,
     "q_min_max_by": Q_MIN_MAX_BY_ORACLE,
     "q_stream_window": Q_STREAM_WINDOW_ORACLE,
     # q_stream_session: rows-only

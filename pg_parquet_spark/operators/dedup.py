@@ -60,11 +60,14 @@ def dedup_normalized(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
-def shingles(col: Column) -> Column:
-    """Distinct 2-gram word shingles. 1-indexed element_at keeps the
-    expression identical to the DuckDB oracle; try_element_at + coalesce
-    handles single-token docs the same way both engines do."""
-    t = tokens(col)
+def shingles_from_tokens(t: Column) -> Column:
+    """Distinct 2-gram word shingles from an ALREADY-PROJECTED tokens
+    column. ``t`` must be a column reference, not a nested expression —
+    sub-expressions referenced inside higher-order-function lambdas are
+    re-evaluated per element (an inline split() makes this O(n²) per
+    document). 1-indexed element_at matches the DuckDB oracle;
+    try_element_at + coalesce handles the single-token edge identically.
+    """
     n = F.size(t)
     idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
     sh = F.transform(
@@ -74,6 +77,16 @@ def shingles(col: Column) -> Column:
         ),
     )
     return F.array_distinct(sh)
+
+
+def with_shingles(df: DataFrame, text_col: str, out_col: str = "_sh") -> DataFrame:
+    """Two-step projection: tokens first (materialized per row), then
+    shingles — keeps the HOF lambda reading a column, not an expression."""
+    return (
+        df.withColumn("_toks_tmp", tokens(F.col(text_col)))
+        .withColumn(out_col, shingles_from_tokens(F.col("_toks_tmp")))
+        .drop("_toks_tmp")
+    )
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
@@ -108,9 +121,16 @@ def minhash_lsh_pairs(
     shuffle on band key (bounded buckets) → pair join → exact verify.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col)).alias("_sh")
-    ).select("_id", "_sh", *minhash_signature(F.col("_sh"), num_hashes))
+    # signature computation is CPU-bound (num_hashes × shingles md5 calls
+    # per doc); spread it across all cores even when the source is a
+    # single row group. An explicit numPartitions survives AQE coalescing.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        with_shingles(df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col)
+        .select("_id", "_sh")
+        .repartition(parallelism)
+        .select("_id", "_sh", *minhash_signature(F.col("_sh"), num_hashes))
+    )
 
     band_keys = [
         F.md5(
@@ -218,26 +238,50 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
-def simhash(col: Column, bits: int = 60) -> Column:
-    """60-bit SimHash of the token multiset (60 keeps the value inside a
-    signed BIGINT). Per-token hash = first 15 hex chars of md5."""
-    t = tokens(col)
-    hashes = F.transform(
-        t, lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+def with_simhash(
+    df: DataFrame, text_col: str, out_col: str = "_sim", bits: int = 60
+) -> DataFrame:
+    """Append a 60-bit SimHash column (60 keeps the value in a signed
+    BIGINT). Per-token hash = first 15 hex chars of md5.
+
+    Single pass: one aggregate folds every token's ±1 bit-vote vector
+    into a 60-long votes array (zip_with), then one projection packs the
+    sign bits. Each intermediate is a materialized column — referencing
+    them repeatedly doesn't re-run the md5 transform (HOF lambdas
+    re-evaluate nested expressions per element)."""
+
+    def bit_votes_of(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]
+        )
+
+    staged = (
+        df.withColumn("_toks_sh", tokens(F.col(text_col)))
+        .withColumn(
+            "_hashes_sh",
+            F.transform(
+                F.col("_toks_sh"),
+                lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+            ),
+        )
+        .withColumn(
+            "_votes_sh",
+            F.aggregate(
+                F.col("_hashes_sh"),
+                F.array_repeat(F.lit(0), bits),
+                lambda acc, h: F.zip_with(acc, bit_votes_of(h), lambda a, b: a + b),
+            ),
+        )
     )
-
-    def _vote(i: int):
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(1 << i)) != 0, 1
-        ).otherwise(-1)
-
-    bit_votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"), _vote(i)) for i in range(bits)
-    ]
-    out = F.lit(0).cast("long")
-    for i, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return out
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.element_at(F.col("_votes_sh"), i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return staged.withColumn(out_col, sig).drop("_toks_sh", "_hashes_sh", "_votes_sh")
 
 
 def simhash_near_pairs(
@@ -246,9 +290,11 @@ def simhash_near_pairs(
     """Candidate pairs whose SimHashes agree on at least one of 4
     15-bit chunks (pigeonhole: catches all pairs with Hamming ≤ 3 and
     most up to max_hamming), verified by exact Hamming distance."""
-    sig = df.select(
-        F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sim")
-    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sig = with_simhash(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)).repartition(parallelism),
+        text_col,
+    ).select("_id", "_sim")
     chunks = [
         (F.shiftright(F.col("_sim"), 15 * c).bitwiseAND(F.lit((1 << 15) - 1))).alias(
             f"chunk{c}"

@@ -129,11 +129,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars-bucket) block — the exhaustive-verification counterpart to
     LSH (blocks bound the quadratic term at scale)."""
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id"),
-        F.col("lang"),
-        F.expr("n_chars div 50").cast("int").alias("size_bucket"),
-        dedup.shingles(F.col("text")).alias("sh"),
+    par = spark.sparkContext.defaultParallelism
+    # shingles hashed to 60-bit longs (md5-derived, identical in the
+    # oracle): set-intersection on longs is several× cheaper than on
+    # strings, and the Jaccard value is unchanged — even a collision
+    # collides identically on both engines
+    sh = (
+        dedup.with_shingles(docs, "text", "sh")
+        .select(
+            F.col("doc_id"),
+            F.col("lang"),
+            F.expr("n_chars div 50").cast("int").alias("size_bucket"),
+            F.array_distinct(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                )
+            ).alias("sh"),
+        )
+        # explicit repartition by block key: survives AQE coalescing, so
+        # the quadratic verify work spreads across all cores (the shuffled
+        # bytes are small; the post-join compute is what must parallelize)
+        .repartition(par, "lang", "size_bucket")
     )
     right = sh.select(
         F.col("doc_id").alias("doc_id_b"),
@@ -141,7 +158,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size_bucket").alias("size_bucket_b"),
         F.col("sh").alias("sh_b"),
     )
-    pairs = sh.join(
+    pairs = sh.hint("shuffle_hash").join(
         right,
         (sh.lang == right.lang_b)
         & (sh.size_bucket == right.size_bucket_b)
@@ -162,12 +179,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_DEDUP_NGRAM_ORACLE = """
-WITH sh_t AS (
+WITH sh_raw AS (
   SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS size_bucket,
     list_distinct(list_transform(
       range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1) + 1),
-      i -> string_split(lower(text), ' ')[i] || ' ' || coalesce(string_split(lower(text), ' ')[i + 1], ''))) AS sh
+      i -> string_split(lower(text), ' ')[i] || ' ' || coalesce(string_split(lower(text), ' ')[i + 1], ''))) AS sh0
   FROM documents
+), sh_t AS (
+  SELECT doc_id, lang, size_bucket,
+    list_distinct(list_transform(sh0,
+      s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS sh
+  FROM sh_raw
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard

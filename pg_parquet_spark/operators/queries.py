@@ -182,6 +182,67 @@ ORDER BY c_custkey
 """
 
 
+# full outer join — keys on both sides with non-overlap
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    early = (
+        orders.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("early_orders"))
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("late_orders"))
+    )
+    return (
+        early.withColumnRenamed("o_custkey", "custkey")
+        .join(
+            late.withColumnRenamed("o_custkey", "custkey_r"),
+            F.col("custkey") == F.col("custkey_r"),
+            "full",
+        )
+        .select(
+            F.coalesce("custkey", "custkey_r").alias("custkey"),
+            "early_orders",
+            "late_orders",
+        )
+        .orderBy("custkey")
+    )
+
+
+Q_JOIN_FULL_ORACLE = """
+WITH early AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS early_orders FROM orders
+  WHERE o_orderdate < TIMESTAMP '1995-01-01' GROUP BY 1
+), late AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS late_orders FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1
+)
+SELECT coalesce(early.custkey, late.custkey) AS custkey, early_orders, late_orders
+FROM early FULL JOIN late ON early.custkey = late.custkey
+ORDER BY custkey
+"""
+
+
+# cross join (small × small)
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q_JOIN_CROSS_ORACLE = """
+SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+"""
+
+
 # multi-join across the star (region→nation→customer→orders→lineitem):
 # TPC-H Q5 shape. Scale: all dims broadcast, single shuffle for the agg.
 
@@ -589,6 +650,8 @@ QUERIES = {
     "q_join_left": q_join_left,
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
+    "q_join_full": q_join_full,
+    "q_join_cross": q_join_cross,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q_agg_distinct": q_agg_distinct,
     "q_agg_rollup": q_agg_rollup,
@@ -615,6 +678,8 @@ ORACLES = {
     "q_join_left": Q_JOIN_LEFT_ORACLE,
     "q_join_semi": Q_JOIN_SEMI_ORACLE,
     "q_join_anti": Q_JOIN_ANTI_ORACLE,
+    "q_join_full": Q_JOIN_FULL_ORACLE,
+    "q_join_cross": Q_JOIN_CROSS_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "q_agg_distinct": Q_AGG_DISTINCT_ORACLE,
     "q_agg_rollup": Q_AGG_ROLLUP_ORACLE,
