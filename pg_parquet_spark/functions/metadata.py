@@ -333,6 +333,60 @@ def _leaf_field_ids(pf) -> list:
     return out
 
 
+def parquet_metadata_many(spark: SparkSession, uri_pattern: str) -> DataFrame:
+    """Distributed variant of ``parquet_metadata`` for fleets of files:
+    the file list shards across executors and each partition decodes its
+    files' footers via pyarrow (mapInPandas, Arrow-batched). At 100 TB /
+    millions of files this is the path — the driver never touches a
+    footer."""
+    import pandas as pd
+
+    files = parquet_list(spark, uri_pattern)
+    n = max(files.count(), 1)
+    par = min(spark.sparkContext.defaultParallelism, n)
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for uri in pdf["uri"]:
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(_local(uri)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        st = c.statistics
+                        out.append(
+                            {
+                                "uri": uri,
+                                "row_group_id": rg,
+                                "row_group_num_rows": g.num_rows,
+                                "row_group_num_columns": g.num_columns,
+                                "row_group_bytes": g.total_byte_size,
+                                "column_id": ci,
+                                "file_offset": c.file_offset,
+                                "num_values": c.num_values,
+                                "path_in_schema": c.path_in_schema,
+                                "type_name": c.physical_type,
+                                "stats_null_count": st.null_count if st and st.has_null_count else None,
+                                "stats_distinct_count": st.distinct_count if st and st.has_distinct_count else None,
+                                "stats_min": _render_stat(st.min) if st and st.has_min_max else None,
+                                "stats_max": _render_stat(st.max) if st and st.has_min_max else None,
+                                "compression": c.compression,
+                                "encodings": ",".join(c.encodings),
+                                "index_page_offset": None,
+                                "dictionary_page_offset": c.dictionary_page_offset,
+                                "data_page_offset": c.data_page_offset,
+                                "total_compressed_size": c.total_compressed_size,
+                                "total_uncompressed_size": c.total_uncompressed_size,
+                            }
+                        )
+            yield pd.DataFrame(out, columns=[f.name for f in _METADATA_COLS.fields])
+
+    return files.select("uri").repartition(par).mapInPandas(decode, _METADATA_COLS)
+
+
 _LIST_COLS = StructType(
     [StructField("uri", StringType()), StructField("size", LongType())]
 )

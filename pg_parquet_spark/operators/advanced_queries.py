@@ -508,8 +508,30 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("user_id", "session_start")
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running stats; the drained final state equals the batch
+    aggregate (order-independent fields only in the output)."""
+    from pg_parquet_spark.streaming.stateful import (
+        run_stateful_available_now,
+        running_user_stats,
+    )
+    from pg_parquet_spark.streaming.stream import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    out = run_stateful_available_now(running_user_stats(events))
+    return out.select("user_id", "event_count", "last_event_id").orderBy("user_id")
+
+
+Q_STREAM_STATEFUL_ORACLE = """
+SELECT user_id, COUNT(*) AS event_count, MAX(event_id) AS last_event_id
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q_grouping_sets": q_grouping_sets,
+    "q_stream_stateful": q_stream_stateful,
     "q_subquery_scalar": q_subquery_scalar,
     "q_subquery_in": q_subquery_in,
     "q_exists_correlated": q_exists_correlated,
@@ -529,6 +551,7 @@ QUERIES = {
 
 ORACLES = {
     "q_grouping_sets": Q_GROUPING_SETS_ORACLE,
+    "q_stream_stateful": Q_STREAM_STATEFUL_ORACLE,
     "q_subquery_scalar": Q_SUBQUERY_SCALAR_ORACLE,
     "q_subquery_in": Q_SUBQUERY_IN_ORACLE,
     "q_exists_correlated": Q_EXISTS_CORRELATED_ORACLE,

@@ -187,8 +187,68 @@ ORDER BY file_name
 """
 
 
+# csv / json sources (§2.B scans row: spark.read.csv/json built-ins) —
+# round-trip the orders table through each format inside the query, then
+# aggregate; the oracle reads the same rows from parquet.
+
+def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pg_parquet_spark.session import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "pgpq_orders_csv")
+    orders.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .csv(path)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_IO_CSV_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pg_parquet_spark.session import table
+
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    path = os.path.join(tempfile.gettempdir(), "pgpq_part_json")
+    part.write.mode("overwrite").json(path)
+    back = spark.read.schema("p_partkey BIGINT, p_brand STRING, p_size INT").json(path)
+    return (
+        back.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("p_size").alias("max_size"))
+        .orderBy("p_brand")
+    )
+
+
+Q_IO_JSON_ORACLE = """
+SELECT p_brand, COUNT(*) AS cnt, MAX(p_size) AS max_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "q_io_glob_read": q_io_glob_read,
+    "q_io_csv_roundtrip": q_io_csv_roundtrip,
+    "q_io_json_roundtrip": q_io_json_roundtrip,
     "q_io_match_position": q_io_match_position,
     "q_io_coercion_read": q_io_coercion_read,
     "q_io_where_filter": q_io_where_filter,
@@ -200,6 +260,8 @@ QUERIES = {
 
 ORACLES = {
     "q_io_glob_read": Q_IO_GLOB_ORACLE,
+    "q_io_csv_roundtrip": Q_IO_CSV_ORACLE,
+    "q_io_json_roundtrip": Q_IO_JSON_ORACLE,
     "q_io_match_position": Q_IO_MATCH_POSITION_ORACLE,
     "q_io_coercion_read": Q_IO_COERCION_ORACLE,
     "q_io_where_filter": Q_IO_WHERE_ORACLE,

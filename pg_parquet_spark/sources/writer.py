@@ -74,6 +74,7 @@ def write_parquet(
     field_ids: str | dict = "none",
     parquet_version: str = "v1",
     kv_metadata: dict[str, str] | None = None,
+    uuid_columns: list[str] | None = None,
     mode: str = "overwrite",
 ) -> list[str]:
     """Write ``df`` to ``uri`` with pg_parquet's COPY TO option surface.
@@ -124,8 +125,10 @@ def write_parquet(
             or _glob.glob(os.path.join(path, "part-*"))
         )
 
-    if _pyarrow_needed(opts, row_group_size, kv_metadata):
-        _write_single_file_pyarrow(df, path, opts, raw_field_ids, kv_metadata)
+    if _pyarrow_needed(opts, row_group_size, kv_metadata) or uuid_columns:
+        _write_single_file_pyarrow(
+            df, path, opts, raw_field_ids, kv_metadata, uuid_columns
+        )
         return [path]
 
     _write_single_file_spark(df, path, opts)
@@ -188,16 +191,34 @@ def _write_single_file_pyarrow(
     opts: WriteOptions,
     field_ids,
     kv_metadata: dict[str, str] | None,
+    uuid_columns: list[str] | None = None,
 ) -> None:
     """Parity path: row-exact row groups, full-fidelity field ids, custom
-    footer kv metadata (the reference's `geo` key, parquet_writer.rs:100-107).
+    footer kv metadata (the reference's `geo` key, parquet_writer.rs:100-107),
+    UUID columns as FixedSizeBinary(16) (physical parity with
+    schema_parser.rs:360-365; the UUID *logical annotation* needs a newer
+    pyarrow — documented deviation).
 
     Collects via Arrow — reserved for option-parity workloads; the scale
     path is the directory write.
     """
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = df.toArrow()
+    if uuid_columns:
+        import uuid as _uuid_mod
+
+        for name in uuid_columns:
+            i = table.schema.get_field_index(name)
+            col = table.column(i)
+            vals = [
+                None if v is None else _uuid_mod.UUID(v).bytes
+                for v in col.to_pylist()
+            ]
+            table = table.set_column(
+                i, pa.field(name, pa.binary(16)), pa.array(vals, pa.binary(16))
+            )
     schema = stamp_field_ids(table.schema, field_ids)
     table = table.cast(schema)
     if kv_metadata:

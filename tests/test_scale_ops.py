@@ -1,0 +1,119 @@
+"""Skew utilities, stateful streaming, distributed metadata, UUID
+columns — the scale-path additions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.operators.skew import salted_aggregate, salted_join
+from pg_parquet_spark.session import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_aggregate_equals_plain(spark):
+    li = table(spark, SF, "lineitem")
+    plain = {
+        (r.l_returnflag,): (r.cnt, r.qty_sum, r.qty_max)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("l_quantity").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_sum"),
+            F.max("l_quantity").alias("qty_max"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag,): (r.cnt, r.qty_sum, r.qty_max)
+        for r in salted_aggregate(
+            li.withColumn("qty_dec", F.col("l_quantity").cast("decimal(12,2)")),
+            ["l_returnflag"],
+            {
+                "cnt": ("l_quantity", "count"),
+                "qty_sum": ("qty_dec", "sum"),
+                "qty_max": ("l_quantity", "max"),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_aggregate_rejects_nondecomposable(spark):
+    li = table(spark, SF, "lineitem")
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_aggregate(li, ["l_returnflag"], {"a": ("l_quantity", "avg")})
+
+
+def test_salted_join_equals_plain(spark):
+    orders = table(spark, SF, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    customer = table(spark, SF, "customer")
+    plain = (
+        orders.join(customer, "c_custkey")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    salted = (
+        salted_join(orders, customer, "c_custkey", salt_buckets=8)
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_stateful_running_user_stats(spark):
+    from pg_parquet_spark.streaming.stateful import (
+        run_stateful_available_now,
+        running_user_stats,
+    )
+    from pg_parquet_spark.streaming.stream import read_events_stream
+
+    events = read_events_stream(spark, SF)
+    out = run_stateful_available_now(running_user_stats(events))
+    got = {r.user_id: (r.event_count, r.last_event_id) for r in out.collect()}
+
+    ev = table(spark, SF, "events")
+    want = {
+        r.user_id: (r.cnt, r.last_id)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("event_id").alias("last_id"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_parquet_metadata_many_matches_single(spark):
+    from pg_parquet_spark.functions.metadata import (
+        parquet_metadata,
+        parquet_metadata_many,
+    )
+
+    single = parquet_metadata(spark, f"{SF}/orders.parquet").collect()
+    many = [
+        r
+        for r in parquet_metadata_many(spark, f"{SF}/*.parquet").collect()
+        if r.uri.endswith("orders.parquet")
+    ]
+    assert len(many) == len(single)
+    s = {(r.column_id, r.stats_min, r.stats_max, r.num_values) for r in single}
+    m = {(r.column_id, r.stats_min, r.stats_max, r.num_values) for r in many}
+    assert s == m
+
+
+def test_uuid_columns_written_as_flba16(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pg_parquet_spark.sources import write_parquet
+
+    df = spark.createDataFrame(
+        [("550e8400-e29b-41d4-a716-446655440000",), (None,)], "u STRING"
+    )
+    path = str(tmp_path / "uuid.parquet")
+    write_parquet(df, path, uuid_columns=["u"])
+    pf = pq.ParquetFile(path)
+    assert "FIXED_LEN_BYTE_ARRAY" in str(pf.schema.column(0).physical_type)
+    assert pf.schema.column(0).length == 16
+    vals = pf.read().column(0).to_pylist()
+    assert vals[0] == bytes.fromhex("550e8400e29b41d4a716446655440000")
+    assert vals[1] is None
