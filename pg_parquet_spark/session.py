@@ -96,6 +96,31 @@ def get_spark(app_name: str = "pg_parquet_spark") -> SparkSession:
     return session_builder(app_name).getOrCreate()
 
 
+#: SQL confs that are runtime-settable and that the engine's semantics
+#: depend on — re-asserted on every externally-provided session (the
+#: driver harness builds its own SparkSession without our builder).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Idempotently pin the runtime-settable engine confs on a session we
+    didn't build (driver-provided sessions lack the builder configs;
+    without nanosAsLong the events table is unreadable, without UTC the
+    timestamp wall-clock semantics drift)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf not recognized
+            pass
+    return spark
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver star schema and register temp views.
 
@@ -134,6 +159,7 @@ def _ns_timestamp_columns(path: str) -> list[str]:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table (no view registration)."""
+    ensure_session_defaults(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _ns_timestamp_columns(path):

@@ -63,6 +63,9 @@ def read_parquet(
     """Read parquet at ``uri`` with pg_parquet's COPY FROM semantics."""
     if not copy_hooks_enabled():
         raise CopyHookDisabled("pg_parquet_spark copy hooks are disabled")
+    from pg_parquet_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     match_by = validate_match_by(match_by)
 
     uris = uri if isinstance(uri, list) else [uri]

@@ -40,6 +40,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
+    from pg_parquet_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+
     schema = StructType(
         [
             StructField("event_id", LongType()),
