@@ -279,6 +279,102 @@ ORDER BY revenue DESC, n_name
 """
 
 
+# TPC-H Q3 shape — shipping priority (3-way join, filtered, top-10)
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1996-06-30").cast("timestamp_ntz")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# TPC-H Q6 shape — forecasting revenue change (pure scan+filter+agg:
+# the pushdown showcase — all three predicates reach the parquet reader)
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q6_ORACLE = """
+SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+# TPC-H Q10 shape — returned items by customer
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    nation = table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # aggregation variants
 
@@ -645,6 +741,9 @@ FROM lineitem GROUP BY 1 ORDER BY qty_bucket
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
     "q_projection_filter": q_projection_filter,
     "q_join_inner_broadcast": q_join_inner_broadcast,
     "q_join_left": q_join_left,
@@ -673,6 +772,9 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_ORACLE,
+    "q3_shipping_priority": Q3_ORACLE,
+    "q6_forecast_revenue": Q6_ORACLE,
+    "q10_returned_items": Q10_ORACLE,
     "q_projection_filter": Q_PROJECTION_FILTER_ORACLE,
     "q_join_inner_broadcast": Q_JOIN_INNER_ORACLE,
     "q_join_left": Q_JOIN_LEFT_ORACLE,

@@ -82,9 +82,12 @@ def session_builder(app_name: str = "pg_parquet_spark") -> SparkSession.Builder:
         # parquet TIMESTAMP(NANOS) (pandas-written) is otherwise illegal in
         # Spark; read as int64 ns and convert in table() below
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # local[32] ergonomics: one shuffle partition per core; AQE
-        # coalesces down, and a real cluster would raise this via conf
-        .config("spark.sql.shuffle.partitions", cpus)
+        # local small-SF ergonomics: fewer initial shuffle partitions cut
+        # task-scheduling overhead ~25% (measured, SCALE.md); CPU-heavy
+        # operators set their own explicit repartition counts, and a
+        # cluster deployment raises this (or leans on AQE initial
+        # partition heuristics) via conf
+        .config("spark.sql.shuffle.partitions", "8")
         # Arrow for any pandas interchange (vectorized UDF boundary)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
