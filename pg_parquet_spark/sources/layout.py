@@ -14,6 +14,9 @@ partitioned-dataset semantics; a 100 TB Spark engine lives on them).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 
 
@@ -50,6 +53,14 @@ def write_bucketed(
     Matching ``num_buckets`` + ``bucket_by`` across tables makes their
     equi-join shuffle-free; ``sort_by`` additionally removes the sort
     from sort-merge joins."""
+    spark = df.sparkSession
+    # a previous session's managed-table directory survives catalog resets
+    # (fresh derby metastore + leftover warehouse dir) — clear both
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    leftover = os.path.join(warehouse.replace("file:", ""), table_name.lower())
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover, ignore_errors=True)
     w = (
         df.write.mode(mode)
         .format("parquet")
