@@ -27,7 +27,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     CalendarIntervalType,
-    DataType,
     DayTimeIntervalType,
     DecimalType,
     NullType,

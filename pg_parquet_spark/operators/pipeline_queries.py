@@ -207,6 +207,98 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "doc_id").orderBy("id_a", "id_b")
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: within label blocks (cheap
+    pre-cluster — at scale this is the ANN bucket), exact cosine between
+    all pairs, report ≥ 0.95. Ordered-fold dot products keep the oracle
+    bit-identical."""
+    emb = table(spark, sf_dir, "embeddings")
+    left = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = left.hint("shuffle_hash").join(
+        right, (left.label == right.label_b) & (left.id_a < right.id_b)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(F.col("va"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nb = F.aggregate(
+        F.transform(F.col("vb"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.95)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q_DEDUP_EMBEDDING_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), folds AS (
+  SELECT id_a, id_b,
+    list_reduce(list_transform(range(1, len(va) + 1),
+      i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+    list_reduce(list_transform(range(1, len(va) + 1),
+      i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)), (x, y) -> x + y) AS na,
+    list_reduce(list_transform(range(1, len(vb) + 1),
+      i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)), (x, y) -> x + y) AS nb
+  FROM pairs
+)
+SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine_sim
+FROM folds WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (brief: whitespace + a BPE-ish regex):
+    whitespace split vs subword-style pieces (letter runs, digit runs,
+    single punctuation) — the pre-tokenizer shape BPE vocabularies use."""
+    docs = table(spark, sf_dir, "documents")
+    bpe_pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_pattern), 0)).cast(
+                "bigint"
+            ).alias("bpe_tokens"),
+            (
+                F.length("text").cast("double")
+                / F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_pattern), 0)).cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE) AS chars_per_token
+FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -264,6 +356,8 @@ QUERIES = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "q_text_token_count": q_text_token_count,
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_multimodal_metadata": q_multimodal_metadata,
@@ -277,6 +371,8 @@ ORACLES = {
     "q_dedup_normalized": Q_DEDUP_NORMALIZED_ORACLE,
     "q_dedup_minhash_lsh": Q_DEDUP_MINHASH_ORACLE,
     "q_dedup_ngram_jaccard": Q_DEDUP_NGRAM_ORACLE,
+    "q_dedup_embedding_cosine": Q_DEDUP_EMBEDDING_ORACLE,
+    "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
     "q_multimodal_metadata": Q_MULTIMODAL_META_ORACLE,
     # q_dedup_simhash, q_sim_ann_lsh, q_multimodal_decode: rows-only

@@ -5,8 +5,6 @@ from decimal import Decimal
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, StructField, StructType
-
 from pg_parquet_spark.functions.geo import (
     geo_metadata,
     wkb_geometry_type,

@@ -1,7 +1,6 @@
 """Partition pruning + shuffle-free bucketed joins — plan-level
 assertions (the 100 TB layout story, SCALE.md)."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from pg_parquet_spark.session import table

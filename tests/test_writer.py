@@ -2,7 +2,6 @@
 asserted via our own metadata functions, exactly as the reference
 self-hosts its checks (copy_options.rs:348-565)."""
 
-import glob
 import os
 
 import pytest
