@@ -1,0 +1,57 @@
+"""Glob-pattern edge cases (reference: src/pgrx_tests/copy_pattern.rs:9-77
+— non-parquet files in the pattern's directory, special filenames,
+nonexistent patterns) + hook-dispatch parity (A3)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pg_parquet_spark.sources import read_parquet
+from pg_parquet_spark.sources.options import OptionError
+from pg_parquet_spark.sources.writer import copy_to
+
+
+def test_glob_skips_non_matching_files(spark, tmp_path):
+    pq.write_table(pa.table({"a": pa.array([1])}), str(tmp_path / "one.parquet"))
+    pq.write_table(pa.table({"a": pa.array([2])}), str(tmp_path / "two.parquet"))
+    (tmp_path / "notes.txt").write_text("not parquet")
+    df = read_parquet(spark, str(tmp_path / "*.parquet"))
+    assert sorted(r.a for r in df.collect()) == [1, 2]
+
+
+def test_glob_special_filenames(spark, tmp_path):
+    # special chars in names (copy_pattern.rs special filenames)
+    for name in ("a b.parquet", "x-y_z.1.parquet"):
+        pq.write_table(pa.table({"a": pa.array([7])}), str(tmp_path / name))
+    df = read_parquet(spark, str(tmp_path / "*.parquet"))
+    assert df.count() == 2
+
+
+def test_glob_nonexistent_pattern_errors(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no files found"):
+        read_parquet(spark, str(tmp_path / "missing" / "**" / "*.parquet"))
+
+
+def test_recursive_glob(spark, tmp_path):
+    (tmp_path / "y=1").mkdir()
+    (tmp_path / "y=2").mkdir()
+    pq.write_table(pa.table({"a": pa.array([1])}), str(tmp_path / "y=1" / "f.parquet"))
+    pq.write_table(pa.table({"a": pa.array([2])}), str(tmp_path / "y=2" / "f.parquet"))
+    df = read_parquet(spark, str(tmp_path / "*" / "*.parquet"))
+    assert sorted(r.a for r in df.collect()) == [1, 2]
+
+
+def test_copy_to_refuses_non_parquet_uri(spark):
+    # hook engages only for parquet targets (copy_utils.rs:430-515)
+    df = spark.range(1)
+    with pytest.raises(OptionError, match="not a parquet target"):
+        copy_to(df, "/tmp/out.csv")
+
+
+def test_copy_to_format_option_engages(spark, tmp_path):
+    # `format parquet` engages the hook for any extension
+    df = spark.range(3).selectExpr("id AS a")
+    path = str(tmp_path / "data.bin")
+    copy_to(df, path, format="parquet")
+    back = read_parquet(spark, path)
+    assert back.count() == 3
