@@ -249,7 +249,6 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_id",
             "last_click_value",
         )
-        .orderBy("user_id", "purchase_id")
     )
 
 
@@ -313,7 +312,6 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.sum(F.col("value").cast("decimal(12,2)")).alias("session_value"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 

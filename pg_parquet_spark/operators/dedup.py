@@ -124,13 +124,17 @@ def minhash_lsh_pairs(
     # signature computation is CPU-bound (num_hashes × shingles md5 calls
     # per doc); spread it across all cores even when the source is a
     # single row group. An explicit numPartitions survives AQE coalescing.
+    # Persist the shingle table: it feeds both the signature stage and the
+    # verify join — without it the whole md5 pipeline runs twice. (At
+    # cluster scale this materialization point is a checkpoint to storage.)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sig = (
+    sh_df = (
         with_shingles(df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col)
         .select("_id", "_sh")
         .repartition(parallelism)
-        .select("_id", "_sh", *minhash_signature(F.col("_sh"), num_hashes))
+        .persist()
     )
+    sig = sh_df.select("_id", "_sh", *minhash_signature(F.col("_sh"), num_hashes))
 
     band_keys = [
         F.md5(
@@ -140,10 +144,11 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("_id", "_sh", *band_keys)
+    # the band table is NARROW (id + band key) — the self-join shuffles
+    # kilobytes per doc instead of the shingle arrays
+    banded = sig.select("_id", *band_keys)
     exploded = banded.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -152,32 +157,37 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "_sh", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+    ).select("_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
 
-    left = exploded.select(
-        F.col("band_idx"), F.col("key"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
-    )
     right = exploded.select(
         F.col("band_idx").alias("band_idx_r"),
         F.col("key").alias("key_r"),
         F.col("_id").alias("id_b"),
-        F.col("_sh").alias("sh_b"),
     )
     pairs = (
-        left.join(
+        exploded.join(
             right,
-            (left.band_idx == right.band_idx_r)
-            & (left.key == right.key_r)
-            & (left.id_a < right.id_b),
+            (F.col("band_idx") == F.col("band_idx_r"))
+            & (F.col("key") == F.col("key_r"))
+            & (F.col("_id") < F.col("id_b")),
         )
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select(F.col("_id").alias("id_a"), "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify candidates against the persisted shingle table
+    verified = (
+        pairs.join(
+            sh_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+        )
     )
     jac = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
         "double"
     ) / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
     return (
-        pairs.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

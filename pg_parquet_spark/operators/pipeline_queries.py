@@ -32,7 +32,6 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score",
             "fingerprint",
         )
-        .orderBy("doc_id")
     )
 
 
@@ -90,7 +89,7 @@ FROM documents ORDER BY doc_id
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return dedup.dedup_exact(docs, "doc_id").orderBy("doc_id")
+    return dedup.dedup_exact(docs, "doc_id")
 
 
 Q_DEDUP_EXACT_ORACLE = """
@@ -116,7 +115,7 @@ GROUP BY 2 ORDER BY doc_id
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, "doc_id").orderBy("id_a", "id_b")
+    return dedup.minhash_lsh_pairs(docs, "doc_id")
 
 
 Q_DEDUP_MINHASH_ORACLE = (

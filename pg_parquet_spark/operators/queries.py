@@ -53,7 +53,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(charge).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -109,7 +108,6 @@ def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("order_count"),
             F.sum(_dec("o_totalprice")).alias("total_revenue"),
         )
-        .orderBy("n_name")
     )
 
 
@@ -131,7 +129,6 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey", "c_name")
         .agg(F.count("o_orderkey").alias("order_count"))
-        .orderBy("c_custkey")
     )
 
 
@@ -261,7 +258,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(F.sum(revenue).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
@@ -386,7 +382,6 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("distinct_customers"),
             F.count(F.lit(1)).alias("order_count"),
         )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -470,7 +465,6 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.rank().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk")
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -522,7 +516,6 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.sum(_dec("o_totalprice")).over(w).alias("running_total"),
         )
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -560,7 +553,7 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     hi = orders.filter(F.col("o_totalprice") > 250000).select("o_orderkey")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
-    return hi.unionAll(urgent).orderBy("o_orderkey")
+    return hi.unionAll(urgent)
 
 
 Q_UNION_ALL_ORACLE = """
@@ -698,7 +691,6 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_value"),
         )
         .filter(F.col("k_value") > 90)
-        .orderBy("event_id")
     )
 
 
