@@ -334,6 +334,39 @@ FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase over the
+    events stream (custom sequence operator, operators/funnel.py)."""
+    from pg_parquet_spark.operators.funnel import funnel_counts
+
+    ev = table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "click", "purchase"])
+
+
+Q_FUNNEL_ORACLE = """
+WITH s0 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s0_ts
+  FROM events GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(CASE WHEN e.event_type = 'click' AND e.ts > s0.s0_ts THEN e.ts END) AS s1_ts
+  FROM events e JOIN s0 ON e.user_id = s0.user_id GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s1.s1_ts THEN e.ts END) AS s2_ts
+  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id
+), t AS (
+  SELECT s0.user_id, s0_ts, s1_ts, s2_ts
+  FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+          LEFT JOIN s2 ON s0.user_id = s2.user_id
+)
+SELECT 0 AS stage_idx, 'signup' AS stage, COUNT(s0_ts) AS users FROM t
+UNION ALL
+SELECT 1, 'click', COUNT(s1_ts) FROM t
+UNION ALL
+SELECT 2, 'purchase', COUNT(s2_ts) FROM t
+ORDER BY stage_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # richer windows + array/map scalar functions
 
@@ -537,6 +570,7 @@ QUERIES = {
     "q_pandas_udf_grouped_agg": q_pandas_udf_grouped_agg,
     "q_python_udtf": q_python_udtf,
     "q_asof_join": q_asof_join,
+    "q_funnel": q_funnel,
     "q_sessionize_batch": q_sessionize_batch,
     "q_window_ntile_dist": q_window_ntile_dist,
     "q_window_range_frame": q_window_range_frame,
@@ -557,6 +591,7 @@ ORACLES = {
     "q_pandas_udf_grouped_agg": Q_PANDAS_UDF_GROUPED_ORACLE,
     "q_python_udtf": Q_PYTHON_UDTF_ORACLE,
     "q_asof_join": Q_ASOF_JOIN_ORACLE,
+    "q_funnel": Q_FUNNEL_ORACLE,
     "q_sessionize_batch": Q_SESSIONIZE_ORACLE,
     "q_window_ntile_dist": Q_WINDOW_NTILE_ORACLE,
     "q_window_range_frame": Q_WINDOW_RANGE_ORACLE,

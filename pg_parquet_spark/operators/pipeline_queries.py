@@ -318,6 +318,84 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# data selection (sampling / mixing / profiling)
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling — reproducible across runs/engines/cluster
+    sizes (auditability for 100 TB data recipes)."""
+    from pg_parquet_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    return sampling.sample_deterministic(docs, "doc_id", 0.25).select(
+        "doc_id", "lang", "source"
+    ).orderBy("doc_id")
+
+
+Q_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+      / 16777216.0 < 0.25
+ORDER BY doc_id
+"""
+
+
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixture weighting (corpus construction: keep all of
+    src0, a quarter of src1, a tenth of the rest)."""
+    from pg_parquet_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    mixed = sampling.domain_mixture(
+        docs, "source", "doc_id", {"src0": 1.0, "src1": 0.25}, default_rate=0.1
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
+        .orderBy("source")
+    )
+
+
+Q_DATA_MIXTURE_ORACLE = """
+SELECT source, COUNT(*) AS kept_docs FROM documents
+WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+      / 16777216.0
+      < (CASE WHEN source = 'src1' THEN 0.25 WHEN source = 'src0' THEN 1.0 ELSE 0.1 END)
+GROUP BY source ORDER BY source
+"""
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (nulls/distincts/min/max) over orders."""
+    from pg_parquet_spark.operators import sampling
+
+    orders = table(spark, sf_dir, "orders")
+    return sampling.profile(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ).orderBy("column_name")
+
+
+Q_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+ORDER BY column_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal
 
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +437,9 @@ QUERIES = {
     "q_text_token_count": q_text_token_count,
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
+    "q_sample_deterministic": q_sample_deterministic,
+    "q_data_mixture": q_data_mixture,
+    "q_profile_columns": q_profile_columns,
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_multimodal_decode": q_multimodal_decode,
 }
@@ -373,6 +454,9 @@ ORACLES = {
     "q_dedup_embedding_cosine": Q_DEDUP_EMBEDDING_ORACLE,
     "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
+    "q_sample_deterministic": Q_SAMPLE_ORACLE,
+    "q_data_mixture": Q_DATA_MIXTURE_ORACLE,
+    "q_profile_columns": Q_PROFILE_ORACLE,
     "q_multimodal_metadata": Q_MULTIMODAL_META_ORACLE,
     # q_dedup_simhash, q_sim_ann_lsh, q_multimodal_decode: rows-only
 }

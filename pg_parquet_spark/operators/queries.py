@@ -371,6 +371,91 @@ LIMIT 20
 """
 
 
+# TPC-H Q4 shape — order priority checking (semi-join + agg)
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp_ntz"))
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1996-01-01')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# TPC-H Q14 shape — promotion effect (conditional agg over a join)
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), revenue)).alias(
+                "promo_revenue"
+            ),
+            F.sum(revenue).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT SUM(CASE WHEN p_type LIKE 'PROMO%'
+           THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END) AS promo_revenue,
+       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# TPC-H Q19 shape — discounted revenue, OR-of-ANDs multi-predicate join
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    cond = (
+        (F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20) & (F.col("p_size") <= 10)
+    ) | (
+        (F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40) & (F.col("p_size") <= 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+Q19_ORACLE = """
+SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size <= 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size <= 30)
+"""
+
+
 # ---------------------------------------------------------------------------
 # aggregation variants
 
@@ -734,8 +819,11 @@ FROM lineitem GROUP BY 1 ORDER BY qty_bucket
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
+    "q14_promo_effect": q14_promo_effect,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "q_projection_filter": q_projection_filter,
     "q_join_inner_broadcast": q_join_inner_broadcast,
     "q_join_left": q_join_left,
@@ -765,8 +853,11 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
+    "q4_order_priority": Q4_ORACLE,
     "q6_forecast_revenue": Q6_ORACLE,
     "q10_returned_items": Q10_ORACLE,
+    "q14_promo_effect": Q14_ORACLE,
+    "q19_discounted_revenue": Q19_ORACLE,
     "q_projection_filter": Q_PROJECTION_FILTER_ORACLE,
     "q_join_inner_broadcast": Q_JOIN_INNER_ORACLE,
     "q_join_left": Q_JOIN_LEFT_ORACLE,
