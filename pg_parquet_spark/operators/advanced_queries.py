@@ -480,6 +480,64 @@ FROM events WHERE event_id < 100 ORDER BY event_id
 """
 
 
+def q_scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wider string-function sweep (trim/pad/replace/left/right/reverse/
+    repeat/split_part — identical semantics in DuckDB)."""
+    part = table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+            F.lpad(F.col("p_brand"), 12, "*").alias("padded"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("replaced"),
+            F.substring(F.col("p_name"), 1, 3).alias("left3"),
+            F.reverse(F.col("p_brand")).alias("reversed"),
+            F.repeat(F.lit("ab"), 3).alias("repeated"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_word"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+Q_SCALAR_STRING_EXTRA_ORACLE = """
+SELECT p_partkey,
+       trim('  ' || p_brand || '  ') AS trimmed,
+       lpad(p_brand, 12, '*') AS padded,
+       replace(p_type, ' ', '_') AS replaced,
+       substring(p_name, 1, 3) AS left3,
+       reverse(p_brand) AS reversed,
+       repeat('ab', 3) AS repeated,
+       split_part(p_type, ' ', 1) AS first_word
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic sweep: datediff / date_add / weekday mapping."""
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_add(d, 30).alias("due_date"),
+            F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+            F.dayofweek(d).alias("dow_sunday1"),
+            F.quarter(d).alias("qtr"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q_SCALAR_DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow_sunday1,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return (
@@ -576,6 +634,8 @@ QUERIES = {
     "q_window_range_frame": q_window_range_frame,
     "q_scalar_array": q_scalar_array,
     "q_scalar_map": q_scalar_map,
+    "q_scalar_string_extra": q_scalar_string_extra,
+    "q_scalar_date_arith": q_scalar_date_arith,
     "q_min_max_by": q_min_max_by,
     "q_stream_window": q_stream_window,
     "q_stream_session": q_stream_session,
@@ -597,6 +657,8 @@ ORACLES = {
     "q_window_range_frame": Q_WINDOW_RANGE_ORACLE,
     "q_scalar_array": Q_SCALAR_ARRAY_ORACLE,
     "q_scalar_map": Q_SCALAR_MAP_ORACLE,
+    "q_scalar_string_extra": Q_SCALAR_STRING_EXTRA_ORACLE,
+    "q_scalar_date_arith": Q_SCALAR_DATE_ARITH_ORACLE,
     "q_min_max_by": Q_MIN_MAX_BY_ORACLE,
     "q_stream_window": Q_STREAM_WINDOW_ORACLE,
     # q_stream_session: rows-only
