@@ -143,6 +143,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+#: DataFrame memo per (application, sf_dir, table): table() is called by
+#: every gate query, and each call pays ~100 ms of footer-read + plan
+#: resolution; the frames are immutable lineage objects, safe to share.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _ns_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
     int64 ns (nanosAsLong) and we restore timestamp semantics."""
@@ -161,7 +167,18 @@ def _ns_timestamp_columns(path: str) -> list[str]:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table (no view registration)."""
+    """Read one star-schema table (no view registration); memoized per
+    session+path (the testdata is read-only, frames are immutable
+    lineage objects — each uncached call pays ~100 ms of footer-read +
+    plan resolution)."""
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - stopped context
+        app_id = ""
+    key = (app_id, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -172,4 +189,5 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             col,
             F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
         )
+    _TABLE_CACHE[key] = df
     return df
