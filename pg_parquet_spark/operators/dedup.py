@@ -89,19 +89,47 @@ def with_shingles(df: DataFrame, text_col: str, out_col: str = "_sh") -> DataFra
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
-    """num_hashes independent MinHash values: min over shingles of
-    md5(seed || ':' || shingle), truncated to 16 hex chars (string min —
-    lexicographic on hex == numeric on the hash prefix)."""
-    def _hash_with_seed(j: int):
-        # closure factory: a default-arg capture (lambda s, j=j) would make
-        # PySpark treat the lambda as binary and pass the array index as j
-        return lambda s: F.substring(
-            F.md5(F.concat(F.lit(str(j)), F.lit(":"), s)), 1, 16
-        )
+#: Mersenne prime for the universal-hash family (fits products in int64)
+MINHASH_PRIME = (1 << 31) - 1
+#: fixed odd multipliers/offsets (a_j, b_j) — one permutation per seed.
+#: A linear family like h1 + j*h2 is DEGENERATE here: a single shingle
+#: minimizing both bases wins every seed, collapsing band buckets (seen:
+#: 275-doc buckets → 315k candidate pairs). Multiplication mod p
+#: reshuffles the order independently per seed.
+MINHASH_COEFFS = [
+    (1000000007, 424242), (998244353, 7171717), (786433001, 131071),
+    (622729787, 999983), (514229671, 28657), (433494437, 75025),
+    (370248451, 196418), (314606891, 514229), (268435459, 832040),
+    (225075349, 1346269), (198491317, 2178309), (167772161, 3524578),
+    (145422675, 5702887), (122949829, 9227465), (104857601, 14930352),
+    (87178291, 24157817),
+]
+
+
+def base_hash_col(shingle_col: Column) -> Column:
+    """One md5-derived base hash per shingle, reduced mod the family
+    prime (single md5 call; the num_hashes family is synthesized by
+    universal hashing)."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME),
+    )
+
+
+def minhash_signature_from_base(
+    h_col: Column, num_hashes: int = NUM_HASHES
+) -> list[Column]:
+    """mh_j = min over shingles of (a_j·h + b_j) mod p. ``h_col`` must be
+    a projected column (HOF lambdas re-evaluate inline expressions per
+    element). a·h < 2^62 — no ANSI overflow."""
+
+    def _perm(j: int):
+        a, b = MINHASH_COEFFS[j]
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
 
     return [
-        F.array_min(F.transform(shingle_col, _hash_with_seed(j))).alias(f"mh{j}")
+        F.array_min(F.transform(h_col, _perm(j))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
 
@@ -132,9 +160,12 @@ def minhash_lsh_pairs(
         with_shingles(df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col)
         .select("_id", "_sh")
         .repartition(parallelism)
+        .select("_id", "_sh", base_hash_col(F.col("_sh")).alias("_h"))
         .persist()
     )
-    sig = sh_df.select("_id", "_sh", *minhash_signature(F.col("_sh"), num_hashes))
+    sig = sh_df.select(
+        "_id", *minhash_signature_from_base(F.col("_h"), num_hashes)
+    )
 
     band_keys = [
         F.md5(
@@ -201,12 +232,13 @@ def minhash_lsh_oracle_sql(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
 ) -> str:
-    """DuckDB SQL replicating minhash_lsh_pairs exactly (same md5 seeds,
-    same banding) — candidate sets and verified pairs are identical by
-    construction."""
+    """DuckDB SQL replicating minhash_lsh_pairs exactly (same md5 base
+    hash, same universal-hash coefficients, same banding) — candidate
+    sets and verified pairs are identical by construction."""
     rows_per_band = num_hashes // bands
+    p = MINHASH_PRIME
     mh_exprs = ",\n    ".join(
-        f"list_min(list_transform(sh, s -> substr(md5('{j}:' || s), 1, 16))) AS mh{j}"
+        f"list_min(list_transform(h, x -> ({MINHASH_COEFFS[j][0]} * x + {MINHASH_COEFFS[j][1]}) % {p})) AS mh{j}"
         for j in range(num_hashes)
     )
     band_exprs = ",\n    ".join(
@@ -224,10 +256,15 @@ WITH toks AS (
     range(1, greatest(len(t) - 1, 1) + 1),
     i -> t[i] || ' ' || coalesce(t[i + 1], ''))) AS sh
   FROM toks
+), hashed AS (
+  SELECT _id, sh,
+    list_transform(sh,
+      s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % {p}) AS h
+  FROM sh_t
 ), sig AS (
   SELECT _id, sh,
     {mh_exprs}
-  FROM sh_t
+  FROM hashed
 ), sig2 AS (
   SELECT _id, sh, {band_exprs} FROM sig
 ), exploded AS (
