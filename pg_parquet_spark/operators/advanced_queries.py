@@ -480,6 +480,35 @@ FROM events WHERE event_id < 100 ORDER BY event_id
 """
 
 
+def q_agg_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: continuous percentiles (PG
+    percentile_cont) + deterministic array aggregation (sorted
+    collect_set ≡ list_sort(list DISTINCT))."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
+                "median_qty"
+            ),
+            F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias(
+                "p90_price"
+            ),
+            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_AGG_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
+       list_sort(list(DISTINCT l_linestatus)) AS statuses
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wider string-function sweep (trim/pad/replace/left/right/reverse/
     repeat/split_part — identical semantics in DuckDB)."""
@@ -634,6 +663,7 @@ QUERIES = {
     "q_window_range_frame": q_window_range_frame,
     "q_scalar_array": q_scalar_array,
     "q_scalar_map": q_scalar_map,
+    "q_agg_percentile_collect": q_agg_percentile_collect,
     "q_scalar_string_extra": q_scalar_string_extra,
     "q_scalar_date_arith": q_scalar_date_arith,
     "q_min_max_by": q_min_max_by,
@@ -657,6 +687,7 @@ ORACLES = {
     "q_window_range_frame": Q_WINDOW_RANGE_ORACLE,
     "q_scalar_array": Q_SCALAR_ARRAY_ORACLE,
     "q_scalar_map": Q_SCALAR_MAP_ORACLE,
+    "q_agg_percentile_collect": Q_AGG_PERCENTILE_ORACLE,
     "q_scalar_string_extra": Q_SCALAR_STRING_EXTRA_ORACLE,
     "q_scalar_date_arith": Q_SCALAR_DATE_ARITH_ORACLE,
     "q_min_max_by": Q_MIN_MAX_BY_ORACLE,
