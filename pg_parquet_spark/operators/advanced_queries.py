@@ -23,7 +23,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
@@ -33,7 +33,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_GROUPING_SETS_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
@@ -66,7 +66,7 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_orderkey,
-               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS order_lineitem_total
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS order_lineitem_total
         FROM lineitem
         WHERE l_orderkey IN (
           SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -77,7 +77,7 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_SUBQUERY_IN_ORACLE = """
 SELECT l_orderkey,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS order_lineitem_total
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS order_lineitem_total
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
 GROUP BY l_orderkey ORDER BY l_orderkey
@@ -310,7 +310,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
-            F.sum(F.col("value").cast("decimal(12,2)")).alias("session_value"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("session_value"),
         )
     )
 
@@ -328,8 +328,9 @@ WITH flagged AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start,
-       SUM(CAST(value AS DECIMAL(12,2))) AS session_value
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
 FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
@@ -430,10 +431,20 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             "vec_id",
             F.size("embedding").alias("dims"),
-            F.array_max("embedding").cast("float").alias("max_component"),
-            F.array_min("embedding").cast("float").alias("min_component"),
-            F.element_at("embedding", 1).alias("first_component"),
-            F.slice("embedding", 1, 3).alias("head3"),
+            F.array_max("embedding").cast("double").alias("max_component"),
+            F.array_min("embedding").cast("double").alias("min_component"),
+            F.element_at("embedding", 1).cast("double").alias("first_component"),
+            # arrays-of-float render engine-specifically when collected —
+            # canonicalize the slice as scaled integers (round() is
+            # half-away-from-zero in both engines; decimal casts are NOT —
+            # Spark HALF_UP vs DuckDB HALF_EVEN diverge in the last digit)
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("embedding", 1, 3),
+                    lambda x: F.round(x.cast("double") * 1e7).cast("long").cast("string"),
+                ),
+            ).alias("head3"),
         )
         .orderBy("vec_id")
     )
@@ -442,10 +453,11 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SCALAR_ARRAY_ORACLE = """
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dims,
-       list_max(embedding) AS max_component,
-       list_min(embedding) AS min_component,
-       embedding[1] AS first_component,
-       embedding[1:3] AS head3
+       CAST(list_max(embedding) AS DOUBLE) AS max_component,
+       CAST(list_min(embedding) AS DOUBLE) AS min_component,
+       CAST(embedding[1] AS DOUBLE) AS first_component,
+       array_to_string(list_transform(embedding[1:3],
+         x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS VARCHAR)), ',') AS head3
 FROM embeddings ORDER BY vec_id
 """
 
@@ -461,7 +473,7 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") < 100)
         .select(
             "event_id",
-            F.map_keys(kmap).alias("prop_keys"),
+            F.concat_ws(",", F.map_keys(kmap)).alias("prop_keys"),
             F.size(F.map_values(kmap)).alias("n_props"),
             F.element_at(kmap, "k").alias("k_value"),
             F.element_at(F.map_concat(kmap, F.create_map(F.lit("extra"), F.lit(1))), "extra").alias("extra_value"),
@@ -472,7 +484,7 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_SCALAR_MAP_ORACLE = """
 SELECT event_id,
-       ['k'] AS prop_keys,
+       'k' AS prop_keys,
        1 AS n_props,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
        1 AS extra_value
@@ -494,7 +506,7 @@ def q_agg_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias(
                 "p90_price"
             ),
-            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
         )
         .orderBy("l_returnflag")
     )
@@ -504,7 +516,7 @@ Q_AGG_PERCENTILE_ORACLE = """
 SELECT l_returnflag,
        percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
-       list_sort(list(DISTINCT l_linestatus)) AS statuses
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -601,13 +613,15 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     result = run_available_now(windowed_event_counts(events))
-    return result.orderBy("window_start", "event_type")
+    return result.withColumn(
+        "total_value", F.col("total_value").cast("double")
+    ).orderBy("window_start", "event_type")
 
 
 Q_STREAM_WINDOW_ORACLE = """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
        COUNT(*) AS event_count,
-       SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 

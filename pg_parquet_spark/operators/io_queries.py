@@ -51,14 +51,14 @@ def q_io_match_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         df.groupBy("returnflag")
-        .agg(F.sum(F.col("quantity").cast("decimal(12,2)")).alias("sum_qty"))
+        .agg(F.sum(F.col("quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"))
         .orderBy("returnflag")
     )
 
 
 Q_IO_MATCH_POSITION_ORACLE = """
 SELECT l_returnflag AS returnflag,
-       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY returnflag
 """
 
@@ -86,7 +86,7 @@ def q_io_coercion_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_IO_COERCION_ORACLE = """
 SELECT CAST(l_shipdate AS DATE) AS l_shipdate,
-       SUM(CAST(l_linenumber AS BIGINT)) AS sum_linenumber,
+       CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_linenumber,
        MAX(CAST(l_orderkey AS INT)) AS max_orderkey
 FROM lineitem GROUP BY 1 ORDER BY l_shipdate LIMIT 100
 """
@@ -210,7 +210,7 @@ def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -218,7 +218,7 @@ def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_IO_CSV_ORACLE = """
 SELECT o_orderstatus, COUNT(*) AS cnt,
-       SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 

@@ -13,6 +13,15 @@ Spark's distributed partial aggregation and DuckDB's single-node fold
 produce identical values; every computed column is aliased identically on
 both sides (the driver compare sorts columns by name and hashes values).
 
+Representation contract (round-2 hardening, VERDICT.md "What's wrong"):
+final outputs never expose DECIMAL / HUGEINT / engine-width-divergent
+types — the driver's pandas conversion coerces DuckDB decimals and
+hugeints to float64 while Spark keeps Decimal objects, so equal values
+hash unequal (all 8 r01 hash failures). Every decimal aggregate is cast
+to DOUBLE (identical IEEE value from the identical exact decimal on both
+engines) and DuckDB integer SUMs are cast back to BIGINT, in BOTH the
+Spark projection and the oracle SQL.
+
 Scale notes are inline per query: broadcast hints for dimension tables,
 pushdown-friendly filters first, no collect-driven logic anywhere.
 """
@@ -47,10 +56,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -58,11 +67,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -106,14 +115,14 @@ def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.sum(_dec("o_totalprice")).alias("total_revenue"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
         )
     )
 
 
 Q_JOIN_INNER_ORACLE = """
 SELECT n_name, COUNT(*) AS order_count,
-       SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_revenue
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
@@ -257,13 +266,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 
 Q5_ORACLE = """
 SELECT n_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -290,15 +299,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
     )
 
 
 Q3_ORACLE = """
-SELECT l_orderkey, o_orderdate, o_orderpriority,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -323,13 +333,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(_dec("l_extendedprice") * _dec("l_discount")).alias("revenue"),
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 Q6_ORACLE = """
-SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -351,7 +361,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .filter(F.col("l_returnflag") == "R")
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -359,7 +369,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_ORACLE = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -408,19 +418,19 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.sum(F.when(F.col("p_type").startswith("PROMO"), revenue)).alias(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), revenue)).cast("double").alias(
                 "promo_revenue"
             ),
-            F.sum(revenue).alias("total_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
 Q14_ORACLE = """
-SELECT SUM(CASE WHEN p_type LIKE 'PROMO%'
-           THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END) AS promo_revenue,
-       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue,
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+           THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
@@ -442,12 +452,12 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
 
 
 Q19_ORACLE = """
-SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 10)
@@ -481,7 +491,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
@@ -490,7 +500,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_AGG_ROLLUP_ORACLE = """
-SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
@@ -599,16 +609,16 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.sum(_dec("o_totalprice")).over(w).alias("running_total"),
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
         )
     )
 
 
 Q_WINDOW_FRAME_ORACLE = """
 SELECT o_custkey, o_orderkey,
-       SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders ORDER BY o_custkey, o_orderkey
 """
 

@@ -3,6 +3,13 @@
 The driver's correctness gate iterates this (via __spark_entry__).
 Groups register themselves here so adding an operator module doesn't
 touch the entry file.
+
+Ordering matters: the driver's per-round correctness run covers a prefix
+of the registry (round 1 recorded exactly the first 50 names). GATE_ORDER
+front-loads (a) queries that have never received a driver correctness row
+and (b) queries whose round-1 hash failed and were fixed, so every
+registry entry accumulates ≥1 hard verification across rounds
+(VERDICT.md "Next round" #2); long-green queries rotate to the back.
 """
 
 from __future__ import annotations
@@ -12,6 +19,72 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Verification-priority prefix. Group 1: no CORRECTNESS_r01 row at all
+#: (driver run stopped at 50); group 2: r01 hash-fail, representation
+#: fixed this round — the driver must re-record both.
+GATE_ORDER = [
+    # -- group 1: never driver-verified (28) --------------------------------
+    "q_grouping_sets",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_exists_correlated",
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg",
+    "q_python_udtf",
+    "q_asof_join",
+    "q_funnel",
+    "q_sessionize_batch",
+    "q_window_ntile_dist",
+    "q_window_range_frame",
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_agg_percentile_collect",
+    "q_scalar_string_extra",
+    "q_scalar_date_arith",
+    "q_min_max_by",
+    "q_stream_window",
+    "q_stream_session",
+    "q_stream_stateful",
+    "q_sim_cosine_topk",
+    "q_sim_ann_lsh",
+    "q_sample_deterministic",
+    "q_data_mixture",
+    "q_profile_columns",
+    "q_multimodal_metadata",
+    "q_multimodal_decode",
+    # r01 row existed but was oracle-less; gains an exactness oracle in r2
+    "q_dedup_simhash",
+    # -- group 2: r01 hash-fail, output representation fixed (8) ------------
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_join_inner_broadcast",
+    "q_agg_rollup",
+    "q_window_frame",
+    "q_io_csv_roundtrip",
+    "q_io_match_position",
+    "q_io_coercion_read",
+    # -- group 3: r01 green, representative spot-checks first ---------------
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q_join_full",
+    "q_window_rank",
+    "q_dedup_minhash_lsh",
+    "q_dedup_embedding_cosine",
+    "q_text_features",
+    "q_scalar_date",
+    "q_io_where_filter",
+    "q_io_schema",
+    "q_agg_cube",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    rank = {}
+    for i, name in enumerate(GATE_ORDER):
+        rank.setdefault(name, i)
+    names = sorted(merged, key=lambda n: (rank.get(n, len(GATE_ORDER)), n))
+    return {n: merged[n] for n in names}
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -25,7 +98,7 @@ def all_queries() -> dict[str, QueryFn]:
             out.update(q)
         except ImportError:
             continue
-    return out
+    return _ordered(out)
 
 
 def all_oracles() -> dict[str, str]:
@@ -39,7 +112,7 @@ def all_oracles() -> dict[str, str]:
             out.update(o)
         except ImportError:
             continue
-    return out
+    return _ordered(out)
 
 
 def _load_io():
