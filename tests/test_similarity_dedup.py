@@ -1,0 +1,172 @@
+"""Exactness + recall evidence for the approximate operators (round-2:
+VERDICT #4/#5 — ANN and SimHash previously had no verification beyond
+row counts).
+
+- SimHash signatures vs an independent pure-Python bit-vote reference.
+- Hyperplane signatures vs a pure-Python reference (the literal plane
+  matrices must reproduce the md5-parity definition exactly).
+- ANN recall on planted near-duplicates: every planted duplicate of the
+  query vector lands in the query's bucket and is returned first.
+- embedding_near_dup_pairs finds planted near-dups and reports no
+  false positives (exact-cosine verify).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.operators import dedup, similarity
+
+
+# ---------------------------------------------------------------------------
+# pure-Python references
+
+def _py_simhash(text: str, bits: int = 60) -> int:
+    votes = [0] * bits
+    for tok in text.lower().split(" "):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for i in range(bits):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    sig = 0
+    for i in range(bits):
+        if votes[i] > 0:
+            sig |= 1 << i
+    return sig
+
+
+def _py_hyperplane_sig(vec: list[float], dims: int, bits: int, seed: str = "") -> int:
+    planes = similarity.hyperplane_planes(dims, bits, seed)
+    sig = 0
+    for b, plane in enumerate(planes):
+        acc = 0.0
+        for x, p in zip(vec, plane):
+            acc += float(x) * p
+        if acc > 0:
+            sig |= 1 << b
+    return sig
+
+
+FIXTURE_DOCS = [
+    (i, t)
+    for i, t in enumerate(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "pack my box with five dozen liquor jugs",
+            "sphinx of black quartz judge my vow",
+            "how vexingly quick daft zebras jump",
+            "the five boxing wizards jump quickly",
+            "jackdaws love my big sphinx of quartz",
+            "a b c d e f g h i j",
+            "a b c d e f g h i k",
+            "lorem ipsum dolor sit amet consectetur adipiscing elit",
+            "lorem ipsum dolor sit amet consectetur adipiscing elit sed",
+            "data pipelines shuffle bytes not bodies",
+            "data pipelines shuffle bytes not bodies at scale",
+            "one",
+            "",
+            "repeated repeated repeated repeated",
+            "numbers 123 456 789 mixed in text",
+            "numbers 123 456 789 mixed into text",
+            "completely unrelated content about gardening tips",
+            "another wholly distinct sentence regarding astronomy",
+        ]
+    )
+]
+
+
+def test_simhash_matches_python_reference(spark):
+    df = spark.createDataFrame(FIXTURE_DOCS, "doc_id INT, text STRING")
+    got = {
+        r._id: r._sim
+        for r in dedup.with_simhash(
+            df.select(F.col("doc_id").alias("_id"), "text"), "text", out_col="_sim"
+        )
+        .select("_id", "_sim")
+        .collect()
+    }
+    want = {i: _py_simhash(t) for i, t in FIXTURE_DOCS}
+    assert got == want
+
+
+def test_hyperplane_signature_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    got = {
+        r.vec_id: r.sig
+        for r in df.select(
+            "vec_id",
+            similarity.hyperplane_signature(F.col("embedding"), 16, 8).alias("sig"),
+        ).collect()
+    }
+    want = {i: _py_hyperplane_sig(v, 16, 8) for i, v in rows}
+    assert got == want
+
+
+def _planted_corpus(rng, n=80, dims=16):
+    """Random unit-ish vectors + 3 planted near-copies of vector 0."""
+    base = [rng.uniform(-1, 1) for _ in range(dims)]
+    rows = [(0, base)]
+    for i in range(1, n):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dims)]))
+    # planted: tiny perturbations of base → cosine ≈ 1
+    for j, pid in enumerate((n, n + 1, n + 2)):
+        rows.append((pid, [x + 0.01 * (j + 1) for x in base]))
+    return rows
+
+
+def test_ann_lsh_returns_planted_neighbors_first(spark):
+    import random
+
+    rng = random.Random(13)
+    rows = _planted_corpus(rng)
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    query = df.filter(F.col("vec_id") == 0)
+    got = similarity.ann_lsh_topk(
+        df, query, k=4, dims=16, bits=6
+    ).collect()
+    ids = [r.vec_id for r in got]
+    # the query itself tops its own bucket with cosine 1
+    assert ids[0] == 0
+    assert math.isclose(got[0].cosine_sim, 1.0, rel_tol=1e-9)
+    # near-identical vectors share every hyperplane sign → same bucket,
+    # so all three planted copies must be retrieved next
+    assert set(ids[1:4]) == {80, 81, 82}
+    for r in got[1:4]:
+        assert r.cosine_sim > 0.99
+
+
+def test_embedding_near_dup_finds_planted_pairs_only(spark):
+    import random
+
+    rng = random.Random(99)
+    rows = _planted_corpus(rng)
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    got = similarity.embedding_near_dup_pairs(
+        df, id_col="vec_id", vec_col="embedding", threshold=0.95, dims=16
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    # 0, 80, 81, 82 are mutual near-dups; random vectors in 16-dim space
+    # essentially never reach cosine 0.95
+    expected = {(0, 80), (0, 81), (0, 82), (80, 81), (80, 82), (81, 82)}
+    assert pairs == expected
+    for r in got:
+        assert r.cosine_sim >= 0.95
+
+
+def test_minhash_cache_hygiene(spark):
+    """minhash_lsh_pairs caches at most one shingle table (VERDICT #8)."""
+    docs = spark.createDataFrame(FIXTURE_DOCS, "doc_id INT, text STRING").filter(
+        F.length("text") > 0
+    )
+    dedup.minhash_lsh_pairs(docs, "doc_id").count()
+    dedup.minhash_lsh_pairs(docs, "doc_id").count()
+    assert len(dedup._CACHED_FRAMES) <= 1
+    dedup.release_cached()
+    assert not dedup._CACHED_FRAMES
