@@ -223,6 +223,49 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_io_copy_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY <table> FROM end-to-end (A2 + copy_pg_rules parity): create a
+    3-column target table, load orders.parquet into it by name with
+    NOT-NULL enforcement on the key, and aggregate the TABLE contents."""
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.sources.reader import copy_from_into
+
+    # fixed location, cleared up-front: DROP TABLE keeps external files,
+    # so a stale directory would otherwise double-count on re-runs
+    loc = os.path.join(tempfile.gettempdir(), "pgpq_copy_tbl")
+    spark.sql("DROP TABLE IF EXISTS pgpq_orders_loaded")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE pgpq_orders_loaded "
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    loaded = copy_from_into(
+        spark,
+        os.path.join(sf_dir, "orders.parquet"),
+        "pgpq_orders_loaded",
+        match_by="name",
+        not_null=["o_orderkey"],
+    )
+    return loaded.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias(
+            "price_sum"
+        ),
+    )
+
+
+Q_IO_COPY_FROM_TABLE_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+FROM orders
+"""
+
+
 def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -249,6 +292,7 @@ QUERIES = {
     "q_io_glob_read": q_io_glob_read,
     "q_io_csv_roundtrip": q_io_csv_roundtrip,
     "q_io_json_roundtrip": q_io_json_roundtrip,
+    "q_io_copy_from_table": q_io_copy_from_table,
     "q_io_match_position": q_io_match_position,
     "q_io_coercion_read": q_io_coercion_read,
     "q_io_where_filter": q_io_where_filter,
@@ -262,6 +306,7 @@ ORACLES = {
     "q_io_glob_read": Q_IO_GLOB_ORACLE,
     "q_io_csv_roundtrip": Q_IO_CSV_ORACLE,
     "q_io_json_roundtrip": Q_IO_JSON_ORACLE,
+    "q_io_copy_from_table": Q_IO_COPY_FROM_TABLE_ORACLE,
     "q_io_match_position": Q_IO_MATCH_POSITION_ORACLE,
     "q_io_coercion_read": Q_IO_COERCION_ORACLE,
     "q_io_where_filter": Q_IO_WHERE_ORACLE,

@@ -55,6 +55,8 @@ GATE_ORDER = [
     "q_multimodal_decode",
     # r01 row existed but was oracle-less; gains an exactness oracle in r2
     "q_dedup_simhash",
+    # new in r2: COPY FROM → table append e2e (VERDICT "missing" #4)
+    "q_io_copy_from_table",
     # -- group 2: r01 hash-fail, output representation fixed (8) ------------
     "q1_pricing_summary",
     "q3_shipping_priority",

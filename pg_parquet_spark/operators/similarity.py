@@ -187,18 +187,33 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     dims: int = 64,
     bits: int = 8,
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate NN: probe only the corpus bucket matching the query's
+    """Approximate NN: probe the corpus bucket matching the query's
     hyperplane signature, then exact cosine within the bucket.
+
+    ``probes`` > 1 enables multi-probe: the query side expands to its
+    bucket plus every Hamming-1 neighbor bucket (probes=1+bits), the
+    standard recall lever — near neighbors that straddle ONE hyperplane
+    land one bit-flip away. The corpus side is untouched (still a single
+    pruned bucket join); only the broadcast query row fans out.
 
     Scale path: the signature is a narrow long column — bucketing the
     corpus by it (or persisting it as a partition key) turns ANN search
     into a pruned scan + local top-k.
     """
     sig_df = df.withColumn("_bucket", hyperplane_signature(F.col(vec_col), dims, bits))
+    qsig = hyperplane_signature(F.col(vec_col), dims, bits)
+    if probes <= 1:
+        probe_buckets = F.array(qsig)
+    else:
+        flips = min(probes - 1, bits)
+        probe_buckets = F.array(
+            qsig, *[qsig.bitwiseXOR(F.lit(1 << b)) for b in range(flips)]
+        )
     q = query_df.select(
         F.col(vec_col).alias("_qvec"),
-        hyperplane_signature(F.col(vec_col), dims, bits).alias("_qbucket"),
+        F.explode(probe_buckets).alias("_qbucket"),
     )
     candidates = sig_df.join(
         F.broadcast(q), sig_df._bucket == F.col("_qbucket"), "inner"

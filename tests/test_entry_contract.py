@@ -24,10 +24,9 @@ def test_registry_consistency():
     # every oracle key has a query
     missing = set(oracles) - set(queries)
     assert not missing, f"oracles without queries: {missing}"
-    # rows-only set is the documented one
+    # rows-only set is the documented one (r2: simhash gained an oracle)
     rows_only = set(queries) - set(oracles)
     assert rows_only == {
-        "q_dedup_simhash",
         "q_sim_ann_lsh",
         "q_multimodal_decode",
         "q_stream_session",

@@ -55,3 +55,14 @@ def test_copy_to_format_option_engages(spark, tmp_path):
     copy_to(df, path, format="parquet")
     back = read_parquet(spark, path)
     assert back.count() == 3
+
+
+def test_deep_doublestar_glob_reaches_nested_files(spark, tmp_path):
+    # '**' must match files ≥2 levels deep (glob-crate semantics); Hadoop
+    # treats '**' like '*', so the reader expands local patterns itself
+    deep = tmp_path / "a" / "b" / "c"
+    deep.mkdir(parents=True)
+    pq.write_table(pa.table({"a": pa.array([1])}), str(tmp_path / "top.parquet"))
+    pq.write_table(pa.table({"a": pa.array([2])}), str(deep / "deep.parquet"))
+    df = read_parquet(spark, str(tmp_path / "**" / "*.parquet"))
+    assert sorted(r.a for r in df.collect()) == [1, 2]

@@ -52,3 +52,93 @@ def test_gcs_service_account():
 
 def test_empty_env_no_confs():
     assert object_store_confs({}) == {}
+
+
+# ---------------------------------------------------------------------------
+# store-agnostic glob + metadata surface (r2): a SubTreeFileSystem mounted
+# as mem:// stands in for the reference's MinIO/Azurite emulator tests
+# (src/pgrx_tests/object_store.rs) — it exercises the exact non-local code
+# path (resolve → FileSelector glob → footer fetch through the FS).
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pg_parquet_spark.sources import fs as pgfs
+
+
+@pytest.fixture()
+def mem_store(tmp_path):
+    from pyarrow import fs as pafs
+
+    root = tmp_path / "bucket"
+    (root / "nested" / "deep").mkdir(parents=True)
+    pq.write_table(pa.table({"a": pa.array([1, 2, 3])}), str(root / "one.parquet"))
+    pq.write_table(pa.table({"a": pa.array([4])}), str(root / "nested" / "two.parquet"))
+    pq.write_table(
+        pa.table({"a": pa.array([5])}), str(root / "nested" / "deep" / "three.parquet")
+    )
+    pgfs.register_filesystem(
+        "mem", lambda: pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    )
+    yield "mem://bucket"
+    pgfs.unregister_filesystem("mem")
+
+
+def test_fs_glob_single_level(mem_store):
+    got = pgfs.glob(f"{mem_store}/*.parquet")
+    assert got == [f"{mem_store}/one.parquet"]
+
+
+def test_fs_glob_doublestar_crosses_levels(mem_store):
+    got = pgfs.glob(f"{mem_store}/**/*.parquet")
+    assert got == [
+        f"{mem_store}/nested/deep/three.parquet",
+        f"{mem_store}/nested/two.parquet",
+        f"{mem_store}/one.parquet",
+    ] or set(got) == {
+        f"{mem_store}/nested/deep/three.parquet",
+        f"{mem_store}/nested/two.parquet",
+        f"{mem_store}/one.parquet",
+    }
+
+
+def test_metadata_functions_on_registered_store(spark, mem_store):
+    from pg_parquet_spark.functions.metadata import (
+        parquet_column_stats,
+        parquet_file_metadata,
+        parquet_list,
+        parquet_schema,
+    )
+
+    uri = f"{mem_store}/one.parquet"
+    md = parquet_file_metadata(spark, uri).collect()[0]
+    assert md.num_rows == 3 and md.uri == uri
+
+    sch = parquet_schema(spark, uri).collect()
+    assert any(r.name == "a" and r.type_name == "INT64" for r in sch)
+
+    stats = parquet_column_stats(spark, uri).collect()[0]
+    assert stats.stats_min == "1" and stats.stats_max == "3"
+
+    lst = parquet_list(spark, f"{mem_store}/**/*.parquet").collect()
+    assert {r.uri for r in lst} == {
+        f"{mem_store}/one.parquet",
+        f"{mem_store}/nested/two.parquet",
+        f"{mem_store}/nested/deep/three.parquet",
+    }
+    assert all(r.size > 0 for r in lst)
+
+
+def test_read_glob_check_on_registered_store(spark, mem_store):
+    from pg_parquet_spark.sources.reader import _check_glob
+
+    _check_glob(f"{mem_store}/*.parquet")  # non-empty: passes
+    with pytest.raises(FileNotFoundError, match="no files found"):
+        _check_glob(f"{mem_store}/absent*.parquet")
+
+
+def test_fs_glob_star_does_not_cross_segments(mem_store):
+    # '*' must stay within one path segment (glob-crate parity)
+    got = pgfs.glob(f"{mem_store}/*two.parquet")
+    assert got == []

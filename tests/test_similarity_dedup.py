@@ -170,3 +170,34 @@ def test_minhash_cache_hygiene(spark):
     assert len(dedup._CACHED_FRAMES) <= 1
     dedup.release_cached()
     assert not dedup._CACHED_FRAMES
+
+
+def test_ann_multi_probe_recall_dominates_single(spark):
+    import random
+
+    rng = random.Random(41)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    query = df.filter(F.col("vec_id") == 0)
+    bf = {
+        r.vec_id
+        for r in similarity.cosine_topk_fast(df, query, k=10).collect()
+    }
+
+    def recall(probes):
+        got = {
+            r.vec_id
+            for r in similarity.ann_lsh_topk(
+                df, query, k=10, dims=16, bits=6, probes=probes
+            ).collect()
+        }
+        return len(got & bf) / len(bf)
+
+    r1, r7 = recall(1), recall(7)
+    # multi-probe candidates are a strict superset → recall is monotone
+    assert r7 >= r1
+    # deterministic fixture (fixed seed + fixed planes): single-probe
+    # finds only the query itself here (random 16-dim top-10 cosines are
+    # ~0.6, many planes disagree); Hamming-1 probes must add neighbors
+    assert r7 >= 0.2
+    assert r7 > r1 or r1 == 1.0

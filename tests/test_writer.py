@@ -2,8 +2,10 @@
 asserted via our own metadata functions, exactly as the reference
 self-hosts its checks (copy_options.rs:348-565)."""
 
+import glob
 import os
 
+import pyarrow.parquet as pq
 import pytest
 
 from pg_parquet_spark.functions import parquet_file_metadata, parquet_metadata
@@ -72,3 +74,36 @@ def test_directory_target_distributed_write(spark, tmp_path):
     files = write_parquet(df, out)
     assert len(files) >= 1
     assert read_parquet(spark, out).count() == 6000
+
+
+def test_parquet_version_v2_on_spark_paths(spark, tmp_path):
+    # v2 previously only took effect on the pyarrow path; the Spark single
+    # file and directory paths must honor it too (DELTA_* encodings are
+    # the v2 writer's signature; v1 uses PLAIN + BIT_PACKED/RLE)
+    from pg_parquet_spark.session import table as _table
+
+    df = _table(spark, "/root/testdata/sf0.001", "region")
+    single_v2 = str(tmp_path / "v2.parquet")
+    write_parquet(df, single_v2, parquet_version="v2")
+    encs = pq.ParquetFile(single_v2).metadata.row_group(0).column(0).encodings
+    assert any(e.startswith("DELTA") for e in encs)
+
+    dir_v1 = str(tmp_path / "v1_dir")
+    write_parquet(df, dir_v1, parquet_version="v1")
+    f = glob.glob(os.path.join(dir_v1, "*.parquet"))[0]
+    encs1 = pq.ParquetFile(f).metadata.row_group(0).column(0).encodings
+    assert not any(e.startswith("DELTA") for e in encs1)
+
+
+def test_split_write_applies_field_ids(spark, tmp_path):
+    # ADVICE r1: file_size_bytes + field_ids used to silently drop the ids
+    df = spark.range(200_000).selectExpr("id AS a", "CAST(id AS STRING) AS b")
+    out = str(tmp_path / "split_ids")
+    files = write_parquet(df, out, file_size_bytes=1024 * 1024, field_ids="auto")
+    assert files and all(os.path.basename(f).startswith("data_") for f in files)
+    sch = pq.ParquetFile(files[0]).schema_arrow
+    ids = [
+        (sch.field(i).metadata or {}).get(b"PARQUET:field_id")
+        for i in range(len(sch))
+    ]
+    assert ids == [b"0", b"1"]
