@@ -627,8 +627,10 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window stateful op (rows-only: session semantics
-    aren't plain-SQL-expressible)."""
+    """Native session_window stateful op, drained with AvailableNow.
+    Oracle-checked (r2 — previously rows-only): gap-sessionization IS
+    SQL-expressible via lag → new-session flag → running sum, and
+    session_window's bounds are exactly [min ts, max ts + gap)."""
     from pg_parquet_spark.streaming.stream import (
         read_events_stream,
         run_available_now,
@@ -637,7 +639,32 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     result = run_available_now(sessionized_events(events))
-    return result.orderBy("user_id", "session_start")
+    return result.withColumn(
+        "session_value", F.col("session_value").cast("double")
+    ).orderBy("user_id", "session_start")
+
+
+Q_STREAM_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch_us(ts) - epoch_us(
+      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
 
 
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,5 +733,5 @@ ORACLES = {
     "q_scalar_date_arith": Q_SCALAR_DATE_ARITH_ORACLE,
     "q_min_max_by": Q_MIN_MAX_BY_ORACLE,
     "q_stream_window": Q_STREAM_WINDOW_ORACLE,
-    # q_stream_session: rows-only
+    "q_stream_session": Q_STREAM_SESSION_ORACLE,
 }

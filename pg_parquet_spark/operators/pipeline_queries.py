@@ -269,10 +269,18 @@ Q_SIM_COSINE_ORACLE = similarity.cosine_topk_oracle_sql(query_id=0, k=10)
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (rows-only: approximate by design)."""
+    """Hyperplane-LSH bucketed ANN. Approximate by DESIGN yet exact by
+    CONSTRUCTION: the literal plane matrices render to SQL, so the oracle
+    reproduces the same buckets and the same in-bucket top-k (r2 —
+    previously rows-only)."""
     emb = table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
-    return similarity.ann_lsh_topk(emb, query, k=10, bits=4)
+    return similarity.ann_lsh_topk(emb, query, k=10, bits=4).orderBy(
+        F.col("cosine_sim").desc(), "vec_id"
+    )
+
+
+Q_SIM_ANN_ORACLE = similarity.ann_lsh_oracle_sql(query_id=0, k=10, bits=4)
 
 
 # ---------------------------------------------------------------------------
@@ -413,9 +421,10 @@ ORACLES = {
     "q_dedup_embedding_cosine": Q_DEDUP_EMBEDDING_ORACLE,
     "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
+    "q_sim_ann_lsh": Q_SIM_ANN_ORACLE,
     "q_sample_deterministic": Q_SAMPLE_ORACLE,
     "q_data_mixture": Q_DATA_MIXTURE_ORACLE,
     "q_profile_columns": Q_PROFILE_ORACLE,
     "q_multimodal_metadata": Q_MULTIMODAL_META_ORACLE,
-    # q_sim_ann_lsh, q_multimodal_decode: rows-only (approximate / stub)
+    # q_multimodal_decode: rows-only (decoder is an honest stub)
 }

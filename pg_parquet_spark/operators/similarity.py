@@ -218,23 +218,53 @@ def ann_lsh_topk(
     candidates = sig_df.join(
         F.broadcast(q), sig_df._bucket == F.col("_qbucket"), "inner"
     )
-    dot = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("_qvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.aggregate(
-        F.transform(F.col(vec_col), lambda x: x * x), F.lit(0.0), lambda a, v: a + v
-    )
-    nb = F.aggregate(
-        F.transform(F.col("_qvec"), lambda x: x * x), F.lit(0.0), lambda a, v: a + v
-    )
-    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    # widen-then-multiply folds (_dot), NOT float32 arithmetic — keeps the
+    # in-bucket ranking bit-identical to the DuckDB oracle's double folds
+    cos = _exact_cosine(F.col(vec_col), F.col("_qvec"))
     return (
         candidates.select(F.col(id_col), cos.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ann_lsh_oracle_sql(
+    query_id: int = 0,
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    bits: int = 8,
+) -> str:
+    """DuckDB replica of single-probe ann_lsh_topk: identical literal
+    planes → identical buckets; identical ordered-fold cosines → the
+    exact same top-k. The 'approximate' in ANN is a recall statement
+    about the blocking, not nondeterminism — so it IS oracle-checkable."""
+    sig = hyperplane_signature_sql(vec_col, dims, bits)
+    qsig = hyperplane_signature_sql("qvec", dims, bits)
+    fold = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    dot = fold.format(d=dims, a=vec_col, b="qvec")
+    na = fold.format(d=dims, a=vec_col, b=vec_col)
+    nb = fold.format(d=dims, a="qvec", b="qvec")
+    return f"""
+WITH q AS (
+  SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id}
+), bucketed AS (
+  SELECT e.{id_col} AS _id, e.{vec_col}, q.qvec,
+         {sig} AS _bucket, {qsig} AS _qbucket
+  FROM {table} e, q
+)
+SELECT _id AS {id_col},
+       {dot} / (sqrt({na}) * sqrt({nb})) AS cosine_sim
+FROM bucketed
+WHERE _bucket = _qbucket
+ORDER BY cosine_sim DESC, {id_col}
+LIMIT {k}
+"""
 
 
 def _exact_cosine(va: Column, vb: Column) -> Column:

@@ -24,13 +24,11 @@ def test_registry_consistency():
     # every oracle key has a query
     missing = set(oracles) - set(queries)
     assert not missing, f"oracles without queries: {missing}"
-    # rows-only set is the documented one (r2: simhash gained an oracle)
+    # rows-only set is the documented one (r2: simhash, ann_lsh and
+    # stream_session all gained oracles; only the honest decoder stub
+    # remains rows-only)
     rows_only = set(queries) - set(oracles)
-    assert rows_only == {
-        "q_sim_ann_lsh",
-        "q_multimodal_decode",
-        "q_stream_session",
-    }
+    assert rows_only == {"q_multimodal_decode"}
 
 
 def test_all_oracles_parse_in_duckdb():
