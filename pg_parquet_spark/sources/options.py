@@ -14,18 +14,24 @@ from dataclasses import dataclass
 
 #: codec → (spark codec name, level range or None)
 #: reference: compression.rs:6-39 — uncompressed/snappy(default)/gzip/
-#: brotli/lz4/lz4raw/zstd; levels gzip 0-10, zstd 1-22, brotli 0-11.
+#: brotli/lz4/lz4raw/zstd; level ranges are parquet-rs's (GzipLevel 0..=9,
+#: BrotliLevel 0..=11, ZstdLevel 1..=22 — copy_options.rs:212 asserts the
+#: 0..=9 gzip text).
 COMPRESSIONS: dict[str, tuple[str, tuple[int, int] | None]] = {
     "uncompressed": ("uncompressed", None),
     "none": ("uncompressed", None),
     "snappy": ("snappy", None),
-    "gzip": ("gzip", (0, 10)),
+    "gzip": ("gzip", (0, 9)),
     "brotli": ("brotli", (0, 11)),
     "lz4": ("lz4", None),
     "lz4raw": ("lz4_raw", None),
     "lz4_raw": ("lz4_raw", None),
     "zstd": ("zstd", (1, 22)),
 }
+
+#: user-facing codec list for the invalid-compression error
+#: (compression.rs:19-29 ordering)
+_SUPPORTED_LIST = "uncompressed, snappy, gzip, lz4, lz4raw, brotli, zstd"
 
 #: default levels (compression.rs:31-39 / README.md:374)
 DEFAULT_LEVELS = {"gzip": 6, "zstd": 1, "brotli": 1}
@@ -78,18 +84,21 @@ def validate_compression(codec: str | None, level: int | None, uri: str) -> tupl
         codec = infer_compression(uri) or "snappy"
     codec = codec.lower()
     if codec not in COMPRESSIONS:
-        raise OptionError(f"invalid compression method: {codec}")
+        raise OptionError(
+            f"{codec} is not a valid compression format. "
+            f"Supported compression formats are {_SUPPORTED_LIST}"
+        )
     spark_codec, level_range = COMPRESSIONS[codec]
     if level is not None:
         if level_range is None:
+            # exact reference text (compression.rs:55)
             raise OptionError(
-                f"compression level is not supported for {codec} compression"
+                f'compression level is not supported for "{codec}" compression'
             )
         lo, hi = level_range
         if not (lo <= int(level) <= hi):
-            raise OptionError(
-                f"compression level {level} is out of range for {codec}: [{lo}, {hi}]"
-            )
+            # parquet-rs level error shape (copy_options.rs:212)
+            raise OptionError(f"valid compression range {lo}..={hi} exceeded")
         return spark_codec, int(level)
     if codec in DEFAULT_LEVELS:
         return spark_codec, DEFAULT_LEVELS[codec]
@@ -97,38 +106,44 @@ def validate_compression(codec: str | None, level: int | None, uri: str) -> tupl
 
 
 def parse_file_size_bytes(value: int | str) -> int:
-    """`file_size_bytes` accepts raw bytes or KB/MB/GB units; min 1 MiB
-    (copy_utils.rs:686-733)."""
+    """`file_size_bytes` accepts raw bytes or KB/MB/GB units; min 1 MiB.
+    Error texts byte-match copy_utils.rs:686-733 (`parse_file_size`)."""
     if isinstance(value, (int, float)):
         nbytes = int(value)
     else:
-        m = re.fullmatch(r"\s*(\d+)\s*(KB|MB|GB)?\s*", str(value), re.IGNORECASE)
+        s = str(value).strip().upper()
+        m = re.match(r"^(\d+)", s)
         if not m:
-            raise OptionError(f"invalid file_size_bytes value: {value!r}")
+            raise OptionError(f"No numeric value found in '{s}'")
         nbytes = int(m.group(1))
-        unit = (m.group(2) or "").upper()
+        unit = s[m.end():].strip()
+        if unit not in ("", "KB", "MB", "GB"):
+            raise OptionError(
+                f"Unrecognized unit '{unit}'. Allowed units are KB, MB or GB."
+            )
         nbytes *= {"": 1, "KB": 1024, "MB": 1024**2, "GB": 1024**3}[unit]
     if nbytes < MIN_FILE_SIZE_BYTES:
-        raise OptionError(
-            f"file_size_bytes must be at least 1MB ({MIN_FILE_SIZE_BYTES} bytes), got {nbytes}"
-        )
+        raise OptionError(f"Minimum allowed size is 1MB. Got {nbytes} bytes.")
     return nbytes
 
 
 def validate_parquet_version(version: str) -> str:
     """'v1' (default) | 'v2' → Spark/parquet-mr writer version
-    (parquet_version.rs:6-34)."""
+    (parquet_version.rs:6-34; exact error text from rs:21)."""
     v = str(version).lower()
     if v not in ("v1", "v2"):
-        raise OptionError(f"invalid parquet version: {version}")
+        raise OptionError(
+            f"unrecognized parquet version: {version}. v1 or v2 is supported."
+        )
     return {"v1": "PARQUET_1_0", "v2": "PARQUET_2_0"}[v]
 
 
 def validate_match_by(match_by: str) -> str:
-    """'position' (default) | 'name' (match_by.rs:3-20)."""
+    """'position' (default) | 'name' (match_by.rs:3-20; exact error text
+    from rs:17)."""
     m = str(match_by).lower()
     if m not in ("position", "name"):
-        raise OptionError(f"invalid match_by option: {match_by}")
+        raise OptionError(f"unrecognized match_by method: {match_by}")
     return m
 
 

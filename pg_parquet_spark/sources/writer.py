@@ -304,10 +304,39 @@ def _write_split(df: DataFrame, path: str, opts: WriteOptions, field_ids) -> lis
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: COPY TO option names the hook accepts (copy_utils.rs:37-51); `mode`
+#: and `uuid_columns`/`kv_metadata` are engine extensions.
+_COPY_TO_OPTIONS = (
+    "format",
+    "file_size_bytes",
+    "field_ids",
+    "row_group_size",
+    "row_group_size_bytes",
+    "compression",
+    "compression_level",
+    "parquet_version",
+    "freeze",
+    "mode",
+    "uuid_columns",
+    "kv_metadata",
+)
+
+
 def copy_to(df: DataFrame, uri: str, **options) -> list[str]:
     """COPY (query) TO '<uri>' alias; engages only for parquet uris the
-    way the hook does (copy_utils.rs:430-515)."""
-    if not is_parquet_uri(uri) and "format" not in options:
+    way the hook does (copy_utils.rs:430-515). Unknown options and bad
+    `format` values raise with the reference's exact texts
+    (copy_utils.rs:200-216, 60-66)."""
+    for name in options:
+        if name not in _COPY_TO_OPTIONS:
+            raise OptionError(
+                f'{name} is not a valid option for "copy to parquet". '
+                f"Supported options are {', '.join(_COPY_TO_OPTIONS[:9])}"
+            )
+    fmt = options.pop("format", None)
+    if fmt is not None and fmt != "parquet":
+        raise OptionError(f"{fmt} is not a valid format. Only parquet format is supported.")
+    if fmt is None and not is_parquet_uri(uri):
         raise OptionError(f"uri {uri} is not a parquet target")
-    options.pop("format", None)
+    options.pop("freeze", None)  # PG-transactional hint; no-op here
     return write_parquet(df, uri, **options)

@@ -39,7 +39,12 @@ def test_non_parquet_extension_not_engaged():
 
 
 def test_invalid_compression_errors():
-    with pytest.raises(OptionError, match="invalid compression"):
+    # exact reference text (copy_utils.rs:138 + compression.rs:19-29 list)
+    with pytest.raises(
+        OptionError,
+        match=r"bzip2 is not a valid compression format. Supported compression "
+        r"formats are uncompressed, snappy, gzip, lz4, lz4raw, brotli, zstd",
+    ):
         validate_compression("bzip2", None, "/t/x.parquet")
 
 
@@ -47,8 +52,8 @@ def test_invalid_compression_errors():
     "codec,level,ok",
     [
         ("gzip", 0, True),
-        ("gzip", 10, True),
-        ("gzip", 11, False),
+        ("gzip", 9, True),
+        ("gzip", 10, False),  # parquet-rs GzipLevel is 0..=9 (copy_options.rs:212)
         ("zstd", 1, True),
         ("zstd", 22, True),
         ("zstd", 0, False),
@@ -61,13 +66,14 @@ def test_compression_levels(codec, level, ok):
     if ok:
         validate_compression(codec, level, "/t/x.parquet")
     else:
-        with pytest.raises(OptionError, match="out of range"):
+        with pytest.raises(OptionError, match=r"valid compression range \d+\.\.=\d+ exceeded"):
             validate_compression(codec, level, "/t/x.parquet")
 
 
 @pytest.mark.parametrize("codec", ["snappy", "lz4", "uncompressed"])
 def test_level_unsupported_codecs(codec):
-    with pytest.raises(OptionError, match="not supported"):
+    # compression.rs:55: compression level is not supported for "snappy" ...
+    with pytest.raises(OptionError, match=f'not supported for "{codec}" compression'):
         validate_compression(codec, 3, "/t/x.parquet")
 
 
@@ -83,23 +89,27 @@ def test_file_size_bytes_units_and_min():
     assert parse_file_size_bytes("2GB") == 2 * 1024**3
     assert parse_file_size_bytes("1024KB") == 1024**2
     assert parse_file_size_bytes(5 * 1024**2) == 5 * 1024**2
-    with pytest.raises(OptionError, match="at least 1MB"):
+    with pytest.raises(OptionError, match=r"Minimum allowed size is 1MB. Got 524288 bytes."):
         parse_file_size_bytes("512KB")
-    with pytest.raises(OptionError, match="invalid file_size_bytes"):
+    with pytest.raises(OptionError, match=r"No numeric value found in 'TENMB'"):
         parse_file_size_bytes("tenMB")
+    with pytest.raises(OptionError, match=r"Unrecognized unit 'TB'. Allowed units are KB, MB or GB."):
+        parse_file_size_bytes("1TB")
 
 
 def test_parquet_version():
     assert validate_parquet_version("v1") == "PARQUET_1_0"
     assert validate_parquet_version("v2") == "PARQUET_2_0"
-    with pytest.raises(OptionError, match="invalid parquet version"):
+    with pytest.raises(
+        OptionError, match=r"unrecognized parquet version: v3. v1 or v2 is supported."
+    ):
         validate_parquet_version("v3")
 
 
 def test_match_by():
     assert validate_match_by("position") == "position"
     assert validate_match_by("name") == "name"
-    with pytest.raises(OptionError, match="invalid match_by"):
+    with pytest.raises(OptionError, match="unrecognized match_by method: ordinal"):
         validate_match_by("ordinal")
 
 

@@ -11,6 +11,7 @@ import pytest
 from pg_parquet_spark.functions import parquet_file_metadata, parquet_metadata
 from pg_parquet_spark.session import table as load
 from pg_parquet_spark.sources import read_parquet, write_parquet
+from pg_parquet_spark.sources.writer import copy_to
 from pg_parquet_spark.sources.options import OptionError
 
 
@@ -44,7 +45,7 @@ def test_file_size_bytes_split_naming(spark, tmp_path):
 
 def test_file_size_bytes_min_enforced(spark, tmp_path):
     li = load(spark, "/root/testdata/sf0.001", "region")
-    with pytest.raises(OptionError, match="at least 1MB"):
+    with pytest.raises(OptionError, match="Minimum allowed size is 1MB. Got 1000 bytes."):
         write_parquet(li, str(tmp_path / "x"), file_size_bytes=1000)
 
 
@@ -107,3 +108,12 @@ def test_split_write_applies_field_ids(spark, tmp_path):
         for i in range(len(sch))
     ]
     assert ids == [b"0", b"1"]
+
+
+def test_copy_to_unknown_option_and_format_texts(spark):
+    # copy_utils.rs:200-216 / :60-66 exact texts
+    df = spark.range(1)
+    with pytest.raises(OptionError, match=r'nonexisted is not a valid option for "copy to parquet"'):
+        copy_to(df, "/tmp/x.parquet", nonexisted=1)
+    with pytest.raises(OptionError, match=r"csv is not a valid format. Only parquet format is supported."):
+        copy_to(df, "/tmp/x.parquet", format="csv")
