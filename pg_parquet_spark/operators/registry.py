@@ -57,6 +57,12 @@ GATE_ORDER = [
     "q_dedup_simhash",
     # new in r2: COPY FROM → table append e2e (VERDICT "missing" #4)
     "q_io_copy_from_table",
+    # new in r2: wider TPC-H shapes (ROADMAP #7) — never driver-verified
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume",
+    "q22_prospective_customers",
     # -- group 2: r01 hash-fail, output representation fixed (8) ------------
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -135,4 +141,10 @@ def _load_advanced():
     return advanced_queries.QUERIES, advanced_queries.ORACLES
 
 
-_OPTIONAL = [_load_io, _load_pipeline, _load_advanced]
+def _load_tpch_extra():
+    from pg_parquet_spark.operators import tpch_extra
+
+    return tpch_extra.QUERIES, tpch_extra.ORACLES
+
+
+_OPTIONAL = [_load_io, _load_pipeline, _load_advanced, _load_tpch_extra]

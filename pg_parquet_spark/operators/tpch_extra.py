@@ -1,0 +1,280 @@
+"""Wider TPC-H-shaped coverage (ROADMAP #7): Q7/Q8/Q13/Q18/Q22 adapted
+to the driver's star schema (no partsupp table, no l_shipmode/l_commitdate
+columns — queries needing those are out of data scope; the operator
+classes they exercise are covered below and in queries.py).
+
+Every query follows the r2 representation contract: decimal arithmetic
+internally, DOUBLE/BIGINT/DATE in final outputs, aliases identical to the
+oracle (queries.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.operators.queries import _dec
+from pg_parquet_spark.session import table
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (direction-paired join filter)
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share of one nation within a region's part-type market
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    # sums stay DECIMAL (exact, partitioning-independent); only the final
+    # ratio is double — a double SUM would be addition-order-dependent
+    # across partitions and drift from the oracle's sequential fold
+    volume = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    zero = F.lit(0).cast("decimal(25,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .filter((F.col("r_name") == "EUROPE") & (F.col("p_type") == "PROMO"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(zero))
+                .cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double grouping)
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING subquery over an aggregate)
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 120)
+        .select("l_orderkey", "_qty")
+    )
+    return (
+        big_orders.join(orders, big_orders.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+       CAST(qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global-acctbal-average anti-join (scalar subquery + NOT EXISTS)
+
+def q22_prospective_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    # avg = exact decimal sum / count, widened to double at the end —
+    # AVG(double) would be addition-order-dependent across partitions and
+    # the engines also disagree on AVG(decimal) result types
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+            ).alias("_avg")
+        )
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+    )
+    # every synthetic customer has at least one order, so "prospective" is
+    # adapted to "no HIGH-VALUE order" — same NOT EXISTS + anti-join shape
+    big = orders.filter(F.col("o_totalprice") > 250000)
+    no_orders = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q18_large_volume": q18_large_volume,
+    "q22_prospective_customers": q22_prospective_customers,
+}
+
+ORACLES = {
+    "q7_volume_shipping": Q7_ORACLE,
+    "q8_market_share": Q8_ORACLE,
+    "q13_customer_distribution": Q13_ORACLE,
+    "q18_large_volume": Q18_ORACLE,
+    "q22_prospective_customers": Q22_ORACLE,
+}
