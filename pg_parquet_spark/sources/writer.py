@@ -240,10 +240,18 @@ def _write_single_file_pyarrow(
         table = table.replace_schema_metadata(md)
     codec, level = _pyarrow_compression(opts)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    # row-group rotation honors BOTH caps like the reference's writer
+    # (parquet_writer.rs:37-38 rotates on rows OR bytes, whichever first):
+    # the byte cap maps to rows via the table's in-memory bytes/row
+    rows_per_group = opts.row_group_size
+    if table.num_rows > 0 and table.nbytes > 0:
+        bytes_per_row = table.nbytes / table.num_rows
+        rows_by_bytes = max(int(opts.row_group_size_bytes / bytes_per_row), 1)
+        rows_per_group = max(min(rows_per_group, rows_by_bytes), 1)
     pq.write_table(
         table,
         path,
-        row_group_size=opts.row_group_size,
+        row_group_size=rows_per_group,
         compression=codec,
         compression_level=level,
         data_page_version="1.0" if opts.parquet_version == "PARQUET_1_0" else "2.0",

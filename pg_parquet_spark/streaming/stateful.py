@@ -65,6 +65,68 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+EVICT_OUTPUT_SCHEMA = (
+    "user_id BIGINT, event_count BIGINT, total_value DOUBLE, "
+    "last_event_id BIGINT, evicted BOOLEAN"
+)
+
+
+def running_user_stats_with_ttl(events: DataFrame, ttl_ms: int = 60_000) -> DataFrame:
+    """TTL variant (ROADMAP r2 #8 — the eviction path was untested):
+    processing-time timeout evicts idle users, emitting one final row with
+    ``evicted=true`` and removing their state. This is what bounds the
+    state store at 100 TB — without eviction, per-key state grows with
+    the key universe forever.
+    """
+
+    def update(key: tuple, rows, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            count, total, last_id = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "event_count": count,
+                        "total_value": total,
+                        "last_event_id": last_id,
+                        "evicted": True,
+                    }
+                ]
+            )
+            return
+        if state.exists:
+            count, total, last_id = state.get
+        else:
+            count, total, last_id = 0, 0.0, -1
+        for pdf in rows:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+            last_id = max(last_id, int(pdf["event_id"].max()))
+        state.update((count, total, last_id))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "event_count": count,
+                    "total_value": total,
+                    "last_event_id": last_id,
+                    "evicted": False,
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EVICT_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def run_stateful_available_now(sdf: DataFrame, timeout_sec: int = 120) -> DataFrame:
     """Drain with AvailableNow; update-mode sink → keep the LAST emitted
     row per user (the final state)."""

@@ -117,3 +117,70 @@ def test_uuid_columns_written_as_flba16(spark, tmp_path):
     vals = pf.read().column(0).to_pylist()
     assert vals[0] == bytes.fromhex("550e8400e29b41d4a716446655440000")
     assert vals[1] is None
+
+
+def test_stateful_ttl_evicts_idle_users(spark, tmp_path):
+    """ProcessingTimeTimeout eviction: users present only in the first
+    micro-batch are evicted (final row, state removed) once a later batch
+    arrives after the TTL. Two files + maxFilesPerTrigger=1 force two
+    micro-batches; wall-clock between batches >> the 1 ms TTL."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_parquet_spark.streaming.stateful import running_user_stats_with_ttl
+
+    src = tmp_path / "ttl_events"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 2], pa.int64()),
+                "event_id": pa.array([10, 20], pa.int64()),
+                "value": pa.array([1.0, 2.0]),
+            }
+        ),
+        str(src / "batch1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([2, 3], pa.int64()),
+                "event_id": pa.array([21, 30], pa.int64()),
+                "value": pa.array([3.0, 4.0]),
+            }
+        ),
+        str(src / "batch2.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("user_id BIGINT, event_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = running_user_stats_with_ttl(stream, ttl_ms=1)
+    name = f"pgpq_ttl_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"pgpq_ckpt_{name}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    evicted = {r.user_id for r in rows if r.evicted}
+    live = {r.user_id: r for r in rows if not r.evicted}
+    # user 1 saw no data in batch 2 → timed out and evicted with its
+    # final state intact; users 2/3 were updated in the last batch
+    assert 1 in evicted
+    ev1 = [r for r in rows if r.evicted and r.user_id == 1][0]
+    assert ev1.event_count == 1 and ev1.last_event_id == 10
+    assert live[2].event_count == 2 and live[2].last_event_id == 21
+    assert live[3].event_count == 1 and live[3].last_event_id == 30

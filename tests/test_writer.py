@@ -117,3 +117,23 @@ def test_copy_to_unknown_option_and_format_texts(spark):
         copy_to(df, "/tmp/x.parquet", nonexisted=1)
     with pytest.raises(OptionError, match=r"csv is not a valid format. Only parquet format is supported."):
         copy_to(df, "/tmp/x.parquet", format="csv")
+
+
+def test_row_group_size_bytes_rotates_on_pyarrow_path(spark, tmp_path):
+    # parquet_writer.rs:37-38 rotates on rows OR bytes, whichever first —
+    # a small byte cap must split a big table into many row groups even
+    # when the row cap alone would keep it in one
+    df = spark.range(100_000).selectExpr("id", "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "bytecap.parquet")
+    write_parquet(
+        df,
+        out,
+        row_group_size=1_000_000,  # rows alone would give 1 group
+        row_group_size_bytes=64 * 1024,
+        kv_metadata={"probe": "1"},  # routes through the pyarrow path
+    )
+    md = pq.ParquetFile(out).metadata
+    assert md.num_row_groups > 5
+    # uncompressed group sizes should be in the ballpark of the cap
+    sizes = [md.row_group(i).total_byte_size for i in range(md.num_row_groups)]
+    assert max(sizes[:-1]) < 4 * 64 * 1024
