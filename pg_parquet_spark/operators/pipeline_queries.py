@@ -283,6 +283,18 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SIM_ANN_ORACLE = similarity.ann_lsh_oracle_sql(query_id=0, k=10, bits=4)
 
 
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (hash-seeded,
+    decimal-sum Lloyd iterations) + nprobe cell-pruned exact cosine.
+    Rows-only by the iterative-algorithm exemption — exactness is covered
+    by tests (partition-invariant centroids; nprobe=all ≡ brute force)."""
+    emb = table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.ivf_topk(emb, query, k=10, n_cells=16, nprobe=2).orderBy(
+        F.col("cosine_sim").desc(), "vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # data selection (sampling / mixing / profiling)
 
@@ -403,6 +415,7 @@ QUERIES = {
     "q_text_token_count": q_text_token_count,
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
+    "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_sample_deterministic": q_sample_deterministic,
     "q_data_mixture": q_data_mixture,
     "q_profile_columns": q_profile_columns,

@@ -48,6 +48,7 @@ GATE_ORDER = [
     "q_stream_stateful",
     "q_sim_cosine_topk",
     "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
     "q_sample_deterministic",
     "q_data_mixture",
     "q_profile_columns",

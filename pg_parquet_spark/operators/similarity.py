@@ -272,6 +272,135 @@ def _exact_cosine(va: Column, vb: Column) -> Column:
     return dot / (F.sqrt(_norm_sq(va)) * F.sqrt(_norm_sq(vb)))
 
 
+# ---------------------------------------------------------------------------
+# IVF — the second ANN tier (coarse quantizer + cell-pruned search)
+
+def _cell_distances(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared-L2 distances to each centroid (literal arrays,
+    ordered fold — deterministic and codegen-only, like the hyperplanes)."""
+    dists = []
+    for c in centroids:
+        lit = F.array(*[F.lit(v) for v in c])
+        diff2 = F.zip_with(
+            vec_col, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        )
+        dists.append(F.aggregate(diff2, F.lit(0.0), lambda a, v: a + v))
+    return F.array(*dists)
+
+
+def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
+    d = _cell_distances(vec_col, centroids)
+    # array_position returns the FIRST match → deterministic tie-break
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def ivf_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+    dims: int = 64,
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer (Lloyd's, fixed iteration
+    count) — the IVF companion to the hyperplane LSH tier.
+
+    Determinism guarantees (cluster-size-invariant, RNG-free):
+    - seeds are the ``n_cells`` vectors with the smallest md5(id) — a
+      content-hash sample, reproducible on any engine;
+    - per-cell means use exact DECIMAL component sums (a double sum would
+      be addition-order-dependent across partitions), widened to double
+      only for the final division;
+    - assignment ties break on the first (lowest-index) centroid.
+
+    The centroid model is n_cells×dims floats — KBs, held driver-side and
+    embedded as literals exactly like the reference engines ship model
+    constants. At 100 TB: train on a hash-sample, write the assignment as
+    a partition column, and cell-pruned search becomes partition pruning.
+    """
+    seeds = (
+        df.select(
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r._v] for r in seeds]
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col).alias("_v"),
+            _nearest_cell(F.col(vec_col), centroids).alias("_cell"),
+        )
+        sums = assigned.groupBy("_cell").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at("_v", i + 1).cast("decimal(28,10)")).alias(f"_s{i}")
+                for i in range(dims)
+            ],
+        )
+        new_centroids = list(centroids)
+        for r in sums.collect():
+            new_centroids[r._cell] = [
+                float(r[f"_s{i}"]) / r._n for i in range(dims)
+            ]
+        centroids = new_centroids
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    dims: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF search: assign the corpus to its nearest centroid cell, probe
+    the ``nprobe`` cells closest to the query, exact cosine inside the
+    probed cells only. Pass ``centroids`` to reuse a trained quantizer
+    (the scale path: train once, persist assignments as a partition key).
+    """
+    if centroids is None:
+        centroids = ivf_train(df, id_col, vec_col, n_cells, iters, dims)
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"),
+        _nearest_cell(F.col(vec_col), centroids).alias("_cell"),
+    )
+    qd = _cell_distances(F.col(vec_col), centroids)
+    q = query_df.select(
+        F.col(vec_col).alias("_qvec"),
+        # nprobe nearest cells: sort (distance, index) pairs, take indices
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            qd,
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("_qcell"),
+    )
+    candidates = corpus.join(F.broadcast(q), corpus._cell == F.col("_qcell"))
+    cos = _exact_cosine(F.col("_v"), F.col("_qvec"))
+    return (
+        candidates.select(F.col(id_col), cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -25,10 +25,11 @@ def test_registry_consistency():
     missing = set(oracles) - set(queries)
     assert not missing, f"oracles without queries: {missing}"
     # rows-only set is the documented one (r2: simhash, ann_lsh and
-    # stream_session all gained oracles; only the honest decoder stub
-    # remains rows-only)
+    # stream_session all gained oracles; what remains is the honest
+    # decoder stub and the iterative IVF quantizer — the brief's
+    # iterative-algorithm exemption)
     rows_only = set(queries) - set(oracles)
-    assert rows_only == {"q_multimodal_decode"}
+    assert rows_only == {"q_multimodal_decode", "q_sim_ann_ivf"}
 
 
 def test_all_oracles_parse_in_duckdb():

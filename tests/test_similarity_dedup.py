@@ -201,3 +201,52 @@ def test_ann_multi_probe_recall_dominates_single(spark):
     # ~0.6, many planes disagree); Hamming-1 probes must add neighbors
     assert r7 >= 0.2
     assert r7 > r1 or r1 == 1.0
+
+
+def test_ivf_deterministic_and_finds_planted(spark):
+    import random
+
+    rng = random.Random(77)
+    rows = _planted_corpus(rng, n=120, dims=16)
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    # centroids are partitioning-invariant (decimal sums): 1 vs 8 partitions
+    c1 = similarity.ivf_train(df.coalesce(1), n_cells=8, dims=16)
+    c8 = similarity.ivf_train(df.repartition(8), n_cells=8, dims=16)
+    assert c1 == c8
+
+    query = df.filter(F.col("vec_id") == 0)
+    got = similarity.ivf_topk(
+        df, query, k=4, n_cells=8, nprobe=2, dims=16, centroids=c1
+    ).collect()
+    ids = [r.vec_id for r in got]
+    # near-identical vectors share the nearest centroid → same cell →
+    # all planted copies retrieved, query first
+    assert ids[0] == 0
+    assert set(ids[1:4]) == {120, 121, 122}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    query = df.filter(F.col("vec_id") == 0)
+    bf = {r.vec_id for r in similarity.cosine_topk_fast(df, query, k=10).collect()}
+    cents = similarity.ivf_train(df, n_cells=8, dims=16)
+    probe_all = {
+        r.vec_id
+        for r in similarity.ivf_topk(
+            df, query, k=10, n_cells=8, nprobe=8, dims=16, centroids=cents
+        ).collect()
+    }
+    # probing every cell degenerates to exact brute force — recall 1.0
+    assert probe_all == bf
+    probe2 = {
+        r.vec_id
+        for r in similarity.ivf_topk(
+            df, query, k=10, n_cells=8, nprobe=2, dims=16, centroids=cents
+        ).collect()
+    }
+    assert len(probe2 & bf) >= 2  # pruned search keeps a useful share
