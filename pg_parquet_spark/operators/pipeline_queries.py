@@ -225,6 +225,26 @@ Q_DEDUP_EMBEDDING_ORACLE = (
 )
 
 
+def q_text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint (brief:
+    'document fingerprinting (rolling hash)') — incrementally updatable,
+    unlike the md5-of-whole-text key used by exact dedup."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_toks", text.tokens(F.col("text")))
+        .select(
+            "doc_id", text.rolling_fingerprint(F.col("_toks")).alias("rolling_fp")
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_FP_ROLLING_ORACLE = f"""
+SELECT doc_id, {text.rolling_fingerprint_oracle_expr('text')} AS rolling_fp
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (brief: whitespace + a BPE-ish regex):
     whitespace split vs subword-style pieces (letter runs, digit runs,
@@ -413,6 +433,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_text_token_count": q_text_token_count,
+    "q_text_fingerprint_rolling": q_text_fingerprint_rolling,
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ann_ivf": q_sim_ann_ivf,
@@ -433,6 +454,7 @@ ORACLES = {
     "q_dedup_simhash": Q_DEDUP_SIMHASH_ORACLE,
     "q_dedup_embedding_cosine": Q_DEDUP_EMBEDDING_ORACLE,
     "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
+    "q_text_fingerprint_rolling": Q_TEXT_FP_ROLLING_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
     "q_sim_ann_lsh": Q_SIM_ANN_ORACLE,
     "q_sample_deterministic": Q_SAMPLE_ORACLE,

@@ -64,6 +64,9 @@ GATE_ORDER = [
     "q13_customer_distribution",
     "q18_large_volume",
     "q22_prospective_customers",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q_text_fingerprint_rolling",
     # -- group 2: r01 hash-fail, output representation fixed (8) ------------
     "q1_pricing_summary",
     "q3_shipping_priority",

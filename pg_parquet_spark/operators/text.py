@@ -121,3 +121,45 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("pred_lang"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+#: rolling-hash parameters: Mersenne prime keeps h*B + t inside int64
+#: (h < 2^31, B = 131 → product < 2^39; token hashes reduced mod P)
+ROLLING_PRIME = (1 << 31) - 1
+ROLLING_BASE = 131
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Polynomial rolling-hash fingerprint over an ALREADY-PROJECTED
+    tokens column (the brief's "document fingerprinting (rolling hash)"):
+    h = fold(h*B + md5_61(tok) mod P). Unlike the md5-of-whole-text
+    fingerprint this is incrementally updatable (streaming append: one
+    multiply-add per new token) and ORDER-SENSITIVE, so shuffled token
+    orders produce different fingerprints while `normalized_fingerprint`
+    intentionally collapses them. Pure codegen fold; identical
+    list_reduce rendering in DuckDB.
+
+    ``toks`` must be a column reference, not an inline split() — HOF
+    lambdas re-evaluate nested expressions per element.
+    """
+    hashed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
+        % F.lit(ROLLING_PRIME),
+    )
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(ROLLING_BASE) + h) % F.lit(ROLLING_PRIME),
+    )
+
+
+def rolling_fingerprint_oracle_expr(text_expr: str) -> str:
+    """DuckDB rendering of rolling_fingerprint over split-lowered text."""
+    p, b = ROLLING_PRIME, ROLLING_BASE
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"string_split(lower({text_expr}), ' '), "
+        f"t -> CAST(CONCAT('0x', substr(md5(t), 1, 7)) AS BIGINT) % {p})), "
+        f"(acc, h) -> (acc * {b} + h) % {p})"
+    )

@@ -263,12 +263,101 @@ ORDER BY c_mktsegment
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier by period revenue (CTE + scalar-max subquery)
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("_rev"))
+    )
+    # max over exact decimals → equality join is safe (no float compare)
+    top = per_supp.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated per-part average)
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    # per-part avg quantity = exact decimal sum / count (AVG(double) would
+    # be partitioning-dependent and the engines disagree on AVG(decimal))
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand") == "Brand#1")
+        .join(per_part, li.l_partkey == per_part._pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < 0.5 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q13_customer_distribution": q13_customer_distribution,
     "q18_large_volume": q18_large_volume,
     "q22_prospective_customers": q22_prospective_customers,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
 }
 
 ORACLES = {
@@ -277,4 +366,6 @@ ORACLES = {
     "q13_customer_distribution": Q13_ORACLE,
     "q18_large_volume": Q18_ORACLE,
     "q22_prospective_customers": Q22_ORACLE,
+    "q15_top_supplier": Q15_ORACLE,
+    "q17_small_quantity": Q17_ORACLE,
 }
