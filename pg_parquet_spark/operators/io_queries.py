@@ -266,6 +266,55 @@ FROM orders
 """
 
 
+#: fixture points for the A29 gate — WKB bytes computed once via the
+#: struct helper; the oracle states the same bytes independently
+_GEO_POINTS = [(i, float(i) * 1.5, float(i) - 2.25) for i in range(5)]
+
+
+def q_io_geo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoParquet (A29) e2e: fixture WKB points written through
+    write_geoparquet (WKB binary + `geo` 1.1 footer), read back through
+    the engine; the output carries the blob hex plus footer facts
+    (geo key present, version string). The oracle asserts the expected
+    WKB bytes and metadata values independently."""
+    import json
+    import tempfile
+
+    from pg_parquet_spark.functions.geo import wkb_point, write_geoparquet
+    from pg_parquet_spark.functions.metadata import parquet_kv_metadata
+
+    rows = [(i, bytearray(wkb_point(x, y))) for i, x, y in _GEO_POINTS]
+    geo = spark.createDataFrame(rows, "pt_id INT, geom BINARY")
+    path = os.path.join(tempfile.gettempdir(), "pgpq_geo_gate.parquet")
+    write_geoparquet(geo, path, {"geom": ["Point"]})
+    back = read_parquet(spark, path)
+    kv = parquet_kv_metadata(spark, path).collect()
+    geo_md = {bytes(r.key).decode(): bytes(r.value).decode() for r in kv}
+    version = json.loads(geo_md.get("geo", "{}")).get("version", "")
+    return (
+        back.select(
+            "pt_id",
+            F.hex(F.col("geom")).alias("wkb_hex"),
+            F.lit(version).alias("geo_version"),
+        )
+        .orderBy("pt_id")
+    )
+
+
+def _geo_oracle() -> str:
+    from pg_parquet_spark.functions.geo import GEOPARQUET_VERSION, wkb_point
+
+    values = ",\n  ".join(
+        f"({i}, '{wkb_point(x, y).hex().upper()}', '{GEOPARQUET_VERSION}')"
+        for i, x, y in _GEO_POINTS
+    )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + values
+        + ") AS t(pt_id, wkb_hex, geo_version)\nORDER BY pt_id"
+    )
+
+
 def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -293,6 +342,7 @@ QUERIES = {
     "q_io_csv_roundtrip": q_io_csv_roundtrip,
     "q_io_json_roundtrip": q_io_json_roundtrip,
     "q_io_copy_from_table": q_io_copy_from_table,
+    "q_io_geo_roundtrip": q_io_geo_roundtrip,
     "q_io_match_position": q_io_match_position,
     "q_io_coercion_read": q_io_coercion_read,
     "q_io_where_filter": q_io_where_filter,
@@ -307,6 +357,7 @@ ORACLES = {
     "q_io_csv_roundtrip": Q_IO_CSV_ORACLE,
     "q_io_json_roundtrip": Q_IO_JSON_ORACLE,
     "q_io_copy_from_table": Q_IO_COPY_FROM_TABLE_ORACLE,
+    "q_io_geo_roundtrip": _geo_oracle(),
     "q_io_match_position": Q_IO_MATCH_POSITION_ORACLE,
     "q_io_coercion_read": Q_IO_COERCION_ORACLE,
     "q_io_where_filter": Q_IO_WHERE_ORACLE,

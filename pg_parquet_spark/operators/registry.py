@@ -67,6 +67,7 @@ GATE_ORDER = [
     "q15_top_supplier",
     "q17_small_quantity",
     "q_text_fingerprint_rolling",
+    "q_io_geo_roundtrip",
     # -- group 2: r01 hash-fail, output representation fixed (8) ------------
     "q1_pricing_summary",
     "q3_shipping_priority",
