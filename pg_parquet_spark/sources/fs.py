@@ -80,33 +80,52 @@ def resolve(uri: str):
     return fs, path, prefix
 
 
-def _glob_regex(pattern: str) -> re.Pattern:
-    """glob-crate semantics: `*`/`?` stay within a path segment, `**`
-    crosses segments (copy_pattern.rs parity)."""
+def _segment_regex(seg: str) -> str:
+    """One path segment: `*`/`?` never cross '/', `[!...]` negates
+    (glob-crate class syntax, not Python's)."""
     out, i = [], 0
-    while i < len(pattern):
-        c = pattern[i]
+    while i < len(seg):
+        c = seg[i]
         if c == "*":
-            if pattern[i : i + 2] == "**":
-                out.append(".*")
-                i += 2
-                if i < len(pattern) and pattern[i] == "/":
-                    i += 1  # '**/' also matches zero directories
-                continue
             out.append("[^/]*")
         elif c == "?":
             out.append("[^/]")
         elif c == "[":
-            j = pattern.find("]", i + 1)
+            j = seg.find("]", i + 2)  # ']' first in a class is literal
             if j == -1:
                 out.append(re.escape(c))
             else:
-                out.append(pattern[i : j + 1])
+                cls = seg[i : j + 1]
+                if cls.startswith("[!"):
+                    cls = "[^" + cls[2:]
+                out.append(cls)
                 i = j
         else:
             out.append(re.escape(c))
         i += 1
-    return re.compile("^" + "".join(out) + "$")
+    return "".join(out)
+
+
+def _glob_regex(pattern: str) -> re.Pattern:
+    """glob-crate semantics (copy_pattern.rs parity): `*`/`?` stay within
+    a path segment; a whole-segment `**` matches zero or more segments
+    ('a/**/b' matches 'a/b' and 'a/x/y/b' but NOT 'a/xb')."""
+    segs = pattern.split("/")
+    n = len(segs)
+    parts: list[str] = []
+    for idx, seg in enumerate(segs):
+        last = idx == n - 1
+        if seg == "**":
+            if last:
+                # 'a/**' = everything under a (previous seg emitted '/');
+                # bare '**' = everything
+                parts.append(".+" if idx > 0 else ".*")
+            else:
+                # '**/' = zero or more whole segments, own trailing '/'
+                parts.append("(?:[^/]+/)*")
+            continue
+        parts.append(_segment_regex(seg) + ("" if last else "/"))
+    return re.compile("^" + "".join(parts) + "$")
 
 
 def has_magic(uri: str) -> bool:
@@ -119,6 +138,11 @@ def glob(uri_pattern: str) -> list[str]:
     from pyarrow import fs as pafs
 
     fs, path, prefix = resolve(uri_pattern)
+    if isinstance(fs, pafs.LocalFileSystem) and not os.path.isabs(path):
+        # anchor relative patterns to the cwd; the FS returns absolute
+        # paths, so the match regex must be absolute too (ADVICE r2:
+        # the '/' fallback walked the whole filesystem then matched [])
+        path = os.path.join(os.getcwd(), path)
     if not has_magic(path):
         info = fs.get_file_info(path)
         return [prefix + path] if info.type != pafs.FileType.NotFound else []
@@ -129,7 +153,9 @@ def glob(uri_pattern: str) -> list[str]:
         if has_magic(p):
             break
         base_parts.append(p)
-    base = "/".join(base_parts) or "/"
+    base = "/".join(base_parts)
+    if not base:
+        base = "/" if path.startswith("/") else "."
     rx = _glob_regex(path)
     selector = pafs.FileSelector(base, recursive=True, allow_not_found=True)
     out = [

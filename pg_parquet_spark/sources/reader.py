@@ -71,7 +71,19 @@ def read_parquet(
     ensure_session_defaults(spark)
     match_by = validate_match_by(match_by)
 
+    import os as _os
+
+    from pg_parquet_spark.sources import fs as _fs_mod
+
     uris = uri if isinstance(uri, list) else [uri]
+    # relative local paths resolve against the PYTHON cwd (the JVM's cwd
+    # is pinned at session start and differs — ADVICE r2)
+    uris = [
+        _os.path.join(_os.getcwd(), u)
+        if _fs_mod.scheme_of(u) is None and not _os.path.isabs(u)
+        else u
+        for u in uris
+    ]
     for u in uris:
         _check_glob(u)
     paths = [_strip_scheme(u) for u in uris]
@@ -179,5 +191,20 @@ def copy_from_into(
         spark, uri, table, match_by=match_by, where=where, columns=columns,
         not_null=not_null,
     )
+    if columns is not None:
+        # COPY table (col list) FROM fills unlisted columns with NULL
+        # (copy_utils.rs:616-682); insertInto is positional, so project
+        # the full table schema in table order (ADVICE r2: a subset frame
+        # raised an arity AnalysisException here)
+        from pyspark.sql import functions as F
+
+        listed = set(columns)
+        df = df.select(
+            *[
+                F.col(f.name) if f.name in listed
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in spark.table(table).schema.fields
+            ]
+        )
     df.write.insertInto(table, overwrite=False)
     return spark.table(table)

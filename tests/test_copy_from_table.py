@@ -84,3 +84,22 @@ def test_copy_from_coerces_to_table_schema(spark, tmp_path):
         assert sorted(r.a for r in out.collect()) == [7, 8]
     finally:
         spark.sql("DROP TABLE IF EXISTS pgpq_copy_coerce")
+
+
+def test_copy_from_into_column_subset_fills_nulls(spark, tmp_path):
+    # COPY table (col list) FROM fills unlisted columns with NULL
+    # (copy_utils.rs:616-682); ADVICE r2: this raised an arity error
+    src = str(tmp_path / "subset.parquet")
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), src)
+    spark.sql("DROP TABLE IF EXISTS pgpq_copy_subset")
+    spark.sql(
+        "CREATE TABLE pgpq_copy_subset (a BIGINT, b STRING) USING parquet "
+        f"LOCATION '{tmp_path}/copy_subset'"
+    )
+    try:
+        out = copy_from_into(spark, src, "pgpq_copy_subset", columns=["a"], match_by="name")
+        rows = sorted(out.collect(), key=lambda r: r.a)
+        assert [r.a for r in rows] == [1, 2]
+        assert all(r.b is None for r in rows)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pgpq_copy_subset")

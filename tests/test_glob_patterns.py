@@ -66,3 +66,25 @@ def test_deep_doublestar_glob_reaches_nested_files(spark, tmp_path):
     pq.write_table(pa.table({"a": pa.array([2])}), str(deep / "deep.parquet"))
     df = read_parquet(spark, str(tmp_path / "**" / "*.parquet"))
     assert sorted(r.a for r in df.collect()) == [1, 2]
+
+
+def test_relative_glob_anchors_to_cwd(spark, tmp_path, monkeypatch):
+    # ADVICE r2: a relative pattern fell back to base '/', walked the
+    # whole fs, matched nothing, and raised FileNotFoundError
+    pq.write_table(pa.table({"a": pa.array([9])}), str(tmp_path / "rel.parquet"))
+    monkeypatch.chdir(tmp_path)
+    df = read_parquet(spark, "*.parquet")
+    assert [r.a for r in df.collect()] == [9]
+
+
+def test_doublestar_is_segment_anchored(tmp_path):
+    # ADVICE r2: 'a/**/b' must NOT match 'a/xb'; '[!...]' negates
+    from pg_parquet_spark.sources.fs import _glob_regex
+
+    rx = _glob_regex("a/**/b.parquet")
+    assert rx.match("a/b.parquet")
+    assert rx.match("a/x/y/b.parquet")
+    assert not rx.match("a/xb.parquet")
+    neg = _glob_regex("data_[!0-9].parquet")
+    assert neg.match("data_x.parquet")
+    assert not neg.match("data_5.parquet")

@@ -66,9 +66,11 @@ def _norm_cell(v) -> str:
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
     try:
-        if v is not v or (isinstance(v, float) and math.isnan(v)):
+        import pandas as pd
+
+        if pd.isna(v):  # pd.NA / NaT-likes that reach here (ADVICE r2)
             return "␀"
-    except Exception:
+    except (TypeError, ValueError):
         pass
     return str(v)
 
