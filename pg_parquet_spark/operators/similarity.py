@@ -401,6 +401,69 @@ def ivf_topk(
     )
 
 
+def _sq_dist_sql(vec_expr: str, centroid: list[float], dims: int) -> str:
+    """DuckDB rendering of one _cell_distances component: identical
+    literal centroid, identical ordered (x-c)*(x-c) fold."""
+    arr = "[" + ",".join(repr(v) for v in centroid) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {dims} + 1), "
+        f"i -> (CAST({vec_expr}[i] AS DOUBLE) - ({arr})[i]) * "
+        f"(CAST({vec_expr}[i] AS DOUBLE) - ({arr})[i])), (x, y) -> x + y)"
+    )
+
+
+def ivf_oracle_sql(
+    centroids: list[list[float]],
+    query_id: int = 0,
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    dims: int = 64,
+) -> str:
+    """DuckDB replica of ivf_topk with a FIXED quantizer: the same
+    literal centroid matrix → the same cell assignment (first-match
+    argmin), the same nprobe cells ((distance, index) ascending — Spark's
+    array_sort on (d, i) structs), the same in-cell ordered-fold cosines
+    → the exact same top-k. Like the LSH tier, 'approximate' is a recall
+    property of the blocking, not nondeterminism."""
+    n_cells = len(centroids)
+    cdists = "[" + ", ".join(
+        _sq_dist_sql("e." + vec_col, c, dims) for c in centroids
+    ) + "]"
+    qdists = "[" + ", ".join(
+        _sq_dist_sql("qvec", c, dims) for c in centroids
+    ) + "]"
+    fold = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    dot = fold.format(d=dims, a="v", b="qvec")
+    na = fold.format(d=dims, a="v", b="v")
+    nb = fold.format(d=dims, a="qvec", b="qvec")
+    return f"""
+WITH q AS (
+  SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id}
+), qd AS (
+  SELECT qvec, {qdists} AS d FROM q
+), qcells AS (
+  SELECT CAST(i - 1 AS INT) AS _qcell
+  FROM qd, range(1, {n_cells} + 1) t(i)
+  ORDER BY d[CAST(i AS INT)], i LIMIT {nprobe}
+), assigned AS (
+  SELECT e.{id_col} AS _id, e.{vec_col} AS v,
+         CAST(list_position({cdists}, list_min({cdists})) - 1 AS INT) AS _cell
+  FROM {table} e
+)
+SELECT _id AS {id_col}, {dot} / (sqrt({na}) * sqrt({nb})) AS cosine_sim
+FROM assigned, q
+WHERE _cell IN (SELECT _qcell FROM qcells)
+ORDER BY cosine_sim DESC, {id_col}
+LIMIT {k}
+"""
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
