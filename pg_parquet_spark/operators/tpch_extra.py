@@ -1,7 +1,10 @@
-"""Wider TPC-H-shaped coverage (ROADMAP #7): Q7/Q8/Q13/Q18/Q22 adapted
-to the driver's star schema (no partsupp table, no l_shipmode/l_commitdate
-columns — queries needing those are out of data scope; the operator
-classes they exercise are covered below and in queries.py).
+"""Wider TPC-H-shaped coverage (ROADMAP #7): Q7/Q8/Q13/Q15/Q17/Q18/Q22
+(r2) + Q2/Q9/Q11/Q12/Q16/Q20/Q21 (r3) adapted to the driver's star schema.
+No partsupp table → a derived (part, supplier) bridge from lineitem
+(_partsupp); no l_shipmode/l_commitdate/l_receiptdate → "late" becomes
+shipped >60 days after order date and "mode" becomes l_returnflag. The
+operator shapes (correlated min, double-EXISTS anti-join, scalar-subquery
+HAVING, NOT-IN exclusion, CASE-pivot agg) are preserved.
 
 Every query follows the r2 representation contract: decimal arithmetic
 internally, DOUBLE/BIGINT/DATE in final outputs, aliases identical to the
@@ -350,6 +353,382 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+# ---------------------------------------------------------------------------
+# Derived partsupp bridge: the synthetic schema has no partsupp table, so
+# the (part, supplier) relationship is materialized from lineitem — cost =
+# MIN extendedprice, availqty = total quantity. Exact decimal aggregates
+# keep every downstream comparison engine-identical.
+
+def _partsupp(li: DataFrame) -> DataFrame:
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(_dec("l_extendedprice")).alias("ps_supplycost"),
+        F.sum(_dec("l_quantity")).alias("ps_availqty"),
+    )
+
+
+PS_SQL = """partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier (correlated scalar MIN over a 4-join chain)
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-min shape: cost must equal the minimum over ALL
+    EUROPE suppliers of that part. Window-min over ps_partkey replaces
+    the correlated subquery (one shuffle, no agg-self-join); decimal
+    equality makes the min-match exact on both engines."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    europe_supp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    target_parts = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    ).select("p_partkey", "p_name")
+    eligible = (
+        _partsupp(li)
+        .join(F.broadcast(europe_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(target_parts), F.col("ps_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eligible.withColumn("_min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_ORACLE = f"""
+WITH {PS_SQL}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, partsupp, supplier, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15 AND p_type = 'PROMO'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE part.p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit (6-way join, decimal profit expression)
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    red_parts = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    ps = _partsupp(li)
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    ) - F.col("ps_supplycost") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_ORACLE = f"""
+WITH {PS_SQL}
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock (scalar-subquery HAVING over a national total)
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    nat_supp = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            supplier.s_nationkey == nation.n_nationkey,
+        ).select("s_suppkey")
+    )
+    # value = cost × availqty in DECIMAL (availqty narrowed to (18,2) so
+    # the product precision stays in-range on both engines)
+    value = F.col("ps_supplycost") * F.col("ps_availqty").cast("decimal(18,2)")
+    per_part = (
+        _partsupp(li)
+        .join(F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(value).alias("_val"))
+    )
+    total = per_part.agg(F.sum("_val").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val").cast("double") > F.col("_tot").cast("double") * 0.001)
+        .select("ps_partkey", F.col("_val").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+Q11_ORACLE = f"""
+WITH {PS_SQL},
+scoped AS (
+  SELECT ps_partkey, ps_supplycost * CAST(ps_availqty AS DECIMAL(18,2)) AS v
+  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS value
+FROM scoped
+GROUP BY ps_partkey
+HAVING CAST(SUM(v) AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) FROM scoped) * 0.001
+ORDER BY value DESC, ps_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-mode priority split (no l_shipmode/commit/receipt in the
+# synthetic schema: mode → l_returnflag, late → shipped >60 days after
+# order date; the CASE-pivot aggregation shape is unchanged)
+
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            late
+            & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag AS ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+ORDER BY ship_mode
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (NOT IN exclusion + COUNT DISTINCT;
+# "complaints" adapted to negative account balance)
+
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    sel_parts = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        _partsupp(li)
+        .join(F.broadcast(sel_parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_ORACLE = f"""
+WITH {PS_SQL}
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested IN subqueries + correlated
+# availability threshold)
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    red_parts = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped95 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk"))
+        .agg(F.sum(_dec("l_quantity")).alias("_qty95"))
+    )
+    # inner join drops pairs with no 1995 shipments — same as the oracle's
+    # NULL-excluding correlated comparison
+    qualifying = (
+        _partsupp(li)
+        .join(F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(shipped95, (F.col("ps_partkey") == F.col("_pk")) & (F.col("ps_suppkey") == F.col("_sk")))
+        .filter(
+            F.col("ps_availqty").cast("double") > 0.5 * F.col("_qty95").cast("double")
+        )
+        .select(F.col("ps_suppkey"))
+    )
+    nat = nation.filter(F.col("n_name") == "NATION_1")
+    return (
+        supplier.join(F.broadcast(nat), supplier.s_nationkey == nation.n_nationkey)
+        .join(qualifying, supplier.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_ORACLE = f"""
+WITH {PS_SQL}
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND CAST(ps_availqty AS DOUBLE) > 0.5 * (
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'))
+ORDER BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (multi-correlated EXISTS +
+# NOT-EXISTS on the same fact table — the last delegated-surface shape;
+# "late" adapted to shipped >60 days after order date)
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left_semi, NOT EXISTS → left_anti, both on the order key
+    with a supplier-inequality residual. All three fact legs shuffle on
+    the SAME key (l_orderkey), so they co-partition; the waiting-supplier
+    leg is pre-filtered to one nation's suppliers (broadcast) before the
+    self-joins."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lo = (
+        li.join(orders.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    nat_supp = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+            supplier.s_nationkey == nation.n_nationkey,
+        ).select("s_suppkey", "s_name")
+    )
+    l1 = lo.filter(late).join(
+        F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    others = lo.select(F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"))
+    late_others = lo.filter(late).select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    waited = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("_ok2")) & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey,
+lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderstatus = 'F' AND n_name = 'NATION_1'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -358,6 +737,13 @@ QUERIES = {
     "q22_prospective_customers": q22_prospective_customers,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity": q17_small_quantity,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_shipping_modes": q12_shipping_modes,
+    "q16_parts_supplier": q16_parts_supplier,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
 }
 
 ORACLES = {
@@ -368,4 +754,11 @@ ORACLES = {
     "q22_prospective_customers": Q22_ORACLE,
     "q15_top_supplier": Q15_ORACLE,
     "q17_small_quantity": Q17_ORACLE,
+    "q2_min_cost_supplier": Q2_ORACLE,
+    "q9_product_type_profit": Q9_ORACLE,
+    "q11_important_stock": Q11_ORACLE,
+    "q12_shipping_modes": Q12_ORACLE,
+    "q16_parts_supplier": Q16_ORACLE,
+    "q20_potential_promotion": Q20_ORACLE,
+    "q21_suppliers_kept_waiting": Q21_ORACLE,
 }
