@@ -20,11 +20,68 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-#: Verification-priority prefix. Group 1: no CORRECTNESS_r01 row at all
-#: (driver run stopped at 50); group 2: r01 hash-fail, representation
-#: fixed this round — the driver must re-record both.
+#: Verification-priority prefix, rotated per round (VERDICT r2 #2: no
+#: entry's newest green row should be older than 2 rounds). r3 front-50:
+#: group 1 = new/changed this round (needs a first/fresh hash row);
+#: group 2 = the 39 queries whose only green row is r1 (rotated forward —
+#: they were backloaded while r2 verified the never-checked set).
 GATE_ORDER = [
-    # -- group 1: never driver-verified (28) --------------------------------
+    # -- group 1a: new TPC-H shapes (r3, never driver-verified) -------------
+    "q21_suppliers_kept_waiting",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_shipping_modes",
+    "q16_parts_supplier",
+    "q20_potential_promotion",
+    # -- group 1b: gained a full oracle in r3 (were no_oracle in r1-r2) -----
+    "q_sim_ann_ivf",
+    "q_multimodal_decode",
+    # -- group 1c: implementation changed in r3 (single-pass funnel; COPY
+    #    column-subset NULL fill) — re-record even though r2 was green -----
+    "q_funnel",
+    "q_io_copy_from_table",
+    # -- group 2: newest green row is r1 (39, rotated forward) --------------
+    "q_dedup_ngram_jaccard",  # r3: + min-shingle LSH pre-filter key
+    "q_io_glob_read",  # r3: glob fixes (segment-anchored **, cwd anchor)
+    "q_join_full",
+    "q_window_rank",
+    "q_dedup_minhash_lsh",
+    "q_dedup_embedding_cosine",
+    "q_text_features",
+    "q_scalar_date",
+    "q_io_where_filter",
+    "q_io_schema",
+    "q_agg_cube",
+    "q14_promo_effect",
+    "q19_discounted_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q_agg_distinct",
+    "q_agg_filtered",
+    "q_case_when",
+    "q_dedup_exact",
+    "q_dedup_normalized",
+    "q_except",
+    "q_intersect",
+    "q_io_column_stats",
+    "q_io_file_metadata",
+    "q_io_json_roundtrip",
+    "q_io_list",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_left",
+    "q_join_semi",
+    "q_projection_filter",
+    "q_scalar_json",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_text_lang_id",
+    "q_text_token_count",
+    "q_topk",
+    "q_union_all",
+    "q_window_lag_lead",
+    # -- group 3: r2-green, rotate back (will front again in r4) ------------
     "q_grouping_sets",
     "q_subquery_scalar",
     "q_subquery_in",
@@ -33,7 +90,6 @@ GATE_ORDER = [
     "q_pandas_udf_grouped_agg",
     "q_python_udtf",
     "q_asof_join",
-    "q_funnel",
     "q_sessionize_batch",
     "q_window_ntile_dist",
     "q_window_range_frame",
@@ -48,17 +104,11 @@ GATE_ORDER = [
     "q_stream_stateful",
     "q_sim_cosine_topk",
     "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
     "q_sample_deterministic",
     "q_data_mixture",
     "q_profile_columns",
     "q_multimodal_metadata",
-    "q_multimodal_decode",
-    # r01 row existed but was oracle-less; gains an exactness oracle in r2
     "q_dedup_simhash",
-    # new in r2: COPY FROM → table append e2e (VERDICT "missing" #4)
-    "q_io_copy_from_table",
-    # new in r2: wider TPC-H shapes (ROADMAP #7) — never driver-verified
     "q7_volume_shipping",
     "q8_market_share",
     "q13_customer_distribution",
@@ -68,7 +118,6 @@ GATE_ORDER = [
     "q17_small_quantity",
     "q_text_fingerprint_rolling",
     "q_io_geo_roundtrip",
-    # -- group 2: r01 hash-fail, output representation fixed (8) ------------
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q_join_inner_broadcast",
@@ -77,18 +126,8 @@ GATE_ORDER = [
     "q_io_csv_roundtrip",
     "q_io_match_position",
     "q_io_coercion_read",
-    # -- group 3: r01 green, representative spot-checks first ---------------
     "q5_local_supplier_volume",
     "q10_returned_items",
-    "q_join_full",
-    "q_window_rank",
-    "q_dedup_minhash_lsh",
-    "q_dedup_embedding_cosine",
-    "q_text_features",
-    "q_scalar_date",
-    "q_io_where_filter",
-    "q_io_schema",
-    "q_agg_cube",
 ]
 
 
