@@ -125,6 +125,33 @@ def coerce_expr(col: Column, from_dt: DataType, to_dt: DataType) -> Column:
     return col.cast(to_dt)
 
 
+#: Spark type → arrow-rs ``DataType`` Display name, so type-mismatch
+#: errors print byte-identically to schema_parser.rs:562-565 (the
+#: reference formats the *Arrow* type). Nested types fall back to
+#: Spark's rendering — the reference's Debug-derived nested output is
+#: a Rust struct dump no SQL user should ever see.
+_ARROW_NAMES = {
+    ByteType(): "Int8",
+    ShortType(): "Int16",
+    IntegerType(): "Int32",
+    LongType(): "Int64",
+    FloatType(): "Float32",
+    DoubleType(): "Float64",
+    StringType(): "Utf8",
+    BinaryType(): "Binary",
+    BooleanType(): "Boolean",
+    DateType(): "Date32",
+    TimestampNTZType(): "Timestamp(Microsecond, None)",
+    TimestampType(): 'Timestamp(Microsecond, Some("UTC"))',
+}
+
+
+def _arrow_type_name(dt: DataType) -> str:
+    if isinstance(dt, DecimalType):
+        return f"Decimal128({dt.precision}, {dt.scale})"
+    return _ARROW_NAMES.get(dt, dt.simpleString())
+
+
 def match_and_coerce(df, target_schema: StructType, match_by: str):
     """Strict-match ``df`` (the file schema) against ``target_schema``.
 
@@ -155,8 +182,8 @@ def match_and_coerce(df, target_schema: StructType, match_by: str):
         if f.dataType != t.dataType and not is_coercible(f.dataType, t.dataType):
             raise SchemaMatchError(
                 f'type mismatch for column "{t.name}" between table and '
-                f'parquet file.\n\ntable has "{t.dataType.simpleString()}"'
-                f'\n\nparquet file has "{f.dataType.simpleString()}"'
+                f'parquet file.\n\ntable has "{_arrow_type_name(t.dataType)}"'
+                f'\n\nparquet file has "{_arrow_type_name(f.dataType)}"'
             )
         out_cols.append(coerce_expr(F.col(f.name), f.dataType, t.dataType).alias(t.name))
     return df.select(*out_cols)

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql.types import StructType
 
 from pg_parquet_spark.sources import read_parquet
-from pg_parquet_spark.sources.coerce import SchemaMatchError
+from pg_parquet_spark.sources.coerce import SchemaMatchError, match_and_coerce
 
 
 def _write(tmp_parquet, table: pa.Table) -> str:
@@ -119,3 +119,25 @@ def test_non_coercible_errors(spark, tmp_parquet):
     path = _write(tmp_parquet, pa.table({"a": pa.array(["x"])}))
     with pytest.raises(SchemaMatchError, match="type mismatch"):
         read_parquet(spark, path, StructType.fromDDL("a INT"))
+
+
+def test_error_texts_match_reference_exactly(spark):
+    # byte-parity with schema_parser.rs:516-521, 536, 562-565 (the
+    # strings copy_from_coerce.rs #[should_panic] expectations assert)
+    df2 = spark.createDataFrame([(1, "a")], "a INT, b STRING")
+    with pytest.raises(SchemaMatchError) as e:
+        match_and_coerce(df2, StructType.fromDDL("x BIGINT, y STRING, z INT"), "position")
+    assert str(e.value) == (
+        "column count mismatch between table and parquet file. "
+        "parquet file has 2 columns, but table has 3 columns"
+    )
+    with pytest.raises(SchemaMatchError) as e:
+        match_and_coerce(df2, StructType.fromDDL("name STRING"), "name")
+    assert str(e.value) == 'column "name" is not found in parquet file'
+    dfd = spark.createDataFrame([(1.0,)], "x DOUBLE")
+    with pytest.raises(SchemaMatchError) as e:
+        match_and_coerce(dfd, StructType.fromDDL("x DATE"), "position")
+    assert str(e.value) == (
+        'type mismatch for column "x" between table and parquet file.\n\n'
+        'table has "Date32"\n\nparquet file has "Float64"'
+    )
