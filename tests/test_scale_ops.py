@@ -117,6 +117,9 @@ def test_uuid_columns_written_as_flba16(spark, tmp_path):
     vals = pf.read().column(0).to_pylist()
     assert vals[0] == bytes.fromhex("550e8400e29b41d4a716446655440000")
     assert vals[1] is None
+    # r3: the UUID LOGICAL annotation too — footer-patched on pyarrow<18
+    # (uuid_annotation.py; schema_parser.rs:360-365 / udfs.rs golden)
+    assert str(pf.schema.column(0).logical_type) == "UUID"
 
 
 def test_stateful_ttl_evicts_idle_users(spark, tmp_path):
