@@ -54,6 +54,79 @@ def _check_glob(uri: str) -> None:
         raise FileNotFoundError(f"no files found that match the uri/pattern: {uri}")
 
 
+def _read_with_uuid_fallback(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read parquet whose footer carries UUID-annotated FLBA(16) columns
+    (reference-written uuid data, schema_parser.rs:360-365). Spark's
+    converter refuses the annotation, so the schema is derived from the
+    first footer via pyarrow (UUID → fixed_size_binary → BinaryType),
+    handed to Spark explicitly, and uuid columns are projected back to
+    canonical 8-4-4-4-12 text. Only the one footer is read driver-side;
+    the scan itself stays distributed."""
+    import glob as _pyglob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    probe = None
+    for p in paths:
+        if _os.path.isfile(p):
+            probe = p
+        elif _os.path.isdir(p):
+            inner = sorted(
+                _pyglob.glob(_os.path.join(p, "*.parquet"))
+                or _pyglob.glob(_os.path.join(p, "part-*"))
+            )
+            probe = inner[0] if inner else None
+        else:
+            hits = sorted(_pyglob.glob(p))
+            probe = hits[0] if hits else None
+        if probe:
+            break
+    if probe is None:
+        raise FileNotFoundError(f"no parquet footer found under: {paths}")
+
+    pf = _pq.ParquetFile(probe)
+    uuid_cols, json_cols = [], []
+    for i in range(len(pf.schema)):
+        col = pf.schema.column(i)
+        lt = str(col.logical_type)
+        if lt == "UUID":
+            uuid_cols.append(col.name)
+        elif lt == "JSON":
+            json_cols.append(col.name)
+    spark_schema = from_arrow_schema(pf.schema_arrow.remove_metadata())
+    if json_cols:
+        # pyarrow's arrow view drops the JSON annotation to plain binary;
+        # the reference reads json/jsonb back as text (schema.rs:130)
+        from pyspark.sql.types import StringType, StructField
+
+        spark_schema = StructType(
+            [
+                StructField(f.name, StringType(), f.nullable)
+                if f.name in set(json_cols)
+                else f
+                for f in spark_schema.fields
+            ]
+        )
+    df = (
+        spark.read.option("recursiveFileLookup", "false")
+        .schema(spark_schema)
+        .parquet(*paths)
+    )
+    for c in uuid_cols:
+        df = df.withColumn(
+            c,
+            F.regexp_replace(
+                F.lower(F.hex(F.col(c))),
+                r"^(.{8})(.{4})(.{4})(.{4})(.{12})$",
+                r"$1-$2-$3-$4-$5",
+            ),
+        )
+    return df
+
+
 def read_parquet(
     spark: SparkSession,
     uri: str | list[str],
@@ -106,7 +179,18 @@ def read_parquet(
             expanded.append(p)
 
     reader = spark.read.option("recursiveFileLookup", "false")
-    df = reader.parquet(*expanded)
+    try:
+        df = reader.parquet(*expanded)
+    except Exception as e:  # noqa: BLE001
+        # Spark's schema converter rejects UUID-annotated FLBA(16)
+        # (PARQUET_TYPE_ILLEGAL) — but the reference WRITES uuid columns
+        # that way (schema_parser.rs:360-365), so its own files must
+        # round-trip. An explicit schema (UUID → binary) bypasses the
+        # converter; the binary is then rendered as canonical hyphenated
+        # text, matching PG's uuid output.
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        df = _read_with_uuid_fallback(spark, expanded)
 
     if schema is not None:
         if isinstance(schema, str):

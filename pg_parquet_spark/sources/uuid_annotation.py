@@ -1,19 +1,20 @@
-"""Post-write UUID logical-type annotation for parquet footers.
+"""Post-write logical-type annotation for parquet footers (UUID + JSON).
 
 The reference writes PG ``uuid`` columns as FixedLenByteArray(16) with
-the ``UUID`` logical type (schema_parser.rs:360-365; the parquet.schema
-golden in udfs.rs shows ``logical_type: UUID``). pyarrow < 18 has no
-``pa.uuid()`` extension type, so the writer can only emit plain
-FLBA(16). This module closes the gap (VERDICT r2 #8) by patching the
-file footer in place: it walks the thrift-compact-encoded FileMetaData
-just far enough to find each target column's SchemaElement and injects
-``logicalType = LogicalType{UUID: UUIDType{}}`` before the element's
-STOP byte. Readers that track absolute field ids (all of them — the
-injection uses long-form field headers) see a byte-valid footer.
+the ``UUID`` logical type (schema_parser.rs:360-365) and PG ``json`` /
+``jsonb`` columns as UTF8 byte arrays with the ``JSON`` logical type +
+``JSON`` converted type (schema_parser.rs:409-410; parquet_udfs/
+schema.rs:130,160 report both). pyarrow < 18 has no ``pa.uuid()`` and
+no JSON extension type, so the writer can only emit plain FLBA(16) /
+STRING-annotated UTF8. This module closes the gap (VERDICT r2 #8, r3
+JSON half of #4) by patching the file footer in place: it re-encodes
+each target column's SchemaElement with the requested
+``logicalType`` — replacing an existing one (pyarrow stamps STRING on
+text columns) — and, for JSON, the ``converted_type`` as well.
 
 Only the schema list is parsed; everything after it is copied verbatim.
 No thrift library needed: the compact protocol subset used by parquet
-footers is ~80 lines.
+footers is ~100 lines.
 """
 
 from __future__ import annotations
@@ -35,9 +36,41 @@ _SET = 10
 _MAP = 11
 _STRUCT = 12
 
-#: LogicalType{ 14: UUIDType{} } injected as two nested long-form struct
-#: fields: [0x0C zigzag(10)] [0x0C zigzag(14)] [STOP] [STOP]
-_UUID_LOGICAL_TYPE = bytes([0x0C, 0x14, 0x0C, 0x1C, 0x00, 0x00])
+#: LogicalType union member field ids (parquet.thrift LogicalType)
+_LOGICAL_UNION_FIELD = {"UUID": 14, "JSON": 12}
+#: ConvertedType enum values to stamp alongside (parquet.thrift Type);
+#: UUID has no converted type — only JSON does (JSON = 19)
+_CONVERTED_VALUE = {"JSON": 19}
+
+#: SchemaElement field ids (parquet.thrift)
+_SE_CONVERTED_TYPE = 6
+_SE_LOGICAL_TYPE = 10
+_SE_NAME = 4
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _logical_type_struct(kind: str) -> bytes:
+    """Value bytes of a ``LogicalType`` struct whose single (union)
+    member is the empty struct for ``kind`` — e.g. UUID(14):
+    ``[0xEC STOP STOP]`` (short-form header (14<<4)|STRUCT, inner
+    empty struct, outer STOP)."""
+    fid = _LOGICAL_UNION_FIELD[kind]
+    return bytes([(fid << 4) | _STRUCT, _STOP, _STOP])
 
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
@@ -100,10 +133,50 @@ def _skip(buf: bytes, pos: int, ctype: int) -> int:
     raise ValueError(f"unknown compact thrift type {ctype}")
 
 
-def _patch_schema_elements(meta: bytes, columns: set[str]) -> bytes:
-    """Return FileMetaData bytes with UUID logicalType injected into the
-    SchemaElements named in ``columns`` (no-op for elements that already
-    carry a logicalType field)."""
+def _parse_struct_fields(buf: bytes, pos: int) -> tuple[list[tuple[int, int, bytes]], int]:
+    """Parse one struct's fields as ``(field_id, wire_type, value_bytes)``
+    triples (bools carry the value in the wire type, value_bytes empty).
+    Returns (fields, pos_after_stop)."""
+    fields: list[tuple[int, int, bytes]] = []
+    fid = 0
+    while True:
+        h = buf[pos]
+        pos += 1
+        if h == _STOP:
+            return fields, pos
+        d, ft = h >> 4, h & 0x0F
+        if d:
+            fid += d
+        else:
+            z, pos = _read_varint(buf, pos)
+            fid = (z >> 1) ^ -(z & 1)
+        vstart = pos
+        pos = _skip(buf, pos, ft)
+        fields.append((fid, ft, buf[vstart:pos]))
+
+
+def _emit_struct_fields(fields: list[tuple[int, int, bytes]]) -> bytes:
+    """Re-encode ``(field_id, wire_type, value_bytes)`` triples in field-id
+    order with compact headers, terminated by STOP."""
+    out = bytearray()
+    last = 0
+    for fid, ft, val in sorted(fields, key=lambda f: f[0]):
+        delta = fid - last
+        if 1 <= delta <= 15:
+            out.append((delta << 4) | ft)
+        else:
+            out.append(ft)
+            out += _write_varint(_zigzag(fid))
+        out += val
+        last = fid
+    out.append(_STOP)
+    return bytes(out)
+
+
+def _patch_schema_elements(meta: bytes, mapping: dict[str, str]) -> bytes:
+    """Return FileMetaData bytes with the requested logical types stamped
+    on the SchemaElements named in ``mapping`` (column → 'UUID'|'JSON'),
+    replacing any logicalType / converted_type already present."""
     pos = 0
     last_id = 0
     while True:
@@ -131,53 +204,60 @@ def _patch_schema_elements(meta: bytes, columns: set[str]) -> bytes:
         out = bytearray(meta[:pos])
         for _ in range(size):
             start = pos
+            fields, pos = _parse_struct_fields(meta, start)
             name = None
-            has_logical = False
-            fid = 0
-            while True:
-                h = meta[pos]
-                pos += 1
-                if h == _STOP:
-                    break
-                d, ft = h >> 4, h & 0x0F
-                if d:
-                    fid += d
-                else:
-                    z, pos = _read_varint(meta, pos)
-                    fid = (z >> 1) ^ -(z & 1)
-                if fid == 4 and ft == _BINARY:  # SchemaElement.name
-                    n, p2 = _read_varint(meta, pos)
-                    name = meta[p2 : p2 + n].decode("utf-8", "replace")
-                    pos = p2 + n
-                    continue
-                if fid == 10:  # SchemaElement.logicalType already present
-                    has_logical = True
-                pos = _skip(meta, pos, ft)
-            # pos is just past the element's STOP byte
-            if name in columns and not has_logical:
-                out += meta[start : pos - 1]
-                out += _UUID_LOGICAL_TYPE
-                out += b"\x00"  # the element's STOP
-            else:
+            for fid, ft, val in fields:
+                if fid == _SE_NAME and ft == _BINARY:
+                    n, p2 = _read_varint(val, 0)
+                    name = val[p2 : p2 + n].decode("utf-8", "replace")
+            kind = mapping.get(name)
+            if kind is None:
                 out += meta[start:pos]
+                continue
+            kept = [
+                f for f in fields if f[0] not in (_SE_LOGICAL_TYPE, _SE_CONVERTED_TYPE)
+            ]
+            conv = next((f for f in fields if f[0] == _SE_CONVERTED_TYPE), None)
+            if kind in _CONVERTED_VALUE:
+                kept.append(
+                    (
+                        _SE_CONVERTED_TYPE,
+                        _I32,
+                        _write_varint(_zigzag(_CONVERTED_VALUE[kind])),
+                    )
+                )
+            elif conv is not None:
+                kept.append(conv)  # UUID: leave converted type untouched
+            kept.append((_SE_LOGICAL_TYPE, _STRUCT, _logical_type_struct(kind)))
+            out += _emit_struct_fields(kept)
         out += meta[pos:]
         return bytes(out)
 
 
-def annotate_uuid_columns(path: str, columns: list[str]) -> None:
-    """Stamp ``logical_type: UUID`` on the named FLBA(16) columns of the
-    parquet file at ``path`` by rewriting its footer in place."""
-    if not columns:
+def annotate_logical_types(path: str, mapping: dict[str, str]) -> None:
+    """Stamp logical types (``{'col': 'UUID'|'JSON'}``) on the named
+    columns of the parquet file at ``path`` by rewriting its footer in
+    place. JSON also replaces the converted type (UTF8 → JSON) for
+    parquet_udfs/schema.rs:160 parity."""
+    if not mapping:
         return
+    unknown = set(mapping.values()) - set(_LOGICAL_UNION_FIELD)
+    if unknown:
+        raise ValueError(f"unsupported logical annotation(s): {sorted(unknown)}")
     with open(path, "rb") as f:
         data = f.read()
     if data[-4:] != b"PAR1":
         raise ValueError(f"{path} is not a parquet file")
     (meta_len,) = struct.unpack("<I", data[-8:-4])
     meta_start = len(data) - 8 - meta_len
-    patched = _patch_schema_elements(data[meta_start : meta_start + meta_len], set(columns))
+    patched = _patch_schema_elements(data[meta_start : meta_start + meta_len], mapping)
     with open(path, "wb") as f:
         f.write(data[:meta_start])
         f.write(patched)
         f.write(struct.pack("<I", len(patched)))
         f.write(b"PAR1")
+
+
+def annotate_uuid_columns(path: str, columns: list[str]) -> None:
+    """Stamp ``logical_type: UUID`` on the named FLBA(16) columns."""
+    annotate_logical_types(path, {c: "UUID" for c in columns})

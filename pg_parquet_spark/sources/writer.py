@@ -75,6 +75,7 @@ def write_parquet(
     parquet_version: str = "v1",
     kv_metadata: dict[str, str] | None = None,
     uuid_columns: list[str] | None = None,
+    json_columns: list[str] | None = None,
     mode: str = "overwrite",
 ) -> list[str]:
     """Write ``df`` to ``uri`` with pg_parquet's COPY TO option surface.
@@ -132,9 +133,9 @@ def write_parquet(
             or _glob.glob(os.path.join(path, "part-*"))
         )
 
-    if _pyarrow_needed(opts, row_group_size, kv_metadata) or uuid_columns:
+    if _pyarrow_needed(opts, row_group_size, kv_metadata) or uuid_columns or json_columns:
         _write_single_file_pyarrow(
-            df, path, opts, raw_field_ids, kv_metadata, uuid_columns
+            df, path, opts, raw_field_ids, kv_metadata, uuid_columns, json_columns
         )
         return [path]
 
@@ -200,6 +201,7 @@ def _write_single_file_pyarrow(
     field_ids,
     kv_metadata: dict[str, str] | None,
     uuid_columns: list[str] | None = None,
+    json_columns: list[str] | None = None,
 ) -> None:
     """Parity path: row-exact row groups, full-fidelity field ids, custom
     footer kv metadata (the reference's `geo` key, parquet_writer.rs:100-107),
@@ -312,14 +314,21 @@ def _write_single_file_pyarrow(
             _flush()
         finally:
             writer.close()
+        annotations: dict[str, str] = {}
         if uuid_columns and not hasattr(pa, "uuid"):
             # pyarrow < 18 cannot stamp the UUID logical type itself —
             # patch the footer thrift (schema_parser.rs:360-365 parity)
+            annotations.update({c: "UUID" for c in uuid_columns})
+        if json_columns:
+            # PG json/jsonb → UTF8 byte array + JSON logical + converted
+            # type (schema_parser.rs:409-410; parquet_udfs/schema.rs:130,160)
+            annotations.update({c: "JSON" for c in json_columns})
+        if annotations:
             from pg_parquet_spark.sources.uuid_annotation import (
-                annotate_uuid_columns,
+                annotate_logical_types,
             )
 
-            annotate_uuid_columns(path, uuid_columns)
+            annotate_logical_types(path, annotations)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -390,6 +399,7 @@ _COPY_TO_OPTIONS = (
     "freeze",
     "mode",
     "uuid_columns",
+    "json_columns",
     "kv_metadata",
 )
 

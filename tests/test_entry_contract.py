@@ -24,12 +24,11 @@ def test_registry_consistency():
     # every oracle key has a query
     missing = set(oracles) - set(queries)
     assert not missing, f"oracles without queries: {missing}"
-    # rows-only set is the documented one (r2: simhash, ann_lsh and
-    # stream_session all gained oracles; what remains is the honest
-    # decoder stub and the iterative IVF quantizer — the brief's
-    # iterative-algorithm exemption)
+    # r3: every registry query carries an oracle — the last two rows-only
+    # entries gained hard verification (IVF via frozen literal centroids
+    # replicated in SQL; the fake decoder via a DuckDB sha256 replica)
     rows_only = set(queries) - set(oracles)
-    assert rows_only == {"q_multimodal_decode", "q_sim_ann_ivf"}
+    assert rows_only == set(), f"rows-only queries remain: {rows_only}"
 
 
 def test_all_oracles_parse_in_duckdb():

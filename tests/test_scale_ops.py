@@ -122,6 +122,49 @@ def test_uuid_columns_written_as_flba16(spark, tmp_path):
     assert str(pf.schema.column(0).logical_type) == "UUID"
 
 
+def test_uuid_file_reads_back_as_canonical_text(spark, tmp_path):
+    """Reference-written uuid files (UUID-annotated FLBA) are rejected by
+    Spark's schema converter; read_parquet's fallback reads them with an
+    explicit schema and renders canonical 8-4-4-4-12 text (PG uuid
+    output parity)."""
+    from pg_parquet_spark.sources import read_parquet, write_parquet
+
+    u1 = "550e8400-e29b-41d4-a716-446655440000"
+    df = spark.createDataFrame([(1, u1), (2, None)], "id INT, u STRING")
+    path = str(tmp_path / "uuid_rt.parquet")
+    write_parquet(df, path, uuid_columns=["u"])
+    back = {r.id: r.u for r in read_parquet(spark, path).collect()}
+    assert back == {1: u1, 2: None}
+
+
+def test_json_columns_logical_and_converted_type(spark, tmp_path):
+    """PG json/jsonb → UTF8 byte array stamped with the JSON logical AND
+    converted types (schema_parser.rs:409-410; parquet_udfs/schema.rs:130,
+    160 report both); values stay readable by Spark and DuckDB."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pg_parquet_spark.sources import read_parquet, write_parquet
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, '{"b": [2,3]}'), (3, None)],
+        "id INT, payload STRING",
+    )
+    path = str(tmp_path / "json.parquet")
+    write_parquet(df, path, json_columns=["payload"])
+    col = pq.ParquetFile(path).schema.column(1)
+    assert str(col.logical_type) == "JSON"
+    assert str(col.converted_type) == "JSON"
+    back = {r.id: r.payload for r in read_parquet(spark, path).collect()}
+    assert back == {1: '{"a": 1}', 2: '{"b": [2,3]}', 3: None}
+    dd = dict(
+        duckdb.sql(
+            f"select id, payload from read_parquet('{path}')"
+        ).fetchall()
+    )
+    assert dd == back
+
+
 def test_stateful_ttl_evicts_idle_users(spark, tmp_path):
     """ProcessingTimeTimeout eviction: users present only in the first
     micro-batch are evicted (final row, state removed) once a later batch
