@@ -134,8 +134,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic, and P(pair survives) = J — every pair at the J ≥ 0.5
     report threshold is kept with ≥ 0.5 single-band probability while
     the quadratic term collapses to near-duplicate clusters only.
-    Exact Jaccard remains the verify; the oracle replicates the
-    pre-filter in lockstep (list_min over identical hashes)."""
+
+    RECALL BOUND (ADVICE r3 #4 — this is an LSH tier, not an
+    enumeration): with a single min-shingle band, a true pair with
+    Jaccard J survives the pre-filter with probability exactly J, so
+    the emitted pair list is a probabilistic SUBSET of all J ≥ 0.5
+    pairs (expected recall ≥ 0.5 at the threshold, rising with J; a
+    J = 0.9 near-duplicate is kept 90% of the time). Deployments that
+    need completeness at the threshold should union b min-k bands
+    (recall 1-(1-J)^b) or use ``q_dedup_minhash_lsh``, the banded
+    multi-hash tier. Exact Jaccard on the surviving pairs is still
+    exact; the oracle replicates the pre-filter in lockstep (list_min
+    over identical hashes), so Spark/DuckDB parity is deterministic."""
     docs = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     # shingles hashed to 60-bit longs (md5-derived, identical in the

@@ -21,12 +21,61 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Verification-priority prefix, rotated per round (VERDICT r2 #2: no
-#: entry's newest green row should be older than 2 rounds). r3 front-50:
-#: group 1 = new/changed this round (needs a first/fresh hash row);
-#: group 2 = the 39 queries whose only green row is r1 (rotated forward —
-#: they were backloaded while r2 verified the never-checked set).
+#: entry's newest green row should be older than 2 rounds). r4 front:
+#: group 1 = new/changed this round; group 2 = the 46 queries outside
+#: r3's 50-query window (newest green row is r1/r2); the 50 r3-verified
+#: entries rotate to the back.
 GATE_ORDER = [
-    # -- group 1a: new TPC-H shapes (r3, never driver-verified) -------------
+    # -- group 1: r4 new/changed queries (front: need a fresh hash row) --
+    #    (new r4 operators are prepended here as they land)
+    "q_io_geo_roundtrip",  # r4: write paths now stamp TIMESTAMP(MICROS); FLBA read fallback
+    "q_io_csv_roundtrip",  # r4: write paths now stamp TIMESTAMP(MICROS); FLBA read fallback
+    "q_io_match_position",  # r4: write paths now stamp TIMESTAMP(MICROS); FLBA read fallback
+    "q_io_coercion_read",  # r4: write paths now stamp TIMESTAMP(MICROS); FLBA read fallback
+    # -- group 2: newest green row is r1/r2 (not in the r3 window) ----------
+    "q_grouping_sets",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_exists_correlated",
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg",
+    "q_python_udtf",
+    "q_asof_join",
+    "q_sessionize_batch",
+    "q_window_ntile_dist",
+    "q_window_range_frame",
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_agg_percentile_collect",
+    "q_scalar_string_extra",
+    "q_scalar_date_arith",
+    "q_min_max_by",
+    "q_stream_window",
+    "q_stream_session",
+    "q_stream_stateful",
+    "q_sim_cosine_topk",
+    "q_sim_ann_lsh",
+    "q_sample_deterministic",
+    "q_data_mixture",
+    "q_profile_columns",
+    "q_multimodal_metadata",
+    "q_dedup_simhash",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume",
+    "q22_prospective_customers",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q_text_fingerprint_rolling",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_join_inner_broadcast",
+    "q_agg_rollup",
+    "q_window_frame",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    # -- group 3: r3-green, rotate back (front again in r5) -----------------
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
@@ -34,16 +83,12 @@ GATE_ORDER = [
     "q12_shipping_modes",
     "q16_parts_supplier",
     "q20_potential_promotion",
-    # -- group 1b: gained a full oracle in r3 (were no_oracle in r1-r2) -----
     "q_sim_ann_ivf",
     "q_multimodal_decode",
-    # -- group 1c: implementation changed in r3 (single-pass funnel; COPY
-    #    column-subset NULL fill) — re-record even though r2 was green -----
     "q_funnel",
     "q_io_copy_from_table",
-    # -- group 2: newest green row is r1 (39, rotated forward) --------------
-    "q_dedup_ngram_jaccard",  # r3: + min-shingle LSH pre-filter key
-    "q_io_glob_read",  # r3: glob fixes (segment-anchored **, cwd anchor)
+    "q_dedup_ngram_jaccard",
+    "q_io_glob_read",
     "q_join_full",
     "q_window_rank",
     "q_dedup_minhash_lsh",
@@ -81,53 +126,6 @@ GATE_ORDER = [
     "q_topk",
     "q_union_all",
     "q_window_lag_lead",
-    # -- group 3: r2-green, rotate back (will front again in r4) ------------
-    "q_grouping_sets",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_exists_correlated",
-    "q_pandas_udf_scalar",
-    "q_pandas_udf_grouped_agg",
-    "q_python_udtf",
-    "q_asof_join",
-    "q_sessionize_batch",
-    "q_window_ntile_dist",
-    "q_window_range_frame",
-    "q_scalar_array",
-    "q_scalar_map",
-    "q_agg_percentile_collect",
-    "q_scalar_string_extra",
-    "q_scalar_date_arith",
-    "q_min_max_by",
-    "q_stream_window",
-    "q_stream_session",
-    "q_stream_stateful",
-    "q_sim_cosine_topk",
-    "q_sim_ann_lsh",
-    "q_sample_deterministic",
-    "q_data_mixture",
-    "q_profile_columns",
-    "q_multimodal_metadata",
-    "q_dedup_simhash",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q18_large_volume",
-    "q22_prospective_customers",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q_text_fingerprint_rolling",
-    "q_io_geo_roundtrip",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q_join_inner_broadcast",
-    "q_agg_rollup",
-    "q_window_frame",
-    "q_io_csv_roundtrip",
-    "q_io_match_position",
-    "q_io_coercion_read",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
 ]
 
 

@@ -67,6 +67,11 @@ def session_builder(app_name: str = "pg_parquet_spark") -> SparkSession.Builder:
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.hadoop.parquet.writer.version", "PARQUET_1_0")
         .config("spark.hadoop.parquet.block.size", str(122880 * 1024))
+        # reference writes TIMESTAMP(MICROS) annotations, never INT96
+        # (schema_parser.rs maps PG timestamps to Timestamp(Microsecond));
+        # Spark's INT96 default also breaks the pyarrow parity writer,
+        # which reads its stage files back as nanos (ADVICE r3 #1)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # field_ids option support (SURVEY.md A13)
         .config("spark.sql.parquet.fieldId.write.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -114,6 +119,10 @@ def get_spark(app_name: str = "pg_parquet_spark") -> SparkSession:
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # micros annotation on every write path (ADVICE r3 #1): without it the
+    # parity writer's stage read yields TIMESTAMP(NANOS) footers that our
+    # own nanosAsLong read then surfaces as raw longs
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.adaptive.enabled": "true",
     # strict-cast parity with the reference's CastOptions{safe:false}

@@ -95,10 +95,26 @@ def _segment_regex(seg: str) -> str:
             if j == -1:
                 out.append(re.escape(c))
             else:
-                cls = seg[i : j + 1]
-                if cls.startswith("[!"):
-                    cls = "[^" + cls[2:]
-                out.append(cls)
+                # ADVICE r3 #3: translate class members individually —
+                # copying the raw slice let '[!]' become the invalid
+                # regex '[^]' and gave regex-special members (backslash,
+                # ']' leading a class) Python-regex semantics instead of
+                # glob-crate literal semantics.
+                body = seg[i + 1 : j]
+                neg = body.startswith("!")
+                if neg:
+                    body = body[1:]
+                esc: list[str] = []
+                for k, ch in enumerate(body):
+                    if ch == "-" and 0 < k < len(body) - 1:
+                        esc.append("-")  # range separator stays a range
+                    else:
+                        esc.append(re.escape(ch))
+                if esc:
+                    out.append("[" + ("^" if neg else "") + "".join(esc) + "]")
+                else:
+                    # degenerate '[!]': no members — match the literal text
+                    out.append(re.escape(seg[i : j + 1]))
                 i = j
         else:
             out.append(re.escape(c))

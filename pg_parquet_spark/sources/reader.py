@@ -96,7 +96,22 @@ def _read_with_uuid_fallback(spark: SparkSession, paths: list[str]) -> DataFrame
             uuid_cols.append(col.name)
         elif lt == "JSON":
             json_cols.append(col.name)
-    spark_schema = from_arrow_schema(pf.schema_arrow.remove_metadata())
+    # ADVICE r3 #2: on pyarrow >= 18 a UUID-annotated column surfaces as
+    # the pa.uuid() extension type (and FLBA stays fixed_size_binary),
+    # both of which pyspark's from_arrow_schema rejects. Rewrite them to
+    # plain binary before conversion — the uuid columns are projected to
+    # canonical text below regardless, and Spark reads a parquet FLBA
+    # column fine under a BinaryType schema.
+    import pyarrow as _pa
+
+    arrow_schema = pf.schema_arrow.remove_metadata()
+    rewritten = []
+    for f in arrow_schema:
+        t = f.type
+        if isinstance(t, _pa.ExtensionType) or _pa.types.is_fixed_size_binary(t):
+            f = _pa.field(f.name, _pa.binary(), f.nullable)
+        rewritten.append(f)
+    spark_schema = from_arrow_schema(_pa.schema(rewritten))
     if json_cols:
         # pyarrow's arrow view drops the JSON annotation to plain binary;
         # the reference reads json/jsonb back as text (schema.rs:130)

@@ -252,10 +252,19 @@ def _write_single_file_pyarrow(
         df.write.mode("overwrite").parquet(stage)
         parts = sorted(_glob.glob(os.path.join(stage, "part-*")))
 
-        if parts:
-            base = pq.ParquetFile(parts[0]).schema_arrow.remove_metadata()
-        else:  # empty frame with zero partitions: schema only
+        # ADVICE r3 #1: the target schema must come from the FRAME's Arrow
+        # schema, not the stage file's — a stage file written with legacy
+        # INT96 timestamps reads back as timestamp[ns] without tz, which
+        # would stamp a TIMESTAMP(NANOS, utc=false) footer the reference
+        # never emits (and our own nanosAsLong read then surfaces as raw
+        # longs). toArrow() on limit(0) is schema-only (no data moves);
+        # _transform casts every stage batch to this target.
+        try:
             base = df.limit(0).toArrow().schema.remove_metadata()
+        except Exception:  # type Arrow can't express driver-side
+            if not parts:
+                raise
+            base = pq.ParquetFile(parts[0]).schema_arrow.remove_metadata()
         target = base
         if uuid_columns:
             for name in uuid_columns:

@@ -88,3 +88,19 @@ def test_doublestar_is_segment_anchored(tmp_path):
     neg = _glob_regex("data_[!0-9].parquet")
     assert neg.match("data_x.parquet")
     assert not neg.match("data_5.parquet")
+
+
+def test_class_members_are_glob_literal(tmp_path):
+    # ADVICE r3 #3: class members must be escaped individually — the
+    # degenerate '[!]' used to compile to the invalid regex '[^]', and
+    # regex-special members kept Python-regex semantics
+    from pg_parquet_spark.sources.fs import _glob_regex
+
+    lit = _glob_regex("a[!]b")  # no members: matches the literal text
+    assert lit.match("a[!]b") and not lit.match("axb")
+    first = _glob_regex("x[]ab]y")  # ']' first in a class is literal
+    assert first.match("x]y") and first.match("xay") and not first.match("xcy")
+    bs = _glob_regex("a[\\d]b")  # backslash is a literal member, not \d
+    assert bs.match("a\\b") and bs.match("adb") and not bs.match("a5b")
+    rng = _glob_regex("f[a-c]g")  # ranges keep range semantics
+    assert rng.match("fbg") and not rng.match("fdg")

@@ -137,3 +137,50 @@ def test_row_group_size_bytes_rotates_on_pyarrow_path(spark, tmp_path):
     # uncompressed group sizes should be in the ballpark of the cap
     sizes = [md.row_group(i).total_byte_size for i in range(md.num_row_groups)]
     assert max(sizes[:-1]) < 4 * 64 * 1024
+
+
+def test_timestamp_micros_footer_on_parity_path(spark, tmp_path):
+    # ADVICE r3 #1: the pyarrow parity path (row_group_size / kv_metadata /
+    # field_ids) must stamp TIMESTAMP(MICROS) like the reference
+    # (schema_parser.rs maps PG timestamps to Timestamp(Microsecond)),
+    # never NANOS derived from an INT96 stage file — NANOS breaks our own
+    # round-trip (nanosAsLong read surfaces raw longs).
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 12, 0, i)) for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    path = str(tmp_path / "ts_parity.parquet")
+    write_parquet(df, path, row_group_size=10)
+
+    col = pq.ParquetFile(path).schema.column(1)
+    assert "timestamp" in str(col.logical_type).lower()
+    assert "micro" in str(col.logical_type).lower()
+    arrow_type = pq.read_table(path).schema.field("ts").type
+    assert str(arrow_type).startswith("timestamp[us")
+
+    back = read_parquet(spark, path)
+    assert dict(back.dtypes)["ts"].startswith("timestamp")
+    got = sorted(r.ts for r in back.collect())
+    assert got == [r[1] for r in rows]
+
+
+def test_timestamp_micros_footer_on_spark_paths(spark, tmp_path):
+    # Same annotation parity on the pure-Spark single-file and directory
+    # paths (session pins spark.sql.parquet.outputTimestampType).
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2023, 6, 1, 0, 0, 0))], "id int, ts timestamp"
+    )
+    single = str(tmp_path / "ts_single.parquet")
+    write_parquet(df, single)
+    col = pq.ParquetFile(single).schema.column(1)
+    assert "micro" in str(col.logical_type).lower()
+
+    outdir = str(tmp_path / "ts_dir")
+    write_parquet(df, outdir)
+    part = glob.glob(os.path.join(outdir, "*.parquet"))[0]
+    col = pq.ParquetFile(part).schema.column(1)
+    assert "micro" in str(col.logical_type).lower()

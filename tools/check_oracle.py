@@ -31,6 +31,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = (
@@ -66,8 +68,8 @@ def _norm_cell(v) -> str:
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
     try:
-        import pandas as pd
-
+        # only the isna call may raise (ambiguous array-likes) — pandas
+        # itself is a hard dependency, imported at module level (ADVICE r3)
         if pd.isna(v):  # pd.NA / NaT-likes that reach here (ADVICE r2)
             return "␀"
     except (TypeError, ValueError):
