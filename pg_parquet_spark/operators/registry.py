@@ -21,61 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Verification-priority prefix, rotated per round (VERDICT r2 #2: no
-#: entry's newest green row should be older than 2 rounds). r4 front:
-#: group 1 = new/changed this round; group 2 = the 46 queries outside
-#: r3's 50-query window (newest green row is r1/r2); the 50 r3-verified
-#: entries rotate to the back.
+#: entry's newest green row should be older than 2 rounds). r5 front:
+#: group 1 = the two streaming queries fixed this round (r4 rows were
+#: red — the stream source hard-coded the nanos fixture unit); group 2 =
+#: the 50 entries whose newest green row is r3 (rotated to the back in
+#: r4); the 50 r4-verified entries rotate to the back.
 GATE_ORDER = [
-    # -- group 1: r4 new/changed queries (front: need a fresh hash row) --
-    #    (new r4 operators are prepended here as they land)
-    "q_io_geo_roundtrip",  # r4: write paths now stamp TIMESTAMP(MICROS); FLBA read fallback
-    "q_io_csv_roundtrip",  # r4: write paths now stamp TIMESTAMP(MICROS); FLBA read fallback
-    "q_io_match_position",  # r4: write paths now stamp TIMESTAMP(MICROS); FLBA read fallback
-    "q_io_coercion_read",  # r4: write paths now stamp TIMESTAMP(MICROS); FLBA read fallback
-    # -- group 2: newest green row is r1/r2 (not in the r3 window) ----------
-    "q_grouping_sets",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_exists_correlated",
-    "q_pandas_udf_scalar",
-    "q_pandas_udf_grouped_agg",
-    "q_python_udtf",
-    "q_asof_join",
-    "q_sessionize_batch",
-    "q_window_ntile_dist",
-    "q_window_range_frame",
-    "q_scalar_array",
-    "q_scalar_map",
-    "q_agg_percentile_collect",
-    "q_scalar_string_extra",
-    "q_scalar_date_arith",
-    "q_min_max_by",
-    "q_stream_window",
-    "q_stream_session",
-    "q_stream_stateful",
-    "q_sim_cosine_topk",
-    "q_sim_ann_lsh",
-    "q_sample_deterministic",
-    "q_data_mixture",
-    "q_profile_columns",
-    "q_multimodal_metadata",
-    "q_dedup_simhash",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q18_large_volume",
-    "q22_prospective_customers",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q_text_fingerprint_rolling",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q_join_inner_broadcast",
-    "q_agg_rollup",
-    "q_window_frame",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    # -- group 3: r3-green, rotate back (front again in r5) -----------------
+    # -- group 1: fixed this round (front: need a fresh hash row) -----------
+    "q_stream_window",  # r5: stream source now probes the footer timestamp unit
+    "q_stream_session",  # r5: stream source now probes the footer timestamp unit
+    # -- group 2: newest green row is r3 (outside the r4 window) ------------
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
@@ -126,6 +81,52 @@ GATE_ORDER = [
     "q_topk",
     "q_union_all",
     "q_window_lag_lead",
+    # -- group 3: r4-green, rotate back (front again in r6) -----------------
+    "q_stream_stateful",  # first of the rotated tier: its r4 green row was
+    # ts-independent (oracle never reads ts), so re-verify soonest
+    "q_io_geo_roundtrip",
+    "q_io_csv_roundtrip",
+    "q_io_match_position",
+    "q_io_coercion_read",
+    "q_grouping_sets",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_exists_correlated",
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg",
+    "q_python_udtf",
+    "q_asof_join",
+    "q_sessionize_batch",
+    "q_window_ntile_dist",
+    "q_window_range_frame",
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_agg_percentile_collect",
+    "q_scalar_string_extra",
+    "q_scalar_date_arith",
+    "q_min_max_by",
+    "q_sim_cosine_topk",
+    "q_sim_ann_lsh",
+    "q_sample_deterministic",
+    "q_data_mixture",
+    "q_profile_columns",
+    "q_multimodal_metadata",
+    "q_dedup_simhash",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume",
+    "q22_prospective_customers",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q_text_fingerprint_rolling",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_join_inner_broadcast",
+    "q_agg_rollup",
+    "q_window_frame",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
 ]
 
 

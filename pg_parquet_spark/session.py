@@ -174,21 +174,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _ns_timestamp_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
-    int64 ns (nanosAsLong) and we restore timestamp semantics."""
+def timestamp_units(path: str) -> dict[str, str]:
+    """Map of column → parquet timestamp unit ('s'/'ms'/'us'/'ns') read
+    from the file footer. Shared by the batch loader (``table``) and the
+    streaming source (``streaming.stream.read_events_stream``) so the two
+    paths can never disagree about a fixture's physical unit: Spark reads
+    ms/µs natively as timestamp types but surfaces NANOS columns as int64
+    (nanosAsLong), which both paths must repair identically."""
     import pyarrow.parquet as pq
 
     try:
         schema = pq.ParquetFile(path).schema_arrow
     except Exception:  # pragma: no cover - directories/remote stores
-        return []
-    out = []
+        return {}
+    import pyarrow as pa
+
+    out: dict[str, str] = {}
     for i in range(len(schema)):
         f = schema.field(i)
-        if str(f.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]"):
-            out.append(f.name)
+        if pa.types.is_timestamp(f.type):
+            out[f.name] = f.type.unit
     return out
+
+
+def _ns_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    int64 ns (nanosAsLong) and we restore timestamp semantics."""
+    return [c for c, unit in timestamp_units(path).items() if unit == "ns"]
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

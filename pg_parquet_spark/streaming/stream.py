@@ -30,24 +30,37 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a streaming source. The ns-timestamp column is
-    declared LONG (nanosAsLong) and repaired to TIMESTAMP_NTZ."""
+    """events.parquet as a streaming source.
+
+    readStream requires a pinned schema, so the physical timestamp unit of
+    ``ts`` must be known up front. The unit is probed from the file footer
+    via the same helper the batch loader uses (session.timestamp_units) so
+    the two paths can never diverge: for s/ms/µs files Spark reads the
+    column natively as TIMESTAMP_NTZ; only for TIMESTAMP(NANOS) files must
+    it be declared LONG (nanosAsLong) and repaired with ``div 1000``.
+    """
     from pyspark.sql.types import (
         DoubleType,
         LongType,
         StringType,
         StructField,
         StructType,
+        TimestampNTZType,
     )
 
-    from pg_parquet_spark.session import ensure_session_defaults
+    from pg_parquet_spark.session import ensure_session_defaults, timestamp_units
 
     ensure_session_defaults(spark)
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_is_nanos = timestamp_units(path).get("ts") == "ns"
 
     schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),  # TIMESTAMP(NANOS) → ns since epoch
+            # TIMESTAMP(NANOS) surfaces as int64 ns; every other unit is a
+            # native Spark timestamp (footer-probed above)
+            StructField("ts", LongType() if ts_is_nanos else TimestampNTZType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -61,7 +74,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # watermarks require TIMESTAMP (LTZ); session tz is UTC so wall-clock
     # values are preserved — outputs convert back to NTZ
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(

@@ -230,3 +230,95 @@ def test_stateful_ttl_evicts_idle_users(spark, tmp_path):
     assert ev1.event_count == 1 and ev1.last_event_id == 10
     assert live[2].event_count == 2 and live[2].last_event_id == 21
     assert live[3].event_count == 1 and live[3].last_event_id == 30
+
+
+def test_stream_window_matches_batch_and_fixture_dates(spark):
+    """Value-pinning for the tumbling-window stream (VERDICT r4 #2): the
+    drained stream result must equal the batch groupBy(window(...)) on the
+    same fixture, and every window_start must fall inside the fixture's
+    actual event date range — a timestamp-unit regression (e.g. the r4
+    nanos-vs-micros fixture change) shifts every window to 1970 and fails
+    here directly instead of via an indirect session count."""
+    import datetime
+
+    from pg_parquet_spark.streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    got = run_available_now(
+        windowed_event_counts(read_events_stream(spark, SF))
+    ).collect()
+
+    ev = table(spark, SF, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year >= 2000, "fixture itself corrupt?"
+
+    for r in got:
+        assert lo - datetime.timedelta(hours=1) <= r.window_start <= hi
+
+    want = {
+        (r.window_start, r.event_type): (r.event_count, r.total_value)
+        for r in ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+        .collect()
+    }
+    assert {
+        (r.window_start, r.event_type): (r.event_count, r.total_value) for r in got
+    } == want
+
+
+@pytest.mark.parametrize("unit", ["ns", "us", "ms"])
+def test_timestamp_unit_invariance(spark, tmp_path, unit):
+    """Property test (VERDICT r4 #8): both the batch loader and the stream
+    source must return identical wall-clock rows for ns-, µs- and ms-unit
+    copies of the same events frame — the fixture's physical unit is a
+    driver choice the engine must absorb via footer probing."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_parquet_spark.streaming.stream import read_events_stream, run_available_now
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    ts = [base + datetime.timedelta(minutes=7 * i) for i in range(6)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp(unit)),
+            "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "event_type": pa.array(["a", "b"] * 3),
+            "value": pa.array([float(i) for i in range(6)]),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    d = tmp_path / f"unit_{unit}"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    batch = table(spark, str(d), "events").orderBy("event_id").collect()
+    assert [r.ts for r in batch] == ts
+
+    # complete-mode drain needs an aggregation; event_id is unique so
+    # min(ts) per event_id is the identity projection
+    drained = run_available_now(
+        read_events_stream(spark, str(d))
+        .groupBy("event_id")
+        .agg(F.min(F.col("ts").cast("timestamp_ntz")).alias("ts"))
+    )
+    stream = drained.orderBy("event_id").collect()
+    assert [r.ts for r in stream] == ts
