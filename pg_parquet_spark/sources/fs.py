@@ -91,7 +91,13 @@ def _segment_regex(seg: str) -> str:
         elif c == "?":
             out.append("[^/]")
         elif c == "[":
-            j = seg.find("]", i + 2)  # ']' first in a class is literal
+            # ']' first in a class is a literal member — and the glob
+            # crate requires at least one member after '!', so for a
+            # negated class the closer search starts one further
+            # (ADVICE r4: '[!]ab]' is the negated class {']','a','b'},
+            # not a degenerate '[!]' followed by literal 'ab]')
+            neg = i + 1 < len(seg) and seg[i + 1] == "!"
+            j = seg.find("]", i + 3 if neg else i + 2)
             if j == -1:
                 out.append(re.escape(c))
             else:
@@ -101,7 +107,6 @@ def _segment_regex(seg: str) -> str:
                 # ']' leading a class) Python-regex semantics instead of
                 # glob-crate literal semantics.
                 body = seg[i + 1 : j]
-                neg = body.startswith("!")
                 if neg:
                     body = body[1:]
                 esc: list[str] = []

@@ -54,6 +54,42 @@ def _check_glob(uri: str) -> None:
         raise FileNotFoundError(f"no files found that match the uri/pattern: {uri}")
 
 
+def _rewrite_arrow_type(t):
+    """Make an arrow type acceptable to pyspark's from_arrow_schema:
+    extension types unwrap to their (rewritten) storage — to pa.binary()
+    only when the storage really is binary-like — and fixed_size_binary
+    becomes plain binary (Spark reads parquet FLBA fine under a
+    BinaryType schema). Recurses through struct/list/map children so a
+    UUID/FLBA column nested inside a container is rewritten too
+    (ADVICE r4)."""
+    import pyarrow as _pa
+
+    if isinstance(t, _pa.ExtensionType):
+        storage = _rewrite_arrow_type(t.storage_type)
+        if (
+            _pa.types.is_fixed_size_binary(storage)
+            or _pa.types.is_binary(storage)
+            or _pa.types.is_large_binary(storage)
+        ):
+            return _pa.binary()
+        return storage
+    if _pa.types.is_fixed_size_binary(t):
+        return _pa.binary()
+    if _pa.types.is_struct(t):
+        return _pa.struct(
+            [_pa.field(f.name, _rewrite_arrow_type(f.type), f.nullable) for f in t]
+        )
+    if _pa.types.is_large_list(t):
+        return _pa.large_list(_rewrite_arrow_type(t.value_type))
+    if _pa.types.is_list(t):
+        return _pa.list_(_rewrite_arrow_type(t.value_type))
+    if _pa.types.is_map(t):
+        return _pa.map_(
+            _rewrite_arrow_type(t.key_type), _rewrite_arrow_type(t.item_type)
+        )
+    return t
+
+
 def _read_with_uuid_fallback(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Read parquet whose footer carries UUID-annotated FLBA(16) columns
     (reference-written uuid data, schema_parser.rs:360-365). Spark's
@@ -96,21 +132,23 @@ def _read_with_uuid_fallback(spark: SparkSession, paths: list[str]) -> DataFrame
             uuid_cols.append(col.name)
         elif lt == "JSON":
             json_cols.append(col.name)
-    # ADVICE r3 #2: on pyarrow >= 18 a UUID-annotated column surfaces as
-    # the pa.uuid() extension type (and FLBA stays fixed_size_binary),
-    # both of which pyspark's from_arrow_schema rejects. Rewrite them to
-    # plain binary before conversion — the uuid columns are projected to
-    # canonical text below regardless, and Spark reads a parquet FLBA
-    # column fine under a BinaryType schema.
+    # ADVICE r3 #2 / r4: on pyarrow >= 18 a UUID-annotated column
+    # surfaces as the pa.uuid() extension type (and FLBA stays
+    # fixed_size_binary), both of which pyspark's from_arrow_schema
+    # rejects. Rewrite them to plain binary before conversion — the uuid
+    # columns are projected to canonical text below regardless, and
+    # Spark reads a parquet FLBA column fine under a BinaryType schema.
+    # The rewrite recurses through struct/list/map children (a UUID
+    # nested in a struct hits the same rejection) and unwraps extension
+    # types to their rewritten storage type, going to pa.binary() only
+    # when the storage really is binary-like.
     import pyarrow as _pa
 
     arrow_schema = pf.schema_arrow.remove_metadata()
-    rewritten = []
-    for f in arrow_schema:
-        t = f.type
-        if isinstance(t, _pa.ExtensionType) or _pa.types.is_fixed_size_binary(t):
-            f = _pa.field(f.name, _pa.binary(), f.nullable)
-        rewritten.append(f)
+    rewritten = [
+        _pa.field(f.name, _rewrite_arrow_type(f.type), f.nullable)
+        for f in arrow_schema
+    ]
     spark_schema = from_arrow_schema(_pa.schema(rewritten))
     if json_cols:
         # pyarrow's arrow view drops the JSON annotation to plain binary;

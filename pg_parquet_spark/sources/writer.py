@@ -261,9 +261,38 @@ def _write_single_file_pyarrow(
         # _transform casts every stage batch to this target.
         try:
             base = df.limit(0).toArrow().schema.remove_metadata()
-        except Exception:  # type Arrow can't express driver-side
-            if not parts:
+        except Exception as e:  # noqa: BLE001
+            # ADVICE r4: only an Arrow-inexpressible frame type may fall
+            # back to the stage-file schema; transient Spark failures
+            # must surface, and the fallback itself is logged so a real
+            # error can't hide behind it silently.
+            try:
+                from py4j.protocol import Py4JJavaError
+            except ImportError:  # pragma: no cover
+                Py4JJavaError = ()  # type: ignore[assignment]
+            try:
+                from pyspark.errors import PySparkTypeError, PySparkValueError
+            except ImportError:  # pragma: no cover
+                PySparkTypeError = PySparkValueError = ()  # type: ignore[assignment]
+            unsupported = isinstance(
+                e, (PySparkTypeError, PySparkValueError)
+            ) or (
+                isinstance(e, Py4JJavaError)
+                and (
+                    "UnsupportedOperation" in str(e)
+                    or "Unsupported" in str(e)
+                )
+            )
+            if not unsupported or not parts:
                 raise
+            import warnings
+
+            warnings.warn(
+                "toArrow() cannot express the frame schema "
+                f"({type(e).__name__}); falling back to the stage-file "
+                "footer schema",
+                stacklevel=2,
+            )
             base = pq.ParquetFile(parts[0]).schema_arrow.remove_metadata()
         target = base
         if uuid_columns:

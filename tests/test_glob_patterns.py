@@ -104,3 +104,8 @@ def test_class_members_are_glob_literal(tmp_path):
     assert bs.match("a\\b") and bs.match("adb") and not bs.match("a5b")
     rng = _glob_regex("f[a-c]g")  # ranges keep range semantics
     assert rng.match("fbg") and not rng.match("fdg")
+    # ADVICE r4: ']' right after '[!' is a literal member of the negated
+    # class (glob crate requires ≥1 member after '!'), not the closer
+    negfirst = _glob_regex("x[!]ab]y")
+    assert negfirst.match("xcy")
+    assert not negfirst.match("xay") and not negfirst.match("x]y")

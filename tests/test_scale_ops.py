@@ -322,3 +322,55 @@ def test_timestamp_unit_invariance(spark, tmp_path, unit):
     )
     stream = drained.orderBy("event_id").collect()
     assert [r.ts for r in stream] == ts
+
+
+def test_rewrite_arrow_type_nested_and_extension():
+    """ADVICE r4: the uuid-fallback schema rewrite must recurse into
+    struct/list/map children and unwrap extension types to their storage
+    (binary only when the storage is binary-like)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import BinaryType
+
+    from pg_parquet_spark.sources.reader import _rewrite_arrow_type
+
+    nested = pa.schema(
+        [
+            pa.field("top", pa.binary(16)),
+            pa.field(
+                "s",
+                pa.struct(
+                    [
+                        pa.field("u", pa.binary(16)),
+                        pa.field("n", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field("l", pa.list_(pa.binary(16))),
+            pa.field("m", pa.map_(pa.string(), pa.binary(16))),
+        ]
+    )
+    rewritten = pa.schema(
+        [pa.field(f.name, _rewrite_arrow_type(f.type), f.nullable) for f in nested]
+    )
+    spark_schema = from_arrow_schema(rewritten)  # must not raise
+    assert isinstance(spark_schema["top"].dataType, BinaryType)
+    assert isinstance(spark_schema["s"].dataType["u"].dataType, BinaryType)
+    assert spark_schema["s"].dataType["n"].dataType.typeName() == "long"
+    assert isinstance(spark_schema["l"].dataType.elementType, BinaryType)
+    assert isinstance(spark_schema["m"].dataType.valueType, BinaryType)
+
+    # extension type with NON-binary storage unwraps to the storage type,
+    # not to binary
+    class _MonthType(pa.ExtensionType):
+        def __init__(self):
+            super().__init__(pa.int32(), "test.month")
+
+        def __arrow_ext_serialize__(self):
+            return b""
+
+        @classmethod
+        def __arrow_ext_deserialize__(cls, storage_type, serialized):
+            return cls()
+
+    assert _rewrite_arrow_type(_MonthType()) == pa.int32()
