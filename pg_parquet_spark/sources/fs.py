@@ -202,11 +202,101 @@ def is_dir(uri: str) -> bool:
     return fs.get_file_info(path).type == pafs.FileType.Directory
 
 
+class HttpRandomAccessFile:
+    """Seekable read-only file over HTTP(S) range requests — the
+    equivalent of the reference's HTTP object store (object_store/
+    http.rs:11-38), which serves ranged GETs to the parquet reader.
+    pyarrow's ParquetFile drives this with a footer read (two small
+    ranges) followed by per-row-group ranges, so only the bytes actually
+    requested ever cross the wire."""
+
+    def __init__(self, url: str, session=None):
+        import requests
+
+        self._url = url
+        self._sess = session or requests.Session()
+        self._pos = 0
+        head = self._sess.head(url, allow_redirects=True, timeout=30)
+        size = head.headers.get("Content-Length")
+        if head.status_code >= 400 or size is None:
+            # some servers only reveal length on GET
+            probe = self._sess.get(
+                url, headers={"Range": "bytes=0-0"}, timeout=30
+            )
+            probe.raise_for_status()
+            rng = probe.headers.get("Content-Range", "")
+            if "/" not in rng:
+                raise OSError(f"cannot determine size of {url}")
+            size = rng.rsplit("/", 1)[1]
+        self._size = int(size)
+
+    # --- file-like protocol (what pa.PythonFile needs) -----------------
+    def size(self) -> int:
+        return self._size
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        else:
+            self._pos = self._size + offset
+        return self._pos
+
+    def read(self, nbytes: int = -1) -> bytes:
+        if nbytes is None or nbytes < 0:
+            end = self._size - 1
+        else:
+            end = min(self._pos + nbytes, self._size) - 1
+        if end < self._pos:
+            return b""
+        r = self._sess.get(
+            self._url,
+            headers={"Range": f"bytes={self._pos}-{end}"},
+            timeout=120,
+        )
+        r.raise_for_status()
+        data = r.content
+        if r.status_code != 206:
+            # server ignored the Range header and sent the whole body
+            # (e.g. python -m http.server) — slice locally
+            data = data[self._pos : end + 1]
+        self._pos += len(data)
+        return data
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        self._sess.close()
+
+    @property
+    def closed(self) -> bool:
+        return False
+
+    def flush(self) -> None:
+        pass
+
+
 def open_parquet(uri: str):
     """ParquetFile through the resolved filesystem — on object stores
-    this is the head+footer fetch the reference performs."""
+    this is the head+footer fetch the reference performs. http(s) uris
+    go through ranged GETs (http.rs parity; pyarrow has no native http
+    filesystem)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if scheme_of(uri) in ("http", "https"):
+        return pq.ParquetFile(pa.PythonFile(HttpRandomAccessFile(uri), mode="r"))
     fs, path, _ = resolve(uri)
     return pq.ParquetFile(path, filesystem=fs)
 

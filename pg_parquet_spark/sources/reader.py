@@ -90,6 +90,60 @@ def _rewrite_arrow_type(t):
     return t
 
 
+def _read_parquet_over_http(spark: SparkSession, urls: list[str]) -> DataFrame:
+    """Read parquet over HTTP(S) — reference src/object_store/http.rs:
+    11-38 serves the reader with ranged GETs. Spark has no http Hadoop
+    filesystem, so the scan is built explicitly: the driver fetches only
+    the footers (schema + row-group count per url), then a mapInPandas
+    over (url, row_group) pieces fetches and decodes each row group on
+    the EXECUTORS via range requests — the data plane stays distributed
+    (one task per row group), nothing but footers crosses the driver."""
+    import pyarrow as _pa
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from pg_parquet_spark.sources import fs as _fs
+
+    pieces: list[tuple[str, int]] = []
+    schema_arrow = None
+    for url in urls:
+        if _fs.has_magic(url):
+            raise ValueError(
+                f"glob patterns are not supported over http(s): {url}"
+            )
+        pf = _fs.open_parquet(url)
+        if schema_arrow is None:
+            schema_arrow = pf.schema_arrow.remove_metadata()
+        pieces.extend((url, i) for i in range(pf.metadata.num_row_groups))
+
+    target = _pa.schema(
+        [
+            _pa.field(f.name, _rewrite_arrow_type(f.type), f.nullable)
+            for f in schema_arrow
+        ]
+    )
+    spark_schema = from_arrow_schema(target)
+
+    piece_df = spark.createDataFrame(
+        pieces, "url STRING, row_group INT"
+    ).repartition(max(len(pieces), 1))
+
+    def _fetch(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pg_parquet_spark.sources.fs import HttpRandomAccessFile
+
+        for pdf in batches:
+            for url, rg in zip(pdf["url"], pdf["row_group"]):
+                f = pq.ParquetFile(
+                    pa.PythonFile(HttpRandomAccessFile(url), mode="r")
+                )
+                tbl = f.read_row_group(int(rg))
+                yield tbl.cast(target).to_pandas()
+
+    return piece_df.mapInPandas(_fetch, schema=spark_schema)
+
+
 def _read_with_uuid_fallback(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Read parquet whose footer carries UUID-annotated FLBA(16) columns
     (reference-written uuid data, schema_parser.rs:360-365). Spark's
@@ -212,6 +266,16 @@ def read_parquet(
     ]
     for u in uris:
         _check_glob(u)
+
+    schemes = {_fs_mod.scheme_of(u) for u in uris}
+    if schemes & {"http", "https"}:
+        if not schemes <= {"http", "https"}:
+            raise ValueError(
+                "cannot mix http(s) uris with other schemes in one read"
+            )
+        df = _read_parquet_over_http(spark, uris)
+        return _apply_read_clauses(df, schema, match_by, columns, where)
+
     paths = [_strip_scheme(u) for u in uris]
 
     # ADVICE r1: Hadoop globbing treats '**' like a single-level '*', so
@@ -245,6 +309,18 @@ def read_parquet(
             raise
         df = _read_with_uuid_fallback(spark, expanded)
 
+    return _apply_read_clauses(df, schema, match_by, columns, where)
+
+
+def _apply_read_clauses(
+    df: DataFrame,
+    schema: StructType | str | None,
+    match_by: str,
+    columns: list[str] | None,
+    where: str | Column | None,
+) -> DataFrame:
+    """COPY FROM's post-scan clauses: schema match/coerce, column-list
+    projection, WHERE — shared by every read path."""
     if schema is not None:
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)

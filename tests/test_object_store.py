@@ -142,3 +142,78 @@ def test_fs_glob_star_does_not_cross_segments(mem_store):
     # '*' must stay within one path segment (glob-crate parity)
     got = pgfs.glob(f"{mem_store}/*two.parquet")
     assert got == []
+
+
+def test_read_parquet_over_http(spark, tmp_path):
+    """http(s) read parity (reference src/object_store/http.rs:11-38):
+    read_parquet over a plain HTTP server works via range requests — the
+    driver fetches only the footer; each row group is fetched and decoded
+    executor-side (mapInPandas over (url, row_group) pieces)."""
+    import http.server
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_parquet_spark.sources import read_parquet
+
+    tbl = pa.table(
+        {
+            "id": pa.array(range(100), pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(100)]),
+            "score": pa.array([i / 7.0 for i in range(100)]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "web.parquet"), row_group_size=30)
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/web.parquet"
+        df = read_parquet(spark, url)
+        got = {r.id: (r.name, r.score) for r in df.collect()}
+        assert got == {i: (f"n{i}", i / 7.0) for i in range(100)}
+        # 4 row groups -> 4 distributable pieces
+        assert df.rdd.getNumPartitions() == 4
+
+        # WHERE + column projection go through the shared clause path
+        sub = read_parquet(spark, url, columns=["id"], where="id < 10")
+        assert sorted(r.id for r in sub.collect()) == list(range(10))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_parquet_metadata_over_http(tmp_path):
+    """fs.open_parquet serves http(s) footers via ranged GETs."""
+    import http.server
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_parquet_spark.sources import fs as _fs
+
+    pq.write_table(
+        pa.table({"x": pa.array([1, 2, 3], pa.int64())}),
+        str(tmp_path / "m.parquet"),
+    )
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+            *a, directory=str(tmp_path), **kw
+        ),
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/m.parquet"
+        pf = _fs.open_parquet(url)
+        assert pf.metadata.num_rows == 3
+        assert pf.schema_arrow.names == ["x"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
