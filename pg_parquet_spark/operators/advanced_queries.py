@@ -667,6 +667,29 @@ ORDER BY user_id, session_start
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (stateful dropDuplicates keyed on
+    (user_id, event_type)) feeding a per-type aggregate — equals
+    COUNT(DISTINCT user_id) per event_type on a finite drain. The
+    watermark-bounded production variant is documented on the operator
+    (streaming/stream.py deduped_user_event_counts)."""
+    from pg_parquet_spark.streaming.stream import (
+        deduped_user_event_counts,
+        read_events_stream,
+        run_available_now,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    result = run_available_now(deduped_user_event_counts(events))
+    return result.orderBy("event_type")
+
+
+Q_STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running stats; the drained final state equals the batch
@@ -691,6 +714,7 @@ FROM events GROUP BY user_id ORDER BY user_id
 QUERIES = {
     "q_grouping_sets": q_grouping_sets,
     "q_stream_stateful": q_stream_stateful,
+    "q_stream_dedup": q_stream_dedup,
     "q_subquery_scalar": q_subquery_scalar,
     "q_subquery_in": q_subquery_in,
     "q_exists_correlated": q_exists_correlated,
@@ -715,6 +739,7 @@ QUERIES = {
 ORACLES = {
     "q_grouping_sets": Q_GROUPING_SETS_ORACLE,
     "q_stream_stateful": Q_STREAM_STATEFUL_ORACLE,
+    "q_stream_dedup": Q_STREAM_DEDUP_ORACLE,
     "q_subquery_scalar": Q_SUBQUERY_SCALAR_ORACLE,
     "q_subquery_in": Q_SUBQUERY_IN_ORACLE,
     "q_exists_correlated": Q_EXISTS_CORRELATED_ORACLE,

@@ -21,6 +21,54 @@ from pg_parquet_spark.functions.metadata import (
 from pg_parquet_spark.sources.reader import read_parquet
 
 
+# http(s) scan (A24; reference src/object_store/http.rs:11-38): the
+# gate serves the sf dir over a loopback HTTP server and reads through
+# the engine's range-request path — footer driver-side, row groups
+# decoded executor-side.
+
+#: one daemon server per served directory, alive for the session (the
+#: returned DataFrame is lazy; executors fetch when the driver runs it)
+_HTTP_SERVERS: dict[str, object] = {}
+
+
+def _http_base_url(directory: str) -> str:
+    srv = _HTTP_SERVERS.get(directory)
+    if srv is None:
+        import functools
+        import http.server
+        import threading
+
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler, directory=directory
+        )
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        _HTTP_SERVERS[directory] = srv
+    return f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def q_io_http_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = f"{_http_base_url(os.path.abspath(sf_dir))}/customer.parquet"
+    df = read_parquet(spark, url)
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_IO_HTTP_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS cnt,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # glob/multi-file scan (A7): pattern fan-out within the engine reader
 
 def q_io_glob_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +386,7 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 
 
 QUERIES = {
+    "q_io_http_read": q_io_http_read,
     "q_io_glob_read": q_io_glob_read,
     "q_io_csv_roundtrip": q_io_csv_roundtrip,
     "q_io_json_roundtrip": q_io_json_roundtrip,
@@ -353,6 +402,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_io_http_read": Q_IO_HTTP_ORACLE,
     "q_io_glob_read": Q_IO_GLOB_ORACLE,
     "q_io_csv_roundtrip": Q_IO_CSV_ORACLE,
     "q_io_json_roundtrip": Q_IO_JSON_ORACLE,

@@ -268,6 +268,42 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram ratio — the standard boilerplate/looping-text
+    quality signal in LLM corpus curation (Gopher/C4-style rep filters).
+    Pure JVM higher-order functions per row; no shuffle, no Python."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_toks", text.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            F.size(text.word_ngrams(F.col("_toks"), 3)).alias("n_ngrams"),
+            text.repetition_ratio(F.col("_toks"), 3).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END AS ngrams
+  FROM t
+)
+SELECT doc_id, CAST(len(ngrams) AS INT) AS n_ngrams,
+  CASE WHEN len(ngrams) > 0
+    THEN 1.0 - CAST(len(list_distinct(ngrams)) AS DOUBLE)
+               / CAST(len(ngrams) AS DOUBLE)
+    ELSE 0.0 END AS rep_ratio
+FROM g ORDER BY doc_id
+"""
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (brief: whitespace + a BPE-ish regex):
     whitespace split vs subword-style pieces (letter runs, digit runs,
@@ -484,6 +520,7 @@ QUERIES = {
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_text_token_count": q_text_token_count,
     "q_text_fingerprint_rolling": q_text_fingerprint_rolling,
+    "q_text_repetition": q_text_repetition,
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ann_ivf": q_sim_ann_ivf,
@@ -505,6 +542,7 @@ ORACLES = {
     "q_dedup_embedding_cosine": Q_DEDUP_EMBEDDING_ORACLE,
     "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
     "q_text_fingerprint_rolling": Q_TEXT_FP_ROLLING_ORACLE,
+    "q_text_repetition": Q_TEXT_REPETITION_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
     "q_sim_ann_lsh": Q_SIM_ANN_ORACLE,
     "q_sim_ann_ivf": _ivf_oracle(),

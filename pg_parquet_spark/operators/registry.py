@@ -22,14 +22,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Verification-priority prefix, rotated per round (VERDICT r2 #2: no
 #: entry's newest green row should be older than 2 rounds). r5 front:
-#: group 1 = the two streaming queries fixed this round (r4 rows were
-#: red — the stream source hard-coded the nanos fixture unit); group 2 =
-#: the 50 entries whose newest green row is r3 (rotated to the back in
-#: r4); the 50 r4-verified entries rotate to the back.
+#: group 1 = the new http-read query plus the two streaming queries
+#: fixed this round (their r4 rows were red — the stream source
+#: hard-coded the nanos fixture unit); group 2 = the 50 entries whose
+#: newest green row is r3 (rotated to the back in r4); the 50
+#: r4-verified entries rotate to the back.
 GATE_ORDER = [
-    # -- group 1: fixed this round (front: need a fresh hash row) -----------
+    # -- group 1: new/fixed this round (front: need a fresh hash row) -------
+    "q_io_http_read",  # r5 new: http(s) range-request read path
+    "q_text_repetition",  # r5 new: repeated-ngram quality signal
     "q_stream_window",  # r5: stream source now probes the footer timestamp unit
     "q_stream_session",  # r5: stream source now probes the footer timestamp unit
+    "q_stream_dedup",  # r5 new: stateful streaming dropDuplicates tier
     # -- group 2: newest green row is r3 (outside the r4 window) ------------
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",

@@ -163,3 +163,32 @@ def rolling_fingerprint_oracle_expr(text_expr: str) -> str:
         f"t -> CAST(CONCAT('0x', substr(md5(t), 1, 7)) AS BIGINT) % {p})), "
         f"(acc, h) -> (acc * {b} + h) % {p})"
     )
+
+
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Word n-grams over an already-projected tokens column, as
+    space-joined strings. Pure JVM higher-order functions (transform +
+    get) — no Python in the hot path; at 100 TB this is per-row codegen
+    with zero shuffle."""
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + F.lit(k)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratio(toks: Column, n: int = 3) -> Column:
+    """Repeated n-gram ratio (1 − distinct/total) — the standard
+    boilerplate/spam signal in LLM corpus curation (high ratio = looping
+    or templated text). 0.0 for documents shorter than n tokens."""
+    g = word_ngrams(toks, n)
+    total = F.size(g).cast("double")
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total,
+    ).otherwise(F.lit(0.0))

@@ -138,3 +138,19 @@ def run_available_now(sdf: DataFrame, timeout_sec: int = 120) -> DataFrame:
     q.awaitTermination(timeout_sec)
     spark = sdf.sparkSession
     return spark.table(name)
+
+
+def deduped_user_event_counts(events: DataFrame) -> DataFrame:
+    """Streaming exact deduplication (stateful ``dropDuplicates``) then
+    aggregate: distinct users per event_type. The dedup state is keyed
+    by (user_id, event_type) — exact global dedup for a finite drain.
+    At 100 TB scale the bounded-state variant is
+    ``dropDuplicatesWithinWatermark`` (same plan shape; dedup guarantees
+    then hold only within the watermark horizon), mirroring how the
+    batch tier offers exact (`dedup_exact`) vs LSH (`minhash_lsh_pairs`)
+    trade-offs."""
+    return (
+        events.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
