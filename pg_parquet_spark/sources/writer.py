@@ -106,6 +106,48 @@ def write_parquet(
     )
     raw_field_ids = field_ids
 
+    from pg_parquet_spark.sources import fs as _fs_mod
+
+    if _fs_mod.scheme_of(uri) in ("http", "https"):
+        # reference parity: the HTTP object store PUTs whole objects
+        # (src/object_store/http.rs; e2e via WebDAV). Single-file
+        # targets only — split/directory layouts need a listing store.
+        if opts.file_size_bytes is not None:
+            raise ValueError(
+                "file_size_bytes is not supported for http(s) targets"
+            )
+        if not uri.rstrip("/").lower().endswith(
+            (".parquet", ".gz", ".zst", ".br", ".lz4", ".snappy")
+        ):
+            raise ValueError(
+                "http(s) write target must be a single parquet file uri"
+            )
+        import requests
+
+        tmp = tempfile.mkdtemp(prefix="pgpq_http_put_")
+        try:
+            local = os.path.join(tmp, os.path.basename(uri.rstrip("/")))
+            write_parquet(
+                df,
+                local,
+                compression=compression,
+                compression_level=compression_level,
+                row_group_size=row_group_size,
+                row_group_size_bytes=row_group_size_bytes,
+                field_ids=field_ids,
+                parquet_version=parquet_version,
+                kv_metadata=kv_metadata,
+                uuid_columns=uuid_columns,
+                json_columns=json_columns,
+                mode=mode,
+            )
+            with open(local, "rb") as f:
+                resp = requests.put(uri, data=f, timeout=300)
+            resp.raise_for_status()
+            return [uri]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     df = apply_write_policies(df)
     path = _strip_scheme(uri)
     spark = df.sparkSession

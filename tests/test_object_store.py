@@ -217,3 +217,53 @@ def test_parquet_metadata_over_http(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_write_parquet_over_http_put(spark, tmp_path):
+    """https write half (reference http store PUTs whole objects; e2e in
+    the reference runs against WebDAV): write_parquet spools a single
+    file locally with the full option surface, then PUTs the bytes."""
+    import http.server
+    import threading
+
+    import pytest
+
+    from pg_parquet_spark.sources import read_parquet, write_parquet
+
+    class PutHandler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def do_PUT(self):
+            n = int(self.headers.get("Content-Length", 0))
+            dest = tmp_path / self.path.lstrip("/")
+            dest.write_bytes(self.rfile.read(n))
+            self.send_response(201)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), PutHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, None)], "id INT, s STRING"
+        )
+        out = write_parquet(df, f"{base}/put.parquet", compression="zstd")
+        assert out == [f"{base}/put.parquet"]
+        assert (tmp_path / "put.parquet").exists()
+
+        back = read_parquet(spark, f"{base}/put.parquet")
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+
+        with pytest.raises(ValueError, match="single parquet file"):
+            write_parquet(df, f"{base}/some_dir")
+        with pytest.raises(ValueError, match="file_size_bytes"):
+            write_parquet(df, f"{base}/x.parquet", file_size_bytes="2MB")
+    finally:
+        srv.shutdown()
+        srv.server_close()
