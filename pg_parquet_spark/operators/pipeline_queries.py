@@ -385,6 +385,29 @@ def _ivf_oracle() -> str:
     return similarity.ivf_oracle_sql(CENTROIDS, query_id=0, k=10, nprobe=2)
 
 
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with the frozen
+    codebooks (pq_fixture.CODEBOOKS — trained by the deterministic
+    per-subspace Lloyd's in pq_train, shipped as literals): the corpus
+    compresses to m=8 codes per vector, ADC shortlists k*refine
+    candidates, exact cosine re-ranks. The third ANN tier next to
+    hyperplane-LSH and IVF — the memory axis (4 bytes/vector) rather
+    than the partition-pruning axis."""
+    from pg_parquet_spark.operators.pq_fixture import CODEBOOKS
+
+    emb = table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.pq_topk(
+        emb, query, k=10, m=8, ks=16, refine=4, codebooks=CODEBOOKS
+    ).orderBy(F.col("cosine_sim").desc(), "vec_id")
+
+
+def _pq_oracle() -> str:
+    from pg_parquet_spark.operators.pq_fixture import CODEBOOKS
+
+    return similarity.pq_oracle_sql(CODEBOOKS, query_id=0, k=10, refine=4)
+
+
 # ---------------------------------------------------------------------------
 # data selection (sampling / mixing / profiling)
 
@@ -524,6 +547,7 @@ QUERIES = {
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ann_ivf": q_sim_ann_ivf,
+    "q_sim_ann_pq": q_sim_ann_pq,
     "q_sample_deterministic": q_sample_deterministic,
     "q_data_mixture": q_data_mixture,
     "q_profile_columns": q_profile_columns,
@@ -546,6 +570,7 @@ ORACLES = {
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
     "q_sim_ann_lsh": Q_SIM_ANN_ORACLE,
     "q_sim_ann_ivf": _ivf_oracle(),
+    "q_sim_ann_pq": _pq_oracle(),
     "q_sample_deterministic": Q_SAMPLE_ORACLE,
     "q_data_mixture": Q_DATA_MIXTURE_ORACLE,
     "q_profile_columns": Q_PROFILE_ORACLE,

@@ -578,3 +578,201 @@ JOIN sigs sa ON sa._id = c.id_a
 JOIN sigs sb ON sb._id = c.id_b
 WHERE {dot} / (sqrt({na}) * sqrt({nb})) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compressed ANN tier
+
+def _subvec(vec_col: Column, mi: int, dsub: int) -> Column:
+    """1-based slice of subspace ``mi`` (dsub components)."""
+    return F.slice(vec_col, mi * dsub + 1, dsub)
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    dims: int = 64,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace k-means codebooks (product
+    quantization, Jégou et al. 2011): the vector is split into ``m``
+    subvectors and each subspace gets an independent ``ks``-centroid
+    quantizer, so a corpus vector compresses to ``m`` small codes
+    (m=8, ks=16 → 8 nibbles = 4 bytes per 64-dim vector, a 64×
+    memory reduction over float32).
+
+    Same determinism contract as ``ivf_train``: content-hash seeds
+    (smallest md5(id)), exact DECIMAL component sums per cell, Lloyd's
+    with a fixed iteration count, first-match argmin tie-break —
+    reproducible on any engine and any partitioning.
+
+    Returns ``codebooks[m][ks][dsub]``. At 100 TB: train on a hash
+    sample, store the m code columns next to the data (tiny ints), and
+    ADC search never touches the raw vectors except to re-rank the
+    candidate set.
+    """
+    dsub = dims // m
+    seeds = (
+        df.select(
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(ks)
+        .collect()
+    )
+    codebooks = [
+        [[float(x) for x in r._v[mi * dsub : (mi + 1) * dsub]] for r in seeds]
+        for mi in range(m)
+    ]
+    for _ in range(iters):
+        for mi in range(m):
+            sub = _subvec(F.col(vec_col), mi, dsub)
+            assigned = df.select(
+                sub.alias("_v"),
+                _nearest_cell(sub, codebooks[mi]).alias("_code"),
+            )
+            sums = assigned.groupBy("_code").agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("_v", i + 1).cast("decimal(28,10)")).alias(
+                        f"_s{i}"
+                    )
+                    for i in range(dsub)
+                ],
+            )
+            new_book = list(codebooks[mi])
+            for r in sums.collect():
+                new_book[r._code] = [
+                    float(r[f"_s{i}"]) / r._n for i in range(dsub)
+                ]
+            codebooks[mi] = new_book
+    return codebooks
+
+
+def pq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    refine: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ/ADC search: encode the corpus as ``m`` codes, approximate each
+    corpus distance as the sum of per-subspace distances from the query
+    subvector to the CODED centroid (asymmetric distance computation —
+    the query stays full-precision), keep the ``k*refine`` best by ADC,
+    then exact-cosine re-rank to the final top-k.
+
+    Plan shape: codebooks are plan literals; encoding and the ADC sum
+    are pure per-row codegen; the only shuffle is the global top-k
+    (TakeOrderedAndProject). The corpus' raw vectors are read only by
+    the re-rank projection — at scale the codes live in a 4-byte column
+    and this becomes a scan over ints.
+    """
+    if codebooks is None:
+        codebooks = pq_train(df, id_col, vec_col, m, ks, iters, dims)
+    dsub = dims // m
+    corpus = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        *[
+            _nearest_cell(_subvec(F.col(vec_col), mi, dsub), codebooks[mi]).alias(
+                f"_c{mi}"
+            )
+            for mi in range(m)
+        ],
+    )
+    q = query_df.select(F.col(vec_col).alias("_qvec"))
+    cand = corpus.join(F.broadcast(q))
+    # ADC: element_at(per-subspace distance table, code+1), summed in
+    # fixed subspace order (deterministic IEEE sequence, oracle-identical)
+    adc = None
+    for mi in range(m):
+        term = F.element_at(
+            _cell_distances(_subvec(F.col("_qvec"), mi, dsub), codebooks[mi]),
+            F.col(f"_c{mi}") + 1,
+        )
+        adc = term if adc is None else adc + term
+    shortlist = (
+        cand.withColumn("_adc", adc)
+        .orderBy(F.col("_adc").asc(), F.col(id_col))
+        .limit(k * refine)
+    )
+    cos = _exact_cosine(F.col("_v"), F.col("_qvec"))
+    return (
+        shortlist.select(F.col(id_col), cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_oracle_sql(
+    codebooks: list[list[list[float]]],
+    query_id: int = 0,
+    k: int = 10,
+    refine: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> str:
+    """DuckDB replica of pq_topk with a FIXED codebook: identical
+    literal centroids → identical codes (first-match argmin), identical
+    ordered-fold ADC sums → the same shortlist, the same re-ranked
+    top-k. Subvector slices are 1-based inclusive on both engines."""
+    m = len(codebooks)
+    dsub = dims // m
+
+    def sub(expr: str, mi: int) -> str:
+        return f"({expr}[{mi * dsub + 1}:{(mi + 1) * dsub}])"
+
+    code_cols = ", ".join(
+        "CAST(list_position({d}, list_min({d})) - 1 AS INT) AS _c{mi}".format(
+            d="["
+            + ", ".join(
+                _sq_dist_sql(sub("e." + vec_col, mi), c, dsub)
+                for c in codebooks[mi]
+            )
+            + "]",
+            mi=mi,
+        )
+        for mi in range(m)
+    )
+    adc = " + ".join(
+        "(["
+        + ", ".join(_sq_dist_sql(sub("qvec", mi), c, dsub) for c in codebooks[mi])
+        + f"])[_c{mi} + 1]"
+        for mi in range(m)
+    )
+    fold = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    dot = fold.format(d=dims, a="v", b="qvec")
+    na = fold.format(d=dims, a="v", b="v")
+    nb = fold.format(d=dims, a="qvec", b="qvec")
+    return f"""
+WITH q AS (
+  SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id}
+), coded AS (
+  SELECT e.{id_col} AS _id, e.{vec_col} AS v, {code_cols}
+  FROM {table} e
+), shortlist AS (
+  SELECT _id, v, qvec, ({adc}) AS _adc
+  FROM coded, q
+  ORDER BY _adc ASC, _id LIMIT {k * refine}
+)
+SELECT _id AS {id_col}, {dot} / (sqrt({na}) * sqrt({nb})) AS cosine_sim
+FROM shortlist
+ORDER BY cosine_sim DESC, {id_col}
+LIMIT {k}
+"""

@@ -297,3 +297,36 @@ def test_ann_recall_floors_on_embeddings_fixture(spark):
     assert r2_ >= 0.6               # the gate query's operating point
     assert r4 >= 0.8
     assert ivf_recall(16) == 1.0    # probe-all ≡ brute force
+
+
+def test_pq_deterministic_and_recall(spark):
+    """PQ tier: codebooks are partitioning-invariant (decimal sums);
+    refine=corpus-size degenerates to exact brute force; a practical
+    refine keeps a useful share of the exact top-k."""
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    query = df.filter(F.col("vec_id") == 0)
+
+    b1 = similarity.pq_train(df.coalesce(1), m=4, ks=8, dims=16)
+    b8 = similarity.pq_train(df.repartition(8), m=4, ks=8, dims=16)
+    assert b1 == b8
+
+    bf = {r.vec_id for r in similarity.cosine_topk_fast(df, query, k=10).collect()}
+    refine_all = {
+        r.vec_id
+        for r in similarity.pq_topk(
+            df, query, k=10, m=4, ks=8, refine=20, dims=16, codebooks=b1
+        ).collect()
+    }
+    # shortlist of k*refine=200 = whole corpus → exact re-rank == brute force
+    assert refine_all == bf
+    refine4 = {
+        r.vec_id
+        for r in similarity.pq_topk(
+            df, query, k=10, m=4, ks=8, refine=4, dims=16, codebooks=b1
+        ).collect()
+    }
+    assert len(refine4 & bf) >= 3  # ADC shortlist keeps a useful share
