@@ -451,3 +451,157 @@ SELECT id_a, id_b, hamming FROM (
   FROM pairs
 ) WHERE hamming <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing — substring-level duplicate detection
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    algorithm) as (id, fp) rows: hash every word k-gram, slide a window
+    of ``w`` hashes, keep each window's minimum, distinct per document.
+    Guarantees any shared run of ≥ k+w-1 words yields a shared
+    fingerprint — the substring-level dedup the document-level
+    fingerprint tiers can't see (cf. "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022, which dedups at substring
+    granularity).
+
+    Implementation is ROW-based (posexplode + lead/min window
+    functions), not nested array HOFs: chained ``transform`` lambdas
+    re-evaluate their inlined inputs per element after CollapseProject,
+    which compounds to O(n³) per document (measured: 42 s for 500 docs
+    vs 3 s for this shape). One shuffle on the doc id; every stage is
+    linear; skew is bounded by document length.
+    """
+    from pyspark.sql import Window
+
+    W = Window.partitionBy("_id").orderBy("_pos")
+    toks = (
+        df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
+        .select("_id", F.posexplode("_t").alias("_pos", "_tok"))
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    gram = F.concat_ws(
+        " ", F.col("_tok"), *[F.lead("_tok", j).over(W) for j in range(1, k)]
+    )
+    grams = (
+        toks.withColumn("_n", n)
+        .withColumn("_gram", gram)
+        # full k-grams only — plus the single partial gram of a short doc
+        # (matches the oracle's greatest(len-k+1, 1) gram count)
+        .filter(
+            (F.col("_pos") <= F.col("_n") - k)
+            | ((F.col("_n") < k) & (F.col("_pos") == 0))
+        )
+        .select(
+            "_id",
+            "_pos",
+            F.conv(F.substring(F.md5("_gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+    )
+    nh = F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    win_min = F.min("_h").over(W.rowsBetween(0, w - 1))
+    return (
+        grams.withColumn("_nh", nh)
+        .withColumn("_fp", win_min)
+        # one window per start position 0..nh-w (rowsBetween truncates at
+        # the partition end exactly like the oracle's list slice for the
+        # short-document case)
+        .filter(
+            (F.col("_pos") <= F.col("_nh") - w)
+            | ((F.col("_nh") < w) & (F.col("_pos") == 0))
+        )
+        .select(F.col("_id").alias(id_col), F.col("_fp").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    max_docs_per_fp: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
+    substring-duplicate candidates. Fingerprints appearing in more than
+    ``max_docs_per_fp`` documents are dropped before pairing (they are
+    boilerplate by definition, and the cap bounds every join bucket:
+    worst-case fan-out per fingerprint is max_docs_per_fp², independent
+    of corpus size — the same skew-bounding posture as the LSH tiers)."""
+    release_cached()  # self-cleaning, same pool as minhash_lsh_pairs
+    fps = winnow_fingerprint_rows(df, id_col, text_col, k, w).persist()
+    # persisted: feeds the cap aggregate + both join sides — without it
+    # the tokenize/md5/window pipeline runs three times
+    _CACHED_FRAMES.append(fps)
+    capped = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_docs_per_fp)
+        .select("fp")
+    )
+    fps = fps.join(capped, "fp")
+    right = fps.select(F.col(id_col).alias("_id_b"), F.col("fp"))
+    pairs = fps.join(
+        right, (fps.fp == right.fp) & (fps[id_col] < right._id_b)
+    )
+    return (
+        pairs.groupBy(F.col(id_col).alias("id_a"), F.col("_id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def winnow_oracle_sql(
+    k: int = 4,
+    w: int = 5,
+    max_docs_per_fp: int = 50,
+    min_shared: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replica of winnow_shared_pairs: identical gram counts
+    (partial trailing gram when a document is shorter than k words),
+    identical md5-prefix hashes, identical truncating window slices."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split(lower({text_col}), ' ') AS toks FROM {table}
+), g AS (
+  SELECT {id_col},
+    list_transform(range(1, greatest(len(toks) - {k} + 1, 1) + 1),
+                   i -> array_to_string(toks[i:i + {k} - 1], ' ')) AS grams
+  FROM t
+), h AS (
+  SELECT {id_col},
+    list_transform(grams,
+                   s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+  FROM g
+), wmin AS (
+  SELECT {id_col},
+    list_distinct(list_transform(range(1, greatest(len(hs) - {w} + 1, 1) + 1),
+                                 i -> list_min(hs[i:i + {w} - 1]))) AS fps
+  FROM h
+), e AS (
+  SELECT {id_col}, unnest(fps) AS fp FROM wmin
+), capd AS (
+  SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= {max_docs_per_fp}
+), ee AS (
+  SELECT e.{id_col}, e.fp FROM e JOIN capd USING (fp)
+)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS n_shared
+FROM ee a JOIN ee b ON a.fp = b.fp AND a.{id_col} < b.{id_col}
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+ORDER BY id_a, id_b
+"""

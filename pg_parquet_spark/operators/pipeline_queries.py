@@ -222,6 +222,19 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate candidates via winnowing fingerprints
+    (Schleimer et al. 2003; substring-granularity dedup per Lee et al.
+    2022): any shared run of ≥ k+w-1 words guarantees a shared
+    fingerprint. Frequency-capped before pairing so join buckets stay
+    bounded at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.winnow_shared_pairs(docs, "doc_id")
+
+
+Q_DEDUP_WINNOW_ORACLE = dedup.winnow_oracle_sql()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — banded signature join, verified against a
     full DuckDB bit-vote replica (r2: previously rows-only)."""
@@ -540,6 +553,7 @@ QUERIES = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_winnow": q_dedup_winnow,
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_text_token_count": q_text_token_count,
     "q_text_fingerprint_rolling": q_text_fingerprint_rolling,
@@ -563,6 +577,7 @@ ORACLES = {
     "q_dedup_minhash_lsh": Q_DEDUP_MINHASH_ORACLE,
     "q_dedup_ngram_jaccard": Q_DEDUP_NGRAM_ORACLE,
     "q_dedup_simhash": Q_DEDUP_SIMHASH_ORACLE,
+    "q_dedup_winnow": Q_DEDUP_WINNOW_ORACLE,
     "q_dedup_embedding_cosine": Q_DEDUP_EMBEDDING_ORACLE,
     "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
     "q_text_fingerprint_rolling": Q_TEXT_FP_ROLLING_ORACLE,

@@ -35,6 +35,7 @@ GATE_ORDER = [
     "q_stream_session",  # r5: stream source now probes the footer timestamp unit
     "q_stream_dedup",  # r5 new: stateful streaming dropDuplicates tier
     "q_sim_ann_pq",  # r5 new: product-quantization ANN tier
+    "q_dedup_winnow",  # r5 new: winnowing substring-dup fingerprints
     # -- group 2: newest green row is r3 (outside the r4 window) ------------
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",

@@ -330,3 +330,28 @@ def test_pq_deterministic_and_recall(spark):
         ).collect()
     }
     assert len(refine4 & bf) >= 3  # ADC shortlist keeps a useful share
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    """Winnowing property: two documents sharing a run of >= k+w-1 words
+    must share at least one fingerprint; unrelated documents with
+    disjoint vocabulary share none."""
+    from pg_parquet_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog today"
+    rows = [
+        (1, f"intro one {shared} tail alpha beta"),
+        (2, f"different opening words here {shared} closing remark"),
+        (3, "completely unrelated vocabulary zebra xylophone quartz vortex "
+            "jigsaw kayak umbrella notebook"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    fps = {
+        i: {r.fp for r in dedup.winnow_fingerprint_rows(df.filter(f"doc_id = {i}")).collect()}
+        for i in (1, 2, 3)
+    }
+    assert fps[1] & fps[2], "k+w-1 shared run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    pairs = dedup.winnow_shared_pairs(df, "doc_id", min_shared=1).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
