@@ -605,3 +605,86 @@ FROM ee a JOIN ee b ON a.fp = b.fp AND a.{id_col} < b.{id_col}
 GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster formation (connected components over candidate pairs)
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document in
+    ≥1 pair gets ``cluster_id`` = the smallest reachable doc id — the
+    step a curation pipeline actually acts on (keep one representative
+    per cluster, drop the rest). Defaults to MinHash-LSH pairs as edges.
+
+    Min-label propagation, driver-bounded: labels only decrease, so
+    ``sum(label)`` strictly decreases while anything changes — the loop
+    stops at the first fixed point (or ``max_iters``). Each round is one
+    equi-join + min-aggregate; only a single checksum row is collected.
+    Near-dup clusters have tiny diameters (pairs share content), so this
+    converges in a few rounds; a 1000-executor deployment at adversarial
+    diameters would swap in the alternating large-star/small-star
+    formulation, same join shape.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    _CACHED_FRAMES.append(edges)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).persist()
+    _CACHED_FRAMES.append(labels)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges.dst == labels.node).select(
+            edges.src.alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        _CACHED_FRAMES.append(new_labels)
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    ).orderBy(id_col)
+
+
+def near_dup_clusters_oracle_sql(pairs_sql: str | None = None) -> str:
+    """DuckDB replica: recursive-CTE transitive closure, min reachable
+    id per node (identical to the converged min-label fixed point)."""
+    if pairs_sql is None:
+        pairs_sql = minhash_lsh_oracle_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(root) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""

@@ -222,6 +222,19 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation over the MinHash-LSH pairs (connected
+    components, min-label propagation to a checksum fixed point) — the
+    step a curation pipeline acts on: keep cluster_id == doc_id, drop
+    the rest. Oracle: recursive-CTE transitive closure, min reachable
+    id — identical to the converged fixed point."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(docs, "doc_id")
+
+
+Q_DEDUP_CLUSTERS_ORACLE = dedup.near_dup_clusters_oracle_sql()
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate candidates via winnowing fingerprints
     (Schleimer et al. 2003; substring-granularity dedup per Lee et al.
@@ -554,6 +567,7 @@ QUERIES = {
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_winnow": q_dedup_winnow,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_text_token_count": q_text_token_count,
     "q_text_fingerprint_rolling": q_text_fingerprint_rolling,
@@ -578,6 +592,7 @@ ORACLES = {
     "q_dedup_ngram_jaccard": Q_DEDUP_NGRAM_ORACLE,
     "q_dedup_simhash": Q_DEDUP_SIMHASH_ORACLE,
     "q_dedup_winnow": Q_DEDUP_WINNOW_ORACLE,
+    "q_dedup_clusters": Q_DEDUP_CLUSTERS_ORACLE,
     "q_dedup_embedding_cosine": Q_DEDUP_EMBEDDING_ORACLE,
     "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
     "q_text_fingerprint_rolling": Q_TEXT_FP_ROLLING_ORACLE,

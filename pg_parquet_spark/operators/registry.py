@@ -36,6 +36,7 @@ GATE_ORDER = [
     "q_stream_dedup",  # r5 new: stateful streaming dropDuplicates tier
     "q_sim_ann_pq",  # r5 new: product-quantization ANN tier
     "q_dedup_winnow",  # r5 new: winnowing substring-dup fingerprints
+    "q_dedup_clusters",  # r5 new: near-dup connected components
     # -- group 2: newest green row is r3 (outside the r4 window) ------------
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",

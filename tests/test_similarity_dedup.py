@@ -355,3 +355,19 @@ def test_winnow_guarantee_and_pairs(spark):
 
     pairs = dedup.winnow_shared_pairs(df, "doc_id", min_shared=1).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Chained pairs (1-2, 2-3) + an island (7-8) must form clusters
+    {1,2,3}→1 and {7,8}→7 regardless of propagation order."""
+    from pg_parquet_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a BIGINT, id_b BIGINT"
+    )
+    docs = spark.range(0)  # unused when pairs are supplied
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(docs, "doc_id", pairs=pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
