@@ -539,11 +539,11 @@ def winnow_shared_pairs(
     boilerplate by definition, and the cap bounds every join bucket:
     worst-case fan-out per fingerprint is max_docs_per_fp², independent
     of corpus size — the same skew-bounding posture as the LSH tiers)."""
-    release_cached()  # self-cleaning, same pool as minhash_lsh_pairs
-    fps = winnow_fingerprint_rows(df, id_col, text_col, k, w).persist()
-    # persisted: feeds the cap aggregate + both join sides — without it
-    # the tokenize/md5/window pipeline runs three times
-    _CACHED_FRAMES.append(fps)
+    # materialized once (localCheckpoint): feeds the cap aggregate +
+    # both join sides — without it the tokenize/md5/window pipeline runs
+    # three times. At cluster scale this materialization point is a
+    # checkpoint to storage.
+    fps = winnow_fingerprint_rows(df, id_col, text_col, k, w).localCheckpoint()
     capped = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -552,7 +552,9 @@ def winnow_shared_pairs(
     )
     fps = fps.join(capped, "fp")
     right = fps.select(F.col(id_col).alias("_id_b"), F.col("fp"))
-    pairs = fps.join(
+    # shuffle_hash: the fp key is an md5-derived hash with a frequency
+    # cap, so buckets are bounded — no reason to pay the SMJ sort
+    pairs = fps.hint("shuffle_hash").join(
         right, (fps.fp == right.fp) & (fps[id_col] < right._id_b)
     )
     return (
@@ -632,6 +634,12 @@ def near_dup_clusters(
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(df, id_col)
+    # localCheckpoint (not persist): an iterative loop's lineage grows
+    # per round — without truncation the final plan nests every prior
+    # round (and a failure-recompute would replay them all). Checkpoint
+    # materializes each round and cuts the plan at that point; a
+    # cluster deployment would use a reliable checkpoint dir instead of
+    # executor-local blocks, same call shape.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -640,13 +648,14 @@ def near_dup_clusters(
             )
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    _CACHED_FRAMES.append(edges)
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    ).persist()
-    _CACHED_FRAMES.append(labels)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iters):
         prop = edges.join(labels, edges.dst == labels.node).select(
@@ -656,9 +665,8 @@ def near_dup_clusters(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
-        _CACHED_FRAMES.append(new_labels)
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
