@@ -330,6 +330,44 @@ FROM g ORDER BY doc_id
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    perplexity-proxy quality signal (degenerate/looping text scores near
+    0, natural prose ~4-4.5 bits/char). Sorted distinct set fixes the
+    float summation order so Spark and DuckDB sum identically."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_cs", F.split(F.col("text"), ""))
+        .withColumn("_ds", F.array_sort(F.array_distinct(F.col("_cs"))))
+        .select(
+            "doc_id",
+            F.round(text.char_entropy(F.col("_cs"), F.col("_ds")), 6).alias(
+                "char_entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT doc_id, regexp_split_to_array(text, '') AS cs FROM documents
+), d AS (
+  SELECT doc_id, cs, list_sort(list_distinct(cs)) AS ds FROM c
+)
+SELECT doc_id,
+  ROUND(-list_reduce(
+     list_prepend(CAST(0 AS DOUBLE),
+       list_transform(ds, dch ->
+         (CAST(len(list_filter(cs, ch -> ch = dch)) AS DOUBLE)
+            / CAST(len(cs) AS DOUBLE))
+         * ln(CAST(len(list_filter(cs, ch -> ch = dch)) AS DOUBLE)
+            / CAST(len(cs) AS DOUBLE)))),
+     (a, p) -> a + p) / ln(CAST(2 AS DOUBLE)), 6) AS char_entropy
+FROM d ORDER BY doc_id
+"""
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (brief: whitespace + a BPE-ish regex):
     whitespace split vs subword-style pieces (letter runs, digit runs,
@@ -572,6 +610,7 @@ QUERIES = {
     "q_text_token_count": q_text_token_count,
     "q_text_fingerprint_rolling": q_text_fingerprint_rolling,
     "q_text_repetition": q_text_repetition,
+    "q_text_entropy": q_text_entropy,
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ann_ivf": q_sim_ann_ivf,
@@ -597,6 +636,7 @@ ORACLES = {
     "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
     "q_text_fingerprint_rolling": Q_TEXT_FP_ROLLING_ORACLE,
     "q_text_repetition": Q_TEXT_REPETITION_ORACLE,
+    "q_text_entropy": Q_TEXT_ENTROPY_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
     "q_sim_ann_lsh": Q_SIM_ANN_ORACLE,
     "q_sim_ann_ivf": _ivf_oracle(),

@@ -37,6 +37,7 @@ GATE_ORDER = [
     "q_sim_ann_pq",  # r5 new: product-quantization ANN tier
     "q_dedup_winnow",  # r5 new: winnowing substring-dup fingerprints
     "q_dedup_clusters",  # r5 new: near-dup connected components
+    "q_text_entropy",  # r5 new: char-entropy quality signal
     # -- group 2: newest green row is r3 (outside the r4 window) ------------
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",

@@ -192,3 +192,27 @@ def repetition_ratio(toks: Column, n: int = 3) -> Column:
         total > 0,
         F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total,
     ).otherwise(F.lit(0.0))
+
+
+def char_entropy(chars: Column, sorted_distinct: Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — a
+    perplexity-proxy quality signal (near-zero = degenerate/repeated
+    text, natural prose sits ~4-4.5 bits). Both inputs must be staged
+    column references (see shingles_from_tokens); the distinct set is
+    SORTED so the float summation order is engine-identical, and the
+    formulation is -(Σ p·ln p)/ln 2: JVM and DuckDB log2() disagree by
+    1-2 ULP on ~17% of arguments, ln() on ~3% — callers that need a
+    cross-engine-stable hash should round the result (the gate query
+    rounds to 6 decimals; a 1-ULP residue at entropy≈4 is ~1e-15)."""
+    n = F.size(chars).cast("double")
+    terms = F.transform(
+        sorted_distinct,
+        lambda d: (
+            F.size(F.filter(chars, lambda c: c == d)).cast("double") / n
+        ),
+    )
+    return -F.aggregate(
+        terms,
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log(p),
+    ) / F.log(F.lit(2.0))
