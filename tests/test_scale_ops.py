@@ -374,3 +374,80 @@ def test_rewrite_arrow_type_nested_and_extension():
             return cls()
 
     assert _rewrite_arrow_type(_MonthType()) == pa.int32()
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is the bounded-state tier of the
+    streaming-dedup trade (stream.deduped_user_event_counts docstring):
+    once the watermark passes a key's eviction horizon (first ts +
+    delay) its state is dropped — eviction is applied from the NEXT
+    micro-batch — so a later duplicate is re-emitted; exact global
+    dedup only holds within the horizon. Three files with pinned mtimes
+    + maxFilesPerTrigger=1 force three ordered micro-batches; batches
+    1-2 advance the watermark past the key's eviction time."""
+    import datetime
+    import os as _os
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "wm_events"
+    src.mkdir()
+    t = lambda h, m: datetime.datetime(2024, 6, 1, h, m)  # noqa: E731
+
+    def write(name, uids, types, tss, age):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(uids, pa.int64()),
+                    "event_type": pa.array(types),
+                    "ts": pa.array(tss, pa.timestamp("us")),
+                }
+            ),
+            str(src / name),
+        )
+        now = _time.time()
+        # FileStreamSource orders by modification time — pin batch order
+        _os.utime(src / name, (now - age, now - age))
+
+    write("b1.parquet", [1, 9], ["k", "advance"], [t(10, 0), t(12, 0)], 300)
+    write("b2.parquet", [9], ["advance2"], [t(12, 30)], 150)
+    # batch 3: duplicate of (1, k) at 12:15 — newer than the watermark
+    # (12:00), but the original state (eviction horizon 10:30) was
+    # evicted at the start of batch 2 -> re-emitted
+    write("b3.parquet", [1], ["k"], [t(12, 15)], 0)
+
+    def drain(dedup_within: bool) -> list:
+        stream = (
+            spark.readStream.schema(
+                "user_id BIGINT, event_type STRING, ts TIMESTAMP_NTZ"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "30 minutes")
+        )
+        out = (
+            stream.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            if dedup_within
+            else stream.dropDuplicates(["user_id", "event_type"])
+        )
+        name = f"pgpq_wm_{_uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            (r.user_id, r.event_type)
+            for r in spark.table(name).collect()
+            if r.event_type == "k"
+        ]
+
+    assert sorted(drain(dedup_within=True)) == [(1, "k"), (1, "k")]
+    assert sorted(drain(dedup_within=False)) == [(1, "k")]
