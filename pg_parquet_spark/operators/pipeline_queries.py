@@ -494,6 +494,51 @@ ORDER BY doc_id
 """
 
 
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (64-token windows, 16 overlap) —
+    the pre-training / RAG-ingestion step. Per-row HOF + explode, no
+    shuffle; chunk grid identical in the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+        .select("doc_id", "chunk_id", "n_tokens")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+Q_TEXT_CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks,
+    greatest(CAST(FLOOR((len(toks) - 16 + 47) / 48.0) AS BIGINT), 1) AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+  CAST(len(toks[(CAST(i AS BIGINT) - 1) * 48 + 1 : (CAST(i AS BIGINT) - 1) * 48 + 64]) AS INT) AS n_tokens
+FROM (SELECT doc_id, toks, unnest(range(1, n_chunks + 1)) AS i FROM g)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (512-token packs, 32 hash
+    buckets) — turns the deduped corpus into dense training batches.
+    Window cumsum per content-hash bucket; fully deterministic."""
+    from pg_parquet_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    return sampling.pack_sequences(
+        docs, "doc_id", "text", max_tokens=512, buckets=32
+    ).orderBy("doc_id")
+
+
+def _pack_oracle() -> str:
+    from pg_parquet_spark.operators import sampling
+
+    return sampling.pack_sequences_oracle_sql(max_tokens=512, buckets=32)
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain mixture weighting (corpus construction: keep all of
     src0, a quarter of src1, a tenth of the rest)."""
@@ -611,6 +656,8 @@ QUERIES = {
     "q_text_fingerprint_rolling": q_text_fingerprint_rolling,
     "q_text_repetition": q_text_repetition,
     "q_text_entropy": q_text_entropy,
+    "q_text_chunk": q_text_chunk,
+    "q_pack_sequences": q_pack_sequences,
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ann_ivf": q_sim_ann_ivf,
@@ -637,6 +684,8 @@ ORACLES = {
     "q_text_fingerprint_rolling": Q_TEXT_FP_ROLLING_ORACLE,
     "q_text_repetition": Q_TEXT_REPETITION_ORACLE,
     "q_text_entropy": Q_TEXT_ENTROPY_ORACLE,
+    "q_text_chunk": Q_TEXT_CHUNK_ORACLE,
+    "q_pack_sequences": _pack_oracle(),
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
     "q_sim_ann_lsh": Q_SIM_ANN_ORACLE,
     "q_sim_ann_ivf": _ivf_oracle(),

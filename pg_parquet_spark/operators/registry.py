@@ -38,6 +38,8 @@ GATE_ORDER = [
     "q_dedup_winnow",  # r5 new: winnowing substring-dup fingerprints
     "q_dedup_clusters",  # r5 new: near-dup connected components
     "q_text_entropy",  # r5 new: char-entropy quality signal
+    "q_text_chunk",  # r5 new: sliding-window token chunking
+    "q_pack_sequences",  # r5 new: token-budget sequence packing
     # -- group 2: newest green row is r3 (outside the r4 window) ------------
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",

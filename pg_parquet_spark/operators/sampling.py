@@ -65,3 +65,79 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    buckets: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (greedy cumulative
+    packing) — the sequence-packing step that turns a deduped corpus
+    into dense training batches. Documents are first spread over
+    ``buckets`` by content hash (each bucket packs independently and in
+    parallel — at 100 TB buckets ≈ executor count × k), then packed in
+    doc-id order by a running token cumsum: a document's pack is
+    ``floor(tokens_before / max_tokens)``.
+
+    Fully deterministic (content-hash bucketing + id ordering + window
+    cumsum — no RNG, no partition dependence) and pure window SQL, so it
+    replicates in the DuckDB oracle. Over-length documents simply span
+    a pack boundary (truncation is the tokenizer's job downstream).
+    Returns (id, bucket, pack_id, n_tokens).
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.lower(F.col(text_col)), " ")).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % buckets
+    ).cast("int")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col), bucket.alias("bucket"), n_tokens.alias("n_tokens")
+        )
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "bucket",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / max_tokens).alias(
+                "pack_id"
+            ),
+            "n_tokens",
+        )
+    )
+
+
+def pack_sequences_oracle_sql(
+    max_tokens: int = 512,
+    buckets: int = 32,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replica: identical md5 bucketing, id-ordered running sum,
+    identical floor((cum - n) / max_tokens) pack assignment."""
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+    CAST(CAST(CONCAT('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 6)) AS BIGINT)
+      % {buckets} AS INT) AS bucket,
+    CAST(len(string_split(lower({text_col}), ' ')) AS BIGINT) AS n_tokens
+  FROM {table}
+)
+SELECT {id_col}, bucket,
+  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY {id_col}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+    / {max_tokens}) AS BIGINT) AS pack_id,
+  n_tokens
+FROM t ORDER BY {id_col}
+"""

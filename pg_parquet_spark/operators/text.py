@@ -216,3 +216,52 @@ def char_entropy(chars: Column, sorted_distinct: Column) -> Column:
         F.lit(0.0),
         lambda acc, p: acc + p * F.log(p),
     ) / F.log(F.lit(2.0))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunking — the standard pre-training /
+    RAG-ingestion step (fixed-size token windows with overlap so no
+    span is lost at a boundary). Chunk count per doc is
+    max(ceil((n - overlap) / step), 1) with step = chunk_tokens -
+    overlap; the final window may be short.
+
+    One staged tokens column + a single-level HOF (the slice lambda
+    reads one staged reference; see shingles_from_tokens for why deeper
+    nesting is forbidden), then explode — per-row codegen, no shuffle.
+    Returns (id, chunk_id, n_tokens, chunk_text).
+    """
+    step = chunk_tokens - overlap
+    n = F.size(F.col("_ctoks"))
+    # integer ceil((n - overlap) / step), floored at 1
+    n_chunks = F.greatest(
+        F.floor(((n - F.lit(overlap)) + F.lit(step - 1)) / F.lit(step)),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.size(F.slice(F.col("_ctoks"), i * step + 1, chunk_tokens)).alias(
+                "n_tokens"
+            ),
+            F.concat_ws(
+                " ", F.slice(F.col("_ctoks"), i * step + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        df.withColumn("_ctoks", tokens(F.col(text_col)))
+        .select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -371,3 +371,41 @@ def test_near_dup_clusters_transitive(spark):
         for r in dedup.near_dup_clusters(docs, "doc_id", pairs=pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_chunk_documents_grid(spark):
+    """Chunk grid: overlap preserved between consecutive windows, last
+    window short, single chunk for short docs."""
+    from pg_parquet_spark.operators import text as text_ops
+
+    doc = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, doc), (2, "tiny doc")], "doc_id INT, text STRING")
+    rows = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text.split(" "))
+        for r in text_ops.chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    }
+    # 100 tokens, step 48 -> ceil((100-16)/48)=2 chunks: [0:64], [48:100]
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1)}
+    assert rows[(1, 0)][0] == 64 and rows[(1, 1)][0] == 52
+    assert rows[(1, 0)][1][48:] == rows[(1, 1)][1][:16]  # overlap intact
+    assert rows[(2, 0)][0] == 2 and len({k for k in rows if k[0] == 2}) == 1
+
+
+def test_pack_sequences_budget(spark):
+    """Packs respect the running-budget boundary and are deterministic
+    under repartitioning."""
+    from pg_parquet_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * 100)) for i in range(20)], "doc_id INT, text STRING"
+    )
+    a = sampling.pack_sequences(docs, max_tokens=250, buckets=2).collect()
+    b = sampling.pack_sequences(docs.repartition(8), max_tokens=250, buckets=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # within a bucket, each pack holds floor(250/100)=2 docs before the
+    # cumsum crosses the boundary
+    from collections import Counter
+
+    per_pack = Counter((r.bucket, r.pack_id) for r in a)
+    assert all(c <= 3 for c in per_pack.values())
+    assert max(r.pack_id for r in a) >= 1  # multiple packs actually formed
