@@ -521,6 +521,39 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / SSN-style ids) — the pre-release
+    curation pass. The fixture contains no PII, so the gate synthesizes
+    a deterministic PII suffix per document (both engines build the
+    identical string) to prove each pattern actually fires."""
+    docs = table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 id 123-45-6789"),
+    )
+    return (
+        docs.select(
+            "doc_id", text.scrub_pii(pii).alias("scrubbed")
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_PII_ORACLE = f"""
+SELECT doc_id,
+  {text.scrub_pii_oracle_expr(
+      "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+      "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+      "'.7 id 123-45-6789'"
+  )} AS scrubbed
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing (512-token packs, 32 hash
     buckets) — turns the deduped corpus into dense training batches.
@@ -658,6 +691,7 @@ QUERIES = {
     "q_text_entropy": q_text_entropy,
     "q_text_chunk": q_text_chunk,
     "q_pack_sequences": q_pack_sequences,
+    "q_text_pii_scrub": q_text_pii_scrub,
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ann_ivf": q_sim_ann_ivf,
@@ -686,6 +720,7 @@ ORACLES = {
     "q_text_entropy": Q_TEXT_ENTROPY_ORACLE,
     "q_text_chunk": Q_TEXT_CHUNK_ORACLE,
     "q_pack_sequences": _pack_oracle(),
+    "q_text_pii_scrub": Q_TEXT_PII_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,
     "q_sim_ann_lsh": Q_SIM_ANN_ORACLE,
     "q_sim_ann_ivf": _ivf_oracle(),

@@ -40,6 +40,7 @@ GATE_ORDER = [
     "q_text_entropy",  # r5 new: char-entropy quality signal
     "q_text_chunk",  # r5 new: sliding-window token chunking
     "q_pack_sequences",  # r5 new: token-budget sequence packing
+    "q_text_pii_scrub",  # r5 new: PII redaction pass
     # -- group 2: newest green row is r3 (outside the r4 window) ------------
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",

@@ -265,3 +265,32 @@ def chunk_documents(
             F.col("_c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+#: PII scrub patterns — kept to syntax with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+#: ASCII \b. Order matters (emails contain dots; scrub them first).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact common PII shapes (emails, IPv4, SSN-style ids) — the
+    standard pre-release curation pass. Chained JVM regexp_replace, no
+    Python, no shuffle."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_pii_oracle_expr(text_expr: str) -> str:
+    """DuckDB rendering: same patterns, same order, global flag."""
+    out = text_expr
+    for pat, repl in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return out
