@@ -409,3 +409,25 @@ def test_pack_sequences_budget(spark):
     per_pack = Counter((r.bucket, r.pack_id) for r in a)
     assert all(c <= 3 for c in per_pack.values())
     assert max(r.pack_id for r in a) >= 1  # multiple packs actually formed
+
+
+def test_scrub_pii_patterns(spark):
+    from pg_parquet_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk here"),
+            (2, "server at 192.168.001.7 port"),
+            (3, "ssn 123-45-6789."),
+            (4, "clean text 1.2 v3 a@b"),  # no full PII shapes
+        ],
+        "id INT, t STRING",
+    )
+    got = {
+        r.id: r.s
+        for r in df.select("id", text_ops.scrub_pii(F.col("t")).alias("s")).collect()
+    }
+    assert got[1] == "mail <EMAIL> here"
+    assert got[2] == "server at <IP> port"
+    assert got[3] == "ssn <SSN>."
+    assert got[4] == "clean text 1.2 v3 a@b"
