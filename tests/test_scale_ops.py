@@ -451,3 +451,43 @@ def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
 
     assert sorted(drain(dedup_within=True)) == [(1, "k"), (1, "k")]
     assert sorted(drain(dedup_within=False)) == [(1, "k")]
+
+
+def test_stream_parquet_sink_roundtrip(spark, tmp_path):
+    """readStream → transform → writeStream parquet sink (the
+    streaming-ETL shape: at scale this is the continuous-ingest path,
+    one file per trigger per partition): drained output read back
+    equals the batch equivalent."""
+    import uuid as _uuid
+
+    from pg_parquet_spark.streaming.stream import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_events_stream(spark, sf).select(
+        "event_id", "user_id", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    q = (
+        events.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"pgpq_sink_{_uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_id: (r.user_id, r.v)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r.event_id: (r.user_id, r.v)
+        for r in table(spark, sf, "events")
+        .select(
+            "event_id", "user_id", F.col("value").cast("decimal(12,2)").alias("v")
+        )
+        .collect()
+    }
+    assert got == want
