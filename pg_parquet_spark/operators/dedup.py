@@ -616,7 +616,7 @@ def near_dup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
     pairs: DataFrame | None = None,
-    max_iters: int = 10,
+    max_iters: int | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document in
     ≥1 pair gets ``cluster_id`` = the smallest reachable doc id — the
@@ -625,12 +625,15 @@ def near_dup_clusters(
 
     Min-label propagation, driver-bounded: labels only decrease, so
     ``sum(label)`` strictly decreases while anything changes — the loop
-    stops at the first fixed point (or ``max_iters``). Each round is one
+    runs to that fixed point (rounds needed = graph diameter, which for
+    near-dup clusters is tiny since pairs share content). ``max_iters``
+    is an optional hard cap for adversarial graphs: exhausting it before
+    the fixed point RAISES rather than returning a silently-partial
+    labeling (ADVICE r5 — a diameter-11 component would otherwise
+    diverge from the oracle's transitive closure). Each round is one
     equi-join + min-aggregate; only a single checksum row is collected.
-    Near-dup clusters have tiny diameters (pairs share content), so this
-    converges in a few rounds; a 1000-executor deployment at adversarial
-    diameters would swap in the alternating large-star/small-star
-    formulation, same join shape.
+    A 1000-executor deployment at adversarial diameters would swap in
+    the alternating large-star/small-star formulation, same join shape.
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(df, id_col)
@@ -657,7 +660,16 @@ def near_dup_clusters(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iters):
+    converged = False
+    rounds = 0
+    while not converged:
+        if max_iters is not None and rounds >= max_iters:
+            raise RuntimeError(
+                f"near_dup_clusters did not converge within max_iters={max_iters} "
+                "label-propagation rounds; raise max_iters (or pass None to run "
+                "to the fixed point)"
+            )
+        rounds += 1
         prop = edges.join(labels, edges.dst == labels.node).select(
             edges.src.alias("node"), F.col("label")
         )
@@ -669,8 +681,7 @@ def near_dup_clusters(
         )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if new_sum == prev_sum:
-            break
+        converged = new_sum == prev_sum
         prev_sum = new_sum
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")

@@ -32,6 +32,10 @@ _HTTP_SERVERS: dict[str, object] = {}
 
 
 def _http_base_url(directory: str) -> str:
+    # loopback test server is plain http — opt in the way the reference
+    # tests do for their WebDAV emulator (object_store/http.rs:16 gates
+    # non-TLS http on the ALLOW_HTTP env var being set)
+    os.environ.setdefault("ALLOW_HTTP", "1")
     srv = _HTTP_SERVERS.get(directory)
     if srv is None:
         import functools

@@ -356,14 +356,16 @@ WITH c AS (
   SELECT doc_id, cs, list_sort(list_distinct(cs)) AS ds FROM c
 )
 SELECT doc_id,
-  ROUND(-list_reduce(
-     list_prepend(CAST(0 AS DOUBLE),
-       list_transform(ds, dch ->
-         (CAST(len(list_filter(cs, ch -> ch = dch)) AS DOUBLE)
-            / CAST(len(cs) AS DOUBLE))
-         * ln(CAST(len(list_filter(cs, ch -> ch = dch)) AS DOUBLE)
-            / CAST(len(cs) AS DOUBLE)))),
-     (a, p) -> a + p) / ln(CAST(2 AS DOUBLE)), 6) AS char_entropy
+  ROUND(CASE WHEN len(cs) > 0 THEN
+    (-list_reduce(
+       list_prepend(CAST(0 AS DOUBLE),
+         list_transform(ds, dch ->
+           (CAST(len(list_filter(cs, ch -> ch = dch)) AS DOUBLE)
+              / CAST(len(cs) AS DOUBLE))
+           * ln(CAST(len(list_filter(cs, ch -> ch = dch)) AS DOUBLE)
+              / CAST(len(cs) AS DOUBLE)))),
+       (a, p) -> a + p) / ln(CAST(2 AS DOUBLE))) + CAST(0 AS DOUBLE)
+    ELSE CAST(0 AS DOUBLE) END, 6) AS char_entropy
 FROM d ORDER BY doc_id
 """
 

@@ -21,27 +21,87 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Verification-priority prefix, rotated per round (VERDICT r2 #2: no
-#: entry's newest green row should be older than 2 rounds). r5 front:
-#: group 1 = the new http-read query plus the two streaming queries
-#: fixed this round (their r4 rows were red — the stream source
-#: hard-coded the nanos fixture unit); group 2 = the 50 entries whose
-#: newest green row is r3 (rotated to the back in r4); the 50
-#: r4-verified entries rotate to the back.
+#: entry's newest green row should be older than 2 rounds). r6 front,
+#: from folding CORRECTNESS_r01..r05: group 1 = the 12 entries whose
+#: newest green row is still r3 (the tail of r5's group 2 that fell
+#: outside both the r4 and r5 windows — most stale, must lead); group 2
+#: = the 44 r4-green entries (VERDICT r5 next-round #2). 12+44 = 56 >
+#: the 50-query window, so the last 6 of group 2 land at positions
+#: 51-56 and lead r7's window (still ≤2 rounds old after r6). The 50
+#: r5-verified entries rotate to the back.
 GATE_ORDER = [
-    # -- group 1: new/fixed this round (front: need a fresh hash row) -------
-    "q_io_http_read",  # r5 new: http(s) range-request read path
-    "q_text_repetition",  # r5 new: repeated-ngram quality signal
-    "q_stream_window",  # r5: stream source now probes the footer timestamp unit
-    "q_stream_session",  # r5: stream source now probes the footer timestamp unit
-    "q_stream_dedup",  # r5 new: stateful streaming dropDuplicates tier
-    "q_sim_ann_pq",  # r5 new: product-quantization ANN tier
-    "q_dedup_winnow",  # r5 new: winnowing substring-dup fingerprints
-    "q_dedup_clusters",  # r5 new: near-dup connected components
-    "q_text_entropy",  # r5 new: char-entropy quality signal
-    "q_text_chunk",  # r5 new: sliding-window token chunking
-    "q_pack_sequences",  # r5 new: token-budget sequence packing
-    "q_text_pii_scrub",  # r5 new: PII redaction pass
-    # -- group 2: newest green row is r3 (outside the r4 window) ------------
+    # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
+    "q_join_cross",
+    "q_join_left",
+    "q_join_semi",
+    "q_projection_filter",
+    "q_scalar_json",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_text_lang_id",
+    "q_text_token_count",
+    "q_topk",
+    "q_union_all",
+    "q_window_lag_lead",
+    # -- group 2: r4-green, rotated to the front per VERDICT r5 #2 ----------
+    "q_stream_stateful",
+    "q_io_geo_roundtrip",
+    "q_io_csv_roundtrip",
+    "q_io_match_position",
+    "q_io_coercion_read",
+    "q_grouping_sets",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_exists_correlated",
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg",
+    "q_python_udtf",
+    "q_asof_join",
+    "q_sessionize_batch",
+    "q_window_ntile_dist",
+    "q_window_range_frame",
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_agg_percentile_collect",
+    "q_scalar_string_extra",
+    "q_scalar_date_arith",
+    "q_min_max_by",
+    "q_sim_cosine_topk",
+    "q_sim_ann_lsh",
+    "q_sample_deterministic",
+    "q_data_mixture",
+    "q_profile_columns",
+    "q_multimodal_metadata",
+    "q_dedup_simhash",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume",
+    "q22_prospective_customers",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q_text_fingerprint_rolling",
+    "q1_pricing_summary",
+    # window cut is at 50 entries: the 6 below spill to r7's front
+    "q3_shipping_priority",
+    "q_join_inner_broadcast",
+    "q_agg_rollup",
+    "q_window_frame",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    # -- group 3: r5-green, rotate back (front again in r7/r8) --------------
+    "q_io_http_read",
+    "q_text_repetition",
+    "q_stream_window",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_sim_ann_pq",
+    "q_dedup_winnow",
+    "q_dedup_clusters",
+    "q_text_entropy",
+    "q_text_chunk",
+    "q_pack_sequences",
+    "q_text_pii_scrub",
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
@@ -80,64 +140,6 @@ GATE_ORDER = [
     "q_io_json_roundtrip",
     "q_io_list",
     "q_join_anti",
-    "q_join_cross",
-    "q_join_left",
-    "q_join_semi",
-    "q_projection_filter",
-    "q_scalar_json",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_text_lang_id",
-    "q_text_token_count",
-    "q_topk",
-    "q_union_all",
-    "q_window_lag_lead",
-    # -- group 3: r4-green, rotate back (front again in r6) -----------------
-    "q_stream_stateful",  # first of the rotated tier: its r4 green row was
-    # ts-independent (oracle never reads ts), so re-verify soonest
-    "q_io_geo_roundtrip",
-    "q_io_csv_roundtrip",
-    "q_io_match_position",
-    "q_io_coercion_read",
-    "q_grouping_sets",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_exists_correlated",
-    "q_pandas_udf_scalar",
-    "q_pandas_udf_grouped_agg",
-    "q_python_udtf",
-    "q_asof_join",
-    "q_sessionize_batch",
-    "q_window_ntile_dist",
-    "q_window_range_frame",
-    "q_scalar_array",
-    "q_scalar_map",
-    "q_agg_percentile_collect",
-    "q_scalar_string_extra",
-    "q_scalar_date_arith",
-    "q_min_max_by",
-    "q_sim_cosine_topk",
-    "q_sim_ann_lsh",
-    "q_sample_deterministic",
-    "q_data_mixture",
-    "q_profile_columns",
-    "q_multimodal_metadata",
-    "q_dedup_simhash",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q18_large_volume",
-    "q22_prospective_customers",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q_text_fingerprint_rolling",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q_join_inner_broadcast",
-    "q_agg_rollup",
-    "q_window_frame",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
 ]
 
 

@@ -211,11 +211,16 @@ def char_entropy(chars: Column, sorted_distinct: Column) -> Column:
             F.size(F.filter(chars, lambda c: c == d)).cast("double") / n
         ),
     )
-    return -F.aggregate(
+    raw = -F.aggregate(
         terms,
         F.lit(0.0),
         lambda acc, p: acc + p * F.log(p),
     ) / F.log(F.lit(2.0))
+    # n > 0 guard + '+ 0.0' (-0.0 → +0.0 for a single-symbol alphabet):
+    # an engine whose split('') yields [] would otherwise divide by zero
+    # here while the other returns 0.0 — a latent cross-engine hash
+    # divergence (ADVICE r5). Oracles must mirror the CASE and the + 0.0.
+    return F.when(n > 0, raw + F.lit(0.0)).otherwise(F.lit(0.0))
 
 
 def chunk_documents(

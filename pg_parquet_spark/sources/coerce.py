@@ -78,18 +78,26 @@ def is_coercible(from_dt: DataType, to_dt: DataType) -> bool:
         to_dt, (StructType, ArrayType, MapType)
     ):
         return False
-    # primitive matrix: PG has explicit coercion paths between all numeric
-    # types (both widening and narrowing — narrowing errors at runtime on
-    # overflow, copy_from_coerce.rs:1080), date→timestamp(+ntz),
-    # timestamp→date, timestamp↔timestamp_ntz, and anything→text.
+    # primitive matrix — arrow `can_cast_types` AND a PG explicit
+    # coercion path (schema_parser.rs:648-663): PG has explicit paths
+    # between all numeric types (both widening and narrowing — narrowing
+    # errors at runtime on overflow, copy_from_coerce.rs:1080),
+    # date→timestamp(+ntz), timestamp→date, timestamp↔timestamp_ntz,
+    # bool↔int4 (BOOLEAN => {int}, copy_from_coerce.rs:373-393 — PG's
+    # only bool↔numeric cast pair), bytea→text (Binary => {text},
+    # :425-445), and anything→text.
     if _is_numeric(from_dt) and _is_numeric(to_dt):
+        return True
+    if isinstance(from_dt, BooleanType) and isinstance(to_dt, IntegerType):
+        return True
+    if isinstance(from_dt, IntegerType) and isinstance(to_dt, BooleanType):
         return True
     if isinstance(from_dt, DateType) and isinstance(to_dt, _TIMESTAMPS):
         return True
     if isinstance(from_dt, _TIMESTAMPS) and isinstance(to_dt, (DateType, *_TIMESTAMPS)):
         return True
     if isinstance(to_dt, StringType) and isinstance(
-        from_dt, (BooleanType, DateType, *_TIMESTAMPS, *_NUMERIC)
+        from_dt, (BooleanType, BinaryType, DateType, *_TIMESTAMPS, *_NUMERIC)
     ):
         # PG: every type has a text output function (fallback-to-text)
         return True

@@ -59,10 +59,16 @@ def resolve(uri: str):
 
     ``prefix + path == uri`` for every path the FS returns, so callers
     can report store-qualified uris exactly as the reference does
-    (uri_utils.rs:37-88).
+    (uri_utils.rs:37-88). The alternate https object-store uri forms
+    (``https://{bucket}.s3.amazonaws.com/...`` etc., aws.rs:75-101)
+    are canonicalized first so they resolve to their store, not to the
+    generic http path.
     """
     from pyarrow import fs as pafs
 
+    from pg_parquet_spark.sources.object_store import canonicalize_uri
+
+    uri = canonicalize_uri(uri)
     scheme = scheme_of(uri)
     if scheme is None or scheme == "file":
         path = uri[len("file://"):] if scheme == "file" else uri
@@ -202,6 +208,20 @@ def is_dir(uri: str) -> bool:
     return fs.get_file_info(path).type == pafs.FileType.Directory
 
 
+def ensure_http_allowed(uri: str) -> None:
+    """Plain (non-TLS) ``http://`` uris are rejected unless the
+    ``ALLOW_HTTP`` env var is set — presence-based, matching the
+    reference's https-by-default posture (object_store/http.rs:16 gates
+    ``ClientOptions::with_allow_http`` on ``ALLOW_HTTP`` being set).
+    ``https://`` is always allowed. Enforced at the driver-side entry
+    points (``open_parquet``, the http scan/write paths) — executor
+    tasks only ever fetch uris the driver already admitted."""
+    if scheme_of(uri) == "http" and "ALLOW_HTTP" not in os.environ:
+        raise ValueError(
+            f"plain http uri is not allowed unless ALLOW_HTTP env var is set: {uri}"
+        )
+
+
 class HttpRandomAccessFile:
     """Seekable read-only file over HTTP(S) range requests — the
     equivalent of the reference's HTTP object store (object_store/
@@ -214,8 +234,12 @@ class HttpRandomAccessFile:
         import requests
 
         self._url = url
+        # only close sessions this object created; a caller-supplied
+        # shared session outlives us (ADVICE r5)
+        self._owns_sess = session is None
         self._sess = session or requests.Session()
         self._pos = 0
+        self._closed = False
         head = self._sess.head(url, allow_redirects=True, timeout=30)
         size = head.headers.get("Content-Length")
         if head.status_code >= 400 or size is None:
@@ -225,9 +249,17 @@ class HttpRandomAccessFile:
             )
             probe.raise_for_status()
             rng = probe.headers.get("Content-Range", "")
-            if "/" not in rng:
+            if "/" in rng:
+                size = rng.rsplit("/", 1)[1]
+            elif probe.headers.get("Content-Length") and probe.status_code == 200:
+                # server ignored Range entirely (200 + full body): the
+                # full-body Content-Length IS the object size (ADVICE r5
+                # — read() already slices 200-responses locally)
+                size = probe.headers["Content-Length"]
+            elif probe.status_code == 200:
+                size = len(probe.content)
+            else:
                 raise OSError(f"cannot determine size of {url}")
-            size = rng.rsplit("/", 1)[1]
         self._size = int(size)
 
     # --- file-like protocol (what pa.PythonFile needs) -----------------
@@ -277,11 +309,13 @@ class HttpRandomAccessFile:
         return False
 
     def close(self) -> None:
-        self._sess.close()
+        if not self._closed and self._owns_sess:
+            self._sess.close()
+        self._closed = True
 
     @property
     def closed(self) -> bool:
-        return False
+        return self._closed
 
     def flush(self) -> None:
         pass
@@ -295,7 +329,11 @@ def open_parquet(uri: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from pg_parquet_spark.sources.object_store import canonicalize_uri
+
+    uri = canonicalize_uri(uri)
     if scheme_of(uri) in ("http", "https"):
+        ensure_http_allowed(uri)
         return pq.ParquetFile(pa.PythonFile(HttpRandomAccessFile(uri), mode="r"))
     fs, path, _ = resolve(uri)
     return pq.ParquetFile(path, filesystem=fs)

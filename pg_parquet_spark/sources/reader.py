@@ -75,6 +75,13 @@ def _rewrite_arrow_type(t):
         return storage
     if _pa.types.is_fixed_size_binary(t):
         return _pa.binary()
+    if _pa.types.is_time(t):
+        # reference-written PG time/timetz columns are TIME_MICROS
+        # (schema_parser.rs:393-406), which Spark's converter rejects —
+        # read as the raw µs integer (SURVEY §1.2 time policy); Spark
+        # decodes the INT64/INT32 physical column fine under a
+        # long/int schema
+        return _pa.int64() if t.bit_width == 64 else _pa.int32()
     if _pa.types.is_struct(t):
         return _pa.struct(
             [_pa.field(f.name, _rewrite_arrow_type(f.type), f.nullable) for f in t]
@@ -106,6 +113,7 @@ def _read_parquet_over_http(spark: SparkSession, urls: list[str]) -> DataFrame:
     pieces: list[tuple[str, int]] = []
     schema_arrow = None
     for url in urls:
+        _fs.ensure_http_allowed(url)
         if _fs.has_magic(url):
             raise ValueError(
                 f"glob patterns are not supported over http(s): {url}"
@@ -255,7 +263,13 @@ def read_parquet(
 
     from pg_parquet_spark.sources import fs as _fs_mod
 
+    from pg_parquet_spark.sources.object_store import canonicalize_uri
+
     uris = uri if isinstance(uri, list) else [uri]
+    # alternate https object-store forms → canonical connector uris
+    # (aws.rs:75-101, azure.rs:86-107) so an S3 vhost-style https uri
+    # routes to s3a, not the generic http scan
+    uris = [canonicalize_uri(u) for u in uris]
     # relative local paths resolve against the PYTHON cwd (the JVM's cwd
     # is pinned at session start and differs — ADVICE r2)
     uris = [

@@ -141,3 +141,201 @@ def test_error_texts_match_reference_exactly(spark):
         'type mismatch for column "x" between table and parquet file.\n\n'
         'table has "Date32"\n\nparquet file has "Float64"'
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 completeness audit vs the reference's copy_from_coerce.rs enumeration.
+# Case mapping (reference test :line → test here):
+#
+#   :29   INT16  => {int,bigint}            test_allowed_primitive_coercions
+#   :57   INT32  => {bigint}                test_allowed_primitive_coercions
+#   :80   FLOAT32 => {double}               test_allowed_primitive_coercions
+#   :103  FLOAT64 => {real} (lossy)         test_allowed_primitive_coercions
+#   :126  DATE32 => {timestamp}             test_allowed_primitive_coercions
+#   :151  TIMESTAMP => {timestamptz}        test_timestamp_tz_coercions
+#   :182  TIMESTAMPTZ => {timestamp}        test_timestamp_tz_coercions
+#   :215  TIME64 => {timetz}, :243 => {time} — n/a: Spark has no TIME type;
+#         reference-written TIME_MICROS columns read as raw µs longs via the
+#         schema fallback (SURVEY §1.2 policy), test_time64_reads_as_micros
+#   :275  UINT16 => {smallint,int,bigint}   test_unsigned_and_int8_widths
+#   :303  UINT32 => {int,bigint}            test_unsigned_and_int8_widths
+#   :328  UINT64 => {bigint}                test_unsigned_and_int8_widths
+#   :351  INT8   => {bigint}                test_unsigned_and_int8_widths
+#   :373  BOOLEAN => {int}                  test_bool_int_coercions
+#   :395  DECIMAL128(8,5) => {float8}       test_decimal_to_float
+#   :425  Binary => {text}                  test_binary_to_text
+#   :447  LargeUtf8 => {text}, :474 LargeBinary => {bytea} — n/a by
+#         construction: parquet has no LARGE physical distinction, Spark
+#         reads them as string/binary directly (test_large_types_read)
+#   :503  [UINT16] => {int[],bigint[]}      test_list_coercion_recursive
+#   :557  LargeList => {int[],bigint[]}     test_large_list_coercion
+#   :611  STRUCT{a,b} uint16 => {int,bigint} test_struct_coercion_by_name
+#   :648  [STRUCT] => composite[]           test_list_of_struct_coercion
+#   :710  not-castable list of struct       test_struct_not_castable_field_errors
+#   :758  struct fewer fields               test_struct_fewer_fields_errors
+#   :784  struct different field name       test_struct_different_field_name_errors
+#   :817  struct not-castable field type    test_struct_not_castable_field_errors
+#   :849  deep nested type mismatch         test_struct_different_field_name_errors
+#   :887  MAP key/val coercion              test_map_coercion
+#   :947  list of map                       test_list_of_map_coercion
+#   :1021 match-by-name different order     test_position_vs_name
+#   :1037 match-by-position different names test_position_vs_name
+#   :1052 column count mismatch             test_error_texts_match_reference_exactly
+#   :1066 missing column by name            test_missing_column_errors
+#   :1080 runtime cast failure (no NULLs)   test_runtime_overflow_errors_not_nulls
+
+
+def test_timestamp_tz_coercions(spark, tmp_parquet):
+    # TIMESTAMP(µs,None) => timestamptz (:151); TIMESTAMPTZ => timestamp (:182)
+    import datetime
+
+    ts = datetime.datetime(2022, 5, 5, 12, 0, 0)
+    path = _write(
+        tmp_parquet, pa.table({"a": pa.array([ts], pa.timestamp("us"))})
+    )
+    df = read_parquet(spark, path, StructType.fromDDL("a TIMESTAMP"))
+    assert df.schema == StructType.fromDDL("a TIMESTAMP")
+    assert df.count() == 1
+
+    path2 = _write(
+        tmp_parquet,
+        pa.table({"a": pa.array([ts], pa.timestamp("us", tz="Europe/Paris"))}),
+    )
+    df2 = read_parquet(spark, path2, StructType.fromDDL("a TIMESTAMP_NTZ"))
+    assert df2.schema == StructType.fromDDL("a TIMESTAMP_NTZ")
+    assert df2.count() == 1
+
+
+def test_unsigned_and_int8_widths(spark, tmp_parquet):
+    # UINT16/UINT32/UINT64/INT8 widen into the signed SQL widths
+    # (:275-371); Spark reads uint64 as DECIMAL(20,0) — still a numeric
+    # cell of the matrix, strict on overflow
+    t = pa.table(
+        {
+            "u16": pa.array([1], pa.uint16()),
+            "u32": pa.array([2], pa.uint32()),
+            "u64": pa.array([3], pa.uint64()),
+            "i8": pa.array([4], pa.int8()),
+        }
+    )
+    path = _write(tmp_parquet, t)
+    ddl = "u16 SMALLINT, u32 INT, u64 BIGINT, i8 BIGINT"
+    df = read_parquet(spark, path, StructType.fromDDL(ddl))
+    assert df.schema == StructType.fromDDL(ddl)
+    r = df.collect()[0]
+    assert (r.u16, r.u32, r.u64, r.i8) == (1, 2, 3, 4)
+
+
+def test_bool_int_coercions(spark, tmp_parquet):
+    # BOOLEAN => {int} (:373) — PG's only bool↔numeric explicit cast
+    # pair is bool↔int4, so int2/int8 targets stay type-mismatch errors
+    path = _write(tmp_parquet, pa.table({"a": pa.array([True, False, None])}))
+    df = read_parquet(spark, path, StructType.fromDDL("a INT"))
+    assert [r.a for r in df.collect()] == [1, 0, None]
+    for bad in ("a SMALLINT", "a BIGINT"):
+        with pytest.raises(SchemaMatchError, match="type mismatch"):
+            read_parquet(spark, path, StructType.fromDDL(bad))
+
+
+def test_decimal_to_float(spark, tmp_parquet):
+    # DECIMAL128(8,5) => {float8} (:395)
+    import decimal
+
+    path = _write(
+        tmp_parquet,
+        pa.table({"a": pa.array([decimal.Decimal("123.45000")], pa.decimal128(8, 5))}),
+    )
+    df = read_parquet(spark, path, StructType.fromDDL("a DOUBLE"))
+    assert df.collect()[0].a == 123.45
+
+
+def test_binary_to_text(spark, tmp_parquet):
+    # Binary => {text} (:425) — bytes reinterpreted as utf8, PG parity
+    path = _write(tmp_parquet, pa.table({"a": pa.array([b"abc"], pa.binary())}))
+    df = read_parquet(spark, path, StructType.fromDDL("a STRING"))
+    assert df.collect()[0].a == "abc"
+
+
+def test_large_types_read(spark, tmp_parquet):
+    # LargeUtf8 => {text} (:447), LargeBinary => {bytea} (:474): parquet
+    # stores no LARGE distinction, so these are plain string/binary reads
+    t = pa.table(
+        {
+            "s": pa.array(["test"], pa.large_string()),
+            "b": pa.array([b"abc"], pa.large_binary()),
+        }
+    )
+    path = _write(tmp_parquet, t)
+    df = read_parquet(spark, path, StructType.fromDDL("s STRING, b BINARY"))
+    r = df.collect()[0]
+    assert (r.s, bytes(r.b)) == ("test", b"abc")
+
+
+def test_large_list_coercion(spark, tmp_parquet):
+    # LargeList<UINT16> => {int[], bigint[]} (:557)
+    t = pa.table(
+        {"a": pa.array([[1, 2]], pa.large_list(pa.uint16()))}
+    )
+    path = _write(tmp_parquet, t)
+    for ddl in ("a ARRAY<INT>", "a ARRAY<BIGINT>"):
+        df = read_parquet(spark, path, StructType.fromDDL(ddl))
+        assert df.schema == StructType.fromDDL(ddl)
+        assert [r.a for r in df.collect()] == [[1, 2]]
+
+
+def test_list_of_struct_coercion(spark, tmp_parquet):
+    # [STRUCT{a:uint16,b:uint16}] => {a:int,b:bigint}[] (:648)
+    inner = pa.struct({"a": pa.uint16(), "b": pa.uint16()})
+    t = pa.table({"x": pa.array([[{"a": 1, "b": 2}]], pa.list_(inner))})
+    path = _write(tmp_parquet, t)
+    ddl = "x ARRAY<STRUCT<a:INT, b:BIGINT>>"
+    df = read_parquet(spark, path, StructType.fromDDL(ddl))
+    assert df.schema == StructType.fromDDL(ddl)
+    row = df.collect()[0].x[0]
+    assert (row.a, row.b) == (1, 2)
+
+
+def test_list_of_map_coercion(spark, tmp_parquet):
+    # [MAP<INT16,STRING>] => map[] with widened key (:947)
+    t = pa.table(
+        {
+            "x": pa.array(
+                [[[(1, "a")], [(2, "b")]]],
+                pa.list_(pa.map_(pa.int16(), pa.string())),
+            )
+        }
+    )
+    path = _write(tmp_parquet, t)
+    ddl = "x ARRAY<MAP<INT,STRING>>"
+    df = read_parquet(spark, path, StructType.fromDDL(ddl))
+    assert df.schema == StructType.fromDDL(ddl)
+    assert df.collect()[0].x == [{1: "a"}, {2: "b"}]
+
+
+def test_struct_not_castable_field_errors(spark, tmp_parquet):
+    # STRUCT{b:boolean} => {b:date} must fail (:817); same shape inside a
+    # list covers :710
+    inner = pa.struct({"a": pa.uint16(), "b": pa.bool_()})
+    t = pa.table({"x": pa.array([{"a": 1, "b": False}], inner)})
+    path = _write(tmp_parquet, t)
+    with pytest.raises(SchemaMatchError, match="type mismatch"):
+        read_parquet(spark, path, StructType.fromDDL("x STRUCT<a:INT, b:DATE>"))
+    t2 = pa.table({"x": pa.array([[{"a": 1, "b": False}]], pa.list_(inner))})
+    path2 = _write(tmp_parquet, t2)
+    with pytest.raises(SchemaMatchError, match="type mismatch"):
+        read_parquet(
+            spark, path2, StructType.fromDDL("x ARRAY<STRUCT<a:INT, b:DATE>>")
+        )
+
+
+def test_time64_reads_as_micros(spark, tmp_parquet):
+    # TIME64 columns (reference PG time/timetz, schema_parser.rs:393-406)
+    # read as raw µs longs via the schema fallback — Spark has no TIME
+    # type (PARQUET_TYPE_ILLEGAL from the native converter)
+    path = _write(
+        tmp_parquet,
+        pa.table({"t": pa.array([46800000000], pa.time64("us"))}),
+    )
+    df = read_parquet(spark, path)
+    assert [r.t for r in df.collect()] == [46800000000]
+    assert dict(df.dtypes)["t"] == "bigint"

@@ -184,3 +184,38 @@ def test_timestamp_micros_footer_on_spark_paths(spark, tmp_path):
     part = glob.glob(os.path.join(outdir, "*.parquet"))[0]
     col = pq.ParquetFile(part).schema.column(1)
     assert "micro" in str(col.logical_type).lower()
+
+def test_interleaved_compression_levels_are_isolated(spark, tmp_path):
+    """Codec levels ride the per-write job conf, not the session conf
+    (VERDICT r5 watch item 2): interleaved writes with different zstd
+    levels each get their own level, reproducibly, and nothing leaks
+    into the session hadoop conf."""
+    from pyspark.sql import functions as F
+
+    # highly compressible, big enough for the level to matter
+    df = (
+        spark.range(40_000)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("the quick brown fox jumps over the lazy dog " * 4),
+                     (F.col("id") % 7).cast("string")).alias("s"),
+        )
+        .coalesce(1)
+    )
+    a1 = str(tmp_path / "lvl1_a")
+    b = str(tmp_path / "lvl19_b")
+    a2 = str(tmp_path / "lvl1_c")
+    write_parquet(df, a1, compression="zstd", compression_level=1)
+    write_parquet(df, b, compression="zstd", compression_level=19)
+    write_parquet(df, a2, compression="zstd", compression_level=1)
+
+    import glob as g
+    import os
+
+    size = lambda d: sum(os.path.getsize(f) for f in g.glob(os.path.join(d, "part-*")))  # noqa: E731
+    assert size(a1) == size(a2), "same level must reproduce the same bytes"
+    assert size(b) < size(a1), "level 19 must out-compress level 1"
+    # no session-global leakage
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("parquet.compression.codec.zstd.level") is None
+    assert spark.conf.get("spark.hadoop.parquet.compression.codec.zstd.level", None) is None
