@@ -491,3 +491,70 @@ def test_stream_parquet_sink_roundtrip(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r6: physical-plan shape assertions for the dedup/ANN tier — the
+# properties the 10× soak (tools/scale_soak.py) relies on, pinned at
+# small scale so a regression shows up in CI before the soak.
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_winnow_join_is_hash_not_sort_merge(spark):
+    from pg_parquet_spark.operators import dedup
+
+    docs = table(spark, SF, "documents")
+    pairs = dedup.winnow_shared_pairs(docs, "doc_id")
+    plan = _plan(pairs)
+    # the fp self-join carries an explicit shuffle_hash hint (bounded
+    # buckets via max_docs_per_fp) — if Catalyst drops the hint the plan
+    # pays an SMJ sort on every fingerprint
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_plan_has_no_cartesian(spark):
+    from pg_parquet_spark.operators import dedup
+
+    docs = table(spark, SF, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id")
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_fp_cap_bounds_boilerplate_buckets(spark):
+    """A fingerprint shared by more docs than max_docs_per_fp is
+    boilerplate by definition and must be DROPPED before pairing —
+    the bound that keeps worst-case join fan-out at max_docs_per_fp²
+    regardless of corpus size."""
+    from pg_parquet_spark.operators import dedup
+
+    text = "spark line column order small sort fast value scan batch part"
+    clones = spark.createDataFrame(
+        [(i, text) for i in range(60)], "doc_id LONG, text STRING"
+    )
+    # 60 identical docs, cap 50: every fingerprint occurs 60× → all
+    # capped out → zero pairs despite maximal similarity
+    assert dedup.winnow_shared_pairs(clones, "doc_id", max_docs_per_fp=50).count() == 0
+    # cap raised above the clone count → the pairs come back
+    assert dedup.winnow_shared_pairs(clones, "doc_id", max_docs_per_fp=64).count() > 0
+
+
+def test_pq_topk_broadcasts_query_side(spark):
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import similarity
+
+    emb = table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    top = similarity.pq_topk(emb, q, k=5)
+    plan = _plan(top)
+    # 1-row query joins the corpus via broadcast (corpus never shuffles);
+    # global top-k compiles to per-partition heaps + driver merge
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
