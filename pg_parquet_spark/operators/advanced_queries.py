@@ -690,6 +690,34 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (Spark-native enrichment, beyond-reference):
+    the event stream joins the static customer dimension per micro-batch
+    and aggregates per market segment — equals the batch join+agg on a
+    finite drain (every events.user_id has a customer row)."""
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.streaming.stream import (
+        enriched_segment_totals,
+        read_events_stream,
+        run_available_now,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    customer = table(spark, sf_dir, "customer")
+    result = run_available_now(enriched_segment_totals(events, customer))
+    return result.withColumn(
+        "total_value", F.col("total_value").cast("double")
+    ).orderBy("c_mktsegment")
+
+
+Q_STREAM_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON events.user_id = customer.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running stats; the drained final state equals the batch
@@ -734,6 +762,7 @@ QUERIES = {
     "q_min_max_by": q_min_max_by,
     "q_stream_window": q_stream_window,
     "q_stream_session": q_stream_session,
+    "q_stream_join": q_stream_join,
 }
 
 ORACLES = {
@@ -759,4 +788,5 @@ ORACLES = {
     "q_min_max_by": Q_MIN_MAX_BY_ORACLE,
     "q_stream_window": Q_STREAM_WINDOW_ORACLE,
     "q_stream_session": Q_STREAM_SESSION_ORACLE,
+    "q_stream_join": Q_STREAM_JOIN_ORACLE,
 }

@@ -30,6 +30,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: 51-56 and lead r7's window (still ≤2 rounds old after r6). The 50
 #: r5-verified entries rotate to the back.
 GATE_ORDER = [
+    # -- group 0: new this round (first-ever driver row needed) -------------
+    "q_stream_join",  # r6 new: stream-static enrichment join
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",

@@ -277,7 +277,11 @@ def _exact_cosine(va: Column, vb: Column) -> Column:
 
 def _cell_distances(vec_col: Column, centroids: list[list[float]]) -> Column:
     """Array of squared-L2 distances to each centroid (literal arrays,
-    ordered fold — deterministic and codegen-only, like the hyperplanes)."""
+    ordered fold — deterministic and codegen-only, like the hyperplanes).
+    Deliberately the HOF form: an experiment flattening this to explicit
+    per-element arithmetic (r6) produced janino codegen units large
+    enough to OOM the driver at m=8/ks=16 (and IVF's 64-dim cells are 8×
+    bigger) — the HOF keeps the generated code size constant in dims."""
     dists = []
     for c in centroids:
         lit = F.array(*[F.lit(v) for v in c])
@@ -615,6 +619,12 @@ def pq_train(
     candidate set.
     """
     dsub = dims // m
+    # the assignment projection (m × ks HOF distance evaluations per
+    # row) is CPU-bound and the source is usually a handful of row
+    # groups — spread it across all cores (r6; the 10× soak ran the
+    # Lloyd jobs on 2 partitions with 30 idle cores)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(parallelism)
     seeds = (
         df.select(
             F.col(vec_col).alias("_v"),
@@ -629,27 +639,47 @@ def pq_train(
         for mi in range(m)
     ]
     for _ in range(iters):
-        for mi in range(m):
-            sub = _subvec(F.col(vec_col), mi, dsub)
-            assigned = df.select(
-                sub.alias("_v"),
-                _nearest_cell(sub, codebooks[mi]).alias("_code"),
-            )
-            sums = assigned.groupBy("_code").agg(
-                F.count(F.lit(1)).alias("_n"),
+        # ONE aggregation job per Lloyd iteration for ALL m subspaces
+        # (r6; previously m sequential jobs per iteration — 16 total —
+        # whose per-job scheduling overhead dominated the 10× soak at
+        # 28 s). Each row explodes into m (subspace, code, subvector)
+        # entries; the shuffle groups on (subspace, code) and the exact
+        # DECIMAL component sums per cell are unchanged — identical
+        # codebooks, 3 jobs instead of 17.
+        entries = F.explode(
+            F.array(
                 *[
-                    F.sum(F.element_at("_v", i + 1).cast("decimal(28,10)")).alias(
-                        f"_s{i}"
+                    F.struct(
+                        F.lit(mi).alias("_mi"),
+                        _nearest_cell(
+                            _subvec(F.col(vec_col), mi, dsub), codebooks[mi]
+                        ).alias("_code"),
+                        _subvec(F.col(vec_col), mi, dsub).alias("_v"),
                     )
-                    for i in range(dsub)
-                ],
-            )
-            new_book = list(codebooks[mi])
-            for r in sums.collect():
-                new_book[r._code] = [
-                    float(r[f"_s{i}"]) / r._n for i in range(dsub)
+                    for mi in range(m)
                 ]
-            codebooks[mi] = new_book
+            )
+        )
+        assigned = df.select(entries.alias("_e")).select(
+            F.col("_e._mi").alias("_mi"),
+            F.col("_e._code").alias("_code"),
+            F.col("_e._v").alias("_v"),
+        )
+        sums = assigned.groupBy("_mi", "_code").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at("_v", i + 1).cast("decimal(28,10)")).alias(
+                    f"_s{i}"
+                )
+                for i in range(dsub)
+            ],
+        )
+        new_books = [list(codebooks[mi]) for mi in range(m)]
+        for r in sums.collect():
+            new_books[r._mi][r._code] = [
+                float(r[f"_s{i}"]) / r._n for i in range(dsub)
+            ]
+        codebooks = new_books
     return codebooks
 
 
@@ -681,6 +711,9 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_train(df, id_col, vec_col, m, ks, iters, dims)
     dsub = dims // m
+    # encoding (m nearest-cell evaluations per row) is the CPU-bound
+    # stage — parallelize it regardless of source row-group count
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     corpus = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),

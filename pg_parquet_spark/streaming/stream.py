@@ -140,6 +140,28 @@ def run_available_now(sdf: DataFrame, timeout_sec: int = 120) -> DataFrame:
     return spark.table(name)
 
 
+def enriched_segment_totals(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + aggregate: each micro-batch of the
+    event stream joins the static customer dimension (broadcast — the
+    stream side never shuffles for the join) and rolls up per market
+    segment. The canonical streaming-ETL shape: facts arrive as a
+    stream, dimensions are a slowly-changing batch table re-read per
+    micro-batch. At 100 TB the dimension outgrows broadcast and Spark
+    falls back to a shuffled stream-static join — same declarative plan,
+    no code change."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+        )
+    )
+
+
 def deduped_user_event_counts(events: DataFrame) -> DataFrame:
     """Streaming exact deduplication (stateful ``dropDuplicates``) then
     aggregate: distinct users per event_type. The dedup state is keyed
