@@ -275,6 +275,46 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned dataset write + pruned read-back (engine
+    extension — SURVEY §2.C notes the reference has no partitioned
+    dataset semantics; this is the Spark-native scale layout). Writes
+    lineitem partitioned by l_returnflag, reads the dataset back, and
+    aggregates ONE partition — the filter on the partition column must
+    prune to a single ``l_returnflag=R/`` directory (asserted via
+    PartitionFilters in tests/test_writer.py)."""
+    import tempfile
+
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import read_parquet, write_parquet
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_linestatus", "l_returnflag"
+    )
+    path = os.path.join(tempfile.gettempdir(), "pgpq_li_partitioned")
+    write_parquet(li, path, partition_by=["l_returnflag"])
+    back = read_parquet(spark, path)
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q_IO_PARTITIONED_ORACLE = """
+SELECT l_linestatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
 def q_io_copy_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COPY <table> FROM end-to-end (A2 + copy_pg_rules parity): create a
     3-column target table, load orders.parquet into it by name with
@@ -394,6 +434,7 @@ QUERIES = {
     "q_io_glob_read": q_io_glob_read,
     "q_io_csv_roundtrip": q_io_csv_roundtrip,
     "q_io_json_roundtrip": q_io_json_roundtrip,
+    "q_io_partitioned_roundtrip": q_io_partitioned_roundtrip,
     "q_io_copy_from_table": q_io_copy_from_table,
     "q_io_geo_roundtrip": q_io_geo_roundtrip,
     "q_io_match_position": q_io_match_position,
@@ -410,6 +451,7 @@ ORACLES = {
     "q_io_glob_read": Q_IO_GLOB_ORACLE,
     "q_io_csv_roundtrip": Q_IO_CSV_ORACLE,
     "q_io_json_roundtrip": Q_IO_JSON_ORACLE,
+    "q_io_partitioned_roundtrip": Q_IO_PARTITIONED_ORACLE,
     "q_io_copy_from_table": Q_IO_COPY_FROM_TABLE_ORACLE,
     "q_io_geo_roundtrip": _geo_oracle(),
     "q_io_match_position": Q_IO_MATCH_POSITION_ORACLE,

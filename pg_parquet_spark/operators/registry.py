@@ -32,6 +32,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 GATE_ORDER = [
     # -- group 0: new this round (first-ever driver row needed) -------------
     "q_stream_join",  # r6 new: stream-static enrichment join
+    "q_io_partitioned_roundtrip",  # r6 new: hive-partitioned write + pruned read
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",

@@ -76,6 +76,7 @@ def write_parquet(
     kv_metadata: dict[str, str] | None = None,
     uuid_columns: list[str] | None = None,
     json_columns: list[str] | None = None,
+    partition_by: list[str] | None = None,
     mode: str = "overwrite",
 ) -> list[str]:
     """Write ``df`` to ``uri`` with pg_parquet's COPY TO option surface.
@@ -83,6 +84,12 @@ def write_parquet(
     Returns the list of files written. See module docstring for path
     selection; option validation errors mirror
     copy_utils.rs:37-172 / compression.rs.
+
+    ``partition_by`` (engine extension, beyond-reference — SURVEY §2.C
+    notes the reference has no partitioned-dataset semantics) writes a
+    hive-layout dataset (``col=value/`` directories); readers get
+    partition pruning on those columns for free. Directory targets
+    only; incompatible with the single-file parity options.
     """
     if not copy_hooks_enabled():
         raise CopyHookDisabled("pg_parquet_spark copy hooks are disabled")
@@ -155,24 +162,44 @@ def write_parquet(
     df = apply_write_policies(df)
     path = _strip_scheme(uri)
 
-    if opts.file_size_bytes is not None:
-        return _write_split(df, path, opts, raw_field_ids)
-
     single_file = path.rstrip("/").lower().endswith(
         (".parquet", ".gz", ".zst", ".br", ".lz4", ".snappy")
     )
+    if partition_by:
+        if single_file:
+            raise ValueError(
+                "partition_by requires a directory target, not a single parquet file uri"
+            )
+        if opts.file_size_bytes is not None:
+            raise ValueError("partition_by cannot be combined with file_size_bytes")
+        if row_group_size is not None or kv_metadata or uuid_columns or json_columns:
+            raise ValueError(
+                "partition_by cannot be combined with the single-file parity "
+                "options (row_group_size, kv_metadata, uuid_columns, json_columns)"
+            )
+
+    if opts.file_size_bytes is not None:
+        return _write_split(df, path, opts, raw_field_ids)
+
     if not single_file:
         # scale path: distributed directory write
         schema = spark_schema_with_field_ids(df.schema, raw_field_ids)
         out = _restamp(df, schema) if schema is not df.schema else df
-        (
+        writer = (
             out.write.mode(mode)
             .options(**_level_options(opts))
             .option("compression", opts.compression)
             .option("parquet.block.size", str(opts.row_group_size_bytes))
             .option("parquet.writer.version", opts.parquet_version)
-            .parquet(uri)
         )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(uri)
+        if partition_by:
+            return sorted(
+                _glob.glob(os.path.join(path, *["*=*"] * len(partition_by), "*.parquet"))
+                or _glob.glob(os.path.join(path, *["*=*"] * len(partition_by), "part-*"))
+            )
         return sorted(
             _glob.glob(os.path.join(path, "*.parquet"))
             or _glob.glob(os.path.join(path, "part-*"))
@@ -503,6 +530,7 @@ _COPY_TO_OPTIONS = (
     "uuid_columns",
     "json_columns",
     "kv_metadata",
+    "partition_by",
 )
 
 

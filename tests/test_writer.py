@@ -219,3 +219,42 @@ def test_interleaved_compression_levels_are_isolated(spark, tmp_path):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("parquet.compression.codec.zstd.level") is None
     assert spark.conf.get("spark.hadoop.parquet.compression.codec.zstd.level", None) is None
+
+
+def test_partitioned_dataset_write_and_pruned_read(spark, tmp_path):
+    """partition_by writes a hive layout (col=value dirs) and a filter
+    on the partition column prunes the scan to one directory
+    (PartitionFilters in the plan, no data-column filter needed)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "li_part")
+    li = load(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    files = write_parquet(li, out, partition_by=["l_returnflag"])
+    assert files, "expected partitioned files"
+    import os
+
+    flags = {p.split("=")[1] for p in os.listdir(out) if p.startswith("l_returnflag=")}
+    assert flags == {"A", "N", "R"}
+
+    back = read_parquet(spark, out)
+    pruned = back.filter(F.col("l_returnflag") == "R")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "partition filter must prune at the scan"
+    want = li.filter(F.col("l_returnflag") == "R").count()
+    assert pruned.count() == want
+
+
+def test_partition_by_rejects_incompatible_targets(spark, tmp_path):
+    from pg_parquet_spark.sources.writer import write_parquet as wp
+
+    df = load(spark, "/root/testdata/sf0.001", "region")
+    with pytest.raises(ValueError, match="directory target"):
+        wp(df, str(tmp_path / "x.parquet"), partition_by=["r_name"])
+    with pytest.raises(ValueError, match="file_size_bytes"):
+        wp(df, str(tmp_path / "d"), partition_by=["r_name"], file_size_bytes="2MB")
+    with pytest.raises(ValueError, match="parity options"):
+        wp(df, str(tmp_path / "d"), partition_by=["r_name"], row_group_size=100)
