@@ -718,6 +718,38 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within
+    1 hour): two independent event streams, watermarked on both sides
+    with an event-time range bound so both state stores are
+    watermark-bounded — the shape that keeps stream-stream joins viable
+    at 100 TB. Inner matches emit in append mode; a finite AvailableNow
+    drain therefore yields exactly the batch interval join."""
+    from pg_parquet_spark.streaming.stream import (
+        click_purchase_pairs,
+        read_events_stream,
+        run_available_now,
+    )
+
+    clicks = read_events_stream(spark, sf_dir)
+    purchases = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        click_purchase_pairs(clicks, purchases), output_mode="append"
+    )
+    return result.orderBy("click_id", "purchase_id")
+
+
+Q_STREAM_STREAM_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS micros_to_purchase
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY click_id, purchase_id
+"""
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running stats; the drained final state equals the batch
@@ -763,6 +795,7 @@ QUERIES = {
     "q_stream_window": q_stream_window,
     "q_stream_session": q_stream_session,
     "q_stream_join": q_stream_join,
+    "q_stream_stream_join": q_stream_stream_join,
 }
 
 ORACLES = {
@@ -789,4 +822,5 @@ ORACLES = {
     "q_stream_window": Q_STREAM_WINDOW_ORACLE,
     "q_stream_session": Q_STREAM_SESSION_ORACLE,
     "q_stream_join": Q_STREAM_JOIN_ORACLE,
+    "q_stream_stream_join": Q_STREAM_STREAM_JOIN_ORACLE,
 }

@@ -315,6 +315,122 @@ GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
 
+def q_io_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + 2-D range-filtered read-back (engine
+    extension — multi-column data skipping, the layout single-column
+    sort can't give). Writes lineitem Morton-interleaved on
+    (l_partkey, l_suppkey), reads it back and answers a conjunctive
+    range filter on both columns; row-group stats tightness vs the
+    unsorted layout is asserted in tests/test_layout.py. The values are
+    layout-invariant, so the oracle is the plain filter on lineitem."""
+    import tempfile
+
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.sources.layout import write_zordered
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = os.path.join(tempfile.gettempdir(), "pgpq_li_zorder")
+    write_zordered(li, path, zorder_by=["l_partkey", "l_suppkey"], num_files=4)
+    back = read_parquet(spark, path)
+    return (
+        back.filter(
+            (F.col("l_partkey") >= 100)
+            & (F.col("l_partkey") <= 300)
+            & (F.col("l_suppkey") >= 10)
+            & (F.col("l_suppkey") <= 40)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+Q_IO_ZORDER_ORACLE = """
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_orderkey) AS min_orderkey,
+       MAX(l_orderkey) AS max_orderkey
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+"""
+
+
+def q_io_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE upsert into a plain-parquet dataset
+    (engine extension — the Delta MERGE primitive via anti-join + union
+    + touched-partition rewrite): writes orders hive-partitioned, then
+    upserts doubled prices for keys %10==0 and inserts new keys for
+    %100==7, rewriting only partitions present in the update set
+    (physical untouched-partition evidence in tests/test_layout.py)."""
+    import tempfile
+
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.sources.layout import merge_upsert, write_partitioned
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(tempfile.gettempdir(), "pgpq_orders_merge")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    write_partitioned(orders, path, ["o_orderpriority"])
+
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 100 == 7).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+                "o_orderpriority",
+            )
+        )
+    )
+    merge_upsert(spark, path, updates, ["o_orderkey"], partition_col="o_orderpriority")
+    back = read_parquet(spark, path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_IO_MERGE_UPSERT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+), upd AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice + 1000, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 7
+), merged AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL SELECT * FROM upd
+)
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MAX(o_orderkey) AS max_key
+FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_io_copy_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COPY <table> FROM end-to-end (A2 + copy_pg_rules parity): create a
     3-column target table, load orders.parquet into it by name with
@@ -435,6 +551,8 @@ QUERIES = {
     "q_io_csv_roundtrip": q_io_csv_roundtrip,
     "q_io_json_roundtrip": q_io_json_roundtrip,
     "q_io_partitioned_roundtrip": q_io_partitioned_roundtrip,
+    "q_io_zorder_read": q_io_zorder_read,
+    "q_io_merge_upsert": q_io_merge_upsert,
     "q_io_copy_from_table": q_io_copy_from_table,
     "q_io_geo_roundtrip": q_io_geo_roundtrip,
     "q_io_match_position": q_io_match_position,
@@ -452,6 +570,8 @@ ORACLES = {
     "q_io_csv_roundtrip": Q_IO_CSV_ORACLE,
     "q_io_json_roundtrip": Q_IO_JSON_ORACLE,
     "q_io_partitioned_roundtrip": Q_IO_PARTITIONED_ORACLE,
+    "q_io_zorder_read": Q_IO_ZORDER_ORACLE,
+    "q_io_merge_upsert": Q_IO_MERGE_UPSERT_ORACLE,
     "q_io_copy_from_table": Q_IO_COPY_FROM_TABLE_ORACLE,
     "q_io_geo_roundtrip": _geo_oracle(),
     "q_io_match_position": Q_IO_MATCH_POSITION_ORACLE,

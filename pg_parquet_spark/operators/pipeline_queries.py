@@ -556,6 +556,40 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021, Appendix A1.1) —
+    the standard public rule set for pre-training corpus curation: word
+    count, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, required-stopword presence.
+    Single JVM-HOF projection per row, zero shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        text.with_gopher_flags(docs)
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "symbol_ratio",
+            "bullet_frac",
+            "ellipsis_frac",
+            "alpha_frac",
+            "stop_hits",
+            "ok_word_count",
+            "ok_mean_word_len",
+            "ok_symbol_ratio",
+            "ok_bullets",
+            "ok_ellipsis",
+            "ok_alpha_words",
+            "ok_stopwords",
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_QUALITY_GOPHER_ORACLE = text.gopher_oracle_sql()
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing (512-token packs, 32 hash
     buckets) — turns the deduped corpus into dense training batches.
@@ -692,6 +726,7 @@ QUERIES = {
     "q_text_repetition": q_text_repetition,
     "q_text_entropy": q_text_entropy,
     "q_text_chunk": q_text_chunk,
+    "q_text_quality_gopher": q_text_quality_gopher,
     "q_pack_sequences": q_pack_sequences,
     "q_text_pii_scrub": q_text_pii_scrub,
     "q_sim_cosine_topk": q_sim_cosine_topk,
@@ -721,6 +756,7 @@ ORACLES = {
     "q_text_repetition": Q_TEXT_REPETITION_ORACLE,
     "q_text_entropy": Q_TEXT_ENTROPY_ORACLE,
     "q_text_chunk": Q_TEXT_CHUNK_ORACLE,
+    "q_text_quality_gopher": Q_TEXT_QUALITY_GOPHER_ORACLE,
     "q_pack_sequences": _pack_oracle(),
     "q_text_pii_scrub": Q_TEXT_PII_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,

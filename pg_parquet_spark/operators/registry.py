@@ -33,6 +33,10 @@ GATE_ORDER = [
     # -- group 0: new this round (first-ever driver row needed) -------------
     "q_stream_join",  # r6 new: stream-static enrichment join
     "q_io_partitioned_roundtrip",  # r6 new: hive-partitioned write + pruned read
+    "q_stream_stream_join",  # r6 new: watermarked stream-stream interval join
+    "q_text_quality_gopher",  # r6 new: Gopher quality-rule filter
+    "q_io_zorder_read",  # r6 new: z-order clustered write + 2-D skipping read
+    "q_io_merge_upsert",  # r6 new: partition-scoped MERGE upsert
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",

@@ -299,3 +299,152 @@ def scrub_pii_oracle_expr(text_expr: str) -> str:
         sql_pat = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021 "Scaling Language
+# Models: ... Gopher", Appendix A1.1 — the standard public rule set for
+# pre-training corpus filtering). Thresholds follow the paper; the bullet
+# and ellipsis rules are line-based, everything else token-based.
+
+#: the paper's "must contain ≥2 of" stop list
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: (min_words, max_words, min_mwl, max_mwl, max_symbol_ratio,
+#:  max_bullet_frac, max_ellipsis_frac, min_alpha_frac, min_stop_hits)
+GOPHER_THRESHOLDS = (50, 100_000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2)
+
+
+def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher quality signals + per-rule pass flags + overall
+    ``keep``. Single projection of JVM higher-order functions over two
+    staged arrays (tokens, lines) — per-row codegen, zero shuffle, so at
+    100 TB this is a pure map stage that scales with executors.
+
+    Signals: word count, mean word length, symbol-to-word ratio
+    ('#'/'...'), fraction of bullet-point lines, fraction of
+    ellipsis-ending lines, fraction of words with an alphabetic char,
+    and required-stopword hits. All ratios are single IEEE divisions of
+    integer-derived operands, so they hash identically in the DuckDB
+    oracle without rounding.
+    """
+    (min_w, max_w, min_mwl, max_mwl, max_sym,
+     max_bullet, max_ellipsis, min_alpha, min_stop) = GOPHER_THRESHOLDS
+    toks, lines = F.col("_gq_toks"), F.col("_gq_lines")
+    n_words = F.size(toks).cast("double")
+    mean_wl = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / n_words
+    )
+    sym_ratio = (
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
+        ).cast("double")
+        / n_words
+    )
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike("^[-*•]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    ).cast("bigint")
+    flags = {
+        "n_words": F.size(toks).cast("bigint"),
+        "mean_word_len": mean_wl,
+        "symbol_ratio": sym_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "ok_word_count": (n_words >= min_w) & (n_words <= max_w),
+        "ok_mean_word_len": (mean_wl >= min_mwl) & (mean_wl <= max_mwl),
+        "ok_symbol_ratio": sym_ratio <= max_sym,
+        "ok_bullets": bullet_frac <= max_bullet,
+        "ok_ellipsis": ellipsis_frac <= max_ellipsis,
+        "ok_alpha_words": alpha_frac >= min_alpha,
+        "ok_stopwords": stop_hits >= min_stop,
+    }
+    keep = (
+        flags["ok_word_count"]
+        & flags["ok_mean_word_len"]
+        & flags["ok_symbol_ratio"]
+        & flags["ok_bullets"]
+        & flags["ok_ellipsis"]
+        & flags["ok_alpha_words"]
+        & flags["ok_stopwords"]
+    )
+    staged = df.withColumn("_gq_toks", tokens(F.col(text_col))).withColumn(
+        "_gq_lines", F.split(F.col(text_col), "\n")
+    )
+    return staged.select(
+        *df.columns,
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB replica of with_gopher_flags (identical staging, identical
+    single-division ratios)."""
+    (min_w, max_w, min_mwl, max_mwl, max_sym,
+     max_bullet, max_ellipsis, min_alpha, min_stop) = GOPHER_THRESHOLDS
+    stops = "','".join(GOPHER_REQUIRED_STOPWORDS)
+    return f"""
+WITH staged AS (
+  SELECT {id_col},
+    string_split(lower(text), ' ') AS toks,
+    string_split(text, chr(10)) AS lines,
+    text
+  FROM {table}
+), sig AS (
+  SELECT {id_col},
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+         (a, x) -> a + x) AS DOUBLE)
+      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+    CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+      / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE)
+      / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+    CAST(len(list_intersect(list_distinct(toks), ['{stops}'])) AS BIGINT)
+      AS stop_hits
+  FROM staged
+)
+SELECT {id_col}, n_words, mean_word_len, symbol_ratio, bullet_frac,
+  ellipsis_frac, alpha_frac, stop_hits,
+  (n_words >= {min_w} AND n_words <= {max_w}) AS ok_word_count,
+  (mean_word_len >= {min_mwl} AND mean_word_len <= {max_mwl}) AS ok_mean_word_len,
+  (symbol_ratio <= {max_sym}) AS ok_symbol_ratio,
+  (bullet_frac <= {max_bullet}) AS ok_bullets,
+  (ellipsis_frac <= {max_ellipsis}) AS ok_ellipsis,
+  (alpha_frac >= {min_alpha}) AS ok_alpha_words,
+  (stop_hits >= {min_stop}) AS ok_stopwords,
+  ((n_words >= {min_w} AND n_words <= {max_w})
+   AND (mean_word_len >= {min_mwl} AND mean_word_len <= {max_mwl})
+   AND symbol_ratio <= {max_sym} AND bullet_frac <= {max_bullet}
+   AND ellipsis_frac <= {max_ellipsis} AND alpha_frac >= {min_alpha}
+   AND stop_hits >= {min_stop}) AS keep
+FROM sig ORDER BY {id_col}
+"""

@@ -121,16 +121,23 @@ def sessionized_events(
     )
 
 
-def run_available_now(sdf: DataFrame, timeout_sec: int = 120) -> DataFrame:
+def run_available_now(
+    sdf: DataFrame, timeout_sec: int = 120, output_mode: str = "complete"
+) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink and
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame.
+
+    ``output_mode``: "complete" for aggregations (emit all groups incl.
+    ones the final watermark hasn't closed — deterministic for a finite
+    source); stream-stream joins only support "append" (inner-join
+    matches emit as found, so a finite drain still yields every pair).
+    """
     name = f"pgpq_stream_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"pgpq_ckpt_{name}")
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")  # emit all windows incl. ones the final
-        # watermark hasn't closed (deterministic for a finite source)
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -159,6 +166,51 @@ def enriched_segment_totals(events: DataFrame, customer: DataFrame) -> DataFrame
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
         )
+    )
+
+
+def click_purchase_pairs(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the clicks by
+    the same user in the preceding ``horizon`` — the canonical
+    attribution query. Both sides are watermarked and the join carries
+    an event-time range condition, so Spark bounds BOTH state stores:
+    a click is dropped from state once the watermark passes
+    click_ts + horizon, a purchase once it passes purchase_ts (the
+    requirement for stream-stream joins at 100 TB — without the time
+    bound, state grows without limit). Inner-join matches emit in
+    append mode as they are found.
+
+    ``clicks``/``purchases`` must be separate readStream instances
+    (a shared source alias would make this a self-join on one stream).
+    """
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "micros_to_purchase"
+        ),
     )
 
 

@@ -63,3 +63,127 @@ def test_bucketed_aggregation_no_exchange_before_agg(spark):
     )
     plan = _plan(agg)
     assert "Exchange" not in plan, plan
+
+
+def _row_group_spans(path: str, cols: list[str]):
+    """Mean normalized (max-min)/global_range per row group, per column."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    lo = {c: None for c in cols}
+    hi = {c: None for c in cols}
+    per = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            row = {}
+            for c in cols:
+                st = md.row_group(rg).column(idx[c]).statistics
+                row[c] = (st.min, st.max)
+                lo[c] = st.min if lo[c] is None else min(lo[c], st.min)
+                hi[c] = st.max if hi[c] is None else max(hi[c], st.max)
+            per.append(row)
+    return {
+        c: sum((r[c][1] - r[c][0]) / (hi[c] - lo[c]) for r in per) / len(per)
+        for c in cols
+    }
+
+
+def test_zorder_tightens_stats_on_both_dims(spark, tmp_path):
+    """Z-order write shrinks row-group min/max spans on BOTH interleaved
+    columns (the multi-column data-skipping property); a plain write
+    leaves them near the full range. Values round-trip unchanged."""
+    from pg_parquet_spark.sources.layout import write_zordered
+
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "li_zorder")
+    pdir = str(tmp_path / "li_plain")
+    write_zordered(li, zdir, ["l_partkey", "l_suppkey"], num_files=4)
+    li.repartition(4).write.mode("overwrite").parquet(pdir)
+
+    zspan = _row_group_spans(zdir, ["l_partkey", "l_suppkey"])
+    pspan = _row_group_spans(pdir, ["l_partkey", "l_suppkey"])
+    for c in ("l_partkey", "l_suppkey"):
+        # measured at sf0.01: z ≈ 0.50-0.66, plain ≈ 1.0
+        assert zspan[c] < 0.85, (c, zspan)
+        assert pspan[c] > 0.9, (c, pspan)
+        assert zspan[c] < pspan[c]
+    # layout never changes values
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
+    assert back.agg(F.sum("l_partkey")).first()[0] == li.agg(
+        F.sum("l_partkey")
+    ).first()[0]
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-scoped MERGE: updates confined to one lang partition
+    leave every other partition's files physically untouched (same
+    paths, same mtimes) — the copy-on-write granularity that keeps a
+    100 TB upsert proportional to the touched data."""
+    import os
+
+    from pg_parquet_spark.sources.layout import merge_upsert, write_partitioned
+
+    docs = table(spark, SF, "documents").select("doc_id", "text", "lang")
+    base = str(tmp_path / "docs_base")
+    write_partitioned(docs, base, ["lang"])
+
+    def snapshot(skip_lang):
+        out = {}
+        for d in os.listdir(base):
+            if d.startswith("lang=") and d != f"lang={skip_lang}":
+                p = os.path.join(base, d)
+                out[d] = {
+                    f: os.stat(os.path.join(p, f)).st_mtime_ns
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = snapshot("en")
+    updates = (
+        docs.filter(F.col("lang") == "en")
+        .limit(5)
+        .withColumn("text", F.lit("updated body"))
+    )
+    n_updates = updates.count()
+    merge_upsert(spark, base, updates, ["doc_id"], partition_col="lang")
+    assert snapshot("en") == before  # other partitions byte-untouched
+
+    back = spark.read.parquet(base)
+    assert back.count() == docs.count()  # pure update, no inserts
+    assert back.filter(F.col("text") == "updated body").count() == n_updates
+
+    # insert path: new key lands in its partition
+    ins = spark.createDataFrame(
+        [(999_999, "brand new doc", "en")], ["doc_id", "text", "lang"]
+    )
+    merge_upsert(spark, base, ins, ["doc_id"], partition_col="lang")
+    assert spark.read.parquet(base).count() == docs.count() + 1
+
+
+def test_zorder_interleave_is_morton(spark):
+    """The interleave places bit b of dim i at position b*d+i: buckets
+    (x=0b11, y=0b00) and (x=0b00, y=0b11) give z 0b0101 and 0b1010."""
+    from pg_parquet_spark.sources.layout import zorder_expr
+
+    df = spark.createDataFrame(
+        [(0.5, 3.5), (2.5, 1.5)], ["x", "y"]
+    )
+    # boundaries at 1,2,3 → 4 buckets per dim (bits=2)
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        type(df), "approxQuantile", lambda self, c, p, e: [1.0, 2.0, 3.0]
+    ):
+        z = zorder_expr(df, ["x", "y"], bits=2)
+    rows = df.select(z.alias("z")).collect()
+    # x=0.5→bucket0, y=3.5→bucket3 → z = y bits at odd positions = 0b1010
+    # x=2.5→bucket2, y=1.5→bucket1 → z = 0b0110
+    assert [r.z for r in rows] == [0b1010, 0b0110]

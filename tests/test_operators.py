@@ -120,3 +120,75 @@ def test_asof_join_semantics(spark):
         "last_click_id",
     )
     assert joined.filter(F.col("c_ts") > F.col("p_ts")).count() == 0
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    """The watermarked stream-stream interval join drains to exactly the
+    batch interval join on a finite source (same pairs, same deltas)."""
+    from pg_parquet_spark.operators.advanced_queries import q_stream_stream_join
+
+    streamed = q_stream_stream_join(spark, SF).collect()
+    # session tz is UTC, so NTZ→LTZ cast preserves wall-clock values and
+    # unix_micros (which requires TIMESTAMP) matches the stream path
+    ev = table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias(
+                "micros_to_purchase"
+            ),
+        )
+        .orderBy("click_id", "purchase_id")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert all(0 <= r.micros_to_purchase <= 3_600_000_000 for r in streamed)
+
+
+def test_gopher_rules_fire_on_constructed_docs(spark):
+    """Each Gopher rule individually rejects the document constructed to
+    violate it, and a healthy document passes all rules."""
+    from pg_parquet_spark.operators.text import with_gopher_flags
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to be free of that noisy farm with plenty of room " * 5
+    ).strip()
+    docs = [
+        (0, good),
+        (1, "too short to have fifty words"),  # ok_word_count fails
+        (2, " ".join(["a"] * 60)),  # mean word len < 3 (+ stopwords fail)
+        (3, good + " " + "# " * 20),  # symbol ratio > 0.1
+        (4, "\n".join(["- " + good[:40]] * 20)),  # all lines bullets
+        (5, "\n".join([good[:40] + " ..."] * 20)),  # all lines ellipsis
+        (6, good + " " + " ".join(["123"] * 60)),  # alpha fraction < 0.8
+        (7, " ".join(["zebra giraffe lion"] * 30)),  # stopword hits < 2
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in with_gopher_flags(df).collect()}
+    assert out[0].keep
+    assert not out[1].ok_word_count and not out[1].keep
+    assert not out[2].ok_mean_word_len and not out[2].keep
+    assert not out[3].ok_symbol_ratio and not out[3].keep
+    assert not out[4].ok_bullets and not out[4].keep
+    assert not out[5].ok_ellipsis and not out[5].keep
+    assert not out[6].ok_alpha_words and not out[6].keep
+    assert not out[7].ok_stopwords and not out[7].keep
