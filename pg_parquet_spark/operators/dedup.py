@@ -707,3 +707,97 @@ reach(node, root) AS (
 SELECT node AS doc_id, MIN(root) AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    ``min_shared`` distinct word ``ngram``-grams with an evaluation
+    set — the standard pre-training hygiene pass that keeps test-set
+    text out of the training corpus (the n-gram-overlap method used by
+    public LLM data reports; 5-13-gram overlap is the usual range,
+    2-grams would flag everything).
+
+    Scale shape: the benchmark gram set is tiny relative to a 100 TB
+    corpus (benchmarks are megabytes), so it is BROADCAST — the corpus
+    side never shuffles; per-doc gram extraction is a pure JVM-HOF map
+    and the only aggregation is the per-doc hit count, map-side
+    combinable on (doc_id). Returns every input row with
+    ``n_shared_grams`` and ``contaminated``.
+    """
+    from pg_parquet_spark.operators.text import word_ngrams
+
+    def grams_of(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("_dc_toks", tokens(F.col(text_col)))
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col("_dc_toks"), ngram))
+                ).alias("g"),
+            )
+        )
+
+    bench_grams = grams_of(benchmark).select("g").distinct()
+    hits = (
+        grams_of(df)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_dc_n"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_dc_n"), F.lit(0)).cast("bigint").alias(
+                "n_shared_grams"
+            ),
+            (F.coalesce(F.col("_dc_n"), F.lit(0)) >= min_shared).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def contamination_oracle_sql(
+    ngram: int = 5,
+    min_shared: int = 3,
+    bench_pred: str = "doc_id % 20 = 0",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: identical distinct-gram extraction, overlap join
+    and threshold."""
+    joined = " || ' ' || ".join(f"toks[i+{k}]" for k in range(ngram))
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM {table}
+), g AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= {ngram} THEN
+      list_transform(range(1, len(toks) - {ngram - 2}), i -> {joined})
+    ELSE [] END) AS gs
+  FROM t
+), corpus AS (
+  SELECT doc_id, unnest(gs) AS gram FROM g
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE {bench_pred}
+), hits AS (
+  SELECT c.doc_id, COUNT(*) AS n FROM corpus c
+  JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+  COALESCE(h.n, 0) >= {min_shared} AS contaminated
+FROM {table} d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""

@@ -556,6 +556,23 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (5-gram overlap vs an eval set — the
+    standard pre-training hygiene pass). The "benchmark" is the
+    deterministic doc_id%20==0 slice standing in for a held-out eval
+    set; its members self-overlap, so the gate exercises both flagged
+    and clean paths. Benchmark grams broadcast; corpus never shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return (
+        dedup.contamination_flags(docs, bench, ngram=5, min_shared=3)
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_DECONTAMINATE_ORACLE = dedup.contamination_oracle_sql()
+
+
 def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule filter (Rae et al. 2021, Appendix A1.1) —
     the standard public rule set for pre-training corpus curation: word
@@ -727,6 +744,7 @@ QUERIES = {
     "q_text_entropy": q_text_entropy,
     "q_text_chunk": q_text_chunk,
     "q_text_quality_gopher": q_text_quality_gopher,
+    "q_text_decontaminate": q_text_decontaminate,
     "q_pack_sequences": q_pack_sequences,
     "q_text_pii_scrub": q_text_pii_scrub,
     "q_sim_cosine_topk": q_sim_cosine_topk,
@@ -757,6 +775,7 @@ ORACLES = {
     "q_text_entropy": Q_TEXT_ENTROPY_ORACLE,
     "q_text_chunk": Q_TEXT_CHUNK_ORACLE,
     "q_text_quality_gopher": Q_TEXT_QUALITY_GOPHER_ORACLE,
+    "q_text_decontaminate": Q_TEXT_DECONTAMINATE_ORACLE,
     "q_pack_sequences": _pack_oracle(),
     "q_text_pii_scrub": Q_TEXT_PII_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,

@@ -37,6 +37,7 @@ GATE_ORDER = [
     "q_text_quality_gopher",  # r6 new: Gopher quality-rule filter
     "q_io_zorder_read",  # r6 new: z-order clustered write + 2-D skipping read
     "q_io_merge_upsert",  # r6 new: partition-scoped MERGE upsert
+    "q_text_decontaminate",  # r6 new: benchmark n-gram decontamination
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",

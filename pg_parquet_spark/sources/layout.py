@@ -90,25 +90,72 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 8):
     """
     from pyspark.sql import functions as F
 
-    d = len(cols)
-    boundary_lists = [
-        df.approxQuantile(c, [i / (1 << bits) for i in range(1, 1 << bits)], 0.001)
-        for c in cols
-    ]
-    def _bucket(c: str, bounds: list[float]):
-        arr = F.array(*[F.lit(b) for b in bounds])
-        val = F.col(c).cast("double")
-        # one-arg lambda only: a second parameter would be read as the
-        # HOF's (element, index) form
-        return F.size(F.filter(arr, lambda b: val >= b)).cast("long")
+    # one multi-column quantile job, not one scan per column
+    boundary_lists = df.approxQuantile(
+        cols, [i / (1 << bits) for i in range(1, 1 << bits)], 0.001
+    )
+    return _interleave(
+        [_bucket_expr(c, bounds) for c, bounds in zip(cols, boundary_lists)],
+        bits,
+    )
 
-    z = F.lit(0).cast("long")
-    for i, (c, bounds) in enumerate(zip(cols, boundary_lists)):
-        bucket = _bucket(c, bounds)
+
+def _bucket_expr(c: str, bounds: list[float]):
+    """Quantile-bucket index (count of boundaries ≤ value) as a
+    binary-search ``when`` tree: log2(2^bits) codegen'd comparisons per
+    row. The earlier literal-array-HOF formulation (count via
+    F.filter) was 2^bits interpreted lambda calls per evaluation —
+    and Catalyst's projection collapse inlines the bucket into every
+    consumer, so the HOF ran once per interleave read (measured: 17.6 s
+    vs 3.4 s for a 600k-row 2-dim write)."""
+    from pyspark.sql import functions as F
+
+    val = F.col(c).cast("double")
+
+    def build(lo: int, hi: int):
+        # bucket index ∈ [lo, hi]; compare against bounds[mid]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(val >= bounds[mid], build(mid + 1, hi)).otherwise(
+            build(lo, mid)
+        )
+
+    # NULL values fall through every >= to the lo branch → bucket 0,
+    # matching the HOF-count semantics
+    return build(0, len(bounds)).cast("long")
+
+
+def _spread_table(bits: int, d: int) -> list[int]:
+    """spread(v): bit b of v moved to position b*d (zeros between) —
+    the per-dimension half of a Morton code, precomputed for all 2^bits
+    bucket values."""
+    out = []
+    for v in range(1 << bits):
+        s = 0
         for b in range(bits):
-            z = z.bitwiseOR(
-                F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * d + i)
-            )
+            if v >> b & 1:
+                s |= 1 << (b * d)
+        out.append(s)
+    return out
+
+
+def _interleave(bucket_cols: list, bits: int):
+    """Morton bit-interleave: bit b of dim i → position b*d + i.
+    Implemented as one literal spread-table lookup per dimension
+    (z = Σ spread(bucket_i) << i), so each bucket expression is read
+    EXACTLY once — bit-shift extraction would read it ``bits`` times
+    and projection collapse would duplicate its whole subtree per
+    read."""
+    from pyspark.sql import functions as F
+
+    d = len(bucket_cols)
+    spread = F.array(*[F.lit(s).cast("long") for s in _spread_table(bits, d)])
+    z = F.lit(0).cast("long")
+    for i, bucket in enumerate(bucket_cols):
+        z = z + F.shiftleft(
+            F.element_at(spread, (bucket + 1).cast("int")), i
+        )
     return z
 
 
@@ -134,6 +181,13 @@ def write_zordered(
     ``num_files`` controls output granularity (at scale set it so files
     land near 1 GiB)."""
     z = zorder_expr(df, zorder_by, bits=bits)
+    # spread the CPU-bound z projection over all cores before the range
+    # shuffle — the source's file-partition count caps parallelism
+    # otherwise (the similarity.py PQ-encode lever; locally 3 input
+    # splits left 29 cores idle, 5.9 s → ~1 s)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     (
         df.withColumn("_zorder", z)
         .repartitionByRange(num_files, "_zorder")

@@ -180,7 +180,9 @@ def test_zorder_interleave_is_morton(spark):
     import unittest.mock as mock
 
     with mock.patch.object(
-        type(df), "approxQuantile", lambda self, c, p, e: [1.0, 2.0, 3.0]
+        type(df),
+        "approxQuantile",
+        lambda self, c, p, e: [[1.0, 2.0, 3.0] for _ in c],
     ):
         z = zorder_expr(df, ["x", "y"], bits=2)
     rows = df.select(z.alias("z")).collect()

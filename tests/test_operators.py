@@ -163,6 +163,26 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
     assert all(0 <= r.micros_to_purchase <= 3_600_000_000 for r in streamed)
 
 
+def test_contamination_flags_benchmark_members_and_broadcasts(spark):
+    """Every benchmark member self-overlaps (contaminated), a disjoint
+    synthetic doc stays clean, and the overlap join broadcasts the
+    benchmark gram set (the corpus side must never shuffle)."""
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    clean = spark.createDataFrame(
+        [(900_001, "zyx wvu tsr qpo nml kji hgf edc ba")], ["doc_id", "text"]
+    )
+    corpus = docs.unionByName(clean)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    out = dedup.contamination_flags(corpus, bench, ngram=5, min_shared=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    bench_ids = [r.doc_id for r in bench.select("doc_id").collect()]
+    assert bench_ids and all(rows[i].contaminated for i in bench_ids)
+    assert not rows[900_001].contaminated
+    assert rows[900_001].n_shared_grams == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_gopher_rules_fire_on_constructed_docs(spark):
     """Each Gopher rule individually rejects the document constructed to
     violate it, and a healthy document passes all rules."""
