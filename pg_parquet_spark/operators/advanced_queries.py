@@ -6,6 +6,8 @@ Structured Streaming queries.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
@@ -750,6 +752,47 @@ ORDER BY click_id, purchase_id
 """
 
 
+def q_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → hive-partitioned parquet sink (foreachBatch append
+    under event_type=… directories) then a partition-pruned read-back
+    aggregate — the landing-zone shape of a streaming ingestion
+    pipeline. Equals the batch aggregate on a finite drain."""
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.streaming.stream import (
+        drain_to_partitioned_parquet,
+        read_events_stream,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), "pgpq_stream_landing")
+    shutil.rmtree(path, ignore_errors=True)
+    events = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    drain_to_partitioned_parquet(events, path, ["event_type"])
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_STREAM_SINK_PARTITIONED_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running stats; the drained final state equals the batch
@@ -796,6 +839,7 @@ QUERIES = {
     "q_stream_session": q_stream_session,
     "q_stream_join": q_stream_join,
     "q_stream_stream_join": q_stream_stream_join,
+    "q_stream_sink_partitioned": q_stream_sink_partitioned,
 }
 
 ORACLES = {
@@ -823,4 +867,5 @@ ORACLES = {
     "q_stream_session": Q_STREAM_SESSION_ORACLE,
     "q_stream_join": Q_STREAM_JOIN_ORACLE,
     "q_stream_stream_join": Q_STREAM_STREAM_JOIN_ORACLE,
+    "q_stream_sink_partitioned": Q_STREAM_SINK_PARTITIONED_ORACLE,
 }

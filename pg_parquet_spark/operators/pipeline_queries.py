@@ -573,6 +573,50 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TEXT_DECONTAMINATE_ORACLE = dedup.contamination_oracle_sql()
 
 
+def q_text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    ending in terminal punctuation with ≥5 words; drop documents with
+    '{', "lorem ipsum", or <3 surviving lines. The fixture is
+    single-line and punctuation-free, so the gate synthesizes a
+    deterministic multi-line body (both engines build the identical
+    string): a terminal '.' for doc_id%3==0 (base line keepable), two
+    proper trailer sentences, a short junk line, lorem for %7==0 and a
+    code brace for %11==0 — every rule provably fires both ways."""
+    docs = table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.lit("\nThis trailer sentence is long enough to keep."),
+        F.lit("\nAnother proper trailer sentence with enough words."),
+        F.lit("\nshort line"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nlorem ipsum dolor sit amet boilerplate filler."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\nfunction f() { return 1; }")
+        ).otherwise(F.lit("")),
+    )
+    return (
+        text.c4_clean(docs.select("doc_id", synth.alias("text")))
+        .select("doc_id", "n_lines", "n_kept_lines", "keep_doc", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_C4_ORACLE = text.c4_oracle_sql(
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END"
+    " || chr(10) || 'This trailer sentence is long enough to keep.'"
+    " || chr(10) || 'Another proper trailer sentence with enough words.'"
+    " || chr(10) || 'short line'"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||"
+    " 'lorem ipsum dolor sit amet boilerplate filler.' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||"
+    " 'function f() { return 1; }' ELSE '' END"
+)
+
+
 def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule filter (Rae et al. 2021, Appendix A1.1) —
     the standard public rule set for pre-training corpus curation: word
@@ -745,6 +789,7 @@ QUERIES = {
     "q_text_chunk": q_text_chunk,
     "q_text_quality_gopher": q_text_quality_gopher,
     "q_text_decontaminate": q_text_decontaminate,
+    "q_text_c4_clean": q_text_c4_clean,
     "q_pack_sequences": q_pack_sequences,
     "q_text_pii_scrub": q_text_pii_scrub,
     "q_sim_cosine_topk": q_sim_cosine_topk,
@@ -776,6 +821,7 @@ ORACLES = {
     "q_text_chunk": Q_TEXT_CHUNK_ORACLE,
     "q_text_quality_gopher": Q_TEXT_QUALITY_GOPHER_ORACLE,
     "q_text_decontaminate": Q_TEXT_DECONTAMINATE_ORACLE,
+    "q_text_c4_clean": Q_TEXT_C4_ORACLE,
     "q_pack_sequences": _pack_oracle(),
     "q_text_pii_scrub": Q_TEXT_PII_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,

@@ -38,6 +38,8 @@ GATE_ORDER = [
     "q_io_zorder_read",  # r6 new: z-order clustered write + 2-D skipping read
     "q_io_merge_upsert",  # r6 new: partition-scoped MERGE upsert
     "q_text_decontaminate",  # r6 new: benchmark n-gram decontamination
+    "q_text_c4_clean",  # r6 new: C4 line-level cleaning rules
+    "q_stream_sink_partitioned",  # r6 new: foreachBatch partitioned sink
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",

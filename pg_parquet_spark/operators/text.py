@@ -448,3 +448,72 @@ SELECT {id_col}, n_words, mean_word_len, symbol_ratio, bullet_frac,
    AND stop_hits >= {min_stop}) AS keep
 FROM sig ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the public
+# rule set behind the C4 corpus). Complements the Gopher rules above:
+# Gopher keeps/drops whole documents, C4 cleans WITHIN a document by
+# line, then drops documents whose residue is too small or code/boilerplate.
+
+#: (min_words_per_line, min_kept_lines)
+C4_THRESHOLDS = (5, 3)
+
+
+def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Apply the C4 line rules: keep only lines that end in terminal
+    punctuation ('.', '!', '?', '"') and have ≥5 words; drop the whole
+    document if it contains '{' (code), the phrase "lorem ipsum"
+    (placeholder boilerplate), or fewer than 3 surviving lines.
+
+    Appends ``n_lines``, ``n_kept_lines``, ``keep_doc`` and
+    ``clean_text`` (surviving lines re-joined). One staged line array +
+    one JVM-HOF filter per row — zero shuffle, scales as a pure map
+    stage."""
+    min_words, min_lines = C4_THRESHOLDS
+    lines = F.col("_c4_lines")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= min_words),
+    )
+    has_brace = F.instr(F.col(text_col), "{") > 0
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    staged = df.withColumn("_c4_lines", F.split(F.col(text_col), "\n")).withColumn(
+        "_c4_kept", kept
+    )
+    return staged.select(
+        *df.columns,
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.col("_c4_kept")).cast("bigint").alias("n_kept_lines"),
+        (
+            ~has_brace
+            & ~has_lorem
+            & (F.size(F.col("_c4_kept")) >= min_lines)
+        ).alias("keep_doc"),
+        F.concat_ws("\n", F.col("_c4_kept")).alias("clean_text"),
+    )
+
+
+def c4_oracle_sql(text_expr: str, table: str = "documents",
+                  id_col: str = "doc_id") -> str:
+    """DuckDB replica of c4_clean over an arbitrary text expression."""
+    min_words, min_lines = C4_THRESHOLDS
+    return f"""
+WITH staged AS (
+  SELECT {id_col}, {text_expr} AS t FROM {table}
+), l AS (
+  SELECT {id_col}, t, string_split(t, chr(10)) AS lines,
+    list_filter(string_split(t, chr(10)),
+      x -> regexp_matches(x, '[.!?"]$')
+           AND len(string_split(x, ' ')) >= {min_words}) AS kept
+  FROM staged
+)
+SELECT {id_col},
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+  (strpos(t, '{{') = 0 AND lower(t) NOT LIKE '%lorem ipsum%'
+   AND len(kept) >= {min_lines}) AS keep_doc,
+  array_to_string(kept, chr(10)) AS clean_text
+FROM l ORDER BY {id_col}
+"""

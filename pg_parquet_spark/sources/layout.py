@@ -82,11 +82,11 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 8):
     Per column: 2^bits − 1 quantile boundaries are fitted with
     ``approxQuantile`` (driver-side result is 255 floats per column —
     model fitting like the IVF/PQ codebooks, not data movement), the
-    bucket index is ``count(boundaries ≤ value)`` via a literal-array
-    HOF, and bit b of dimension i lands at interleaved position
-    ``b·d + i``. Everything after the quantile fit is a pure JVM
-    projection — zero extra shuffle beyond the range partition the
-    caller does for the write.
+    bucket index is a binary-search ``when`` tree (see _bucket_expr),
+    and bit b of dimension i lands at interleaved position ``b·d + i``
+    via a spread-table lookup (see _interleave). Everything after the
+    quantile fit is a pure JVM projection — zero extra shuffle beyond
+    the range partition the caller does for the write.
     """
     from pyspark.sql import functions as F
 
@@ -107,7 +107,8 @@ def _bucket_expr(c: str, bounds: list[float]):
     F.filter) was 2^bits interpreted lambda calls per evaluation —
     and Catalyst's projection collapse inlines the bucket into every
     consumer, so the HOF ran once per interleave read (measured: 17.6 s
-    vs 3.4 s for a 600k-row 2-dim write)."""
+    vs 9.4 s total for a 600k-row 2-dim write; the z projection itself
+    dropped to ~1.2 s warm)."""
     from pyspark.sql import functions as F
 
     val = F.col(c).cast("double")
@@ -261,3 +262,48 @@ def merge_upsert(
     shutil.move(base_uri, old)
     shutil.move(staging, base_uri)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_dataset(
+    spark,
+    uri: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target_file_bytes) files (the OPTIMIZE /
+    bin-packing maintenance job every streaming or incremental sink
+    eventually needs — thousands of KB-sized files turn scan planning
+    and footer reads into the bottleneck long before data volume does).
+
+    With ``partition_by`` the hive layout is preserved and rows are
+    repartitioned on the partition columns so each output partition
+    coalesces its own files. Uses the same staging-dir + swap protocol
+    as merge_upsert (never leaves a half-written dataset). Returns the
+    target file count. At 100 TB this runs per-partition (compact only
+    partitions whose file count drifted) — compose with merge_upsert's
+    touched-partition pattern."""
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(uri):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(uri)
+    staging = uri.rstrip("/") + "__compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    if partition_by:
+        w = df.repartition(n, *partition_by).write.partitionBy(*partition_by)
+    else:
+        w = df.repartition(n).write
+    w.mode("overwrite").option("compression", compression).parquet(staging)
+    old = uri.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(uri, old)
+    shutil.move(staging, uri)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

@@ -214,6 +214,39 @@ def click_purchase_pairs(
     )
 
 
+def drain_to_partitioned_parquet(
+    sdf: DataFrame,
+    path: str,
+    partition_by: list[str],
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming → hive-partitioned parquet sink via ``foreachBatch``
+    (the built-in file sink cannot partition-append with exactly-once
+    bookkeeping across dynamic partitions; foreachBatch is the
+    documented escape hatch). Each micro-batch appends under
+    ``key=value`` directories, so the landed dataset is immediately
+    partition-prunable — and compactable with
+    ``layout.compact_dataset`` once small files accumulate, the
+    standard streaming-ingestion lifecycle at scale."""
+    name = f"pgpq_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"pgpq_ckpt_{name}")
+
+    def _write(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def deduped_user_event_counts(events: DataFrame) -> DataFrame:
     """Streaming exact deduplication (stateful ``dropDuplicates``) then
     aggregate: distinct users per event_type. The dedup state is keyed

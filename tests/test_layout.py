@@ -168,6 +168,60 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert spark.read.parquet(base).count() == docs.count() + 1
 
 
+def test_compact_dataset_flat_and_partitioned(spark, tmp_path):
+    """Compaction bin-packs a fragmented dataset to the target file
+    count (flat and hive-partitioned), preserving every row."""
+    import glob
+    import os
+
+    from pg_parquet_spark.sources.layout import compact_dataset, write_partitioned
+
+    docs = table(spark, SF, "documents")
+    n_rows = docs.count()
+
+    flat = str(tmp_path / "flat")
+    docs.repartition(32).write.parquet(flat)
+    assert len(glob.glob(os.path.join(flat, "*.parquet"))) == 32
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(flat, "*.parquet"))
+    )
+    compact_dataset(spark, flat, target_file_bytes=total + 1)
+    assert len(glob.glob(os.path.join(flat, "*.parquet"))) == 1
+    assert spark.read.parquet(flat).count() == n_rows
+
+    part = str(tmp_path / "part")
+    write_partitioned(docs.repartition(16), part, ["lang"])
+    before_files = len(glob.glob(os.path.join(part, "lang=*", "*.parquet")))
+    compact_dataset(
+        spark, part, target_file_bytes=1 << 30, partition_by=["lang"]
+    )
+    after = glob.glob(os.path.join(part, "lang=*", "*.parquet"))
+    assert len(after) < before_files
+    langs = {os.path.basename(os.path.dirname(f)) for f in after}
+    assert len(langs) >= 2  # hive layout preserved
+    assert spark.read.parquet(part).count() == n_rows
+
+
+def test_stream_partitioned_sink_lands_hive_layout(spark, tmp_path):
+    """The foreachBatch partitioned sink lands event_type=… directories
+    whose union equals the source."""
+    import glob
+    import os
+
+    from pg_parquet_spark.streaming.stream import (
+        drain_to_partitioned_parquet,
+        read_events_stream,
+    )
+
+    path = str(tmp_path / "landing")
+    events = read_events_stream(spark, SF).select("event_id", "event_type", "value")
+    drain_to_partitioned_parquet(events, path, ["event_type"])
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(path, "event_type=*"))}
+    assert len(dirs) == 5, dirs
+    back = spark.read.parquet(path)
+    assert back.count() == table(spark, SF, "events").count()
+
+
 def test_zorder_interleave_is_morton(spark):
     """The interleave places bit b of dim i at position b*d+i: buckets
     (x=0b11, y=0b00) and (x=0b00, y=0b11) give z 0b0101 and 0b1010."""
