@@ -573,6 +573,18 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TEXT_DECONTAMINATE_ORACLE = dedup.contamination_oracle_sql()
 
 
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (distributed mean-pooling):
+    posexplode → integer-quantized exact sums on (label, pos) — float
+    summation order never matters, so the result is engine- and
+    partitioning-invariant. Vectors never shuffle whole."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb).orderBy("label", "pos")
+
+
+Q_EMBED_CENTROIDS_ORACLE = similarity.label_centroids_oracle_sql()
+
+
 def q_text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
     ending in terminal punctuation with ≥5 words; drop documents with
@@ -790,6 +802,7 @@ QUERIES = {
     "q_text_quality_gopher": q_text_quality_gopher,
     "q_text_decontaminate": q_text_decontaminate,
     "q_text_c4_clean": q_text_c4_clean,
+    "q_embed_centroids": q_embed_centroids,
     "q_pack_sequences": q_pack_sequences,
     "q_text_pii_scrub": q_text_pii_scrub,
     "q_sim_cosine_topk": q_sim_cosine_topk,
@@ -822,6 +835,7 @@ ORACLES = {
     "q_text_quality_gopher": Q_TEXT_QUALITY_GOPHER_ORACLE,
     "q_text_decontaminate": Q_TEXT_DECONTAMINATE_ORACLE,
     "q_text_c4_clean": Q_TEXT_C4_ORACLE,
+    "q_embed_centroids": Q_EMBED_CENTROIDS_ORACLE,
     "q_pack_sequences": _pack_oracle(),
     "q_text_pii_scrub": Q_TEXT_PII_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,

@@ -40,6 +40,7 @@ GATE_ORDER = [
     "q_text_decontaminate",  # r6 new: benchmark n-gram decontamination
     "q_text_c4_clean",  # r6 new: C4 line-level cleaning rules
     "q_stream_sink_partitioned",  # r6 new: foreachBatch partitioned sink
+    "q_embed_centroids",  # r6 new: per-label embedding centroids
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",

@@ -141,3 +141,45 @@ SELECT {id_col}, bucket,
   n_tokens
 FROM t ORDER BY {id_col}
 """
+
+
+def profile_approx(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Sketch-based column profile — the 100 TB variant of ``profile``:
+    ``approx_count_distinct`` (HyperLogLog++, default 5% rsd) instead
+    of an exact distinct (whose shuffle is proportional to cardinality),
+    and ``percentile_approx`` medians for numeric columns. One
+    aggregation pass; every sketch is mergeable, so partial aggregates
+    combine map-side and the shuffle is O(sketch size × columns),
+    independent of row count.
+
+    Sketch outputs are engine-specific (no DuckDB oracle row —
+    tests/test_scale_ops.py bounds the error against the exact profile
+    instead)."""
+    import pyspark.sql.types as T
+
+    columns = columns or df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType)
+    }
+    parts = []
+    for c in columns:
+        median = (
+            F.percentile_approx(c, 0.5).cast("double")
+            if c in numeric
+            else F.lit(None).cast("double")
+        )
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.approx_count_distinct(c).alias("approx_distinct"),
+                median.alias("approx_median"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

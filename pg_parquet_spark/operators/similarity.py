@@ -809,3 +809,60 @@ FROM shortlist
 ORDER BY cosine_sim DESC, {id_col}
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding aggregates
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid (distributed mean-pooling over an embedding
+    column) as (label, pos, n_vectors, centroid) rows — the building
+    block for cluster statistics, class prototypes, and drift checks
+    over a 100 TB embedding corpus.
+
+    Cross-engine determinism: float sums are order-dependent, and a
+    groupBy sums in partition order — so each element is quantized to
+    an integer (floor(v·quant + 0.5)) and summed exactly; the mean
+    divides once at the end. Shuffle volume is (label, pos)-keyed
+    longs — vectors never move whole. posexplode is the JVM-side
+    columnar explode; no Python in the path."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    )
+    iv = F.floor(F.col("v").cast("double") * quant + F.lit(0.5)).cast("long")
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("int").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(iv).alias("_s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n_vectors",
+            (
+                F.col("_s").cast("double")
+                / (F.col("n_vectors") * F.lit(float(quant)))
+            ).alias("centroid"),
+        )
+    )
+
+
+def label_centroids_oracle_sql(quant: int = 1_000_000) -> str:
+    """DuckDB replica: identical integer quantization and exact sums."""
+    return f"""
+WITH ex AS (
+  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {quant} + 0.5) AS BIGINT) AS iv
+  FROM embeddings
+)
+SELECT label, pos, COUNT(*) AS n_vectors,
+  CAST(SUM(iv) AS DOUBLE) / (COUNT(*) * CAST({quant} AS DOUBLE)) AS centroid
+FROM ex GROUP BY label, pos ORDER BY label, pos
+"""

@@ -558,3 +558,24 @@ def test_pq_topk_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_profile_approx_bounds_error_vs_exact(spark):
+    """Sketch profile agrees with the exact profile: identical
+    rows/nulls, HLL distinct within 10% (5% rsd default), median
+    between exact min and max."""
+    from pg_parquet_spark.operators.sampling import profile, profile_approx
+
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    exact = {r.column_name: r for r in profile(li).collect()}
+    approx = {r.column_name: r for r in profile_approx(li).collect()}
+    assert set(exact) == set(approx)
+    for c, a in approx.items():
+        e = exact[c]
+        assert a.n_rows == e.n_rows and a.n_nulls == e.n_nulls
+        assert abs(a.approx_distinct - e.n_distinct) <= max(2, 0.1 * e.n_distinct)
+        if a.approx_median is not None:
+            assert float(e.min_value) <= a.approx_median <= float(e.max_value)
+    assert approx["l_returnflag"].approx_median is None  # non-numeric: no median
