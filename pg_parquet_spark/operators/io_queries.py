@@ -363,6 +363,60 @@ WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
 """
 
 
+def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (engine extension): a dataset written in
+    two schema versions — v2 adds a column — reads back as ONE table
+    with ``mergeSchema``, old files NULL-filling the new column. The
+    lifecycle every long-lived 100 TB dataset goes through; the
+    reference's strict match_by surface has no equivalent (COPY FROM
+    reads one file's schema), so this is the Spark-native answer."""
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.session import table
+
+    orders = table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), "pgpq_orders_evolving")
+    shutil.rmtree(path, ignore_errors=True)
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("priority"),  # added in v2
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=v1"), os.path.join(path, "batch=v2")
+    )
+    return (
+        merged.groupBy(F.coalesce(F.col("priority"), F.lit("<pre-v2>")).alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+Q_IO_SCHEMA_EVOLUTION_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, NULL AS priority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT COALESCE(priority, '<pre-v2>') AS priority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY 1 ORDER BY priority
+"""
+
+
 def q_io_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-scoped MERGE upsert into a plain-parquet dataset
     (engine extension — the Delta MERGE primitive via anti-join + union
@@ -553,6 +607,7 @@ QUERIES = {
     "q_io_partitioned_roundtrip": q_io_partitioned_roundtrip,
     "q_io_zorder_read": q_io_zorder_read,
     "q_io_merge_upsert": q_io_merge_upsert,
+    "q_io_schema_evolution": q_io_schema_evolution,
     "q_io_copy_from_table": q_io_copy_from_table,
     "q_io_geo_roundtrip": q_io_geo_roundtrip,
     "q_io_match_position": q_io_match_position,
@@ -572,6 +627,7 @@ ORACLES = {
     "q_io_partitioned_roundtrip": Q_IO_PARTITIONED_ORACLE,
     "q_io_zorder_read": Q_IO_ZORDER_ORACLE,
     "q_io_merge_upsert": Q_IO_MERGE_UPSERT_ORACLE,
+    "q_io_schema_evolution": Q_IO_SCHEMA_EVOLUTION_ORACLE,
     "q_io_copy_from_table": Q_IO_COPY_FROM_TABLE_ORACLE,
     "q_io_geo_roundtrip": _geo_oracle(),
     "q_io_match_position": Q_IO_MATCH_POSITION_ORACLE,

@@ -22,12 +22,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Verification-priority prefix, rotated per round (VERDICT r2 #2: no
 #: entry's newest green row should be older than 2 rounds). r6 front,
-#: from folding CORRECTNESS_r01..r05: group 1 = the 12 entries whose
-#: newest green row is still r3 (the tail of r5's group 2 that fell
-#: outside both the r4 and r5 windows — most stale, must lead); group 2
-#: = the 44 r4-green entries (VERDICT r5 next-round #2). 12+44 = 56 >
-#: the 50-query window, so the last 6 of group 2 land at positions
-#: 51-56 and lead r7's window (still ≤2 rounds old after r6). The 50
+#: from folding CORRECTNESS_r01..r05: group 0 = the 10 queries NEW in
+#: r6 (first-ever driver row takes precedence over freshness); group 1
+#: = the 12 entries whose newest green row is still r3 (most stale,
+#: lead the rest); group 2 = the 44 r4-green entries (VERDICT r5
+#: next-round #2). 10+12+44 = 66 > the 50-query window, so the last 16
+#: of group 2 spill past position 50 and MUST lead r7's window (they
+#: will be 3 rounds old by then — the unavoidable cost of 10 new
+#: queries in one round; r7's rotation pays it down first). The 50
 #: r5-verified entries rotate to the back.
 GATE_ORDER = [
     # -- group 0: new this round (first-ever driver row needed) -------------
@@ -41,6 +43,7 @@ GATE_ORDER = [
     "q_text_c4_clean",  # r6 new: C4 line-level cleaning rules
     "q_stream_sink_partitioned",  # r6 new: foreachBatch partitioned sink
     "q_embed_centroids",  # r6 new: per-label embedding centroids
+    "q_io_schema_evolution",  # r6 new: mergeSchema evolving-dataset read
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",
