@@ -573,6 +573,21 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TEXT_DECONTAMINATE_ORACLE = dedup.contamination_oracle_sql()
 
 
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (corpus keyword extraction).
+    Scores round to 6 decimals BEFORE ranking and ties break on the
+    term, so the top-k set is engine-invariant; the vocabulary-sized
+    document-frequency table broadcasts back onto the term counts."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        text.tfidf_top_terms(docs, k=3)
+        .orderBy("doc_id", "rank")
+    )
+
+
+Q_TEXT_TFIDF_ORACLE = text.tfidf_oracle_sql(k=3)
+
+
 def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (distributed mean-pooling):
     posexplode → integer-quantized exact sums on (label, pos) — float
@@ -803,6 +818,7 @@ QUERIES = {
     "q_text_decontaminate": q_text_decontaminate,
     "q_text_c4_clean": q_text_c4_clean,
     "q_embed_centroids": q_embed_centroids,
+    "q_text_tfidf": q_text_tfidf,
     "q_pack_sequences": q_pack_sequences,
     "q_text_pii_scrub": q_text_pii_scrub,
     "q_sim_cosine_topk": q_sim_cosine_topk,
@@ -836,6 +852,7 @@ ORACLES = {
     "q_text_decontaminate": Q_TEXT_DECONTAMINATE_ORACLE,
     "q_text_c4_clean": Q_TEXT_C4_ORACLE,
     "q_embed_centroids": Q_EMBED_CENTROIDS_ORACLE,
+    "q_text_tfidf": Q_TEXT_TFIDF_ORACLE,
     "q_pack_sequences": _pack_oracle(),
     "q_text_pii_scrub": Q_TEXT_PII_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,

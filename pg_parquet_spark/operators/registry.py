@@ -44,6 +44,7 @@ GATE_ORDER = [
     "q_stream_sink_partitioned",  # r6 new: foreachBatch partitioned sink
     "q_embed_centroids",  # r6 new: per-label embedding centroids
     "q_io_schema_evolution",  # r6 new: mergeSchema evolving-dataset read
+    "q_text_tfidf",  # r6 new: TF-IDF top-terms keyword extraction
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",

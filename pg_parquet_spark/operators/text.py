@@ -517,3 +517,94 @@ SELECT {id_col},
   array_to_string(kept, chr(10)) AS clean_text
 FROM l ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-level keyword extraction (TF-IDF) — unlike the per-row operators
+# above, this one aggregates across the corpus (document frequency), so it
+# shuffles: once on (doc_id, term) for term counts, once on term for the
+# document frequency. Both keys are words — document bodies never move.
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF
+    (tf = term count / doc length, idf = ln(N/df)) — the classic
+    corpus-analytics / keyword-extraction pass.
+
+    Determinism: the score is rounded to 6 decimals BEFORE ranking
+    (ln() differs from other engines by 1-2 ULP on ~3% of arguments —
+    see char_entropy), and rank ties break on the term string, so the
+    selected top-k set is engine- and partition-invariant.
+
+    Scale shape: the document-frequency table is vocabulary-sized
+    (MBs even for web-scale corpora) and is BROADCAST back onto the
+    term counts — the only all-corpus shuffles are word-keyed
+    aggregations with map-side combine. ``n_docs`` (the N in idf) is
+    passed or counted once (a scalar job, not a data collect)."""
+    from pyspark.sql import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    ex = (
+        df.withColumn("_tf_toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.size(F.col("_tf_toks")).alias("_n_toks"),
+            F.explode(F.col("_tf_toks")).alias("term"),
+        )
+    )
+    tfc = ex.groupBy(id_col, "term", "_n_toks").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    dfreq = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = tfc.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col),
+        "term",
+        F.round(
+            (F.col("_c").cast("double") / F.col("_n_toks").cast("double"))
+            * F.log(F.lit(float(n_docs)) / F.col("_df").cast("double")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score")
+    )
+
+
+def tfidf_oracle_sql(k: int = 3, table: str = "documents",
+                     id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB replica: identical staging, rounding-before-rank, and
+    term tie-break."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split(lower({text_col}), ' ') AS toks FROM {table}
+), ex AS (
+  SELECT {id_col}, len(toks) AS n_toks, unnest(toks) AS term FROM t
+), tfc AS (
+  SELECT {id_col}, term, n_toks, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM {table}
+), scored AS (
+  SELECT tfc.{id_col}, tfc.term,
+    ROUND((CAST(c AS DOUBLE) / CAST(n_toks AS DOUBLE))
+          * ln(nd / CAST(df AS DOUBLE)), 6) AS score
+  FROM tfc JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT {id_col}, term, score,
+    ROW_NUMBER() OVER (PARTITION BY {id_col}
+                       ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT {id_col}, CAST(rank AS INT) AS rank, term, score
+FROM ranked WHERE rank <= {k} ORDER BY {id_col}, rank
+"""

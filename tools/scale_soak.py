@@ -188,6 +188,43 @@ def main() -> int:
     _assert_in(plan, "TakeOrderedAndProject", "pq", errors)
     print(f"pq_ann: top-{len(rows)} in {results['pq_ann']}s")
 
+    # --- text-curation tier (r6): gopher + c4 + tfidf + decontaminate ------
+    from pg_parquet_spark.operators import text as text_ops
+
+    t0 = time.time()
+    flags = text_ops.with_gopher_flags(docs)
+    n_keep = flags.filter(F.col("keep")).count()
+    results["gopher"] = round(time.time() - t0, 1)
+    plan = _plan(flags)
+    _assert_not_in(plan, "Exchange", "gopher (pure map stage)", errors)
+    print(f"gopher: {n_keep}/{args.docs} kept in {results['gopher']}s")
+
+    t0 = time.time()
+    cleaned = text_ops.c4_clean(docs)
+    n_c4 = cleaned.filter(F.col("keep_doc")).count()
+    results["c4"] = round(time.time() - t0, 1)
+    plan = _plan(cleaned)
+    _assert_not_in(plan, "Exchange", "c4 (pure map stage)", errors)
+    print(f"c4: {n_c4}/{args.docs} kept in {results['c4']}s")
+
+    t0 = time.time()
+    top_terms = text_ops.tfidf_top_terms(docs, k=3)
+    n_terms = top_terms.count()
+    results["tfidf"] = round(time.time() - t0, 1)
+    plan = _plan(top_terms)
+    _assert_in(plan, "BroadcastHashJoin", "tfidf (df table broadcast)", errors)
+    _assert_not_in(plan, "CartesianProduct", "tfidf", errors)
+    print(f"tfidf: {n_terms} term rows in {results['tfidf']}s")
+
+    t0 = time.time()
+    bench_set = docs.filter(F.col("doc_id") % 100 == 0)
+    contaminated = dedup.contamination_flags(docs, bench_set)
+    n_cont = contaminated.filter(F.col("contaminated")).count()
+    results["decontaminate"] = round(time.time() - t0, 1)
+    plan = _plan(contaminated)
+    _assert_in(plan, "BroadcastHashJoin", "decontaminate (bench grams broadcast)", errors)
+    print(f"decontaminate: {n_cont} flagged in {results['decontaminate']}s")
+
     results["total"] = round(sum(results.values()), 1)
     ok = not errors
     print(
