@@ -573,6 +573,81 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TEXT_DECONTAMINATE_ORACLE = dedup.contamination_oracle_sql()
 
 
+def q_sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap (downsample overrepresented sources to ≤15 docs):
+    selection inside a group follows the content hash of the doc id, so
+    the kept set is identical across runs, engines, and cluster sizes."""
+    from pg_parquet_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        sampling.cap_per_group(docs, "source", "doc_id", 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _cap_oracle() -> str:
+    from pg_parquet_spark.operators import sampling
+
+    inner = sampling.cap_per_group_oracle_sql("source", "doc_id", 15)
+    return f"SELECT doc_id, source FROM ({inner}) ORDER BY doc_id"
+
+
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-recipe integration gate — the composed pipeline a real
+    data run executes: cap each source at 15 docs (content-hash
+    selection) → drop normalized-fingerprint duplicates (keep the min
+    doc id) → per-source corpus stats. Each stage is an independently
+    oracle-verified operator; this gate proves they COMPOSE (the chain
+    is one declarative plan — Catalyst pipelines the window, the
+    dedup aggregation, and the final rollup)."""
+    from pg_parquet_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    capped = sampling.cap_per_group(docs, "source", "doc_id", 15)
+    keep_ids = (
+        capped.select(
+            "doc_id",
+            text.normalized_fingerprint(F.col("text")).alias("_fp"),
+        )
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = capped.join(keep_ids, "doc_id", "left_semi")
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.lower(F.col("text")), " "))).alias(
+                "total_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _pipeline_oracle() -> str:
+    from pg_parquet_spark.operators import sampling
+
+    capped = sampling.cap_per_group_oracle_sql("source", "doc_id", 15)
+    return f"""
+WITH capped AS ({capped}),
+deduped AS (
+  SELECT * FROM capped
+  WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM capped
+    GROUP BY md5(array_to_string(list_sort(list_distinct(
+      string_split(lower(text), ' '))), ' '))
+  )
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
+FROM deduped GROUP BY source ORDER BY source
+"""
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (corpus keyword extraction).
     Scores round to 6 decimals BEFORE ranking and ties break on the
@@ -819,6 +894,8 @@ QUERIES = {
     "q_text_c4_clean": q_text_c4_clean,
     "q_embed_centroids": q_embed_centroids,
     "q_text_tfidf": q_text_tfidf,
+    "q_sample_cap_per_source": q_sample_cap_per_source,
+    "q_pipeline_end_to_end": q_pipeline_end_to_end,
     "q_pack_sequences": q_pack_sequences,
     "q_text_pii_scrub": q_text_pii_scrub,
     "q_sim_cosine_topk": q_sim_cosine_topk,
@@ -853,6 +930,8 @@ ORACLES = {
     "q_text_c4_clean": Q_TEXT_C4_ORACLE,
     "q_embed_centroids": Q_EMBED_CENTROIDS_ORACLE,
     "q_text_tfidf": Q_TEXT_TFIDF_ORACLE,
+    "q_sample_cap_per_source": _cap_oracle(),
+    "q_pipeline_end_to_end": _pipeline_oracle(),
     "q_pack_sequences": _pack_oracle(),
     "q_text_pii_scrub": Q_TEXT_PII_ORACLE,
     "q_sim_cosine_topk": Q_SIM_COSINE_ORACLE,

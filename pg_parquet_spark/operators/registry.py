@@ -45,6 +45,8 @@ GATE_ORDER = [
     "q_embed_centroids",  # r6 new: per-label embedding centroids
     "q_io_schema_evolution",  # r6 new: mergeSchema evolving-dataset read
     "q_text_tfidf",  # r6 new: TF-IDF top-terms keyword extraction
+    "q_sample_cap_per_source",  # r6 new: deterministic per-group cap
+    "q_pipeline_end_to_end",  # r6 new: composed corpus-recipe pipeline
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",

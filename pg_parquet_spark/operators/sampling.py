@@ -183,3 +183,48 @@ def profile_approx(df: DataFrame, columns: list[str] | None = None) -> DataFrame
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_per_group: int,
+) -> DataFrame:
+    """Cap each group at ``max_per_group`` rows (downsample
+    overrepresented sources/domains — the corpus-recipe step after
+    mixture weighting). Selection order inside a group is the content
+    hash of ``key_col`` (ties broken by the key), so the kept set is
+    deterministic across runs, engines, and cluster sizes — never
+    "first N encountered", which is partition-order-dependent.
+
+    One window shuffle on the group column; at 100 TB a skewed group is
+    the classic hot key — pre-filter with ``sample_deterministic`` to
+    approach the cap before the exact window pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_fraction(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_group)
+        .drop("_rn")
+    )
+
+
+def cap_per_group_oracle_sql(
+    group_col: str, key_col: str, max_per_group: int, table: str = "documents"
+) -> str:
+    """DuckDB replica: identical md5-prefix hash order and tie-break."""
+    frac = (
+        f"CAST(CAST(CONCAT('0x', substr(md5(CAST({key_col} AS VARCHAR)), 1, 6)) "
+        f"AS BIGINT) AS DOUBLE) / {float(_BUCKETS)}"
+    )
+    return f"""
+SELECT * EXCLUDE (_rn) FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {group_col} ORDER BY {frac}, {key_col}) AS _rn
+  FROM {table}
+) WHERE _rn <= {max_per_group}
+"""
