@@ -235,6 +235,20 @@ def merge_upsert(
     shutil.rmtree(staging, ignore_errors=True)
     base = spark.read.parquet(base_uri)
 
+    missing = [c for c in key_cols if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates is missing key column(s) {missing}")
+    if set(updates.columns) != set(base.columns):
+        raise ValueError(
+            "updates schema must match the base dataset: "
+            f"base has {sorted(base.columns)}, updates has "
+            f"{sorted(updates.columns)}"
+        )
+    if partition_col is not None and partition_col not in updates.columns:
+        raise ValueError(
+            f"partition_col {partition_col!r} not present in updates"
+        )
+
     if partition_col is not None:
         affected = [
             r[0] for r in updates.select(partition_col).distinct().collect()

@@ -167,6 +167,16 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     merge_upsert(spark, base, ins, ["doc_id"], partition_col="lang")
     assert spark.read.parquet(base).count() == docs.count() + 1
 
+    # malformed updates are rejected before any write
+    import pytest
+
+    bad = spark.createDataFrame([(1, "x")], ["doc_id", "text"])  # no lang
+    with pytest.raises(ValueError, match="schema must match"):
+        merge_upsert(spark, base, bad, ["doc_id"], partition_col="lang")
+    nokey = spark.createDataFrame([("x", "en", 1)], ["text", "lang", "other"])
+    with pytest.raises(ValueError, match="missing key column"):
+        merge_upsert(spark, base, nokey, ["doc_id"], partition_col="lang")
+
 
 def test_compact_dataset_flat_and_partitioned(spark, tmp_path):
     """Compaction bin-packs a fragmented dataset to the target file
