@@ -628,6 +628,36 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
 
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event contributes
+    to exactly 2 overlapping windows. Oracle replicates the overlap by
+    fanning every event out to its window/slide bucket starts."""
+    from pg_parquet_spark.streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        sliding_event_counts,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    result = run_available_now(sliding_event_counts(events))
+    return result.withColumn(
+        "total_value", F.col("total_value").cast("double")
+    ).orderBy("window_start", "event_type")
+
+
+Q_STREAM_SLIDING_ORACLE = """
+WITH ex AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL '30 minutes', ts) AS b, unnest([0, 1]) AS k
+  FROM events
+)
+SELECT CAST(b - (k * INTERVAL '30 minutes') AS TIMESTAMP) AS window_start,
+       event_type, COUNT(*) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM ex GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window stateful op, drained with AvailableNow.
     Oracle-checked (r2 — previously rows-only): gap-sessionization IS
@@ -840,6 +870,7 @@ QUERIES = {
     "q_stream_join": q_stream_join,
     "q_stream_stream_join": q_stream_stream_join,
     "q_stream_sink_partitioned": q_stream_sink_partitioned,
+    "q_stream_sliding_window": q_stream_sliding_window,
 }
 
 ORACLES = {
@@ -868,4 +899,5 @@ ORACLES = {
     "q_stream_join": Q_STREAM_JOIN_ORACLE,
     "q_stream_stream_join": Q_STREAM_STREAM_JOIN_ORACLE,
     "q_stream_sink_partitioned": Q_STREAM_SINK_PARTITIONED_ORACLE,
+    "q_stream_sliding_window": Q_STREAM_SLIDING_ORACLE,
 }

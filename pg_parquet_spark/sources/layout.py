@@ -321,3 +321,44 @@ def compact_dataset(
     shutil.move(staging, uri)
     shutil.rmtree(old, ignore_errors=True)
     return n
+
+
+def write_with_bloom(
+    df: DataFrame,
+    uri: str,
+    bloom_cols: list[str],
+    fpp: float = 0.01,
+    expected_ndv: int | None = None,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+    disable_dictionary: bool = False,
+) -> None:
+    """Parquet write with bloom filters on ``bloom_cols`` — the
+    data-skipping complement to min/max stats: a point lookup
+    (``key = X``) on a high-cardinality column can't be pruned by
+    min/max ranges (every row group spans most of the key space), but a
+    bloom filter answers "definitely not in this row group" with fpp
+    false-positive rate. At 100 TB this is the difference between
+    scanning every row group of a 10 TB fact table and touching the one
+    that can contain the key. Written via parquet-mr's native
+    ``parquet.bloom.filter.enabled#column`` options.
+
+    parquet-mr only materializes a bloom filter for pages that are NOT
+    dictionary-encoded (a complete dictionary already answers exact
+    membership). At scale, high-cardinality key columns overflow the
+    dictionary page limit and fall back to plain encoding — exactly
+    when the bloom matters. Small local fixtures stay fully
+    dictionary-encoded, so ``disable_dictionary=True`` forces the
+    bitset out for testing (tests/test_layout.py asserts the footprint
+    delta — pyarrow 16 exposes no bloom metadata field)."""
+    w = df.write.mode(mode).option("compression", compression)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
+        if expected_ndv is not None:
+            w = w.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+            )
+    if disable_dictionary:
+        w = w.option("parquet.enable.dictionary", "false")
+    w.parquet(uri)

@@ -99,6 +99,33 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregate (overlapping windows — each
+    event lands in window/slide of them; the trend-smoothing shape
+    tumbling windows can't express). State is bounded by the watermark
+    exactly as in the tumbling case; the overlap multiplies state rows
+    by window/slide, which is the knob to watch at 100 TB."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
 def sessionized_events(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
