@@ -1,0 +1,162 @@
+"""Property-based checks for the r6 layout/curation tier (hypothesis
+where a pure-Python reference exists, repartition-sweeps where the
+property is cluster-shape invariance)."""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.session import table
+from pg_parquet_spark.sources.layout import _spread_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# pure-Python properties (no Spark session needed)
+
+@given(st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255))
+def test_spread_table_interleave_is_bijective_and_ordered(x, y):
+    """Morton code built from the spread table is a bijection on the
+    bucket grid, and fixing one dimension makes it monotone in the
+    other (the property that lets contiguous z-ranges map to bounded
+    rectangles — the data-skipping guarantee)."""
+    s = _spread_table(8, 2)
+    z = s[x] + (s[y] << 1)
+    # reconstruct both coordinates from z — bijectivity
+    rx = sum(((z >> (2 * b)) & 1) << b for b in range(8))
+    ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(8))
+    assert (rx, ry) == (x, y)
+    # monotone in x when y fixed
+    if x < 255:
+        assert s[x + 1] + (s[y] << 1) > z
+
+
+@given(st.integers(min_value=1, max_value=6), st.integers(min_value=2, max_value=4))
+def test_spread_table_bits_disjoint_across_dims(bits, d):
+    """Each dimension's spread occupies disjoint bit positions, so
+    summing shifted spreads never carries between dimensions."""
+    s = _spread_table(bits, d)
+    masks = [(s[(1 << bits) - 1] << i) for i in range(d)]
+    for i in range(d):
+        for j in range(i + 1, d):
+            assert masks[i] & masks[j] == 0
+
+
+# ---------------------------------------------------------------------------
+# Spark-side invariance properties
+
+def test_cap_per_group_partition_invariant_and_bounded(spark):
+    """The kept set is identical regardless of input partitioning, and
+    no group exceeds the cap."""
+    from pg_parquet_spark.operators.sampling import cap_per_group
+
+    docs = table(spark, SF, "documents")
+    baseline = sorted(
+        r.doc_id
+        for r in cap_per_group(docs, "source", "doc_id", 7).select("doc_id").collect()
+    )
+    for n in (1, 5, 17):
+        got = sorted(
+            r.doc_id
+            for r in cap_per_group(docs.repartition(n), "source", "doc_id", 7)
+            .select("doc_id")
+            .collect()
+        )
+        assert got == baseline, f"kept set changed at repartition({n})"
+    sizes = (
+        cap_per_group(docs, "source", "doc_id", 7)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 7 for r in sizes)
+
+
+def test_c4_clean_is_idempotent(spark):
+    """Cleaning already-cleaned text changes nothing: every surviving
+    line still ends in terminal punctuation with ≥5 words."""
+    from pg_parquet_spark.operators.text import c4_clean
+
+    docs = table(spark, SF, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(".\nThis trailer sentence is long enough to keep."),
+            F.lit("\nshort junk"),
+            F.lit("\nAnother proper trailer sentence with enough words."),
+        ).alias("text"),
+    )
+    once = c4_clean(docs).select("doc_id", F.col("clean_text").alias("text"))
+    twice = c4_clean(once)
+    diff = (
+        twice.filter(F.col("clean_text") != F.col("text")).count()
+    )
+    assert diff == 0
+
+
+def test_tfidf_partition_invariant(spark):
+    """Top-k term selection is identical under arbitrary repartitioning
+    (the rounded-score + term tie-break guarantee)."""
+    from pg_parquet_spark.operators.text import tfidf_top_terms
+
+    docs = table(spark, SF, "documents")
+    base = sorted(
+        (r.doc_id, r.rank, r.term)
+        for r in tfidf_top_terms(docs, k=3).collect()
+    )
+    shuffled = sorted(
+        (r.doc_id, r.rank, r.term)
+        for r in tfidf_top_terms(docs.repartition(13), k=3).collect()
+    )
+    assert base == shuffled
+
+
+def test_merge_upsert_matches_reference_semantics(spark, tmp_path):
+    """merge_upsert ≡ (base minus updated keys) ∪ updates, computed by
+    an independent pandas reference on the same inputs."""
+    from pg_parquet_spark.sources.layout import merge_upsert
+
+    docs = table(spark, SF, "documents").select("doc_id", "text", "lang")
+    base = str(tmp_path / "base")
+    docs.write.parquet(base)
+    updates = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+    )
+    base_pdf = docs.toPandas().set_index("doc_id")
+    upd_pdf = updates.toPandas().set_index("doc_id")
+    expected = upd_pdf.combine_first(base_pdf)  # updates win on key clash
+
+    merge_upsert(spark, base, updates, ["doc_id"])
+    got = spark.read.parquet(base).toPandas().set_index("doc_id").sort_index()
+    expected = expected.sort_index()
+    assert list(got.index) == list(expected.index)
+    assert (got["text"] == expected["text"]).all()
+
+
+def test_pack_and_chunk_counts_consistent(spark):
+    """Cross-operator invariant: total chunk tokens ≈ doc tokens (the
+    overlap grid accounts exactly for the duplicated spans)."""
+    from pg_parquet_spark.operators.text import chunk_documents
+
+    docs = table(spark, SF, "documents").limit(50)
+    chunk_tokens, overlap = 64, 16
+    step = chunk_tokens - overlap
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens, overlap)
+    per_doc = {
+        r.doc_id: (r.n_chunks, r.total)
+        for r in chunks.groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    for r in docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n")
+    ).collect():
+        n_chunks, total = per_doc[r.doc_id]
+        expect_chunks = max(math.ceil((r.n - overlap) / step), 1)
+        assert n_chunks == expect_chunks
+        # every token counted once, plus `overlap` extra per chunk seam
+        assert total == r.n + (n_chunks - 1) * overlap
