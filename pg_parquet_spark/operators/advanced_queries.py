@@ -782,6 +782,99 @@ ORDER BY click_id, purchase_id
 """
 
 
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (20 buckets over the observed [min, max])
+    of order totals — the profiling primitive behind data-drift checks.
+    The bucket index is pure integer/float floor arithmetic (DuckDB has
+    no width_bucket), and the (min, max) row is a broadcast cross join,
+    so the fact scan aggregates in one pass after a 1-row side job."""
+    orders = table(spark, sf_dir, "orders")
+    n_buckets = 20
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("_mn"), F.max("o_totalprice").alias("_mx")
+    )
+    bucket = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("o_totalprice") - F.col("_mn"))
+                * n_buckets
+                / (F.col("_mx") - F.col("_mn"))
+            ),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+Q_PROFILE_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+)
+SELECT CAST(LEAST(GREATEST(
+         FLOOR((o_totalprice - mn) * 20 / (mx - mn)), 0), 19) AS INT) AS bucket,
+       COUNT(*) AS cnt
+FROM orders CROSS JOIN b GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price, computed from
+    EXACT decimal power sums (n, Σx, Σy, Σxy, Σx², Σy²) rather than the
+    built-in corr() — float accumulation order varies with partitioning
+    and would hash differently per engine; decimal sums are associative
+    so the one-pass distributed aggregate is bit-reproducible, and the
+    final closed form is a handful of IEEE ops on exact inputs."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        F.col("n"), F.round(corr, 6).alias("corr_qty_price")
+    )
+
+
+Q_PROFILE_CORR_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+  FROM lineitem
+)
+SELECT n,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  AS corr_qty_price
+FROM s
+"""
+
+
 def q_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming → hive-partitioned parquet sink (foreachBatch append
     under event_type=… directories) then a partition-pruned read-back
@@ -871,6 +964,8 @@ QUERIES = {
     "q_stream_stream_join": q_stream_stream_join,
     "q_stream_sink_partitioned": q_stream_sink_partitioned,
     "q_stream_sliding_window": q_stream_sliding_window,
+    "q_profile_histogram": q_profile_histogram,
+    "q_profile_corr": q_profile_corr,
 }
 
 ORACLES = {
@@ -900,4 +995,6 @@ ORACLES = {
     "q_stream_stream_join": Q_STREAM_STREAM_JOIN_ORACLE,
     "q_stream_sink_partitioned": Q_STREAM_SINK_PARTITIONED_ORACLE,
     "q_stream_sliding_window": Q_STREAM_SLIDING_ORACLE,
+    "q_profile_histogram": Q_PROFILE_HISTOGRAM_ORACLE,
+    "q_profile_corr": Q_PROFILE_CORR_ORACLE,
 }

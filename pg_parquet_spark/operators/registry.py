@@ -48,6 +48,8 @@ GATE_ORDER = [
     "q_sample_cap_per_source",  # r6 new: deterministic per-group cap
     "q_pipeline_end_to_end",  # r6 new: composed corpus-recipe pipeline
     "q_stream_sliding_window",  # r6 new: overlapping sliding windows
+    "q_profile_histogram",  # r6 new: equal-width histogram profiling
+    "q_profile_corr",  # r6 new: correlation from exact decimal sums
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",
