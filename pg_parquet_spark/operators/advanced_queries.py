@@ -875,6 +875,52 @@ FROM s
 """
 
 
+def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip a numeric feature to its exact [p1, p99]) —
+    the outlier-robust normalization step of feature pipelines. Uses
+    EXACT interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, verified bit-identical), broadcast as a 1-row
+    bound table; clipped sums ride decimal casts. At 100 TB swap the
+    exact percentile for percentile_approx — same plan shape, the
+    bound row stays a broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    clipped = F.least(F.greatest(x, F.col("p01")), F.col("p99"))
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select("l_returnflag", clipped.alias("xc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("xc").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_clipped"),
+            F.min("xc").alias("min_clipped"),
+            F.max("xc").alias("max_clipped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_FEATURE_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS cnt,
+  CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, p01), p99) AS DECIMAL(18,4))) AS DOUBLE) AS sum_clipped,
+  MIN(LEAST(GREATEST(l_extendedprice, p01), p99)) AS min_clipped,
+  MAX(LEAST(GREATEST(l_extendedprice, p01), p99)) AS max_clipped
+FROM lineitem CROSS JOIN b
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming → hive-partitioned parquet sink (foreachBatch append
     under event_type=… directories) then a partition-pruned read-back
@@ -966,6 +1012,7 @@ QUERIES = {
     "q_stream_sliding_window": q_stream_sliding_window,
     "q_profile_histogram": q_profile_histogram,
     "q_profile_corr": q_profile_corr,
+    "q_feature_winsorize": q_feature_winsorize,
 }
 
 ORACLES = {
@@ -997,4 +1044,5 @@ ORACLES = {
     "q_stream_sliding_window": Q_STREAM_SLIDING_ORACLE,
     "q_profile_histogram": Q_PROFILE_HISTOGRAM_ORACLE,
     "q_profile_corr": Q_PROFILE_CORR_ORACLE,
+    "q_feature_winsorize": Q_FEATURE_WINSORIZE_ORACLE,
 }

@@ -50,6 +50,7 @@ GATE_ORDER = [
     "q_stream_sliding_window",  # r6 new: overlapping sliding windows
     "q_profile_histogram",  # r6 new: equal-width histogram profiling
     "q_profile_corr",  # r6 new: correlation from exact decimal sums
+    "q_feature_winsorize",  # r6 new: exact-percentile winsorization
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",

@@ -163,6 +163,57 @@ def test_stream_stream_join_matches_batch_interval_join(spark):
     assert all(0 <= r.micros_to_purchase <= 3_600_000_000 for r in streamed)
 
 
+def test_stream_multi_batch_window_agg_matches_batch(spark, tmp_path):
+    """The windowed aggregate is exact even when the drain spans MANY
+    micro-batches (maxFilesPerTrigger=1 over a 4-file source, files
+    split by time so late-window state must carry across batches) —
+    the property single-file AvailableNow drains don't exercise."""
+    import os
+
+    from pg_parquet_spark.streaming.stream import (
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    ev = table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "ev_files")
+    # time-ordered 4-way split: each file covers a distinct time span
+    ev.withColumn(
+        "part", F.ntile(4).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    ).write.partitionBy("part").mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).drop("part").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    streamed = run_available_now(windowed_event_counts(stream))
+    batch = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    # the drain genuinely ran multiple micro-batches
+    n_files = sum(
+        1 for root, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    assert n_files >= 4
+
+
 def test_contamination_flags_benchmark_members_and_broadcasts(spark):
     """Every benchmark member self-overlaps (contaminated), a disjoint
     synthetic doc stays clean, and the overlap join broadcasts the
