@@ -875,6 +875,75 @@ FROM s
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (the hot-key mitigation AQE can't
+    apply to aggregations): partial per (key, salt) then final per key.
+    Semantically transparent — the oracle is the PLAIN group-by, which
+    is exactly the point: same answer, skew-proof shuffle."""
+    from pg_parquet_spark.operators.skew import salted_aggregate
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "_qty_dec", F.col("l_quantity").cast("decimal(12,2)")
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "cnt": ("l_quantity", "count"),
+            "sum_qty": ("_qty_dec", "sum"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "cnt",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "max_qty",
+    ).orderBy("l_returnflag")
+
+
+Q_SKEW_SALTED_AGG_ORACLE = """
+SELECT l_returnflag, COUNT(l_quantity) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join (broadcast-ineligible skewed key path):
+    big side salted uniformly, small side replicated per bucket, join
+    on (key, salt). Oracle is the plain join — identical answer, the
+    hot key's probe rows spread over 16 partitions instead of one
+    straggler."""
+    from pg_parquet_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on="l_suppkey", salt_buckets=16)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+Q_SKEW_SALTED_JOIN_ORACLE = """
+SELECT s_nationkey, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN supplier ON lineitem.l_suppkey = supplier.s_suppkey
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization (clip a numeric feature to its exact [p1, p99]) —
     the outlier-robust normalization step of feature pipelines. Uses
@@ -1013,6 +1082,8 @@ QUERIES = {
     "q_profile_histogram": q_profile_histogram,
     "q_profile_corr": q_profile_corr,
     "q_feature_winsorize": q_feature_winsorize,
+    "q_skew_salted_agg": q_skew_salted_agg,
+    "q_skew_salted_join": q_skew_salted_join,
 }
 
 ORACLES = {
@@ -1045,4 +1116,6 @@ ORACLES = {
     "q_profile_histogram": Q_PROFILE_HISTOGRAM_ORACLE,
     "q_profile_corr": Q_PROFILE_CORR_ORACLE,
     "q_feature_winsorize": Q_FEATURE_WINSORIZE_ORACLE,
+    "q_skew_salted_agg": Q_SKEW_SALTED_AGG_ORACLE,
+    "q_skew_salted_join": Q_SKEW_SALTED_JOIN_ORACLE,
 }

@@ -51,6 +51,8 @@ GATE_ORDER = [
     "q_profile_histogram",  # r6 new: equal-width histogram profiling
     "q_profile_corr",  # r6 new: correlation from exact decimal sums
     "q_feature_winsorize",  # r6 new: exact-percentile winsorization
+    "q_skew_salted_agg",  # r6 new: salted two-phase aggregation
+    "q_skew_salted_join",  # r6 new: salted replicated join
     # -- group 1: newest green row is r3 (missed both r4 and r5 windows) ----
     "q_join_cross",
     "q_join_left",

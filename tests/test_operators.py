@@ -214,6 +214,75 @@ def test_stream_multi_batch_window_agg_matches_batch(spark, tmp_path):
     assert n_files >= 4
 
 
+def test_stream_stream_join_state_carries_across_batches(spark, tmp_path):
+    """Stream-stream join correctness when the two sides arrive over
+    MANY micro-batches: a click from an early batch must still match a
+    purchase arriving several batches later (join state retention up to
+    the watermark). Exercises the join state store, which the
+    single-file drain never does."""
+    import os
+
+    from pyspark.sql import Window
+
+    from pg_parquet_spark.streaming.stream import (
+        click_purchase_pairs,
+        run_available_now,
+    )
+
+    ev = table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "ev_files")
+    ev.withColumn("part", F.ntile(4).over(Window.orderBy("ts"))).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).drop("part").schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    streamed = sorted(
+        tuple(r)
+        for r in run_available_now(
+            click_purchase_pairs(stream(), stream()), output_mode="append"
+        ).collect()
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = sorted(
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias(
+                "micros_to_purchase"
+            ),
+        )
+        .collect()
+    )
+    assert streamed == batch and len(streamed) > 0
+    n_files = sum(
+        1 for _r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    assert n_files >= 4
+
+
 def test_contamination_flags_benchmark_members_and_broadcasts(spark):
     """Every benchmark member self-overlaps (contaminated), a disjoint
     synthetic doc stays clean, and the overlap join broadcasts the
