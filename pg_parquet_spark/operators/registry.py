@@ -22,13 +22,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: Verification-priority prefix, rotated per round (VERDICT r2 #2: no
 #: entry's newest green row should be older than 2 rounds). r6 front,
-#: from folding CORRECTNESS_r01..r05: group 0 = the 18 queries NEW in
+#: from folding CORRECTNESS_r01..r05: group 0 = the 20 queries NEW in
 #: r6 (first-ever driver row takes precedence over freshness); group 1
 #: = the 12 entries whose newest green row is still r3 (most stale,
 #: lead the rest); group 2 = the 44 r4-green entries (VERDICT r5
-#: next-round #2). 18+12+44 = 74 > the 50-query window, so the last 24
+#: next-round #2). 20+12+44 = 76 > the 50-query window, so the last 26
 #: of group 2 spill past position 50 and MUST lead r7's window (they
-#: will be 3 rounds old by then — the unavoidable cost of 18 new
+#: will be 3 rounds old by then — the unavoidable cost of 20 new
 #: queries in one round; r7's rotation pays it down first). The 50
 #: r5-verified entries rotate to the back.
 GATE_ORDER = [
