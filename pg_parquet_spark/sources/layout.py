@@ -362,3 +362,83 @@ def write_with_bloom(
     if disable_dictionary:
         w = w.option("parquet.enable.dictionary", "false")
     w.parquet(uri)
+
+
+#: 4-state Hilbert automaton over MSB-first (x_bit, y_bit) quads,
+#: derived programmatically from the classic xy2d loop and verified
+#: exhaustively against it (tests/test_layout.py re-checks at runtime).
+#: index = state*4 + 2*bx + by → output digit / next state.
+HILBERT_OUT = [0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0]
+HILBERT_NXT = [1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2]
+
+
+def _hilbert_expr(xcol, ycol, bits: int = 8):
+    """2-D Hilbert index of two ALREADY-MATERIALIZED bucket columns via
+    a 4-state automaton over MSB-first bit pairs — consecutive Hilbert
+    indices are always adjacent cells, so a contiguous index range maps
+    to a tighter rectangle than the Z-curve's diagonal jumps.
+
+    The automaton keeps the expression LINEAR in ``bits`` (two literal
+    table lookups per level). The direct xy2d rotation loop is a trap:
+    its x/y updates double the expression per unrolled level, and the
+    resulting 2^bits-node tree made Catalyst analysis run for minutes
+    at bits=8 (measured; this formulation plans in milliseconds).
+
+    Inputs must be cheap column references — each level reads them once
+    for bit extraction, so an inlined quantile-bucket tree would still
+    be duplicated ``bits`` times (write_hilbert stages the buckets
+    behind a shuffle barrier)."""
+    from pyspark.sql import functions as F
+
+    out_t = F.array(*[F.lit(v).cast("long") for v in HILBERT_OUT])
+    nxt_t = F.array(*[F.lit(v).cast("int") for v in HILBERT_NXT])
+    x, y = xcol.cast("long"), ycol.cast("long")
+    d = F.lit(0).cast("long")
+    state = F.lit(0).cast("int")
+    for i in range(bits - 1, -1, -1):
+        bx = F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("int")
+        by = F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("int")
+        quad = state * F.lit(4) + bx * F.lit(2) + by + F.lit(1)  # 1-indexed
+        d = F.shiftleft(d, 2) + F.element_at(out_t, quad)
+        state = F.element_at(nxt_t, quad)
+    return d
+
+
+def write_hilbert(
+    df: DataFrame,
+    uri: str,
+    order_by: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+) -> None:
+    """Hilbert-clustered parquet write (exactly 2 columns) — same cost
+    shape as write_zordered (quantile fit + range shuffle + local
+    sort), usually tighter per-file spans because the Hilbert curve
+    never makes the long diagonal jumps the Z-curve does. Measured vs
+    Morton in tests/test_layout.py."""
+    if len(order_by) != 2:
+        raise ValueError("write_hilbert supports exactly 2 columns")
+    from pyspark.sql import functions as F
+
+    boundary_lists = df.approxQuantile(
+        order_by, [i / (1 << bits) for i in range(1, 1 << bits)], 0.001
+    )
+    staged = df
+    for i, (c, bounds) in enumerate(zip(order_by, boundary_lists)):
+        staged = staged.withColumn(f"_hb{i}", _bucket_expr(c, bounds))
+    # shuffle barrier: materialize the bucket columns so projection
+    # collapse cannot inline the bucket trees into the hilbert unroll
+    par = df.sparkSession.sparkContext.defaultParallelism
+    staged = staged.repartition(par)
+    h = _hilbert_expr(F.col("_hb0"), F.col("_hb1"), bits)
+    (
+        staged.withColumn("_hilbert", h)
+        .repartitionByRange(num_files, "_hilbert")
+        .sortWithinPartitions("_hilbert")
+        .drop("_hilbert", "_hb0", "_hb1")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(uri)
+    )

@@ -307,3 +307,61 @@ def test_bloom_filter_written_and_readable(spark, tmp_path):
     key = li.select("l_partkey").first()[0]
     back = spark.read.parquet(out).filter(F.col("l_partkey") == key)
     assert back.count() == li.filter(F.col("l_partkey") == key).count()
+
+
+def _xy2d_ref(n, x, y):
+    """Python reference for the classic Hilbert xy2d loop."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_expr_matches_python_reference(spark):
+    """The unrolled column expression equals the reference xy2d for a
+    grid + random sample of the 8-bit bucket space."""
+    import random
+
+    from pg_parquet_spark.sources.layout import _hilbert_expr
+
+    rng = random.Random(42)
+    pts = [(x, y) for x in (0, 1, 127, 128, 255) for y in (0, 1, 127, 128, 255)]
+    pts += [(rng.randrange(256), rng.randrange(256)) for _ in range(100)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    rows = df.select(
+        "x", "y", _hilbert_expr(F.col("x"), F.col("y"), 8).alias("h")
+    ).collect()
+    for r in rows:
+        assert r.h == _xy2d_ref(256, r.x, r.y), (r.x, r.y)
+    # bijectivity on the sampled set (no two points share an index)
+    hs = [r.h for r in rows]
+    assert len(set(hs)) == len(set(pts))
+
+
+def test_hilbert_layout_spans_at_most_morton(spark, tmp_path):
+    """Hilbert clustering tightens row-group spans at least as well as
+    Morton on the same data/file count, and far better than unsorted."""
+    from pg_parquet_spark.sources.layout import write_hilbert, write_zordered
+
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    hdir, zdir = str(tmp_path / "hilbert"), str(tmp_path / "morton")
+    write_hilbert(li, hdir, ["l_partkey", "l_suppkey"], num_files=4)
+    write_zordered(li, zdir, ["l_partkey", "l_suppkey"], num_files=4)
+    hspan = _row_group_spans(hdir, ["l_partkey", "l_suppkey"])
+    zspan = _row_group_spans(zdir, ["l_partkey", "l_suppkey"])
+    mean_h = sum(hspan.values()) / 2
+    mean_z = sum(zspan.values()) / 2
+    assert mean_h < 0.85
+    assert mean_h <= mean_z + 0.05, (hspan, zspan)
+    assert spark.read.parquet(hdir).count() == li.count()
