@@ -1,0 +1,177 @@
+"""Derive the registry's GATE_ORDER from folded CORRECTNESS_r0*.json files.
+
+VERDICT r6 "Next round" #1: the hand-maintained GATE_ORDER arithmetic
+produced a wrong inline comment (claimed 6 spilled entries where the fold
+shows 26), so the rotation is now *generated*, never hand-computed.
+
+Rotation contract (driver verifies a 50-name prefix per round):
+
+1. Queries with **no driver row ever** come first — a first-ever hard
+   verification takes precedence over freshness (VERDICT r2 #2).
+2. Queries whose **newest row is red** (a regression after an earlier
+   green) come next — they need re-verification before anything stale.
+3. Everything else orders by **newest-green round ascending** (stalest
+   first), alphabetical within a round for determinism.
+
+Invariant checked by `check`: after this round's window runs, no entry's
+newest green row may be older than FRESHNESS_LIMIT rounds.
+
+Usage:
+    python tools/rotation.py print          # show the derived order + report
+    python tools/rotation.py apply          # rewrite registry.py's GATE_ORDER
+    python tools/rotation.py check          # fail if the prefix breaches freshness
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REGISTRY = os.path.join(REPO, "pg_parquet_spark", "operators", "registry.py")
+WINDOW = 50  # names the driver's per-round correctness run covers
+FRESHNESS_LIMIT = 2  # max rounds since an entry's newest green row
+
+
+def fold() -> tuple[dict[str, int], dict[str, int], int]:
+    """Return (newest_green, newest_row, current_round) from CORRECTNESS files."""
+    newest_green: dict[str, int] = {}
+    newest_row: dict[str, int] = {}
+    latest = 0
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rn = int(m.group(1))
+        latest = max(latest, rn)
+        with open(f) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            newest_row[name] = max(newest_row.get(name, 0), rn)
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                newest_green[name] = max(newest_green.get(name, 0), rn)
+    return newest_green, newest_row, latest
+
+
+def registered_names() -> list[str]:
+    sys.path.insert(0, REPO)
+    from pg_parquet_spark.operators import registry
+
+    return list(registry.all_queries().keys())
+
+
+def derive_order(names: list[str]) -> tuple[list[str], dict[str, str]]:
+    """Order `names` per the rotation contract; also return a label per name."""
+    newest_green, newest_row, _latest = fold()
+
+    def key(n: str):
+        if n not in newest_row:
+            return (0, 0, n)  # never verified
+        if newest_row[n] > newest_green.get(n, 0):
+            return (1, 0, n)  # newest row is red — regression
+        return (2, newest_green[n], n)  # stalest green first
+
+    ordered = sorted(names, key=key)
+    labels = {}
+    for n in ordered:
+        if n not in newest_row:
+            labels[n] = "never verified"
+        elif newest_row[n] > newest_green.get(n, 0):
+            labels[n] = f"RED at r{newest_row[n]} (last green r{newest_green.get(n, 0) or '-'})"
+        else:
+            labels[n] = f"green r{newest_green[n]}"
+    return ordered, labels
+
+
+def render_block(ordered: list[str], labels: dict[str, str]) -> str:
+    lines = ["GATE_ORDER = ["]
+    prev = None
+    for i, n in enumerate(ordered):
+        lab = labels[n]
+        if lab != prev:
+            marker = "  # ---- window cut: entries below wait for a later round ----" if False else ""
+            lines.append(f"    # -- {lab} " + "-" * max(1, 60 - len(lab)))
+            prev = lab
+        if i == WINDOW:
+            lines.append(f"    # ==== window cut at {WINDOW}: entries below are NOT verified this round ====")
+        lines.append(f'    "{n}",')
+    lines.append("]")
+    return "\n".join(lines)
+
+
+def apply(ordered: list[str], labels: dict[str, str]) -> None:
+    with open(REGISTRY) as fh:
+        src = fh.read()
+    block = render_block(ordered, labels)
+    new, count = re.subn(r"GATE_ORDER = \[.*?\n\]", block, src, count=1, flags=re.S)
+    if count != 1:
+        raise SystemExit("could not find GATE_ORDER block in registry.py")
+    with open(REGISTRY, "w") as fh:
+        fh.write(new)
+    print(f"wrote {len(ordered)} names to {REGISTRY}")
+
+
+def check(ordered: list[str]) -> int:
+    """Verify the upcoming window pays every freshness breach."""
+    newest_green, newest_row, latest = fold()
+    upcoming = latest + 1
+    window = set(ordered[:WINDOW])
+    bad = []
+    for n in ordered:
+        if n in window:
+            continue  # will be refreshed this round
+        last = newest_green.get(n)
+        if last is None:
+            bad.append((n, "never verified and outside the window"))
+        elif upcoming - last > FRESHNESS_LIMIT:
+            bad.append((n, f"newest green r{last}, {upcoming - last} rounds old at r{upcoming}"))
+    if bad:
+        print(f"FRESHNESS BREACH ({len(bad)}):")
+        for n, why in bad:
+            print(f"  {n}: {why}")
+        return 1
+    outside_limit = sorted(
+        (upcoming - newest_green[n], n)
+        for n in ordered[WINDOW:]
+        if n in newest_green
+    )
+    if outside_limit:
+        worst = outside_limit[-1]
+        print(
+            f"ok: window covers all breaches; worst entry outside the window is "
+            f"{worst[1]} at {worst[0]} rounds old (limit {FRESHNESS_LIMIT})"
+        )
+    else:
+        print("ok: window covers every registered entry")
+    return 0
+
+
+def main() -> int:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "print"
+    names = registered_names()
+    ordered, labels = derive_order(names)
+    if cmd == "print":
+        newest_green, _, latest = fold()
+        print(f"registry: {len(names)} names; latest round r{latest}; window {WINDOW}")
+        for i, n in enumerate(ordered):
+            cut = " <== window cut" if i == WINDOW else ""
+            print(f"{i:3d} {n:35s} {labels[n]}{cut}")
+        return 0
+    if cmd == "apply":
+        apply(ordered, labels)
+        return check(ordered)
+    if cmd == "check":
+        return check(ordered)
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
