@@ -90,6 +90,14 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 8):
     """
     from pyspark.sql import functions as F
 
+    if len(cols) * bits > 63:
+        # bit 63 is the sign of the interleaved long — overflow would
+        # silently corrupt the clustering sort order (ADVICE r6)
+        raise ValueError(
+            f"z-order key needs {len(cols) * bits} bits but a signed long "
+            f"holds 63; lower bits= (e.g. {63 // len(cols)}) or cluster "
+            "fewer columns"
+        )
     # one multi-column quantile job, not one scan per column
     boundary_lists = df.approxQuantile(
         cols, [i / (1 << bits) for i in range(1, 1 << bits)], 0.001
@@ -206,12 +214,17 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     partition_col: str | None = None,
+    check_partition_stability: bool = False,
 ) -> None:
     """SCD-1 MERGE into a plain-parquet dataset (the Delta-Lake
     ``MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`` primitive,
     without a table format): rows in ``updates`` replace base rows with
     the same key; unmatched update rows are inserts. Implemented as the
     standard anti-join + union — one shuffle on the key columns.
+    ``updates`` with duplicate keys fail fast (Delta MERGE errors on
+    multiple matches; silently keeping both would land duplicate keys —
+    ADVICE r6). Dedupe upstream with a documented precedence
+    (e.g. ``max_by`` on a version column) before calling.
 
     Scale behavior is governed by ``partition_col``: when the base is
     hive-partitioned on it and every update row carries it, ONLY the
@@ -222,18 +235,36 @@ def merge_upsert(
     copy-on-write granularity Delta/Iceberg use. Without
     ``partition_col`` the whole dataset is rewritten.
 
-    The merge is staged into a sibling ``<base>__staging`` directory
-    and swapped in only after the write succeeds, so a failed job never
-    leaves a half-written dataset (on an object store the same pattern
-    is a staging prefix + manifest/metadata swap).
-    """
-    import glob as _glob
+    **Partition-stability assumption (ADVICE r6):** partitioned mode
+    assumes a key's partition value never changes — an update row whose
+    key lives in a DIFFERENT (untouched) base partition would leave the
+    stale row behind, yielding duplicate keys. That is the same
+    contract Hive/Glue-style partition overwrites carry. Pass
+    ``check_partition_stability=True`` to verify: a semi-join of the
+    UNtouched partitions against the update keys (one scan of the
+    complement — use when the invariant isn't structurally guaranteed,
+    skip when it is, e.g. partition derived from the key).
 
+    Durability: the merge is staged into a sibling ``<base>__staging``
+    prefix and published only after the write succeeds, so a FAILED JOB
+    never corrupts the base. The publish itself is not crash-atomic:
+    the flat path has a window with the base renamed aside, and the
+    partitioned path moves touched partitions one-by-one — a crash
+    mid-publish leaves a mix of old and new partitions (re-running the
+    merge converges, since the protocol is idempotent for the same
+    inputs). Table formats close that window with a manifest swap;
+    plain parquet has no metadata to swap. All listing/move/delete
+    goes through ``sources.fs``'s scheme dispatch, so the protocol
+    runs unchanged on object stores (tested on mem://).
+    """
     from pyspark.sql import functions as F
 
-    staging = base_uri.rstrip("/") + "__staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    base = spark.read.parquet(base_uri)
+    from pg_parquet_spark.sources import fs as pgfs
+
+    base_uri = base_uri.rstrip("/")
+    staging = base_uri + "__staging"
+    pgfs.delete_dir(staging)
+    base = spark.read.parquet(pgfs.spark_uri(base_uri))
 
     missing = [c for c in key_cols if c not in updates.columns]
     if missing:
@@ -248,34 +279,70 @@ def merge_upsert(
         raise ValueError(
             f"partition_col {partition_col!r} not present in updates"
         )
+    dup = (
+        updates.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates contains multiple rows for key {dup[0][:-1]}; "
+            "MERGE requires at most one update row per key — dedupe "
+            "upstream with an explicit precedence"
+        )
 
     if partition_col is not None:
         affected = [
             r[0] for r in updates.select(partition_col).distinct().collect()
         ]
+        if check_partition_stability:
+            moved = (
+                base.filter(~F.col(partition_col).isin(affected))
+                .join(
+                    F.broadcast(updates.select(key_cols).distinct()),
+                    key_cols,
+                    "left_semi",
+                )
+                .limit(1)
+                .collect()
+            )
+            if moved:
+                raise ValueError(
+                    "update key found in an untouched partition (key's "
+                    f"{partition_col} changed); partitioned MERGE requires "
+                    "partition-stable keys — include the old partition in "
+                    "the update set or merge unpartitioned"
+                )
         scoped = base.filter(F.col(partition_col).isin(affected))
         merged = scoped.join(
             updates.select(key_cols).distinct(), key_cols, "left_anti"
         ).unionByName(updates)
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-        # swap only the touched key=value directories; everything else
-        # is never read or written
-        for part_dir in _glob.glob(os.path.join(staging, f"{partition_col}=*")):
-            target = os.path.join(base_uri, os.path.basename(part_dir))
-            shutil.rmtree(target, ignore_errors=True)
-            shutil.move(part_dir, target)
-        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            pgfs.spark_uri(staging)
+        )
+        # publish only the touched key=value directories; everything
+        # else is never read or written
+        for child, is_dir in pgfs.list_dir(staging):
+            name = child.rstrip("/").rsplit("/", 1)[1]
+            if not is_dir or not name.startswith(f"{partition_col}="):
+                continue
+            target = f"{base_uri}/{name}"
+            pgfs.delete_dir(target)
+            pgfs.move_dir(child, target)
+        pgfs.delete_dir(staging)
         return
 
     merged = base.join(
         updates.select(key_cols).distinct(), key_cols, "left_anti"
     ).unionByName(updates)
-    merged.write.mode("overwrite").parquet(staging)
-    old = base_uri.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.move(base_uri, old)
-    shutil.move(staging, base_uri)
-    shutil.rmtree(old, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(pgfs.spark_uri(staging))
+    old = base_uri + "__old"
+    pgfs.delete_dir(old)
+    pgfs.move_dir(base_uri, old)
+    pgfs.move_dir(staging, base_uri)
+    pgfs.delete_dir(old)
 
 
 def compact_dataset(
@@ -293,33 +360,38 @@ def compact_dataset(
 
     With ``partition_by`` the hive layout is preserved and rows are
     repartitioned on the partition columns so each output partition
-    coalesces its own files. Uses the same staging-dir + swap protocol
-    as merge_upsert (never leaves a half-written dataset). Returns the
-    target file count. At 100 TB this runs per-partition (compact only
-    partitions whose file count drifted) — compose with merge_upsert's
-    touched-partition pattern."""
+    coalesces its own files. Uses the same staging + publish protocol
+    as merge_upsert — a failed rewrite never corrupts the source, but
+    the final swap has a brief window with the dataset renamed aside
+    (acceptable for a maintenance job; see merge_upsert's durability
+    note). All filesystem ops go through ``sources.fs``, so this runs
+    on any registered store. Returns the target file count. At 100 TB
+    this runs per-partition (compact only partitions whose file count
+    drifted) — compose with merge_upsert's touched-partition
+    pattern."""
     import math
 
-    total = 0
-    for root, _dirs, files in os.walk(uri):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    from pg_parquet_spark.sources import fs as pgfs
+
+    uri = uri.rstrip("/")
+    total = sum(sz for _u, sz in pgfs.tree_files(uri, suffix=".parquet"))
     n = max(1, math.ceil(total / target_file_bytes))
 
-    df = spark.read.parquet(uri)
-    staging = uri.rstrip("/") + "__compact"
-    shutil.rmtree(staging, ignore_errors=True)
+    df = spark.read.parquet(pgfs.spark_uri(uri))
+    staging = uri + "__compact"
+    pgfs.delete_dir(staging)
     if partition_by:
         w = df.repartition(n, *partition_by).write.partitionBy(*partition_by)
     else:
         w = df.repartition(n).write
-    w.mode("overwrite").option("compression", compression).parquet(staging)
-    old = uri.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.move(uri, old)
-    shutil.move(staging, uri)
-    shutil.rmtree(old, ignore_errors=True)
+    w.mode("overwrite").option("compression", compression).parquet(
+        pgfs.spark_uri(staging)
+    )
+    old = uri + "__old"
+    pgfs.delete_dir(old)
+    pgfs.move_dir(uri, old)
+    pgfs.move_dir(staging, uri)
+    pgfs.delete_dir(old)
     return n
 
 

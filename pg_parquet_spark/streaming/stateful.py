@@ -146,7 +146,11 @@ def run_stateful_available_now(sdf: DataFrame, timeout_sec: int = 120) -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stateful drain did not finish within {timeout_sec}s"
+        )
     spark = sdf.sparkSession
     raw = spark.table(name)
     # last update per user wins (event_count monotonically grows)

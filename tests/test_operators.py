@@ -332,3 +332,56 @@ def test_gopher_rules_fire_on_constructed_docs(spark):
     assert not out[5].ok_ellipsis and not out[5].keep
     assert not out[6].ok_alpha_words and not out[6].keep
     assert not out[7].ok_stopwords and not out[7].keep
+
+
+def test_stream_sink_crash_recovery_two_tranches(spark, tmp_path):
+    """Crash-recovery story for the partitioned streaming sink
+    (VERDICT r6 #6): a bounded source drained in two tranches against
+    ONE checkpoint — with a simulated partial write of the second
+    tranche's batch before the restart — must converge to exactly the
+    batch-equivalent dataset, no duplicates, no losses."""
+    from pg_parquet_spark.streaming.stream import (
+        drain_to_partitioned_parquet,
+        partitioned_batch_writer,
+    )
+
+    ev = table(spark, SF, "events").select("event_id", "event_type", "value")
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    t1 = ev.filter(F.col("event_id") % 2 == 0)
+    t2 = ev.filter(F.col("event_id") % 2 == 1)
+    t1.write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "64")
+            .parquet(src)
+        )
+
+    # tranche 1: normal drain, checkpoint committed
+    drain_to_partitioned_parquet(stream(), sink, ["event_type"], checkpoint=ckpt)
+    assert spark.read.parquet(sink).count() == t1.count()
+
+    # tranche 2 arrives; simulate a CRASH after batch 1 landed part of
+    # its files but before the checkpoint commit: hand-write a partial
+    # batch-1 publish, then restart the drain from the same checkpoint
+    t2.write.mode("append").parquet(src)
+    partitioned_batch_writer(sink, ["event_type"])(t2.limit(7), 1)
+    assert spark.read.parquet(sink).count() == t1.count() + 7  # partial state
+
+    drain_to_partitioned_parquet(stream(), sink, ["event_type"], checkpoint=ckpt)
+    back = spark.read.parquet(sink)
+    assert back.count() == ev.count()  # replay superseded the partial batch
+    # value-level equality with the batch equivalent, not just counts
+    # (select in source order — the hive layout moves the partition
+    # column to the end)
+    got = sorted(tuple(r) for r in back.select(*ev.columns).collect())
+    want = sorted(tuple(r) for r in ev.collect())
+    assert got == want
+
+    # a third restart with nothing new is a no-op
+    drain_to_partitioned_parquet(stream(), sink, ["event_type"], checkpoint=ckpt)
+    assert spark.read.parquet(sink).count() == ev.count()
