@@ -363,6 +363,52 @@ WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
 """
 
 
+def q_io_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered point lookup (engine extension): orders written
+    hash-SCRAMBLED (every row group spans the whole key range, so
+    min/max stats prune nothing) with a bloom filter on o_custkey,
+    read back with a point-lookup filter. parquet-mr consults the
+    bloom per row group — the read-side skip is proven in
+    tests/test_layout.py via Spark scan metrics (0 rows scanned for an
+    absent key vs a full-file scan without the bloom). Values are
+    layout-invariant, so the oracle is the plain filter on orders."""
+    import tempfile
+
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.sources.layout import write_with_bloom
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "pgpq_orders_bloom")
+    write_with_bloom(
+        orders.orderBy(F.hash("o_orderkey")).coalesce(2),
+        path,
+        bloom_cols=["o_custkey"],
+        disable_dictionary=True,
+    )
+    back = read_parquet(spark, path)
+    return back.filter(F.col("o_custkey").isin(7, 13, 42)).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+Q_IO_BLOOM_ORACLE = """
+SELECT COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_orderkey,
+       MAX(o_orderkey) AS max_orderkey
+FROM orders
+WHERE o_custkey IN (7, 13, 42)
+"""
+
+
 def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution read (engine extension): a dataset written in
     two schema versions — v2 adds a column — reads back as ONE table
@@ -606,6 +652,7 @@ QUERIES = {
     "q_io_json_roundtrip": q_io_json_roundtrip,
     "q_io_partitioned_roundtrip": q_io_partitioned_roundtrip,
     "q_io_zorder_read": q_io_zorder_read,
+    "q_io_bloom_read": q_io_bloom_read,
     "q_io_merge_upsert": q_io_merge_upsert,
     "q_io_schema_evolution": q_io_schema_evolution,
     "q_io_copy_from_table": q_io_copy_from_table,
@@ -626,6 +673,7 @@ ORACLES = {
     "q_io_json_roundtrip": Q_IO_JSON_ORACLE,
     "q_io_partitioned_roundtrip": Q_IO_PARTITIONED_ORACLE,
     "q_io_zorder_read": Q_IO_ZORDER_ORACLE,
+    "q_io_bloom_read": Q_IO_BLOOM_ORACLE,
     "q_io_merge_upsert": Q_IO_MERGE_UPSERT_ORACLE,
     "q_io_schema_evolution": Q_IO_SCHEMA_EVOLUTION_ORACLE,
     "q_io_copy_from_table": Q_IO_COPY_FROM_TABLE_ORACLE,

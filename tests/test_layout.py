@@ -519,3 +519,44 @@ def test_partitioned_batch_writer_replay_is_idempotent(spark, tmp_path):
     # re-planned the batch): old batch-1 files are superseded, not added to
     write(b1.limit(10), 1)
     assert spark.read.parquet(path).count() == b0.count() + 10
+
+
+def test_bloom_filter_skips_row_groups_at_read(spark, tmp_path):
+    """Read-side bloom proof (VERDICT r6 #5): on a hash-scrambled
+    layout (min/max stats prune nothing, dictionary disabled) a
+    point lookup for an in-range-but-absent key scans ZERO rows from
+    the bloom-filtered file and the WHOLE file without it — measured
+    from Spark's own scan metrics, i.e. the vectorized reader's
+    parquet-mr row-group filter consulted the serialized bloom."""
+    from pg_parquet_spark.sources.layout import write_with_bloom
+
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    scrambled = li.orderBy(F.hash("l_orderkey")).coalesce(1)
+    b_uri = str(tmp_path / "bloom")
+    n_uri = str(tmp_path / "nobloom")
+    write_with_bloom(
+        scrambled, b_uri, ["l_orderkey"], disable_dictionary=True
+    )
+    (
+        scrambled.write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(n_uri)
+    )
+
+    keys = {r.l_orderkey for r in li.select("l_orderkey").distinct().collect()}
+    gap = next(v for v in range(min(keys) + 1, max(keys)) if v not in keys)
+
+    def rows_scanned(uri):
+        df = spark.read.parquet(uri).filter(F.col("l_orderkey") == gap)
+        assert df.count() == 0  # the key genuinely isn't there
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return leaf.metrics().apply("numOutputRows").value()
+
+    assert rows_scanned(b_uri) == 0  # every row group bloom-skipped
+    assert rows_scanned(n_uri) == li.count()  # nothing else could skip
+
+    # and a present key still reads its rows (no false negatives)
+    some = next(iter(keys))
+    hit = spark.read.parquet(b_uri).filter(F.col("l_orderkey") == some)
+    assert hit.count() == li.filter(F.col("l_orderkey") == some).count()
