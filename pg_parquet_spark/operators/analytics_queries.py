@@ -1,0 +1,629 @@
+"""Round-7 operator additions: relational analytics surface (PIVOT /
+UNPIVOT / lateral explode / range join / per-group top-k / mode /
+distribution windows / bitwise / null-ordering / greatest-least) and
+pipeline operators (unigram LM scoring, cohort retention, stratified
+sampling, segment-level dedup).
+
+Every gate is paired with a DuckDB oracle; all float paths are
+integer-quantized or rounded per the project's determinism contract
+(ln() may differ by 1-2 ULP across engines — quantize to 1e-6 BEFORE
+any cross-row fold, keep integer arithmetic after).
+
+Scale notes are inline per operator; the common rules: aggregates are
+partial+final (map-side combine), joins carry an equi key so the range
+predicate rides a hash/sort-merge join rather than a BNLJ, and
+per-document text work is a single JVM projection (explode + groupBy
+shuffles only the narrow derived columns, never the text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.session import table
+
+
+# --- PIVOT / UNPIVOT -------------------------------------------------------
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an EXPLICIT value list (reference surface: delegated
+    SQL tier; PostgreSQL expresses this as crosstab/FILTER aggregates).
+    Explicit values matter at scale: without them Spark first runs a
+    distinct-values job over the pivot column — a full extra scan."""
+    orders = table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt): the inverse reshaping — three status
+    count columns melt into (status, cnt) rows. A pure projection after
+    the aggregate: one shuffle total, the melt itself is row-local."""
+    orders = table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("F"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("O"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("P"),
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"], ["F", "O", "P"], "status", "cnt"
+        )
+        .filter(F.col("cnt") > 0)
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+Q_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p
+  FROM orders GROUP BY o_orderpriority
+), long AS (
+  SELECT o_orderpriority, 'F' AS status, f AS cnt FROM wide
+  UNION ALL SELECT o_orderpriority, 'O', o FROM wide
+  UNION ALL SELECT o_orderpriority, 'P', p FROM wide
+)
+SELECT * FROM long WHERE cnt > 0 ORDER BY o_orderpriority, status
+"""
+
+
+# --- lateral explode with position ----------------------------------------
+
+
+def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode (array fan-out WITH ordinal) — the
+    tokenize-and-keep-position primitive sequence-labeling pipelines
+    need. Row-local fan-out: no shuffle at all until the ORDER BY."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    return words.orderBy("doc_id", "pos")
+
+
+Q_EXPLODE_POS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE doc_id < 25
+), e AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS word
+FROM e ORDER BY doc_id, pos
+"""
+
+
+# --- range join ------------------------------------------------------------
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join with an equi anchor: every order
+    pairs with the SAME customer's follow-up orders placed within the
+    next 30 days (repeat-purchase latency). The equi key (custkey)
+    makes this a hash/sort-merge join with the range as a residual
+    predicate — never a broadcast nested loop. At 100 TB: bucket both
+    sides on the key; a pure range join (no equi key) would instead
+    need range partitioning on time. Gap stats stay in integer days."""
+    orders = table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("first_key"),
+        F.col("o_orderdate").alias("first_date"),
+        F.col("o_orderstatus").alias("first_status"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("next_custkey"),
+        F.col("o_orderkey").alias("next_key"),
+        F.col("o_orderdate").alias("next_date"),
+    )
+    j = a.join(
+        b,
+        (F.col("custkey") == F.col("next_custkey"))
+        & (F.col("next_date") > F.col("first_date"))
+        & (F.col("next_date") <= F.col("first_date") + F.expr("INTERVAL 30 DAYS")),
+    )
+    return (
+        j.groupBy("first_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("custkey").alias("n_customers"),
+            F.sum(F.expr("datediff(next_date, first_date)")).alias("sum_gap_days"),
+        )
+        .orderBy("first_status")
+    )
+
+
+Q_RANGE_JOIN_ORACLE = """
+SELECT a.o_orderstatus AS first_status,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT a.o_custkey) AS n_customers,
+       CAST(SUM(date_diff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT) AS sum_gap_days
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate > a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+GROUP BY a.o_orderstatus ORDER BY first_status
+"""
+
+
+# --- per-group top-k -------------------------------------------------------
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority class (row_number window with
+    a deterministic orderkey tie-break) — the grouped variant of the
+    global TakeOrderedAndProject. One shuffle on the partition key;
+    at scale the window's per-group sort is the cost, so k-per-group
+    over a high-cardinality key should pre-aggregate or use
+    monotonic pruning; for low-cardinality groups this shape is
+    optimal."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+Q_TOPK_PER_GROUP_ORACLE = """
+SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3 ORDER BY o_orderpriority, rn
+"""
+
+
+# --- mode (most frequent value) -------------------------------------------
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group with an explicit deterministic tie-break
+    (smallest value among the most frequent) — spelled out as
+    count + max_by instead of the engines' mode() builtins, whose tie
+    behavior is unspecified and engine-dependent. Two narrow shuffles
+    on (flag, mode) then (flag)."""
+    orders = table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # min_by on (-cnt, priority) == most frequent, ties to the
+    # alphabetically smallest priority
+    return (
+        counts.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "min_by(o_orderpriority, struct(-cnt, o_orderpriority))"
+            ).alias("modal_priority"),
+            F.max("cnt").alias("modal_cnt"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q_AGG_MODE_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT o_orderstatus, o_orderpriority, cnt,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt AS modal_cnt
+FROM r WHERE rn = 1 ORDER BY o_orderstatus
+"""
+
+
+# --- distribution windows --------------------------------------------------
+
+
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per market segment over account
+    balance (the remaining distribution window functions; rank/ntile/
+    frames are separate gates). Both are exact rationals of rank and
+    count — rounded to 6 decimals to absorb IEEE division placement,
+    tie-broken on the key column."""
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("c_custkey") < 300)
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+Q_WINDOW_PERCENT_RANK_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey), 6) AS cume
+FROM customer QUALIFY c_custkey < 300 ORDER BY c_mktsegment, c_custkey
+"""
+
+
+# --- bitwise scalar surface ------------------------------------------------
+
+
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shift scalar functions (PostgreSQL operator
+    parity) — pure codegen projection."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return orders.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("band"),
+        F.expr("o_orderkey | 4096").alias("bor"),
+        F.expr("o_orderkey ^ o_custkey").alias("bxor"),
+        F.shiftleft(F.col("o_custkey"), 3).alias("shl"),
+        F.shiftright(F.col("o_orderkey"), 2).alias("shr"),
+    ).orderBy("o_orderkey")
+
+
+Q_SCALAR_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS bor,
+       xor(o_orderkey, o_custkey) AS bxor,
+       o_custkey << 3 AS shl,
+       o_orderkey >> 2 AS shr
+FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+"""
+
+
+# --- null-ordering sort ----------------------------------------------------
+
+
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST / NULLS LAST ordering parity: with a LIMIT the null
+    placement decides the result SET, not just its order (the driver's
+    hash is order-insensitive, so limit is what makes this a real
+    gate). Unique event_id tie-break gives a total order."""
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("click")).alias("k"),
+        "value",
+    )
+    return (
+        keyed.orderBy(
+            F.col("k").asc_nulls_first(),
+            F.col("value").desc(),
+            F.col("event_id"),
+        )
+        .limit(50)
+        .select("event_id", "k", F.round("value", 2).alias("value"))
+    )
+
+
+Q_SORT_NULLS_ORACLE = """
+SELECT event_id, NULLIF(event_type, 'click') AS k, ROUND(value, 2) AS value
+FROM events
+ORDER BY NULLIF(event_type, 'click') ASC NULLS FIRST, value DESC, event_id
+LIMIT 50
+"""
+
+
+# --- greatest / least ------------------------------------------------------
+
+
+def q_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREATEST / LEAST with NULL-skipping semantics (PostgreSQL
+    behavior: NULL only if ALL arguments are NULL; both Spark and
+    DuckDB match) — row-local projection."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    return orders.select(
+        "o_orderkey",
+        F.greatest(
+            price, F.lit(200000).cast("decimal(14,2)"),
+            F.nullif(price, price),  # always NULL — must be skipped
+        ).cast("double").alias("hi"),
+        F.least(price, F.lit(200000).cast("decimal(14,2)"))
+        .cast("double")
+        .alias("lo"),
+    ).orderBy("o_orderkey")
+
+
+Q_GREATEST_LEAST_ORACLE = """
+SELECT o_orderkey,
+       CAST(GREATEST(CAST(o_totalprice AS DECIMAL(14,2)),
+                     CAST(200000 AS DECIMAL(14,2)), NULL) AS DOUBLE) AS hi,
+       CAST(LEAST(CAST(o_totalprice AS DECIMAL(14,2)),
+                  CAST(200000 AS DECIMAL(14,2))) AS DOUBLE) AS lo
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+"""
+
+
+# --- unigram LM scoring ----------------------------------------------------
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the cheapest member of the
+    KenLM-style perplexity-filter family): fit corpus unigram
+    probabilities, score every document by its mean negative log
+    probability. High scores = improbable/rare-word documents — a
+    quality-filter signal complementary to the Gopher rules.
+
+    Determinism: each word's -ln p is quantized to 1e-6 (integer
+    micro-nats) BEFORE the per-document fold, so the cross-row sum is
+    exact integer arithmetic — ln() ULP drift between engines cannot
+    accumulate. Scale: words shuffle by token (vocabulary-sized agg),
+    docs join the vocabulary on the token key; the corpus total rides
+    a 1-row broadcast. The text column itself never shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        words.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.floor(
+                -F.log(F.col("cnt") / F.col("total")) * 1e6 + F.lit(0.5)
+            ).alias("nll_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.expr("sum(nll_micro) div count(*)").alias("mean_nll_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_TEXT_UNIGRAM_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+), tot AS (
+  SELECT SUM(cnt) AS total FROM vocab
+), scored AS (
+  SELECT doc_id,
+         CAST(FLOOR(-LN(CAST(cnt AS DOUBLE) / total) * 1e6 + 0.5) AS BIGINT)
+           AS nll_micro
+  FROM words JOIN vocab USING (w) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS mean_nll_micro
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- cohort retention ------------------------------------------------------
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    distinct actives per week offset — the engagement matrix every
+    product-analytics stack computes. Two shuffles (per-user min, then
+    cohort×offset distinct-count); the user-keyed first-week table
+    would be broadcast at dimension scale."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    wk = ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    first = wk.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        wk.join(first, "user_id")
+        .select(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            F.expr("datediff(wk, cohort) div 7").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q_EVENTS_RETENTION_ORACLE = """
+WITH wk AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), first AS (
+  SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id
+)
+SELECT CAST(cohort AS DATE) AS cohort_week,
+       CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT wk.user_id) AS n_users
+FROM wk JOIN first ON wk.user_id = first.user_id
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
+# --- stratified sampling ---------------------------------------------------
+
+#: per-language sampling rates; unlisted languages fall to the default.
+#: Content-hash thresholds (not Bernoulli draws) — reproducible across
+#: runs, engines, and cluster sizes, like sample_deterministic.
+STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.2}
+STRATA_DEFAULT = 0.1
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: each language stratum keeps
+    its own hash-threshold fraction — the data-mixture rebalancing
+    primitive (upweight head languages, cap the tail) expressed as a
+    pure filter. No shuffle at all: the md5 threshold is row-local,
+    so this composes with any downstream plan for free."""
+    docs = table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    ) / F.lit(16777216.0)
+    rate = F.lit(STRATA_DEFAULT)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    kept = docs.filter(u < rate)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
+
+
+Q_SAMPLE_STRATIFIED_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+           / 16777216.0 AS unif,
+         CASE lang WHEN 'en' THEN {STRATA_RATES["en"]}
+                   WHEN 'de' THEN {STRATA_RATES["de"]}
+                   WHEN 'fr' THEN {STRATA_RATES["fr"]}
+                   ELSE {STRATA_DEFAULT} END AS rate
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+FROM u WHERE unif < rate GROUP BY lang ORDER BY lang
+"""
+
+
+# --- segment-level exact dedup --------------------------------------------
+
+
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/segment-level exact dedup (the Dolma recipe's
+    paragraph pass, adapted to 16-word segments since the corpus has no
+    newlines): hash every segment, count global occurrences, report
+    per-document duplicated-segment fractions. Complements whole-doc
+    exact dedup (q_dedup_exact) and winnowing substring dup
+    (q_dedup_winnow): this one removes repeated boilerplate blocks.
+
+    Scale: only (doc_id, 16-byte segment hash) shuffles — the text
+    stays columnar at rest. Occurrence counts are a partial+final agg
+    on the hash key; the fraction math is integer (ppm) arithmetic."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_seg = F.ceil(F.size(words) / F.lit(16.0)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda s: F.md5(
+                    F.array_join(F.slice(words, s * 16 + 1, 16), " ")
+                ),
+            )
+        ).alias("seg", "h"),
+    )
+    occ = segs.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    per_doc = (
+        segs.join(occ, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "n_dup",
+        F.expr("(n_dup * 1000000) div n_segments").alias("dup_ppm"),
+    ).orderBy("doc_id")
+
+
+Q_DEDUP_SEGMENTS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), seg AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS s, ws
+  FROM w
+), hashed AS (
+  SELECT doc_id, s,
+         md5(array_to_string(list_slice(ws, s * 16 + 1, s * 16 + 16), ' ')) AS h
+  FROM seg
+), occ AS (
+  SELECT h, COUNT(*) AS occ FROM hashed GROUP BY h
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_segments,
+         SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM hashed JOIN occ USING (h) GROUP BY doc_id
+)
+SELECT doc_id, n_segments, CAST(n_dup AS BIGINT) AS n_dup,
+       CAST((n_dup * 1000000) // n_segments AS BIGINT) AS dup_ppm
+FROM per_doc ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q_pivot": q_pivot,
+    "q_unpivot": q_unpivot,
+    "q_explode_pos": q_explode_pos,
+    "q_range_join": q_range_join,
+    "q_topk_per_group": q_topk_per_group,
+    "q_agg_mode": q_agg_mode,
+    "q_window_percent_rank": q_window_percent_rank,
+    "q_scalar_bitwise": q_scalar_bitwise,
+    "q_sort_nulls": q_sort_nulls,
+    "q_greatest_least": q_greatest_least,
+    "q_text_unigram_logprob": q_text_unigram_logprob,
+    "q_events_retention": q_events_retention,
+    "q_sample_stratified": q_sample_stratified,
+    "q_dedup_segments": q_dedup_segments,
+}
+
+ORACLES = {
+    "q_pivot": Q_PIVOT_ORACLE,
+    "q_unpivot": Q_UNPIVOT_ORACLE,
+    "q_explode_pos": Q_EXPLODE_POS_ORACLE,
+    "q_range_join": Q_RANGE_JOIN_ORACLE,
+    "q_topk_per_group": Q_TOPK_PER_GROUP_ORACLE,
+    "q_agg_mode": Q_AGG_MODE_ORACLE,
+    "q_window_percent_rank": Q_WINDOW_PERCENT_RANK_ORACLE,
+    "q_scalar_bitwise": Q_SCALAR_BITWISE_ORACLE,
+    "q_sort_nulls": Q_SORT_NULLS_ORACLE,
+    "q_greatest_least": Q_GREATEST_LEAST_ORACLE,
+    "q_text_unigram_logprob": Q_TEXT_UNIGRAM_ORACLE,
+    "q_events_retention": Q_EVENTS_RETENTION_ORACLE,
+    "q_sample_stratified": Q_SAMPLE_STRATIFIED_ORACLE,
+    "q_dedup_segments": Q_DEDUP_SEGMENTS_ORACLE,
+}
