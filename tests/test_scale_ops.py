@@ -579,3 +579,87 @@ def test_profile_approx_bounds_error_vs_exact(spark):
         if a.approx_median is not None:
             assert float(e.min_value) <= a.approx_median <= float(e.max_value)
     assert approx["l_returnflag"].approx_median is None  # non-numeric: no median
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic Partition Pruning: a selective dim-side filter prunes
+    fact partitions at RUNTIME (the filter value is only known after
+    the dim scan). The 100 TB pattern: facts hive-partitioned on the
+    join key's FK, dims filtered by attributes — without DPP the fact
+    scan reads every partition."""
+    orders = table(spark, SF, "orders")
+    cust = table(spark, SF, "customer")
+    fact = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").parquet(fact)
+
+    f = spark.read.parquet(fact)
+    # dim side: the filter is on a NON-key attribute, so only a runtime
+    # subquery (DPP) can prune the fact's partitions
+    dim_path = str(tmp_path / "status_dim")
+    spark.createDataFrame(
+        [("F", "done"), ("O", "open"), ("P", "pending")], ["st", "label"]
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("label") == "pending")
+    j = f.join(dim, f.o_orderstatus == dim.st).select("o_orderkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    want = orders.filter(F.col("o_orderstatus") == "P").count()
+    assert j.count() == want
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join: a 90%-hot key join re-plans at runtime with the
+    hot partition split (SortMergeJoin(skew=true)) — the built-in
+    complement to the explicit salted_join tier. Two requirements this
+    test pins because they bite at any scale: (a) thresholds lowered so
+    the local fixture trips the same code path a 100 TB hot key would;
+    (b) the map stage must have MULTIPLE mappers — AQE splits a skewed
+    reducer partition by mapper ranges, so a single-split source
+    (1 parquet file) can never be skew-split (found empirically; the
+    repartition(16) below is what makes the rule applicable)."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        li = table(spark, "/root/testdata/sf0.01", "lineitem").repartition(16)
+        # 90% of left rows collapse onto one join key; right is uniform
+        left = li.select(
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        )
+        right = (
+            table(spark, "/root/testdata/sf0.01", "lineitem")
+            .repartition(16)
+            .select(F.col("l_orderkey").alias("k"), "l_extendedprice")
+        )
+        j = left.join(right, "k")
+        j.collect()  # the FINAL adaptive plan exists only after execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
