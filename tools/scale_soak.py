@@ -225,6 +225,30 @@ def main() -> int:
     _assert_in(plan, "BroadcastHashJoin", "decontaminate (bench grams broadcast)", errors)
     print(f"decontaminate: {n_cont} flagged in {results['decontaminate']}s")
 
+    # --- r7 additions: unigram LM scoring + segment dedup ------------------
+    from pg_parquet_spark.operators import analytics_queries as aq
+
+    t0 = time.time()
+    scored = aq.q_text_unigram_logprob(spark, SOAK_DIR)
+    n_scored = scored.count()
+    results["unigram_lm"] = round(time.time() - t0, 1)
+    plan = _plan(scored)
+    _assert_not_in(plan, "CartesianProduct", "unigram", errors)
+    _assert_not_in(plan, "SortMergeJoin", "unigram (tiny vocab broadcasts)", errors)
+    print(f"unigram_lm: {n_scored} docs scored in {results['unigram_lm']}s")
+
+    t0 = time.time()
+    segs = aq.q_dedup_segments(spark, SOAK_DIR)
+    n_seg_docs = segs.filter(F.col("n_dup") > 0).count()
+    results["segment_dedup"] = round(time.time() - t0, 1)
+    plan = _plan(segs)
+    _assert_not_in(plan, "CartesianProduct", "segments", errors)
+    _assert_not_in(plan, "BroadcastNestedLoopJoin", "segments", errors)
+    print(
+        f"segment_dedup: {n_seg_docs}/{args.docs} docs with dup segments "
+        f"in {results['segment_dedup']}s"
+    )
+
     results["total"] = round(sum(results.values()), 1)
     ok = not errors
     print(
