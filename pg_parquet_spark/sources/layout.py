@@ -351,6 +351,8 @@ def compact_dataset(
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
     compression: str = "snappy",
+    cluster_by: list[str] | None = None,
+    cluster_bits: int = 8,
 ) -> int:
     """Small-files compaction: rewrite a parquet dataset into
     ceil(total_bytes / target_file_bytes) files (the OPTIMIZE /
@@ -368,7 +370,16 @@ def compact_dataset(
     on any registered store. Returns the target file count. At 100 TB
     this runs per-partition (compact only partitions whose file count
     drifted) — compose with merge_upsert's touched-partition
-    pattern."""
+    pattern.
+
+    ``cluster_by`` RESTORES multi-dimensional clustering while
+    compacting (streaming appends and MERGE rewrites interleave rows
+    arbitrarily, decaying the row-group stats a z-ordered initial
+    write established): rows are re-sorted on the Morton interleave of
+    the given columns — within each hive partition when
+    ``partition_by`` is set, globally (range-partitioned on the
+    z-key, as write_zordered) otherwise. Same quantile-fit +
+    8-byte-key sort cost shape as the initial clustered write."""
     import math
 
     from pg_parquet_spark.sources import fs as pgfs
@@ -380,7 +391,23 @@ def compact_dataset(
     df = spark.read.parquet(pgfs.spark_uri(uri))
     staging = uri + "__compact"
     pgfs.delete_dir(staging)
-    if partition_by:
+    if cluster_by:
+        z = zorder_expr(df, cluster_by, bits=cluster_bits)
+        df = df.withColumn("_zorder", z)
+        if partition_by:
+            # cluster WITHIN each hive partition: partition dirs keep
+            # their pruning role, row groups inside regain tight
+            # multi-dim stats
+            df = df.repartition(n, *partition_by).sortWithinPartitions(
+                *partition_by, "_zorder"
+            )
+        else:
+            df = df.repartitionByRange(n, "_zorder").sortWithinPartitions(
+                "_zorder"
+            )
+        df = df.drop("_zorder")
+        w = df.write.partitionBy(*partition_by) if partition_by else df.write
+    elif partition_by:
         w = df.repartition(n, *partition_by).write.partitionBy(*partition_by)
     else:
         w = df.repartition(n).write

@@ -560,3 +560,71 @@ def test_bloom_filter_skips_row_groups_at_read(spark, tmp_path):
     some = next(iter(keys))
     hit = spark.read.parquet(b_uri).filter(F.col("l_orderkey") == some)
     assert hit.count() == li.filter(F.col("l_orderkey") == some).count()
+
+
+def test_compact_restores_clustering(spark, tmp_path):
+    """Streaming appends decay a z-ordered layout; compact_dataset with
+    cluster_by restores tight row-group spans while bin-packing —
+    the maintenance composition a clustered 100 TB dataset lives on."""
+    from pg_parquet_spark.sources.layout import compact_dataset, write_zordered
+
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    # fragmented, UNclustered landing (16 hash-scattered files)
+    frag = str(tmp_path / "landing")
+    li.repartition(16).write.parquet(frag)
+    spans_before = _row_group_spans(frag, ["l_partkey", "l_suppkey"])
+
+    total = sum(
+        sz for _u, sz in __import__(
+            "pg_parquet_spark.sources.fs", fromlist=["fs"]
+        ).tree_files(frag, ".parquet")
+    )
+    # target 4 output files so the span measurement sees 4 row groups
+    compact_dataset(
+        spark,
+        frag,
+        target_file_bytes=max(1, total // 4),
+        cluster_by=["l_partkey", "l_suppkey"],
+    )
+    spans_after = _row_group_spans(frag, ["l_partkey", "l_suppkey"])
+    assert spark.read.parquet(frag).count() == li.count()
+    # clustered rewrite tightens the per-row-group span on BOTH dims
+    for c in ("l_partkey", "l_suppkey"):
+        assert spans_after[c] < spans_before[c] * 0.8, (spans_before, spans_after)
+
+    # and the zordered-write reference point: compaction's clustering
+    # is the same layout write_zordered produces
+    ref = str(tmp_path / "zref")
+    write_zordered(li, ref, zorder_by=["l_partkey", "l_suppkey"], num_files=4)
+    ref_spans = _row_group_spans(ref, ["l_partkey", "l_suppkey"])
+    for c in ("l_partkey", "l_suppkey"):
+        assert abs(spans_after[c] - ref_spans[c]) < 0.2
+
+
+def test_compact_clustered_within_partitions(spark, tmp_path):
+    """cluster_by + partition_by: hive dirs keep pruning, row groups
+    inside each partition regain multi-dim stats."""
+    from pg_parquet_spark.sources.layout import compact_dataset
+
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"
+    )
+    part = str(tmp_path / "part")
+    li.repartition(8).write.partitionBy("l_returnflag").parquet(part)
+    n = li.count()
+    compact_dataset(
+        spark,
+        part,
+        target_file_bytes=1 << 30,
+        partition_by=["l_returnflag"],
+        cluster_by=["l_partkey", "l_suppkey"],
+    )
+    back = spark.read.parquet(part)
+    assert back.count() == n
+    import glob
+    import os
+
+    dirs = {os.path.basename(os.path.dirname(f)) for f in glob.glob(os.path.join(part, "l_returnflag=*", "*.parquet"))}
+    assert len(dirs) >= 2  # hive layout preserved
