@@ -392,20 +392,27 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each word's -ln p is quantized to 1e-6 (integer
     micro-nats) BEFORE the per-document fold, so the cross-row sum is
     exact integer arithmetic — ln() ULP drift between engines cannot
-    accumulate. Scale: words shuffle by token (vocabulary-sized agg),
-    docs join the vocabulary on the token key; the corpus total rides
-    a 1-row broadcast. The text column itself never shuffles."""
+    accumulate. Scale: the corpus explodes ONCE into per-document term
+    counts (doc_id, w, c) — everything downstream (vocabulary,
+    corpus total, scoring join) works off that compact table, so the
+    raw text is read a single time and never shuffles; the shuffles
+    that remain are token-keyed over counts."""
     docs = table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    # single explode → per-doc term counts; |tf| ≤ Σ distinct terms
+    # per doc, far smaller than the raw word stream
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tf.groupBy("w").agg(F.sum("c").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
-        words.join(vocab, "w")
+        tf.join(vocab, "w")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
+            "c",
             F.floor(
                 -F.log(F.col("cnt") / F.col("total")) * 1e6 + F.lit(0.5)
             ).alias("nll_micro"),
@@ -414,28 +421,30 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.expr("sum(nll_micro) div count(*)").alias("mean_nll_micro"),
+            F.sum("c").alias("n_words"),
+            F.expr("sum(nll_micro * c) div sum(c)").alias("mean_nll_micro"),
         )
         .orderBy("doc_id")
     )
 
 
 Q_TEXT_UNIGRAM_ORACLE = """
-WITH words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+WITH tf AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY doc_id, w
 ), vocab AS (
-  SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+  SELECT w, SUM(c) AS cnt FROM tf GROUP BY w
 ), tot AS (
   SELECT SUM(cnt) AS total FROM vocab
 ), scored AS (
-  SELECT doc_id,
+  SELECT doc_id, c,
          CAST(FLOOR(-LN(CAST(cnt AS DOUBLE) / total) * 1e6 + 0.5) AS BIGINT)
            AS nll_micro
-  FROM words JOIN vocab USING (w) CROSS JOIN tot
+  FROM tf JOIN vocab USING (w) CROSS JOIN tot
 )
-SELECT doc_id, COUNT(*) AS n_words,
-       CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS mean_nll_micro
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(nll_micro * c) // SUM(c) AS BIGINT) AS mean_nll_micro
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 

@@ -1,0 +1,49 @@
+"""tools/rotation.py contract: the generated order puts never-verified
+first, then regressions, then stalest-green; the freshness check
+catches breaches. Pure-python (no Spark) — fast registry-integrity
+guard, since r6 proved hand-maintained rotation drifts."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools import rotation
+
+
+def test_derive_order_priorities(monkeypatch):
+    folded_green = {"a_old": 3, "b_fresh": 6, "c_regressed": 4}
+    folded_rows = {"a_old": 3, "b_fresh": 6, "c_regressed": 6}
+
+    monkeypatch.setattr(rotation, "fold", lambda: (folded_green, folded_rows, 6))
+    names = ["b_fresh", "a_old", "z_new", "c_regressed", "m_new"]
+    ordered, labels = rotation.derive_order(names)
+    # never-verified first (alphabetical), then the red regression,
+    # then greens stalest-first
+    assert ordered == ["m_new", "z_new", "c_regressed", "a_old", "b_fresh"]
+    assert labels["m_new"] == "never verified"
+    assert "RED at r6" in labels["c_regressed"]
+    assert labels["a_old"] == "green r3"
+
+
+def test_check_flags_breach_outside_window(monkeypatch):
+    # entry at the freshness limit sitting OUTSIDE the window = breach
+    n = rotation.WINDOW
+    green = {f"q{i:03d}": 6 for i in range(n)}
+    green["stale"] = 6 - rotation.FRESHNESS_LIMIT  # breaches at r7
+    rows = dict(green)
+    monkeypatch.setattr(rotation, "fold", lambda: (green, rows, 6))
+    ordered = [f"q{i:03d}" for i in range(n)] + ["stale"]
+    assert rotation.check(ordered) == 1  # breach detected
+    # with the stale entry inside the window, the breach is paid
+    ordered_paid = ["stale"] + [f"q{i:03d}" for i in range(n)]
+    assert rotation.check(ordered_paid) == 0
+
+
+def test_registry_order_matches_tool(tmp_path):
+    """The committed GATE_ORDER must be exactly what the tool derives —
+    hand edits (the r6 failure mode) fail here."""
+    names = rotation.registered_names()
+    ordered, _ = rotation.derive_order(names)
+    from pg_parquet_spark.operators.registry import GATE_ORDER
+
+    assert GATE_ORDER == ordered
