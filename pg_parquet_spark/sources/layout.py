@@ -297,6 +297,15 @@ def merge_upsert(
         affected = [
             r[0] for r in updates.select(partition_col).distinct().collect()
         ]
+        if any(v is None for v in affected):
+            # a NULL partition value would silently escape the isin()
+            # scoping below (SQL NULL semantics) and land in the
+            # __HIVE_DEFAULT_PARTITION__ dir without the anti-join
+            # having covered matching base rows
+            raise ValueError(
+                f"updates contain NULL {partition_col!r} values; "
+                "partitioned MERGE requires a concrete partition per row"
+            )
         if check_partition_stability:
             moved = (
                 base.filter(~F.col(partition_col).isin(affected))

@@ -628,3 +628,18 @@ def test_compact_clustered_within_partitions(spark, tmp_path):
 
     dirs = {os.path.basename(os.path.dirname(f)) for f in glob.glob(os.path.join(part, "l_returnflag=*", "*.parquet"))}
     assert len(dirs) >= 2  # hive layout preserved
+
+
+def test_merge_upsert_rejects_null_partition_values(spark, tmp_path):
+    """NULL partition values would escape the isin() scoping (SQL NULL
+    semantics) and bypass the anti-join — rejected up front."""
+    from pg_parquet_spark.sources.layout import merge_upsert
+
+    docs = table(spark, SF, "documents").select("doc_id", "text", "lang")
+    base = str(tmp_path / "nullbase")
+    docs.write.partitionBy("lang").parquet(base)
+    bad = spark.createDataFrame(
+        [(1, "x", None)], "doc_id BIGINT, text STRING, lang STRING"
+    )
+    with pytest.raises(ValueError, match="NULL 'lang'"):
+        merge_upsert(spark, base, bad, ["doc_id"], partition_col="lang")
