@@ -162,3 +162,4 @@ def run_stateful_available_now(sdf: DataFrame, timeout_sec: int = 120) -> DataFr
             F.max("last_event_id").alias("last_event_id"),
         )
     )
+
