@@ -722,6 +722,29 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    the watermark-evicted production variant of q_stream_dedup. The
+    45-day horizon exceeds the fixture's 30-day event span, so no
+    eviction fires and the drain equals exact global dedup — the
+    eviction path is separately pinned by the 3-micro-batch test in
+    tests/test_scale_ops.py."""
+    from pg_parquet_spark.streaming.stream import (
+        deduped_user_event_counts_within_watermark,
+        read_events_stream,
+        run_available_now,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        deduped_user_event_counts_within_watermark(events)
+    )
+    return result.orderBy("event_type")
+
+
+Q_STREAM_DEDUP_WM_ORACLE = Q_STREAM_DEDUP_ORACLE
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join (Spark-native enrichment, beyond-reference):
     the event stream joins the static customer dimension per micro-batch
@@ -1056,6 +1079,7 @@ QUERIES = {
     "q_grouping_sets": q_grouping_sets,
     "q_stream_stateful": q_stream_stateful,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_dedup_within_wm": q_stream_dedup_within_wm,
     "q_subquery_scalar": q_subquery_scalar,
     "q_subquery_in": q_subquery_in,
     "q_exists_correlated": q_exists_correlated,
@@ -1090,6 +1114,7 @@ ORACLES = {
     "q_grouping_sets": Q_GROUPING_SETS_ORACLE,
     "q_stream_stateful": Q_STREAM_STATEFUL_ORACLE,
     "q_stream_dedup": Q_STREAM_DEDUP_ORACLE,
+    "q_stream_dedup_within_wm": Q_STREAM_DEDUP_WM_ORACLE,
     "q_subquery_scalar": Q_SUBQUERY_SCALAR_ORACLE,
     "q_subquery_in": Q_SUBQUERY_IN_ORACLE,
     "q_exists_correlated": Q_EXISTS_CORRELATED_ORACLE,

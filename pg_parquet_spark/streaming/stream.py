@@ -339,6 +339,28 @@ def drain_to_partitioned_parquet(
         )
 
 
+def deduped_user_event_counts_within_watermark(
+    events: DataFrame, delay: str = "45 days"
+) -> DataFrame:
+    """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``)
+    feeding the same per-type aggregate as the exact variant below —
+    the 100 TB member of the dedup trade: key state is EVICTED once the
+    watermark passes first-seen + ``delay``, so the store holds only
+    the active horizon instead of the full key universe. Dedup
+    guarantees then hold within the horizon only; with ``delay``
+    exceeding the data's event-time span (as in the gate: 45 days vs a
+    30-day fixture) no eviction fires and the result equals exact
+    global dedup — which is what makes it oracle-checkable. The
+    eviction path itself is pinned by a 3-micro-batch mtime-ordered
+    test (tests/test_scale_ops.py)."""
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def deduped_user_event_counts(events: DataFrame) -> DataFrame:
     """Streaming exact deduplication (stateful ``dropDuplicates``) then
     aggregate: distinct users per event_type. The dedup state is keyed
