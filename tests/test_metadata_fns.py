@@ -121,3 +121,81 @@ def test_list_glob(spark, tmp_path):
 def test_list_http_unsupported(spark):
     with pytest.raises(ValueError, match="http"):
         parquet_list(spark, "https://example.com/*.parquet")
+
+
+def test_metadata_cross_validated_against_duckdb(spark, tmp_path):
+    """Independent-oracle parity for A17: every comparable field of
+    `parquet.metadata` (row-group structure, per-chunk value counts,
+    offsets, sizes, compression) must agree with DuckDB's own
+    parquet_metadata() on a multi-row-group file OUR writer produced —
+    two unrelated footer readers reaching identical answers."""
+    import duckdb
+
+    from pg_parquet_spark.session import table
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = str(tmp_path / "meta_cross.parquet")
+    write_parquet(li, path, compression="zstd", row_group_size=2000)
+
+    ours = {
+        (r.row_group_id, r.path_in_schema): r
+        for r in parquet_metadata(spark, path).collect()
+    }
+    con = duckdb.connect()
+    theirs = con.execute(
+        "SELECT row_group_id, path_in_schema, row_group_num_rows,"
+        "       row_group_num_columns, num_values, file_offset,"
+        "       data_page_offset, total_compressed_size,"
+        "       total_uncompressed_size, compression "
+        f"FROM parquet_metadata('{path}')"
+    ).fetchall()
+    assert len(theirs) == len(ours) > 3  # multi row group × 3 columns
+    for (
+        rg, col, rg_rows, rg_cols, nvals, foff, dpoff, csize, usize, comp
+    ) in theirs:
+        r = ours[(rg, col)]
+        assert r.row_group_num_rows == rg_rows
+        assert r.row_group_num_columns == rg_cols
+        assert r.num_values == nvals
+        assert r.data_page_offset == dpoff
+        assert r.total_compressed_size == csize
+        assert r.total_uncompressed_size == usize
+        assert r.compression.upper() == comp.upper()
+
+
+def test_kv_metadata_cross_validated_against_duckdb(spark, tmp_path):
+    """Independent-oracle parity for A19: the key/value footer pairs we
+    report equal DuckDB's parquet_kv_metadata() byte-for-byte on a file
+    our writer produced with custom kv metadata (geo path)."""
+    import duckdb
+
+    from pg_parquet_spark.functions.geo import write_geoparquet
+    from pg_parquet_spark.functions.metadata import parquet_kv_metadata
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(1, bytes.fromhex("0101000000000000000000f03f0000000000000040"))],
+        "id BIGINT, geom BINARY",
+    )
+    path = str(tmp_path / "kv_cross.parquet")
+    write_geoparquet(pts, path, geometry_columns=["geom"])
+
+    ours = {
+        bytes(r.key): bytes(r.value)
+        for r in parquet_kv_metadata(spark, path).collect()
+    }
+    con = duckdb.connect()
+    theirs = {
+        bytes(k): bytes(v)
+        for _f, k, v in con.execute(
+            f"SELECT * FROM parquet_kv_metadata('{path}')"
+        ).fetchall()
+    }
+    # both must see the geo key with identical bytes; pyarrow may add
+    # its own ARROW:schema entry on one side only — compare the
+    # intersection-of-keys on equality and require geo present
+    assert b"geo" in ours and b"geo" in theirs
+    for k in ours.keys() & theirs.keys():
+        assert ours[k] == theirs[k], k
