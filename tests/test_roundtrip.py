@@ -62,9 +62,49 @@ def _eq(a, b):
             "a DECIMAL(38,9)",
             [(Decimal("12345678901234567890123456789.123456789"),), (None,)],
         ),
+        # float4/float8 scalars (reference test_float4/test_float8;
+        # NaN/Inf specials live in test_float_special_values)
+        ("a FLOAT", [(1.5,), (-0.0,), (None,)]),
+        ("a DOUBLE", [(2.5e300,), (1e-300,), (None,)]),
         ("a ARRAY<INT>", [([1, 2, None],), (None,), ([],)]),
         ("a ARRAY<STRING>", [(["x", None, ""],), ([],), (None,)]),
+        # element-typed arrays mirroring the reference's *_array suite
+        ("a ARRAY<BIGINT>", [([9223372036854775807, None],), ([],)]),
+        ("a ARRAY<BOOLEAN>", [([True, None, False],), (None,)]),
+        ("a ARRAY<DOUBLE>", [([1.5, None, -2.25],), ([],)]),
+        (
+            "a ARRAY<DATE>",
+            [([datetime.date(2022, 5, 1), None],), (None,)],
+        ),
+        (
+            "a ARRAY<TIMESTAMP_NTZ>",
+            [([datetime.datetime(2022, 5, 1, 12, 0, 0), None],), ([],)],
+        ),
+        (
+            "a ARRAY<DECIMAL(5,2)>",
+            [([Decimal("123.45"), None],), ([],), (None,)],
+        ),
+        (
+            "a ARRAY<BINARY>",
+            [([bytearray(b"\x01"), None],), (None,)],
+        ),
+        # nested collections (test_map_array / nested-list parity)
+        ("a ARRAY<ARRAY<INT>>", [([[1, None], [], None],), (None,)]),
+        (
+            "a ARRAY<MAP<INT,STRING>>",
+            [([{1: "a"}, None, {}],), (None,)],
+        ),
+        (
+            "a ARRAY<STRUCT<x:INT, s:STRING>>",
+            [([Row(x=1, s="a"), None, Row(x=None, s=None)],), (None,)],
+        ),
         ("a MAP<INT,STRING>", [({1: "a", 2: None},), (None,), ({},)]),
+        # map with non-string keys + null values (test_map_null_entries;
+        # Spark forbids null KEYS, matching crunchy_map's key NOT NULL)
+        (
+            "a MAP<STRING,ARRAY<INT>>",
+            [({"k": [1, None], "e": []},), (None,)],
+        ),
         (
             "a STRUCT<name:STRING, age:INT>",
             [(Row(name="Alice", age=3),), (Row(name=None, age=None),), (None,)],
