@@ -85,3 +85,68 @@ def test_written_file_carries_ids(spark, tmp_path):
     # thrift-level check too
     thrift = pq.ParquetFile(path).schema
     assert "field_id" in str(thrift) or True  # arrow carries them
+
+
+def test_auto_field_ids_reference_deep_fixture():
+    """Replicates copy_options.rs:800-890 (test_auto_field_ids_with_map)
+    structure-for-structure: person = (id, dog, dogs[], names map) used
+    as a column, inside an array, plus a map-of-array-of-struct — the
+    full (field_id, name) DFS pre-order sequence must match the
+    reference's expected numbering 0..32 exactly (reference map
+    children are key/val; parquet standard spells them key/value)."""
+    dog = pa.struct([pa.field("id", pa.int32()), pa.field("name", pa.string())])
+    person = pa.struct(
+        [
+            pa.field("id", pa.int32()),
+            pa.field("dog", dog),
+            pa.field("dogs", pa.list_(dog)),
+            pa.field("names", pa.map_(pa.int32(), pa.string())),
+        ]
+    )
+    address = pa.struct(
+        [pa.field("street", pa.string()), pa.field("city", pa.string())]
+    )
+    schema = pa.schema(
+        [
+            pa.field("a", pa.int32()),
+            pa.field("b", pa.string()),
+            pa.field("c", person),
+            pa.field("d", pa.list_(person)),
+            pa.field("addresses", pa.map_(pa.int32(), pa.list_(address))),
+        ]
+    )
+    out = stamp_field_ids(schema, "auto")
+
+    seq = []
+
+    def walk(field):
+        seq.append((_fid(field), field.name))
+        t = field.type
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                walk(t.field(i))
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            walk(t.value_field)
+        elif pa.types.is_map(t):
+            walk(t.key_field)
+            walk(t.item_field)
+
+    for f in out:
+        walk(f)
+
+    want = [
+        (0, "a"),
+        (1, "b"),
+        (2, "c"),
+        (3, "id"), (4, "dog"), (5, "id"), (6, "name"),
+        (7, "dogs"), (8, "element"), (9, "id"), (10, "name"),
+        (11, "names"), (12, "key"), (13, "value"),
+        (14, "d"), (15, "element"),
+        (16, "id"), (17, "dog"), (18, "id"), (19, "name"),
+        (20, "dogs"), (21, "element"), (22, "id"), (23, "name"),
+        (24, "names"), (25, "key"), (26, "value"),
+        (27, "addresses"), (28, "key"), (29, "value"),
+        (30, "element"), (31, "street"), (32, "city"),
+    ]
+    got = [(i, n if n != "item" else "value") for i, n in seq]
+    assert got == want, got
