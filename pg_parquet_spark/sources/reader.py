@@ -341,6 +341,15 @@ def _apply_read_clauses(
         df = match_and_coerce(df, schema, match_by)
 
     if columns is not None:
+        seen: set[str] = set()
+        for c in columns:
+            if c in seen:
+                # copy_pg_rules.rs:229 parity: PG rejects a duplicate
+                # attribute in the COPY column list
+                raise ValueError(
+                    f'duplicate attribute "{c}" is not allowed in parquet schema'
+                )
+            seen.add(c)
         missing = [c for c in columns if c not in df.columns]
         if missing:
             raise SchemaMatchError(

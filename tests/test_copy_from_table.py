@@ -103,3 +103,18 @@ def test_copy_from_into_column_subset_fills_nulls(spark, tmp_path):
         assert all(r.b is None for r in rows)
     finally:
         spark.sql("DROP TABLE IF EXISTS pgpq_copy_subset")
+
+
+def test_duplicate_column_in_list_rejected(spark):
+    """copy_pg_rules.rs:229 parity: a duplicate attribute in the COPY
+    column list errors with the reference's message."""
+    import pytest
+
+    from pg_parquet_spark.sources import read_parquet
+
+    with pytest.raises(ValueError, match='duplicate attribute "o_orderkey"'):
+        read_parquet(
+            spark,
+            "/root/testdata/sf0.001/orders.parquet",
+            columns=["o_orderkey", "o_orderkey"],
+        )
