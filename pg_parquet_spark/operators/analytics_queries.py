@@ -603,6 +603,91 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+# --- boolean aggregates ------------------------------------------------------
+
+
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or aggregates (PostgreSQL every()/bool_or()
+    catalog parity) per group — partial+final like any hash agg."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_AGG_BOOL_ORACLE = """
+SELECT o_orderpriority,
+       BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+       BOOL_OR(o_totalprice > 400000) AS any_over_400k,
+       COUNT(*) AS cnt
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- trigonometric / transcendental scalars ---------------------------------
+
+
+def q_scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sin/cos/atan2/radians/degrees scalar functions (PG math catalog
+    parity) — rounded to 6 decimals to absorb libm ULP differences
+    between engines, per the project determinism contract."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    x = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.round(F.sin(F.radians(x)), 6).alias("sin_r"),
+        F.round(F.cos(F.radians(x)), 6).alias("cos_r"),
+        F.round(F.atan2(x, F.lit(100.0)), 6).alias("at2"),
+        F.round(F.degrees(F.atan(x / F.lit(1000.0))), 6).alias("deg_at"),
+    ).orderBy("c_custkey")
+
+
+Q_SCALAR_TRIG_ORACLE = """
+SELECT c_custkey,
+       ROUND(SIN(RADIANS(c_acctbal)), 6) AS sin_r,
+       ROUND(COS(RADIANS(c_acctbal)), 6) AS cos_r,
+       ROUND(ATAN2(c_acctbal, 100.0), 6) AS at2,
+       ROUND(DEGREES(ATAN(c_acctbal / 1000.0)), 6) AS deg_at
+FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+"""
+
+
+# --- ordered string aggregation ---------------------------------------------
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (PostgreSQL string_agg(x, ',' ORDER
+    BY x)): collect_list is partition-order-dependent, so the
+    deterministic Spark spelling sorts the collected array before
+    joining — the only ordering contract that survives distributed
+    execution."""
+    nation = table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+Q_STRING_AGG_ORACLE = """
+SELECT n_regionkey,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 QUERIES = {
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
@@ -618,6 +703,9 @@ QUERIES = {
     "q_events_retention": q_events_retention,
     "q_sample_stratified": q_sample_stratified,
     "q_dedup_segments": q_dedup_segments,
+    "q_agg_bool": q_agg_bool,
+    "q_scalar_trig": q_scalar_trig,
+    "q_string_agg": q_string_agg,
 }
 
 ORACLES = {
@@ -635,4 +723,7 @@ ORACLES = {
     "q_events_retention": Q_EVENTS_RETENTION_ORACLE,
     "q_sample_stratified": Q_SAMPLE_STRATIFIED_ORACLE,
     "q_dedup_segments": Q_DEDUP_SEGMENTS_ORACLE,
+    "q_agg_bool": Q_AGG_BOOL_ORACLE,
+    "q_scalar_trig": Q_SCALAR_TRIG_ORACLE,
+    "q_string_agg": Q_STRING_AGG_ORACLE,
 }
