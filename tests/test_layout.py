@@ -643,3 +643,47 @@ def test_merge_upsert_rejects_null_partition_values(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL 'lang'"):
         merge_upsert(spark, base, bad, ["doc_id"], partition_col="lang")
+
+
+def test_zorder_skips_rows_at_read_time(spark, tmp_path):
+    """Runtime complement to the footer-span assertions: on the
+    z-ordered layout a conjunctive 2-D range filter SCANS a fraction of
+    the rows (row groups outside the predicate's box are skipped by
+    min/max stats), while the unsorted layout scans everything —
+    measured from Spark's own scan metrics like the bloom proof."""
+    from pg_parquet_spark.sources.layout import write_zordered
+
+    li = table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n = li.count()
+    zdir = str(tmp_path / "z")
+    udir = str(tmp_path / "u")
+    write_zordered(li, zdir, zorder_by=["l_partkey", "l_suppkey"], num_files=8)
+    li.orderBy(F.hash("l_orderkey")).coalesce(8).write.parquet(udir)
+
+    pred = (
+        (F.col("l_partkey") >= 100)
+        & (F.col("l_partkey") <= 300)
+        & (F.col("l_suppkey") >= 10)
+        & (F.col("l_suppkey") <= 40)
+    )
+
+    def rows_scanned(uri):
+        df = spark.read.parquet(uri).filter(pred)
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return leaf.metrics().apply("numOutputRows").value()
+
+    z_rows = rows_scanned(zdir)
+    u_rows = rows_scanned(udir)
+    # identical answers either way
+    assert (
+        spark.read.parquet(zdir).filter(pred).count()
+        == spark.read.parquet(udir).filter(pred).count()
+    )
+    # the clustered layout skips most of the file; the scrambled one
+    # reads essentially everything
+    assert z_rows < n * 0.45, (z_rows, n)
+    assert u_rows > n * 0.9, (u_rows, n)
+    assert z_rows < u_rows / 2
