@@ -160,3 +160,62 @@ def test_pack_and_chunk_counts_consistent(spark):
         assert n_chunks == expect_chunks
         # every token counted once, plus `overlap` extra per chunk seam
         assert total == r.n + (n_chunks - 1) * overlap
+
+
+# ---------------------------------------------------------------------------
+# r7: replay/convergence properties of the maintenance tier
+
+
+@given(
+    replay_seq=st.lists(
+        st.integers(min_value=0, max_value=3), min_size=1, max_size=8
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_sink_converges_under_any_replay_sequence(replay_seq, spark, tmp_path_factory):
+    """Effectively-once property: for ANY sequence of batch (re)plays —
+    including repeats, out-of-order replays, and partial-then-full
+    replays — the landed dataset equals exactly one copy of each
+    batch's final rows. Hypothesis drives the replay order."""
+    from pg_parquet_spark.streaming.stream import partitioned_batch_writer
+
+    events = table(spark, SF, "events").select("event_id", "event_type", "value")
+    batches = {
+        i: events.filter(F.col("event_id") % 4 == i) for i in range(4)
+    }
+    sink = str(tmp_path_factory.mktemp("replay") / "sink")
+    write = partitioned_batch_writer(sink, ["event_type"])
+    played = set()
+    for b in replay_seq:
+        write(batches[b], b)
+        played.add(b)
+    import functools
+
+    want = functools.reduce(
+        lambda a, c: a.unionByName(c), (batches[b] for b in played)
+    )
+    back = spark.read.parquet(sink).select(*events.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_merge_upsert_is_idempotent(spark, tmp_path):
+    """Re-running the SAME merge converges: the second application
+    changes nothing (the property that makes the crash-recovery story
+    'just re-run the job')."""
+    from pg_parquet_spark.sources.layout import merge_upsert
+
+    docs = table(spark, SF, "documents").select("doc_id", "text", "lang")
+    base = str(tmp_path / "idem")
+    docs.write.partitionBy("lang").parquet(base)
+    updates = (
+        docs.filter(F.col("lang") == "en")
+        .limit(4)
+        .withColumn("text", F.lit("v2"))
+    )
+    merge_upsert(spark, base, updates, ["doc_id"], partition_col="lang")
+    first = sorted(map(tuple, spark.read.parquet(base).collect()))
+    merge_upsert(spark, base, updates, ["doc_id"], partition_col="lang")
+    second = sorted(map(tuple, spark.read.parquet(base).collect()))
+    assert first == second
