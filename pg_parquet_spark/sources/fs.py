@@ -434,12 +434,16 @@ def move_file(src_uri: str, dst_uri: str) -> None:
 
     Local filesystems rename; stores without native rename copy+delete —
     pyarrow's FileSystem.move handles both."""
-    fs, src, _ = resolve(src_uri)
-    fs2, dst, _ = resolve(dst_uri)
-    if type(fs) is not type(fs2):
+    if scheme_of(src_uri) != scheme_of(dst_uri):
+        # a class comparison would wrongly accept two different
+        # registered schemes backed by the same FS class (e.g. two
+        # SubTreeFileSystem mounts over different roots) and then move
+        # within the wrong root — the scheme IS the store identity here
         raise ValueError(
             f"move must stay within one store: {src_uri} -> {dst_uri}"
         )
+    fs, src, _ = resolve(src_uri)
+    fs2, dst, _ = resolve(dst_uri)
     parent = dst.rsplit("/", 1)[0] if "/" in dst else ""
     if parent:
         fs2.create_dir(parent, recursive=True)
