@@ -96,7 +96,6 @@ def render_block(ordered: list[str], labels: dict[str, str]) -> str:
     for i, n in enumerate(ordered):
         lab = labels[n]
         if lab != prev:
-            marker = "  # ---- window cut: entries below wait for a later round ----" if False else ""
             lines.append(f"    # -- {lab} " + "-" * max(1, 60 - len(lab)))
             prev = lab
         if i == WINDOW:
