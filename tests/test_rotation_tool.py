@@ -40,10 +40,20 @@ def test_check_flags_breach_outside_window(monkeypatch):
 
 
 def test_registry_order_matches_tool(tmp_path):
-    """The committed GATE_ORDER must be exactly what the tool derives —
-    hand edits (the r6 failure mode) fail here."""
+    """The committed GATE_ORDER must be exactly what the tool derives from
+    the CORRECTNESS files that existed when it was generated — hand edits
+    (the r6 failure mode) fail here. Boundary-aware since r8: the order is
+    derived at the registry's stamped REGISTRY_AS_OF round, so a newer
+    driver-landed CORRECTNESS file no longer turns the committed order red
+    (the r7 round-boundary failure). `rotation.py check` remains the
+    cross-boundary freshness alarm."""
+    as_of = rotation.registry_as_of()
+    assert as_of is not None, "registry is missing the REGISTRY_AS_OF stamp"
     names = rotation.registered_names()
-    ordered, _ = rotation.derive_order(names)
+    ordered, _ = rotation.derive_order(names, max_round=as_of)
     from pg_parquet_spark.operators.registry import GATE_ORDER
 
     assert GATE_ORDER == ordered
+    # Deliberately NO "stamp == newest file" assertion: that would be red at
+    # every round boundary (the r7 failure mode). `rotation.py check` is the
+    # cross-boundary freshness alarm; the round workflow runs `apply` first.

@@ -36,8 +36,16 @@ WINDOW = 50  # names the driver's per-round correctness run covers
 FRESHNESS_LIMIT = 2  # max rounds since an entry's newest green row
 
 
-def fold() -> tuple[dict[str, int], dict[str, int], int]:
-    """Return (newest_green, newest_row, current_round) from CORRECTNESS files."""
+def fold(max_round: int | None = None) -> tuple[dict[str, int], dict[str, int], int]:
+    """Return (newest_green, newest_row, current_round) from CORRECTNESS files.
+
+    ``max_round`` ignores files newer than that round. The order test uses it
+    with the registry's stamped ``REGISTRY_AS_OF`` so a driver-landed
+    CORRECTNESS file can't turn the committed order retroactively wrong
+    (VERDICT r7 "What's wrong" #1 — the test was deterministically red at
+    every round boundary). ``check`` still folds everything: freshness is a
+    cross-boundary alarm by design.
+    """
     newest_green: dict[str, int] = {}
     newest_row: dict[str, int] = {}
     latest = 0
@@ -46,6 +54,8 @@ def fold() -> tuple[dict[str, int], dict[str, int], int]:
         if not m:
             continue
         rn = int(m.group(1))
+        if max_round is not None and rn > max_round:
+            continue
         latest = max(latest, rn)
         with open(f) as fh:
             rows = json.load(fh)
@@ -67,9 +77,18 @@ def registered_names() -> list[str]:
     return list(registry.all_queries().keys())
 
 
-def derive_order(names: list[str]) -> tuple[list[str], dict[str, str]]:
+def registry_as_of() -> int | None:
+    """Round stamped into registry.py by the last ``apply`` (None pre-r8)."""
+    with open(REGISTRY) as fh:
+        m = re.search(r"^REGISTRY_AS_OF = (\d+)$", fh.read(), flags=re.M)
+    return int(m.group(1)) if m else None
+
+
+def derive_order(
+    names: list[str], max_round: int | None = None
+) -> tuple[list[str], dict[str, str]]:
     """Order `names` per the rotation contract; also return a label per name."""
-    newest_green, newest_row, _latest = fold()
+    newest_green, newest_row, _latest = fold() if max_round is None else fold(max_round)
 
     def key(n: str):
         if n not in newest_row:
@@ -106,15 +125,24 @@ def render_block(ordered: list[str], labels: dict[str, str]) -> str:
 
 
 def apply(ordered: list[str], labels: dict[str, str]) -> None:
+    _, _, latest = fold()
     with open(REGISTRY) as fh:
         src = fh.read()
-    block = render_block(ordered, labels)
-    new, count = re.subn(r"GATE_ORDER = \[.*?\n\]", block, src, count=1, flags=re.S)
+    block = f"REGISTRY_AS_OF = {latest}\n\n" + render_block(ordered, labels)
+    # Replace the stamp (if present) together with the order block so the
+    # pair can never drift apart.
+    new, count = re.subn(
+        r"(?:REGISTRY_AS_OF = \d+\n\n)?GATE_ORDER = \[.*?\n\]",
+        block,
+        src,
+        count=1,
+        flags=re.S,
+    )
     if count != 1:
         raise SystemExit("could not find GATE_ORDER block in registry.py")
     with open(REGISTRY, "w") as fh:
         fh.write(new)
-    print(f"wrote {len(ordered)} names to {REGISTRY}")
+    print(f"wrote {len(ordered)} names to {REGISTRY} (REGISTRY_AS_OF = {latest})")
 
 
 def check(ordered: list[str]) -> int:
