@@ -766,14 +766,34 @@ def pq_topk(
     """PQ/ADC search: encode the corpus as ``m`` codes, approximate each
     corpus distance as the sum of per-subspace distances from the query
     subvector to the CODED centroid (asymmetric distance computation —
-    the query stays full-precision), keep the ``k*refine`` best by ADC,
-    then exact-cosine re-rank to the final top-k.
+    the query stays full-precision), shortlist at CELL granularity, then
+    exact-cosine re-rank to the final top-k.
+
+    The shortlist is cell-granular (r8; the IVF-ADC hybrid): rank the
+    DISTINCT code tuples by the best member score ``max(adc_ip/‖x‖)``,
+    keep the top ``k*refine`` cells, and exact-re-rank EVERY member of
+    those cells. A row-count cutoff (r7 and earlier) truncated
+    arbitrarily inside crowded cells — on a clustered corpus whose whole
+    cluster collapses to one 4-bit code tuple, every member ties in ADC
+    and recall@10 measured 0.0 at ks=16 (SCALE.md r7 sweep). The refine
+    budget is therefore expressed in cells; the re-rank cost is bounded
+    by the population of the chosen cells, which is the honest unit for
+    a quantized index.
 
     Plan shape: codebooks are plan literals; encoding and the ADC sum
-    are pure per-row codegen; the only shuffle is the global top-k
-    (TakeOrderedAndProject). The corpus' raw vectors are read only by
-    the re-rank projection — at scale the codes live in a 4-byte column
-    and this becomes a scan over ints.
+    are pure per-row codegen; the cell ranking is one partial+final max
+    aggregate on the ``m`` tiny-int code columns (map-side combine, at
+    most ``ks^m`` groups) followed by a cell-count TakeOrderedAndProject;
+    the winning cells broadcast back onto the coded corpus (the corpus
+    itself never shuffles) and the final top-k is a
+    TakeOrderedAndProject over the members of those cells. At scale the
+    codes live in a 4-byte column and everything before the re-rank is
+    a scan over ints.
+
+    Zero-norm corpus vectors score NULL (not 0/0 = NaN, which Spark
+    orders ABOVE every real score in a descending sort and would displace
+    real candidates — ADVICE r7) and sort last at both the cell and the
+    re-rank stage.
     """
     if codebooks is None:
         codebooks = pq_train(df, id_col, vec_col, m, ks, iters, dims)
@@ -822,15 +842,25 @@ def pq_topk(
             F.col(f"_c{mi}") + 1,
         )
         adc_ip = term if adc_ip is None else adc_ip + term
-    shortlist = (
-        cand.withColumn("_adc", adc_ip / F.sqrt(_norm_sq(F.col("_v"))))
-        .orderBy(F.col("_adc").desc(), F.col(id_col))
+    code_cols = [f"_c{mi}" for mi in range(m)]
+    xnorm = F.sqrt(_norm_sq(F.col("_v")))
+    row_score = F.when(xnorm > 0, adc_ip / xnorm)  # NULL for zero-norm rows
+    scored = cand.withColumn("_adc", row_score)
+    # cell shortlist: best member score per distinct code tuple, top
+    # k*refine cells, ties broken on the code tuple for determinism
+    top_cells = (
+        scored.groupBy(*code_cols)
+        .agg(F.max("_adc").alias("_cadc"))
+        .orderBy(F.col("_cadc").desc_nulls_last(), *code_cols)
         .limit(k * refine)
+        .select(*code_cols)
     )
-    cos = _exact_cosine(F.col("_v"), F.col("_qvec"))
+    members = scored.join(F.broadcast(top_cells), on=code_cols)
+    qnorm = F.sqrt(_norm_sq(F.col("_qvec")))
+    cos = F.when(xnorm * qnorm > 0, _dot(F.col("_v"), F.col("_qvec")) / (xnorm * qnorm))
     return (
-        shortlist.select(F.col(id_col), cos.alias("cosine_sim"))
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        members.select(F.col(id_col), cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col))
         .limit(k)
     )
 
@@ -847,8 +877,11 @@ def pq_oracle_sql(
 ) -> str:
     """DuckDB replica of pq_topk with a FIXED codebook: identical
     literal centroids → identical codes (first-match argmin), identical
-    ordered-fold ADC sums → the same shortlist, the same re-ranked
-    top-k. Subvector slices are 1-based inclusive on both engines."""
+    ordered-fold ADC sums → the same cell-granular shortlist (max member
+    score per distinct code tuple, top k*refine cells, code-tuple
+    tie-break), the same re-ranked top-k. Zero-norm vectors score NULL
+    via nullif and sort last, mirroring the Spark guard (ADVICE r7).
+    Subvector slices are 1-based inclusive on both engines."""
     m = len(codebooks)
     dsub = dims // m
 
@@ -883,20 +916,24 @@ def pq_oracle_sql(
     na = fold.format(d=dims, a="v", b="v")
     nb = fold.format(d=dims, a="qvec", b="qvec")
     xnorm = fold.format(d=dims, a="v", b="v")
+    codes = ", ".join(f"_c{mi}" for mi in range(m))
     return f"""
 WITH q AS (
   SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id}
 ), coded AS (
   SELECT e.{id_col} AS _id, e.{vec_col} AS v, {code_cols}
   FROM {table} e
-), shortlist AS (
-  SELECT _id, v, qvec, ({adc_ip}) / sqrt({xnorm}) AS _adc
+), cells AS (
+  SELECT {codes}, max(({adc_ip}) / nullif(sqrt({xnorm}), 0)) AS _cadc
   FROM coded, q
-  ORDER BY _adc DESC, _id LIMIT {k * refine}
+  GROUP BY {codes}
+  ORDER BY _cadc DESC NULLS LAST, {codes}
+  LIMIT {k * refine}
 )
-SELECT _id AS {id_col}, {dot} / (sqrt({na}) * sqrt({nb})) AS cosine_sim
-FROM shortlist
-ORDER BY cosine_sim DESC, {id_col}
+SELECT c._id AS {id_col},
+       {dot} / nullif(sqrt({na}) * sqrt({nb}), 0) AS cosine_sim
+FROM coded c JOIN cells USING ({codes}), q
+ORDER BY cosine_sim DESC NULLS LAST, c._id
 LIMIT {k}
 """
 
