@@ -496,7 +496,16 @@ def q_io_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    merge_upsert(spark, path, updates, ["o_orderkey"], partition_col="o_orderpriority")
+    # versioned=True: the merge publishes a manifest-pointer snapshot and
+    # read_parquet resolves it (r8 — the oracle now covers the resolver)
+    merge_upsert(
+        spark,
+        path,
+        updates,
+        ["o_orderkey"],
+        partition_col="o_orderpriority",
+        versioned=True,
+    )
     back = read_parquet(spark, path)
     return (
         back.groupBy("o_orderpriority")
@@ -645,7 +654,92 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def q_io_versioned_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full versioned-maintenance lifecycle through the manifest-pointer
+    protocol (r8, engine extension — the crash-atomic publish plain
+    parquet lacks; see layout.py's versioned-publish note): write
+    customers hive-partitioned, MERGE doubled balances for keys %7==0
+    plus inserts for %50==3 (versioned — the untouched market segments
+    are carried by REFERENCE, only touched ones land in the new
+    snapshot), then compact the whole dataset into a fresh snapshot, and
+    read back through read_parquet's pointer resolution. The oracle is
+    the pure-SQL merge semantics — compaction must be a logical no-op
+    and the resolver must surface exactly the published snapshot."""
+    import tempfile
+
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.sources.layout import (
+        compact_dataset,
+        merge_upsert,
+        write_partitioned,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    path = os.path.join(tempfile.gettempdir(), "pgpq_cust_versioned")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    write_partitioned(cust, path, ["c_mktsegment"])
+
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") * 2)
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 3).select(
+                (F.col("c_custkey") + 5_000_000).alias("c_custkey"),
+                (F.col("c_acctbal") + 100).alias("c_acctbal"),
+                "c_mktsegment",
+            )
+        )
+    )
+    merge_upsert(
+        spark,
+        path,
+        updates,
+        ["c_custkey"],
+        partition_col="c_mktsegment",
+        versioned=True,
+    )
+    compact_dataset(spark, path, partition_by=["c_mktsegment"])
+    back = read_parquet(spark, path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_IO_VERSIONED_MAINTENANCE_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+), upd AS (
+  SELECT c_custkey, c_acctbal * 2 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 5000000, c_acctbal + 100, c_mktsegment
+  FROM customer WHERE c_custkey % 50 = 3
+), merged AS (
+  SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+  UNION ALL SELECT * FROM upd
+)
+SELECT c_mktsegment, COUNT(*) AS cnt,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+       MAX(c_custkey) AS max_key
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "q_io_versioned_maintenance": q_io_versioned_maintenance,
     "q_io_http_read": q_io_http_read,
     "q_io_glob_read": q_io_glob_read,
     "q_io_csv_roundtrip": q_io_csv_roundtrip,
@@ -667,6 +761,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_io_versioned_maintenance": Q_IO_VERSIONED_MAINTENANCE_ORACLE,
     "q_io_http_read": Q_IO_HTTP_ORACLE,
     "q_io_glob_read": Q_IO_GLOB_ORACLE,
     "q_io_csv_roundtrip": Q_IO_CSV_ORACLE,

@@ -429,6 +429,41 @@ def tree_files(uri: str, suffix: str = "") -> list[tuple[str, int]]:
     )
 
 
+def read_bytes(uri: str) -> bytes:
+    """Read a whole (small) file — manifest/pointer reads."""
+    fs, path, _ = resolve(uri)
+    with fs.open_input_stream(path) as f:
+        return f.read()
+
+
+def delete_file(uri: str) -> None:
+    """Delete one file if present (no error when absent)."""
+    from pyarrow import fs as pafs
+
+    fs, path, _ = resolve(uri)
+    if fs.get_file_info(path).type == pafs.FileType.File:
+        fs.delete_file(path)
+
+
+def write_bytes_atomic(uri: str, data: bytes) -> None:
+    """Publish a small file so readers see either the old or the new
+    content, never a partial write: stage to a sibling temp name, then
+    move onto the target. Local/HDFS rename is atomic; object stores
+    surface the copy as a single PUT (an object appears all-at-once),
+    which is the manifest-swap property the layout tier's versioned
+    publish relies on."""
+    import uuid as _uuid
+
+    fs, path, _ = resolve(uri)
+    parent = path.rsplit("/", 1)[0] if "/" in path else ""
+    if parent:
+        fs.create_dir(parent, recursive=True)
+    tmp = f"{path}.tmp-{_uuid.uuid4().hex[:12]}"
+    with fs.open_output_stream(tmp) as f:
+        f.write(data)
+    fs.move(tmp, path)
+
+
 def move_file(src_uri: str, dst_uri: str) -> None:
     """Move/rename one file within the SAME store (parent dirs created).
 
