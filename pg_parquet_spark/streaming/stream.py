@@ -258,16 +258,23 @@ def partitioned_batch_writer(path: str, partition_by: list[str]):
 
     1. write the batch OVERWRITE into ``<path>__staging/batch=<id>``
        (a retry simply replaces the partial staging dir);
-    2. for each hive partition dir in the staging output, DELETE any
-       files this batch already published (``batch-<id>-*`` — the
-       replay case), then move the staged files in under that
-       batch-unique prefix.
+    2. sweep the ENTIRE sink tree for files this batch already
+       published (``batch-<id>-*``) and delete them — the replay's own
+       output may land in FEWER partitions than the earlier partial
+       publish did (a non-deterministic upstream, a limit, a changed
+       filter), so cleanup must not be scoped to the partitions the new
+       staging output happens to touch (ADVICE r7);
+    3. move the staged files in under the batch-unique prefix.
 
     Replaying batch N therefore converges to exactly one copy of its
     rows — at-least-once delivery composed with an idempotent publish
     is effectively-once, which is the strongest guarantee a plain
-    parquet directory (no transaction log) supports. All fs ops go
-    through ``sources.fs``'s scheme dispatch (store-portable)."""
+    parquet directory (no transaction log) supports. The full-tree
+    sweep is one recursive LIST per micro-batch — the same order of
+    cost the move loop already pays on an object store, and at scale
+    the sink tree a single writer owns is the natural unit to list.
+    All fs ops go through ``sources.fs``'s scheme dispatch
+    (store-portable)."""
     from pg_parquet_spark.sources import fs as pgfs
 
     base = path.rstrip("/")
@@ -280,16 +287,17 @@ def partitioned_batch_writer(path: str, partition_by: list[str]):
             .partitionBy(*partition_by)
             .parquet(pgfs.spark_uri(staging))
         )
+        # replay cleanup: every file batch_id ever published, wherever
+        # it landed — independent of the new output's partition coverage
+        for old_uri, _ in pgfs.tree_files(base, ".parquet"):
+            if old_uri.rsplit("/", 1)[1].startswith(f"batch-{batch_id}-"):
+                pgfs.delete_file(old_uri)
         for file_uri, _sz in pgfs.tree_files(staging, suffix=".parquet"):
             rel = file_uri[len(staging) + 1 :]
             part_dirs, fname = (
                 rel.rsplit("/", 1) if "/" in rel else ("", rel)
             )
             target_dir = f"{base}/{part_dirs}".rstrip("/")
-            for old_uri, _ in pgfs.tree_files(target_dir, ".parquet"):
-                if old_uri.rsplit("/", 1)[1].startswith(f"batch-{batch_id}-"):
-                    fs, p, _pre = pgfs.resolve(old_uri)
-                    fs.delete_file(p)
             pgfs.move_file(file_uri, f"{target_dir}/batch-{batch_id}-{fname}")
         pgfs.delete_dir(staging)
 

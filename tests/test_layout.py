@@ -520,6 +520,26 @@ def test_partitioned_batch_writer_replay_is_idempotent(spark, tmp_path):
     write(b1.limit(10), 1)
     assert spark.read.parquet(path).count() == b0.count() + 10
 
+    # replay landing in FEWER partitions than the earlier publish
+    # (ADVICE r7: the old cleanup was scoped to the new output's
+    # partitions, so stale batch-1 files survived in the others —
+    # and the limit(10) case above could mask that by accident when
+    # the unordered limit happened to touch every partition)
+    one_type = b1.filter(F.col("event_type") == "click").limit(3)
+    assert one_type.count() == 3
+    write(one_type, 1)
+    back = spark.read.parquet(path)
+    assert back.count() == b0.count() + 3
+    # every surviving batch-1 row is from the replay's single partition
+    assert (
+        back.withColumn("_f", F.input_file_name())
+        .filter(F.col("_f").contains("batch-1-"))
+        .select("event_type")
+        .distinct()
+        .collect()[0][0]
+        == "click"
+    )
+
 
 def test_bloom_filter_skips_row_groups_at_read(spark, tmp_path):
     """Read-side bloom proof (VERDICT r6 #5): on a hash-scrambled
