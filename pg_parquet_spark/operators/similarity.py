@@ -821,8 +821,6 @@ def pq_topk(
                 for mi in range(m)
             ],
         )
-    q = query_df.select(F.col(vec_col).alias("_qvec"))
-    cand = corpus.join(F.broadcast(q))
     # ADC by INNER PRODUCT, not squared L2 (r7): the final ranking is
     # cosine, and on a corpus whose vectors are NOT unit-norm an
     # L2-ordered shortlist disagrees with the cosine order badly enough
@@ -830,22 +828,39 @@ def pq_topk(
     # recall@10 was 0.05-0.18 across refine=1..8). Approximating
     # cos(q, x) ≈ (Σ_m <q_m, c(x)_m>) / ‖x‖ instead — the code stands
     # in for x only in the numerator, ‖x‖ is exact per row (one fold),
-    # and the constant ‖q‖ drops out of the ordering. On unit-norm
-    # corpora this is order-equivalent to L2 ADC; on everything else it
-    # is the correct shortlist metric for a cosine search.
-    # element_at(per-subspace ip table, code+1), summed in fixed
-    # subspace order (deterministic IEEE sequence, oracle-identical)
+    # and the constant ‖q‖ drops out of the ordering.
+    #
+    # The per-subspace IP tables are precomputed DRIVER-SIDE and emitted
+    # as plan literals (r8). The query is one bounded row — collecting
+    # it is model fitting, like the codebooks — and the textbook ADC
+    # builds its m×ks lookup table once per query. The previous
+    # formulation kept the query as a broadcast-joined column, so the
+    # m×ks inner products re-evaluated as interpreted HOFs on EVERY
+    # corpus row: at ks=128 that was ~8k multiplies/row and 30 s/query
+    # on the 20k sweep corpus vs ~0.1 s of driver-side table build.
+    # Python's sequential multiply-add runs the same IEEE double
+    # sequence as the SQL list fold, so the oracle hashes are unmoved.
+    qrow = query_df.select(F.col(vec_col).alias("_qvec")).first()
+    if qrow is None:
+        raise ValueError("query_df is empty — PQ search needs one query vector")
+    qvec = [float(x) for x in qrow[0]]
+
+    def _dot_py(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
     adc_ip = None
     for mi in range(m):
-        term = F.element_at(
-            _cell_dots(_subvec(F.col("_qvec"), mi, dsub), codebooks[mi]),
-            F.col(f"_c{mi}") + 1,
-        )
+        qs = qvec[mi * dsub : (mi + 1) * dsub]
+        table = F.array(*[F.lit(_dot_py(qs, c)) for c in codebooks[mi]])
+        term = F.element_at(table, F.col(f"_c{mi}") + 1)
         adc_ip = term if adc_ip is None else adc_ip + term
     code_cols = [f"_c{mi}" for mi in range(m)]
     xnorm = F.sqrt(_norm_sq(F.col("_v")))
     row_score = F.when(xnorm > 0, adc_ip / xnorm)  # NULL for zero-norm rows
-    scored = cand.withColumn("_adc", row_score)
+    scored = corpus.withColumn("_adc", row_score)
     # cell shortlist: best member score per distinct code tuple, top
     # k*refine cells, ties broken on the code tuple for determinism
     top_cells = (
@@ -855,7 +870,12 @@ def pq_topk(
         .limit(k * refine)
         .select(*code_cols)
     )
-    members = scored.join(F.broadcast(top_cells), on=code_cols)
+    # the collected query becomes a plan literal in the exact re-rank
+    # too — no query-side join anywhere in the plan (the r7 shape paid a
+    # BroadcastNestedLoopJoin against the whole corpus)
+    members = scored.join(F.broadcast(top_cells), on=code_cols).withColumn(
+        "_qvec", F.array(*[F.lit(v) for v in qvec])
+    )
     qnorm = F.sqrt(_norm_sq(F.col("_qvec")))
     cos = F.when(xnorm * qnorm > 0, _dot(F.col("_v"), F.col("_qvec")) / (xnorm * qnorm))
     return (

@@ -553,9 +553,13 @@ def test_pq_topk_broadcasts_query_side(spark):
     q = emb.filter(F.col("vec_id") == 0).select("embedding")
     top = similarity.pq_topk(emb, q, k=5)
     plan = _plan(top)
-    # 1-row query joins the corpus via broadcast (corpus never shuffles);
-    # global top-k compiles to per-partition heaps + driver merge
-    assert "BroadcastNestedLoopJoin" in plan
+    # r8: the query vector and its ADC tables are plan literals — no
+    # query-side join survives at all (r7 paid a BroadcastNestedLoopJoin
+    # against the whole corpus); the winning cells broadcast-hash-join
+    # back onto the coded corpus, which never shuffles, and the global
+    # top-k compiles to per-partition heaps + driver merge
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
 

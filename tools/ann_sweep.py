@@ -25,11 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.scale_soak import SOAK_DIR, gen_embeddings  # noqa: E402
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--queries", type=int, default=4)
-    ap.add_argument("--embeddings", type=int, default=20_000)
-    args = ap.parse_args()
+def run(queries: int = 4, embeddings: int = 20_000) -> dict:
+    """Run the sweep and return the artifact dict (folded into
+    SOAK_r{N}.json by tools/soak_artifact.py — VERDICT r7 #6)."""
+    import types
+
+    args = types.SimpleNamespace(queries=queries, embeddings=embeddings)
 
     from pyspark.sql import functions as F
 
@@ -135,7 +136,15 @@ def main() -> int:
             }
         encoded.unpersist()
 
-    print(json.dumps({"sweep": "ann", "n_vectors": n, "k": 10, "results": results}))
+    return {"sweep": "ann", "n_vectors": n, "k": 10, "results": results}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", type=int, default=4)
+    ap.add_argument("--embeddings", type=int, default=20_000)
+    args = ap.parse_args()
+    print(json.dumps(run(args.queries, args.embeddings)))
     return 0
 
 

@@ -123,11 +123,12 @@ def _assert_not_in(plan: str, needle: str, stage: str, errors: list[str]) -> Non
         errors.append(f"{stage}: unexpected {needle} in plan")
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=50_000)
-    ap.add_argument("--embeddings", type=int, default=20_000)
-    args = ap.parse_args()
+def run(docs: int = 50_000, embeddings: int = 20_000) -> dict:
+    """Run the soak and return the artifact dict (tools/soak_artifact.py
+    folds it into the driver-visible SOAK_r{N}.json — VERDICT r7 #6)."""
+    import types
+
+    args = types.SimpleNamespace(docs=docs, embeddings=embeddings)
 
     print(f"generating {args.docs} docs / {args.embeddings} embeddings ...")
     t0 = time.time()
@@ -184,7 +185,11 @@ def main() -> int:
     rows = top.collect()
     results["pq_ann"] = round(time.time() - t0, 1)
     plan = _plan(top)
-    _assert_in(plan, "BroadcastNestedLoopJoin", "pq (1-row query broadcast)", errors)
+    # r8: query + ADC tables are plan literals — no query-side join at
+    # all (the r7 shape broadcast the 1-row query against every corpus
+    # row); only the winning-cell hash join and the top-k remain
+    _assert_not_in(plan, "BroadcastNestedLoopJoin", "pq", errors)
+    _assert_in(plan, "BroadcastHashJoin", "pq (cell shortlist join)", errors)
     _assert_in(plan, "TakeOrderedAndProject", "pq", errors)
     print(f"pq_ann: top-{len(rows)} in {results['pq_ann']}s")
 
@@ -251,22 +256,27 @@ def main() -> int:
 
     results["total"] = round(sum(results.values()), 1)
     ok = not errors
-    print(
-        json.dumps(
-            {
-                "soak": "scale10x",
-                "docs": args.docs,
-                "embeddings": args.embeddings,
-                "pairs_minhash": n_pairs,
-                "docs_clustered": n_clustered,
-                "pairs_winnow": n_wpairs,
-                "seconds": results,
-                "plan_ok": ok,
-                "plan_errors": errors,
-            }
-        )
-    )
-    return 0 if ok else 1
+    return {
+        "soak": "scale10x",
+        "docs": args.docs,
+        "embeddings": args.embeddings,
+        "pairs_minhash": n_pairs,
+        "docs_clustered": n_clustered,
+        "pairs_winnow": n_wpairs,
+        "seconds": results,
+        "plan_ok": ok,
+        "plan_errors": errors,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--embeddings", type=int, default=20_000)
+    args = ap.parse_args()
+    out = run(args.docs, args.embeddings)
+    print(json.dumps(out))
+    return 0 if out["plan_ok"] else 1
 
 
 if __name__ == "__main__":
