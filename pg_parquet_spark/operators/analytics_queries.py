@@ -688,7 +688,201 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+# --- r8 additions: time-series gap-fill, exact-moment outliers, -----------
+# --- Markov transition matrix ----------------------------------------------
+
+
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (LOCF): daily per-type totals joined onto a
+    generated date spine, missing days carried forward — the resampling
+    primitive behind every dashboard and feature-store daily series
+    (PostgreSQL generate_series + window; TimescaleDB's
+    time_bucket_gapfill/locf). A sparse event sample (id % 37) forces
+    real gaps in the fixture.
+
+    Scale shape: the spine is generated MAP-SIDE from each key's
+    min/max aggregate (sequence + explode — no driver collect, no
+    cross-join against a calendar table). The raw events shuffle
+    exactly once (into the daily aggregate); every later exchange
+    moves only aggregated rows bounded by keys × days — the daily
+    totals broadcast into the spine join (plan-asserted in
+    tests/test_analytics_ops.py) and the LOCF window partitions on
+    the series key. Day totals fold through DECIMAL so the carried
+    values are engine-exact."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("day_total"))
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("day").cast("date").alias("day"),
+            F.last("day_total", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("filled_total"),
+            F.col("day_total").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+Q_TIMESERIES_GAPFILL_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE event_id % 37 = 0
+), daily AS (
+  SELECT event_type, day, SUM(v) AS day_total FROM ev GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.event_type, s.day,
+       CAST(last_value(d.day_total IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS filled_total,
+       d.day_total IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d
+  ON s.event_type = d.event_type AND s.day = d.day
+ORDER BY s.event_type, s.day
+"""
+
+
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging — the data-quality screen run
+    before any metric lands in a training mix or a dashboard. Mean and
+    variance come from EXACT decimal sums (Σv, Σv²) rather than
+    float aggregates: cross-row double summation is
+    partitioning-order-dependent, so stddev_samp would drift between
+    engines and between cluster layouts — the one-pass moment identity
+    over DECIMAL is both deterministic and still a single map-side
+    combinable aggregate. The per-group moments broadcast back onto the
+    events, so the only shuffle is the 5-group aggregate."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    v = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / nd
+    var = (s2d - s1d * s1d / nd) / (nd - F.lit(1.0))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        j.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 3)
+        .orderBy("event_id")
+    )
+
+
+Q_OUTLIER_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+           AS s2
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ROUND((e.value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+               sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)), 6) AS zscore
+  FROM events e JOIN stats USING (event_type)
+)
+SELECT event_id, event_type, value, zscore
+FROM scored WHERE abs(zscore) > 3 ORDER BY event_id
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() within (user, time) order, then count + row
+    probability per from-state — behavioral-model estimation (and the
+    next-token analogue for event streams). Ties on ts break on
+    event_id so the sequence is total-ordered on any engine.
+
+    Scale shape: one shuffle to sequence per user (window), one 25-row
+    aggregate; the probability normalization is a window over the
+    5-row from-state margin, not a second scan."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type", F.lead("event_type").over(seq).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = nxt.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    margin = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(margin), 6).alias("prob"),
+    ).orderBy("event_type", "next_type")
+
+
+Q_EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, COUNT(*) AS cnt
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, cnt,
+       ROUND(cnt / SUM(cnt) OVER (PARTITION BY event_type), 6) AS prob
+FROM counts ORDER BY event_type, next_type
+"""
+
+
 QUERIES = {
+    "q_timeseries_gapfill": q_timeseries_gapfill,
+    "q_outlier_zscore": q_outlier_zscore,
+    "q_event_transitions": q_event_transitions,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
     "q_explode_pos": q_explode_pos,
@@ -709,6 +903,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_timeseries_gapfill": Q_TIMESERIES_GAPFILL_ORACLE,
+    "q_outlier_zscore": Q_OUTLIER_ZSCORE_ORACLE,
+    "q_event_transitions": Q_EVENT_TRANSITIONS_ORACLE,
     "q_pivot": Q_PIVOT_ORACLE,
     "q_unpivot": Q_UNPIVOT_ORACLE,
     "q_explode_pos": Q_EXPLODE_POS_ORACLE,

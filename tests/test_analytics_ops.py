@@ -81,3 +81,87 @@ def test_segment_dedup_flags_injected_boilerplate(spark):
     assert out[910001]["n_dup"] >= 1
     assert out[910002]["n_dup"] >= 1
     assert out[910003]["n_dup"] == 0
+
+
+def test_gapfill_single_shuffle_and_correct_carry(spark):
+    """r8: the whole gap-fill (daily agg, spine join, LOCF window) rides
+    ONE exchange on the series key; gap days carry the previous day's
+    total and are flagged."""
+    df = aq.q_timeseries_gapfill(spark, SF)
+    plan = _plan(df)
+    # the raw events shuffle exactly once (into the daily aggregate);
+    # every other exchange moves only aggregated rows bounded by
+    # keys × days: the spine's min/max agg, the daily-side broadcast
+    # into the spine join, and the final sort's range exchange
+    assert plan.count("Exchange") <= 4, plan
+    assert "BroadcastExchange" in plan  # daily totals broadcast, not SMJ
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert any(r.is_gap for r in rows), "fixture sample produced no gaps"
+    by_key = {}
+    for r in rows:
+        if r.is_gap:
+            # LOCF: a gap day equals the last non-gap value before it
+            assert r.filled_total == by_key[r.event_type], r
+        else:
+            by_key[r.event_type] = r.filled_total
+    # spine is dense: consecutive days per type
+    from itertools import groupby
+
+    for et, grp in groupby(rows, key=lambda r: r.event_type):
+        days = [r.day for r in grp]
+        assert all(
+            (b - a).days == 1 for a, b in zip(days, days[1:])
+        ), f"{et} spine has holes"
+
+
+def test_outlier_zscore_moments_match_numpy(spark):
+    """The exact-decimal moment fold reproduces the textbook sample
+    z-score (numpy cross-check) to float tolerance."""
+    import numpy as np
+
+    ev = (
+        spark.read.parquet(SF + "/events.parquet")
+        .select("event_id", "event_type", "value")
+        .toPandas()
+    )
+    got = {r.event_id: r.zscore for r in aq.q_outlier_zscore(spark, SF).collect()}
+    for et, grp in ev.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        z = (v - v.mean()) / v.std(ddof=1)
+        flagged = grp["event_id"].to_numpy()[np.abs(np.round(z, 6)) > 3]
+        assert set(flagged) == {
+            i for i in got if i in set(grp["event_id"])
+        }, et
+        for eid, zi in zip(grp["event_id"].to_numpy(), z):
+            if eid in got:
+                assert abs(got[eid] - zi) < 1e-6
+
+
+def test_event_transitions_probabilities_normalize(spark):
+    """Each from-state's outgoing probabilities sum to ~1 and counts
+    reproduce a pandas groupby of the lead sequence."""
+    df = aq.q_event_transitions(spark, SF)
+    rows = df.collect()
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in rows:
+        sums[r.event_type] += r.prob
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values()), dict(sums)
+
+    ev = (
+        spark.read.parquet(SF + "/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["next_type"] = ev.groupby("user_id")["event_type"].shift(-1)
+    expect = (
+        ev.dropna(subset=["next_type"])
+        .groupby(["event_type", "next_type"])
+        .size()
+        .to_dict()
+    )
+    got = {(r.event_type, r.next_type): r.cnt for r in rows}
+    assert got == expect
