@@ -688,6 +688,75 @@ def near_dup_clusters(
     ).orderBy(id_col)
 
 
+def canonical_per_cluster(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Canonical-representative selection: after near-dup clustering,
+    KEEP exactly one document per cluster — the highest-``quality_col``
+    member, ties to the smallest id — and every unclustered document
+    (the Dolma / RefinedWeb "keep one representative, drop the rest"
+    step; Penedo 2023 §Dedup, Soldaini 2024). Returns every input row
+    with its effective ``cluster_id`` (its own id when unclustered) and
+    a ``keep`` flag, so the caller composes it as a filter.
+
+    Scale shape: the clusters frame holds only documents that appear in
+    ≥1 near-dup pair — a small fraction of the corpus — so the
+    row_number window and the quality join run on that fraction; the
+    full corpus is touched once by a key-equi LEFT join against the
+    (id, cluster, rank) decisions, and the text column never moves
+    (only ids, the quality scalar, and cluster labels shuffle).
+    """
+    from pyspark.sql.window import Window
+
+    if clusters is None:
+        clusters = near_dup_clusters(df, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        clusters.join(df.select(id_col, quality_col), id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(id_col, "cluster_id", "_rk")
+    )
+    return (
+        df.select(id_col, quality_col)
+        .join(ranked, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (F.col("_rk").isNull() | (F.col("_rk") == 1)).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def canonical_per_cluster_oracle_sql(
+    quality_col: str = "n_chars", table: str = "documents"
+) -> str:
+    """DuckDB replica: the recursive-CTE cluster labeling as a derived
+    table, the same (quality DESC, id ASC) row_number, the same LEFT
+    join of the full corpus against the decisions."""
+    return f"""
+WITH labeled AS (
+  SELECT * FROM ({near_dup_clusters_oracle_sql()}) t
+), ranked AS (
+  SELECT l.doc_id, l.cluster_id,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.{quality_col} DESC, l.doc_id ASC)
+           AS rk
+  FROM labeled l JOIN {table} d USING (doc_id)
+)
+SELECT d.doc_id,
+       COALESCE(r.cluster_id, d.doc_id) AS cluster_id,
+       (r.rk IS NULL OR r.rk = 1) AS keep
+FROM {table} d LEFT JOIN ranked r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def near_dup_clusters_oracle_sql(pairs_sql: str | None = None) -> str:
     """DuckDB replica: recursive-CTE transitive closure, min reachable
     id per node (identical to the converged min-label fixed point)."""

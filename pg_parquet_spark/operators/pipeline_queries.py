@@ -235,6 +235,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_DEDUP_CLUSTERS_ORACLE = dedup.near_dup_clusters_oracle_sql()
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per near-dup cluster (r8):
+    keep the highest-n_chars member of each MinHash cluster (ties to
+    the smallest id) plus every unclustered doc — the "keep one, drop
+    the rest" step that turns cluster labels into an actual dedup
+    filter (Dolma, RefinedWeb). Full corpus comes back with a keep
+    flag; only ids/quality/labels shuffle, never text."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.canonical_per_cluster(docs, "doc_id", "n_chars")
+
+
+Q_DEDUP_CANONICAL_ORACLE = dedup.canonical_per_cluster_oracle_sql()
+
+
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate candidates via winnowing fingerprints
     (Schleimer et al. 2003; substring-granularity dedup per Lee et al.
@@ -883,6 +897,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_winnow": q_dedup_winnow,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_canonical": q_dedup_canonical,
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_text_token_count": q_text_token_count,
     "q_text_fingerprint_rolling": q_text_fingerprint_rolling,
@@ -919,6 +934,7 @@ ORACLES = {
     "q_dedup_simhash": Q_DEDUP_SIMHASH_ORACLE,
     "q_dedup_winnow": Q_DEDUP_WINNOW_ORACLE,
     "q_dedup_clusters": Q_DEDUP_CLUSTERS_ORACLE,
+    "q_dedup_canonical": Q_DEDUP_CANONICAL_ORACLE,
     "q_dedup_embedding_cosine": Q_DEDUP_EMBEDDING_ORACLE,
     "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
     "q_text_fingerprint_rolling": Q_TEXT_FP_ROLLING_ORACLE,

@@ -373,6 +373,36 @@ def test_near_dup_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
 
+def test_canonical_per_cluster_keeps_best_member(spark):
+    """r8: per cluster exactly one keeper — the highest-quality member,
+    ties to the smallest id — and every unclustered doc kept."""
+    from pg_parquet_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a BIGINT, id_b BIGINT"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (8, 4), (42, 1)],
+        "doc_id BIGINT, n_chars BIGINT",
+    )
+    clusters = dedup.near_dup_clusters(docs, "doc_id", pairs=pairs)
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in dedup.canonical_per_cluster(
+            docs, "doc_id", "n_chars", clusters=clusters
+        ).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 99 → 2 wins (smaller id)
+    assert got[2] == (1, True) and got[1] == (1, False) and got[3] == (1, False)
+    # cluster {7,8}: 7 wins on quality
+    assert got[7] == (7, True) and got[8] == (7, False)
+    # unclustered doc keeps itself
+    assert got[42] == (42, True)
+    # exactly one keeper per cluster
+    keepers = [d for d, (_, k) in got.items() if k]
+    assert sorted(keepers) == [2, 7, 42]
+
+
 def test_chunk_documents_grid(spark):
     """Chunk grid: overlap preserved between consecutive windows, last
     window short, single chunk for short docs."""
