@@ -239,27 +239,79 @@ def write_zordered(
 _CURRENT = "_CURRENT"
 
 
-def read_manifest(root_uri: str) -> dict | None:
-    """Parse ``root/_CURRENT`` (None when the dataset is unversioned)."""
+def read_manifest(root_uri: str, version: int | None = None) -> dict | None:
+    """Parse the dataset's manifest.
+
+    Default: ``root/_CURRENT`` (None when the dataset is unversioned).
+    With ``version``, the retained ``_manifest-<n>.json`` history file —
+    TIME TRAVEL to any snapshot the retention window still holds
+    (raises with the list of available versions otherwise)."""
     import json
 
     from pg_parquet_spark.sources import fs as pgfs
 
-    uri = root_uri.rstrip("/") + "/" + _CURRENT
+    root_uri = root_uri.rstrip("/")
+    if version is None:
+        uri = root_uri + "/" + _CURRENT
+        if not pgfs.exists(uri):
+            return None
+        return json.loads(pgfs.read_bytes(uri).decode("utf-8"))
+    uri = f"{root_uri}/_manifest-{version}.json"
     if not pgfs.exists(uri):
-        return None
+        avail = sorted(
+            int(n[len("_manifest-"):-len(".json")])
+            for c, is_dir in pgfs.list_dir(root_uri)
+            for n in [c.rstrip("/").rsplit("/", 1)[1]]
+            if not is_dir
+            and n.startswith("_manifest-")
+            and n.endswith(".json")
+        )
+        raise ValueError(
+            f"version {version} of {root_uri} is not retained "
+            f"(available: {avail or 'none'} — raise keep_history on the "
+            "maintenance ops to widen the time-travel window)"
+        )
     return json.loads(pgfs.read_bytes(uri).decode("utf-8"))
 
 
 def _publish_manifest(root_uri: str, manifest: dict) -> None:
+    """Persist the snapshot manifest to the version history, then flip
+    the ``_CURRENT`` pointer ATOMICALLY — the history file lands first
+    so time travel can never observe a version the pointer knows about
+    but the history lacks."""
     import json
 
     from pg_parquet_spark.sources import fs as pgfs
 
+    root_uri = root_uri.rstrip("/")
+    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
     pgfs.write_bytes_atomic(
-        root_uri.rstrip("/") + "/" + _CURRENT,
-        json.dumps(manifest, sort_keys=True).encode("utf-8"),
+        f"{root_uri}/_manifest-{manifest['version']}.json", data
     )
+    pgfs.write_bytes_atomic(root_uri + "/" + _CURRENT, data)
+
+
+def _check_not_concurrently_modified(
+    root_uri: str, expected_version: int
+) -> None:
+    """Optimistic-concurrency check, run just before the pointer flip:
+    if another writer published since this operation read its base,
+    raise instead of silently overwriting their snapshot (lost update).
+    This is DETECTION, not prevention — a true compare-and-swap needs a
+    store primitive plain object stores lack (Delta on S3 has the same
+    gap and closes it with an external lock service); the window
+    between this check and the flip is milliseconds against a
+    maintenance op that runs for minutes, and the single-writer
+    deployment contract still stands."""
+    manifest = read_manifest(root_uri)
+    found = manifest["version"] if manifest else 0
+    if found != expected_version:
+        raise RuntimeError(
+            f"concurrent modification of {root_uri}: expected version "
+            f"{expected_version} at publish time but found {found} — "
+            "another writer published during this operation; re-run to "
+            "merge against the new base"
+        )
 
 
 def _next_version(root_uri: str, manifest: dict | None) -> int:
@@ -275,8 +327,12 @@ def _next_version(root_uri: str, manifest: dict | None) -> int:
     return n + 1
 
 
-def read_versioned(spark, root_uri: str) -> DataFrame:
-    """Resolve a dataset through its ``_CURRENT`` pointer.
+def read_versioned(spark, root_uri: str, version: int | None = None) -> DataFrame:
+    """Resolve a dataset through its ``_CURRENT`` pointer — or TIME
+    TRAVEL to a retained historical snapshot with ``version`` (the
+    window is ``keep_history`` on the maintenance ops; snapshots are
+    immutable, so a historical read is exactly the bytes that snapshot
+    published).
 
     Unversioned roots fall back to a plain parquet read. Partitioned
     snapshots come back as a union of per-partition scans with the
@@ -295,7 +351,7 @@ def read_versioned(spark, root_uri: str) -> DataFrame:
     from pg_parquet_spark.sources import fs as pgfs
 
     root_uri = root_uri.rstrip("/")
-    manifest = read_manifest(root_uri)
+    manifest = read_manifest(root_uri, version=version)
     if manifest is None:
         return spark.read.parquet(pgfs.spark_uri(root_uri))
     if manifest.get("partitions") is None:
@@ -313,29 +369,57 @@ def read_versioned(spark, root_uri: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), branches)
 
 
-def vacuum_dataset(root_uri: str) -> None:
-    """Delete snapshot data the current manifest no longer references:
+def _manifest_refs(manifest: dict) -> set[str]:
+    if manifest.get("partitions") is None:
+        return {manifest["path"]}
+    return set(manifest["partitions"].values())
+
+
+def vacuum_dataset(root_uri: str, keep_history: int = 1) -> None:
+    """Delete snapshot data the retained manifests no longer reference:
     whole unreferenced ``_v*`` dirs, unreferenced partition subdirs of
-    partially-referenced ones, legacy pre-versioning children, and
-    pointer temp litter. No-op on unversioned roots. Single-writer
-    assumed; called at the start of each maintenance op so the previous
-    snapshot survives one grace period for in-flight readers."""
+    partially-referenced ones, legacy pre-versioning children, dropped
+    history manifests, and pointer temp litter. No-op on unversioned
+    roots.
+
+    ``keep_history`` is the TIME-TRAVEL retention window: the newest N
+    manifests (current included) and every snapshot they reference
+    survive, so ``read_versioned(..., version=k)`` works for any
+    retained k. The maintenance ops vacuum at entry with
+    ``keep_history=2``, which doubles as the in-flight-reader grace
+    period: the snapshot a reader resolved before the op started is
+    never deleted out from under it by that op. Single-writer
+    assumed."""
     from pg_parquet_spark.sources import fs as pgfs
 
     root_uri = root_uri.rstrip("/")
     manifest = read_manifest(root_uri)
     if manifest is None:
         return
-    if manifest.get("partitions") is None:
-        referenced = {manifest["path"]}
-    else:
-        referenced = set(manifest["partitions"].values())
+    keep_history = max(1, keep_history)
+    history: list[int] = []
     for child, is_dir in pgfs.list_dir(root_uri):
         name = child.rstrip("/").rsplit("/", 1)[1]
-        if name == _CURRENT:
+        if not is_dir and name.startswith("_manifest-") and name.endswith(".json"):
+            history.append(int(name[len("_manifest-"):-len(".json")]))
+    kept_versions = {
+        v for v in sorted(history, reverse=True)[:keep_history]
+    } | {manifest["version"]}
+    referenced = _manifest_refs(manifest)
+    kept_names = {_CURRENT}
+    for v in kept_versions:
+        kept_names.add(f"_manifest-{v}.json")
+        if v != manifest["version"]:
+            try:
+                referenced |= _manifest_refs(read_manifest(root_uri, version=v))
+            except ValueError:
+                pass  # raced with a concurrent cleanup — refs stay minimal
+    for child, is_dir in pgfs.list_dir(root_uri):
+        name = child.rstrip("/").rsplit("/", 1)[1]
+        if name in kept_names:
             continue
         if not is_dir:
-            pgfs.delete_file(child)  # legacy loose file / _SUCCESS / tmp
+            pgfs.delete_file(child)  # legacy loose / _SUCCESS / tmp / old manifest
             continue
         if name.startswith("_v") and name[2:].isdigit():
             refs_in = [
@@ -485,7 +569,10 @@ def merge_upsert(
     staging = base_uri + "__staging"
     pgfs.delete_dir(staging)
     if versioned:
-        vacuum_dataset(base_uri)  # grace-period cleanup of prior snapshots
+        # grace-period + time-travel retention: the previous snapshot and
+        # its manifest survive this op
+        vacuum_dataset(base_uri, keep_history=2)
+        expected_version = manifest["version"] if manifest else 0
         base = (
             read_versioned(spark, base_uri)
             if manifest is not None
@@ -579,6 +666,7 @@ def merge_upsert(
             ):
                 name = child.rstrip("/").rsplit("/", 1)[1]
                 partitions[value] = f"{vdir}/{name}"
+            _check_not_concurrently_modified(base_uri, expected_version)
             _publish_manifest(
                 base_uri,
                 {
@@ -620,6 +708,7 @@ def merge_upsert(
         merged.write.mode("overwrite").parquet(
             pgfs.spark_uri(f"{base_uri}/{vdir}")
         )
+        _check_not_concurrently_modified(base_uri, expected_version)
         _publish_manifest(
             base_uri,
             {
@@ -692,7 +781,8 @@ def compact_dataset(
             "an in-place compaction would bypass the pointer"
         )
     if versioned:
-        vacuum_dataset(uri)
+        vacuum_dataset(uri, keep_history=2)
+        expected_version = manifest["version"] if manifest else 0
         if manifest is not None:
             refs = (
                 set(manifest["partitions"].values())
@@ -756,6 +846,7 @@ def compact_dataset(
                     f"{uri}/{vdir}", pcol
                 )
             }
+            _check_not_concurrently_modified(uri, expected_version)
             _publish_manifest(
                 uri,
                 {
@@ -766,6 +857,7 @@ def compact_dataset(
                 },
             )
         else:
+            _check_not_concurrently_modified(uri, expected_version)
             _publish_manifest(
                 uri,
                 {

@@ -910,3 +910,90 @@ def test_inplace_partitioned_publish_never_loses_base_rows(spark, tmp_path):
     layout._recover_inplace(root, "p")
     assert not pgfs.exists(root + "__old")
     assert spark.read.parquet(root).count() == 40
+
+
+def test_versioned_time_travel_and_retention(spark, tmp_path):
+    """r8: every publish retains its manifest in the history; a retained
+    version reads back exactly as published (snapshots are immutable),
+    and vacuum's keep_history window governs both time travel and the
+    in-flight-reader grace period."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout
+
+    root = str(tmp_path / "vtt")
+    _mk_base(spark, root)
+    for i in range(3):
+        upd = spark.createDataFrame(
+            [(3, 100 + i, "a")], "k long, val long, p string"
+        )
+        layout.merge_upsert(
+            spark, root, upd, ["k"], partition_col="p", versioned=True
+        )
+    cur = layout.read_manifest(root)["version"]
+    # entry vacuums only trim what aged out BEFORE each op, so all three
+    # manifests still exist; an explicit keep_history=2 trims to the
+    # newest two and time travel one version back reads the
+    # PRE-latest-merge value
+    layout.vacuum_dataset(root, keep_history=2)
+    prev = layout.read_versioned(spark, root, version=cur - 1)
+    assert prev.filter("k = 3").select("val").collect()[0][0] == 101
+    assert (
+        layout.read_versioned(spark, root).filter("k = 3").collect()[0].val
+        == 102
+    )
+    # beyond the retention window → loud error listing what's available
+    with _pytest.raises(ValueError, match="not retained"):
+        layout.read_versioned(spark, root, version=cur - 2)
+    # explicit vacuum with keep_history=1 collapses the window
+    layout.vacuum_dataset(root, keep_history=1)
+    with _pytest.raises(ValueError, match="not retained"):
+        layout.read_versioned(spark, root, version=cur - 1)
+    assert (
+        layout.read_versioned(spark, root).filter("k = 3").collect()[0].val
+        == 102
+    )
+
+
+def test_versioned_publish_detects_concurrent_writer(spark, tmp_path):
+    """r8 optimistic-concurrency check: a second writer publishing
+    between this merge's base read and its pointer flip is detected and
+    the merge raises instead of silently overwriting (lost update)."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout
+
+    root = str(tmp_path / "vocc")
+    _mk_base(spark, root)
+    upd0 = spark.createDataFrame([(3, 1, "a")], "k long, val long, p string")
+    layout.merge_upsert(spark, root, upd0, ["k"], partition_col="p", versioned=True)
+
+    real_check = layout._check_not_concurrently_modified
+    raced = {"done": False}
+
+    def race_then_check(root_uri, expected):
+        if not raced["done"]:
+            raced["done"] = True
+            # a competing writer lands a publish first
+            other = spark.createDataFrame(
+                [(4, -4, "a")], "k long, val long, p string"
+            )
+            layout.merge_upsert(
+                spark, root, other, ["k"], partition_col="p"
+            )
+        return real_check(root_uri, expected)
+
+    import pytest as _p
+
+    try:
+        layout._check_not_concurrently_modified = race_then_check
+        upd = spark.createDataFrame([(5, -5, "a")], "k long, val long, p string")
+        with _pytest.raises(RuntimeError, match="concurrent modification"):
+            layout.merge_upsert(spark, root, upd, ["k"], partition_col="p")
+    finally:
+        layout._check_not_concurrently_modified = real_check
+    # the competing writer's publish is intact, ours never landed:
+    # k=5 still carries its base value, not our -5
+    back = layout.read_versioned(spark, root)
+    assert back.filter("k = 4").collect()[0].val == -4
+    assert back.filter("k = 5").collect()[0].val == 50
