@@ -354,6 +354,24 @@ def read_versioned(spark, root_uri: str, version: int | None = None) -> DataFram
     manifest = read_manifest(root_uri, version=version)
     if manifest is None:
         return spark.read.parquet(pgfs.spark_uri(root_uri))
+    if manifest.get("format") == "batches":
+        # streaming-sink form: one immutable dir per published
+        # micro-batch, hive-partitioned inside (partition columns come
+        # back through normal discovery below each batch dir). Readers
+        # see exactly the batches the pointer published — never a
+        # half-landed one. Batch count grows until compact_dataset
+        # collapses the dataset into snapshot form.
+        if not manifest["batches"]:
+            raise ValueError(
+                f"streaming dataset at {root_uri} has no published batches yet"
+            )
+        branches = [
+            spark.read.parquet(pgfs.spark_uri(root_uri + "/" + rel))
+            for _bid, rel in sorted(
+                manifest["batches"].items(), key=lambda kv: int(kv[0])
+            )
+        ]
+        return reduce(lambda a, b: a.unionByName(b), branches)
     if manifest.get("partitions") is None:
         return spark.read.parquet(
             pgfs.spark_uri(root_uri + "/" + manifest["path"])
@@ -370,6 +388,8 @@ def read_versioned(spark, root_uri: str, version: int | None = None) -> DataFram
 
 
 def _manifest_refs(manifest: dict) -> set[str]:
+    if manifest.get("format") == "batches":
+        return set(manifest["batches"].values())
     if manifest.get("partitions") is None:
         return {manifest["path"]}
     return set(manifest["partitions"].values())
@@ -652,6 +672,14 @@ def merge_upsert(
                 pgfs.spark_uri(f"{base_uri}/{vdir}")
             )
             if manifest is not None:
+                if manifest.get("format") == "batches":
+                    raise ValueError(
+                        "partitioned MERGE into a streaming-batches dataset: "
+                        "run compact_dataset first to collapse the batch "
+                        "dirs into a per-partition snapshot (the batches "
+                        "form has no per-partition directory to carry "
+                        "forward)"
+                    )
                 partitions = dict(manifest["partitions"])
             else:
                 # migrate: existing hive dirs become version-0 references
@@ -784,11 +812,7 @@ def compact_dataset(
         vacuum_dataset(uri, keep_history=2)
         expected_version = manifest["version"] if manifest else 0
         if manifest is not None:
-            refs = (
-                set(manifest["partitions"].values())
-                if manifest.get("partitions") is not None
-                else {manifest["path"]}
-            )
+            refs = _manifest_refs(manifest)
             total = sum(
                 sz
                 for rel in refs

@@ -347,6 +347,94 @@ def drain_to_partitioned_parquet(
         )
 
 
+def versioned_batch_writer(path: str, partition_by: list[str] | None = None):
+    """``foreachBatch`` body publishing each micro-batch through the
+    layout tier's manifest pointer (r8) — the strongest delivery tier
+    the sink family offers:
+
+    - the batch writes into an immutable, reader-invisible ``_b<id>``
+      dir (OVERWRITE, so a retry after a partial write just replaces
+      it), then the manifest gains the batch and the ``_CURRENT``
+      pointer flips atomically — a reader resolves a prefix of fully
+      published batches, NEVER a half-landed one (the
+      ``partitioned_batch_writer`` tier is effectively-once at the
+      file level, but a reader listing mid-publish can still observe a
+      batch's files partially moved in);
+    - a checkpoint-replayed batch id is already in the manifest and is
+      simply NOT re-added — exactly-once visibility without any
+      file sweep; its re-staged dir (if the crash interleaved) is
+      orphaned and reclaimed by ``vacuum_dataset``.
+
+    Partition columns ride normal hive discovery below each batch dir.
+    Read the sink with ``layout.read_versioned`` / ``read_parquet``;
+    planning is linear in published-batch count, so run
+    ``layout.compact_dataset(..)`` periodically — it collapses the
+    batch dirs into a per-partition snapshot and the manifest flips
+    form, the standard streaming-ingestion lifecycle (this is the
+    plain-parquet rendition of Delta's transaction-log sink).
+    Single writer per sink is Spark's own streaming-query guarantee.
+    """
+    from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout
+
+    base = path.rstrip("/")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        manifest = layout.read_manifest(base)
+        if manifest is None:
+            manifest = {"version": 0, "format": "batches", "batches": {}}
+        if manifest.get("format") != "batches":
+            raise ValueError(
+                f"{base} holds a snapshot-form versioned dataset; the "
+                "streaming sink appends batch dirs — point it at its own "
+                "root (compact converts batches -> snapshot, not back)"
+            )
+        if str(batch_id) in manifest["batches"]:
+            return  # replay: already published — exactly once by manifest
+        bdir = f"_b{batch_id}"
+        w = batch_df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(pgfs.spark_uri(f"{base}/{bdir}"))
+        layout._publish_manifest(
+            base,
+            {
+                "version": manifest["version"] + 1,
+                "format": "batches",
+                "batches": {**manifest["batches"], str(batch_id): bdir},
+            },
+        )
+
+    return _write
+
+
+def drain_to_versioned_parquet(
+    sdf: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 120,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming → manifest-versioned parquet sink: every micro-batch
+    publishes atomically via ``versioned_batch_writer`` (see its
+    docstring for the delivery contract vs the file-level tier)."""
+    name = f"pgpq_vsink_{uuid.uuid4().hex[:8]}"
+    ckpt = checkpoint or os.path.join(
+        tempfile.gettempdir(), f"pgpq_ckpt_{name}"
+    )
+    q = (
+        sdf.writeStream.foreachBatch(versioned_batch_writer(path, partition_by))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"versioned sink drain did not finish within {timeout_sec}s"
+        )
+
+
 def deduped_user_event_counts_within_watermark(
     events: DataFrame, delay: str = "45 days"
 ) -> DataFrame:

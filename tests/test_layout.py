@@ -997,3 +997,121 @@ def test_versioned_publish_detects_concurrent_writer(spark, tmp_path):
     back = layout.read_versioned(spark, root)
     assert back.filter("k = 4").collect()[0].val == -4
     assert back.filter("k = 5").collect()[0].val == 50
+
+
+# --- versioned streaming sink (r8): manifest-published micro-batches -------
+
+
+def test_versioned_sink_exactly_once_visibility(spark, tmp_path, monkeypatch):
+    """Each micro-batch becomes visible only via the atomic pointer
+    flip: a crash between batch-dir write and publish leaves readers
+    exactly the prior batches; a checkpoint replay of a published id is
+    a manifest no-op (exactly-once visibility, no file sweep)."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import versioned_batch_writer
+
+    path = str(tmp_path / "vsink")
+    events = table(spark, SF, "events").select("event_id", "event_type", "value")
+    write = versioned_batch_writer(path, ["event_type"])
+
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    write(b0, 0)
+    n0 = read_parquet(spark, path).count()
+    assert n0 == b0.count()
+
+    # crash AFTER the batch dir lands but BEFORE the pointer flip:
+    # readers still see exactly batch 0
+    real_publish = layout._publish_manifest
+    monkeypatch.setattr(
+        layout,
+        "_publish_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with _pytest.raises(RuntimeError, match="crash"):
+        write(b1, 1)
+    assert read_parquet(spark, path).count() == n0
+    monkeypatch.setattr(layout, "_publish_manifest", real_publish)
+
+    # the replayed batch publishes; a SECOND replay of the same id is a
+    # manifest no-op — version does not advance, rows do not change
+    write(b1, 1)
+    total = read_parquet(spark, path).count()
+    assert total == events.count()
+    v = layout.read_manifest(path)["version"]
+    write(b1, 1)
+    assert layout.read_manifest(path)["version"] == v
+    assert read_parquet(spark, path).count() == total
+
+    # partition columns survive hive discovery below the batch dirs
+    assert set(dict(read_parquet(spark, path).dtypes)) == {
+        "event_id", "event_type", "value",
+    }
+
+
+def test_versioned_sink_compacts_to_snapshot_form(spark, tmp_path):
+    """compact_dataset collapses a batches-form sink into a
+    per-partition snapshot (the manifest flips form) with every row
+    preserved; vacuum then reclaims the orphaned batch dirs; a
+    partitioned MERGE before compaction is refused with guidance."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import versioned_batch_writer
+
+    path = str(tmp_path / "vsink2")
+    events = table(spark, SF, "events").select("event_id", "event_type", "value")
+    write = versioned_batch_writer(path, ["event_type"])
+    for i in range(3):
+        write(events.filter(F.col("event_id") % 3 == i), i)
+    assert read_parquet(spark, path).count() == events.count()
+
+    upd = events.limit(1)
+    with _pytest.raises(ValueError, match="compact_dataset first"):
+        layout.merge_upsert(
+            spark, path, upd, ["event_id"], partition_col="event_type"
+        )
+
+    layout.compact_dataset(spark, path, partition_by=["event_type"])
+    man = layout.read_manifest(path)
+    assert man.get("format") != "batches" and man["partitions"]
+    assert read_parquet(spark, path).count() == events.count()
+    # aged-out batch dirs reclaimed once past the retention window
+    layout.vacuum_dataset(path, keep_history=1)
+    names = {
+        c.rstrip("/").rsplit("/", 1)[1]
+        for c, is_dir in pgfs.list_dir(path)
+        if is_dir
+    }
+    assert not any(n.startswith("_b") for n in names), names
+    assert read_parquet(spark, path).count() == events.count()
+    # and the snapshot now accepts partitioned MERGE
+    upd2 = events.filter(F.col("event_id") == 2).withColumn(
+        "value", F.lit(123.0)
+    )
+    layout.merge_upsert(
+        spark, path, upd2, ["event_id"], partition_col="event_type"
+    )
+    assert read_parquet(spark, path).filter("event_id = 2").collect()[0].value == 123.0
+
+
+def test_versioned_sink_streaming_drain(spark, tmp_path):
+    """End-to-end: a real AvailableNow drain through the versioned sink
+    equals the batch dataset, through the pointer-resolving reader."""
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.streaming.stream import (
+        drain_to_versioned_parquet,
+        read_events_stream,
+    )
+
+    path = str(tmp_path / "vsink3")
+    events = read_events_stream(spark, SF).select("event_id", "event_type", "value")
+    drain_to_versioned_parquet(events, path, ["event_type"])
+    back = read_parquet(spark, path)
+    assert back.count() == table(spark, SF, "events").count()
+    assert back.groupBy().sum("event_id").collect() == table(
+        spark, SF, "events"
+    ).groupBy().sum("event_id").collect()
