@@ -391,19 +391,31 @@ def versioned_batch_writer(path: str, partition_by: list[str] | None = None):
             )
         if str(batch_id) in manifest["batches"]:
             return  # replay: already published — exactly once by manifest
+        if batch_df.isEmpty():
+            # an empty micro-batch (no-data trigger) would land a dir
+            # with no parquet files, which breaks the manifest union's
+            # schema inference — skip it; a replay is empty again
+            return
         bdir = f"_b{batch_id}"
         w = batch_df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(pgfs.spark_uri(f"{base}/{bdir}"))
+        new_version = manifest["version"] + 1
         layout._publish_manifest(
             base,
             {
-                "version": manifest["version"] + 1,
+                "version": new_version,
                 "format": "batches",
                 "batches": {**manifest["batches"], str(batch_id): bdir},
             },
         )
+        # a long-running sink publishes one manifest per batch; roll the
+        # history window (keep 2, matching the maintenance ops'
+        # keep_history) so manifests don't accumulate for thousands of
+        # batches between compactions — the batch DIRS are all still
+        # referenced by the current manifest and stay untouched
+        pgfs.delete_file(f"{base}/_manifest-{new_version - 2}.json")
 
     return _write
 

@@ -1115,3 +1115,38 @@ def test_versioned_sink_streaming_drain(spark, tmp_path):
     assert back.groupBy().sum("event_id").collect() == table(
         spark, SF, "events"
     ).groupBy().sum("event_id").collect()
+
+
+def test_versioned_sink_skips_empty_batches_and_rolls_history(spark, tmp_path):
+    """An empty micro-batch publishes nothing (a dir with no parquet
+    files would break the manifest union); the per-batch manifest
+    history rolls at 2 so a long-running sink doesn't accumulate one
+    tiny file per batch."""
+    from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import versioned_batch_writer
+
+    path = str(tmp_path / "vsink4")
+    events = table(spark, SF, "events").select("event_id", "event_type", "value")
+    write = versioned_batch_writer(path, ["event_type"])
+
+    write(events.filter("event_id % 2 = 0"), 0)
+    write(events.filter("event_id < 0"), 1)  # empty
+    man = layout.read_manifest(path)
+    assert "1" not in man["batches"] and man["version"] == 1
+    assert read_parquet(spark, path).count() == events.filter("event_id % 2 = 0").count()
+
+    for i in range(2, 6):
+        write(events.filter(F.col("event_id") % 7 == i), i)
+    manifests = sorted(
+        n
+        for c, d in pgfs.list_dir(path)
+        for n in [c.rstrip("/").rsplit("/", 1)[1]]
+        if not d and n.startswith("_manifest-")
+    )
+    assert len(manifests) == 2, manifests  # rolling window
+    # every published batch dir still referenced and readable
+    assert read_parquet(spark, path).count() == (
+        events.filter("event_id % 2 = 0").count()
+        + sum(events.filter(F.col("event_id") % 7 == i).count() for i in range(2, 6))
+    )
