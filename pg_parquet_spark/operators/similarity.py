@@ -840,10 +840,16 @@ def pq_topk(
     # on the 20k sweep corpus vs ~0.1 s of driver-side table build.
     # Python's sequential multiply-add runs the same IEEE double
     # sequence as the SQL list fold, so the oracle hashes are unmoved.
-    qrow = query_df.select(F.col(vec_col).alias("_qvec")).first()
-    if qrow is None:
+    qrows = query_df.select(F.col(vec_col).alias("_qvec")).take(2)
+    if not qrows:
         raise ValueError("query_df is empty — PQ search needs one query vector")
-    qvec = [float(x) for x in qrow[0]]
+    if len(qrows) > 1:
+        raise ValueError(
+            "query_df has more than one row — PQ search takes exactly one "
+            "query vector (a silent .first() would pick a partition-order-"
+            "dependent row; loop over queries or use a panel sweep instead)"
+        )
+    qvec = [float(x) for x in qrows[0][0]]
 
     def _dot_py(a: list[float], b: list[float]) -> float:
         acc = 0.0

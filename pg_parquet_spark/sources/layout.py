@@ -478,33 +478,38 @@ def _hive_partition_dirs(uri: str, partition_col: str) -> list[tuple[str, str]]:
     return out
 
 
-def _recover_inplace(base_uri: str, partition_col: str | None) -> None:
+def _recover_inplace(base_uri: str) -> None:
     """Roll a crashed LEGACY in-place publish forward/back on entry.
 
-    Flat: ``base__old`` existing while the base is missing means the
-    crash hit between move-aside and move-in — restore it. Partitioned:
-    for each partition parked under ``base__old/``, restore it when the
-    live partition is missing, drop it when the staged move-in already
-    completed. Either way the next publish starts from a consistent
-    base."""
+    Recovery is driven by what the ``__old`` aside actually CONTAINS,
+    not by the current caller's layout arguments — a crashed
+    partitioned merge must be recoverable by a later flat merge or a
+    compaction (code review r8: trusting the caller's ``partition_col``
+    let a flat-path entry delete a parked partition's only copy):
+
+    - base missing entirely → the crash hit a whole-dataset swap
+      between move-aside and move-in (flat merge, or any compaction):
+      restore the aside wholesale;
+    - base present → any ``key=value`` dirs parked in the aside came
+      from a partitioned merge's per-partition swap: restore each one
+      whose live twin is missing, drop the ones whose staged move-in
+      already completed, then drop the aside (any loose files in it
+      are write-marker litter)."""
     from pg_parquet_spark.sources import fs as pgfs
 
     old = base_uri + "__old"
     if not pgfs.exists(old):
         return
-    if partition_col is None:
-        if not pgfs.exists(base_uri):
-            pgfs.move_dir(old, base_uri)
-        else:
-            pgfs.delete_dir(old)
+    if not pgfs.exists(base_uri):
+        pgfs.move_dir(old, base_uri)
         return
-    for child, value in _hive_partition_dirs(old, partition_col):
+    for child, is_dir in pgfs.list_dir(old):
         name = child.rstrip("/").rsplit("/", 1)[1]
+        if not is_dir or "=" not in name:
+            continue
         target = f"{base_uri}/{name}"
         if not pgfs.exists(target):
             pgfs.move_dir(child, target)
-        else:
-            pgfs.delete_dir(child)
     pgfs.delete_dir(old)
 
 
@@ -589,6 +594,11 @@ def merge_upsert(
     staging = base_uri + "__staging"
     pgfs.delete_dir(staging)
     if versioned:
+        if manifest is None:
+            # migrating a legacy dataset: recover any crashed in-place
+            # publish FIRST so the migration manifest cannot silently
+            # omit a partition parked in the __old aside (review r8)
+            _recover_inplace(base_uri)
         # grace-period + time-travel retention: the previous snapshot and
         # its manifest survive this op
         vacuum_dataset(base_uri, keep_history=2)
@@ -599,7 +609,7 @@ def merge_upsert(
             else spark.read.parquet(pgfs.spark_uri(base_uri))
         )
     else:
-        _recover_inplace(base_uri, partition_col)
+        _recover_inplace(base_uri)
         base = spark.read.parquet(pgfs.spark_uri(base_uri))
 
     missing = [c for c in key_cols if c not in updates.columns]
@@ -679,6 +689,22 @@ def merge_upsert(
                         "dirs into a per-partition snapshot (the batches "
                         "form has no per-partition directory to carry "
                         "forward)"
+                    )
+                if manifest.get("partitions") is None:
+                    raise ValueError(
+                        "partitioned MERGE into an unpartitioned snapshot: "
+                        "the current version has no per-partition dirs to "
+                        "carry forward — merge with partition_col=None, or "
+                        "compact_dataset(partition_by=[...]) first "
+                        "(review r8: dict(None) used to crash here after "
+                        "the snapshot write)"
+                    )
+                if manifest.get("partition_col") != partition_col:
+                    raise ValueError(
+                        f"partitioned MERGE on {partition_col!r} but the "
+                        f"current snapshot is partitioned on "
+                        f"{manifest.get('partition_col')!r} — the manifest "
+                        "carries per-partition refs for one column only"
                     )
                 partitions = dict(manifest["partitions"])
             else:
@@ -809,6 +835,8 @@ def compact_dataset(
             "an in-place compaction would bypass the pointer"
         )
     if versioned:
+        if manifest is None:
+            _recover_inplace(uri)  # crashed legacy publish before migration
         vacuum_dataset(uri, keep_history=2)
         expected_version = manifest["version"] if manifest else 0
         if manifest is not None:
@@ -825,7 +853,7 @@ def compact_dataset(
             )
             df = spark.read.parquet(pgfs.spark_uri(uri))
     else:
-        _recover_inplace(uri, None)
+        _recover_inplace(uri)
         total = sum(sz for _u, sz in pgfs.tree_files(uri, suffix=".parquet"))
         df = spark.read.parquet(pgfs.spark_uri(uri))
     n = max(1, math.ceil(total / target_file_bytes))

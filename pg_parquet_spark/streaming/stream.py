@@ -382,6 +382,24 @@ def versioned_batch_writer(path: str, partition_by: list[str] | None = None):
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         manifest = layout.read_manifest(base)
         if manifest is None:
+            visible = [
+                c
+                for c, _d in pgfs.list_dir(base)
+                if not c.rstrip("/").rsplit("/", 1)[1].startswith(("_", "."))
+            ]
+            if visible:
+                # publishing a batches pointer over pre-existing plain
+                # parquet would SHADOW those rows (the resolver returns
+                # batches only) and the next maintenance vacuum would
+                # delete them as unreferenced — refuse (review r8)
+                raise ValueError(
+                    f"{base} already holds unversioned data "
+                    f"({len(visible)} visible entries); the versioned "
+                    "sink needs an empty root — migrate the existing "
+                    "dataset with merge_upsert/compact_dataset "
+                    "(versioned=True) under a different root, or drain "
+                    "elsewhere"
+                )
             manifest = {"version": 0, "format": "batches", "batches": {}}
         if manifest.get("format") != "batches":
             raise ValueError(

@@ -907,7 +907,7 @@ def test_inplace_partitioned_publish_never_loses_base_rows(spark, tmp_path):
     spark.range(1).selectExpr("99 AS k", "1 AS val").write.mode(
         "overwrite"
     ).parquet(root + "__old/p=b")
-    layout._recover_inplace(root, "p")
+    layout._recover_inplace(root)
     assert not pgfs.exists(root + "__old")
     assert spark.read.parquet(root).count() == 40
 
@@ -1150,3 +1150,87 @@ def test_versioned_sink_skips_empty_batches_and_rolls_history(spark, tmp_path):
         events.filter("event_id % 2 = 0").count()
         + sum(events.filter(F.col("event_id") % 7 == i).count() for i in range(2, 6))
     )
+
+
+# --- review r8 regression tests --------------------------------------------
+
+
+def test_recovery_is_layout_agnostic(spark, tmp_path):
+    """A crashed PARTITIONED merge (partition parked aside, base root
+    still present) must be recovered by ANY later entry — a compaction
+    or flat merge included. The old recovery trusted the caller's
+    partition_col and a flat-path entry deleted the parked partition's
+    only copy (code review r8)."""
+    from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout
+
+    root = str(tmp_path / "agn")
+    _mk_base(spark, root)
+    # crashed partitioned-merge state: p=a parked, base root present
+    pgfs.move_dir(root + "/p=a", root + "__old/p=a")
+
+    # a COMPACTION entry (no partition_col knowledge) must restore it
+    layout.compact_dataset(spark, root, target_file_bytes=1 << 30)
+    assert not pgfs.exists(root + "__old")
+    back = spark.read.parquet(root)
+    assert back.count() == 40  # every base row survived
+    assert back.filter("p = 'a'").count() == 20
+
+    # and a versioned MIGRATION on the same crash state must not
+    # publish a manifest missing the parked partition
+    root2 = str(tmp_path / "agn2")
+    _mk_base(spark, root2)
+    pgfs.move_dir(root2 + "/p=b", root2 + "__old/p=b")
+    upd = spark.createDataFrame([(3, 9, "a")], "k long, val long, p string")
+    layout.merge_upsert(spark, root2, upd, ["k"], partition_col="p", versioned=True)
+    man = layout.read_manifest(root2)
+    assert "b" in man["partitions"]
+    from pg_parquet_spark.sources import read_parquet
+
+    assert read_parquet(spark, root2).count() == 40
+
+
+def test_versioned_sink_refuses_preexisting_data(spark, tmp_path):
+    """Pointing the versioned sink at a root already holding plain
+    parquet would shadow (then vacuum away) those rows — refused."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.streaming.stream import versioned_batch_writer
+
+    root = str(tmp_path / "occupied")
+    events = table(spark, SF, "events").select("event_id", "event_type")
+    events.write.parquet(root)
+    write = versioned_batch_writer(root, ["event_type"])
+    with _pytest.raises(ValueError, match="already holds unversioned data"):
+        write(events.limit(5), 0)
+    # the pre-existing rows are untouched
+    assert spark.read.parquet(root).count() == events.count()
+
+
+def test_partitioned_merge_refuses_mismatched_snapshot(spark, tmp_path):
+    """A partitioned MERGE against an unpartitioned snapshot, or against
+    a snapshot partitioned on a DIFFERENT column, is refused with
+    guidance (the flat form used to crash with dict(None) after the
+    snapshot write; a column mismatch would corrupt the carry-forward
+    refs)."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout
+
+    root = str(tmp_path / "flatsnap")
+    df = spark.range(10).selectExpr("id AS k", "id*2 AS val", "'x' AS p")
+    df.write.parquet(root)
+    ins = spark.createDataFrame([(99, 0, "x")], "k long, val long, p string")
+    layout.merge_upsert(spark, root, ins, ["k"], versioned=True)  # flat snapshot
+    with _pytest.raises(ValueError, match="unpartitioned snapshot"):
+        layout.merge_upsert(
+            spark, root, ins, ["k"], partition_col="p"
+        )
+
+    root2 = str(tmp_path / "colsnap")
+    _mk_base(spark, root2)
+    upd = spark.createDataFrame([(3, 9, "a")], "k long, val long, p string")
+    layout.merge_upsert(spark, root2, upd, ["k"], partition_col="p", versioned=True)
+    upd2 = upd.withColumnRenamed("p", "p")  # same frame, wrong claimed column
+    with _pytest.raises(ValueError, match="partitioned on"):
+        layout.merge_upsert(spark, root2, upd, ["k"], partition_col="val")

@@ -14,7 +14,9 @@ def test_derive_order_priorities(monkeypatch):
     folded_green = {"a_old": 3, "b_fresh": 6, "c_regressed": 4}
     folded_rows = {"a_old": 3, "b_fresh": 6, "c_regressed": 6}
 
-    monkeypatch.setattr(rotation, "fold", lambda: (folded_green, folded_rows, 6))
+    monkeypatch.setattr(
+        rotation, "fold", lambda max_round=None: (folded_green, folded_rows, 6)
+    )
     names = ["b_fresh", "a_old", "z_new", "c_regressed", "m_new"]
     ordered, labels = rotation.derive_order(names)
     # never-verified first (alphabetical), then the red regression,
@@ -31,7 +33,7 @@ def test_check_flags_breach_outside_window(monkeypatch):
     green = {f"q{i:03d}": 6 for i in range(n)}
     green["stale"] = 6 - rotation.FRESHNESS_LIMIT  # breaches at r7
     rows = dict(green)
-    monkeypatch.setattr(rotation, "fold", lambda: (green, rows, 6))
+    monkeypatch.setattr(rotation, "fold", lambda max_round=None: (green, rows, 6))
     ordered = [f"q{i:03d}" for i in range(n)] + ["stale"]
     assert rotation.check(ordered) == 1  # breach detected
     # with the stale entry inside the window, the breach is paid

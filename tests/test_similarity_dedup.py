@@ -488,3 +488,16 @@ def test_pq_shortlist_survives_unnormalized_corpus(spark):
     got = [r[0] for r in sim.pq_topk(emb, q, k=10, refine=8).collect()]
     recall = len(set(got) & set(truth)) / 10
     assert recall >= 0.9, (recall, got, truth)
+
+
+def test_pq_topk_rejects_multi_row_query(spark):
+    """r8 review: a multi-row query_df used to silently search whichever
+    row .first() returned (partition-order dependent) — now refused."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    two = emb.filter(F.col("vec_id").isin([0, 1])).select("embedding")
+    from pg_parquet_spark.operators.pq_fixture import CODEBOOKS
+
+    with _pytest.raises(ValueError, match="more than one row"):
+        similarity.pq_topk(emb, two, k=5, codebooks=CODEBOOKS)

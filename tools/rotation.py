@@ -88,7 +88,7 @@ def derive_order(
     names: list[str], max_round: int | None = None
 ) -> tuple[list[str], dict[str, str]]:
     """Order `names` per the rotation contract; also return a label per name."""
-    newest_green, newest_row, _latest = fold() if max_round is None else fold(max_round)
+    newest_green, newest_row, _latest = fold(max_round)
 
     def key(n: str):
         if n not in newest_row:
