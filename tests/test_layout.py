@@ -1234,3 +1234,92 @@ def test_partitioned_merge_refuses_mismatched_snapshot(spark, tmp_path):
     upd2 = upd.withColumnRenamed("p", "p")  # same frame, wrong claimed column
     with _pytest.raises(ValueError, match="partitioned on"):
         layout.merge_upsert(spark, root2, upd, ["k"], partition_col="val")
+
+
+def test_versioned_protocol_randomized_crash_invariant(spark, tmp_path):
+    """Seeded randomized protocol soak: a sequence of merges/compactions
+    with crashes injected before the pointer flip must ALWAYS leave a
+    reader on the last PUBLISHED logical state (never a mix, never a
+    loss), and re-running the crashed op must converge to its intended
+    state."""
+    import random
+
+    from pg_parquet_spark.sources import layout, read_parquet
+
+    rng = random.Random(20260814)
+    root = str(tmp_path / "proto")
+    _mk_base(spark, root)
+
+    # expected logical state: k -> (val, p)
+    state = {k: (k * 10, "a" if k < 20 else "b") for k in range(40)}
+    published = dict(state)
+    layout.merge_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(0, 0, "a")], "k long, val long, p string"),
+        ["k"],
+        partition_col="p",
+        versioned=True,
+    )
+    state[0] = (0, "a")
+    published = dict(state)
+
+    real_publish = layout._publish_manifest
+
+    def read_state():
+        return {
+            r.k: (r.val, r.p) for r in read_parquet(spark, root).collect()
+        }
+
+    for step in range(8):
+        crash = rng.random() < 0.5
+        op = rng.choice(["merge", "compact"])
+        if op == "merge":
+            n_upd = rng.randint(1, 4)
+            upd = []
+            intended = dict(state)
+            for _ in range(n_upd):
+                k = rng.randrange(50)
+                p = "a" if k < 20 else "b"
+                v = rng.randrange(1000)
+                upd.append((k, v, p))
+                intended[k] = (v, p)
+            # dedupe update keys (MERGE requires unique keys)
+            seen = {}
+            for k, v, p in upd:
+                seen[k] = (k, v, p)
+            updf = spark.createDataFrame(
+                list(seen.values()), "k long, val long, p string"
+            )
+
+            def run():
+                layout.merge_upsert(
+                    spark, root, updf, ["k"], partition_col="p"
+                )
+        else:
+            intended = dict(state)
+
+            def run():
+                layout.compact_dataset(
+                    spark, root, partition_by=["p"], target_file_bytes=1 << 30
+                )
+
+        if crash:
+            layout._publish_manifest = lambda *a, **kw: (_ for _ in ()).throw(
+                RuntimeError("injected crash")
+            )
+            try:
+                import pytest as _pytest
+
+                with _pytest.raises(RuntimeError, match="injected crash"):
+                    run()
+            finally:
+                layout._publish_manifest = real_publish
+            # invariant: reader still on the last published state
+            assert read_state() == published, f"step {step}: mixed state after crash"
+            run()  # converges on retry
+        else:
+            run()
+        state = intended
+        published = dict(state)
+        assert read_state() == published, f"step {step}: wrong state after publish"
