@@ -755,7 +755,19 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
-            F.round(F.col("l_extendedprice") / 100, 2).alias("price_hundreds"),
+            # ROUND on a DOUBLE is engine-divergent at exact halves:
+            # 57867.5/100 binary-represents as 578.674999…, which Spark
+            # rounds via the shortest decimal repr (578.675 → .68) and
+            # DuckDB via the binary value (→ .67). Algebraic rewrite:
+            # round(x/100, 2) ≡ round(x, 0)/100, and the rounding now
+            # happens on an EXACT decimal (both engines HALF_UP away
+            # from zero), with the final division an IEEE-exact
+            # integer/100 on both. (DuckDB decimal÷int returns DOUBLE,
+            # so rounding after a decimal division is NOT safe — caught
+            # at sf0.001, r8.)
+            (F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 0)
+             .cast("double") / 100)
+            .alias("price_hundreds"),
             F.floor(F.col("l_quantity")).cast("long").alias("qty_floor"),
             F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
             F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
@@ -767,7 +779,8 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SCALAR_MATH_ORACLE = """
 SELECT l_orderkey, l_linenumber,
        ABS(l_quantity - 25) AS qty_dev,
-       ROUND(l_extendedprice / 100, 2) AS price_hundreds,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 0) AS DOUBLE) / 100
+         AS price_hundreds,
        CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
        CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
        l_orderkey % 7 AS key_mod7
