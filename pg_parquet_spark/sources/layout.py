@@ -932,6 +932,79 @@ def compact_dataset(
     return n
 
 
+def compact_partitions(
+    spark,
+    uri: str,
+    max_files: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    compression: str = "snappy",
+) -> list[str]:
+    """Incremental per-partition compaction of a versioned partitioned
+    snapshot — the 100 TB shape ``compact_dataset``'s docstring promises:
+    only partitions whose file count exceeds ``max_files`` are rewritten
+    into the new snapshot; every other partition carries forward BY
+    REFERENCE, and the whole maintenance pass publishes with one atomic
+    pointer flip. A streaming-merge workload fragments a few hot
+    partitions while the cold ones stay compact — rewriting the
+    dataset (or even scanning the cold partitions) would make the
+    maintenance cost proportional to data size instead of drift.
+
+    Cost shape: one delimiter LIST per partition to count files (no data
+    read for non-drifted partitions), then ceil(bytes/target) output
+    files per drifted partition. Returns the partition values compacted
+    (empty list = nothing drifted, nothing published).
+
+    Requires the partitioned snapshot form: run ``compact_dataset``
+    first for flat, legacy, or streaming-batches datasets."""
+    import math
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    uri = uri.rstrip("/")
+    manifest = read_manifest(uri)
+    if manifest is None or manifest.get("partitions") is None:
+        raise ValueError(
+            f"{uri} is not a partitioned versioned snapshot; use "
+            "compact_dataset (it converts flat/legacy/batches datasets "
+            "and can partition the rewrite)"
+        )
+    vacuum_dataset(uri, keep_history=2)
+    expected = manifest["version"]
+    drifted: dict[str, tuple[str, int]] = {}
+    for val, rel in manifest["partitions"].items():
+        files = pgfs.tree_files(f"{uri}/{rel}", suffix=".parquet")
+        if len(files) > max_files:
+            drifted[val] = (rel, sum(sz for _u, sz in files))
+    if not drifted:
+        return []
+    n = _next_version(uri, manifest)
+    vdir = f"_v{n}"
+    partitions = dict(manifest["partitions"])
+    for val in sorted(drifted):
+        rel, total = drifted[val]
+        k = max(1, math.ceil(total / target_file_bytes))
+        dirname = rel.rstrip("/").rsplit("/", 1)[-1]
+        df = spark.read.parquet(pgfs.spark_uri(f"{uri}/{rel}"))
+        (
+            df.repartition(k)
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .parquet(pgfs.spark_uri(f"{uri}/{vdir}/{dirname}"))
+        )
+        partitions[val] = f"{vdir}/{dirname}"
+    _check_not_concurrently_modified(uri, expected)
+    _publish_manifest(
+        uri,
+        {
+            "version": n,
+            "partition_col": manifest["partition_col"],
+            "partition_dtype": manifest["partition_dtype"],
+            "partitions": partitions,
+        },
+    )
+    return sorted(drifted)
+
+
 def write_with_bloom(
     df: DataFrame,
     uri: str,

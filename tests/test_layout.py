@@ -1323,3 +1323,63 @@ def test_versioned_protocol_randomized_crash_invariant(spark, tmp_path):
         state = intended
         published = dict(state)
         assert read_state() == published, f"step {step}: wrong state after publish"
+
+
+def test_compact_partitions_rewrites_only_drifted(spark, tmp_path):
+    """r8 incremental compaction: only the fragmented partition is
+    rewritten; cold partitions carry by reference (their files are
+    byte-untouched); one pointer flip; a second pass is a no-op."""
+    import os
+
+    from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout, read_parquet
+
+    root = str(tmp_path / "inc")
+    df = spark.range(40).selectExpr(
+        "id AS k", "id*10 AS val", "CASE WHEN id<20 THEN 'a' ELSE 'b' END AS p"
+    )
+    # hot partition a: 16 fragments; cold partition b: 1 file
+    df.filter("p = 'a'").drop("p").repartition(16).write.parquet(root + "/p=a")
+    df.filter("p = 'b'").drop("p").coalesce(1).write.parquet(root + "/p=b")
+    layout._publish_manifest(
+        root,
+        {
+            "version": 1,
+            "partition_col": "p",
+            "partition_dtype": "string",
+            "partitions": {"a": "p=a", "b": "p=b"},
+        },
+    )
+    before = read_parquet(spark, root).groupBy("p").count().collect()
+    b_files = {
+        u: os.stat(u).st_mtime_ns
+        for u, _sz in pgfs.tree_files(root + "/p=b", ".parquet")
+    }
+
+    compacted = layout.compact_partitions(spark, root, max_files=8)
+    assert compacted == ["a"]
+    man = layout.read_manifest(root)
+    assert man["partitions"]["a"].startswith("_v2/")
+    assert man["partitions"]["b"] == "p=b"  # carried by reference
+    # cold partition files byte-untouched
+    assert {
+        u: os.stat(u).st_mtime_ns
+        for u, _sz in pgfs.tree_files(root + "/p=b", ".parquet")
+    } == b_files
+    # hot partition now 1 file, data identical
+    assert len(pgfs.tree_files(root + "/" + man["partitions"]["a"], ".parquet")) == 1
+    assert read_parquet(spark, root).groupBy("p").count().collect() == before
+
+    # nothing drifted anymore → no-op, no publish
+    assert layout.compact_partitions(spark, root, max_files=8) == []
+    assert layout.read_manifest(root)["version"] == man["version"]
+
+    # non-partitioned snapshots are refused with guidance
+    import pytest as _pytest
+
+    flat = str(tmp_path / "flat")
+    spark.range(5).write.parquet(flat)
+    ins = spark.createDataFrame([(99,)], "id long")
+    layout.merge_upsert(spark, flat, ins, ["id"], versioned=True)
+    with _pytest.raises(ValueError, match="not a partitioned versioned"):
+        layout.compact_partitions(spark, flat)
