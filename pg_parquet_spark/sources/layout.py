@@ -932,6 +932,50 @@ def compact_dataset(
     return n
 
 
+def describe_versioned(root_uri: str) -> dict:
+    """Human/tooling-facing snapshot summary of a versioned dataset:
+    current version, manifest form, partition map or batch list, the
+    retained time-travel versions, and per-referenced-prefix file/byte
+    counts (footer-free: one recursive LIST per referenced prefix).
+    Raises on unversioned roots — plain parquet has nothing to
+    describe beyond the directory itself."""
+    from pg_parquet_spark.sources import fs as pgfs
+
+    root_uri = root_uri.rstrip("/")
+    manifest = read_manifest(root_uri)
+    if manifest is None:
+        raise ValueError(f"{root_uri} has no {_CURRENT} pointer")
+    retained = sorted(
+        int(n[len("_manifest-"):-len(".json")])
+        for c, is_dir in pgfs.list_dir(root_uri)
+        for n in [c.rstrip("/").rsplit("/", 1)[1]]
+        if not is_dir and n.startswith("_manifest-") and n.endswith(".json")
+    )
+    refs = {}
+    for rel in sorted(_manifest_refs(manifest)):
+        files = pgfs.tree_files(f"{root_uri}/{rel}", suffix=".parquet")
+        refs[rel] = {"files": len(files), "bytes": sum(sz for _u, sz in files)}
+    form = (
+        "batches"
+        if manifest.get("format") == "batches"
+        else ("partitioned" if manifest.get("partitions") is not None else "flat")
+    )
+    out = {
+        "version": manifest["version"],
+        "form": form,
+        "retained_versions": retained,
+        "refs": refs,
+    }
+    if form == "partitioned":
+        out["partition_col"] = manifest["partition_col"]
+        out["partitions"] = dict(manifest["partitions"])
+    elif form == "batches":
+        out["batches"] = dict(manifest["batches"])
+    else:
+        out["path"] = manifest["path"]
+    return out
+
+
 def compact_partitions(
     spark,
     uri: str,

@@ -250,8 +250,13 @@ def read_parquet(
     match_by: str = "position",
     where: str | Column | None = None,
     columns: list[str] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
-    """Read parquet at ``uri`` with pg_parquet's COPY FROM semantics."""
+    """Read parquet at ``uri`` with pg_parquet's COPY FROM semantics.
+
+    ``version`` time-travels a manifest-versioned dataset to a retained
+    snapshot (see ``sources.layout``); it is an error on plain parquet
+    uris, which have no version history to address."""
     if not copy_hooks_enabled():
         raise CopyHookDisabled("pg_parquet_spark copy hooks are disabled")
     from pg_parquet_spark.session import ensure_session_defaults
@@ -302,8 +307,13 @@ def read_parquet(
         except Exception:  # noqa: BLE001 — unreadable pointer ≠ versioned
             versioned = False
         if versioned:
-            df = _layout.read_versioned(spark, uris[0])
+            df = _layout.read_versioned(spark, uris[0], version=version)
             return _apply_read_clauses(df, schema, match_by, columns, where)
+    if version is not None:
+        raise ValueError(
+            "version= addresses a manifest-versioned dataset root; "
+            f"{uris[0] if len(uris) == 1 else uris} has no _CURRENT pointer"
+        )
 
     paths = [_strip_scheme(u) for u in uris]
 

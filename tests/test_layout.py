@@ -1383,3 +1383,46 @@ def test_compact_partitions_rewrites_only_drifted(spark, tmp_path):
     layout.merge_upsert(spark, flat, ins, ["id"], versioned=True)
     with _pytest.raises(ValueError, match="not a partitioned versioned"):
         layout.compact_partitions(spark, flat)
+
+
+def test_read_parquet_time_travel_and_describe(spark, tmp_path):
+    """r8: read_parquet(version=) time-travels through the public API;
+    describe_versioned summarizes the pointer state; version= on plain
+    parquet errors loudly."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout, read_parquet
+
+    root = str(tmp_path / "ttapi")
+    _mk_base(spark, root)
+    for i in range(2):
+        upd = spark.createDataFrame(
+            [(3, 1000 + i, "a")], "k long, val long, p string"
+        )
+        layout.merge_upsert(
+            spark, root, upd, ["k"], partition_col="p", versioned=True
+        )
+    cur = layout.read_manifest(root)["version"]
+    assert read_parquet(spark, root).filter("k=3").collect()[0].val == 1001
+    assert (
+        read_parquet(spark, root, version=cur - 1).filter("k=3").collect()[0].val
+        == 1000
+    )
+    # projection/filter clauses compose with time travel
+    assert (
+        read_parquet(
+            spark, root, version=cur - 1, columns=["k", "val"], where="k = 3"
+        ).collect()[0].val
+        == 1000
+    )
+
+    d = layout.describe_versioned(root)
+    assert d["version"] == cur and d["form"] == "partitioned"
+    assert set(d["partitions"]) == {"a", "b"}
+    assert cur in d["retained_versions"] and cur - 1 in d["retained_versions"]
+    assert all(v["files"] >= 1 for v in d["refs"].values())
+
+    plain = str(tmp_path / "plain")
+    spark.range(5).write.parquet(plain)
+    with _pytest.raises(ValueError, match="no _CURRENT pointer"):
+        read_parquet(spark, plain, version=1)
