@@ -292,6 +292,11 @@ def read_parquet(
             raise ValueError(
                 "cannot mix http(s) uris with other schemes in one read"
             )
+        if version is not None:
+            raise ValueError(
+                "version= addresses a manifest-versioned dataset root; "
+                "http(s) uris have no version history"
+            )
         df = _read_parquet_over_http(spark, uris)
         return _apply_read_clauses(df, schema, match_by, columns, where)
 
