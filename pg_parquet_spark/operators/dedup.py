@@ -64,6 +64,103 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+def build_fingerprint_index(
+    df: DataFrame, uri: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist the exact-dedup fingerprint index: one row per distinct
+    content fingerprint with the smallest id that owns it — the state
+    that makes ingestion dedup INCREMENTAL (see ``dedup_incremental``).
+    Published as a manifest-versioned dataset so index updates inherit
+    the crash-atomic pointer-flip protocol; the index carries 16-byte
+    keys + one id, never text, so at 100 TB it is ~1/1000th the corpus.
+    """
+    from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout
+
+    uri = uri.rstrip("/")
+    pgfs.delete_dir(uri)
+    index = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("owner_id"))
+    )
+    n = 1
+    index.write.parquet(pgfs.spark_uri(f"{uri}/_v{n}"))
+    layout._publish_manifest(
+        uri,
+        {
+            "version": n,
+            "partition_col": None,
+            "partition_dtype": None,
+            "partitions": None,
+            "path": f"_v{n}",
+        },
+    )
+
+
+def dedup_incremental(
+    spark,
+    new_docs: DataFrame,
+    index_uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    update_index: bool = True,
+) -> DataFrame:
+    """Incremental ingestion dedup: flag each NEW document against the
+    persisted fingerprint index — the 100 TB shape where re-deduping
+    the whole corpus per ingest batch is impossible; only the batch's
+    fingerprints move (RefinedWeb/Dolma run exact dedup this way,
+    corpus-state vs batch).
+
+    Returns every input row with ``fingerprint``, ``known_in_corpus``
+    (the fingerprint already exists in the index) and ``keep`` (not
+    known AND the smallest id within the batch for that fingerprint —
+    so a batch-internal duplicate is also dropped, deterministically).
+    With ``update_index`` the kept rows' fingerprints MERGE into the
+    index through the versioned publish — crash-safe, and a re-run of
+    the same batch converges (the rows it would add are the rows it
+    already added).
+
+    Scale shape: one shuffle of the BATCH on its 16-byte fingerprints
+    (batch-internal min), one equi join against the index on the same
+    key (the corpus-sized side shuffles key+id only — never text), and
+    the index update is a standard versioned MERGE on the fingerprint
+    key.
+    """
+    from pyspark.sql.window import Window
+
+    from pg_parquet_spark.sources import layout
+
+    index_uri = index_uri.rstrip("/")
+    index = layout.read_versioned(spark, index_uri).select(
+        "fingerprint", F.lit(True).alias("_known")
+    )
+    fp = new_docs.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    flagged = (
+        fp.withColumn("_rk", F.row_number().over(w))
+        .join(index, "fingerprint", "left")
+        .select(
+            *new_docs.columns,
+            "fingerprint",
+            F.coalesce("_known", F.lit(False)).alias("known_in_corpus"),
+            (
+                ~F.coalesce("_known", F.lit(False)) & (F.col("_rk") == 1)
+            ).alias("keep"),
+        )
+    )
+    if update_index:
+        additions = (
+            flagged.filter("keep")
+            .select("fingerprint", F.col(id_col).alias("owner_id"))
+        )
+        if not additions.isEmpty():  # all-known batch: nothing to publish
+            layout.merge_upsert(
+                spark, index_uri, additions, ["fingerprint"], versioned=True
+            )
+    return flagged
+
+
 def dedup_normalized(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Keep the smallest id per sorted-distinct-token fingerprint
     (catches token-order shuffles and repeated-token padding)."""

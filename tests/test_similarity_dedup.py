@@ -501,3 +501,54 @@ def test_pq_topk_rejects_multi_row_query(spark):
 
     with _pytest.raises(ValueError, match="more than one row"):
         similarity.pq_topk(emb, two, k=5, codebooks=CODEBOOKS)
+
+
+def test_incremental_dedup_against_persisted_index(spark, tmp_path):
+    """r8: ingestion dedup against the persisted fingerprint index —
+    batch 2 re-ingesting batch-1 content is flagged known; a
+    batch-internal duplicate keeps only its smallest id; kept rows'
+    fingerprints merge into the index (versioned, so a re-run of the
+    same batch converges)."""
+    from pg_parquet_spark.operators.dedup import (
+        build_fingerprint_index,
+        dedup_incremental,
+    )
+    from pg_parquet_spark.sources import layout
+
+    idx = str(tmp_path / "fpindex")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    build_fingerprint_index(corpus, idx)
+    assert layout.read_versioned(spark, idx).count() == 2  # 2 distinct fps
+
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta"),      # known in corpus
+            (11, "epsilon zeta"),    # new
+            (12, "epsilon zeta"),    # batch-internal dup of 11
+            (13, "eta theta"),       # new
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.known_in_corpus, r.keep)
+        for r in dedup_incremental(spark, batch, idx).collect()
+    }
+    assert got[10] == (True, False)
+    assert got[11] == (False, True)
+    assert got[12] == (False, False)  # batch-internal dup dropped
+    assert got[13] == (False, True)
+    # index grew by exactly the kept fingerprints
+    assert layout.read_versioned(spark, idx).count() == 4
+
+    # re-running the SAME batch converges: everything now known, index
+    # unchanged
+    got2 = {
+        r.doc_id: (r.known_in_corpus, r.keep)
+        for r in dedup_incremental(spark, batch, idx).collect()
+    }
+    assert all(k for k, _ in got2.values())
+    assert not any(keep for _, keep in got2.values())
+    assert layout.read_versioned(spark, idx).count() == 4
