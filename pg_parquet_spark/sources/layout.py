@@ -231,10 +231,14 @@ def write_zordered(
 # new — readers resolve old-or-new, never a mix. Touched-partition
 # merges carry untouched partitions FORWARD by reference (the manifest
 # maps each partition to the version directory that last rewrote it),
-# so the copy-on-write granularity stays per-partition. Unreferenced
-# version dirs are vacuumed at the START of the next maintenance
-# operation (a grace period for in-flight readers), single-writer
-# assumed — the same contract Delta on S3 has without a lock service.
+# so the copy-on-write granularity stays per-partition. Each publish
+# also lands its manifest in the `_manifest-<n>.json` history, giving
+# TIME TRAVEL to retained snapshots; maintenance ops vacuum at entry
+# with keep_history=2, which is both the in-flight-reader grace period
+# and the default travel window. Publishes run an optimistic
+# lost-update check just before the flip; single-writer remains the
+# deployment contract — the same one Delta on S3 has without a lock
+# service.
 
 _CURRENT = "_CURRENT"
 
