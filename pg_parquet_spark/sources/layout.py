@@ -32,11 +32,13 @@ def write_partitioned(
     Partition columns should be low-cardinality (date buckets, region,
     lang); high-cardinality keys create a small-files problem — bucket
     those instead."""
+    from pg_parquet_spark.sources import fs as pgfs
+
     (
         df.write.mode(mode)
         .option("compression", compression)
         .partitionBy(*partition_by)
-        .parquet(uri)
+        .parquet(pgfs.spark_uri(uri))
     )
 
 
@@ -54,13 +56,17 @@ def write_bucketed(
     equi-join shuffle-free; ``sort_by`` additionally removes the sort
     from sort-merge joins."""
     spark = df.sparkSession
-    # a previous session's managed-table directory survives catalog resets
-    # (fresh derby metastore + leftover warehouse dir) — clear both
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    leftover = os.path.join(warehouse.replace("file:", ""), table_name.lower())
-    if os.path.isdir(leftover):
-        shutil.rmtree(leftover, ignore_errors=True)
+    if mode == "overwrite":
+        # a previous session's managed-table directory survives catalog
+        # resets (fresh derby metastore + leftover warehouse dir) — clear
+        # both. ONLY for overwrite: an append must never drop existing
+        # data (review r8 — the unconditional drop made mode="append"
+        # silently destroy the table).
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        leftover = os.path.join(warehouse.replace("file:", ""), table_name.lower())
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
     w = (
         df.write.mode(mode)
         .format("parquet")
@@ -69,6 +75,18 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table_name)
+
+
+def _reject_reserved_columns(df: DataFrame, names: list[str]) -> None:
+    """The clustering writers stage internal working columns; a user
+    column with the same name would be silently overwritten and then
+    dropped (review r8) — refuse instead."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash}, which the clustered "
+            "write uses internally — rename them first"
+        )
 
 
 def zorder_expr(df: DataFrame, cols: list[str], bits: int = 8):
@@ -189,6 +207,9 @@ def write_zordered(
     sort, but the skipping benefit applies to d columns instead of 1.
     ``num_files`` controls output granularity (at scale set it so files
     land near 1 GiB)."""
+    from pg_parquet_spark.sources import fs as pgfs
+
+    _reject_reserved_columns(df, ["_zorder"])
     z = zorder_expr(df, zorder_by, bits=bits)
     # spread the CPU-bound z projection over all cores before the range
     # shuffle — the source's file-partition count caps parallelism
@@ -204,7 +225,7 @@ def write_zordered(
         .drop("_zorder")
         .write.mode(mode)
         .option("compression", compression)
-        .parquet(uri)
+        .parquet(pgfs.spark_uri(uri))
     )
 
 
@@ -243,6 +264,25 @@ def write_zordered(
 _CURRENT = "_CURRENT"
 
 
+def _retained_manifest_versions(root_uri: str) -> list[int]:
+    """Sorted version numbers of the ``_manifest-<n>.json`` history files
+    (non-numeric names are ignored — a stray hand-made file must not
+    abort vacuum/describe/time-travel, review r8)."""
+    from pg_parquet_spark.sources import fs as pgfs
+
+    out = []
+    for child, is_dir in pgfs.list_dir(root_uri):
+        name = child.rstrip("/").rsplit("/", 1)[1]
+        if (
+            not is_dir
+            and name.startswith("_manifest-")
+            and name.endswith(".json")
+            and name[len("_manifest-"):-len(".json")].isdigit()
+        ):
+            out.append(int(name[len("_manifest-"):-len(".json")]))
+    return sorted(out)
+
+
 def read_manifest(root_uri: str, version: int | None = None) -> dict | None:
     """Parse the dataset's manifest.
 
@@ -262,14 +302,7 @@ def read_manifest(root_uri: str, version: int | None = None) -> dict | None:
         return json.loads(pgfs.read_bytes(uri).decode("utf-8"))
     uri = f"{root_uri}/_manifest-{version}.json"
     if not pgfs.exists(uri):
-        avail = sorted(
-            int(n[len("_manifest-"):-len(".json")])
-            for c, is_dir in pgfs.list_dir(root_uri)
-            for n in [c.rstrip("/").rsplit("/", 1)[1]]
-            if not is_dir
-            and n.startswith("_manifest-")
-            and n.endswith(".json")
-        )
+        avail = _retained_manifest_versions(root_uri)
         raise ValueError(
             f"version {version} of {root_uri} is not retained "
             f"(available: {avail or 'none'} — raise keep_history on the "
@@ -364,18 +397,51 @@ def read_versioned(spark, root_uri: str, version: int | None = None) -> DataFram
         # back through normal discovery below each batch dir). Readers
         # see exactly the batches the pointer published — never a
         # half-landed one. Batch count grows until compact_dataset
-        # collapses the dataset into snapshot form.
-        if not manifest["batches"]:
-            raise ValueError(
-                f"streaming dataset at {root_uri} has no published batches yet"
-            )
-        branches = [
+        # collapses the dataset into snapshot form; ingestion after a
+        # compaction opens a new batches EPOCH whose ``base_manifest``
+        # embeds that snapshot (review r8 — the sink previously refused
+        # snapshot-form roots, breaking its own documented lifecycle),
+        # so the read is base ∪ new batches.
+        base_manifest = manifest.get("base_manifest")
+        branches = []
+        if base_manifest is not None:
+            branches.append(_resolve_snapshot(spark, root_uri, base_manifest))
+        branches.extend(
             spark.read.parquet(pgfs.spark_uri(root_uri + "/" + rel))
             for _bid, rel in sorted(
                 manifest["batches"].items(), key=lambda kv: int(kv[0])
             )
-        ]
+        )
+        if not branches:
+            raise ValueError(
+                f"streaming dataset at {root_uri} has no published batches yet"
+            )
         return reduce(lambda a, b: a.unionByName(b), branches)
+    return _resolve_snapshot(spark, root_uri, manifest)
+
+
+def _carry_max_batch_id(prev_manifest: dict | None) -> int:
+    """Highest micro-batch id ever folded into this dataset — carried
+    through every publish so a checkpoint REPLAY of a batch the
+    compaction already collapsed cannot re-add its rows (review r8:
+    the id list dies with the batches form, the horizon must not)."""
+    if prev_manifest is None:
+        return -1
+    mb = prev_manifest.get("max_batch_id", -1)
+    if prev_manifest.get("format") == "batches" and prev_manifest["batches"]:
+        mb = max(mb, max(int(k) for k in prev_manifest["batches"]))
+    return mb
+
+
+def _resolve_snapshot(spark, root_uri: str, manifest: dict) -> DataFrame:
+    """DataFrame for a snapshot-form (flat or partitioned) manifest —
+    shared by the direct resolve and a batches epoch's base."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.sources import fs as pgfs
+
     if manifest.get("partitions") is None:
         return spark.read.parquet(
             pgfs.spark_uri(root_uri + "/" + manifest["path"])
@@ -393,7 +459,10 @@ def read_versioned(spark, root_uri: str, version: int | None = None) -> DataFram
 
 def _manifest_refs(manifest: dict) -> set[str]:
     if manifest.get("format") == "batches":
-        return set(manifest["batches"].values())
+        refs = set(manifest["batches"].values())
+        if manifest.get("base_manifest") is not None:
+            refs |= _manifest_refs(manifest["base_manifest"])
+        return refs
     if manifest.get("partitions") is None:
         return {manifest["path"]}
     return set(manifest["partitions"].values())
@@ -421,11 +490,7 @@ def vacuum_dataset(root_uri: str, keep_history: int = 1) -> None:
     if manifest is None:
         return
     keep_history = max(1, keep_history)
-    history: list[int] = []
-    for child, is_dir in pgfs.list_dir(root_uri):
-        name = child.rstrip("/").rsplit("/", 1)[1]
-        if not is_dir and name.startswith("_manifest-") and name.endswith(".json"):
-            history.append(int(name[len("_manifest-"):-len(".json")]))
+    history = _retained_manifest_versions(root_uri)
     kept_versions = {
         v for v in sorted(history, reverse=True)[:keep_history]
     } | {manifest["version"]}
@@ -482,38 +547,115 @@ def _hive_partition_dirs(uri: str, partition_col: str) -> list[tuple[str, str]]:
     return out
 
 
-def _recover_inplace(base_uri: str) -> None:
-    """Roll a crashed LEGACY in-place publish forward/back on entry.
+def _restore_missing_tree(src_uri: str, dst_uri: str) -> None:
+    """Undo a PARTIALLY-completed aside move: every file moved out lives
+    under src at its original relative path and is absent from dst, so
+    moving each missing file back reconstitutes the original exactly
+    (the two file sets are disjoint by construction)."""
+    from pg_parquet_spark.sources import fs as pgfs
 
-    Recovery is driven by what the ``__old`` aside actually CONTAINS,
-    not by the current caller's layout arguments — a crashed
-    partitioned merge must be recoverable by a later flat merge or a
-    compaction (code review r8: trusting the caller's ``partition_col``
-    let a flat-path entry delete a parked partition's only copy):
+    for file_uri, _sz in pgfs.tree_files(src_uri):
+        rel = file_uri[len(src_uri.rstrip("/")) + 1 :]
+        target = dst_uri.rstrip("/") + "/" + rel
+        if not pgfs.exists(target):
+            pgfs.move_file(file_uri, target)
 
-    - base missing entirely → the crash hit a whole-dataset swap
-      between move-aside and move-in (flat merge, or any compaction):
-      restore the aside wholesale;
-    - base present → any ``key=value`` dirs parked in the aside came
-      from a partitioned merge's per-partition swap: restore each one
-      whose live twin is missing, drop the ones whose staged move-in
-      already completed, then drop the aside (any loose files in it
-      are write-marker litter)."""
+
+def _inplace_swap_whole(base_uri: str, staging: str) -> None:
+    """Whole-dataset in-place swap with crash-DECIDABLE marker files
+    (review r8: without markers, recovery could not tell a crashed
+    aside-move from a crashed move-in from a crashed cleanup, and
+    guessing wrong either resurrected stale rows or destroyed the only
+    copy of base rows). Sequence:
+
+        1. base → __old                    (aside)
+        2. write  <base>__aside_done       (atomic small file)
+        3. staging → base                  (move-in)
+        4. write  <base>__committed
+        5. delete __old, delete markers
+
+    ``_recover_inplace`` reads the markers: committed → roll forward
+    (finish cleanup); aside_done only → roll BACK (base holds partial
+    staged output; restore the aside — the op re-runs from inputs);
+    neither → the aside move itself crashed and base ∪ __old is the
+    original, so the missing files move back."""
     from pg_parquet_spark.sources import fs as pgfs
 
     old = base_uri + "__old"
+    aside_done = base_uri + "__aside_done"
+    committed = base_uri + "__committed"
+    pgfs.delete_dir(old)
+    pgfs.delete_file(aside_done)
+    pgfs.delete_file(committed)
+    pgfs.move_dir(base_uri, old)
+    pgfs.write_bytes_atomic(aside_done, b"1")
+    pgfs.move_dir(staging, base_uri)
+    pgfs.write_bytes_atomic(committed, b"1")
+    pgfs.delete_dir(old)
+    pgfs.delete_file(committed)
+    pgfs.delete_file(aside_done)
+
+
+def _recover_inplace(base_uri: str) -> None:
+    """Roll a crashed LEGACY in-place publish forward or back on entry,
+    decided by the swap MARKER files (see ``_inplace_swap_whole``) and
+    the per-partition markers inside the ``__old`` aside — never by the
+    current caller's layout arguments, so any later op (flat merge,
+    partitioned merge, compaction) recovers any earlier op's crash
+    (review r8)."""
+    from pg_parquet_spark.sources import fs as pgfs
+
+    old = base_uri + "__old"
+    aside_done = base_uri + "__aside_done"
+    committed = base_uri + "__committed"
+    if pgfs.exists(committed):
+        # whole swap fully published; only the cleanup crashed
+        pgfs.delete_dir(old)
+        pgfs.delete_file(committed)
+        pgfs.delete_file(aside_done)
+        return
+    if pgfs.exists(aside_done):
+        # whole swap crashed mid move-in: base holds only partial staged
+        # output — roll back to the parked original
+        pgfs.delete_dir(base_uri)
+        if pgfs.exists(old):
+            pgfs.move_dir(old, base_uri)
+        pgfs.delete_file(aside_done)
+        return
     if not pgfs.exists(old):
         return
     if not pgfs.exists(base_uri):
+        # aside move finished but its marker write didn't — restore
         pgfs.move_dir(old, base_uri)
         return
-    for child, is_dir in pgfs.list_dir(old):
-        name = child.rstrip("/").rsplit("/", 1)[1]
-        if not is_dir or "=" not in name:
-            continue
+    # per-partition protocol (or a whole-swap aside that crashed partway:
+    # base ∪ __old is then the original and the no-marker branches below
+    # move the missing pieces back)
+    entries = {
+        c.rstrip("/").rsplit("/", 1)[1]: (c, d) for c, d in pgfs.list_dir(old)
+    }
+    for name in sorted(entries):
+        child, is_dir = entries[name]
+        if name.endswith(".committed") or name.endswith(".aside_done"):
+            continue  # markers are consumed with their partition below
         target = f"{base_uri}/{name}"
-        if not pgfs.exists(target):
+        if not is_dir:
+            # loose file from a partially-asided whole swap
+            if not pgfs.exists(target):
+                pgfs.move_file(child, target)
+            else:
+                pgfs.delete_file(child)
+            continue
+        if f"{name}.committed" in entries:
+            pgfs.delete_dir(child)  # staged move-in finished — roll forward
+        elif f"{name}.aside_done" in entries:
+            # move-in crashed: target holds partial staged output
+            pgfs.delete_dir(target)
             pgfs.move_dir(child, target)
+        else:
+            # the aside move itself crashed partway
+            _restore_missing_tree(child, target)
+            pgfs.delete_dir(child)
     pgfs.delete_dir(old)
 
 
@@ -629,63 +771,42 @@ def merge_upsert(
         raise ValueError(
             f"partition_col {partition_col!r} not present in updates"
         )
-    dup = (
-        updates.groupBy(*key_cols)
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"updates contains multiple rows for key {dup[0][:-1]}; "
-            "MERGE requires at most one update row per key — dedupe "
-            "upstream with an explicit precedence"
+    # the updates lineage feeds four actions (dup check, partition
+    # collect, stability semi-join, the merged write) — persist it so
+    # an expensive upstream isn't recomputed per action (review r8)
+    updates = updates.persist()
+    try:
+        dup = (
+            updates.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
         )
-
-    if partition_col is not None:
-        affected = [
-            r[0] for r in updates.select(partition_col).distinct().collect()
-        ]
-        if any(v is None for v in affected):
-            # a NULL partition value would silently escape the isin()
-            # scoping below (SQL NULL semantics) and land in the
-            # __HIVE_DEFAULT_PARTITION__ dir without the anti-join
-            # having covered matching base rows
+        if dup:
             raise ValueError(
-                f"updates contain NULL {partition_col!r} values; "
-                "partitioned MERGE requires a concrete partition per row"
+                f"updates contains multiple rows for key {dup[0][:-1]}; "
+                "MERGE requires at most one update row per key — dedupe "
+                "upstream with an explicit precedence"
             )
-        if check_partition_stability:
-            moved = (
-                base.filter(~F.col(partition_col).isin(affected))
-                .join(
-                    F.broadcast(updates.select(key_cols).distinct()),
-                    key_cols,
-                    "left_semi",
-                )
-                .limit(1)
-                .collect()
-            )
-            if moved:
+
+        if partition_col is not None:
+            affected = [
+                r[0] for r in updates.select(partition_col).distinct().collect()
+            ]
+            if any(v is None for v in affected):
+                # a NULL partition value would silently escape the isin()
+                # scoping below (SQL NULL semantics) and land in the
+                # __HIVE_DEFAULT_PARTITION__ dir without the anti-join
+                # having covered matching base rows
                 raise ValueError(
-                    "update key found in an untouched partition (key's "
-                    f"{partition_col} changed); partitioned MERGE requires "
-                    "partition-stable keys — include the old partition in "
-                    "the update set or merge unpartitioned"
+                    f"updates contain NULL {partition_col!r} values; "
+                    "partitioned MERGE requires a concrete partition per row"
                 )
-        scoped = base.filter(F.col(partition_col).isin(affected))
-        merged = scoped.join(
-            updates.select(key_cols).distinct(), key_cols, "left_anti"
-        ).unionByName(updates)
-        if versioned:
-            dtype = base.schema[partition_col].dataType.simpleString()
-            n = _next_version(base_uri, manifest)
-            vdir = f"_v{n}"
-            merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-                pgfs.spark_uri(f"{base_uri}/{vdir}")
-            )
-            if manifest is not None:
+            if versioned and manifest is not None:
+                # manifest-compatibility checks BEFORE any shuffle or write
+                # (review r8: they used to run after the full snapshot write,
+                # discarding minutes of work at scale and orphaning a _v dir)
                 if manifest.get("format") == "batches":
                     raise ValueError(
                         "partitioned MERGE into a streaming-batches dataset: "
@@ -699,9 +820,7 @@ def merge_upsert(
                         "partitioned MERGE into an unpartitioned snapshot: "
                         "the current version has no per-partition dirs to "
                         "carry forward — merge with partition_col=None, or "
-                        "compact_dataset(partition_by=[...]) first "
-                        "(review r8: dict(None) used to crash here after "
-                        "the snapshot write)"
+                        "compact_dataset(partition_by=[...]) first"
                     )
                 if manifest.get("partition_col") != partition_col:
                     raise ValueError(
@@ -710,81 +829,132 @@ def merge_upsert(
                         f"{manifest.get('partition_col')!r} — the manifest "
                         "carries per-partition refs for one column only"
                     )
-                partitions = dict(manifest["partitions"])
-            else:
-                # migrate: existing hive dirs become version-0 references
-                partitions = {
-                    value: child.rstrip("/").rsplit("/", 1)[1]
-                    for child, value in _hive_partition_dirs(
-                        base_uri, partition_col
+            if versioned and manifest is None:
+                # migration: a NULL-partition dir cannot be carried (its
+                # sentinel dirname would round-trip as a literal value and
+                # corrupt the rows — review r8); refuse up front
+                for child, value in _hive_partition_dirs(base_uri, partition_col):
+                    if value == "__HIVE_DEFAULT_PARTITION__":
+                        raise ValueError(
+                            f"{base_uri} contains a NULL-partition directory "
+                            f"({child.rstrip('/').rsplit('/', 1)[1]}); the "
+                            "versioned partitioned protocol requires concrete "
+                            "partition values — repartition NULLs to a default "
+                            "value before migrating"
+                        )
+            if check_partition_stability:
+                moved = (
+                    base.filter(
+                        ~F.col(partition_col).isin(affected)
+                        | F.col(partition_col).isNull()
                     )
-                }
-            for child, value in _hive_partition_dirs(
-                f"{base_uri}/{vdir}", partition_col
-            ):
+                    .join(
+                        F.broadcast(updates.select(key_cols).distinct()),
+                        key_cols,
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if moved:
+                    raise ValueError(
+                        "update key found in an untouched partition (key's "
+                        f"{partition_col} changed); partitioned MERGE requires "
+                        "partition-stable keys — include the old partition in "
+                        "the update set or merge unpartitioned"
+                    )
+            scoped = base.filter(F.col(partition_col).isin(affected))
+            merged = scoped.join(
+                updates.select(key_cols).distinct(), key_cols, "left_anti"
+            ).unionByName(updates)
+            if versioned:
+                dtype = base.schema[partition_col].dataType.simpleString()
+                n = _next_version(base_uri, manifest)
+                vdir = f"_v{n}"
+                merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+                    pgfs.spark_uri(f"{base_uri}/{vdir}")
+                )
+                if manifest is not None:
+                    partitions = dict(manifest["partitions"])
+                else:
+                    # migrate: existing hive dirs become version-0 references
+                    partitions = {
+                        value: child.rstrip("/").rsplit("/", 1)[1]
+                        for child, value in _hive_partition_dirs(
+                            base_uri, partition_col
+                        )
+                    }
+                for child, value in _hive_partition_dirs(
+                    f"{base_uri}/{vdir}", partition_col
+                ):
+                    name = child.rstrip("/").rsplit("/", 1)[1]
+                    partitions[value] = f"{vdir}/{name}"
+                _check_not_concurrently_modified(base_uri, expected_version)
+                _publish_manifest(
+                    base_uri,
+                    {
+                        "version": n,
+                        "partition_col": partition_col,
+                        "partition_dtype": dtype,
+                        "partitions": partitions,
+                        "max_batch_id": _carry_max_batch_id(manifest),
+                    },
+                )
+                return
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+                pgfs.spark_uri(staging)
+            )
+            # publish only the touched key=value directories; everything
+            # else is never read or written. Per-partition aside swap
+            # (ADVICE r7): the live partition is parked under __old until
+            # the staged one is in place, so a crash never loses base rows
+            # — _recover_inplace rolls a half-done swap forward on entry.
+            old = base_uri + "__old"
+            pgfs.delete_dir(old)
+            for child, is_dir in pgfs.list_dir(staging):
                 name = child.rstrip("/").rsplit("/", 1)[1]
-                partitions[value] = f"{vdir}/{name}"
+                if not is_dir or not name.startswith(f"{partition_col}="):
+                    continue
+                target = f"{base_uri}/{name}"
+                if pgfs.exists(target):
+                    pgfs.move_dir(target, f"{old}/{name}")
+                    # crash-decidable marker: the aside is COMPLETE, so a
+                    # crash past this point rolls back to it; a crash
+                    # before it merges the partial aside back (review r8)
+                    pgfs.write_bytes_atomic(f"{old}/{name}.aside_done", b"1")
+                pgfs.move_dir(child, target)
+                pgfs.write_bytes_atomic(f"{old}/{name}.committed", b"1")
+            pgfs.delete_dir(old)
+            pgfs.delete_dir(staging)
+            return
+
+        merged = base.join(
+            updates.select(key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(updates)
+        if versioned:
+            n = _next_version(base_uri, manifest)
+            vdir = f"_v{n}"
+            merged.write.mode("overwrite").parquet(
+                pgfs.spark_uri(f"{base_uri}/{vdir}")
+            )
             _check_not_concurrently_modified(base_uri, expected_version)
             _publish_manifest(
                 base_uri,
                 {
                     "version": n,
-                    "partition_col": partition_col,
-                    "partition_dtype": dtype,
-                    "partitions": partitions,
+                    "partition_col": None,
+                    "partition_dtype": None,
+                    "partitions": None,
+                    "path": vdir,
+                    "max_batch_id": _carry_max_batch_id(manifest),
                 },
             )
             return
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-            pgfs.spark_uri(staging)
-        )
-        # publish only the touched key=value directories; everything
-        # else is never read or written. Per-partition aside swap
-        # (ADVICE r7): the live partition is parked under __old until
-        # the staged one is in place, so a crash never loses base rows
-        # — _recover_inplace rolls a half-done swap forward on entry.
-        old = base_uri + "__old"
-        pgfs.delete_dir(old)
-        for child, is_dir in pgfs.list_dir(staging):
-            name = child.rstrip("/").rsplit("/", 1)[1]
-            if not is_dir or not name.startswith(f"{partition_col}="):
-                continue
-            target = f"{base_uri}/{name}"
-            if pgfs.exists(target):
-                pgfs.move_dir(target, f"{old}/{name}")
-            pgfs.move_dir(child, target)
-        pgfs.delete_dir(old)
-        pgfs.delete_dir(staging)
-        return
+        merged.write.mode("overwrite").parquet(pgfs.spark_uri(staging))
+        _inplace_swap_whole(base_uri, staging)
 
-    merged = base.join(
-        updates.select(key_cols).distinct(), key_cols, "left_anti"
-    ).unionByName(updates)
-    if versioned:
-        n = _next_version(base_uri, manifest)
-        vdir = f"_v{n}"
-        merged.write.mode("overwrite").parquet(
-            pgfs.spark_uri(f"{base_uri}/{vdir}")
-        )
-        _check_not_concurrently_modified(base_uri, expected_version)
-        _publish_manifest(
-            base_uri,
-            {
-                "version": n,
-                "partition_col": None,
-                "partition_dtype": None,
-                "partitions": None,
-                "path": vdir,
-            },
-        )
-        return
-    merged.write.mode("overwrite").parquet(pgfs.spark_uri(staging))
-    old = base_uri + "__old"
-    pgfs.delete_dir(old)
-    pgfs.move_dir(base_uri, old)
-    pgfs.move_dir(staging, base_uri)
-    pgfs.delete_dir(old)
-
+    finally:
+        updates.unpersist()
 
 def compact_dataset(
     spark,
@@ -864,6 +1034,7 @@ def compact_dataset(
     staging = uri + "__compact"
     pgfs.delete_dir(staging)
     if cluster_by:
+        _reject_reserved_columns(df, ["_zorder"])
         z = zorder_expr(df, cluster_by, bits=cluster_bits)
         df = df.withColumn("_zorder", z)
         if partition_by:
@@ -910,6 +1081,7 @@ def compact_dataset(
                     "partition_col": pcol,
                     "partition_dtype": df.schema[pcol].dataType.simpleString(),
                     "partitions": partitions,
+                    "max_batch_id": _carry_max_batch_id(manifest),
                 },
             )
         else:
@@ -922,17 +1094,14 @@ def compact_dataset(
                     "partition_dtype": None,
                     "partitions": None,
                     "path": vdir,
+                    "max_batch_id": _carry_max_batch_id(manifest),
                 },
             )
         return n
     w.mode("overwrite").option("compression", compression).parquet(
         pgfs.spark_uri(staging)
     )
-    old = uri + "__old"
-    pgfs.delete_dir(old)
-    pgfs.move_dir(uri, old)
-    pgfs.move_dir(staging, uri)
-    pgfs.delete_dir(old)
+    _inplace_swap_whole(uri, staging)
     return n
 
 
@@ -949,12 +1118,7 @@ def describe_versioned(root_uri: str) -> dict:
     manifest = read_manifest(root_uri)
     if manifest is None:
         raise ValueError(f"{root_uri} has no {_CURRENT} pointer")
-    retained = sorted(
-        int(n[len("_manifest-"):-len(".json")])
-        for c, is_dir in pgfs.list_dir(root_uri)
-        for n in [c.rstrip("/").rsplit("/", 1)[1]]
-        if not is_dir and n.startswith("_manifest-") and n.endswith(".json")
-    )
+    retained = _retained_manifest_versions(root_uri)
     refs = {}
     for rel in sorted(_manifest_refs(manifest)):
         files = pgfs.tree_files(f"{root_uri}/{rel}", suffix=".parquet")
@@ -1048,6 +1212,7 @@ def compact_partitions(
             "partition_col": manifest["partition_col"],
             "partition_dtype": manifest["partition_dtype"],
             "partitions": partitions,
+            "max_batch_id": _carry_max_batch_id(manifest),
         },
     )
     return sorted(drifted)
@@ -1091,7 +1256,9 @@ def write_with_bloom(
             )
     if disable_dictionary:
         w = w.option("parquet.enable.dictionary", "false")
-    w.parquet(uri)
+    from pg_parquet_spark.sources import fs as pgfs
+
+    w.parquet(pgfs.spark_uri(uri))
 
 
 #: 4-state Hilbert automaton over MSB-first (x_bit, y_bit) quads,
@@ -1152,6 +1319,10 @@ def write_hilbert(
         raise ValueError("write_hilbert supports exactly 2 columns")
     from pyspark.sql import functions as F
 
+    from pg_parquet_spark.sources import fs as pgfs
+
+    _reject_reserved_columns(df, ["_hilbert", "_hb0", "_hb1"])
+
     boundary_lists = df.approxQuantile(
         order_by, [i / (1 << bits) for i in range(1, 1 << bits)], 0.001
     )
@@ -1170,5 +1341,5 @@ def write_hilbert(
         .drop("_hilbert", "_hb0", "_hb1")
         .write.mode(mode)
         .option("compression", compression)
-        .parquet(uri)
+        .parquet(pgfs.spark_uri(uri))
     )

@@ -402,12 +402,25 @@ def versioned_batch_writer(path: str, partition_by: list[str] | None = None):
                 )
             manifest = {"version": 0, "format": "batches", "batches": {}}
         if manifest.get("format") != "batches":
-            raise ValueError(
-                f"{base} holds a snapshot-form versioned dataset; the "
-                "streaming sink appends batch dirs — point it at its own "
-                "root (compact converts batches -> snapshot, not back)"
-            )
-        if str(batch_id) in manifest["batches"]:
+            # the documented lifecycle: compact_dataset collapses the
+            # batch dirs into snapshot form, and ingestion CONTINUES by
+            # opening a new batches epoch whose base embeds that
+            # snapshot (review r8 — refusing here broke the sink after
+            # its own recommended maintenance). The snapshot's
+            # max_batch_id carries the replay horizon across the form
+            # flip, so a checkpoint replay of an already-collapsed
+            # batch cannot re-add its rows.
+            manifest = {
+                "version": manifest["version"],
+                "format": "batches",
+                "batches": {},
+                "base_manifest": manifest,
+                "max_batch_id": manifest.get("max_batch_id", -1),
+            }
+        if (
+            str(batch_id) in manifest["batches"]
+            or batch_id <= manifest.get("max_batch_id", -1)
+        ):
             return  # replay: already published — exactly once by manifest
         if batch_df.isEmpty():
             # an empty micro-batch (no-data trigger) would land a dir
@@ -426,6 +439,8 @@ def versioned_batch_writer(path: str, partition_by: list[str] | None = None):
                 "version": new_version,
                 "format": "batches",
                 "batches": {**manifest["batches"], str(batch_id): bdir},
+                "base_manifest": manifest.get("base_manifest"),
+                "max_batch_id": manifest.get("max_batch_id", -1),
             },
         )
         # a long-running sink publishes one manifest per batch; roll the

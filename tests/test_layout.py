@@ -899,17 +899,28 @@ def test_inplace_partitioned_publish_never_loses_base_rows(spark, tmp_path):
     assert back.filter("k = 3").select("val").collect()[0][0] == 999
     assert not pgfs.exists(root + "__old")
 
-    # And the crash-after-move-in state (staged dir already live, aside
-    # copy left behind): recovery drops the stale aside, keeps the new.
-    pgfs.move_dir(root + "/p=b", root + "__old/p=b")
-    pgfs.move_dir(root + "__old/p=b", root + "/p=b")  # b is live again
-    pgfs.delete_dir(root + "__old")
-    spark.range(1).selectExpr("99 AS k", "1 AS val").write.mode(
-        "overwrite"
-    ).parquet(root + "__old/p=b")
+    # And the crash-after-move-in state: in the marker protocol that
+    # point carries BOTH per-partition markers (aside complete, staged
+    # move-in complete, only the cleanup crashed) — recovery rolls
+    # forward, dropping the stale aside and keeping the new data.
+    spark.range(1).selectExpr(
+        "CAST(99 AS LONG) AS k", "CAST(1 AS LONG) AS val"
+    ).write.mode("overwrite").parquet(root + "__old/p=b")
+    pgfs.write_bytes_atomic(root + "__old/p=b.aside_done", b"1")
+    pgfs.write_bytes_atomic(root + "__old/p=b.committed", b"1")
     layout._recover_inplace(root)
     assert not pgfs.exists(root + "__old")
     assert spark.read.parquet(root).count() == 40
+
+    # Whereas the SAME aside content with NO markers means the aside
+    # move itself crashed partway — its files are the only copy and
+    # recovery merges them back instead of deleting them.
+    spark.range(1).selectExpr(
+        "CAST(777 AS LONG) AS k", "CAST(7 AS LONG) AS val"
+    ).write.parquet(root + "__old/p=a")
+    layout._recover_inplace(root)
+    assert not pgfs.exists(root + "__old")
+    assert spark.read.parquet(root).filter("k = 777").count() == 1
 
 
 def test_versioned_time_travel_and_retention(spark, tmp_path):
@@ -1426,3 +1437,43 @@ def test_read_parquet_time_travel_and_describe(spark, tmp_path):
     spark.range(5).write.parquet(plain)
     with _pytest.raises(ValueError, match="no _CURRENT pointer"):
         read_parquet(spark, plain, version=1)
+
+
+def test_versioned_sink_continues_after_compaction(spark, tmp_path):
+    """r8 review: compaction flips the sink to snapshot form and
+    ingestion CONTINUES in a new batches epoch on top of it; the
+    replay horizon (max_batch_id) survives the form flip, so a
+    checkpoint replay of an already-collapsed batch is a no-op."""
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import versioned_batch_writer
+
+    path = str(tmp_path / "vsink5")
+    events = table(spark, SF, "events").select("event_id", "event_type", "value")
+    write = versioned_batch_writer(path, ["event_type"])
+    write(events.filter("event_id % 3 = 0"), 0)
+    write(events.filter("event_id % 3 = 1"), 1)
+    n_before = read_parquet(spark, path).count()
+
+    layout.compact_dataset(spark, path, partition_by=["event_type"])
+    assert layout.read_manifest(path).get("max_batch_id") == 1
+    assert read_parquet(spark, path).count() == n_before
+
+    # ingestion continues: a new epoch whose base is the snapshot
+    write(events.filter("event_id % 3 = 2"), 2)
+    man = layout.read_manifest(path)
+    assert man["format"] == "batches" and man["base_manifest"] is not None
+    assert read_parquet(spark, path).count() == events.count()
+
+    # replays across the epoch boundary are no-ops
+    v = layout.read_manifest(path)["version"]
+    write(events.filter("event_id % 3 = 0"), 0)  # collapsed into the base
+    write(events.filter("event_id % 3 = 2"), 2)  # in the current epoch
+    assert layout.read_manifest(path)["version"] == v
+    assert read_parquet(spark, path).count() == events.count()
+
+    # and a SECOND compaction collapses the epoch again
+    layout.compact_dataset(spark, path, partition_by=["event_type"])
+    man2 = layout.read_manifest(path)
+    assert man2.get("format") != "batches"
+    assert man2.get("max_batch_id") == 2
+    assert read_parquet(spark, path).count() == events.count()
