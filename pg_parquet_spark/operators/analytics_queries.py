@@ -257,8 +257,12 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per market segment over account
     balance (the remaining distribution window functions; rank/ntile/
     frames are separate gates). Both are exact rationals of rank and
-    count — rounded to 6 decimals to absorb IEEE division placement,
-    tie-broken on the key column."""
+    count, quantized via floor(x*1e6 + 0.5) rather than ROUND: an
+    integer ratio CAN terminate exactly at a half (1/640 = .0015625),
+    where ROUND on a double is engine-divergent (the q_scalar_math
+    lesson, r8) — the floor form is a fixed IEEE sequence both engines
+    compute identically at every input, ties included. Tie-broken on
+    the key column."""
     from pyspark.sql import Window
 
     cust = table(spark, sf_dir, "customer")
@@ -269,8 +273,10 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select(
             "c_mktsegment",
             "c_custkey",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            (F.floor(F.percent_rank().over(w) * 1e6 + F.lit(0.5)) / 1e6)
+            .alias("pct_rank"),
+            (F.floor(F.cume_dist().over(w) * 1e6 + F.lit(0.5)) / 1e6)
+            .alias("cume"),
         )
         .filter(F.col("c_custkey") < 300)
         .orderBy("c_mktsegment", "c_custkey")
@@ -279,10 +285,12 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_WINDOW_PERCENT_RANK_ORACLE = """
 SELECT c_mktsegment, c_custkey,
-       ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
-                                  ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
-       ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
-                               ORDER BY c_acctbal, c_custkey), 6) AS cume
+       FLOOR(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) * 1e6 + 0.5)
+         / 1e6 AS pct_rank,
+       FLOOR(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) * 1e6 + 0.5)
+         / 1e6 AS cume
 FROM customer QUALIFY c_custkey < 300 ORDER BY c_mktsegment, c_custkey
 """
 
@@ -859,7 +867,11 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         "cnt",
-        F.round(F.col("cnt") / F.sum("cnt").over(margin), 6).alias("prob"),
+        # floor-quantized, not ROUND: an integer count ratio can land
+        # exactly on a half (1/640), where double ROUND diverges between
+        # engines — floor(x*1e6+0.5) is engine-exact at every input
+        (F.floor(F.col("cnt") / F.sum("cnt").over(margin) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("prob"),
     ).orderBy("event_type", "next_type")
 
 
@@ -874,7 +886,8 @@ WITH seq AS (
   FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, next_type, cnt,
-       ROUND(cnt / SUM(cnt) OVER (PARTITION BY event_type), 6) AS prob
+       FLOOR(cnt / SUM(cnt) OVER (PARTITION BY event_type) * 1e6 + 0.5)
+         / 1e6 AS prob
 FROM counts ORDER BY event_type, next_type
 """
 
