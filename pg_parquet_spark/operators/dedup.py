@@ -78,13 +78,17 @@ def build_fingerprint_index(
     from pg_parquet_spark.sources import layout
 
     uri = uri.rstrip("/")
-    pgfs.delete_dir(uri)
+    manifest = layout.read_manifest(uri)
     index = (
         df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("owner_id"))
     )
-    n = 1
+    # a REBUILD publishes a new snapshot and flips the pointer — the
+    # previous index survives any failed write (review r8: the old
+    # delete-then-write lost the index on a crashed rebuild, and
+    # re-deriving it at 100 TB means re-scanning the corpus)
+    n = layout._next_version(uri, manifest)
     index.write.parquet(pgfs.spark_uri(f"{uri}/_v{n}"))
     layout._publish_manifest(
         uri,
@@ -96,6 +100,7 @@ def build_fingerprint_index(
             "path": f"_v{n}",
         },
     )
+    layout.vacuum_dataset(uri, keep_history=2)
 
 
 def dedup_incremental(
@@ -104,7 +109,7 @@ def dedup_incremental(
     index_uri: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    update_index: bool = True,
+    update_index: bool = False,
 ) -> DataFrame:
     """Incremental ingestion dedup: flag each NEW document against the
     persisted fingerprint index — the 100 TB shape where re-deduping
@@ -116,10 +121,14 @@ def dedup_incremental(
     (the fingerprint already exists in the index) and ``keep`` (not
     known AND the smallest id within the batch for that fingerprint —
     so a batch-internal duplicate is also dropped, deterministically).
-    With ``update_index`` the kept rows' fingerprints MERGE into the
-    index through the versioned publish — crash-safe, and a re-run of
-    the same batch converges (the rows it would add are the rows it
-    already added).
+    COMMIT ORDER (review r8): persist the kept rows to the corpus
+    FIRST, then commit their fingerprints with ``commit_fingerprints``
+    — a crash in between then re-ingests the batch (duplicates resolved
+    by the next pass; at-least-once, the safe direction), whereas
+    committing the index first would mark documents known that were
+    never written (lost forever). ``update_index=True`` collapses the
+    two steps for callers whose sink is idempotent per batch (e.g. the
+    versioned streaming sink) or who accept the narrower window.
 
     Scale shape: one shuffle of the BATCH on its 16-byte fingerprints
     (batch-internal min), one equi join against the index on the same
@@ -137,6 +146,10 @@ def dedup_incremental(
     )
     fp = new_docs.withColumn("fingerprint", fingerprint(F.col(text_col)))
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    # persisted: the window+index-join lineage feeds the caller's corpus
+    # write AND the fingerprint commit — without the cache it recomputes
+    # per action (review r8). Batch-sized, so the cache is bounded; the
+    # caller may unpersist once both steps are done.
     flagged = (
         fp.withColumn("_rk", F.row_number().over(w))
         .join(index, "fingerprint", "left")
@@ -148,17 +161,32 @@ def dedup_incremental(
                 ~F.coalesce("_known", F.lit(False)) & (F.col("_rk") == 1)
             ).alias("keep"),
         )
+        .persist()
     )
     if update_index:
-        additions = (
-            flagged.filter("keep")
-            .select("fingerprint", F.col(id_col).alias("owner_id"))
-        )
-        if not additions.isEmpty():  # all-known batch: nothing to publish
-            layout.merge_upsert(
-                spark, index_uri, additions, ["fingerprint"], versioned=True
-            )
+        commit_fingerprints(spark, flagged, index_uri, id_col=id_col)
     return flagged
+
+
+def commit_fingerprints(
+    spark, flagged: DataFrame, index_uri: str, id_col: str = "doc_id"
+) -> None:
+    """Second half of the incremental-dedup handshake: MERGE the kept
+    rows' fingerprints into the index through the versioned publish.
+    Call AFTER the kept rows are durably written to the corpus (see
+    dedup_incremental's commit-order note). A replayed commit converges
+    — the fingerprints it would add are already there. An all-known
+    batch publishes nothing."""
+    from pg_parquet_spark.sources import layout
+
+    additions = flagged.filter("keep").select(
+        "fingerprint", F.col(id_col).alias("owner_id")
+    )
+    if not additions.isEmpty():
+        layout.merge_upsert(
+            spark, index_uri.rstrip("/"), additions, ["fingerprint"], versioned=True
+        )
+    return
 
 
 def dedup_normalized(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -383,8 +383,6 @@ def read_versioned(spark, root_uri: str, version: int | None = None) -> DataFram
     stand-in."""
     from functools import reduce
 
-    from pyspark.sql import functions as F
-
     from pg_parquet_spark.sources import fs as pgfs
 
     root_uri = root_uri.rstrip("/")
@@ -592,8 +590,12 @@ def _inplace_swap_whole(base_uri: str, staging: str) -> None:
     pgfs.move_dir(staging, base_uri)
     pgfs.write_bytes_atomic(committed, b"1")
     pgfs.delete_dir(old)
-    pgfs.delete_file(committed)
+    # marker removal order matters (review r8): aside_done FIRST, so a
+    # crash between the two deletes leaves (committed only) — a
+    # roll-forward state — never (aside_done only, aside gone), whose
+    # roll-back would delete the published base with nothing to restore
     pgfs.delete_file(aside_done)
+    pgfs.delete_file(committed)
 
 
 def _recover_inplace(base_uri: str) -> None:
@@ -611,14 +613,17 @@ def _recover_inplace(base_uri: str) -> None:
     if pgfs.exists(committed):
         # whole swap fully published; only the cleanup crashed
         pgfs.delete_dir(old)
+        pgfs.delete_file(aside_done)  # before committed — see swap cleanup
         pgfs.delete_file(committed)
-        pgfs.delete_file(aside_done)
         return
     if pgfs.exists(aside_done):
         # whole swap crashed mid move-in: base holds only partial staged
-        # output — roll back to the parked original
-        pgfs.delete_dir(base_uri)
+        # output — roll back to the parked original. Never delete the
+        # base without a restore source (review r8: recovery itself can
+        # crash after the restore but before the marker delete; a second
+        # pass must not destroy the restored original)
         if pgfs.exists(old):
+            pgfs.delete_dir(base_uri)
             pgfs.move_dir(old, base_uri)
         pgfs.delete_file(aside_done)
         return
@@ -924,6 +929,13 @@ def merge_upsert(
                     pgfs.write_bytes_atomic(f"{old}/{name}.aside_done", b"1")
                 pgfs.move_dir(child, target)
                 pgfs.write_bytes_atomic(f"{old}/{name}.committed", b"1")
+            # cleanup order (review r8): parked DIRS first, marker files
+            # second — a crash mid-cleanup then leaves markers without
+            # dirs (recovery skips them) instead of a stale dir whose
+            # .committed vanished first (recovery would revert it)
+            for _child, _is_dir in pgfs.list_dir(old):
+                if _is_dir:
+                    pgfs.delete_dir(_child)
             pgfs.delete_dir(old)
             pgfs.delete_dir(staging)
             return

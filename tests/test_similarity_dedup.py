@@ -511,6 +511,7 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
     same batch converges)."""
     from pg_parquet_spark.operators.dedup import (
         build_fingerprint_index,
+        commit_fingerprints,
         dedup_incremental,
     )
     from pg_parquet_spark.sources import layout
@@ -532,10 +533,11 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
         ],
         "doc_id long, text string",
     )
-    got = {
-        r.doc_id: (r.known_in_corpus, r.keep)
-        for r in dedup_incremental(spark, batch, idx).collect()
-    }
+    flagged = dedup_incremental(spark, batch, idx)
+    got = {r.doc_id: (r.known_in_corpus, r.keep) for r in flagged.collect()}
+    # two-step handshake: the caller persists kept rows, THEN commits
+    commit_fingerprints(spark, flagged, idx)
+    flagged.unpersist()
     assert got[10] == (True, False)
     assert got[11] == (False, True)
     assert got[12] == (False, False)  # batch-internal dup dropped
@@ -545,10 +547,9 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
 
     # re-running the SAME batch converges: everything now known, index
     # unchanged
-    got2 = {
-        r.doc_id: (r.known_in_corpus, r.keep)
-        for r in dedup_incremental(spark, batch, idx).collect()
-    }
+    flagged2 = dedup_incremental(spark, batch, idx, update_index=True)
+    got2 = {r.doc_id: (r.known_in_corpus, r.keep) for r in flagged2.collect()}
+    flagged2.unpersist()
     assert all(k for k, _ in got2.values())
     assert not any(keep for _, keep in got2.values())
     assert layout.read_versioned(spark, idx).count() == 4
