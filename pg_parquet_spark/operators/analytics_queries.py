@@ -808,7 +808,11 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2d = F.col("s2").cast("double")
     mean = s1d / nd
     var = (s2d - s1d * s1d / nd) / (nd - F.lit(1.0))
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # degenerate groups (constant value or n=1) have var <= 0 (or NULL
+    # from the n-1 zero divisor): Spark's Divide NULLs on a zero divisor
+    # while DuckDB's IEEE doubles yield inf/nan, so gate on var > 0 —
+    # the SAME double on both engines — and emit NULL (ADVICE r8)
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var))
     return (
         j.select(
             "event_id",
@@ -828,14 +832,21 @@ WITH stats AS (
          SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
            AS s2
   FROM events GROUP BY event_type
+), moments AS (
+  SELECT event_type,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         (CAST(s2 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0) AS var
+  FROM stats
 ), scored AS (
+  -- var > 0 gates degenerate groups identically to the engine: the var
+  -- double is the same IEEE sequence both sides, and NULL/inf/nan paths
+  -- never reach the sqrt (ADVICE r8)
   SELECT e.event_id, e.event_type, e.value,
-         ROUND((e.value - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
-               sqrt((CAST(s2 AS DOUBLE)
-                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                       / CAST(n AS DOUBLE))
-                    / (CAST(n AS DOUBLE) - 1.0)), 6) AS zscore
-  FROM events e JOIN stats USING (event_type)
+         CASE WHEN var > 0
+              THEN ROUND((e.value - mean) / sqrt(var), 6) END AS zscore
+  FROM events e JOIN moments USING (event_type)
 )
 SELECT event_id, event_type, value, zscore
 FROM scored WHERE abs(zscore) > 3 ORDER BY event_id

@@ -43,7 +43,13 @@ TABLES = (
 #: GUC-equivalent kill switch (reference: pg_parquet.enable_copy_hooks,
 #: src/lib.rs:40-61). When false, read_parquet/write_parquet refuse the
 #: parquet fast path, mirroring the hook being disabled.
-_ENGINE_FLAGS = {"enable_copy_hooks": True}
+#: snapshot_keep_history: engine-level retention window for versioned
+#: datasets (layout.py) — the newest N manifests + their snapshots
+#: survive every maintenance vacuum. It is BOTH the time-travel depth
+#: and the in-flight-reader grace period ("readers must finish within N
+#: maintenance cycles"); raise it session-wide for long-running readers,
+#: or per-op via the maintenance functions' keep_history= override.
+_ENGINE_FLAGS = {"enable_copy_hooks": True, "snapshot_keep_history": 2}
 
 
 def set_copy_hooks_enabled(enabled: bool) -> None:
@@ -52,6 +58,20 @@ def set_copy_hooks_enabled(enabled: bool) -> None:
 
 def copy_hooks_enabled() -> bool:
     return _ENGINE_FLAGS["enable_copy_hooks"]
+
+
+def set_snapshot_keep_history(n: int) -> None:
+    """Session-level default retention for versioned-dataset maintenance
+    (vacuum at entry of merge_upsert / compact_dataset /
+    compact_partitions and standalone vacuum_dataset). Minimum 1 (the
+    current version is always retained)."""
+    if int(n) < 1:
+        raise ValueError("snapshot_keep_history must be >= 1")
+    _ENGINE_FLAGS["snapshot_keep_history"] = int(n)
+
+
+def snapshot_keep_history() -> int:
+    return _ENGINE_FLAGS["snapshot_keep_history"]
 
 
 def session_builder(app_name: str = "pg_parquet_spark") -> SparkSession.Builder:

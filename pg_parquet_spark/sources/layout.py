@@ -255,8 +255,10 @@ def write_zordered(
 # so the copy-on-write granularity stays per-partition. Each publish
 # also lands its manifest in the `_manifest-<n>.json` history, giving
 # TIME TRAVEL to retained snapshots; maintenance ops vacuum at entry
-# with keep_history=2, which is both the in-flight-reader grace period
-# and the default travel window. Publishes run an optimistic
+# with the session setting `snapshot_keep_history` (default 2, per-op
+# `keep_history=` override), which is both the in-flight-reader grace
+# period and the travel window — the reader SLA is "finish within
+# keep_history maintenance cycles". Publishes run an optimistic
 # lost-update check just before the flip; single-writer remains the
 # deployment contract — the same one Delta on S3 has without a lock
 # service.
@@ -431,6 +433,28 @@ def _carry_max_batch_id(prev_manifest: dict | None) -> int:
     return mb
 
 
+def _carry_writer_id(prev_manifest: dict | None) -> str | None:
+    """Streaming writer epoch id (derived from the sink's checkpoint) —
+    carried through every maintenance publish for the same reason as
+    ``max_batch_id``: the replay horizon is only meaningful within ONE
+    checkpoint's id space, so the sink must still be able to detect a
+    checkpoint swap after a compaction collapsed the batch list
+    (ADVICE r8: a fresh checkpoint restarts ids at 0 and every new
+    batch would be silently discarded as a replay)."""
+    return prev_manifest.get("writer_id") if prev_manifest else None
+
+
+def _resolve_keep_history(keep_history: int | None) -> int:
+    """Per-op override or the engine-level session default (README
+    'Maintenance & retention': the window is both the time-travel depth
+    and the in-flight-reader grace period)."""
+    if keep_history is not None:
+        return keep_history
+    from pg_parquet_spark.session import snapshot_keep_history
+
+    return snapshot_keep_history()
+
+
 def _resolve_snapshot(spark, root_uri: str, manifest: dict) -> DataFrame:
     """DataFrame for a snapshot-form (flat or partitioned) manifest —
     shared by the direct resolve and a batches epoch's base."""
@@ -466,7 +490,7 @@ def _manifest_refs(manifest: dict) -> set[str]:
     return set(manifest["partitions"].values())
 
 
-def vacuum_dataset(root_uri: str, keep_history: int = 1) -> None:
+def vacuum_dataset(root_uri: str, keep_history: int | None = None) -> None:
     """Delete snapshot data the retained manifests no longer reference:
     whole unreferenced ``_v*`` dirs, unreferenced partition subdirs of
     partially-referenced ones, legacy pre-versioning children, dropped
@@ -476,18 +500,20 @@ def vacuum_dataset(root_uri: str, keep_history: int = 1) -> None:
     ``keep_history`` is the TIME-TRAVEL retention window: the newest N
     manifests (current included) and every snapshot they reference
     survive, so ``read_versioned(..., version=k)`` works for any
-    retained k. The maintenance ops vacuum at entry with
-    ``keep_history=2``, which doubles as the in-flight-reader grace
-    period: the snapshot a reader resolved before the op started is
-    never deleted out from under it by that op. Single-writer
-    assumed."""
+    retained k. ``None`` (the default) resolves to the ENGINE SETTING
+    ``session.snapshot_keep_history()`` (default 2) — the maintenance
+    ops vacuum at entry with the same resolution, so the window doubles
+    as the in-flight-reader grace period: a reader that resolved a
+    snapshot must finish within ``keep_history`` maintenance cycles or
+    its version can be deleted mid-read (the reader SLA; raise the
+    session default for long-running readers). Single-writer assumed."""
     from pg_parquet_spark.sources import fs as pgfs
 
     root_uri = root_uri.rstrip("/")
     manifest = read_manifest(root_uri)
     if manifest is None:
         return
-    keep_history = max(1, keep_history)
+    keep_history = max(1, _resolve_keep_history(keep_history))
     history = _retained_manifest_versions(root_uri)
     kept_versions = {
         v for v in sorted(history, reverse=True)[:keep_history]
@@ -672,6 +698,7 @@ def merge_upsert(
     partition_col: str | None = None,
     check_partition_stability: bool = False,
     versioned: bool | None = None,
+    keep_history: int | None = None,
 ) -> None:
     """SCD-1 MERGE into a plain-parquet dataset (the Delta-Lake
     ``MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`` primitive,
@@ -752,7 +779,7 @@ def merge_upsert(
             _recover_inplace(base_uri)
         # grace-period + time-travel retention: the previous snapshot and
         # its manifest survive this op
-        vacuum_dataset(base_uri, keep_history=2)
+        vacuum_dataset(base_uri, keep_history=keep_history)
         expected_version = manifest["version"] if manifest else 0
         base = (
             read_versioned(spark, base_uri)
@@ -838,7 +865,8 @@ def merge_upsert(
                 # migration: a NULL-partition dir cannot be carried (its
                 # sentinel dirname would round-trip as a literal value and
                 # corrupt the rows — review r8); refuse up front
-                for child, value in _hive_partition_dirs(base_uri, partition_col):
+                hive_dirs = _hive_partition_dirs(base_uri, partition_col)
+                for child, value in hive_dirs:
                     if value == "__HIVE_DEFAULT_PARTITION__":
                         raise ValueError(
                             f"{base_uri} contains a NULL-partition directory "
@@ -847,6 +875,32 @@ def merge_upsert(
                             "partition values — repartition NULLs to a default "
                             "value before migrating"
                         )
+                # migration builds the version-0 partition map SOLELY from
+                # hive 'col=' dirs: data stored outside them (in-file
+                # partition column, or loose root files) would never enter
+                # the manifest and the next vacuum would DELETE it as
+                # unreferenced — refuse instead of silently losing data
+                # (ADVICE r8)
+                loose = [
+                    c
+                    for c, is_dir in pgfs.list_dir(base_uri)
+                    if not is_dir
+                    and not c.rstrip("/")
+                    .rsplit("/", 1)[1]
+                    .startswith(("_", "."))
+                ]
+                if loose or not hive_dirs:
+                    raise ValueError(
+                        f"{base_uri} is not hive-partitioned on "
+                        f"{partition_col!r} ({len(hive_dirs)} "
+                        f"'{partition_col}=' dirs, {len(loose)} loose data "
+                        "files at the root); the versioned partitioned "
+                        "migration carries existing partition DIRECTORIES "
+                        "into the manifest, so other layouts would lose "
+                        "data at the next vacuum — rewrite first with "
+                        f"compact_dataset(partition_by=[{partition_col!r}], "
+                        "versioned=True), or merge with partition_col=None"
+                    )
             if check_partition_stability:
                 moved = (
                     base.filter(
@@ -903,6 +957,7 @@ def merge_upsert(
                         "partition_dtype": dtype,
                         "partitions": partitions,
                         "max_batch_id": _carry_max_batch_id(manifest),
+                        "writer_id": _carry_writer_id(manifest),
                     },
                 )
                 return
@@ -959,6 +1014,7 @@ def merge_upsert(
                     "partitions": None,
                     "path": vdir,
                     "max_batch_id": _carry_max_batch_id(manifest),
+                    "writer_id": _carry_writer_id(manifest),
                 },
             )
             return
@@ -977,6 +1033,7 @@ def compact_dataset(
     cluster_by: list[str] | None = None,
     cluster_bits: int = 8,
     versioned: bool | None = None,
+    keep_history: int | None = None,
 ) -> int:
     """Small-files compaction: rewrite a parquet dataset into
     ceil(total_bytes / target_file_bytes) files (the OPTIMIZE /
@@ -1020,10 +1077,17 @@ def compact_dataset(
             f"{uri} is a versioned dataset (has {_CURRENT}); "
             "an in-place compaction would bypass the pointer"
         )
+    if versioned and partition_by and len(partition_by) != 1:
+        # validate BEFORE the snapshot write (ADVICE r8): failing after
+        # it discards the whole rewrite and orphans a _v dir
+        raise ValueError(
+            "versioned compaction supports a single partition "
+            "column (the manifest maps one value per directory)"
+        )
     if versioned:
         if manifest is None:
             _recover_inplace(uri)  # crashed legacy publish before migration
-        vacuum_dataset(uri, keep_history=2)
+        vacuum_dataset(uri, keep_history=keep_history)
         expected_version = manifest["version"] if manifest else 0
         if manifest is not None:
             refs = _manifest_refs(manifest)
@@ -1042,6 +1106,22 @@ def compact_dataset(
         _recover_inplace(uri)
         total = sum(sz for _u, sz in pgfs.tree_files(uri, suffix=".parquet"))
         df = spark.read.parquet(pgfs.spark_uri(uri))
+    if versioned and partition_by:
+        # NULL partition values would land in the __HIVE_DEFAULT_PARTITION__
+        # sentinel dir, the manifest would store the sentinel STRING as the
+        # partition value, and _resolve_snapshot would re-attach it as a
+        # literal — silent corruption for string dtypes (ADVICE r8).
+        # Checked BEFORE the snapshot write; the probe is a column-pruned
+        # limit-1 scan and parquet null-counts let row groups skip.
+        from pyspark.sql import functions as F
+
+        if df.filter(F.col(partition_by[0]).isNull()).limit(1).count():
+            raise ValueError(
+                f"dataset contains NULL {partition_by[0]!r} values; the "
+                "versioned partitioned protocol requires concrete partition "
+                "values — map NULLs to a default value before compacting "
+                "with partition_by"
+            )
     n = max(1, math.ceil(total / target_file_bytes))
     staging = uri + "__compact"
     pgfs.delete_dir(staging)
@@ -1073,11 +1153,6 @@ def compact_dataset(
             pgfs.spark_uri(f"{uri}/{vdir}")
         )
         if partition_by:
-            if len(partition_by) != 1:
-                raise ValueError(
-                    "versioned compaction supports a single partition "
-                    "column (the manifest maps one value per directory)"
-                )
             pcol = partition_by[0]
             partitions = {
                 value: f"{vdir}/" + child.rstrip("/").rsplit("/", 1)[1]
@@ -1094,6 +1169,7 @@ def compact_dataset(
                     "partition_dtype": df.schema[pcol].dataType.simpleString(),
                     "partitions": partitions,
                     "max_batch_id": _carry_max_batch_id(manifest),
+                    "writer_id": _carry_writer_id(manifest),
                 },
             )
         else:
@@ -1107,6 +1183,7 @@ def compact_dataset(
                     "partitions": None,
                     "path": vdir,
                     "max_batch_id": _carry_max_batch_id(manifest),
+                    "writer_id": _carry_writer_id(manifest),
                 },
             )
         return n
@@ -1162,6 +1239,7 @@ def compact_partitions(
     max_files: int = 8,
     target_file_bytes: int = 128 * 1024 * 1024,
     compression: str = "snappy",
+    keep_history: int | None = None,
 ) -> list[str]:
     """Incremental per-partition compaction of a versioned partitioned
     snapshot — the 100 TB shape ``compact_dataset``'s docstring promises:
@@ -1192,7 +1270,7 @@ def compact_partitions(
             "compact_dataset (it converts flat/legacy/batches datasets "
             "and can partition the rewrite)"
         )
-    vacuum_dataset(uri, keep_history=2)
+    vacuum_dataset(uri, keep_history=keep_history)
     expected = manifest["version"]
     drifted: dict[str, tuple[str, int]] = {}
     for val, rel in manifest["partitions"].items():
@@ -1225,6 +1303,7 @@ def compact_partitions(
             "partition_dtype": manifest["partition_dtype"],
             "partitions": partitions,
             "max_batch_id": _carry_max_batch_id(manifest),
+            "writer_id": _carry_writer_id(manifest),
         },
     )
     return sorted(drifted)

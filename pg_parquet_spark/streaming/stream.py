@@ -347,7 +347,11 @@ def drain_to_partitioned_parquet(
         )
 
 
-def versioned_batch_writer(path: str, partition_by: list[str] | None = None):
+def versioned_batch_writer(
+    path: str,
+    partition_by: list[str] | None = None,
+    writer_id: str | None = None,
+):
     """``foreachBatch`` body publishing each micro-batch through the
     layout tier's manifest pointer (r8) — the strongest delivery tier
     the sink family offers:
@@ -373,6 +377,15 @@ def versioned_batch_writer(path: str, partition_by: list[str] | None = None):
     form, the standard streaming-ingestion lifecycle (this is the
     plain-parquet rendition of Delta's transaction-log sink).
     Single writer per sink is Spark's own streaming-query guarantee.
+
+    ``writer_id`` is the Delta-txnAppId-style EPOCH GUARD (ADVICE r8):
+    batch ids are only meaningful within one checkpoint's id space, so
+    the manifest records which checkpoint published it and a batch
+    arriving from a DIFFERENT one raises instead of being silently
+    discarded as a "replay" (a fresh checkpoint restarts ids at 0,
+    below the sink's replay horizon). ``drain_to_versioned_parquet``
+    derives it from the checkpoint location; ``None`` skips the guard
+    (pre-r9 behavior) and leaves any recorded epoch untouched.
     """
     from pg_parquet_spark.sources import fs as pgfs
     from pg_parquet_spark.sources import layout
@@ -401,6 +414,25 @@ def versioned_batch_writer(path: str, partition_by: list[str] | None = None):
                     "elsewhere"
                 )
             manifest = {"version": 0, "format": "batches", "batches": {}}
+        known_writer = manifest.get("writer_id")
+        if (
+            writer_id is not None
+            and known_writer is not None
+            and known_writer != writer_id
+        ):
+            raise ValueError(
+                f"checkpoint/manifest epoch mismatch at {base}: the sink "
+                f"was published under writer epoch {known_writer!r} but "
+                f"this stream runs under {writer_id!r} — a different "
+                "checkpoint restarts batch ids at 0, and its batches "
+                "would be silently discarded as replays of the previous "
+                "epoch. Reuse the original checkpoint (the default "
+                "checkpoint is derived from the sink path, so "
+                "default-checkpoint drains share it), or drain to a new "
+                "root. If the original checkpoint is unrecoverable, "
+                "replay protection is impossible: re-publish the data "
+                "under a fresh root instead of forcing the epoch."
+            )
         if manifest.get("format") != "batches":
             # the documented lifecycle: compact_dataset collapses the
             # batch dirs into snapshot form, and ingestion CONTINUES by
@@ -416,6 +448,7 @@ def versioned_batch_writer(path: str, partition_by: list[str] | None = None):
                 "batches": {},
                 "base_manifest": manifest,
                 "max_batch_id": manifest.get("max_batch_id", -1),
+                "writer_id": known_writer,
             }
         if (
             str(batch_id) in manifest["batches"]
@@ -441,6 +474,7 @@ def versioned_batch_writer(path: str, partition_by: list[str] | None = None):
                 "batches": {**manifest["batches"], str(batch_id): bdir},
                 "base_manifest": manifest.get("base_manifest"),
                 "max_batch_id": manifest.get("max_batch_id", -1),
+                "writer_id": writer_id if writer_id is not None else known_writer,
             },
         )
         # a long-running sink publishes one manifest per batch; roll the
@@ -462,13 +496,30 @@ def drain_to_versioned_parquet(
 ) -> None:
     """Streaming → manifest-versioned parquet sink: every micro-batch
     publishes atomically via ``versioned_batch_writer`` (see its
-    docstring for the delivery contract vs the file-level tier)."""
-    name = f"pgpq_vsink_{uuid.uuid4().hex[:8]}"
+    docstring for the delivery contract vs the file-level tier).
+
+    The default checkpoint is DERIVED FROM THE SINK PATH (ADVICE r8): a
+    second drain to the same sink resumes the same checkpoint, so batch
+    ids keep advancing instead of restarting at 0 and being discarded
+    as replays. The checkpoint's identity is also stamped into the
+    manifest as the writer epoch — a drain under a different checkpoint
+    raises loudly (see ``versioned_batch_writer``)."""
+    import hashlib
+
+    base = path.rstrip("/")
     ckpt = checkpoint or os.path.join(
-        tempfile.gettempdir(), f"pgpq_ckpt_{name}"
+        tempfile.gettempdir(),
+        "pgpq_vsink_ckpt_"
+        + hashlib.sha256(base.encode("utf-8")).hexdigest()[:16],
     )
+    # hash the checkpoint string as given (no normalization: it may be an
+    # object-store URI); a same-checkpoint-spelled-differently mismatch
+    # fails LOUD with remediation, never silently
+    writer_id = hashlib.sha256(ckpt.encode("utf-8")).hexdigest()[:16]
     q = (
-        sdf.writeStream.foreachBatch(versioned_batch_writer(path, partition_by))
+        sdf.writeStream.foreachBatch(
+            versioned_batch_writer(path, partition_by, writer_id=writer_id)
+        )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

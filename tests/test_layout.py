@@ -830,7 +830,7 @@ def test_versioned_vacuum_reclaims_unreferenced_snapshots(spark, tmp_path):
         layout.merge_upsert(
             spark, root, upd, ["k"], partition_col="p", versioned=True
         )
-    layout.vacuum_dataset(root)
+    layout.vacuum_dataset(root, keep_history=1)
     names = {
         c.rstrip("/").rsplit("/", 1)[1] for c, d in pgfs.list_dir(root) if d
     }
@@ -1477,3 +1477,155 @@ def test_versioned_sink_continues_after_compaction(spark, tmp_path):
     assert man2.get("format") != "batches"
     assert man2.get("max_batch_id") == 2
     assert read_parquet(spark, path).count() == events.count()
+
+
+def test_compact_validates_before_snapshot_write(spark, tmp_path):
+    """ADVICE r9: compact_dataset's versioned-partitioned validation runs
+    BEFORE the snapshot write — multi-column partition_by and NULL
+    partition values both refuse without orphaning a _v dir (the
+    discard-minutes-of-work pattern merge_upsert already hoisted)."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout
+
+    root = str(tmp_path / "cvb")
+    df = spark.range(20).selectExpr(
+        "id AS k",
+        "id * 2 AS val",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('g', id % 3) END AS p",
+    )
+    df.write.parquet(root)
+
+    with _pytest.raises(ValueError, match="single partition"):
+        layout.compact_dataset(
+            spark, root, partition_by=["p", "val"], versioned=True
+        )
+    with _pytest.raises(ValueError, match="NULL 'p' values"):
+        layout.compact_dataset(spark, root, partition_by=["p"], versioned=True)
+    # neither refusal left a snapshot dir or a pointer behind
+    names = {
+        c.rstrip("/").rsplit("/", 1)[1] for c, _d in pgfs.list_dir(root)
+    }
+    assert not any(n.startswith("_v") for n in names), names
+    assert layout.read_manifest(root) is None
+
+
+def test_versioned_migration_refuses_non_hive_layout(spark, tmp_path):
+    """ADVICE r9: partitioned versioned MIGRATION builds the version-0
+    map from hive 'col=' dirs only — a dataset storing the partition
+    column in-file (or loose root files) would silently lose every
+    unaffected row at the next vacuum, so it must refuse with the
+    compact_dataset remediation."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout, read_parquet
+
+    root = str(tmp_path / "mig")
+    df = _mk_base(spark, root, partitioned=False)  # p stored IN-FILE
+    upd = spark.createDataFrame([(3, 999, "a")], "k long, val long, p string")
+    with _pytest.raises(ValueError, match="not hive-partitioned"):
+        layout.merge_upsert(
+            spark, root, upd, ["k"], partition_col="p", versioned=True
+        )
+    # the documented remediation works end-to-end: compact first (which
+    # rewrites INTO hive layout + manifest), then partitioned merges flow
+    layout.compact_dataset(spark, root, partition_by=["p"], versioned=True)
+    layout.merge_upsert(spark, root, upd, ["k"], partition_col="p", versioned=True)
+    got = read_parquet(spark, root)
+    assert got.filter("k = 3").collect()[0].val == 999
+    assert got.count() == df.count()
+
+
+def test_sink_writer_epoch_guard(spark, tmp_path):
+    """ADVICE r9: a batch arriving under a different writer epoch
+    (checkpoint) raises instead of being silently discarded as a
+    replay; a None writer_id (direct writer use) keeps the recorded
+    epoch and the old semantics."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import versioned_batch_writer
+
+    path = str(tmp_path / "epoch")
+    events = table(spark, SF, "events").select("event_id", "event_type")
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+
+    versioned_batch_writer(path, writer_id="ck-a")(b0, 0)
+    assert layout.read_manifest(path)["writer_id"] == "ck-a"
+
+    # fresh checkpoint => ids restart at 0: must raise, not no-op
+    with _pytest.raises(ValueError, match="epoch mismatch"):
+        versioned_batch_writer(path, writer_id="ck-b")(b1, 0)
+    # same epoch continues; guard-less writer (None) also continues and
+    # PRESERVES the recorded epoch
+    versioned_batch_writer(path, writer_id="ck-a")(b1, 1)
+    versioned_batch_writer(path)(b0.limit(0), 2)  # empty => skipped
+    assert layout.read_manifest(path)["writer_id"] == "ck-a"
+    assert read_parquet(spark, path).count() == events.count()
+
+
+def test_sink_repeated_default_checkpoint_drains_append(spark, tmp_path):
+    """ADVICE r9: the default checkpoint derives from the sink path, so
+    a SECOND drain to the same sink resumes the same id space — new
+    source files land as new batches instead of being discarded as
+    batch-0 replays (the silent-data-drop the uuid-tempdir default
+    had)."""
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.streaming.stream import drain_to_versioned_parquet
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    events = table(spark, SF, "events").select("event_id", "event_type", "value")
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+
+    a.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    drain_to_versioned_parquet(sdf, sink)
+    assert read_parquet(spark, sink).count() == a.count()
+
+    b.coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(events.schema).parquet(src)
+    drain_to_versioned_parquet(sdf2, sink)
+    assert read_parquet(spark, sink).count() == events.count()
+
+
+def test_keep_history_engine_setting(spark, tmp_path):
+    """VERDICT r8 #6: keep_history is an engine setting — session-level
+    default with per-op override; a keep_history=3 dataset retains 3
+    time-travel versions across maintenance entry vacuums."""
+    import pytest as _pytest
+
+    from pg_parquet_spark import session as psession
+    from pg_parquet_spark.sources import layout
+
+    root = str(tmp_path / "kh")
+    _mk_base(spark, root)
+    psession.set_snapshot_keep_history(3)
+    try:
+        for i in range(4):
+            upd = spark.createDataFrame(
+                [(3, 100 + i, "a")], "k long, val long, p string"
+            )
+            layout.merge_upsert(
+                spark, root, upd, ["k"], partition_col="p", versioned=True
+            )
+        layout.vacuum_dataset(root)  # resolves the session default (3)
+        cur = layout.read_manifest(root)["version"]
+        assert layout._retained_manifest_versions(root) == [
+            cur - 2, cur - 1, cur,
+        ]
+        for back, want in ((0, 103), (1, 102), (2, 101)):
+            got = layout.read_versioned(spark, root, version=cur - back)
+            assert got.filter("k = 3").collect()[0].val == want
+        with _pytest.raises(ValueError, match="not retained"):
+            layout.read_versioned(spark, root, version=cur - 3)
+        # per-op override narrows the window regardless of the session
+        layout.vacuum_dataset(root, keep_history=1)
+        assert layout._retained_manifest_versions(root) == [cur]
+    finally:
+        psession.set_snapshot_keep_history(2)
+    with _pytest.raises(ValueError):
+        psession.set_snapshot_keep_history(0)
