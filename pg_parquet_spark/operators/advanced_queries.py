@@ -494,6 +494,68 @@ FROM events WHERE event_id < 100 ORDER BY event_id
 """
 
 
+def q_scalar_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection scalar functions — arrays AND maps in one gate (r9:
+    merged from q_scalar_array + q_scalar_map under the registry
+    retirement policy; both originals stay oracle-checked locally).
+    Array side runs over the real embedding column (size/max/min/
+    element_at/slice/transform); map side over the events props JSON
+    (crunchy_map → MapType, SURVEY.md A30: from_json/map_keys/
+    map_values/element_at/map_concat). One broadcast-ready equi join
+    ties the two tables; floats canonicalize as scaled integers
+    (round() is half-away-from-zero in both engines; decimal casts are
+    not)."""
+    emb = table(spark, sf_dir, "embeddings")
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    kmap = F.from_json(F.col("props"), "map<string,int>")
+    return (
+        ev.join(emb, ev.event_id == emb.vec_id)
+        .select(
+            "event_id",
+            F.size("embedding").alias("dims"),
+            F.array_max("embedding").cast("double").alias("max_component"),
+            F.array_min("embedding").cast("double").alias("min_component"),
+            F.element_at("embedding", 1).cast("double").alias("first_component"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("embedding", 1, 3),
+                    lambda x: F.round(x.cast("double") * 1e7)
+                    .cast("long")
+                    .cast("string"),
+                ),
+            ).alias("head3"),
+            F.concat_ws(",", F.map_keys(kmap)).alias("prop_keys"),
+            F.size(F.map_values(kmap)).alias("n_props"),
+            F.element_at(kmap, "k").alias("k_value"),
+            F.element_at(
+                F.map_concat(
+                    kmap, F.create_map(F.lit("extra"), F.size("embedding"))
+                ),
+                "extra",
+            ).alias("extra_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_SCALAR_COLLECTIONS_ORACLE = """
+SELECT e.event_id,
+       CAST(len(m.embedding) AS INT) AS dims,
+       CAST(list_max(m.embedding) AS DOUBLE) AS max_component,
+       CAST(list_min(m.embedding) AS DOUBLE) AS min_component,
+       CAST(m.embedding[1] AS DOUBLE) AS first_component,
+       array_to_string(list_transform(m.embedding[1:3],
+         x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS VARCHAR)), ',') AS head3,
+       'k' AS prop_keys,
+       1 AS n_props,
+       CAST(json_extract_string(e.props, '$.k') AS INT) AS k_value,
+       CAST(len(m.embedding) AS INT) AS extra_value
+FROM events e JOIN embeddings m ON e.event_id = m.vec_id
+WHERE e.event_id < 100 ORDER BY e.event_id
+"""
+
+
 def q_agg_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregates: continuous percentiles (PG
     percentile_cont) + deterministic array aggregation (sorted
@@ -1054,6 +1116,60 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_stream_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → MANIFEST-VERSIONED parquet sink (the strongest
+    delivery tier: each micro-batch becomes visible only via the atomic
+    ``_CURRENT`` pointer flip — exactly-once visibility by manifest,
+    replays are no-ops) then a read back THROUGH the pointer resolver
+    (``read_parquet``) — drain and resolution both under the oracle.
+    Crash/replay/epoch-guard behavior is pytest-covered in
+    tests/test_layout.py; this gate pins the data contract: a finite
+    drain equals the batch aggregate."""
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.streaming.stream import (
+        drain_to_versioned_parquet,
+        read_events_stream,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "pgpq_vsink_gate")
+    shutil.rmtree(root, ignore_errors=True)
+    sink = os.path.join(root, "sink")
+    events = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    # explicit checkpoint INSIDE the cleared root: the sink-derived
+    # default would outlive the rmtree and mark all input processed
+    drain_to_versioned_parquet(
+        events,
+        sink,
+        ["event_type"],
+        checkpoint=os.path.join(root, "ckpt"),
+    )
+    back = read_parquet(spark, sink)  # resolves the _CURRENT pointer
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_STREAM_SINK_VERSIONED_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running stats; the drained final state equals the batch
@@ -1093,6 +1209,7 @@ QUERIES = {
     "q_window_range_frame": q_window_range_frame,
     "q_scalar_array": q_scalar_array,
     "q_scalar_map": q_scalar_map,
+    "q_scalar_collections": q_scalar_collections,
     "q_agg_percentile_collect": q_agg_percentile_collect,
     "q_scalar_string_extra": q_scalar_string_extra,
     "q_scalar_date_arith": q_scalar_date_arith,
@@ -1102,6 +1219,7 @@ QUERIES = {
     "q_stream_join": q_stream_join,
     "q_stream_stream_join": q_stream_stream_join,
     "q_stream_sink_partitioned": q_stream_sink_partitioned,
+    "q_stream_sink_versioned": q_stream_sink_versioned,
     "q_stream_sliding_window": q_stream_sliding_window,
     "q_profile_histogram": q_profile_histogram,
     "q_profile_corr": q_profile_corr,
@@ -1128,6 +1246,7 @@ ORACLES = {
     "q_window_range_frame": Q_WINDOW_RANGE_ORACLE,
     "q_scalar_array": Q_SCALAR_ARRAY_ORACLE,
     "q_scalar_map": Q_SCALAR_MAP_ORACLE,
+    "q_scalar_collections": Q_SCALAR_COLLECTIONS_ORACLE,
     "q_agg_percentile_collect": Q_AGG_PERCENTILE_ORACLE,
     "q_scalar_string_extra": Q_SCALAR_STRING_EXTRA_ORACLE,
     "q_scalar_date_arith": Q_SCALAR_DATE_ARITH_ORACLE,
@@ -1137,6 +1256,7 @@ ORACLES = {
     "q_stream_join": Q_STREAM_JOIN_ORACLE,
     "q_stream_stream_join": Q_STREAM_STREAM_JOIN_ORACLE,
     "q_stream_sink_partitioned": Q_STREAM_SINK_PARTITIONED_ORACLE,
+    "q_stream_sink_versioned": Q_STREAM_SINK_VERSIONED_ORACLE,
     "q_stream_sliding_window": Q_STREAM_SLIDING_ORACLE,
     "q_profile_histogram": Q_PROFILE_HISTOGRAM_ORACLE,
     "q_profile_corr": Q_PROFILE_CORR_ORACLE,

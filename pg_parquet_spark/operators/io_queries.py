@@ -540,6 +540,130 @@ FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_io_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL through the manifest history (r8 protocol,
+    r9 gate): two versioned MERGEs publish two snapshots, then the read
+    addresses version n-1 via ``read_parquet(..., version=)`` — the
+    oracle is the state after the FIRST merge only, so the gate fails
+    if retention drops the manifest, if the resolver serves the wrong
+    snapshot, or if the second merge leaks into the past."""
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import read_parquet, write_parquet
+    from pg_parquet_spark.sources.layout import merge_upsert, read_manifest
+
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", "s_nationkey"
+    )
+    path = os.path.join(tempfile.gettempdir(), "pgpq_supp_travel")
+    shutil.rmtree(path, ignore_errors=True)
+    write_parquet(sup, path)
+
+    first = sup.filter(F.col("s_suppkey") % 5 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") * 2
+    )
+    merge_upsert(spark, path, first, ["s_suppkey"], versioned=True)
+    second = sup.filter(F.col("s_suppkey") % 3 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 1000
+    )
+    merge_upsert(spark, path, second, ["s_suppkey"], versioned=True)
+
+    v = read_manifest(path)["version"]
+    past = read_parquet(spark, path, version=v - 1)
+    return (
+        past.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+Q_IO_TIME_TRAVEL_ORACLE = """
+WITH merged AS (
+  SELECT s_suppkey, s_acctbal, s_nationkey FROM supplier
+  WHERE s_suppkey % 5 <> 0
+  UNION ALL
+  SELECT s_suppkey, s_acctbal * 2, s_nationkey FROM supplier
+  WHERE s_suppkey % 5 = 0
+)
+SELECT s_nationkey, COUNT(*) AS cnt,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM merged GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def q_io_compact_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PER-PARTITION compaction (r8 op, r9 gate — the 100 TB
+    maintenance shape: cost proportional to drifted partitions, one
+    atomic pointer flip for the whole pass): hive-write orders, MERGE
+    doubled prices for keys %10==0 (fragmenting the touched partitions
+    across snapshot versions), force-compact every partition
+    (max_files=0), and read back through the pointer — compaction must
+    be a logical no-op over the merge semantics. Only-drifted-rewritten
+    evidence is pytest-asserted (tests/test_layout.py)."""
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.sources.layout import (
+        compact_partitions,
+        merge_upsert,
+        write_partitioned,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(tempfile.gettempdir(), "pgpq_orders_cpart")
+    shutil.rmtree(path, ignore_errors=True)
+    write_partitioned(orders, path, ["o_orderpriority"])
+
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    merge_upsert(
+        spark,
+        path,
+        updates,
+        ["o_orderkey"],
+        partition_col="o_orderpriority",
+        versioned=True,
+    )
+    compact_partitions(spark, path, max_files=0)
+    back = read_parquet(spark, path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_IO_COMPACT_PARTITIONS_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+  WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2, o_orderpriority FROM orders
+  WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_io_copy_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COPY <table> FROM end-to-end (A2 + copy_pg_rules parity): create a
     3-column target table, load orders.parquet into it by name with
@@ -748,6 +872,8 @@ QUERIES = {
     "q_io_zorder_read": q_io_zorder_read,
     "q_io_bloom_read": q_io_bloom_read,
     "q_io_merge_upsert": q_io_merge_upsert,
+    "q_io_time_travel": q_io_time_travel,
+    "q_io_compact_partitions": q_io_compact_partitions,
     "q_io_schema_evolution": q_io_schema_evolution,
     "q_io_copy_from_table": q_io_copy_from_table,
     "q_io_geo_roundtrip": q_io_geo_roundtrip,
@@ -770,6 +896,8 @@ ORACLES = {
     "q_io_zorder_read": Q_IO_ZORDER_ORACLE,
     "q_io_bloom_read": Q_IO_BLOOM_ORACLE,
     "q_io_merge_upsert": Q_IO_MERGE_UPSERT_ORACLE,
+    "q_io_time_travel": Q_IO_TIME_TRAVEL_ORACLE,
+    "q_io_compact_partitions": Q_IO_COMPACT_PARTITIONS_ORACLE,
     "q_io_schema_evolution": Q_IO_SCHEMA_EVOLUTION_ORACLE,
     "q_io_copy_from_table": Q_IO_COPY_FROM_TABLE_ORACLE,
     "q_io_geo_roundtrip": _geo_oracle(),

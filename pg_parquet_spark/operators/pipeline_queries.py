@@ -235,6 +235,65 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_DEDUP_CLUSTERS_ORACLE = dedup.near_dup_clusters_oracle_sql()
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup against the PERSISTED fingerprint
+    index (r8 op, r9 gate — the 100 TB shape: only the batch and a
+    key+id index shuffle, never the corpus text). Two-batch flow:
+    index built from docs %3==0; batch 1 (%3!=0) is flagged against it
+    with ``update_index=True`` (known_in_corpus = text already in the
+    index, keep = first unseen occurrence within the batch by doc_id);
+    batch 2 re-ingests the %3==1 docs — every one must come back
+    known/not-kept, which only holds if batch 1's kept fingerprints
+    actually committed through the versioned MERGE."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_fp_index")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    dedup.build_fingerprint_index(b0, idx)
+    f1 = dedup.dedup_incremental(spark, b1, idx, update_index=True)
+    f2 = dedup.dedup_incremental(spark, b2, idx)
+    out = (
+        f1.select(
+            F.lit(1).alias("batch"), "doc_id", "known_in_corpus", "keep"
+        )
+        .unionByName(
+            f2.select(
+                F.lit(2).alias("batch"), "doc_id", "known_in_corpus", "keep"
+            )
+        )
+        .orderBy("batch", "doc_id")
+    )
+    return out
+
+
+Q_DEDUP_INCREMENTAL_ORACLE = """
+WITH b0 AS (
+  SELECT lower(text) AS key FROM documents WHERE doc_id % 3 = 0
+), b1 AS (
+  SELECT doc_id, lower(text) AS key FROM documents WHERE doc_id % 3 <> 0
+), f1 AS (
+  SELECT doc_id,
+         key IN (SELECT key FROM b0) AS known_in_corpus,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id) AS rk
+  FROM b1
+)
+SELECT 1 AS batch, doc_id, known_in_corpus,
+       (NOT known_in_corpus AND rk = 1) AS keep
+FROM f1
+UNION ALL
+SELECT 2 AS batch, doc_id, TRUE AS known_in_corpus, FALSE AS keep
+FROM documents WHERE doc_id % 3 = 1
+ORDER BY batch, doc_id
+"""
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection per near-dup cluster (r8):
     keep the highest-n_chars member of each MinHash cluster (ties to
@@ -898,6 +957,7 @@ QUERIES = {
     "q_dedup_winnow": q_dedup_winnow,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_canonical": q_dedup_canonical,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_text_token_count": q_text_token_count,
     "q_text_fingerprint_rolling": q_text_fingerprint_rolling,
@@ -935,6 +995,7 @@ ORACLES = {
     "q_dedup_winnow": Q_DEDUP_WINNOW_ORACLE,
     "q_dedup_clusters": Q_DEDUP_CLUSTERS_ORACLE,
     "q_dedup_canonical": Q_DEDUP_CANONICAL_ORACLE,
+    "q_dedup_incremental": Q_DEDUP_INCREMENTAL_ORACLE,
     "q_dedup_embedding_cosine": Q_DEDUP_EMBEDDING_ORACLE,
     "q_text_token_count": Q_TEXT_TOKEN_COUNT_ORACLE,
     "q_text_fingerprint_rolling": Q_TEXT_FP_ROLLING_ORACLE,

@@ -34,11 +34,65 @@ def test_check_flags_breach_outside_window(monkeypatch):
     green["stale"] = 6 - rotation.FRESHNESS_LIMIT  # breaches at r7
     rows = dict(green)
     monkeypatch.setattr(rotation, "fold", lambda max_round=None: (green, rows, 6))
+    monkeypatch.setattr(rotation, "_registry_meta", lambda: ({}, {}))
     ordered = [f"q{i:03d}" for i in range(n)] + ["stale"]
     assert rotation.check(ordered) == 1  # breach detected
     # with the stale entry inside the window, the breach is paid
     ordered_paid = ["stale"] + [f"q{i:03d}" for i in range(n)]
     assert rotation.check(ordered_paid) == 0
+
+
+def test_priority_refresh_promotes_changed_code(monkeypatch):
+    """r9: a gate flagged in PRIORITY_REFRESH sorts ahead of the
+    stale-green cohort until re-verified past its `since` round, then
+    the promotion expires."""
+    green = {"a_old": 5, "changed": 6, "b_fresh": 6}
+    rows = dict(green)
+    monkeypatch.setattr(
+        rotation, "fold", lambda max_round=None: (green, rows, 6)
+    )
+    prio = {"changed": {"since": 6, "reason": "rounding fix"}}
+    monkeypatch.setattr(rotation, "_registry_meta", lambda: ({}, prio))
+    ordered, labels = rotation.derive_order(["b_fresh", "a_old", "changed"])
+    assert ordered == ["changed", "a_old", "b_fresh"]
+    assert "CODE CHANGED" in labels["changed"]
+    # re-verified at r7 (> since) => promotion expires
+    green2 = dict(green, changed=7)
+    monkeypatch.setattr(
+        rotation, "fold", lambda max_round=None: (green2, dict(green2), 7)
+    )
+    ordered2, labels2 = rotation.derive_order(["b_fresh", "a_old", "changed"])
+    assert ordered2 == ["a_old", "b_fresh", "changed"]
+    assert labels2["changed"] == "green r7"
+
+
+def test_check_audits_retirement_hygiene(monkeypatch):
+    """r9: a retired gate still in the registry, a rationale-less
+    retirement, and an unregistered PRIORITY entry are all breaches."""
+    n = rotation.WINDOW
+    green = {f"q{i:03d}": 6 for i in range(n)}
+    rows = dict(green)
+    monkeypatch.setattr(rotation, "fold", lambda max_round=None: (green, rows, 6))
+    ordered = [f"q{i:03d}" for i in range(n)]
+
+    monkeypatch.setattr(
+        rotation, "_registry_meta", lambda: ({"q000": "subsumed"}, {})
+    )
+    assert rotation.check(ordered) == 1  # retired-but-registered
+    monkeypatch.setattr(
+        rotation, "_registry_meta", lambda: ({"gone": "  "}, {})
+    )
+    assert rotation.check(ordered) == 1  # no rationale
+    monkeypatch.setattr(
+        rotation,
+        "_registry_meta",
+        lambda: ({}, {"ghost": {"since": 6, "reason": "x"}}),
+    )
+    assert rotation.check(ordered) == 1  # priority names unregistered gate
+    monkeypatch.setattr(
+        rotation, "_registry_meta", lambda: ({"gone": "subsumed by q001"}, {})
+    )
+    assert rotation.check(ordered) == 0  # clean retirement passes
 
 
 def test_registry_order_matches_tool(tmp_path):

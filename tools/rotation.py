@@ -77,6 +77,17 @@ def registered_names() -> list[str]:
     return list(registry.all_queries().keys())
 
 
+def _registry_meta() -> tuple[dict[str, str], dict[str, dict]]:
+    """(RETIRED, PRIORITY_REFRESH) from the registry — empty pre-r9."""
+    sys.path.insert(0, REPO)
+    from pg_parquet_spark.operators import registry
+
+    return (
+        getattr(registry, "RETIRED", {}),
+        getattr(registry, "PRIORITY_REFRESH", {}),
+    )
+
+
 def registry_as_of() -> int | None:
     """Round stamped into registry.py by the last ``apply`` (None pre-r8)."""
     with open(REGISTRY) as fh:
@@ -89,13 +100,22 @@ def derive_order(
 ) -> tuple[list[str], dict[str, str]]:
     """Order `names` per the rotation contract; also return a label per name."""
     newest_green, newest_row, _latest = fold(max_round)
+    _, priority = _registry_meta()
+
+    def is_priority(n: str) -> bool:
+        # changed-code promotion (VERDICT r8 #3): active only until the
+        # gate is re-verified after the flagged round, then it expires
+        meta = priority.get(n)
+        return meta is not None and newest_green.get(n, 0) <= meta["since"]
 
     def key(n: str):
         if n not in newest_row:
             return (0, 0, n)  # never verified
         if newest_row[n] > newest_green.get(n, 0):
             return (1, 0, n)  # newest row is red — regression
-        return (2, newest_green[n], n)  # stalest green first
+        if is_priority(n):
+            return (2, newest_green[n], n)  # changed code since last green
+        return (3, newest_green[n], n)  # stalest green first
 
     ordered = sorted(names, key=key)
     labels = {}
@@ -104,6 +124,11 @@ def derive_order(
             labels[n] = "never verified"
         elif newest_row[n] > newest_green.get(n, 0):
             labels[n] = f"RED at r{newest_row[n]} (last green r{newest_green.get(n, 0) or '-'})"
+        elif is_priority(n):
+            labels[n] = (
+                f"green r{newest_green[n]} but CODE CHANGED "
+                f"({priority[n]['reason']})"
+            )
         else:
             labels[n] = f"green r{newest_green[n]}"
     return ordered, labels
@@ -146,11 +171,30 @@ def apply(ordered: list[str], labels: dict[str, str]) -> None:
 
 
 def check(ordered: list[str]) -> int:
-    """Verify the upcoming window pays every freshness breach."""
+    """Verify the upcoming window pays every freshness breach, and audit
+    retirement hygiene (a retired gate must be OUT of the registry and
+    carry a rationale — removals are a policy act, never an accident)."""
     newest_green, newest_row, latest = fold()
     upcoming = latest + 1
     window = set(ordered[:WINDOW])
     bad = []
+    retired, priority = _registry_meta()
+    for n, why in retired.items():
+        if n in ordered:
+            bad.append((n, "RETIRED but still registered"))
+        if not (isinstance(why, str) and why.strip()):
+            bad.append((n, "RETIRED without a rationale"))
+    for n, meta in priority.items():
+        if n in retired:
+            bad.append((n, "PRIORITY_REFRESH and RETIRED are exclusive"))
+        if n not in ordered:
+            bad.append((n, "PRIORITY_REFRESH names an unregistered gate"))
+        elif (
+            newest_green.get(n, 0) <= meta["since"] and n not in window
+        ):
+            bad.append(
+                (n, "changed-code gate not re-verified and outside the window")
+            )
     for n in ordered:
         if n in window:
             continue  # will be refreshed this round
