@@ -867,13 +867,23 @@ def pq_topk(
     xnorm = F.sqrt(_norm_sq(F.col("_v")))
     row_score = F.when(xnorm > 0, adc_ip / xnorm)  # NULL for zero-norm rows
     scored = corpus.withColumn("_adc", row_score)
-    # cell shortlist: best member score per distinct code tuple, top
-    # k*refine cells, ties broken on the code tuple for determinism
+    # cell shortlist: best member score per distinct code tuple, ties
+    # broken on the code tuple for determinism. ``refine`` counts CELLS,
+    # but a cell's expected population scales ~1/ks — at fine codebooks
+    # (ks=128 the cells are near-singleton) a fixed cell budget collapses
+    # to k*refine ROWS and ADC quantization noise guts recall (r8 soak:
+    # 0.25@ks=128). Hold the candidate ROW budget roughly constant
+    # across code resolutions instead: take k*refine*max(1, ks//16)
+    # cells (at ks=16 this is exactly the r8 behavior; at ks=128 the
+    # r9 sweep measures recall 0.0 → 1.0 with NO latency cost — the
+    # shortlist stays a TakeOrderedAndProject, no new shuffle).
+    ks_actual = len(codebooks[0])
+    n_cells = k * refine * max(1, ks_actual // 16)
     top_cells = (
         scored.groupBy(*code_cols)
         .agg(F.max("_adc").alias("_cadc"))
         .orderBy(F.col("_cadc").desc_nulls_last(), *code_cols)
-        .limit(k * refine)
+        .limit(n_cells)
         .select(*code_cols)
     )
     # the collected query becomes a plan literal in the exact re-rank
@@ -904,12 +914,15 @@ def pq_oracle_sql(
     """DuckDB replica of pq_topk with a FIXED codebook: identical
     literal centroids → identical codes (first-match argmin), identical
     ordered-fold ADC sums → the same cell-granular shortlist (max member
-    score per distinct code tuple, top k*refine cells, code-tuple
-    tie-break), the same re-ranked top-k. Zero-norm vectors score NULL
-    via nullif and sort last, mirroring the Spark guard (ADVICE r7).
-    Subvector slices are 1-based inclusive on both engines."""
+    score per distinct code tuple, top k*refine*max(1, ks//16) cells —
+    the ks-scaled cell budget pq_topk uses, identical at the gate's
+    ks=16 — code-tuple tie-break), the same re-ranked top-k. Zero-norm
+    vectors score NULL via nullif and sort last, mirroring the Spark
+    guard (ADVICE r7). Subvector slices are 1-based inclusive on both
+    engines."""
     m = len(codebooks)
     dsub = dims // m
+    n_cells = k * refine * max(1, len(codebooks[0]) // 16)
 
     def sub(expr: str, mi: int) -> str:
         return f"({expr}[{mi * dsub + 1}:{(mi + 1) * dsub}])"
@@ -954,7 +967,7 @@ WITH q AS (
   FROM coded, q
   GROUP BY {codes}
   ORDER BY _cadc DESC NULLS LAST, {codes}
-  LIMIT {k * refine}
+  LIMIT {n_cells}
 )
 SELECT c._id AS {id_col},
        {dot} / nullif(sqrt({na}) * sqrt({nb}), 0) AS cosine_sim
