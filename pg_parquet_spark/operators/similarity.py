@@ -627,6 +627,104 @@ WHERE {dot} / (sqrt({na}) * sqrt({nb})) >= {threshold}
 """
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.05,
+    dims: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with the coarse quantizer, compare pairs WITHIN a
+    cluster only, and drop every document that has a more-senior
+    cluster-mate (smaller id — the paper keeps one exemplar per
+    semantic-duplicate group) with cosine >= 1 - eps. Complements the
+    exact/MinHash/SimHash lexical tiers: it removes *semantic*
+    duplicates that share almost no surface n-grams.
+
+    Returns the full corpus as (id, cell, keep) — keep=False marks the
+    semantic duplicates to discard.
+
+    Scale shape: the quantizer is a literal matrix (train via
+    ``ivf_train`` on a hash-sample); assignment is a pure projection;
+    the only join is the within-cell pair join, whose cost is
+    Σ|cell|² — the paper's own cost model, bounded by choosing
+    n_cells ∝ corpus size (they use k=50k for LAION). K-means cells
+    (unlike LSH buckets) CAN skew on degenerate corpora: if a cell's
+    population breaks the pair budget, raise n_cells or pre-split hot
+    cells with a secondary hash — same remediation as the paper's
+    per-cluster cap. Vectors move once (the self-join's shuffle is
+    cell-keyed); the drop set is distinct ids only.
+    """
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_cell"
+    )
+    cos = _exact_cosine(F.col("_va"), F.col("_vb"))
+    dropped = (
+        a.join(b, ["_cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 1.0 - eps)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, F.col("_cell").alias("cell"))
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            (~F.coalesce(F.col("_dup"), F.lit(False))).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def semantic_dedup_oracle_sql(
+    centroids: list[list[float]],
+    eps: float = 0.05,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> str:
+    """DuckDB replica of semantic_dedup with a FIXED quantizer: the same
+    literal centroid matrix → the same cell assignment (first-match
+    argmin), the same within-cell pairs, the same ordered-fold cosines
+    → the same keep set."""
+    cdists = "[" + ", ".join(
+        _sq_dist_sql("e." + vec_col, c, dims) for c in centroids
+    ) + "]"
+    fold = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    dot = fold.format(d=dims, a="a.v", b="b.v")
+    na = fold.format(d=dims, a="a.v", b="a.v")
+    nb = fold.format(d=dims, a="b.v", b="b.v")
+    return f"""
+WITH assigned AS (
+  SELECT e.{id_col} AS _id, e.{vec_col} AS v,
+         CAST(list_position({cdists}, list_min({cdists})) - 1 AS INT) AS _cell
+  FROM {table} e
+), dropped AS (
+  SELECT DISTINCT b._id AS _id
+  FROM assigned a JOIN assigned b
+    ON a._cell = b._cell AND a._id < b._id
+  WHERE {dot} / (sqrt({na}) * sqrt({nb})) >= 1.0 - {eps}
+)
+SELECT a._id AS {id_col}, a._cell AS cell,
+       (a._id NOT IN (SELECT _id FROM dropped)) AS keep
+FROM assigned a ORDER BY a._id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the memory-compressed ANN tier
 

@@ -553,3 +553,81 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
     assert all(k for k, _ in got2.values())
     assert not any(keep for _, keep in got2.values())
     assert layout.read_versioned(spark, idx).count() == 4
+
+
+def test_semantic_dedup_drops_planted_semantic_dups(spark):
+    """SemDeDup (r9): planted near-identical embeddings in the same
+    k-means cell are dropped in favor of the smallest id; distinct
+    vectors survive; the drop decision is within-cell only."""
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select("vec_id", "embedding").limit(50)
+    # plant: two near-copies of vec 3 (tiny perturbation on one dim)
+    rows = {r.vec_id: list(r.embedding) for r in base.collect()}
+    v3 = rows[3]
+    planted = spark.createDataFrame(
+        [
+            (9001, [x + (0.0001 if i == 0 else 0.0) for i, x in enumerate(v3)]),
+            (9002, list(v3)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = base.unionByName(planted)
+    out = similarity.semantic_dedup(corpus, CENTROIDS, eps=0.05)
+    got = {r.vec_id: (r.cell, r.keep) for r in out.collect()}
+    assert len(got) == 52
+    assert got[3][1] is True  # exemplar (smallest id) kept
+    assert got[9001][1] is False and got[9002][1] is False
+    # planted copies landed in the exemplar's cell (same assignment)
+    assert got[9001][0] == got[3][0] == got[9002][0]
+
+
+def test_semantic_dedup_matches_duckdb_oracle(spark, tmp_path):
+    """The frozen-quantizer oracle replicates the full keep set
+    (assignment, within-cell pairs, ordered-fold cosines). The sf0.001
+    corpus has NO natural semantic dups (max within-cell cosine 0.48 —
+    measured), so near-copies are planted and BOTH engines read the
+    same materialized parquet."""
+    import duckdb
+
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rows = {r.vec_id: list(r.embedding) for r in emb.limit(10).collect()}
+    planted = spark.createDataFrame(
+        [
+            (9001, [x + 0.0001 for x in rows[2]]),
+            (9002, list(rows[5])),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "semdedup.parquet")
+    emb.unionByName(planted).coalesce(1).write.parquet(path)
+
+    corpus = spark.read.parquet(path)
+    got = (
+        similarity.semantic_dedup(corpus, CENTROIDS, eps=0.08)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = (
+        con.execute(similarity.semantic_dedup_oracle_sql(CENTROIDS, eps=0.08))
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == corpus.count()
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert list(got["cell"]) == list(want["cell"])
+    assert list(got["keep"]) == list(want["keep"])
+    dropped = set(got.loc[~got["keep"], "vec_id"])
+    assert dropped == {9001, 9002}  # planted dups dropped, exemplars kept
