@@ -385,3 +385,123 @@ def test_stream_sink_crash_recovery_two_tranches(spark, tmp_path):
     # a third restart with nothing new is a no-op
     drain_to_partitioned_parquet(stream(), sink, ["event_type"], checkpoint=ckpt)
     assert spark.read.parquet(sink).count() == ev.count()
+
+
+def _encode_bmp(pixels) -> bytes:
+    """Minimal uncompressed 24-bpp bottom-up BMP encoder (test fixture;
+    pixels: HxWx3 uint8 ndarray in BGR byte order, as BMP stores)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    row_bytes = ((24 * w + 31) // 32) * 4
+    pad = row_bytes - w * 3
+    body = b"".join(
+        pixels[r].astype(np.uint8).tobytes() + b"\x00" * pad
+        for r in range(h)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def _encode_wav(samples, rate: int = 8000) -> bytes:
+    """16-bit mono PCM WAV encoder (stdlib wave; test fixture)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_bmp_decode_real_roundtrip():
+    """r9: uncompressed BMP decodes FOR REAL (stdlib+numpy) — known
+    pixels round-trip to exact width/height/channels/mean, row padding
+    excluded from the mean."""
+    import numpy as np
+
+    from pg_parquet_spark.operators.multimodal import decode_bmp, decode_image
+
+    solid = np.full((5, 3, 3), 128, dtype=np.uint8)  # odd width => padded rows
+    meta = decode_bmp(_encode_bmp(solid))
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (3, 5, 3)
+    assert abs(meta["mean_intensity"] - 128 / 255) < 1e-12
+
+    grad = np.zeros((2, 2, 3), dtype=np.uint8)
+    grad[0, 0] = 255  # one white pixel of four => mean 255/4
+    meta2 = decode_bmp(_encode_bmp(grad))
+    assert abs(meta2["mean_intensity"] - (255 / 4) / 255) < 1e-12
+    assert meta2["feature"] != meta["feature"]
+    # dispatch: BM magic routes to the real decoder without fake=
+    assert decode_image(_encode_bmp(solid)) == meta
+    # compressed formats still refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="PNG/JPEG"):
+        decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_wav_decode_real_roundtrip():
+    """r9: PCM WAV decodes for real — a full-scale square wave has RMS
+    ~1.0, a sine ~amp/sqrt(2); rate/duration exact."""
+    import math
+
+    import numpy as np
+
+    from pg_parquet_spark.operators.multimodal import decode_wav
+
+    n, rate = 8000, 8000
+    square = np.where(np.arange(n) % 2 == 0, 32767, -32767)
+    meta = decode_wav(_encode_wav(square, rate))
+    assert meta["sample_rate"] == rate and meta["n_channels"] == 1
+    assert abs(meta["duration_sec"] - 1.0) < 1e-12
+    assert abs(meta["rms"] - 1.0) < 1e-3
+
+    sine = (0.5 * 32768 * np.sin(2 * math.pi * 440 * np.arange(n) / rate)).astype(int)
+    meta2 = decode_wav(_encode_wav(sine, rate))
+    assert abs(meta2["rms"] - 0.5 / math.sqrt(2)) < 1e-3
+
+
+def test_real_decode_distributed(spark):
+    """The REAL decoders run through the same mapInPandas plumbing as
+    the stub: BMP features and WAV features come back per media_id."""
+    import numpy as np
+
+    from pg_parquet_spark.operators.multimodal import (
+        decode_audio_media,
+        decode_media,
+    )
+
+    bmps = [
+        (i, _encode_bmp(np.full((4, 4, 3), 10 * i, dtype=np.uint8)))
+        for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(bmps, "media_id long, blob binary")
+    got = {r.media_id: r for r in decode_media(df, fake=False).collect()}
+    assert len(got) == 5
+    for i in range(1, 6):
+        assert (got[i].width, got[i].height, got[i].n_channels) == (4, 4, 3)
+        assert abs(got[i].mean_intensity - (10 * i) / 255) < 1e-9
+
+    wavs = [
+        (i, _encode_wav(np.full(4000, 1000 * i, dtype=np.int16), 8000))
+        for i in range(1, 4)
+    ]
+    adf = spark.createDataFrame(wavs, "media_id long, blob binary")
+    agot = {r.media_id: r for r in decode_audio_media(adf).collect()}
+    assert len(agot) == 3
+    for i in range(1, 4):
+        assert agot[i].sample_rate == 8000
+        assert abs(agot[i].duration_sec - 0.5) < 1e-12
+        assert abs(agot[i].rms - (1000 * i) / 32768) < 1e-9
