@@ -141,9 +141,17 @@ def dedup_incremental(
     from pg_parquet_spark.sources import layout
 
     index_uri = index_uri.rstrip("/")
-    index = layout.read_versioned(spark, index_uri).select(
-        "fingerprint", F.lit(True).alias("_known")
-    )
+    if layout.read_manifest(index_uri) is None:
+        # bootstrap (r9): the very first ingest batch has no index yet —
+        # an empty frame keeps the plan shape identical and the first
+        # commit_fingerprints publishes version 1
+        index = spark.createDataFrame([], "fingerprint string").select(
+            "fingerprint", F.lit(True).alias("_known")
+        )
+    else:
+        index = layout.read_versioned(spark, index_uri).select(
+            "fingerprint", F.lit(True).alias("_known")
+        )
     fp = new_docs.withColumn("fingerprint", fingerprint(F.col(text_col)))
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     # persisted: the window+index-join lineage feeds the caller's corpus
@@ -179,13 +187,36 @@ def commit_fingerprints(
     batch publishes nothing."""
     from pg_parquet_spark.sources import layout
 
+    from pg_parquet_spark.sources import fs as pgfs
+
+    index_uri = index_uri.rstrip("/")
     additions = flagged.filter("keep").select(
         "fingerprint", F.col(id_col).alias("owner_id")
     )
-    if not additions.isEmpty():
-        layout.merge_upsert(
-            spark, index_uri.rstrip("/"), additions, ["fingerprint"], versioned=True
+    if additions.isEmpty():
+        return
+    if layout.read_manifest(index_uri) is None:
+        # bootstrap (r9): first commit publishes the additions as the
+        # initial snapshot — same publish shape as
+        # build_fingerprint_index, so later commits MERGE normally.
+        # _next_version never reuses a dir a crashed bootstrap may have
+        # half-filled; the orphan is vacuumed after the next publish.
+        n = layout._next_version(index_uri, None)
+        additions.write.parquet(pgfs.spark_uri(f"{index_uri}/_v{n}"))
+        layout._publish_manifest(
+            index_uri,
+            {
+                "version": n,
+                "partition_col": None,
+                "partition_dtype": None,
+                "partitions": None,
+                "path": f"_v{n}",
+            },
         )
+        return
+    layout.merge_upsert(
+        spark, index_uri, additions, ["fingerprint"], versioned=True
+    )
     return
 
 

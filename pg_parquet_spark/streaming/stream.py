@@ -504,18 +504,7 @@ def drain_to_versioned_parquet(
     as replays. The checkpoint's identity is also stamped into the
     manifest as the writer epoch — a drain under a different checkpoint
     raises loudly (see ``versioned_batch_writer``)."""
-    import hashlib
-
-    base = path.rstrip("/")
-    ckpt = checkpoint or os.path.join(
-        tempfile.gettempdir(),
-        "pgpq_vsink_ckpt_"
-        + hashlib.sha256(base.encode("utf-8")).hexdigest()[:16],
-    )
-    # hash the checkpoint string as given (no normalization: it may be an
-    # object-store URI); a same-checkpoint-spelled-differently mismatch
-    # fails LOUD with remediation, never silently
-    writer_id = hashlib.sha256(ckpt.encode("utf-8")).hexdigest()[:16]
+    ckpt, writer_id = _sink_checkpoint_identity(path, checkpoint)
     q = (
         sdf.writeStream.foreachBatch(
             versioned_batch_writer(path, partition_by, writer_id=writer_id)
@@ -528,6 +517,115 @@ def drain_to_versioned_parquet(
         q.stop()
         raise TimeoutError(
             f"versioned sink drain did not finish within {timeout_sec}s"
+        )
+
+
+def _sink_checkpoint_identity(
+    path: str, checkpoint: str | None
+) -> tuple[str, str]:
+    """(checkpoint location, writer epoch id) for a versioned sink. The
+    default checkpoint derives from the SINK PATH so repeated drains
+    share one id space (ADVICE r8); the epoch id hashes the checkpoint
+    string as given (no normalization — it may be an object-store URI;
+    a same-checkpoint-spelled-differently mismatch fails LOUD with
+    remediation, never silently)."""
+    import hashlib
+
+    base = path.rstrip("/")
+    ckpt = checkpoint or os.path.join(
+        tempfile.gettempdir(),
+        "pgpq_vsink_ckpt_"
+        + hashlib.sha256(base.encode("utf-8")).hexdigest()[:16],
+    )
+    return ckpt, hashlib.sha256(ckpt.encode("utf-8")).hexdigest()[:16]
+
+
+def versioned_dedup_ingest_writer(
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_by: list[str] | None = None,
+    writer_id: str | None = None,
+):
+    """``foreachBatch`` body for STREAMING INGESTION WITH INLINE EXACT
+    DEDUP — the LLM-corpus landing shape, composed from the two r8/r9
+    primitives: each micro-batch is flagged against the PERSISTED
+    fingerprint index (``dedup_incremental`` — only the batch and the
+    16-byte key+id index shuffle, never corpus text), the kept rows
+    publish through the manifest-versioned sink (exactly-once reader
+    visibility), and only then do their fingerprints MERGE into the
+    index (``commit_fingerprints``).
+
+    Delivery contract under crash/replay (the commit ORDER makes every
+    window converge):
+
+    - crash before the corpus publish → the replay re-flags against the
+      unchanged index, same keeps, publishes, commits;
+    - crash between corpus publish and fingerprint commit → the replay
+      re-flags (same keeps — the fingerprints never landed), the sink
+      no-ops the already-published batch id, the commit lands;
+    - replay after both → every row flags known, the empty keep set
+      publishes nothing and commits nothing.
+
+    So corpus visibility is exactly-once by manifest; the fingerprint
+    commit is at-least-once but idempotent (a MERGE keyed on the
+    fingerprint). Batches within one stream are sequential, so batch
+    N+1 always sees batch N's fingerprints. The index bootstraps on
+    the first commit (no pre-built index needed)."""
+    from pg_parquet_spark.operators import dedup as dedup_ops
+
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        flagged = dedup_ops.dedup_incremental(
+            spark, batch_df, index_root, id_col=id_col, text_col=text_col
+        )
+        try:
+            kept = flagged.filter("keep").select(*batch_df.columns)
+            sink(kept, batch_id)
+            dedup_ops.commit_fingerprints(
+                spark, flagged, index_root, id_col=id_col
+            )
+        finally:
+            flagged.unpersist()
+
+    return _write
+
+
+def drain_with_incremental_dedup(
+    sdf: DataFrame,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming → dedup → versioned corpus, end to end (see
+    ``versioned_dedup_ingest_writer`` for the delivery contract)."""
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    q = (
+        sdf.writeStream.foreachBatch(
+            versioned_dedup_ingest_writer(
+                corpus_root,
+                index_root,
+                id_col=id_col,
+                text_col=text_col,
+                partition_by=partition_by,
+                writer_id=writer_id,
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"dedup-ingest drain did not finish within {timeout_sec}s"
         )
 
 

@@ -1629,3 +1629,90 @@ def test_keep_history_engine_setting(spark, tmp_path):
         psession.set_snapshot_keep_history(2)
     with _pytest.raises(ValueError):
         psession.set_snapshot_keep_history(0)
+
+
+def test_streaming_ingest_with_inline_dedup(spark, tmp_path):
+    """r9 composition: stream → dedup_incremental → versioned corpus →
+    fingerprint commit. Two tranches with cross- and within-tranche
+    duplicate texts land exactly the distinct texts (first id wins);
+    a replayed drain adds nothing; the index equals the corpus."""
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_incremental_dedup
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    t1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")],
+        "doc_id long, text string",
+    )
+    t2 = spark.createDataFrame(
+        [(5, "beta"), (6, "delta"), (7, "delta"), (8, "epsilon")],
+        "doc_id long, text string",
+    )
+    schema = "doc_id long, text string"
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    drain_with_incremental_dedup(sdf, corpus, index, checkpoint=ckpt)
+    got1 = {r.doc_id: r.text for r in read_parquet(spark, corpus).collect()}
+    assert got1 == {1: "alpha", 2: "beta", 4: "gamma"}  # 3 is a within-batch dup
+
+    t2.coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(schema).parquet(src)
+    drain_with_incremental_dedup(sdf2, corpus, index, checkpoint=ckpt)
+    got2 = {r.doc_id: r.text for r in read_parquet(spark, corpus).collect()}
+    # 5 (beta) known from tranche 1; 7 a within-batch dup of 6
+    assert got2 == {1: "alpha", 2: "beta", 4: "gamma", 6: "delta", 8: "epsilon"}
+
+    # the index mirrors the corpus exactly (fingerprint per distinct text)
+    idx = layout.read_versioned(spark, index)
+    assert idx.count() == 5
+    assert set(r.owner_id for r in idx.collect()) == {1, 2, 4, 6, 8}
+
+    # replay: same checkpoint, no new files => no-op end to end
+    v_corpus = layout.read_manifest(corpus)["version"]
+    v_index = layout.read_manifest(index)["version"]
+    sdf3 = spark.readStream.schema(schema).parquet(src)
+    drain_with_incremental_dedup(sdf3, corpus, index, checkpoint=ckpt)
+    assert layout.read_manifest(corpus)["version"] == v_corpus
+    assert layout.read_manifest(index)["version"] == v_index
+    assert read_parquet(spark, corpus).count() == 5
+
+
+def test_dedup_ingest_replay_converges_after_partial_commit(spark, tmp_path):
+    """Crash between corpus publish and fingerprint commit: the replayed
+    batch no-ops the sink (already in the manifest) and lands the
+    missing fingerprints — the at-least-once direction converges."""
+    from pg_parquet_spark.operators import dedup as dedup_ops
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import versioned_dedup_ingest_writer
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "idx")
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    # simulate the crash: publish the corpus batch, skip the commit
+    from pg_parquet_spark.streaming.stream import versioned_batch_writer
+
+    flagged = dedup_ops.dedup_incremental(spark, batch, index)
+    versioned_batch_writer(corpus, writer_id="w1")(
+        flagged.filter("keep").select("doc_id", "text"), 0
+    )
+    flagged.unpersist()
+    assert layout.read_manifest(index) is None  # commit never happened
+
+    # replay the same batch id through the full writer
+    versioned_dedup_ingest_writer(corpus, index, writer_id="w1")(batch, 0)
+    assert read_parquet(spark, corpus).count() == 2  # no duplicate rows
+    assert layout.read_versioned(spark, index).count() == 2  # commit landed
+
+    # second replay after both landed: fully known => nothing changes
+    v_c = layout.read_manifest(corpus)["version"]
+    v_i = layout.read_manifest(index)["version"]
+    versioned_dedup_ingest_writer(corpus, index, writer_id="w1")(batch, 0)
+    assert layout.read_manifest(corpus)["version"] == v_c
+    assert layout.read_manifest(index)["version"] == v_i
