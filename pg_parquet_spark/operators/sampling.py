@@ -44,6 +44,200 @@ def domain_mixture(
     return df.filter(hash_fraction(F.col(key_col)) < rate_expr)
 
 
+def _feature_bucket(col: Column, n_buckets: int) -> Column:
+    """Hashed-n-gram feature id: md5 prefix → uniform bucket (the DSIR
+    paper's hashed-feature trick — the model is a fixed-size count
+    vector regardless of vocabulary)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("long")
+
+
+def _bucket_tf(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+    """(id, feature-bucket, count) — the corpus explodes ONCE into this
+    compact table; raw text never shuffles."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        .select(F.col(id_col), _feature_bucket(F.col("w"), n_buckets).alias("f"))
+        .groupBy(id_col, "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by log w(x) = Σ_f c_f·[ln p_target(f) − ln p_raw(f)] over
+    hashed unigram features with add-one smoothing — the canonical
+    cheap way to steer a web-scale corpus toward a target domain
+    without training a classifier.
+
+    Determinism contract (the unigram-LM lesson): each bucket's ln p is
+    quantized to integer micro-nats BEFORE the per-document fold, so
+    the cross-row sum is exact integer arithmetic on any engine or
+    partitioning; missing-bucket log-probs are PYTHON-computed literals
+    (sequential float ops are bit-identical to both engines' folds).
+
+    Scale shape: both corpora explode once into (id, bucket, count);
+    the bucket distributions are ≤ ``n_buckets`` rows and broadcast;
+    the only data-sized shuffles are token-bucket-keyed counts.
+    Returns (id, n_words, logw_micro)."""
+    import math
+
+    doc_tf = _bucket_tf(df, id_col, text_col, n_buckets)
+    tgt_cnt = (
+        _bucket_tf(target, id_col, text_col, n_buckets)
+        .groupBy("f")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    raw_cnt = doc_tf.groupBy("f").agg(F.sum("c").alias("cnt"))
+    tgt_total = tgt_cnt.agg(F.sum("cnt")).collect()[0][0] or 0
+    raw_total = raw_cnt.agg(F.sum("cnt")).collect()[0][0] or 0
+
+    def qlog(cnt_col, total: int):
+        p = (cnt_col + F.lit(1)).cast("double") / F.lit(float(total + n_buckets))
+        return F.floor(F.log(p) * 1e6 + F.lit(0.5)).cast("long")
+
+    miss_t = math.floor(math.log(1.0 / float(tgt_total + n_buckets)) * 1e6 + 0.5)
+    miss_r = math.floor(math.log(1.0 / float(raw_total + n_buckets)) * 1e6 + 0.5)
+    tgt_q = tgt_cnt.select("f", qlog(F.col("cnt"), tgt_total).alias("_qt"))
+    raw_q = raw_cnt.select("f", qlog(F.col("cnt"), raw_total).alias("_qr"))
+    term = F.col("c") * (
+        F.coalesce(F.col("_qt"), F.lit(miss_t))
+        - F.coalesce(F.col("_qr"), F.lit(miss_r))
+    )
+    return (
+        doc_tf.join(F.broadcast(tgt_q), "f", "left")
+        .join(F.broadcast(raw_q), "f", "left")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_words"), F.sum(term).alias("logw_micro"))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    frac: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k resampling over the importance
+    weights (the paper's sampling-without-replacement scheme), with the
+    Gumbel noise derived from the CONTENT HASH of the id — so the
+    "random" sample is reproducible across runs, engines, and cluster
+    sizes, like every selector in this module. Keeps
+    ceil(frac·|df|) documents; ties break on id.
+
+    g_i = -ln(-ln(u_i)), u_i = (md5-prefix(id)+0.5)/2^24 ∈ (0,1)
+    (the +0.5 keeps u strictly inside the interval — u=0 would make
+    the Gumbel infinite); the selection key is integer micro-nats:
+    logw_micro + floor(g·1e6 + 0.5)."""
+    import math
+
+    w = dsir_weights(df, target, id_col, text_col, n_buckets)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_BUCKETS))
+    g_micro = F.floor(-F.log(-F.log(u)) * 1e6 + F.lit(0.5)).cast("long")
+    n_keep = math.ceil(frac * df.count())
+    return (
+        w.select(
+            id_col,
+            "n_words",
+            "logw_micro",
+            (F.col("logw_micro") + g_micro).alias("sel_key_micro"),
+        )
+        .orderBy(F.col("sel_key_micro").desc(), F.col(id_col))
+        .limit(n_keep)
+    )
+
+
+def dsir_oracle_sql(
+    frac: float,
+    target_where: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    tgt_total: int | None = None,
+    raw_total: int | None = None,
+) -> str:
+    """DuckDB replica of dsir_select. ``tgt_total``/``raw_total`` are
+    optional overrides; by default the totals are computed in SQL (they
+    are exact integers, so they match the Spark-side collected
+    literals bit-for-bit). The missing-bucket literals are derived from
+    the same totals inside SQL with the identical expression shape."""
+    import math
+
+    def total_sql(where: str | None) -> str:
+        w = f" WHERE {where}" if where else ""
+        return (
+            f"(SELECT COUNT(*) FROM (SELECT unnest(string_split(lower({text_col}), ' ')) "
+            f"FROM {table}{w}))"
+        )
+
+    tt = str(tgt_total) if tgt_total is not None else total_sql(target_where)
+    rt = str(raw_total) if raw_total is not None else total_sql(None)
+    bucket = (
+        "CAST(CONCAT('0x', substr(md5(w), 1, 6)) AS BIGINT) % {B}"
+    ).format(B=n_buckets)
+    return f"""
+WITH doc_toks AS (
+  SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS w FROM {table}
+), doc_tf AS (
+  SELECT {id_col}, {bucket} AS f, COUNT(*) AS c FROM doc_toks GROUP BY 1, 2
+), tgt_toks AS (
+  SELECT unnest(string_split(lower({text_col}), ' ')) AS w
+  FROM {table} WHERE {target_where}
+), tgt_q AS (
+  SELECT {bucket} AS f,
+         CAST(FLOOR(ln((COUNT(*) + 1) / CAST({tt} + {n_buckets} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS _qt
+  FROM tgt_toks GROUP BY 1
+), raw_q AS (
+  SELECT f,
+         CAST(FLOOR(ln((SUM(c) + 1) / CAST({rt} + {n_buckets} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS _qr
+  FROM doc_tf GROUP BY 1
+), miss AS (
+  SELECT CAST(FLOOR(ln(1.0 / CAST({tt} + {n_buckets} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS miss_t,
+         CAST(FLOOR(ln(1.0 / CAST({rt} + {n_buckets} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS miss_r
+), weights AS (
+  SELECT d.{id_col}, SUM(d.c) AS n_words,
+         SUM(d.c * (COALESCE(t._qt, m.miss_t) - COALESCE(r._qr, m.miss_r))) AS logw_micro
+  FROM doc_tf d
+  LEFT JOIN tgt_q t USING (f)
+  LEFT JOIN raw_q r USING (f)
+  CROSS JOIN miss m
+  GROUP BY d.{id_col}
+), keyed AS (
+  SELECT {id_col}, n_words, logw_micro,
+         logw_micro + CAST(FLOOR(
+           -ln(-ln((CAST(CONCAT('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+                   / {float(_BUCKETS)})) * 1e6 + 0.5) AS BIGINT) AS sel_key_micro
+  FROM weights
+)
+SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words,
+       CAST(logw_micro AS BIGINT) AS logw_micro,
+       CAST(sel_key_micro AS BIGINT) AS sel_key_micro
+FROM keyed
+QUALIFY row_number() OVER (ORDER BY sel_key_micro DESC, {id_col})
+        <= CEIL({frac} * (SELECT COUNT(*) FROM {table}))
+ORDER BY sel_key_micro DESC, {id_col}
+"""
+
+
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Per-column data-quality profile: rows, nulls, distincts, min/max
     (rendered as strings for a uniform schema). One aggregation pass per

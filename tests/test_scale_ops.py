@@ -667,3 +667,41 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_dsir_select_matches_duckdb_oracle(spark):
+    """DSIR importance resampling (r9): hashed-unigram importance
+    weights + content-hash Gumbel-top-k — the full selected set
+    (ids, weights, selection keys) replicates in DuckDB from the same
+    literals. Weights must be target-sensitive: target-domain docs
+    score higher on average than the corpus median."""
+    import duckdb
+
+    from pg_parquet_spark.operators import sampling
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    target = docs.filter("source = 'src13'")
+    got = sampling.dsir_select(docs, target, frac=0.2).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        sampling.dsir_oracle_sql(frac=0.2, target_where="source = 'src13'")
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in ("doc_id", "n_words", "logw_micro", "sel_key_micro"):
+        assert list(got[col]) == list(want[col]), col
+
+    # sanity: the selector prefers the target domain (mean weight of
+    # target docs above the corpus mean weight)
+    w = sampling.dsir_weights(docs, target).toPandas()
+    ids = set(
+        r.doc_id for r in target.select("doc_id").collect()
+    )
+    tgt_mean = w[w.doc_id.isin(ids)].logw_micro.mean()
+    all_mean = w.logw_micro.mean()
+    assert tgt_mean > all_mean
