@@ -579,6 +579,123 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Distributed BM25 (Robertson/Okapi) — the lexical-retrieval
+    ranking TF-IDF approximates: per matching document,
+    ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with the
+    standard ``idf = ln(1 + (N−df+0.5)/(df+0.5))``. Returns
+    (id, n_matched_terms, score_micro) for documents containing at
+    least one query term, best-first.
+
+    Determinism (the unigram-LM contract): every per-(doc, term)
+    contribution quantizes to integer micro-units BEFORE the per-doc
+    fold — cross-row float addition never happens; N and Σdl are exact
+    integers collected once, so the avgdl double is the same on any
+    engine; ranking ties break on id.
+
+    Scale shape: doc lengths come from the SAME single explode that
+    produces the term counts; term counts are filtered to the query's
+    terms immediately (the per-doc table is |q|-bounded); the
+    document-frequency side is ≤|q| rows and broadcast. The corpus
+    text is read once and never shuffles — the shuffles are
+    (id, term)-keyed counts."""
+    qset = sorted({t.lower() for t in query_terms})
+    if not qset:
+        raise ValueError("BM25 needs at least one query term")
+    ex = df.withColumn("_toks", tokens(F.col(text_col))).select(
+        F.col(id_col),
+        F.size("_toks").alias("_dl"),
+        F.explode("_toks").alias("term"),
+    )
+    tfc = (
+        ex.filter(F.col("term").isin(qset))
+        .groupBy(id_col, "term", "_dl")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    # exact-integer corpus constants, one scalar job each
+    n_docs = df.count()
+    sum_dl = df.select(F.sum(token_count(F.col(text_col)))).collect()[0][0]
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df").cast("double") + F.lit(0.5))
+        / (F.col("_df").cast("double") + F.lit(0.5))
+    )
+    tf = F.col("_tf").cast("double")
+    dl = F.col("_dl").cast("double")
+    contrib = idf * (
+        tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
+    )
+    return (
+        tfc.join(F.broadcast(dfreq), "term")
+        .select(
+            F.col(id_col),
+            F.floor(contrib * 1e6 + F.lit(0.5)).cast("long").alias("_cm"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.sum("_cm").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB replica of bm25_scores: identical expression shape and
+    parenthesization (same IEEE sequence), the same exact-integer
+    N / Σdl → avgdl double, micro-quantization before the fold, id
+    tie-break."""
+    qset = sorted({t.lower() for t in query_terms})
+    qlist = ", ".join(f"'{t}'" for t in qset)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split(lower({text_col}), ' ') AS toks FROM {table}
+), consts AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM t
+), ex AS (
+  SELECT {id_col}, len(toks) AS dl, unnest(toks) AS term FROM t
+), tfc AS (
+  SELECT {id_col}, term, dl, COUNT(*) AS tf FROM ex
+  WHERE term IN ({qlist}) GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1
+), contrib AS (
+  SELECT tfc.{id_col},
+    CAST(FLOOR(
+      ln(1.0 + (nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      * (CAST(tf AS DOUBLE) * {k1 + 1.0}
+         / (CAST(tf AS DOUBLE)
+            + {k1} * ({1.0 - b} + {b} * CAST(dl AS DOUBLE) / avgdl)))
+      * 1e6 + 0.5) AS BIGINT) AS cm
+  FROM tfc JOIN dfreq USING (term) CROSS JOIN consts
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_matched_terms,
+       CAST(SUM(cm) AS BIGINT) AS score_micro
+FROM contrib GROUP BY {id_col}
+ORDER BY score_micro DESC, {id_col}
+"""
+
+
 def tfidf_oracle_sql(k: int = 3, table: str = "documents",
                      id_col: str = "doc_id", text_col: str = "text") -> str:
     """DuckDB replica: identical staging, rounding-before-rank, and

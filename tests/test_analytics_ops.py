@@ -165,3 +165,36 @@ def test_event_transitions_probabilities_normalize(spark):
     )
     got = {(r.event_type, r.next_type): r.cnt for r in rows}
     assert got == expect
+
+
+def test_bm25_matches_duckdb_oracle(spark):
+    """BM25 (r9): the full ranking (ids, matched-term counts,
+    micro-quantized scores) replicates bit-exactly in DuckDB; matching
+    is complete (every doc containing a query term appears)."""
+    import duckdb
+
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    q = ["spark", "vector", "scan"]
+    got = text_ops.bm25_scores(docs, q).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(text_ops.bm25_oracle_sql(q)).df()
+    assert len(got) == len(want) > 0
+    for col in ("doc_id", "n_matched_terms", "score_micro"):
+        assert list(got[col]) == list(want[col]), col
+
+    # completeness: every doc containing any query term is scored
+    n_match = docs.filter(
+        "array_contains(split(lower(text), ' '), 'spark') OR "
+        "array_contains(split(lower(text), ' '), 'vector') OR "
+        "array_contains(split(lower(text), ' '), 'scan')"
+    ).count()
+    assert len(got) == n_match
+    assert got["score_micro"].is_monotonic_decreasing
