@@ -1,0 +1,98 @@
+"""Time-series rollups — the hypertable-style CONTINUOUS AGGREGATE
+(TimescaleDB's time_bucket / OHLC family), Spark-first (r9).
+
+Scale shape: one shuffle on (series key, bucket) with full map-side
+partial aggregation — shuffle volume is the bucket count, never the
+event count. Sums run through DECIMAL (order-independent exact
+arithmetic); the open/close points use min_by/max_by on a composite
+integer order key, so results are identical under any partitioning —
+and replicate bit-exactly in DuckDB (arg_min/arg_max on the same key;
+tests/test_analytics_ops.py).
+
+Composes with the versioned layout for the standard maintenance story:
+materialize a rollup per time range, MERGE-refresh only the buckets an
+ingest batch touched (merge_upsert keyed on (key, bucket)), and the
+manifest pointer publishes the refresh atomically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: order-key multiplier: okey = epoch_seconds * _OKEY_BASE + row id.
+#: Collision-free while ids stay below the base; overflow-safe while
+#: epoch * base stays under 2^63 (fine until year ~31k at 1e7).
+_OKEY_BASE = 10_000_000
+
+
+def rollup_time_buckets(
+    df: DataFrame,
+    width_sec: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-(key, time-bucket) OHLC rollup: row count, exact sum, min,
+    max, and the FIRST/LAST value by event time (ties broken on
+    ``id_col``, which must be < 1e7 — see ``_OKEY_BASE``). The bucket
+    is the epoch-second floor multiple of ``width_sec`` (BIGINT — a
+    timezone-free bucket identity that compares identically on every
+    engine; render it with ``timestamp_seconds`` for humans)."""
+    # epoch seconds, truncating (= floor post-1970). NTZ casts through
+    # TIMESTAMP first (session tz is pinned UTC, so the instant matches
+    # DuckDB's wall-clock epoch()); a direct NTZ→long cast is illegal.
+    es = F.col(ts_col).cast("timestamp").cast("long")
+    okey = es * F.lit(_OKEY_BASE) + F.col(id_col)
+    v = F.col(val_col)
+    return (
+        df.select(
+            F.col(key_col),
+            (es - (es % width_sec)).alias("bucket_epoch"),  # pure integer ops
+            v.alias("_v"),
+            okey.alias("_ok"),
+        )
+        .groupBy(key_col, "bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("_v").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v_sum"),
+            F.min("_v").alias("v_min"),
+            F.max("_v").alias("v_max"),
+            F.min_by("_v", "_ok").alias("v_open"),
+            F.max_by("_v", "_ok").alias("v_close"),
+        )
+        .orderBy(key_col, "bucket_epoch")
+    )
+
+
+def rollup_oracle_sql(
+    width_sec: int = 3600,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB replica: FLOOR(epoch()) matches Spark's timestamp→long
+    truncation for post-1970 data; integer bucket arithmetic, DECIMAL
+    sum, arg_min/arg_max on the identical composite order key."""
+    return f"""
+WITH e AS (
+  SELECT {key_col},
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) AS es,
+         {val_col} AS v, {id_col} AS rid
+  FROM {table}
+)
+SELECT {key_col},
+       (es // {width_sec}) * {width_sec} AS bucket_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS v_sum,
+       MIN(v) AS v_min,
+       MAX(v) AS v_max,
+       arg_min(v, es * {_OKEY_BASE} + rid) AS v_open,
+       arg_max(v, es * {_OKEY_BASE} + rid) AS v_close
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -198,3 +198,32 @@ def test_bm25_matches_duckdb_oracle(spark):
     ).count()
     assert len(got) == n_match
     assert got["score_micro"].is_monotonic_decreasing
+
+
+def test_rollup_time_buckets_matches_duckdb_oracle(spark):
+    """Hypertable-style continuous aggregate (r9): per-(key, bucket)
+    OHLC replicates bit-exactly in DuckDB — integer bucket arithmetic,
+    DECIMAL sums, arg_min/arg_max open/close on the composite order
+    key. Checked at two bucket widths."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    events = table(spark, sf, "events")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    for width in (3600, 86400):
+        got = timeseries.rollup_time_buckets(events, width_sec=width).toPandas()
+        want = con.execute(timeseries.rollup_oracle_sql(width_sec=width)).df()
+        assert len(got) == len(want) > 0, width
+        for col in got.columns:
+            assert list(got[col]) == list(want[col]), (width, col)
+    # OHLC sanity on the daily rollup
+    assert (got["v_min"] <= got["v_open"]).all()
+    assert (got["v_min"] <= got["v_close"]).all()
+    assert (got["v_max"] >= got["v_open"]).all()
+    assert (got["n_events"] > 0).all()
