@@ -68,6 +68,52 @@ def rollup_time_buckets(
     )
 
 
+def refresh_rollup_buckets(
+    spark,
+    rollup_uri: str,
+    events: DataFrame,
+    new_events: DataFrame,
+    width_sec: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> int:
+    """Incremental CONTINUOUS-AGGREGATE refresh (the materialized-view
+    maintenance TimescaleDB's refresh policy runs): recompute ONLY the
+    (key, bucket) groups the ingest batch touched — from the full
+    event set of those buckets — and MERGE them into the materialized
+    rollup through the crash-atomic versioned publish.
+
+    Scale shape: the touched-group set is bounded by the batch's span
+    (hours × keys), broadcasts into a semi-join that prunes the event
+    scan (with events partitioned/z-ordered on time, that's partition
+    pruning); the MERGE shuffles only the recomputed groups. Refresh
+    cost is proportional to the batch's time span, never the
+    aggregate's history. Returns the number of refreshed groups."""
+    touched = (
+        rollup_time_buckets(
+            new_events, width_sec, key_col, ts_col, val_col, id_col
+        )
+        .select(key_col, "bucket_epoch")
+    )
+    es = F.col(ts_col).cast("timestamp").cast("long")
+    scoped = events.withColumn(
+        "bucket_epoch", es - (es % width_sec)
+    ).join(F.broadcast(touched), [key_col, "bucket_epoch"], "left_semi").drop(
+        "bucket_epoch"
+    )
+    updates = rollup_time_buckets(
+        scoped, width_sec, key_col, ts_col, val_col, id_col
+    )
+    from pg_parquet_spark.sources.layout import merge_upsert
+
+    merge_upsert(
+        spark, rollup_uri, updates, [key_col, "bucket_epoch"], versioned=True
+    )
+    return touched.count()
+
+
 def rollup_oracle_sql(
     width_sec: int = 3600,
     table: str = "events",

@@ -227,3 +227,47 @@ def test_rollup_time_buckets_matches_duckdb_oracle(spark):
     assert (got["v_min"] <= got["v_close"]).all()
     assert (got["v_max"] >= got["v_open"]).all()
     assert (got["n_events"] > 0).all()
+
+
+def test_rollup_incremental_refresh_equals_full_recompute(spark, tmp_path):
+    """r9: the continuous-aggregate refresh recomputes ONLY the touched
+    (key, bucket) groups yet lands exactly the full-recompute state,
+    through the versioned MERGE (atomic publish, time travel to the
+    pre-refresh rollup)."""
+    from pg_parquet_spark.operators import timeseries
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import layout, read_parquet, write_parquet
+
+    sf = "/root/testdata/sf0.001"
+    events = table(spark, sf, "events")
+    base = events.filter("event_id % 5 != 0")
+    batch = events.filter("event_id % 5 = 0")
+    root = str(tmp_path / "rollup")
+
+    write_parquet(timeseries.rollup_time_buckets(base, 86400), root)
+    n = timeseries.refresh_rollup_buckets(
+        spark, root, events, batch, width_sec=86400
+    )
+    assert n > 0
+
+    got = read_parquet(spark, root).orderBy("event_type", "bucket_epoch").toPandas()
+    want = (
+        timeseries.rollup_time_buckets(events, 86400)
+        .orderBy("event_type", "bucket_epoch")
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col
+    # the refresh went through the versioned publish (the FIRST
+    # versioned merge migrates the legacy rollup, so version 1 is the
+    # refreshed snapshot; later refreshes retain travel history)
+    man = layout.read_manifest(root)
+    assert man is not None and man["version"] == 1
+    n2 = timeseries.refresh_rollup_buckets(
+        spark, root, events, batch.limit(20), width_sec=86400
+    )
+    assert n2 > 0
+    prev = layout.read_versioned(spark, root, version=1)
+    assert prev.count() == len(want)  # travel to the pre-2nd-refresh state
+    assert read_parquet(spark, root).count() == len(want)  # refresh idempotent
