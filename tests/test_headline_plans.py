@@ -83,3 +83,37 @@ def test_minhash_band_join_is_hash_not_nested(plans):
     # the band-bucket self-join rides an equi join (broadcast or
     # shuffled hash at this scale — either is fine; nested-loop is not)
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_r9_operator_plan_invariants(spark):
+    """Plan-shape net for the r9 operator family (the r10 gate stock):
+    no CartesianProduct anywhere; the bounded sides (DSIR bucket
+    distributions, BM25 document frequencies, SemDeDup drop set,
+    refresh touched-set) stay broadcast; BM25/DSIR selections compile
+    to TakeOrderedAndProject, never global Sort+Limit."""
+    from pg_parquet_spark.operators import sampling, similarity, text, timeseries
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+    from pg_parquet_spark.session import table
+
+    docs = table(spark, SF, "documents")
+    events = table(spark, SF, "events")
+    emb = table(spark, SF, "embeddings")
+    target = docs.filter("source = 'src13'")
+
+    plans = {
+        "semantic_dedup": _plan(similarity.semantic_dedup(emb, CENTROIDS)),
+        "dsir_select": _plan(sampling.dsir_select(docs, target, frac=0.2)),
+        "bm25": _plan(text.bm25_scores(docs, ["spark", "scan"])),
+        "rollup": _plan(timeseries.rollup_time_buckets(events)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    # bounded model/frequency sides broadcast
+    for name in ("dsir_select", "bm25"):
+        assert "BroadcastHashJoin" in plans[name], name
+    # top-k selection is a heap merge, not a global sort
+    assert "TakeOrderedAndProject" in plans["dsir_select"]
+    # the rollup is one partial+final aggregate — a single DATA shuffle
+    # (the second exchange is the presentation orderBy's range partition)
+    assert plans["rollup"].count("Exchange hashpartitioning") == 1, plans["rollup"]

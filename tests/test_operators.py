@@ -505,3 +505,31 @@ def test_real_decode_distributed(spark):
         assert agot[i].sample_rate == 8000
         assert abs(agot[i].duration_sec - 0.5) < 1e-12
         assert abs(agot[i].rms - (1000 * i) / 32768) < 1e-9
+
+
+def test_bmp_codec_property_roundtrip():
+    """Property test (hypothesis): ANY uint8 pixel grid round-trips
+    through the hand encoder + real decoder with exact dims and mean —
+    incl. odd widths (row padding) and single-pixel images."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pg_parquet_spark.operators.multimodal import decode_bmp
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        meta = decode_bmp(_encode_bmp(px))
+        assert (meta["width"], meta["height"], meta["n_channels"]) == (w, h, 3)
+        # decoder reads rows bottom-up; the SET of bytes is identical,
+        # so the mean matches to float tolerance
+        assert abs(meta["mean_intensity"] - float(px.mean()) / 255.0) < 1e-9
+
+    check()
