@@ -594,6 +594,97 @@ def versioned_dedup_ingest_writer(
     return _write
 
 
+def drain_with_rollup_refresh(
+    sdf: DataFrame,
+    corpus_root: str,
+    rollup_root: str,
+    width_sec: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming MATERIALIZED VIEW: each micro-batch lands in the
+    manifest-versioned event corpus, then the continuous aggregate at
+    ``rollup_root`` refreshes ONLY the (key, bucket) groups the batch
+    touched (``timeseries.refresh_rollup_buckets``) — the streaming
+    rendition of TimescaleDB's refresh policy.
+
+    Two datasets, two pointers — NOT atomic together, and the commit
+    order makes that safe: corpus first, rollup second. A crash between
+    them leaves the rollup stale by one batch; the replay no-ops the
+    corpus publish (manifest) and re-runs the refresh, which recomputes
+    the touched buckets FROM THE CORPUS — idempotent, so the rollup
+    converges to corpus-consistent. Readers of the rollup see at-most-
+    one-batch staleness, never a torn refresh (its own pointer flip is
+    atomic). The rollup bootstraps on the first batch (the refresh's
+    MERGE migrates/creates the versioned dataset from the first
+    touched-bucket recompute)."""
+    from pg_parquet_spark.operators.timeseries import (
+        refresh_rollup_buckets,
+        rollup_time_buckets,
+    )
+    from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sink(batch_df, batch_id)
+        root = rollup_root.rstrip("/")
+        corpus = layout.read_versioned(spark, corpus_root.rstrip("/"))
+        has_data = layout.read_manifest(root) is not None or any(
+            True for _u, _s in pgfs.tree_files(root, suffix=".parquet")
+        )
+        if not has_data:
+            # first batch: materialize the touched buckets directly
+            # (merge_upsert needs an existing base to read). OVERWRITE
+            # so a crashed bootstrap's staging litter never wedges the
+            # replay; the next refresh's MERGE migrates this legacy dir
+            # into the versioned protocol.
+            touched = rollup_time_buckets(
+                batch_df, width_sec, key_col, ts_col, val_col, id_col
+            ).select(key_col, "bucket_epoch")
+            es = F.col(ts_col).cast("timestamp").cast("long")
+            scoped = corpus.withColumn(
+                "bucket_epoch", es - (es % width_sec)
+            ).join(
+                F.broadcast(touched), [key_col, "bucket_epoch"], "left_semi"
+            ).drop("bucket_epoch")
+            rollup_time_buckets(
+                scoped, width_sec, key_col, ts_col, val_col, id_col
+            ).write.mode("overwrite").parquet(pgfs.spark_uri(root))
+            return
+        refresh_rollup_buckets(
+            spark,
+            rollup_root,
+            corpus,
+            batch_df,
+            width_sec=width_sec,
+            key_col=key_col,
+            ts_col=ts_col,
+            val_col=val_col,
+            id_col=id_col,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"rollup-refresh drain did not finish within {timeout_sec}s"
+        )
+
+
 def drain_with_incremental_dedup(
     sdf: DataFrame,
     corpus_root: str,

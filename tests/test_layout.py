@@ -1716,3 +1716,57 @@ def test_dedup_ingest_replay_converges_after_partial_commit(spark, tmp_path):
     versioned_dedup_ingest_writer(corpus, index, writer_id="w1")(batch, 0)
     assert layout.read_manifest(corpus)["version"] == v_c
     assert layout.read_manifest(index)["version"] == v_i
+
+
+def test_streaming_rollup_refresh_materialized_view(spark, tmp_path):
+    """r9 composition: stream → versioned event corpus + continuously
+    refreshed rollup. Two tranches drain; after each, the rollup equals
+    a full recompute over the corpus; a replayed drain changes neither
+    pointer."""
+    from pg_parquet_spark.operators.timeseries import rollup_time_buckets
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_rollup_refresh
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "events_corpus")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    t1 = events.filter("event_id % 2 = 0")
+    t2 = events.filter("event_id % 2 = 1")
+
+    def check_consistent():
+        got = (
+            read_parquet(spark, rollup)
+            .orderBy("event_type", "bucket_epoch")
+            .toPandas()
+        )
+        want = (
+            rollup_time_buckets(read_parquet(spark, corpus), 3600)
+            .orderBy("event_type", "bucket_epoch")
+            .toPandas()
+        )
+        assert len(got) == len(want) > 0
+        for col in want.columns:
+            assert list(got[col]) == list(want[col]), col
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_rollup_refresh(sdf, corpus, rollup, width_sec=3600, checkpoint=ckpt)
+    check_consistent()
+
+    t2.coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_rollup_refresh(sdf2, corpus, rollup, width_sec=3600, checkpoint=ckpt)
+    check_consistent()
+    assert read_parquet(spark, corpus).count() == events.count()
+
+    vc = layout.read_manifest(corpus)["version"]
+    vr = layout.read_manifest(rollup)["version"]
+    sdf3 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_rollup_refresh(sdf3, corpus, rollup, width_sec=3600, checkpoint=ckpt)
+    assert layout.read_manifest(corpus)["version"] == vc
+    assert layout.read_manifest(rollup)["version"] == vr
