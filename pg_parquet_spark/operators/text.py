@@ -651,6 +651,78 @@ def bm25_scores(
     )
 
 
+def build_term_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, int, float]:
+    """Materialize the BM25 term index — the train-once/search-many
+    shape at 100 TB: one explode of the corpus into
+    ``(id, term, tf, dl)`` plus the two corpus constants
+    ``(n_docs, avgdl)``. Persist the frame with
+    ``layout.write_zordered(index, uri, ["term"])`` (or hive-partition
+    on a term hash) and every query's term filter becomes row-group
+    skipping / partition pruning — the corpus text is never touched
+    again at query time."""
+    ex = df.withColumn("_toks", tokens(F.col(text_col))).select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    index = ex.groupBy(id_col, "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = df.count()
+    sum_dl = df.select(F.sum(token_count(F.col(text_col)))).collect()[0][0]
+    return index, n_docs, float(sum_dl) / float(n_docs)
+
+
+def bm25_scores_from_index(
+    index: DataFrame,
+    query_terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over a materialized term index (``build_term_index``):
+    identical math and quantization to ``bm25_scores`` — the two paths
+    are asserted equal in tests — but the per-query cost is a
+    term-filtered index scan (pushed predicate) instead of a corpus
+    explode."""
+    qset = sorted({t.lower() for t in query_terms})
+    if not qset:
+        raise ValueError("BM25 needs at least one query term")
+    tfc = index.filter(F.col("term").isin(qset))
+    dfreq = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df").cast("double") + F.lit(0.5))
+        / (F.col("_df").cast("double") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    contrib = idf * (
+        tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
+    )
+    return (
+        tfc.join(F.broadcast(dfreq), "term")
+        .select(
+            F.col(id_col),
+            F.floor(contrib * 1e6 + F.lit(0.5)).cast("long").alias("_cm"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.sum("_cm").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+    )
+
+
 def bm25_oracle_sql(
     query_terms: list[str],
     table: str = "documents",

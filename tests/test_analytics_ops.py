@@ -271,3 +271,35 @@ def test_rollup_incremental_refresh_equals_full_recompute(spark, tmp_path):
     prev = layout.read_versioned(spark, root, version=1)
     assert prev.count() == len(want)  # travel to the pre-2nd-refresh state
     assert read_parquet(spark, root).count() == len(want)  # refresh idempotent
+
+
+def test_bm25_index_path_equals_direct_and_pushes_terms(spark, tmp_path):
+    """r9: the materialized-term-index BM25 path returns exactly the
+    direct path's ranking, and a persisted index scan pushes the term
+    filter into parquet (the per-query scale story)."""
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    q = ["spark", "vector", "scan"]
+    direct = text_ops.bm25_scores(docs, q).toPandas()
+
+    index, n_docs, avgdl = text_ops.build_term_index(docs)
+    path = str(tmp_path / "term_index")
+    index.write.parquet(path)
+    persisted = spark.read.parquet(path)
+    indexed = text_ops.bm25_scores_from_index(
+        persisted, q, n_docs, avgdl
+    ).toPandas()
+    assert len(direct) == len(indexed)
+    for col in direct.columns:
+        assert list(direct[col]) == list(indexed[col]), col
+
+    # the term filter reaches the scan
+    plan = (
+        text_ops.bm25_scores_from_index(persisted, q, n_docs, avgdl)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:200]
