@@ -634,6 +634,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     eps: float = 0.05,
     dims: int = 64,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -652,13 +653,33 @@ def semantic_dedup(
     the only join is the within-cell pair join, whose cost is
     Σ|cell|² — the paper's own cost model, bounded by choosing
     n_cells ∝ corpus size (they use k=50k for LAION). K-means cells
-    (unlike LSH buckets) CAN skew on degenerate corpora: if a cell's
-    population breaks the pair budget, raise n_cells or pre-split hot
-    cells with a secondary hash — same remediation as the paper's
-    per-cluster cap. Vectors move once (the self-join's shuffle is
-    cell-keyed); the drop set is distinct ids only.
+    (unlike LSH buckets) CAN skew on degenerate corpora: pass
+    ``max_cell_rows`` to FAIL FAST before the quadratic join when a
+    cell's population breaks the pair budget (one tiny count
+    aggregate) — remediation: retrain with more cells or pre-split hot
+    cells with a secondary hash, the paper's per-cluster cap. Vectors
+    move once (the self-join's shuffle is cell-keyed); the drop set is
+    distinct ids only.
     """
     assigned = ivf_assign(df.select(id_col, vec_col), centroids)
+    if max_cell_rows is not None:
+        hot = (
+            assigned.groupBy("_cell")
+            .agg(F.count(F.lit(1)).alias("_hn"))
+            .filter(F.col("_hn") > max_cell_rows)
+            .orderBy(F.col("_hn").desc())
+            .limit(3)
+            .collect()
+        )
+        if hot:
+            worst = ", ".join(f"cell {r._cell}: {r._hn} rows" for r in hot)
+            raise ValueError(
+                f"semantic_dedup pair budget exceeded ({worst}; limit "
+                f"{max_cell_rows}): the within-cell join is quadratic in "
+                "cell population — retrain the quantizer with more cells "
+                "or pre-split hot cells with a secondary hash before "
+                "deduping"
+            )
     # norms are per-ROW, not per-pair: precompute once before the pair
     # join (the HOF-fold lesson — _exact_cosine inside the join ran 3
     # interpreted folds per pair; this runs 1, measured ~2.5x faster at

@@ -631,3 +631,18 @@ def test_semantic_dedup_matches_duckdb_oracle(spark, tmp_path):
     assert list(got["keep"]) == list(want["keep"])
     dropped = set(got.loc[~got["keep"], "vec_id"])
     assert dropped == {9001, 9002}  # planted dups dropped, exemplars kept
+
+
+def test_semantic_dedup_pair_budget_guard(spark):
+    """r9: the skew guard fails fast (naming the hot cells) before the
+    quadratic join when a cell exceeds the pair budget, and passes
+    when the budget accommodates the corpus."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="pair budget exceeded"):
+        similarity.semantic_dedup(emb, CENTROIDS, max_cell_rows=5)
+    out = similarity.semantic_dedup(emb, CENTROIDS, max_cell_rows=10_000)
+    assert out.count() == emb.count()
