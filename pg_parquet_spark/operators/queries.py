@@ -488,10 +488,24 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the PRE-AGGREGATED distinct-key base (r9): Spark's
+    Expand runs BEFORE the partial aggregate, so a bare
+    ``li.rollup(...)`` feeds 3× the fact-table rows into the shuffle —
+    at 100 TB that's a 3× scan-side cost for information the 6-row
+    (flag, status) base already contains. Aggregating first and rolling
+    up the base is exact (DECIMAL re-sums) and identical to the
+    oracle's true ROLLUP because the grouping keys are non-NULL in this
+    schema (data NULLs would conflate with super-aggregate rows — the
+    one precondition of the rewrite). Measured 0.97 → 0.62 s at sf0.1
+    (the second tiny aggregate costs a job; the Expand-side win is the
+    scan-volume one that matters at scale)."""
     li = table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("_s")
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("_s").cast("double").alias("sum_qty"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
