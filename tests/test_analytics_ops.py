@@ -303,3 +303,58 @@ def test_bm25_index_path_equals_direct_and_pushes_terms(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:200]
+
+
+def test_subtree_rollup_matches_recursive_cte_oracle(spark):
+    """r9: the path-doubling closure + subtree rollup equals DuckDB's
+    WITH RECURSIVE on a synthetic part hierarchy (parent = key // 10 —
+    a 10-ary tree ~3 levels deep over 200 parts); a cyclic edge table
+    raises instead of silently truncating reachability."""
+    import duckdb
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import graph
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    part = table(spark, sf, "part")
+    edges = part.filter("p_partkey > 0").selectExpr(
+        "p_partkey AS node", "p_partkey DIV 10 AS parent"
+    )
+    values = part.selectExpr("p_partkey AS node", "p_retailprice AS value")
+    got = graph.subtree_rollup(edges, values).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{sf}/part.parquet')"
+    )
+    want = con.execute(
+        graph.subtree_rollup_oracle_sql(
+            "SELECT p_partkey AS node, p_partkey // 10 AS parent "
+            "FROM part WHERE p_partkey > 0",
+            "SELECT p_partkey AS node, p_retailprice AS value FROM part",
+        )
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in ("node", "n_nodes", "total"):
+        assert list(got[col]) == list(want[col]), col
+    # the root's subtree is the whole forest under 0, self included
+    root = got[got.node == 0].iloc[0]
+    assert root.n_nodes == len(want)  # every part reaches 0
+
+    # a CYCLE converges (finite closure) and surfaces loudly as nodes
+    # that are their own ancestors — the DAG-contract violation signal
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
+    pairs = {
+        (r.node, r.ancestor)
+        for r in graph.transitive_ancestors(cyc).collect()
+    }
+    assert pairs == {(1, 2), (2, 1), (1, 1), (2, 2)}
+
+    # the depth bound raises instead of silently truncating: a chain of
+    # depth 20 cannot close within 2 doubling rounds (distance 4)
+    chain = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 21)], "node long, parent long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.transitive_ancestors(chain, max_rounds=2)
