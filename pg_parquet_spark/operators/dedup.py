@@ -185,9 +185,8 @@ def commit_fingerprints(
     dedup_incremental's commit-order note). A replayed commit converges
     — the fingerprints it would add are already there. An all-known
     batch publishes nothing."""
-    from pg_parquet_spark.sources import layout
-
     from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout
 
     index_uri = index_uri.rstrip("/")
     additions = flagged.filter("keep").select(
