@@ -646,3 +646,40 @@ def test_semantic_dedup_pair_budget_guard(spark):
         similarity.semantic_dedup(emb, CENTROIDS, max_cell_rows=5)
     out = similarity.semantic_dedup(emb, CENTROIDS, max_cell_rows=10_000)
     assert out.count() == emb.count()
+
+
+def test_semantic_dedup_arrow_tier_matches_exact(spark):
+    """r9: the BLAS tier reproduces the exact tier's keep set on the
+    planted corpus (thresholds sit ~1e-2 from any pair, twelve orders
+    above the BLAS-vs-fold ULP difference) and enforces the same cell
+    guard."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select("vec_id", "embedding").limit(60)
+    rows = {r.vec_id: list(r.embedding) for r in base.collect()}
+    planted = spark.createDataFrame(
+        [
+            (9001, [x + 0.0001 for x in rows[3]]),
+            (9002, list(rows[3])),
+            (9003, list(rows[7])),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = base.unionByName(planted)
+    exact = {
+        (r.vec_id, r.cell, r.keep)
+        for r in similarity.semantic_dedup(corpus, CENTROIDS, eps=0.05).collect()
+    }
+    arrow = {
+        (r.vec_id, r.cell, r.keep)
+        for r in similarity.semantic_dedup_arrow(
+            corpus, CENTROIDS, eps=0.05
+        ).collect()
+    }
+    assert arrow == exact
+    assert {v for v, _c, k in arrow if not k} == {9001, 9002, 9003}
+    with _pytest.raises(ValueError, match="raise n_cells"):
+        similarity.semantic_dedup_arrow(corpus, CENTROIDS, max_cell_rows=3)
