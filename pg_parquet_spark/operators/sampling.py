@@ -54,14 +54,32 @@ def _feature_bucket(col: Column, n_buckets: int) -> Column:
     ).cast("long")
 
 
-def _bucket_tf(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+def _bucket_tf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    ngram: int = 1,
+) -> DataFrame:
     """(id, feature-bucket, count) — the corpus explodes ONCE into this
-    compact table; raw text never shuffles."""
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    compact table; raw text never shuffles. ``ngram=2`` hashes adjacent
+    token PAIRS (the DSIR paper's feature set — bigrams separate
+    domains unigrams can't); a single-token document has no bigram
+    features and drops out of the scored set, mirrored by the oracle."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    if ngram == 1:
+        grams = toks
+    elif ngram == 2:
+        sz = F.size(toks)
+        grams = F.zip_with(
+            F.slice(toks, 1, sz - 1),
+            F.slice(toks, 2, sz - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    else:
+        raise ValueError("ngram must be 1 or 2")
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("w"))
         .select(F.col(id_col), _feature_bucket(F.col("w"), n_buckets).alias("f"))
         .groupBy(id_col, "f")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -74,6 +92,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    ngram: int = 1,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
@@ -94,9 +113,9 @@ def dsir_weights(
     Returns (id, n_words, logw_micro)."""
     import math
 
-    doc_tf = _bucket_tf(df, id_col, text_col, n_buckets)
+    doc_tf = _bucket_tf(df, id_col, text_col, n_buckets, ngram)
     tgt_cnt = (
-        _bucket_tf(target, id_col, text_col, n_buckets)
+        _bucket_tf(target, id_col, text_col, n_buckets, ngram)
         .groupBy("f")
         .agg(F.sum("c").alias("cnt"))
     )
@@ -131,6 +150,7 @@ def dsir_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    ngram: int = 1,
 ) -> DataFrame:
     """DSIR selection: Gumbel-top-k resampling over the importance
     weights (the paper's sampling-without-replacement scheme), with the
@@ -145,7 +165,7 @@ def dsir_select(
     logw_micro + floor(g·1e6 + 0.5)."""
     import math
 
-    w = dsir_weights(df, target, id_col, text_col, n_buckets)
+    w = dsir_weights(df, target, id_col, text_col, n_buckets, ngram)
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
         .cast("double")
@@ -174,6 +194,7 @@ def dsir_oracle_sql(
     n_buckets: int = 1024,
     tgt_total: int | None = None,
     raw_total: int | None = None,
+    ngram: int = 1,
 ) -> str:
     """DuckDB replica of dsir_select. ``tgt_total``/``raw_total`` are
     optional overrides; by default the totals are computed in SQL (they
@@ -182,11 +203,22 @@ def dsir_oracle_sql(
     the same totals inside SQL with the identical expression shape."""
     import math
 
+    if ngram == 1:
+        grams = "_tk"
+    elif ngram == 2:
+        grams = (
+            "list_transform(range(1, len(_tk)), "
+            "i -> _tk[i] || ' ' || _tk[i + 1])"
+        )
+    else:
+        raise ValueError("ngram must be 1 or 2")
+
     def total_sql(where: str | None) -> str:
         w = f" WHERE {where}" if where else ""
         return (
-            f"(SELECT COUNT(*) FROM (SELECT unnest(string_split(lower({text_col}), ' ')) "
-            f"FROM {table}{w}))"
+            f"(SELECT COUNT(*) FROM (SELECT unnest({grams}) FROM "
+            f"(SELECT string_split(lower({text_col}), ' ') AS _tk "
+            f"FROM {table}{w})))"
         )
 
     tt = str(tgt_total) if tgt_total is not None else total_sql(target_where)
@@ -196,12 +228,14 @@ def dsir_oracle_sql(
     ).format(B=n_buckets)
     return f"""
 WITH doc_toks AS (
-  SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS w FROM {table}
+  SELECT {id_col}, unnest({grams}) AS w FROM
+    (SELECT {id_col}, string_split(lower({text_col}), ' ') AS _tk FROM {table})
 ), doc_tf AS (
   SELECT {id_col}, {bucket} AS f, COUNT(*) AS c FROM doc_toks GROUP BY 1, 2
 ), tgt_toks AS (
-  SELECT unnest(string_split(lower({text_col}), ' ')) AS w
-  FROM {table} WHERE {target_where}
+  SELECT unnest({grams}) AS w FROM
+    (SELECT string_split(lower({text_col}), ' ') AS _tk
+     FROM {table} WHERE {target_where})
 ), tgt_q AS (
   SELECT {bucket} AS f,
          CAST(FLOOR(ln((COUNT(*) + 1) / CAST({tt} + {n_buckets} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS _qt

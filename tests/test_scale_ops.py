@@ -705,3 +705,33 @@ def test_dsir_select_matches_duckdb_oracle(spark):
     tgt_mean = w[w.doc_id.isin(ids)].logw_micro.mean()
     all_mean = w.logw_micro.mean()
     assert tgt_mean > all_mean
+
+
+def test_dsir_bigram_features_match_oracle(spark):
+    """r9: ngram=2 hashes adjacent token pairs (the paper's feature
+    set); the full selected set still replicates bit-exactly, and
+    bigram weights rank the target domain above the corpus mean."""
+    import duckdb
+
+    from pg_parquet_spark.operators import sampling
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    target = docs.filter("source = 'src13'")
+    got = sampling.dsir_select(docs, target, frac=0.2, ngram=2).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        sampling.dsir_oracle_sql(frac=0.2, target_where="source = 'src13'", ngram=2)
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in ("doc_id", "n_words", "logw_micro", "sel_key_micro"):
+        assert list(got[col]) == list(want[col]), col
+
+    w = sampling.dsir_weights(docs, target, ngram=2).toPandas()
+    ids = {r.doc_id for r in target.select("doc_id").collect()}
+    assert w[w.doc_id.isin(ids)].logw_micro.mean() > w.logw_micro.mean()
