@@ -579,6 +579,8 @@ def versioned_dedup_ingest_writer(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return  # no-data trigger: nothing to flag, publish, or commit
         flagged = dedup_ops.dedup_incremental(
             spark, batch_df, index_root, id_col=id_col, text_col=text_col
         )
@@ -635,6 +637,11 @@ def drain_with_rollup_refresh(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # a no-data trigger fires one empty batch on an empty
+            # source: nothing to publish, and the corpus may not even
+            # exist yet — reading it for the refresh would throw
+            return
         sink(batch_df, batch_id)
         root = rollup_root.rstrip("/")
         corpus = layout.read_versioned(spark, corpus_root.rstrip("/"))

@@ -1770,3 +1770,49 @@ def test_streaming_rollup_refresh_materialized_view(spark, tmp_path):
     drain_with_rollup_refresh(sdf3, corpus, rollup, width_sec=3600, checkpoint=ckpt)
     assert layout.read_manifest(corpus)["version"] == vc
     assert layout.read_manifest(rollup)["version"] == vr
+
+
+def test_streaming_compositions_survive_empty_source(spark, tmp_path):
+    """r9 review: a drain over an EMPTY source fires one no-data batch —
+    both composed sinks must no-op (the rollup refresh used to read a
+    corpus that didn't exist yet) and a later real drain proceeds."""
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import (
+        drain_with_incremental_dedup,
+        drain_with_rollup_refresh,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp_ntz, event_type string, value double"
+    spark.createDataFrame([], schema).write.parquet(src)  # zero-row source
+
+    corpus = str(tmp_path / "corpus")
+    rollup = str(tmp_path / "rollup")
+    sdf = spark.readStream.schema(schema).parquet(src)
+    drain_with_rollup_refresh(
+        sdf, corpus, rollup, checkpoint=str(tmp_path / "ck1")
+    )
+    assert layout.read_manifest(corpus) is None  # nothing published
+
+    dsrc = str(tmp_path / "dsrc")
+    dschema = "doc_id long, text string"
+    spark.createDataFrame([], dschema).write.parquet(dsrc)
+    drain_with_incremental_dedup(
+        spark.readStream.schema(dschema).parquet(dsrc),
+        str(tmp_path / "dcorpus"),
+        str(tmp_path / "didx"),
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    assert layout.read_manifest(str(tmp_path / "dcorpus")) is None
+
+    # data arrives later: the same checkpoints pick it up end-to-end
+    events = table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    events.limit(200).coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(schema).parquet(src)
+    drain_with_rollup_refresh(
+        sdf2, corpus, rollup, checkpoint=str(tmp_path / "ck1")
+    )
+    assert read_parquet(spark, corpus).count() == 200
+    assert read_parquet(spark, rollup).count() > 0
