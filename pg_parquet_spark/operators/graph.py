@@ -81,7 +81,9 @@ def subtree_rollup(
     """BOM-style subtree totals: for every node, the exact DECIMAL sum
     and count of ``value_col`` over the node's ENTIRE subtree (self
     included) — the hierarchy rollup a recursive CTE computes, as one
-    closure + one aggregate. Returns (node, n_nodes, total)."""
+    closure + one aggregate. ``values`` must carry ONE row per node
+    (duplicate nodes would multiply membership pairs — pre-aggregate
+    upstream). Returns (node, n_nodes, total)."""
     closure = transitive_ancestors(edges, node_col, parent_col, max_rounds)
     self_pairs = values.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("ancestor")

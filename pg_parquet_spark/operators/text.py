@@ -736,7 +736,7 @@ def bm25_oracle_sql(
     N / Σdl → avgdl double, micro-quantization before the fold, id
     tie-break."""
     qset = sorted({t.lower() for t in query_terms})
-    qlist = ", ".join(f"'{t}'" for t in qset)
+    qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in qset)
     return f"""
 WITH t AS (
   SELECT {id_col}, string_split(lower({text_col}), ' ') AS toks FROM {table}

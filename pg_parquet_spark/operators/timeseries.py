@@ -39,7 +39,11 @@ def rollup_time_buckets(
     ``id_col``, which must be < 1e7 — see ``_OKEY_BASE``). The bucket
     is the epoch-second floor multiple of ``width_sec`` (BIGINT — a
     timezone-free bucket identity that compares identically on every
-    engine; render it with ``timestamp_seconds`` for humans)."""
+    engine; render it with ``timestamp_seconds`` for humans). Rows with
+    NULL ``ts_col``/``key_col`` land in NULL-keyed groups — and NULL
+    merge keys break the (key, bucket)-keyed MERGE refresh (SQL NULL
+    never equi-joins), so filter or default them upstream before using
+    ``refresh_rollup_buckets``."""
     # epoch seconds, truncating (= floor post-1970). NTZ casts through
     # TIMESTAMP first (session tz is pinned UTC, so the instant matches
     # DuckDB's wall-clock epoch()); a direct NTZ→long cast is illegal.
