@@ -1,0 +1,297 @@
+"""Mergeable data sketches (beyond-reference surface): KMV distinct-count
+and count-min frequency — the bounded-size summaries a 100 TB profiling
+pass ships back to the driver instead of exact groupBys.
+
+Scale design:
+
+- **KMV (k-minimum-values) cardinality** (Bar-Yossef et al. 2002, the
+  theta-sketch family): keep the k smallest 40-bit content hashes per
+  group; estimate distinct = (k-1)/v_k where v_k is the k-th minimum as
+  a fraction of hash space. The sketch is k rows per group NO MATTER the
+  data size, and two sketches MERGE by unioning their value sets and
+  re-taking the k smallest — the property that lets per-partition /
+  per-day sketches roll up without a re-scan.
+- **Count-min frequency** (Cormode & Muthukrishnan 2005): depth×width
+  integer counters; point estimate = min over rows of the keyed bucket.
+  The sketch is depth·width rows regardless of key cardinality, merges
+  by elementwise SUM, and never undercounts (est ≥ true, asserted in
+  tests). Candidate keys for heavy-hitter queries come from a bounded
+  candidate set (domain values, a sample, or a prior round's sketch) —
+  the classic deployment; the sketch itself never enumerates keys.
+- Both build with ONE map-side-combinable aggregation: partial
+  HashAggregate collapses each task's contribution to ≤ sketch-size
+  rows before the shuffle, so shuffle volume is O(sketch), not O(data).
+
+Determinism contract (the DSIR lesson — sampling.py): "randomness" is
+content hashing (md5-prefix integers, both engines bit-identical), and
+the estimate arithmetic is pure positive-integer division — Spark
+``div`` ≡ DuckDB ``//`` — so the full sketch AND the estimates replicate
+in the DuckDB oracle exactly:  (k-1)/((v_k+0.5)/2^40) milli-units
+ ≡ ((k-1)·2^41·1000) // (2·v_k+1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: 40-bit hash space (10 hex chars of md5) — wide enough that collision
+#: odds at realistic group cardinalities are negligible, narrow enough
+#: that the integer estimate arithmetic stays far inside int64.
+_HASH_HEX = 10
+_HASH_SPACE = 1 << (4 * _HASH_HEX)
+
+_ALL = "__ALL__"
+
+
+def _hash40(col) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, _HASH_HEX), 16, 10
+    ).cast("long")
+
+
+def _hash40_sql(expr: str) -> str:
+    return (
+        f"CAST(CONCAT('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, "
+        f"{_HASH_HEX})) AS BIGINT)"
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV distinct-count
+# --------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """The per-group sketch itself: the k smallest distinct hash values.
+
+    (grp, h) rows, ≤ k per group — this is the mergeable artifact you
+    persist or ship; ``kmv_estimate`` turns it into numbers."""
+    hashes = (
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            _hash40(F.col(value_col)).alias("h"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("grp").orderBy("h"))
+    return hashes.withColumn("rn", rn).filter(F.col("rn") <= k).drop("rn")
+
+
+def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64) -> DataFrame:
+    """Union two sketches and re-take the k smallest per group — the
+    closure property (sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)),
+    asserted in tests/test_sketch.py)."""
+    both = sketch_a.unionByName(sketch_b).distinct()
+    rn = F.row_number().over(Window.partitionBy("grp").orderBy("h"))
+    return both.withColumn("rn", rn).filter(F.col("rn") <= k).drop("rn")
+
+
+def _estimate_milli(k: int):
+    exact = F.col("n_kept") * F.lit(1000)
+    est = F.expr(
+        f"({k - 1} * {2 * _HASH_SPACE * 1000}) div (2 * kth_min + 1)"
+    )
+    return F.when(F.col("n_kept") < k, exact).otherwise(est).cast("long")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """(grp, n_kept, kth_min, est_milli) per group PLUS a '__ALL__' row
+    estimated from the MERGED sketch — distinct-of-union via union-of-
+    sketches, no second data pass. Groups with < k distinct values are
+    exact by construction (the sketch holds every value)."""
+    per = sketch.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("h").alias("kth_min"),
+    )
+    g_rn = F.row_number().over(Window.partitionBy().orderBy("h"))
+    merged = (
+        sketch.select("h")
+        .distinct()
+        .withColumn("rn", g_rn)
+        .filter(F.col("rn") <= k)
+        .groupBy()
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.max("h").alias("kth_min"),
+        )
+        .select(F.lit(_ALL).alias("grp"), "n_kept", "kth_min")
+    )
+    return (
+        per.unionByName(merged)
+        .withColumn("est_milli", _estimate_milli(k))
+        .orderBy("grp")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """End-to-end: sketch then estimate (the gate-shaped entry point)."""
+    return kmv_estimate(kmv_sketch(df, group_col, value_col, k), k)
+
+
+def kmv_oracle_sql(
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    table: str = "events",
+) -> str:
+    """DuckDB replica of kmv_distinct — identical hashes, identical
+    positive-integer estimate arithmetic."""
+    h = _hash40_sql(value_col)
+    num = (k - 1) * 2 * _HASH_SPACE * 1000
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT CAST({group_col} AS VARCHAR) AS grp, {h} AS h FROM {table}
+), ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashes
+), sk AS (
+  SELECT grp, h FROM ranked WHERE rn <= {k}
+), per AS (
+  SELECT grp, COUNT(*) AS n_kept, MAX(h) AS kth_min FROM sk GROUP BY grp
+), gdedup AS (
+  SELECT DISTINCT h FROM sk
+), granked AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gdedup
+), gper AS (
+  SELECT '{_ALL}' AS grp, COUNT(*) AS n_kept, MAX(h) AS kth_min
+  FROM granked WHERE rn <= {k}
+), allrows AS (
+  SELECT * FROM per UNION ALL SELECT * FROM gper
+)
+SELECT grp, CAST(n_kept AS BIGINT) AS n_kept, CAST(kth_min AS BIGINT) AS kth_min,
+       CAST(CASE WHEN n_kept < {k} THEN n_kept * 1000
+                 ELSE CAST({num} // (2 * kth_min + 1) AS BIGINT)
+            END AS BIGINT) AS est_milli
+FROM allrows
+ORDER BY grp
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-min frequency
+# --------------------------------------------------------------------------
+
+
+def _bucket(row_col, key_col, width: int) -> F.Column:
+    tagged = F.concat(row_col.cast("string"), F.lit(":"), key_col)
+    return (
+        F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("long")
+        % F.lit(width)
+    )
+
+
+def _bucket_sql(row_expr: str, key_expr: str, width: int) -> str:
+    tagged = f"CONCAT(CAST({row_expr} AS VARCHAR), ':', {key_expr})"
+    return (
+        f"(CAST(CONCAT('0x', substr(md5({tagged}), 1, 8)) AS BIGINT)"
+        f" % {width})"
+    )
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 128
+) -> DataFrame:
+    """(d, bucket, cnt): depth×width counters. One exploded projection +
+    a map-side-combinable count — each task emits ≤ depth·width partial
+    rows, so the shuffle is sketch-sized, not data-sized."""
+    rows = df.select(F.col(key_col).cast("string").alias("k")).select(
+        "k",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    )
+    return (
+        rows.select("d", _bucket(F.col("d"), F.col("k"), width).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Elementwise counter sum — the merge property (asserted in tests)."""
+    return (
+        sketch_a.unionByName(sketch_b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 128,
+) -> DataFrame:
+    """Point estimates for a bounded candidate set: min over the depth
+    rows of each candidate's bucket counter. The candidate frame is the
+    small side (broadcast); the sketch is depth·width rows."""
+    keys = candidates.select(
+        F.col(key_col).cast("string").alias("key")
+    ).distinct()
+    probes = keys.select(
+        "key",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    ).select("key", "d", _bucket(F.col("d"), F.col("key"), width).alias("bucket"))
+    return (
+        probes.join(sketch, ["d", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 15,
+    depth: int = 4,
+    width: int = 128,
+) -> DataFrame:
+    """Build the sketch over ``df`` and rank the candidate keys by
+    estimated frequency (desc, then key asc for determinism). Candidates
+    here are the column's distinct values — in a 100 TB deployment pass
+    a bounded candidate frame to ``cms_estimate`` instead (sample /
+    domain list / previous sketch round); this wrapper is the
+    gate-shaped bounded-cardinality case."""
+    sketch = cms_sketch(df, key_col, depth, width)
+    est = cms_estimate(sketch, df, key_col, depth, width)
+    return est.orderBy(F.col("est").desc(), F.col("key")).limit(top_k)
+
+
+def cms_oracle_sql(
+    key_col: str,
+    top_k: int = 15,
+    depth: int = 4,
+    width: int = 128,
+    table: str = "events",
+) -> str:
+    """DuckDB replica of cms_heavy_hitters (identical buckets, min-over-
+    rows, integer counts)."""
+    b_build = _bucket_sql("d", "k", width)
+    return f"""
+WITH rows_tagged AS (
+  SELECT CAST({key_col} AS VARCHAR) AS k, unnest(range(0, {depth})) AS d
+  FROM {table}
+), sk AS (
+  SELECT d, {b_build} AS bucket, COUNT(*) AS cnt
+  FROM rows_tagged GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT CAST({key_col} AS VARCHAR) AS key FROM {table}
+), probes AS (
+  SELECT key, unnest(range(0, {depth})) AS d FROM cand
+), probe_buckets AS (
+  SELECT key, d, {_bucket_sql("d", "key", width)} AS bucket FROM probes
+), est AS (
+  SELECT p.key, MIN(COALESCE(s.cnt, 0)) AS est
+  FROM probe_buckets p LEFT JOIN sk s USING (d, bucket)
+  GROUP BY p.key
+)
+SELECT key, CAST(est AS BIGINT) AS est
+FROM est
+ORDER BY est DESC, key
+LIMIT {top_k}
+"""

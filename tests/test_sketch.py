@@ -1,0 +1,122 @@
+"""Mergeable sketches (KMV distinct-count, count-min frequency):
+DuckDB-oracle equality at both local SFs, the merge/closure properties,
+and the count-min never-undercounts guarantee."""
+
+import duckdb
+import pytest
+
+from pg_parquet_spark.operators import sketch
+from pg_parquet_spark.session import table
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _con(sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_kmv_matches_duckdb_oracle(spark, sf):
+    """k=8 < per-group distinct counts, so the ESTIMATION branch (not
+    the exact small-group path) is what the oracle verifies."""
+    events = table(spark, sf, "events")
+    got = sketch.kmv_distinct(events, "event_type", "user_id", k=8).toPandas()
+    want = _con(sf).execute(
+        sketch.kmv_oracle_sql("event_type", "user_id", k=8)
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in ("grp", "n_kept", "kth_min", "est_milli"):
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_kmv_exact_below_k_and_estimate_sane(spark):
+    """Groups with < k distinct values report exactly; the __ALL__
+    estimate lands within KMV's expected error band of the true count."""
+    sf = SFS[1]
+    events = table(spark, sf, "events")
+    big_k = sketch.kmv_distinct(events, "event_type", "user_id", k=512).toPandas()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg({"user_id": "count"})
+        .withColumnRenamed("count(user_id)", "n")
+        .collect()
+    }
+    truth = (
+        events.select("event_type", "user_id").distinct().groupBy("event_type").count()
+    )
+    truth = {r["event_type"]: r["count"] for r in truth.collect()}
+    for _, row in big_k.iterrows():
+        if row.grp == "__ALL__":
+            continue
+        assert row.est_milli == truth[row.grp] * 1000  # exact path
+
+    est = sketch.kmv_distinct(events, "event_type", "user_id", k=32).toPandas()
+    all_row = est[est.grp == "__ALL__"].iloc[0]
+    true_all = events.select("user_id").distinct().count()
+    assert 0.6 * true_all <= all_row.est_milli / 1000.0 <= 1.4 * true_all
+
+
+def test_kmv_merge_closure(spark):
+    """sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)) — the roll-up
+    property that makes per-day / per-partition sketches composable."""
+    sf = SFS[0]
+    events = table(spark, sf, "events")
+    a = events.filter("event_id % 2 = 0")
+    b = events.filter("event_id % 2 = 1")
+    direct = (
+        sketch.kmv_sketch(events, "event_type", "user_id", k=8)
+        .orderBy("grp", "h")
+        .collect()
+    )
+    merged = (
+        sketch.kmv_merge(
+            sketch.kmv_sketch(a, "event_type", "user_id", k=8),
+            sketch.kmv_sketch(b, "event_type", "user_id", k=8),
+            k=8,
+        )
+        .orderBy("grp", "h")
+        .collect()
+    )
+    assert [tuple(r) for r in direct] == [tuple(r) for r in merged]
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_cms_matches_duckdb_oracle(spark, sf):
+    events = table(spark, sf, "events")
+    got = sketch.cms_heavy_hitters(events, "user_id", top_k=10).toPandas()
+    want = _con(sf).execute(sketch.cms_oracle_sql("user_id", top_k=10)).df()
+    assert len(got) == len(want) > 0
+    assert list(got["key"]) == list(want["key"])
+    assert list(got["est"]) == list(want["est"])
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    sf = SFS[0]
+    events = table(spark, sf, "events")
+    est = sketch.cms_estimate(
+        sketch.cms_sketch(events, "user_id"), events, "user_id"
+    ).toPandas()
+    exact = {
+        str(r["user_id"]): r["count"]
+        for r in events.groupBy("user_id").count().collect()
+    }
+    assert len(est) == len(exact)
+    for _, row in est.iterrows():
+        assert row.est >= exact[row.key], row.key
+
+    a = events.filter("event_id % 2 = 0")
+    b = events.filter("event_id % 2 = 1")
+    merged = (
+        sketch.cms_merge(
+            sketch.cms_sketch(a, "user_id"), sketch.cms_sketch(b, "user_id")
+        )
+        .orderBy("d", "bucket")
+        .collect()
+    )
+    direct = sketch.cms_sketch(events, "user_id").orderBy("d", "bucket").collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in merged]
