@@ -134,3 +134,150 @@ SELECT m.ancestor AS node, COUNT(*) AS n_nodes,
 FROM member_of m JOIN vals v ON v.{node_col} = m.node
 GROUP BY m.ancestor ORDER BY m.ancestor
 """
+
+
+# --------------------------------------------------------------------------
+# Fixed-point PageRank
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 10**12  # total rank mass, integer "pico-rank" units
+
+
+def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer↔supplier interaction graph from the order
+    flow: an edge per DISTINCT (customer, supplier) pair that ever
+    traded, emitted in both directions. Node keys are prefixed strings
+    ('c:<custkey>' / 's:<suppkey>') so the two id spaces can't collide."""
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey"),
+            orders.o_orderkey == lineitem.l_orderkey,
+        )
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def page_rank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    top_k: int | None = 20,
+) -> DataFrame:
+    """Fixed-ITERATION, fixed-POINT PageRank: ``iterations`` rounds of
+    pr(v) ← base + d·Σ_{u→v} pr(u)/out(u), entirely in integer
+    arithmetic so the result is bit-identical on any engine, partition
+    layout, or cluster size — the iterative-algorithm class Spark is
+    usually said to need GraphX for, expressed as a 3-round join/agg
+    loop over DataFrames.
+
+    Determinism contract: rank mass is integer pico-units
+    (Σ init = 10^12); each edge contribution is ``pr div out_degree``
+    and the damped update is ``(init·(100−d)) div 100 +
+    (d·Σcontrib) div 100`` — positive-integer division only (Spark
+    ``div`` ≡ DuckDB ``//``), so the unrolled-CTE oracle replicates
+    every iteration exactly. Floor loss per division is the documented
+    trade (≤ out_degree pico-units per node per round) — this is a
+    RANKING operator, not a probability estimator.
+
+    Scale shape: the edge list shuffles once per round on the join key;
+    degrees and ranks are node-sized (≪ edges). Dangling nodes (out-
+    degree 0 — impossible in an undirected graph) simply leak their
+    mass, the standard simplification; stated, not silent. Each round
+    localCheckpoints the node-sized rank frame, truncating the
+    iterative lineage like near_dup_clusters does.
+    """
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("page_rank: empty edge set")
+    init = _PR_SCALE // n
+    base = (init * (100 - damping_pct)) // 100
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("pr div deg").alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("s"))
+        pr = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    out = pr.orderBy(F.col("pr").desc(), "node")
+    return out.limit(top_k) if top_k is not None else out
+
+
+def bipartite_order_edges_sql(
+    orders: str = "orders", lineitem: str = "lineitem"
+) -> str:
+    """SQL twin of bipartite_order_edges, for embedding as the oracle's
+    ``edges_sql`` subquery."""
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT CONCAT('c:', CAST(o.o_custkey AS VARCHAR)) AS src,
+                  CONCAT('s:', CAST(l.l_suppkey AS VARCHAR)) AS dst
+  FROM {orders} o JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+)
+SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+"""
+
+
+def page_rank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    top_k: int | None = 20,
+) -> str:
+    """DuckDB replica: the iteration unrolled into chained CTEs with
+    the identical integer update. ``edges_sql`` produces (src, dst)."""
+    ctes = [
+        f"e AS (SELECT DISTINCT CAST(src AS VARCHAR) AS src, "
+        f"CAST(dst AS VARCHAR) AS dst FROM ({edges_sql}))",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        f"cfg AS (SELECT CAST({_PR_SCALE} // COUNT(*) AS BIGINT) AS init, "
+        f"CAST(({_PR_SCALE} // COUNT(*)) * {100 - damping_pct} // 100 AS BIGINT)"
+        " AS base FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "pr0 AS (SELECT node, (SELECT init FROM cfg) AS pr FROM nodes)",
+    ]
+    for i in range(iterations):
+        prev, cur = f"pr{i}", f"pr{i + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT n.node, CAST((SELECT base FROM cfg) + "
+            f"{damping_pct} * COALESCE(s.s, 0) // 100 AS BIGINT) AS pr "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS node, "
+            f"SUM(CAST(p.pr // d.deg AS BIGINT)) AS s "
+            f"FROM e JOIN {prev} p ON e.src = p.node "
+            f"JOIN deg d ON d.src = e.src GROUP BY e.dst) s USING (node))"
+        )
+    limit = f"LIMIT {top_k}" if top_k is not None else ""
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr FROM pr{iterations} "
+        f"ORDER BY pr DESC, node {limit}"
+    )
