@@ -797,3 +797,75 @@ WITH t AS (
 SELECT {id_col}, CAST(rank AS INT) AS rank, term, score
 FROM ranked WHERE rank <= {k} ORDER BY {id_col}, rank
 """
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-prep: corpus vocabulary and BPE pair statistics
+# --------------------------------------------------------------------------
+
+
+def vocab_top_terms(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary by frequency — the first pass of tokenizer
+    training (vocab induction) and of frequency-based filtering.
+    One explode + one word-keyed count with map-side combine; ties
+    break on the term string so the cut is engine-invariant."""
+    ex = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    return (
+        ex.groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(top_k)
+    )
+
+
+def vocab_oracle_sql(
+    top_k: int = 50, table: str = "documents", text_col: str = "text"
+) -> str:
+    return f"""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(lower({text_col}), ' ')) AS term FROM {table})
+GROUP BY term ORDER BY n DESC, term LIMIT {top_k}
+"""
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Adjacent-token pair frequencies — the statistic BPE/WordPiece
+    training maximizes at every merge step (the top pair IS the next
+    merge). Pairs are built inside the array with zip_with over two
+    slices (no self-join, no positional explode+rejoin): each row
+    contributes its n−1 adjacent pairs map-side, then one pair-keyed
+    count with partial aggregation. Single-token rows contribute
+    nothing (slice of length 0)."""
+    t = tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    ex = df.select(F.explode(pairs).alias("pair"))
+    return (
+        ex.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(top_k)
+    )
+
+
+def bpe_pair_oracle_sql(
+    top_k: int = 50, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB replica — the DSIR bigram idiom (list_transform over
+    range) stands in for zip_with."""
+    return f"""
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, len(_tk)),
+                               i -> _tk[i] || ' ' || _tk[i + 1])) AS pair
+  FROM (SELECT string_split(lower({text_col}), ' ') AS _tk FROM {table})
+)
+GROUP BY pair ORDER BY n DESC, pair LIMIT {top_k}
+"""
