@@ -21,12 +21,24 @@ from pg_parquet_spark.session import load_tables, table
 # SQL entry point: GROUPING SETS (PG Agg feature delegated in §2.B)
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over the PRE-AGGREGATED distinct-key base (r9,
+    the q_agg_rollup rewrite): Spark's Expand multiplies rows BEFORE
+    the partial aggregate, so a bare 3-set grouping feeds 3× the fact
+    table into the shuffle for information the 6-row (flag, status)
+    base already holds. Exact because the re-sum is DECIMAL and the
+    grouping keys are non-NULL in this schema (the rewrite's one
+    precondition — data NULLs would conflate with super-aggregate
+    rows); the oracle stays the true GROUPING SETS."""
     load_tables(spark, sf_dir)
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS s
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, CAST(SUM(s) AS DOUBLE) AS sum_qty
+        FROM base
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
         """
