@@ -117,3 +117,49 @@ def test_r9_operator_plan_invariants(spark):
     # the rollup is one partial+final aggregate — a single DATA shuffle
     # (the second exchange is the presentation orderBy's range partition)
     assert plans["rollup"].count("Exchange hashpartitioning") == 1, plans["rollup"]
+
+
+def test_new_family_plan_invariants(spark):
+    """Plan-shape net for the late-r9 operator family (sketches,
+    linkage, basket, pareto, pagerank, tokenizer-prep): never a
+    cartesian; the designed broadcasts stay broadcast; top-k cuts
+    compile to TakeOrderedAndProject; the one-aggregation sketches
+    keep a single data shuffle."""
+    from pg_parquet_spark.operators import basket, graph, linkage, pareto, sketch
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table
+
+    docs = table(spark, SF, "documents")
+    events = table(spark, SF, "events")
+    parts = table(spark, SF, "part")
+    orders = table(spark, SF, "orders")
+    lineitem = table(spark, SF, "lineitem")
+
+    mentions = linkage.mention_table(parts, "p_partkey", "p_name")
+    plans = {
+        "kmv": _plan(sketch.kmv_distinct(events, "event_type", "user_id", k=8)),
+        "cms": _plan(sketch.cms_heavy_hitters(events, "user_id", top_k=10)),
+        "fuzzy_pairs": _plan(linkage.fuzzy_name_pairs(mentions)),
+        "basket": _plan(basket.association_rules(lineitem, top_k=20)),
+        "pareto": _plan(
+            pareto.pareto_frontier(parts, "p_partkey", "p_retailprice", "p_size")
+        ),
+        "pagerank": _plan(
+            graph.page_rank(graph.bipartite_order_edges(orders, lineitem))
+        ),
+        "vocab": _plan(text_ops.vocab_top_terms(docs, top_k=40)),
+        "bpe": _plan(text_ops.bpe_pair_counts(docs, top_k=40)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    # item frequencies joined broadcast onto the pair counts
+    assert "BroadcastHashJoin" in plans["basket"]
+    # top-k cuts are per-partition heaps, not global sorts
+    for name in ("cms", "basket", "vocab", "bpe", "pagerank"):
+        assert "TakeOrderedAndProject" in plans[name], name
+    # sketch builds: one map-side-combinable count = one data shuffle
+    # (cms estimate side adds the probe join; count builds alone below)
+    build = _plan(sketch.cms_sketch(events, "user_id"))
+    assert build.count("Exchange hashpartitioning") == 1, build
+    assert "partial_count" in build or "partial" in build.lower(), build
