@@ -1194,6 +1194,63 @@ def compact_dataset(
     return n
 
 
+def publish_snapshot(
+    spark,
+    root_uri: str,
+    df: DataFrame,
+    keep_history: int | None = None,
+) -> int:
+    """CREATE OR REPLACE for a versioned dataset: write ``df`` as a new
+    immutable flat ``_v<n>`` snapshot and flip the pointer — the
+    FULL-REPLACEMENT primitive the other maintenance ops don't cover
+    (merge = keyed replace, compact = layout replace). Crash-atomic
+    like every manifest publish (a reader resolves the old snapshot or
+    the new one, never a mix); prior snapshots stay time-travelable
+    within the retention window (vacuumed at entry like merge/compact).
+    Carries the streaming sink's replay horizon and writer identity, so
+    replacing a sink-fed dataset doesn't reopen replayed batch ids
+    (the compact_dataset contract). Returns the published version.
+
+    Refuses an unversioned NON-EMPTY root: silently superseding a
+    legacy parquet dataset is the migration footgun class the merge
+    migration guards against — migrate through merge_upsert /
+    compact_dataset first, or delete the root explicitly if
+    replacement is genuinely intended."""
+    from pg_parquet_spark.sources import fs as pgfs
+
+    root_uri = root_uri.rstrip("/")
+    manifest = read_manifest(root_uri)
+    if manifest is None and pgfs.exists(root_uri):
+        loose = pgfs.tree_files(root_uri, suffix=".parquet")
+        if loose:
+            raise ValueError(
+                f"publish_snapshot refuses the unversioned non-empty root "
+                f"{root_uri} ({len(loose)} loose parquet files) — migrate "
+                "it with merge_upsert/compact_dataset, or delete it "
+                "explicitly if full replacement is intended"
+            )
+    if manifest is not None:
+        vacuum_dataset(root_uri, keep_history=keep_history)
+    expected = manifest["version"] if manifest else 0
+    n = _next_version(root_uri, manifest) if pgfs.exists(root_uri) else 1
+    vdir = f"_v{n}"
+    df.write.mode("overwrite").parquet(pgfs.spark_uri(f"{root_uri}/{vdir}"))
+    _check_not_concurrently_modified(root_uri, expected)
+    _publish_manifest(
+        root_uri,
+        {
+            "version": n,
+            "partition_col": None,
+            "partition_dtype": None,
+            "partitions": None,
+            "path": vdir,
+            "max_batch_id": _carry_max_batch_id(manifest),
+            "writer_id": _carry_writer_id(manifest),
+        },
+    )
+    return n
+
+
 def describe_versioned(root_uri: str) -> dict:
     """Human/tooling-facing snapshot summary of a versioned dataset:
     current version, manifest form, partition map or batch list, the

@@ -763,3 +763,67 @@ def deduped_user_event_counts(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def drain_with_sketch_refresh(
+    sdf: DataFrame,
+    corpus_root: str,
+    sketch_root: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming CARDINALITY dashboard: each micro-batch lands in the
+    manifest-versioned corpus, then the KMV distinct-count sketch at
+    ``sketch_root`` is union-merged with the batch's sketch and
+    republished as a full-replace snapshot (``layout.publish_snapshot``).
+
+    Why this composition is exactly what the sketch was built for: the
+    merge is SET-union + re-take-k, so it is (a) incremental — each
+    refresh touches k·groups rows, never the corpus — and (b)
+    IDEMPOTENT — a replayed batch re-merges the same hash values and
+    changes nothing. That idempotence is what makes the two-pointer
+    commit order (corpus first, sketch second) converge on crash
+    replay, the same argument as drain_with_rollup_refresh but without
+    even needing the refresh-recomputes-from-corpus step: the closure
+    property guarantees sketch(corpus) ≡ fold(merge, batch sketches)
+    bit-for-bit (asserted in tests/test_stream_sketch.py).
+
+    Read the estimates with
+    ``sketch.kmv_estimate(layout.read_versioned(spark, sketch_root))``.
+    """
+    from pg_parquet_spark.operators.sketch import kmv_merge, kmv_sketch
+    from pg_parquet_spark.sources import layout
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        sink(batch_df, batch_id)
+        root = sketch_root.rstrip("/")
+        batch_sk = kmv_sketch(batch_df, group_col, value_col, k)
+        if layout.read_manifest(root) is not None:
+            merged = kmv_merge(
+                layout.read_versioned(spark, root), batch_sk, k
+            )
+        else:
+            merged = batch_sk
+        layout.publish_snapshot(spark, root, merged)
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"sketch-refresh drain did not finish within {timeout_sec}s"
+        )

@@ -1,0 +1,91 @@
+"""Streaming KMV-sketch maintenance (drain_with_sketch_refresh) and
+the publish_snapshot full-replace primitive it rides on."""
+
+import pytest
+
+from pg_parquet_spark.session import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("grp", "h").collect()]
+
+
+def test_streaming_sketch_refresh(spark, tmp_path):
+    """Two tranches drain; after each, the maintained sketch is
+    BIT-IDENTICAL to a from-scratch sketch of the whole corpus (the
+    closure property, end-to-end through the versioned sink); a replay
+    merge changes nothing (the crash-convergence argument)."""
+    from pg_parquet_spark.operators.sketch import kmv_merge, kmv_sketch
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_sketch_refresh
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "events_corpus")
+    sk_root = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    t1 = events.filter("event_id % 2 = 0")
+    t2 = events.filter("event_id % 2 = 1")
+
+    def check_consistent():
+        got = layout.read_versioned(spark, sk_root)
+        want = kmv_sketch(
+            read_parquet(spark, corpus), "event_type", "user_id", k=8
+        )
+        assert _sorted_rows(got) == _sorted_rows(want)
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_sketch_refresh(
+        sdf, corpus, sk_root, k=8, checkpoint=ckpt
+    )
+    check_consistent()
+
+    t2.coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_sketch_refresh(
+        sdf2, corpus, sk_root, k=8, checkpoint=ckpt
+    )
+    check_consistent()
+    assert read_parquet(spark, corpus).count() == events.count()
+
+    # replay convergence: re-merging an already-folded batch is a
+    # set-union no-op — the state a crashed-then-replayed refresh lands on
+    current = layout.read_versioned(spark, sk_root)
+    replayed = kmv_merge(current, kmv_sketch(t2, "event_type", "user_id", 8), 8)
+    assert _sorted_rows(replayed) == _sorted_rows(current)
+
+    # an idle re-drain (same checkpoint, no new files) flips no pointers
+    vc = layout.read_manifest(corpus)["version"]
+    vs = layout.read_manifest(sk_root)["version"]
+    sdf3 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_sketch_refresh(sdf3, corpus, sk_root, k=8, checkpoint=ckpt)
+    assert layout.read_manifest(corpus)["version"] == vc
+    assert layout.read_manifest(sk_root)["version"] == vs
+
+
+def test_publish_snapshot_replace_and_time_travel(spark, tmp_path):
+    from pg_parquet_spark.sources import layout
+
+    root = str(tmp_path / "ds")
+    a = spark.range(5).withColumnRenamed("id", "k")
+    b = spark.range(3).withColumnRenamed("id", "k")
+    v1 = layout.publish_snapshot(spark, root, a, keep_history=3)
+    v2 = layout.publish_snapshot(spark, root, b, keep_history=3)
+    assert (v1, v2) == (1, 2)
+    assert layout.read_versioned(spark, root).count() == 3
+    assert layout.read_versioned(spark, root, version=1).count() == 5
+
+
+def test_publish_snapshot_refuses_legacy_root(spark, tmp_path):
+    from pg_parquet_spark.sources import layout
+
+    root = str(tmp_path / "legacy")
+    spark.range(4).write.parquet(root)
+    with pytest.raises(ValueError, match="unversioned non-empty root"):
+        layout.publish_snapshot(spark, root, spark.range(1))
