@@ -1,0 +1,149 @@
+"""Exact set-similarity self-join by PREFIX FILTERING (Chaudhuri 2006
+SSJoin / Xiao 2008 PPJoin): enumerate ALL document pairs with token-set
+Jaccard ≥ θ — no probabilistic recall bound — without all-pairs cost.
+
+This is the third, exact tier of the near-dup family and the one with a
+completeness guarantee:
+
+- ``q_dedup_minhash_lsh`` — banded LSH, tunable recall, cheapest;
+- ``q_dedup_ngram_jaccard`` — min-shingle pre-filter, recall ≥ J;
+- **this** — every qualifying pair, exactly (oracle equality against
+  the all-pairs join IS the recall proof, tests at both SFs).
+
+How the quadratic collapses: order the vocabulary by ascending document
+frequency (rarest first, ties on the token). A set of size n with
+Jaccard threshold θ keeps only its first  p = n − ⌈θ·n⌉ + 1  tokens in
+that order (its PREFIX): two sets whose prefixes are disjoint provably
+cannot reach θ, so candidates are generated ONLY by equi-joining prefix
+tokens — and because prefixes are the RAREST tokens, the posting lists
+being joined are the shortest ones. A symmetric length filter
+(θ·max(n_a,n_b) ≤ min(n_a,n_b), in exact ppm integers) prunes further
+before verification.
+
+Scale shape: the frequency-rank table is vocabulary-sized and
+BROADCAST; documents shuffle as integer rank arrays (tokens never move
+as strings past the ranking join); the verify step touches candidate
+pairs only, computing the exact intersection with array_intersect on
+sorted distinct int arrays. The ranking row_number is a single window
+over the VOCABULARY — bounded (vocab ≪ corpus; the web-scale fix is
+rank = df-bucket × tie-hash, same contract). All similarity arithmetic
+is ppm integers (inter·10⁶ vs θ·union — Spark ``div`` ≡ DuckDB ``//``),
+so the pair list replicates in the oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PPM = 1_000_000
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with distinct-token Jaccard ≥ threshold.
+
+    Output: (id_a, id_b, inter_n, union_n, jacc_ppm), ordered."""
+    dt = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+        ).alias("tok"),
+    )
+    rank = (
+        dt.groupBy("tok")
+        .agg(F.count("*").alias("_df"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy("_df", "tok")).cast("long"),
+        )
+        .select("tok", "rk")
+    )
+    arrs = (
+        dt.join(F.broadcast(rank), "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
+        .withColumn("n", F.size("rks").cast("long"))
+    )
+    # prefix length p = n − ⌈θ·n⌉ + 1, integer ceil
+    p = F.col("n") - F.expr(
+        f"(n * {threshold_ppm} + {_PPM - 1}) div {_PPM}"
+    ) + F.lit(1)
+    pref = arrs.select(
+        "id", "n", F.explode(F.slice("rks", F.lit(1), p)).alias("prk")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.select(
+                F.col("id").alias("id_b"), F.col("n").alias("n_b"), "prk"
+            ).alias("b"),
+            "prk",
+        )
+        .filter(F.col("a.id") < F.col("id_b"))
+        .filter(
+            F.greatest("a.n", "n_b") * threshold_ppm
+            <= F.least("a.n", "n_b") * _PPM
+        )
+        .select(F.col("a.id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    va = arrs.select(
+        F.col("id").alias("id_a"), F.col("rks").alias("rks_a"), F.col("n").alias("na")
+    )
+    vb = arrs.select(
+        F.col("id").alias("id_b"), F.col("rks").alias("rks_b"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("rks_a", "rks_b")).cast("long")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("inter_n", inter)
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
+        .filter(F.col("inter_n") * _PPM >= F.col("union_n") * threshold_ppm)
+        .select(
+            "id_a",
+            "id_b",
+            "inter_n",
+            "union_n",
+            F.expr(f"(inter_n * {_PPM}) div union_n").alias("jacc_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def jaccard_join_oracle_sql(
+    threshold_ppm: int = 500_000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """The ALL-PAIRS exact join (quadratic — which is why it is the
+    small-SF oracle): equality against it proves the prefix filter
+    dropped no qualifying pair."""
+    return f"""
+WITH dt AS (
+  SELECT {id_col} AS id,
+         unnest(list_distinct(string_split(lower({text_col}), ' '))) AS tok
+  FROM {table}
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM dt GROUP BY id
+), ov AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter_n,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS union_n,
+       CAST((inter * {_PPM}) // (sa.n + sb.n - inter) AS BIGINT) AS jacc_ppm
+FROM ov
+JOIN sizes sa ON sa.id = ov.id_a
+JOIN sizes sb ON sb.id = ov.id_b
+WHERE inter * {_PPM} >= (sa.n + sb.n - inter) * {threshold_ppm}
+ORDER BY id_a, id_b
+"""

@@ -1,0 +1,52 @@
+"""Prefix-filtered exact set-similarity join: oracle equality (which IS
+the completeness proof — the oracle is the all-pairs join) at both SFs
+and at two thresholds, plus a hand-built recall edge case."""
+
+import duckdb
+import pytest
+
+from pg_parquet_spark.operators import setsim
+from pg_parquet_spark.session import table
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _con(sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("sf", SFS)
+@pytest.mark.parametrize("theta", [500_000, 300_000])
+def test_jaccard_join_matches_all_pairs_oracle(spark, sf, theta):
+    docs = table(spark, sf, "documents")
+    got = setsim.jaccard_join(docs, threshold_ppm=theta).toPandas()
+    want = _con(sf).execute(
+        setsim.jaccard_join_oracle_sql(threshold_ppm=theta)
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in ("id_a", "id_b", "inter_n", "union_n", "jacc_ppm"):
+        assert list(got[col]) == list(want[col]), (col, theta)
+
+
+def test_prefix_boundary_pair_not_missed(spark):
+    """A pair exactly AT the threshold whose shared tokens are the
+    COMMONEST (so they sit at the very end of the frequency order —
+    the worst case for prefix filtering) must still be found."""
+    # x and y: 4 tokens each, 3 shared → J = 3/5 = 0.6
+    # shared tokens appear in every doc (maximally frequent)
+    rows = [
+        (1, "common1 common2 common3 onlyx"),
+        (2, "common1 common2 common3 onlyy"),
+        (3, "common1 common2 common3 zfill1"),
+        (4, "common1 common2 common3 zfill2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = setsim.jaccard_join(df, threshold_ppm=600_000).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    # every doc pair shares 3 of 5 distinct → all 6 pairs qualify at 0.6
+    assert pairs == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert set(got["jacc_ppm"]) == {600_000}
