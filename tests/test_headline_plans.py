@@ -163,3 +163,42 @@ def test_new_family_plan_invariants(spark):
     build = _plan(sketch.cms_sketch(events, "user_id"))
     assert build.count("Exchange hashpartitioning") == 1, build
     assert "partial_count" in build or "partial" in build.lower(), build
+
+
+def test_third_batch_plan_invariants(spark, tmp_path):
+    """Plan-shape net for the late-r9 third batch (exact set-similarity
+    join, PSI drift, SCD-2 point-in-time reads): never a cartesian or
+    nested-loop join; setsim's rank/df joins all stay broadcast (the
+    vocabulary sides are bounded); the PSI bucket join is broadcast
+    (bucket tables are O(buckets)); the SCD-2 as-of read pushes its
+    interval predicate into the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import drift, setsim
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import scd
+
+    docs = table(spark, SF, "documents")
+    plans = {
+        "setsim": _plan(setsim.jaccard_join(docs)),
+        "psi": _plan(
+            drift.psi_table(docs, docs.filter("doc_id % 2 = 0"), F.col("source"))
+        ),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        # every join in both ops is against a bounded side — all broadcast,
+        # never a sort-merge (the corpus-sized side shuffles only for aggs)
+        assert "SortMergeJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+
+    cust = table(spark, SF, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    root = str(tmp_path / "scd_plan")
+    scd.merge_scd2(spark, root, cust.withColumn("eff", F.lit(1)), ["c_custkey"], "eff")
+    asof = _plan(scd.read_scd2_asof(spark, root, 1))
+    import re
+
+    assert re.search(r"PushedFilters: \[[^\]]", asof), asof
