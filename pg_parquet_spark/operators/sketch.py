@@ -295,3 +295,234 @@ FROM est
 ORDER BY est DESC, key
 LIMIT {top_k}
 """
+
+
+# --------------------------------------------------------------------------
+# HDR-histogram quantile sketch
+# --------------------------------------------------------------------------
+#
+# The third mergeable summary (KMV = cardinality, CMS = frequency, this
+# = QUANTILES): an HdrHistogram-style fixed-layout log-linear histogram
+# (Tene's HdrHistogram; same family as DDSketch, Masson 2019) over
+# non-negative integer units. Layout for sub_bits = s:
+#
+#   v < 2^(s+1)            ->  bucket = v                      (exact)
+#   v >= 2^(s+1), e=floor(log2 v), d=e-s
+#                          ->  bucket = d*2^s + (v >> d)
+#
+# Every octave keeps 2^s linear sub-buckets, so a bucket's width over
+# its lower bound is <= 2^-s (3.1% at s=5) and small values are EXACT.
+# Why this layout and not t-digest/GK: the bucket index is PURE INTEGER
+# arithmetic on the binary length of v -- deterministic on any engine,
+# any partitioning, any merge order -- so the full sketch AND the
+# quantile estimates replicate bit-for-bit in the DuckDB oracle
+# (t-digest centroids are float-accumulation-order-dependent; that is
+# exactly why profile_approx stays tests-only).
+#
+# Scale shape: ONE map-side-combinable count per (group, bucket) -- the
+# shuffle is sketch-sized (<= groups x buckets rows), never data-sized;
+# merge = groupBy SUM (closure asserted in tests); quantile extraction
+# is a window over the SKETCH, not the data. The 100 TB deployment
+# ships per-day / per-partition sketches and folds them by merge
+# without ever re-scanning.
+
+
+def _hdr_bucket_expr(v_expr: str, sub_bits: int) -> str:
+    """Spark-SQL HDR bucket index of the non-negative long `{v}`.
+
+    floor(log2 v) via the binary-string length (exact integers, never a
+    float log); the variable shift uses SQL shiftright, which accepts a
+    column shift amount (the python F.shiftright wrapper does not)."""
+    s = sub_bits
+    direct = 2 ** (s + 1)
+    e = f"(length(conv(cast(({v_expr}) as string), 10, 2)) - 1)"
+    d = f"({e} - {s})"
+    return (
+        f"(CASE WHEN ({v_expr}) < {direct} THEN ({v_expr}) "
+        f"ELSE cast({d} as bigint) * {2 ** s} "
+        f"+ shiftright(({v_expr}), cast({d} as int)) END)"
+    )
+
+
+def _hdr_bucket_sql(v_expr: str, sub_bits: int) -> str:
+    """DuckDB replica of :func:`_hdr_bucket_expr` (bin() is the binary
+    string; >> takes a column shift amount natively)."""
+    s = sub_bits
+    direct = 2 ** (s + 1)
+    e = f"(length(bin(CAST(({v_expr}) AS BIGINT))) - 1)"
+    d = f"({e} - {s})"
+    return (
+        f"(CASE WHEN ({v_expr}) < {direct} THEN ({v_expr}) "
+        f"ELSE CAST({d} AS BIGINT) * {2 ** s} "
+        f"+ (CAST(({v_expr}) AS BIGINT) >> CAST({d} AS INTEGER)) END)"
+    )
+
+
+def _hdr_lower_expr(idx_expr: str, sub_bits: int) -> str:
+    """Spark-SQL lower bound of bucket ``idx`` (its smallest member):
+    the exact inverse of the index map, still pure integers."""
+    s = sub_bits
+    direct = 2 ** (s + 1)
+    d = f"(shiftright(({idx_expr}), {s}) - 1)"
+    sub = f"(({idx_expr}) - cast({d} as bigint) * {2 ** s})"
+    return (
+        f"(CASE WHEN ({idx_expr}) < {direct} THEN ({idx_expr}) "
+        f"ELSE shiftleft({sub}, cast({d} as int)) END)"
+    )
+
+
+def _hdr_lower_sql(idx_expr: str, sub_bits: int) -> str:
+    s = sub_bits
+    direct = 2 ** (s + 1)
+    d = f"((({idx_expr}) >> {s}) - 1)"
+    sub = f"(({idx_expr}) - CAST({d} AS BIGINT) * {2 ** s})"
+    return (
+        f"(CASE WHEN ({idx_expr}) < {direct} THEN ({idx_expr}) "
+        f"ELSE ({sub} << CAST({d} AS INTEGER)) END)"
+    )
+
+
+def _to_units(value_col: str, unit: int) -> F.Column:
+    """value -> non-negative integer units, loud on negative input: the
+    assert is folded into the RESULT branch so the optimizer cannot
+    prune it, and it raises executor-side with the offending value."""
+    raw = F.col(value_col).cast("double")
+    v = F.floor(raw * unit + F.lit(0.5)).cast("long")
+    return F.when(
+        v < 0,
+        F.assert_true(
+            v >= 0,
+            F.concat(
+                F.lit(f"hdr sketch requires non-negative {value_col}, got "),
+                raw.cast("string"),
+            ),
+        ).cast("long"),
+    ).otherwise(v)
+
+
+def hdr_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sub_bits: int = 5,
+    unit: int = 1000,
+) -> DataFrame:
+    """(grp, bucket, cnt): the mergeable quantile sketch -- one
+    map-side-combinable count per (group, HDR bucket of value in
+    1/``unit`` units)."""
+    v = _to_units(value_col, unit)
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            v.alias("_v"),
+        )
+        .withColumn("bucket", F.expr(_hdr_bucket_expr("_v", sub_bits)))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_merge(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Elementwise SUM -- sketch(A U B) == merge(sketch(A), sketch(B))
+    exactly (integer counts; closure asserted in tests)."""
+    return (
+        sketch_a.unionByName(sketch_b)
+        .groupBy("grp", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    qs_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """(grp, q_ppm, est_milli): for each requested quantile, the lower
+    bound of the bucket holding the ceil(q*N)-th smallest value --
+    integer rank selection over the cumulated sketch, so the estimate
+    is a real data-adjacent value with relative error <= 2^-sub_bits.
+
+    Includes a merged ``__ALL__`` row per quantile (union-of-groups via
+    sum-of-sketches -- no second data pass)."""
+    merged = (
+        sketch.groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select(F.lit(_ALL).alias("grp"), "bucket", "cnt")
+    )
+    sk = sketch.select("grp", "bucket", "cnt").unionByName(merged)
+    w = Window.partitionBy("grp").orderBy("bucket")
+    cum = sk.select(
+        "grp",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).cast("long").alias("n"),
+    )
+    qlits = F.array(*[F.lit(int(q)) for q in qs_ppm])
+    hit = (
+        cum.withColumn("q_ppm", F.explode(qlits))
+        .withColumn(
+            "rank", F.expr("(q_ppm * n + 999999) div 1000000").cast("long")
+        )
+        .filter((F.col("cum") >= F.col("rank")) & (F.col("cum") - F.col("cnt") < F.col("rank")))
+    )
+    return hit.select(
+        "grp",
+        "q_ppm",
+        F.expr(_hdr_lower_expr("bucket", sub_bits)).cast("long").alias("est_milli"),
+    ).orderBy("grp", "q_ppm")
+
+
+def hdr_quantile_table(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+    sub_bits: int = 5,
+    unit: int = 1000,
+) -> DataFrame:
+    """End-to-end: sketch then quantiles (the gate-shaped entry)."""
+    return hdr_quantiles(
+        hdr_sketch(df, group_col, value_col, sub_bits, unit), qs_ppm, sub_bits
+    )
+
+
+def hdr_oracle_sql(
+    group_col: str,
+    value_col: str,
+    qs_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+    sub_bits: int = 5,
+    unit: int = 1000,
+    table: str = "events",
+) -> str:
+    """DuckDB replica of hdr_quantile_table -- identical bucket map,
+    identical integer rank selection, identical lower-bound inverse."""
+    v = f"CAST(floor(CAST({value_col} AS DOUBLE) * {unit} + 0.5) AS BIGINT)"
+    bucket = _hdr_bucket_sql("_v", sub_bits)
+    lower = _hdr_lower_sql("bucket", sub_bits)
+    qlist = ", ".join(str(int(q)) for q in qs_ppm)
+    return f"""
+WITH units AS (
+  SELECT CAST({group_col} AS VARCHAR) AS grp, {v} AS _v FROM {table}
+), sk AS (
+  SELECT grp, {bucket} AS bucket, COUNT(*) AS cnt FROM units GROUP BY 1, 2
+), merged AS (
+  SELECT '{_ALL}' AS grp, bucket, SUM(cnt) AS cnt FROM sk GROUP BY bucket
+), unioned AS (
+  SELECT * FROM sk UNION ALL SELECT * FROM merged
+), cum AS (
+  SELECT grp, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp) AS n
+  FROM unioned
+), hits AS (
+  SELECT grp, q_ppm, bucket, cnt, cum,
+         (q_ppm * n + 999999) // 1000000 AS rank
+  FROM cum, (SELECT unnest([{qlist}]) AS q_ppm) qs
+)
+SELECT grp, CAST(q_ppm AS BIGINT) AS q_ppm,
+       CAST({lower} AS BIGINT) AS est_milli
+FROM hits
+WHERE cum >= rank AND cum - cnt < rank
+ORDER BY grp, q_ppm
+"""

@@ -120,3 +120,86 @@ def test_cms_never_undercounts_and_merges(spark):
     )
     direct = sketch.cms_sketch(events, "user_id").orderBy("d", "bucket").collect()
     assert [tuple(r) for r in direct] == [tuple(r) for r in merged]
+
+
+# --------------------------------------------------------------------------
+# HDR quantile sketch
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_hdr_quantiles_match_duckdb_oracle(spark, sf):
+    """Full (grp, q_ppm, est_milli) table — including the merged
+    __ALL__ rows — replicates bit-for-bit in DuckDB: the bucket map,
+    the integer rank selection, and the lower-bound inverse are all
+    pure-integer arithmetic."""
+    events = table(spark, sf, "events")
+    got = sketch.hdr_quantile_table(events, "event_type", "value").toPandas()
+    want = _con(sf).execute(sketch.hdr_oracle_sql("event_type", "value")).df()
+    assert len(got) == len(want) > 0
+    for col in ("grp", "q_ppm", "est_milli"):
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_hdr_error_bound_vs_exact_quantile(spark):
+    """est is the bucket lower bound, so est ≤ true ≤ est·(1+2⁻ˢ) (+1
+    milli for the unit rounding) — the documented guarantee, checked
+    against DuckDB's exact discrete quantiles at every requested q."""
+    sf = SFS[1]
+    events = table(spark, sf, "events")
+    got = sketch.hdr_quantile_table(events, "event_type", "value").toPandas()
+    exact = (
+        _con(sf)
+        .execute(
+            """
+            SELECT CAST(event_type AS VARCHAR) AS grp, q_ppm,
+                   CAST(floor(q * 1000 + 0.5) AS BIGINT) AS true_milli
+            FROM (
+              SELECT event_type, 500000 AS q_ppm,
+                     quantile_disc(value, 0.5) AS q FROM events GROUP BY 1
+              UNION ALL
+              SELECT event_type, 900000, quantile_disc(value, 0.9)
+              FROM events GROUP BY 1
+              UNION ALL
+              SELECT event_type, 990000, quantile_disc(value, 0.99)
+              FROM events GROUP BY 1
+            )
+            """
+        )
+        .df()
+    )
+    merged = got.merge(exact, on=["grp", "q_ppm"])
+    assert len(merged) == len(got) - 3  # __ALL__ rows have no exact twin here
+    for _, r in merged.iterrows():
+        assert r.est_milli <= r.true_milli <= r.est_milli * (1 + 2**-5) + 1, (
+            r.grp,
+            r.q_ppm,
+        )
+
+
+def test_hdr_merge_closure_and_small_value_exactness(spark):
+    """merge(sketch(A), sketch(B)) ≡ sketch(A∪B) exactly; values below
+    2^(s+1) land in per-value buckets, so their quantiles are EXACT."""
+    sf = SFS[0]
+    events = table(spark, sf, "events")
+    a = events.filter("event_id % 2 = 0")
+    b = events.filter("event_id % 2 = 1")
+    m = sketch.hdr_merge(
+        sketch.hdr_sketch(a, "event_type", "value"),
+        sketch.hdr_sketch(b, "event_type", "value"),
+    )
+    full = sketch.hdr_sketch(events, "event_type", "value")
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, full.collect()))
+
+    # small-value exactness: integers 0..20 in unit=1 → bucket == value
+    small = spark.range(0, 21).selectExpr("'g' AS g", "id AS v")
+    q = sketch.hdr_quantile_table(
+        small, "g", "v", qs_ppm=(500_000,), unit=1
+    ).toPandas()
+    assert q[q.grp == "g"].est_milli.iloc[0] == 10  # exact median
+
+
+def test_hdr_rejects_negative_values(spark):
+    neg = spark.range(0, 5).selectExpr("'g' AS g", "cast(id - 3 as double) AS v")
+    with pytest.raises(Exception, match="non-negative"):
+        sketch.hdr_quantile_table(neg, "g", "v").collect()
