@@ -57,3 +57,36 @@ def test_star_center_outranks_leaves(spark):
     pr = graph.page_rank(edges, iterations=3, top_k=None).toPandas()
     ranked = dict(zip(pr["node"], pr["pr"]))
     assert all(ranked["hub"] > ranked[f"leaf{i}"] for i in range(5))
+
+
+# --------------------------------------------------------------------------
+# Triangle counting
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_triangle_count_matches_duckdb_oracle(spark, sf):
+    """Degree-oriented count over the co-purchase graph replicates the
+    identically-formulated DuckDB pipeline exactly (pure integers)."""
+    li = table(spark, sf, "lineitem")
+    edges = graph.copurchase_edges(li, max_order_items=20)
+    got = graph.triangle_count(edges).toPandas()
+    want = _con(sf).execute(graph.triangle_oracle_sql()).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert got.n_triangles.iloc[0] > 0
+
+
+def test_triangle_count_exact_on_fixture(spark):
+    """K4 + pendant = exactly 4 triangles; direction/duplicate noise in
+    the input (reversed pairs, self-loops, dup rows) must not change
+    the count — canonicalization is part of the contract."""
+    rows = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 5), (3, 4)]
+    df = spark.createDataFrame(rows, "u long, v long")
+    n = graph.triangle_count(df).collect()[0]
+    assert (n.n_nodes, n.n_edges, n.n_triangles) == (5, 7, 4)
+
+
+def test_copurchase_edges_guard_is_loud(spark):
+    li = table(spark, SFS[1], "lineitem")
+    with pytest.raises(ValueError, match="distinct parts"):
+        graph.copurchase_edges(li, max_order_items=12)
