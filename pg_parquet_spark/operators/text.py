@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic
 #: language id (public-knowledge technique: stopword hit-rate scoring)
@@ -868,4 +869,130 @@ FROM (
   FROM (SELECT string_split(lower({text_col}), ' ') AS _tk FROM {table})
 )
 GROUP BY pair ORDER BY n DESC, pair LIMIT {top_k}
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-split training batches)
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context_len: int = 512,
+) -> DataFrame:
+    """Concat-and-split sequence packing — the pre-training batch
+    layout: documents are concatenated in ``id_col`` order into one
+    token stream and cut into ``context_len`` windows. Per doc:
+    (id, n_tokens, token_start, bin_id, bin_pos, spans_boundary) with
+    bin_id = token_start div C — where the doc STARTS — and
+    spans_boundary marking docs cut by a window edge (the rows an
+    attention-mask reset or a document-boundary loss mask cares about).
+
+    The global running total is a DISTRIBUTED two-pass prefix sum, not
+    a global window: range-partition by id, cumsum per partition, then
+    add each partition's broadcast offset (#partitions rows through the
+    driver — the classic scan pattern). A naive
+    ``Window.orderBy(id)`` funnels 100 TB through ONE task; this stays
+    parallel at any scale and the result is boundary-placement-
+    independent, so range-sampling nondeterminism cannot leak into the
+    output (asserted in tests at 1 / 4 / 32 partitions)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    parts = toks.repartitionByRange(F.col("id")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("id")
+    local = parts.withColumn("_cum", F.sum("n_tokens").over(w))
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.max("_cum").alias("_ptotal"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_ptotal").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_pid", "_offset")
+    )
+    c = F.lit(int(context_len))
+    out = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "token_start", (F.col("_offset") + F.col("_cum") - F.col("n_tokens")).cast("long")
+        )
+        .withColumn("bin_id", F.expr("token_start div " + str(int(context_len))))
+        .withColumn("bin_pos", (F.col("token_start") % c).cast("long"))
+        .withColumn(
+            "spans_boundary",
+            F.expr(
+                f"(token_start + n_tokens - 1) div {int(context_len)}"
+            )
+            > F.col("bin_id"),
+        )
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "token_start",
+        "bin_id",
+        "bin_pos",
+        "spans_boundary",
+    ).orderBy(id_col)
+
+
+def pack_bins_summary(packed: DataFrame) -> DataFrame:
+    """Per training-window stats over a packed table: docs starting in
+    the bin, tokens contributed by those docs, boundary crossers —
+    the fill/fragmentation dashboard. Sketch-sized aggregation."""
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_starting"),
+            F.sum("n_tokens").cast("long").alias("tokens_started"),
+            F.sum(F.col("spans_boundary").cast("long"))
+            .cast("long")
+            .alias("n_crossers"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def pack_oracle_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context_len: int = 512,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of pack_sequences: the single-window formulation
+    (exact on one node) — equality against it IS the proof that the
+    distributed two-pass prefix sum composes correctly."""
+    c = int(context_len)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         CAST(len(string_split(lower({text_col}), ' ')) AS BIGINT) AS n_tokens
+  FROM {table}
+), cum AS (
+  SELECT id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY id) - n_tokens AS BIGINT)
+           AS token_start
+  FROM toks
+)
+SELECT id AS {id_col}, n_tokens, token_start,
+       CAST(token_start // {c} AS BIGINT) AS bin_id,
+       CAST(token_start % {c} AS BIGINT) AS bin_pos,
+       (token_start + n_tokens - 1) // {c} > token_start // {c}
+         AS spans_boundary
+FROM cum
+ORDER BY {id_col}
 """
