@@ -138,3 +138,144 @@ SELECT {alias}, CAST(c_ref AS BIGINT) AS c_ref, CAST(c_new AS BIGINT) AS c_new,
 FROM j CROSS JOIN tot
 ORDER BY {alias}
 """
+
+
+# --------------------------------------------------------------------------
+# Robust (median/MAD) outlier detection
+# --------------------------------------------------------------------------
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    c_x10000: int = 44478,
+    unit: int = 1000,
+) -> DataFrame:
+    """Per-group robust outlier summary via median/MAD — the
+    heavy-tail-safe complement to the moment-based z-score
+    (q_outlier_zscore): one extreme value shifts a mean/stddev fence
+    arbitrarily but moves the median/MAD fence at most one rank step,
+    so contaminated groups still get a usable fence.
+
+    Flag: |v − median| > (c_x10000/10⁴)·MAD, default c = 3·1.4826
+    (the normal-consistency constant, so "3 robust sigmas").
+
+    Determinism contract: v is integer 1/``unit`` units; medians come
+    from ``percentile`` on integers, whose results land on exact
+    .0/.5/.25 binary fractions (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` bit-identical — the winsorize-proven pairing),
+    carried as med×2 / MAD×4 INTEGERS; the flag compare is pure int64
+    ((4·dev)·10⁴ > c·(4·MAD)). A constant group has MAD 0 and flags
+    every deviating row — the textbook degeneracy, deterministic on
+    both engines (no division, unlike the z-score's var==0 guard).
+
+    Output: (grp, n, med_milli_x2, mad_milli_x4, n_outliers). Scale
+    shape: two group-keyed exact percentiles + one broadcast of the
+    group-stats table back onto the rows; shuffle is group-keyed,
+    stats are sketch-sized."""
+    base = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.floor(F.col(value_col).cast("double") * unit + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    med = base.groupBy("grp").agg(
+        (F.percentile("v", F.lit(0.5)) * 2).cast("long").alias("med2"),
+        F.count("*").cast("long").alias("n"),
+    )
+    dev = base.join(F.broadcast(med), "grp").withColumn(
+        "dev2", F.abs(F.col("v") * 2 - F.col("med2"))
+    )
+    mad = dev.groupBy("grp").agg(
+        (F.percentile("dev2", F.lit(0.5)) * 2).cast("long").alias("mad4")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "grp")
+        .withColumn(
+            "is_out",
+            (F.col("dev2") * 2 * 10000 > F.lit(int(c_x10000)) * F.col("mad4")).cast(
+                "long"
+            ),
+        )
+        .groupBy("grp")
+        .agg(F.sum("is_out").cast("long").alias("n_outliers"))
+    )
+    return (
+        med.join(mad, "grp")
+        .join(flagged, "grp")
+        .select("grp", "n", F.col("med2").alias("med_milli_x2"),
+                F.col("mad4").alias("mad_milli_x4"), "n_outliers")
+        .orderBy("grp")
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    id_col: str = "event_id",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    c_x10000: int = 44478,
+    unit: int = 1000,
+) -> DataFrame:
+    """The flagged ROWS (id, grp, v_milli, dev_milli_x2): same fence as
+    :func:`robust_outlier_stats`, returned per offending record for
+    quarantine/inspection pipelines."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).cast("string").alias("grp"),
+        F.floor(F.col(value_col).cast("double") * unit + F.lit(0.5))
+        .cast("long")
+        .alias("v_milli"),
+    )
+    med = base.groupBy("grp").agg(
+        (F.percentile("v_milli", F.lit(0.5)) * 2).cast("long").alias("med2")
+    )
+    dev = base.join(F.broadcast(med), "grp").withColumn(
+        "dev_milli_x2", F.abs(F.col("v_milli") * 2 - F.col("med2"))
+    )
+    mad = dev.groupBy("grp").agg(
+        (F.percentile("dev_milli_x2", F.lit(0.5)) * 2).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .filter(F.col("dev_milli_x2") * 2 * 10000 > F.lit(int(c_x10000)) * F.col("mad4"))
+        .select("id", "grp", "v_milli", "dev_milli_x2")
+        .orderBy("grp", "id")
+    )
+
+
+def robust_outlier_oracle_sql(
+    group_col: str = "event_type",
+    value_col: str = "value",
+    c_x10000: int = 44478,
+    unit: int = 1000,
+    table: str = "events",
+) -> str:
+    """DuckDB replica of robust_outlier_stats (quantile_cont ≡ Spark
+    percentile on integer inputs; all carried terms integer)."""
+    return f"""
+WITH base AS (
+  SELECT CAST({group_col} AS VARCHAR) AS grp,
+         CAST(floor(CAST({value_col} AS DOUBLE) * {unit} + 0.5) AS BIGINT) AS v
+  FROM {table}
+), med AS (
+  SELECT grp, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS med2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY grp
+), dev AS (
+  SELECT base.grp, abs(v * 2 - med2) AS dev2, med2, n
+  FROM base JOIN med USING (grp)
+), mad AS (
+  SELECT grp, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+  FROM dev GROUP BY grp
+), flags AS (
+  SELECT dev.grp,
+         CAST(SUM(CASE WHEN dev2 * 2 * 10000 > {int(c_x10000)} * mad4
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM dev JOIN mad USING (grp) GROUP BY dev.grp
+)
+SELECT med.grp, n, med2 AS med_milli_x2, mad4 AS mad_milli_x4, n_outliers
+FROM med JOIN mad USING (grp) JOIN flags USING (grp)
+ORDER BY med.grp
+"""

@@ -15,9 +15,10 @@ COLS = ["category", "c_ref", "c_new", "q_ppm", "p_ppm", "lr_micro", "term"]
 
 def _con(sf):
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
-    )
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
     return con
 
 
@@ -68,3 +69,55 @@ def test_self_drift_is_exactly_zero_and_shift_is_loud(spark):
     shifted = docs.filter("source >= 'src10'")
     t = drift.psi_table(docs, shifted, F.col("source"))
     assert drift.psi_total(t) / 1e12 > 0.25
+
+
+# --------------------------------------------------------------------------
+# Robust (median/MAD) outliers
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_robust_outlier_stats_match_oracle(spark, sf):
+    """Full integer stats table (med×2, MAD×4, flag counts) replicates
+    bit-for-bit — percentile/quantile_cont on integer inputs land on
+    exact binary fractions (the winsorize-proven pairing)."""
+    ev = table(spark, sf, "events")
+    got = drift.robust_outlier_stats(ev).toPandas()
+    want = _con(sf).execute(drift.robust_outlier_oracle_sql()).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_robust_outlier_rows_tie_out_with_stats(spark):
+    ev = table(spark, SFS[1], "events")
+    stats = drift.robust_outlier_stats(ev).toPandas()
+    rows = drift.robust_outliers(ev)
+    assert rows.count() == stats.n_outliers.sum()
+    # every flagged row violates its group fence by construction
+    assert rows.columns == ["id", "grp", "v_milli", "dev_milli_x2"]
+
+
+def test_robust_fence_survives_contamination_where_zscore_breaks(spark):
+    """The design claim: one extreme value explodes a mean/std fence
+    (nothing else gets flagged) but leaves the MAD fence usable."""
+    vals = [(i, "g", float(10 + (i % 3))) for i in range(30)]
+    vals.append((99, "g", 1e6))
+    df = spark.createDataFrame(
+        vals, "event_id long, event_type string, value double"
+    )
+    st = drift.robust_outlier_stats(df).collect()[0]
+    assert st.n_outliers == 1  # only the planted extreme
+    flagged = drift.robust_outliers(df).collect()
+    assert [r.id for r in flagged] == [99]
+
+
+def test_robust_degenerate_constant_group(spark):
+    """MAD 0: every deviating row is an outlier, no engine divergence
+    (integer compare, no division)."""
+    fix = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 5.0), (3, "g", 5.0), (4, "g", 9.0)],
+        "event_id long, event_type string, value double",
+    )
+    st = drift.robust_outlier_stats(fix).collect()[0]
+    assert st.mad_milli_x4 == 0 and st.n_outliers == 1
