@@ -877,15 +877,19 @@ GROUP BY pair ORDER BY n DESC, pair LIMIT {top_k}
 # --------------------------------------------------------------------------
 
 
-def pack_sequences(
+def token_stream_layout(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     context_len: int = 512,
 ) -> DataFrame:
-    """Concat-and-split sequence packing — the pre-training batch
-    layout: documents are concatenated in ``id_col`` order into one
-    token stream and cut into ``context_len`` windows. Per doc:
+    """Concat-and-split token-stream layout — the EXACT global
+    pre-training batch geometry: documents are concatenated in
+    ``id_col`` order into ONE token stream and cut into
+    ``context_len`` windows. (Contrast ``sampling.pack_sequences``,
+    the hash-BUCKETED packer: that one trades the single global
+    stream for embarrassingly-parallel per-bucket packing; this one
+    keeps the exact stream order and yields the boundary metadata.) Per doc:
     (id, n_tokens, token_start, bin_id, bin_pos, spans_boundary) with
     bin_id = token_start div C — where the doc STARTS — and
     spans_boundary marking docs cut by a window edge (the rows an
@@ -950,7 +954,7 @@ def pack_sequences(
     ).orderBy(id_col)
 
 
-def pack_bins_summary(packed: DataFrame) -> DataFrame:
+def stream_bins_summary(packed: DataFrame) -> DataFrame:
     """Per training-window stats over a packed table: docs starting in
     the bin, tokens contributed by those docs, boundary crossers —
     the fill/fragmentation dashboard. Sketch-sized aggregation."""
@@ -967,13 +971,13 @@ def pack_bins_summary(packed: DataFrame) -> DataFrame:
     )
 
 
-def pack_oracle_sql(
+def token_stream_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     context_len: int = 512,
     table: str = "documents",
 ) -> str:
-    """DuckDB replica of pack_sequences: the single-window formulation
+    """DuckDB replica of token_stream_layout: the single-window formulation
     (exact on one node) — equality against it IS the proof that the
     distributed two-pass prefix sum composes correctly."""
     c = int(context_len)

@@ -57,36 +57,36 @@ def test_toy_semantics(spark):
 
 
 @pytest.mark.parametrize("sf", SFS)
-def test_pack_sequences_matches_duckdb_oracle(spark, sf):
+def test_token_stream_matches_duckdb_oracle(spark, sf):
     """The distributed two-pass prefix sum reproduces the single-window
     DuckDB formulation column-for-column."""
     docs = table(spark, sf, "documents")
-    got = text.pack_sequences(docs, context_len=512).toPandas()
-    want = _con(sf).execute(text.pack_oracle_sql(context_len=512)).df()
+    got = text.token_stream_layout(docs, context_len=512).toPandas()
+    want = _con(sf).execute(text.token_stream_oracle_sql(context_len=512)).df()
     assert len(got) == len(want) > 0
     for c in got.columns:
         assert list(got[c]) == list(want[c]), c
 
 
-def test_pack_sequences_partition_independent(spark):
+def test_token_stream_partition_independent(spark):
     """token_start must not depend on where range partition boundaries
     fall — the property that makes the two-pass scan safe under
     repartitioning and AQE coalescing."""
     docs = table(spark, SFS[1], "documents")
-    base = text.pack_sequences(docs, context_len=512).toPandas()
+    base = text.token_stream_layout(docs, context_len=512).toPandas()
     for n in (1, 4, 32):
-        alt = text.pack_sequences(docs.repartition(n), context_len=512).toPandas()
+        alt = text.token_stream_layout(docs.repartition(n), context_len=512).toPandas()
         assert base.equals(alt), n
 
 
-def test_pack_semantics_on_fixture(spark):
+def test_token_stream_semantics_on_fixture(spark):
     """Hand-checkable: 3+4+2 tokens at C=5 — doc b starts at 3, crosses
     the first window edge; doc c starts bin 1 flush at pos 2."""
     rows = [(1, "a b c"), (2, "d e f g"), (3, "h i")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r.doc_id: r.asDict()
-        for r in text.pack_sequences(df, context_len=5).collect()
+        for r in text.token_stream_layout(df, context_len=5).collect()
     }
     assert got[1]["token_start"] == 0 and not got[1]["spans_boundary"]
     assert got[2]["bin_id"] == 0 and got[2]["bin_pos"] == 3
@@ -94,6 +94,6 @@ def test_pack_semantics_on_fixture(spark):
     assert got[3]["bin_id"] == 1 and got[3]["bin_pos"] == 2
     assert not got[3]["spans_boundary"]
 
-    s = text.pack_bins_summary(text.pack_sequences(df, context_len=5)).toPandas()
+    s = text.stream_bins_summary(text.token_stream_layout(df, context_len=5)).toPandas()
     assert s.tokens_started.sum() == 9
     assert s.n_crossers.sum() == 1
