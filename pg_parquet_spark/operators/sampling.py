@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 #: md5-prefix bucket space: first 6 hex chars → uniform int in [0, 2^24)
 _BUCKETS = 1 << 24
 
+#: mix shares are expressed in parts-per-million
+_PPM_TOTAL = 1_000_000
+
 
 def hash_fraction(col: Column) -> Column:
     """Deterministic uniform fraction in [0,1) from a key column."""
@@ -455,4 +458,196 @@ SELECT * EXCLUDE (_rn) FROM (
     PARTITION BY {group_col} ORDER BY {frac}, {key_col}) AS _rn
   FROM {table}
 ) WHERE _rn <= {max_per_group}
+"""
+
+
+def rebalance_to_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_ppm: dict[str, int],
+) -> DataFrame:
+    """Subsample to an EXACT target domain mix — the corpus-recipe step
+    stated as shares ("50% web / 30% books / 20% code") rather than
+    per-domain rates (:func:`domain_mixture`) or absolute caps
+    (:func:`cap_per_group`). Computes the LARGEST total size k at which
+    every share is satisfiable from the available counts
+    (k = min_c floor(n_c·10⁶ / t_c)), keeps exactly
+    m_c = floor(t_c·k / 10⁶) rows per domain, selected by content hash
+    of ``key_col`` — deterministic across runs, engines, partitionings.
+
+    Loud contracts: shares must sum to ≤ 10⁶; every targeted domain
+    must exist in the data (an absent domain makes the mix unsatisfiable
+    at ANY size — raising beats silently returning 0 rows). Domains
+    outside the target are dropped (share 0).
+
+    Scale shape: one map-side-combinable count per domain (collected —
+    domain cardinality is recipe-sized), then one window shuffle keyed
+    on the domain, same as cap_per_group; the caps ride as plan
+    literals. All arithmetic is exact integers, so the kept set
+    replicates in the DuckDB oracle bit-for-bit."""
+    from pyspark.sql import Window
+
+    if sum(target_ppm.values()) > _PPM_TOTAL:
+        raise ValueError(
+            f"target shares sum to {sum(target_ppm.values())} ppm > 1e6"
+        )
+    counts = {
+        r["grp"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    missing = [c for c, t in target_ppm.items() if t > 0 and not counts.get(c)]
+    if missing:
+        raise ValueError(
+            f"target mix demands absent/empty domains {missing} — the mix "
+            "is unsatisfiable at any size; drop them from the target "
+            "explicitly if intended"
+        )
+    k = min(
+        counts[c] * _PPM_TOTAL // t for c, t in target_ppm.items() if t > 0
+    )
+    caps = {c: t * k // _PPM_TOTAL for c, t in target_ppm.items() if t > 0}
+
+    cap_col = None
+    for c, m in caps.items():
+        branch = F.when(F.col(group_col) == c, F.lit(m))
+        cap_col = branch if cap_col is None else cap_col.when(
+            F.col(group_col) == c, F.lit(m)
+        )
+    cap_col = cap_col.otherwise(F.lit(0))
+    w = Window.partitionBy(group_col).orderBy(
+        hash_fraction(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_cap", cap_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_cap"))
+        .drop("_cap", "_rn")
+    )
+
+
+def rebalance_oracle_sql(
+    group_col: str,
+    key_col: str,
+    target_ppm: dict[str, int],
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of rebalance_to_mix — k and the per-domain caps
+    computed IN SQL from the same integer arithmetic (equality against
+    it proves the collected-literal caps match the data)."""
+    frac = (
+        f"CAST(CAST(CONCAT('0x', substr(md5(CAST({key_col} AS VARCHAR)), 1, 6)) "
+        f"AS BIGINT) AS DOUBLE) / {float(_BUCKETS)}"
+    )
+    tgt = ", ".join(
+        f"('{c}', {int(t)})" for c, t in sorted(target_ppm.items()) if t > 0
+    )
+    return f"""
+WITH tgt(grp, t_ppm) AS (VALUES {tgt}),
+counts AS (
+  SELECT CAST({group_col} AS VARCHAR) AS grp, COUNT(*) AS n
+  FROM {table} GROUP BY 1
+), kk AS (
+  SELECT MIN(n * {_PPM_TOTAL} // t_ppm) AS k
+  FROM tgt JOIN counts USING (grp)
+), caps AS (
+  SELECT grp, t_ppm * (SELECT k FROM kk) // {_PPM_TOTAL} AS cap FROM tgt
+), ranked AS (
+  SELECT t.*, ROW_NUMBER() OVER (
+    PARTITION BY {group_col} ORDER BY {frac}, {key_col}) AS _rn
+  FROM {table} t
+)
+SELECT * EXCLUDE (_rn) FROM ranked
+JOIN caps ON CAST({group_col} AS VARCHAR) = caps.grp
+WHERE _rn <= cap
+"""
+
+
+def select_token_budget(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "quality",
+    budget_tokens: int = 100_000,
+) -> DataFrame:
+    """Best-docs-first selection under a token budget: order by
+    (score DESC, id), keep the longest prefix whose running token
+    total stays ≤ ``budget_tokens`` — the "fill the training budget
+    with the highest-quality data" recipe step (greedy knapsack on a
+    total order).
+
+    The running total is the distributed two-pass prefix sum
+    (text.token_stream_layout's machinery, here over the SCORE order):
+    range-partition by (score desc, id), per-partition cumsum,
+    broadcast partition offsets — never a global single-task window.
+    cum is monotone along the order, so ``cum ≤ budget`` IS a prefix.
+    Returns (id, score, n_tokens, cum_tokens) ordered by the
+    selection order. Per-row doubles compare identically across
+    engines, so the DuckDB single-window oracle replicates the set."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("score"),
+        F.size(F.split(F.lower(F.col(text_col)), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    parts = base.repartitionByRange(
+        F.col("score").desc(), F.col("id")
+    ).withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(F.col("score").desc(), F.col("id"))
+    local = parts.withColumn("_cum", F.sum("n_tokens").over(w))
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.max("_cum").alias("_ptotal"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_ptotal").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_tokens", (F.col("_offset") + F.col("_cum")).cast("long"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(
+            F.col("id").alias(id_col), "score", "n_tokens", "cum_tokens"
+        )
+        .orderBy(F.col("score").desc(), id_col)
+    )
+
+
+def token_budget_oracle_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_expr: str = "quality",
+    budget_tokens: int = 100_000,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: the single-window formulation of the same
+    prefix."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {score_expr} AS score,
+         CAST(len(string_split(lower({text_col}), ' ')) AS BIGINT) AS n_tokens
+  FROM {table}
+), cum AS (
+  SELECT id, score, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY score DESC, id) AS BIGINT)
+           AS cum_tokens
+  FROM base
+)
+SELECT id AS {id_col}, score, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {budget_tokens}
+ORDER BY score DESC, {id_col}
 """

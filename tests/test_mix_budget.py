@@ -1,0 +1,118 @@
+"""Corpus-recipe selection: exact-share domain rebalancing and
+best-first token-budget selection — DuckDB-oracle equality at both SFs,
+exact mix shares, loud contracts, partition invariance."""
+
+import duckdb
+import pytest
+
+from pg_parquet_spark.operators import sampling
+from pg_parquet_spark.session import table
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+TGT = {"src1": 500_000, "src3": 300_000, "src7": 200_000}
+
+
+def _con(sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_rebalance_matches_duckdb_oracle(spark, sf):
+    """Selected id set replicates exactly — the caps the Spark side
+    collects as plan literals equal the caps the oracle derives in SQL
+    from the same integer arithmetic."""
+    docs = table(spark, sf, "documents")
+    got = sampling.rebalance_to_mix(docs, "source", "doc_id", TGT).toPandas()
+    want = _con(sf).execute(
+        sampling.rebalance_oracle_sql("source", "doc_id", TGT)
+    ).df()
+    assert sorted(got.doc_id) == sorted(want.doc_id)
+    assert len(got) > 0
+
+
+def test_rebalance_shares_are_exact_and_maximal(spark):
+    """m_c = floor(t_c·k/1e6) exactly, k maximal: the binding domain is
+    kept in full (its cap equals floor of its availability share)."""
+    docs = table(spark, SFS[1], "documents")
+    got = sampling.rebalance_to_mix(docs, "source", "doc_id", TGT).toPandas()
+    mix = got.groupby("source").size().to_dict()
+    k = min(
+        docs.filter(f"source = '{c}'").count() * 1_000_000 // t
+        for c, t in TGT.items()
+    )
+    for c, t in TGT.items():
+        assert mix[c] == t * k // 1_000_000, c
+    # untargeted domains are dropped
+    assert set(mix) == set(TGT)
+
+
+def test_rebalance_partition_invariant(spark):
+    docs = table(spark, SFS[0], "documents")
+    base = sorted(
+        r.doc_id
+        for r in sampling.rebalance_to_mix(docs, "source", "doc_id", TGT)
+        .select("doc_id")
+        .collect()
+    )
+    for n in (1, 32):
+        alt = sorted(
+            r.doc_id
+            for r in sampling.rebalance_to_mix(
+                docs.repartition(n), "source", "doc_id", TGT
+            )
+            .select("doc_id")
+            .collect()
+        )
+        assert alt == base, n
+
+
+def test_rebalance_loud_contracts(spark):
+    docs = table(spark, SFS[0], "documents")
+    with pytest.raises(ValueError, match="absent"):
+        sampling.rebalance_to_mix(docs, "source", "doc_id", {"nope": 1_000_000})
+    with pytest.raises(ValueError, match="ppm"):
+        sampling.rebalance_to_mix(
+            docs, "source", "doc_id", {"src1": 900_000, "src3": 200_000}
+        )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_token_budget_matches_duckdb_oracle(spark, sf):
+    """The distributed prefix over (score desc, id) reproduces the
+    single-window DuckDB prefix column-for-column."""
+    docs = table(spark, sf, "documents")
+    feats = docs.selectExpr("doc_id", "text", "cast(n_chars as double) as quality")
+    got = sampling.select_token_budget(
+        feats, score_col="quality", budget_tokens=20_000
+    ).toPandas()
+    want = _con(sf).execute(
+        sampling.token_budget_oracle_sql(
+            score_expr="CAST(n_chars AS DOUBLE)", budget_tokens=20_000
+        )
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_token_budget_is_a_prefix_and_respects_budget(spark):
+    docs = table(spark, SFS[1], "documents")
+    feats = docs.selectExpr("doc_id", "text", "cast(n_chars as double) as quality")
+    got = sampling.select_token_budget(
+        feats, score_col="quality", budget_tokens=20_000
+    ).toPandas()
+    assert got.cum_tokens.max() <= 20_000
+    # prefix in score order: the worst kept score ≥ the best dropped score
+    kept = set(got.doc_id)
+    alldf = feats.selectExpr("doc_id", "quality").toPandas()
+    dropped = alldf[~alldf.doc_id.isin(kept)]
+    if len(dropped) and len(got):
+        assert got.score.min() >= dropped.quality.max() or (
+            # ties on the boundary are broken by id
+            got.score.min() == dropped.quality.max()
+        )
