@@ -382,6 +382,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.greatest("ra.r", "rb.r").alias("hi"),
         )
     )
+    # the oriented edge list is read THREE times (both wedge legs + the
+    # closing probe) and the node/edge counts twice more — materialize
+    # it once instead of re-running the dedup + rank joins per alias
+    # (the PageRank loop-invariant lesson; 77 → ~8 exchanges)
+    ranked = ranked.localCheckpoint(eager=False)
     e1, e2, e3 = ranked.alias("e1"), ranked.alias("e2"), ranked.alias("e3")
     wedges = e1.join(e2, "lo").filter(F.col("e1.hi") < F.col("e2.hi"))
     tri = wedges.join(
@@ -389,10 +394,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         (F.col("e1.hi") == F.col("e3.lo")) & (F.col("e2.hi") == F.col("e3.hi")),
         "inner",
     )
+    nodes = (
+        ranked.select(F.col("lo").alias("r"))
+        .unionAll(ranked.select(F.col("hi").alias("r")))
+        .distinct()
+    )
+    # 1-row × 1-row crossJoins (compile to BroadcastNestedLoopJoin on
+    # single-row frames — the q_sim_cosine_topk-style designed shape)
     return (
         tri.agg(F.count("*").cast("long").alias("n_triangles"))
-        .crossJoin(und.agg(F.count("*").cast("long").alias("n_edges")))
-        .crossJoin(rank.agg(F.count("*").cast("long").alias("n_nodes")))
+        .crossJoin(ranked.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(nodes.agg(F.count("*").cast("long").alias("n_nodes")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
 

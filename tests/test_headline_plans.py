@@ -202,3 +202,58 @@ def test_third_batch_plan_invariants(spark, tmp_path):
     import re
 
     assert re.search(r"PushedFilters: \[[^\]]", asof), asof
+
+
+def test_session_fourth_batch_plan_invariants(spark):
+    """Plan net for the quantile-sketch / robust-outlier / recipe /
+    triangle family: no cartesian; the bounded sides (group stats,
+    prefix offsets) stay broadcast; the HDR build is ONE
+    map-side-combinable data shuffle; prefix-sum ops range-partition
+    (never a global single-task window); the triangle pipeline keeps
+    the materialize-once shape (single-digit exchanges, not the
+    3x-recompute blowup)."""
+    from pg_parquet_spark.operators import drift, graph, sampling, sketch
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table
+
+    ev = table(spark, SF, "events")
+    li = table(spark, SF, "lineitem")
+    docs = table(spark, SF, "documents")
+    feats = docs.selectExpr(
+        "doc_id", "text", "cast(n_chars as double) as quality"
+    )
+    plans = {
+        "hdr": _plan(sketch.hdr_quantile_table(ev, "event_type", "value")),
+        "mad": _plan(drift.robust_outlier_stats(ev)),
+        "stream": _plan(text_ops.token_stream_layout(docs)),
+        "mix": _plan(
+            sampling.rebalance_to_mix(
+                docs,
+                "source",
+                "doc_id",
+                {"src1": 500_000, "src3": 300_000, "src7": 200_000},
+            )
+        ),
+        "budget": _plan(
+            sampling.select_token_budget(
+                feats, score_col="quality", budget_tokens=20_000
+            )
+        ),
+        "tri": _plan(graph.triangle_count(graph.copurchase_edges(li))),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        if name != "tri":  # tri's 1-row count crossJoins are designed BNLJ
+            assert "BroadcastNestedLoopJoin" not in p, name
+    # group-stats / offsets sides stay broadcast
+    for name in ("mad", "stream", "budget"):
+        assert "BroadcastHashJoin" in plans[name], name
+    # prefix-sum ops range-partition instead of a global window
+    for name in ("stream", "budget"):
+        assert "Exchange rangepartitioning" in plans[name], name
+    # HDR sketch build: one data shuffle, map-side combine
+    build = _plan(sketch.hdr_sketch(ev, "event_type", "value"))
+    assert build.count("Exchange hashpartitioning") == 1, build
+    assert "partial_count" in build, build
+    # triangle: materialized-once edges — no recompute blowup
+    assert plans["tri"].count("Exchange hashpartitioning") <= 8, plans["tri"]
