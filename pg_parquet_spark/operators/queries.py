@@ -521,10 +521,20 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the pre-aggregated distinct-key base (late r9, the
+    q_agg_rollup rewrite): a bare ``orders.cube(...)`` Expands every
+    fact row 4× BEFORE the partial aggregate; aggregating to the
+    (status, priority) base first (≤15 rows) and cubing THAT is exact
+    for re-summable counts and cuts the Expand to base-size. Same
+    non-NULL-grouping-keys precondition as rollup (data NULLs would
+    conflate with super-aggregate rows — this schema has none)."""
     orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
     return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
+        base.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("_n").alias("order_count"))
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
