@@ -279,3 +279,104 @@ SELECT med.grp, n, med2 AS med_milli_x2, mad4 AS mad_milli_x4, n_outliers
 FROM med JOIN mad USING (grp) JOIN flags USING (grp)
 ORDER BY med.grp
 """
+
+
+# --------------------------------------------------------------------------
+# Chi-square association screening
+# --------------------------------------------------------------------------
+
+
+def chi2_cells(
+    df: DataFrame, x: Column, y: Column
+) -> DataFrame:
+    """Per-cell contingency contributions for the chi-square statistic
+    between two categorical expressions (feature↔label dependence
+    screening — the "is this feature leaking / informative at all"
+    data-quality pass).
+
+    Uses the grid-free identity  χ² = N·Σ_observed O²/(r·c) − N : empty
+    cells contribute exactly their expectation, which the −N term
+    absorbs, so only OBSERVED cells are ever materialized — no
+    |x|×|y| cross join, no Expand. Per-cell O²/(r·c) is quantized to
+    integer micro-units BEFORE any fold (the PSI/BM25 rule), so sums
+    replicate bit-for-bit in DuckDB under any partitioning.
+
+    Returns (x, y, o, term_micro) — term = O²/(r_x·c_y) in micro-units.
+    Scale shape: three map-side-combinable counts ((x,y), x, y) and two
+    margin joins; margins are category-sized (broadcastable), facts
+    shuffle once on the pair key."""
+    base = df.select(x.cast("string").alias("x"), y.cast("string").alias("y"))
+    cells = base.groupBy("x", "y").agg(F.count("*").cast("long").alias("o"))
+    rx = base.groupBy("x").agg(F.count("*").cast("long").alias("r"))
+    cy = base.groupBy("y").agg(F.count("*").cast("long").alias("c"))
+    return (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .withColumn(
+            "term_micro",
+            F.floor(
+                (F.col("o").cast("double") * F.col("o") /
+                 (F.col("r").cast("double") * F.col("c"))) * 1_000_000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .select("x", "y", "o", "term_micro")
+        .orderBy("x", "y")
+    )
+
+
+def chi2_stat(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """One-row summary: (n, n_x, n_y, dof, chi2_micro) with
+    χ²·10⁶ = n·Σ term_micro − n·10⁶ — exact integers end to end after
+    the per-cell quantization."""
+    cells = chi2_cells(df, x, y)
+    agg = cells.agg(
+        F.sum("term_micro").cast("long").alias("_t"),
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("x").cast("long").alias("n_x"),
+        F.countDistinct("y").cast("long").alias("n_y"),
+    )
+    return agg.select(
+        "n",
+        "n_x",
+        "n_y",
+        ((F.col("n_x") - 1) * (F.col("n_y") - 1)).cast("long").alias("dof"),
+        (F.col("n") * F.col("_t") - F.col("n") * F.lit(1_000_000))
+        .cast("long")
+        .alias("chi2_micro"),
+    )
+
+
+def chi2_oracle_sql(
+    x_expr: str, y_expr: str, table: str = "events"
+) -> str:
+    """DuckDB replica of chi2_stat (identical per-cell micro
+    quantization before the integer fold)."""
+    return f"""
+WITH base AS (
+  SELECT CAST({x_expr} AS VARCHAR) AS x, CAST({y_expr} AS VARCHAR) AS y
+  FROM {table}
+), cells AS (
+  SELECT x, y, COUNT(*) AS o FROM base GROUP BY x, y
+), rx AS (
+  SELECT x, COUNT(*) AS r FROM base GROUP BY x
+), cy AS (
+  SELECT y, COUNT(*) AS c FROM base GROUP BY y
+), terms AS (
+  SELECT cells.x, cells.y, o,
+         CAST(floor((CAST(o AS DOUBLE) * o /
+              (CAST(r AS DOUBLE) * c)) * 1000000 + 0.5) AS BIGINT)
+           AS term_micro
+  FROM cells JOIN rx USING (x) JOIN cy USING (y)
+), agg AS (
+  SELECT CAST(SUM(term_micro) AS BIGINT) AS _t,
+         CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT x) AS BIGINT) AS n_x,
+         CAST(COUNT(DISTINCT y) AS BIGINT) AS n_y
+  FROM terms
+)
+SELECT n, n_x, n_y,
+       CAST((n_x - 1) * (n_y - 1) AS BIGINT) AS dof,
+       CAST(n * _t - n * 1000000 AS BIGINT) AS chi2_micro
+FROM agg
+"""

@@ -121,3 +121,49 @@ def test_robust_degenerate_constant_group(spark):
     )
     st = drift.robust_outlier_stats(fix).collect()[0]
     assert st.mad_milli_x4 == 0 and st.n_outliers == 1
+
+
+# --------------------------------------------------------------------------
+# Chi-square association screening
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_chi2_matches_duckdb_oracle(spark, sf):
+    """Summary row replicates exactly. (Engines label weekdays
+    differently — Spark 1=Sun..7, DuckDB 0=Sun..6 — but χ² is invariant
+    under bijective relabeling, which is also why the STAT, not the
+    labeled cell table, is the cross-engine artifact.)"""
+    ev = table(spark, sf, "events")
+    got = drift.chi2_stat(ev, F.col("event_type"), F.dayofweek("ts")).toPandas()
+    want = _con(sf).execute(
+        drift.chi2_oracle_sql("event_type", "dayofweek(ts)")
+    ).df()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_chi2_association_extremes(spark):
+    """Perfect association: χ² = n (φ²=1, dof 1); exact independence:
+    χ² = 0 — both exact in micro-units."""
+    dep = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", "p" if i % 2 == 0 else "q") for i in range(100)],
+        "i long, x string, y string",
+    )
+    st = drift.chi2_stat(dep, F.col("x"), F.col("y")).collect()[0]
+    assert st.chi2_micro == 100 * 1_000_000 and st.dof == 1
+
+    ind = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", "p" if (i // 2) % 2 == 0 else "q") for i in range(100)],
+        "i long, x string, y string",
+    )
+    st2 = drift.chi2_stat(ind, F.col("x"), F.col("y")).collect()[0]
+    assert st2.chi2_micro == 0
+
+
+def test_chi2_cells_tie_out_with_stat(spark):
+    ev = table(spark, SFS[0], "events")
+    cells = drift.chi2_cells(ev, F.col("event_type"), F.col("user_id") % 3).toPandas()
+    st = drift.chi2_stat(ev, F.col("event_type"), F.col("user_id") % 3).collect()[0]
+    n = cells.o.sum()
+    assert st.n == n
+    assert st.chi2_micro == n * cells.term_micro.sum() - n * 1_000_000
