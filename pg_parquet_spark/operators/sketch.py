@@ -526,3 +526,82 @@ FROM hits
 WHERE cum >= rank AND cum - cnt < rank
 ORDER BY grp, q_ppm
 """
+
+
+def hdr_bin_edges(
+    sketch: DataFrame, n_bins: int = 4, sub_bits: int = 5
+) -> DataFrame:
+    """Per-group equi-depth bin edges from the HDR sketch: the
+    (n_bins−1) interior quantile lower bounds, as a SORTED array —
+    the 100 TB feature-binning recipe (a global sort computes exact
+    edges at a full-shuffle cost; the sketch gives ≤2⁻ˢ-relative edges
+    from a sketch-sized aggregate). Returns (grp, edges_milli)."""
+    qs = tuple(i * 1_000_000 // n_bins for i in range(1, n_bins))
+    q = hdr_quantiles(sketch, qs, sub_bits)
+    return (
+        q.filter(F.col("grp") != _ALL)
+        .groupBy("grp")
+        .agg(F.array_sort(F.collect_list("est_milli")).alias("edges_milli"))
+    )
+
+
+def assign_quantile_bins(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 4,
+    sub_bits: int = 5,
+    unit: int = 1000,
+) -> DataFrame:
+    """Equi-depth bin id per row: bin = #edges strictly below the value
+    (0..n_bins−1), edges from the group's own HDR sketch. The edges
+    table is group-sized and BROADCAST; assignment is a codegen'd
+    array filter — the data shuffles only for the sketch build.
+    Integer-exact end to end, so the full assignment replicates in
+    DuckDB (:func:`binning_oracle_sql`)."""
+    sk = hdr_sketch(df, group_col, value_col, sub_bits, unit)
+    edges = hdr_bin_edges(sk, n_bins, sub_bits)
+    v = _to_units(value_col, unit)
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias("grp"), v.alias("v_milli")
+        )
+        .join(F.broadcast(edges), "grp")
+        .withColumn(
+            "bin",
+            F.size(
+                F.filter(
+                    F.col("edges_milli"), lambda e: F.col("v_milli") > e
+                )
+            ).cast("long"),
+        )
+        .select("grp", "v_milli", "bin")
+        .orderBy("grp", "v_milli", "bin")
+    )
+
+
+def binning_oracle_sql(
+    group_col: str,
+    value_col: str,
+    n_bins: int = 4,
+    sub_bits: int = 5,
+    unit: int = 1000,
+    table: str = "events",
+) -> str:
+    """DuckDB replica of assign_quantile_bins: the same sketch, the
+    same interior-quantile edges, the same strictly-below count."""
+    qs = tuple(i * 1_000_000 // n_bins for i in range(1, n_bins))
+    inner = hdr_oracle_sql(group_col, value_col, qs, sub_bits, unit, table)
+    v = f"CAST(floor(CAST({value_col} AS DOUBLE) * {unit} + 0.5) AS BIGINT)"
+    return f"""
+WITH qt AS ({inner}), edges AS (
+  SELECT grp, list_sort(list(est_milli)) AS edges_milli
+  FROM qt WHERE grp <> '{_ALL}' GROUP BY grp
+), rows_v AS (
+  SELECT CAST({group_col} AS VARCHAR) AS grp, {v} AS v_milli FROM {table}
+)
+SELECT rows_v.grp, v_milli,
+       CAST(len(list_filter(edges_milli, e -> v_milli > e)) AS BIGINT) AS bin
+FROM rows_v JOIN edges USING (grp)
+ORDER BY grp, v_milli, bin
+"""

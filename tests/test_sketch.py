@@ -203,3 +203,22 @@ def test_hdr_rejects_negative_values(spark):
     neg = spark.range(0, 5).selectExpr("'g' AS g", "cast(id - 3 as double) AS v")
     with pytest.raises(Exception, match="non-negative"):
         sketch.hdr_quantile_table(neg, "g", "v").collect()
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_equi_depth_binning_matches_oracle_and_balances(spark, sf):
+    """Full per-row bin assignment replicates in DuckDB (same sketch,
+    same interior-quantile edges, same strictly-below count); bins are
+    equi-depth within the sketch's 2⁻ˢ error (≤1.6× imbalance here)."""
+    ev = table(spark, sf, "events")
+    got = sketch.assign_quantile_bins(ev, "event_type", "value").toPandas()
+    want = _con(sf).execute(
+        sketch.binning_oracle_sql("event_type", "value")
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+    sizes = got.groupby(["grp", "bin"]).size()
+    assert got.bin.nunique() == 4
+    imbalance = sizes.groupby(level=0).apply(lambda s: s.max() / s.min())
+    assert float(imbalance.max()) < 1.6
