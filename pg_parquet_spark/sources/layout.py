@@ -1199,6 +1199,7 @@ def publish_snapshot(
     root_uri: str,
     df: DataFrame,
     keep_history: int | None = None,
+    extra: dict | None = None,
 ) -> int:
     """CREATE OR REPLACE for a versioned dataset: write ``df`` as a new
     immutable flat ``_v<n>`` snapshot and flip the pointer — the
@@ -1246,6 +1247,10 @@ def publish_snapshot(
             "path": vdir,
             "max_batch_id": _carry_max_batch_id(manifest),
             "writer_id": _carry_writer_id(manifest),
+            # caller metadata (e.g. the streaming refresh's
+            # folded_batch_id replay stamp) rides the SAME atomic
+            # manifest write — no second-write torn-state window
+            **(extra or {}),
         },
     )
     return n

@@ -392,7 +392,10 @@ def versioned_batch_writer(
 
     base = path.rstrip("/")
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
+    def _write(batch_df: DataFrame, batch_id: int) -> bool:
+        """Returns True iff the batch was PUBLISHED (False = replay or
+        empty skip) — the signal a non-idempotent downstream refresh
+        (e.g. the HDR count-sum merge) gates on."""
         manifest = layout.read_manifest(base)
         if manifest is None:
             visible = [
@@ -454,12 +457,12 @@ def versioned_batch_writer(
             str(batch_id) in manifest["batches"]
             or batch_id <= manifest.get("max_batch_id", -1)
         ):
-            return  # replay: already published — exactly once by manifest
+            return False  # replay: already published — exactly once by manifest
         if batch_df.isEmpty():
             # an empty micro-batch (no-data trigger) would land a dir
             # with no parquet files, which breaks the manifest union's
             # schema inference — skip it; a replay is empty again
-            return
+            return False
         bdir = f"_b{batch_id}"
         w = batch_df.write.mode("overwrite")
         if partition_by:
@@ -483,6 +486,7 @@ def versioned_batch_writer(
         # batches between compactions — the batch DIRS are all still
         # referenced by the current manifest and stay untouched
         pgfs.delete_file(f"{base}/_manifest-{new_version - 2}.json")
+        return True
 
     return _write
 
@@ -765,37 +769,40 @@ def deduped_user_event_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def drain_with_sketch_refresh(
+def drain_with_mergeable_refresh(
     sdf: DataFrame,
     corpus_root: str,
     sketch_root: str,
-    group_col: str = "event_type",
-    value_col: str = "user_id",
-    k: int = 64,
+    build_fn,
+    merge_fn,
+    idempotent_merge: bool,
     partition_by: list[str] | None = None,
     timeout_sec: int = 180,
     checkpoint: str | None = None,
 ) -> None:
-    """Streaming CARDINALITY dashboard: each micro-batch lands in the
-    manifest-versioned corpus, then the KMV distinct-count sketch at
-    ``sketch_root`` is union-merged with the batch's sketch and
-    republished as a full-replace snapshot (``layout.publish_snapshot``).
+    """The generic continuously-refreshed-summary drain: each
+    micro-batch lands in the manifest-versioned corpus, then the
+    summary at ``sketch_root`` is ``merge_fn(current, build_fn(batch))``
+    and republished as a full-replace snapshot — one machinery for
+    every MERGEABLE summary (KMV cardinality, HDR quantiles, CMS
+    counts, ... any sketch with the closure property).
 
-    Why this composition is exactly what the sketch was built for: the
-    merge is SET-union + re-take-k, so it is (a) incremental — each
-    refresh touches k·groups rows, never the corpus — and (b)
-    IDEMPOTENT — a replayed batch re-merges the same hash values and
-    changes nothing. That idempotence is what makes the two-pointer
-    commit order (corpus first, sketch second) converge on crash
-    replay, the same argument as drain_with_rollup_refresh but without
-    even needing the refresh-recomputes-from-corpus step: the closure
-    property guarantees sketch(corpus) ≡ fold(merge, batch sketches)
-    bit-for-bit (asserted in tests/test_stream_sketch.py).
+    Replay discipline depends on the merge's algebra:
 
-    Read the estimates with
-    ``sketch.kmv_estimate(layout.read_versioned(spark, sketch_root))``.
+    - ``idempotent_merge=True`` (set-union style, KMV): a replayed
+      batch re-merges the same values and changes nothing — the
+      two-pointer commit order (corpus first, summary second)
+      converges under crash replay unconditionally;
+    - ``idempotent_merge=False`` (count-SUM style, HDR/CMS): a replay
+      MUST NOT re-merge or counts double. The refresh gates on the
+      sink's publish signal (``versioned_batch_writer`` returns False
+      for a manifest-detected replay), so the summary folds each batch
+      id at most once. The crash window between corpus-publish and
+      summary-publish is healed on replay: the sink reports the batch
+      as already-published (False) BUT the summary may have missed it —
+      detected via the summary manifest's own ``max_batch_id`` stamp
+      (summary behind corpus ⇒ re-merge exactly the missed batch).
     """
-    from pg_parquet_spark.operators.sketch import kmv_merge, kmv_sketch
     from pg_parquet_spark.sources import layout
 
     ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
@@ -807,14 +814,23 @@ def drain_with_sketch_refresh(
             return
         sink(batch_df, batch_id)
         root = sketch_root.rstrip("/")
-        batch_sk = kmv_sketch(batch_df, group_col, value_col, k)
-        if layout.read_manifest(root) is not None:
-            merged = kmv_merge(
-                layout.read_versioned(spark, root), batch_sk, k
-            )
+        manifest = layout.read_manifest(root)
+        folded = (manifest or {}).get("folded_batch_id", -1)
+        if not idempotent_merge and batch_id <= folded:
+            # the summary has already folded this batch id (manifest
+            # stamp) — a count-SUM merge must not fold it twice. The
+            # complementary crash window (corpus published, summary
+            # missed) leaves folded < batch_id, so the replay re-merges
+            # exactly the missed batch.
+            return
+        batch_sk = build_fn(batch_df)
+        if manifest is not None:
+            merged = merge_fn(layout.read_versioned(spark, root), batch_sk)
         else:
             merged = batch_sk
-        layout.publish_snapshot(spark, root, merged)
+        layout.publish_snapshot(
+            spark, root, merged, extra={"folded_batch_id": batch_id}
+        )
 
     q = (
         sdf.writeStream.foreachBatch(_write)
@@ -825,5 +841,75 @@ def drain_with_sketch_refresh(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError(
-            f"sketch-refresh drain did not finish within {timeout_sec}s"
+            f"mergeable-refresh drain did not finish within {timeout_sec}s"
         )
+
+
+def drain_with_sketch_refresh(
+    sdf: DataFrame,
+    corpus_root: str,
+    sketch_root: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming CARDINALITY dashboard: the KMV instance of
+    :func:`drain_with_mergeable_refresh`. KMV's merge is SET-union +
+    re-take-k — idempotent, so replays converge bit-for-bit without
+    any gating (asserted in tests/test_stream_sketch.py).
+
+    Read the estimates with
+    ``sketch.kmv_estimate(layout.read_versioned(spark, sketch_root))``.
+    """
+    from pg_parquet_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    drain_with_mergeable_refresh(
+        sdf,
+        corpus_root,
+        sketch_root,
+        build_fn=lambda b: kmv_sketch(b, group_col, value_col, k),
+        merge_fn=lambda cur, new: kmv_merge(cur, new, k),
+        idempotent_merge=True,
+        partition_by=partition_by,
+        timeout_sec=timeout_sec,
+        checkpoint=checkpoint,
+    )
+
+
+def drain_with_hdr_refresh(
+    sdf: DataFrame,
+    corpus_root: str,
+    sketch_root: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    sub_bits: int = 5,
+    unit: int = 1000,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming LATENCY/VALUE-QUANTILE dashboard: the HDR instance —
+    p50/p99 per group, continuously maintained at sketch cost. HDR's
+    merge is a count SUM (NOT idempotent), so this instance exercises
+    the generic drain's replay gating: a checkpoint-replayed batch is
+    folded at most once (folded_batch_id stamp), which the
+    double-drain test pins.
+
+    Read with ``sketch.hdr_quantiles(layout.read_versioned(spark,
+    sketch_root))``."""
+    from pg_parquet_spark.operators.sketch import hdr_merge, hdr_sketch
+
+    drain_with_mergeable_refresh(
+        sdf,
+        corpus_root,
+        sketch_root,
+        build_fn=lambda b: hdr_sketch(b, group_col, value_col, sub_bits, unit),
+        merge_fn=hdr_merge,
+        idempotent_merge=False,
+        partition_by=partition_by,
+        timeout_sec=timeout_sec,
+        checkpoint=checkpoint,
+    )

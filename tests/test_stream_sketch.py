@@ -89,3 +89,76 @@ def test_publish_snapshot_refuses_legacy_root(spark, tmp_path):
     spark.range(4).write.parquet(root)
     with pytest.raises(ValueError, match="unversioned non-empty root"):
         layout.publish_snapshot(spark, root, spark.range(1))
+
+
+def test_streaming_hdr_refresh_non_idempotent_gating(spark, tmp_path):
+    """The HDR instance of the generic mergeable refresh: after each
+    tranche the maintained quantile sketch is BIT-IDENTICAL to a
+    from-scratch sketch of the whole corpus — which can only hold if
+    no batch was ever double-folded (HDR's merge is a count SUM, so a
+    single double-fold doubles counts and breaks equality). The
+    manifest carries the folded_batch_id replay stamp, and an idle
+    re-drain flips no pointers."""
+    from pg_parquet_spark.operators.sketch import hdr_sketch
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_hdr_refresh
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    sk_root = str(tmp_path / "hdr")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    t1 = events.filter("event_id % 2 = 0")
+    t2 = events.filter("event_id % 2 = 1")
+
+    def check_consistent():
+        got = sorted(
+            map(tuple, layout.read_versioned(spark, sk_root).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                hdr_sketch(
+                    read_parquet(spark, corpus), "event_type", "value"
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_hdr_refresh(sdf, corpus, sk_root, checkpoint=ckpt)
+    check_consistent()
+    assert layout.read_manifest(sk_root)["folded_batch_id"] == 0
+
+    t2.coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_hdr_refresh(sdf2, corpus, sk_root, checkpoint=ckpt)
+    check_consistent()
+    assert layout.read_manifest(sk_root)["folded_batch_id"] == 1
+
+    # idle re-drain: no new files → no batch → no pointer movement
+    vc = layout.read_manifest(corpus)["version"]
+    vs = layout.read_manifest(sk_root)["version"]
+    sdf3 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_hdr_refresh(sdf3, corpus, sk_root, checkpoint=ckpt)
+    assert layout.read_manifest(corpus)["version"] == vc
+    assert layout.read_manifest(sk_root)["version"] == vs
+
+
+def test_versioned_batch_writer_signals_publish_vs_replay(spark, tmp_path):
+    """The bool contract the non-idempotent refresh gates on: True on
+    first publish, False on a manifest-detected replay and on an empty
+    batch."""
+    from pg_parquet_spark.streaming.stream import versioned_batch_writer
+
+    root = str(tmp_path / "sink")
+    events = table(spark, SF, "events").limit(10)
+    sink = versioned_batch_writer(root)
+    assert sink(events, 0) is True
+    assert sink(events, 0) is False  # replay
+    assert sink(events.limit(0), 1) is False  # empty batch skip
+    assert sink(events, 1) is True
