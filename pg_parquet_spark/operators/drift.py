@@ -179,7 +179,7 @@ def robust_outlier_stats(
         F.floor(F.col(value_col).cast("double") * unit + F.lit(0.5))
         .cast("long")
         .alias("v"),
-    )
+    ).filter(F.col("v").isNotNull())  # NULLs ignored like the medians
     med = base.groupBy("grp").agg(
         (F.percentile("v", F.lit(0.5)) * 2).cast("long").alias("med2"),
         F.count("*").cast("long").alias("n"),
@@ -227,7 +227,7 @@ def robust_outliers(
         F.floor(F.col(value_col).cast("double") * unit + F.lit(0.5))
         .cast("long")
         .alias("v_milli"),
-    )
+    ).filter(F.col("v_milli").isNotNull())
     med = base.groupBy("grp").agg(
         (F.percentile("v_milli", F.lit(0.5)) * 2).cast("long").alias("med2")
     )
@@ -262,10 +262,10 @@ WITH base AS (
 ), med AS (
   SELECT grp, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS med2,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM base GROUP BY grp
+  FROM base WHERE v IS NOT NULL GROUP BY grp
 ), dev AS (
   SELECT base.grp, abs(v * 2 - med2) AS dev2, med2, n
-  FROM base JOIN med USING (grp)
+  FROM base JOIN med USING (grp) WHERE v IS NOT NULL
 ), mad AS (
   SELECT grp, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
   FROM dev GROUP BY grp

@@ -416,6 +416,11 @@ def hdr_sketch(
             F.col(group_col).cast("string").alias("grp"),
             v.alias("_v"),
         )
+        # NULL values are IGNORED (the SQL-aggregate convention) —
+        # explicitly, because a NULL bucket would order differently in
+        # the two engines' windows (Spark NULLS FIRST, DuckDB NULLS
+        # LAST) and silently skew the rank selection
+        .filter(F.col("_v").isNotNull())
         .withColumn("bucket", F.expr(_hdr_bucket_expr("_v", sub_bits)))
         .groupBy("grp", "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
@@ -468,7 +473,7 @@ def hdr_quantiles(
     )
     return hit.select(
         "grp",
-        "q_ppm",
+        F.col("q_ppm").cast("long").alias("q_ppm"),
         F.expr(_hdr_lower_expr("bucket", sub_bits)).cast("long").alias("est_milli"),
     ).orderBy("grp", "q_ppm")
 
@@ -504,6 +509,7 @@ def hdr_oracle_sql(
     return f"""
 WITH units AS (
   SELECT CAST({group_col} AS VARCHAR) AS grp, {v} AS _v FROM {table}
+  WHERE {value_col} IS NOT NULL
 ), sk AS (
   SELECT grp, {bucket} AS bucket, COUNT(*) AS cnt FROM units GROUP BY 1, 2
 ), merged AS (

@@ -167,3 +167,20 @@ def test_chi2_cells_tie_out_with_stat(spark):
     n = cells.o.sum()
     assert st.n == n
     assert st.chi2_micro == n * cells.term_micro.sum() - n * 1_000_000
+
+
+def test_robust_and_hdr_ignore_null_values(spark):
+    """NULL values are ignored (SQL-aggregate convention) — explicit,
+    because a NULL bucket/row would hit the engines' opposite window
+    null-ordering defaults."""
+    from pg_parquet_spark.operators import sketch
+
+    fix = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", None), (3, "g", 7.0), (4, "g", 9.0)],
+        "event_id long, event_type string, value double",
+    )
+    st = drift.robust_outlier_stats(fix).collect()[0]
+    assert st.n == 3  # the NULL row is not part of the population
+    q = sketch.hdr_quantile_table(fix, "event_type", "value", qs_ppm=(500_000,))
+    rows = {r.grp: r.est_milli for r in q.collect()}
+    assert rows["g"] == 6912  # median 7000 -> its HDR bucket lower bound (54<<7)
