@@ -794,14 +794,14 @@ def drain_with_mergeable_refresh(
       two-pointer commit order (corpus first, summary second)
       converges under crash replay unconditionally;
     - ``idempotent_merge=False`` (count-SUM style, HDR/CMS): a replay
-      MUST NOT re-merge or counts double. The refresh gates on the
-      sink's publish signal (``versioned_batch_writer`` returns False
-      for a manifest-detected replay), so the summary folds each batch
-      id at most once. The crash window between corpus-publish and
-      summary-publish is healed on replay: the sink reports the batch
-      as already-published (False) BUT the summary may have missed it —
-      detected via the summary manifest's own ``max_batch_id`` stamp
-      (summary behind corpus ⇒ re-merge exactly the missed batch).
+      MUST NOT re-merge or counts double. The summary manifest carries
+      a ``folded_batch_id`` stamp written ATOMICALLY with each
+      snapshot publish, and the refresh folds a batch only when its id
+      exceeds the stamp — each batch id folds at most once. The crash
+      window between corpus-publish and summary-publish heals on
+      replay by the same stamp: the corpus sink skips the replayed
+      batch (already in ITS manifest — its publish signal returns
+      False), while the stale stamp admits exactly the missed merge.
     """
     from pg_parquet_spark.sources import layout
 
