@@ -611,3 +611,116 @@ SELECT rows_v.grp, v_milli,
 FROM rows_v JOIN edges USING (grp)
 ORDER BY grp, v_milli, bin
 """
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Join/overlap cardinality estimation from KMV sketches (Beyer et
+    al. 2007 set-operation estimators) — the optimizer-statistics
+    question "how many distinct keys do these two datasets share?"
+    answered from two sketch-sized summaries, never a join of the data:
+
+    - union estimate from merge(A, B) (the closure property);
+    - Jaccard ρ = |U ∩ A ∩ B| / |U| over the union sketch's value set;
+    - intersection ≈ ρ · est(|A ∪ B|).
+
+    Everything after the hashes is positive-integer arithmetic
+    (matches·10⁶ div |U|, then ppm·milli div 10⁶), so the whole
+    estimate table replicates bit-for-bit in DuckDB. Per group:
+    (grp, n_union_kept, matches, jacc_ppm, union_est_milli,
+    inter_est_milli)."""
+    sk_a = kmv_sketch(df_a, group_col, value_col, k)
+    sk_b = kmv_sketch(df_b, group_col, value_col, k)
+    u = kmv_merge(sk_a, sk_b, k)
+    in_both = (
+        u.join(sk_a, ["grp", "h"], "semi")
+        .join(sk_b, ["grp", "h"], "semi")
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("matches"))
+    )
+    est = (
+        u.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.max("h").alias("kth_min"),
+        )
+        .withColumn("union_est_milli", _estimate_milli(k))
+    )
+    return (
+        est.join(in_both, "grp", "left")
+        .withColumn("matches", F.coalesce(F.col("matches"), F.lit(0)).cast("long"))
+        .withColumn(
+            "jacc_ppm",
+            F.expr("(matches * 1000000) div n_kept").cast("long"),
+        )
+        .withColumn(
+            "inter_est_milli",
+            F.expr("(jacc_ppm * union_est_milli) div 1000000").cast("long"),
+        )
+        .select(
+            "grp",
+            F.col("n_kept").alias("n_union_kept"),
+            "matches",
+            "jacc_ppm",
+            "union_est_milli",
+            "inter_est_milli",
+        )
+        .orderBy("grp")
+    )
+
+
+def kmv_overlap_oracle_sql(
+    select_a: str,
+    select_b: str,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> str:
+    """DuckDB replica of kmv_overlap over two sub-SELECTs."""
+    h = _hash40_sql(value_col)
+    num = (k - 1) * 2 * _HASH_SPACE * 1000
+
+    def sk(src, name):
+        return f"""{name}_h AS (
+  SELECT DISTINCT CAST({group_col} AS VARCHAR) AS grp, {h} AS h
+  FROM ({src})
+), {name} AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM {name}_h
+  ) WHERE rn <= {k}
+)"""
+
+    return f"""
+WITH {sk(select_a, "ska")}, {sk(select_b, "skb")}, u AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM (SELECT * FROM ska UNION SELECT * FROM skb)
+  ) WHERE rn <= {k}
+), matches AS (
+  SELECT grp, COUNT(*) AS matches FROM u
+  WHERE EXISTS (SELECT 1 FROM ska WHERE ska.grp = u.grp AND ska.h = u.h)
+    AND EXISTS (SELECT 1 FROM skb WHERE skb.grp = u.grp AND skb.h = u.h)
+  GROUP BY grp
+), est AS (
+  SELECT grp, COUNT(*) AS n_kept, MAX(h) AS kth_min FROM u GROUP BY grp
+)
+SELECT est.grp,
+       CAST(n_kept AS BIGINT) AS n_union_kept,
+       CAST(COALESCE(matches, 0) AS BIGINT) AS matches,
+       CAST((COALESCE(matches, 0) * 1000000) // n_kept AS BIGINT) AS jacc_ppm,
+       CAST(CASE WHEN n_kept < {k} THEN n_kept * 1000
+                 ELSE CAST({num} // (2 * kth_min + 1) AS BIGINT)
+            END AS BIGINT) AS union_est_milli,
+       CAST(((COALESCE(matches, 0) * 1000000) // n_kept)
+            * (CASE WHEN n_kept < {k} THEN n_kept * 1000
+                    ELSE CAST({num} // (2 * kth_min + 1) AS BIGINT) END)
+            // 1000000 AS BIGINT) AS inter_est_milli
+FROM est LEFT JOIN matches USING (grp)
+ORDER BY est.grp
+"""

@@ -913,3 +913,35 @@ def drain_with_hdr_refresh(
         timeout_sec=timeout_sec,
         checkpoint=checkpoint,
     )
+
+
+def drain_with_cms_refresh(
+    sdf: DataFrame,
+    corpus_root: str,
+    sketch_root: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 128,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming FREQUENCY dashboard: the count-min instance of
+    :func:`drain_with_mergeable_refresh`. CMS merges by elementwise
+    SUM — non-idempotent like HDR, so it rides the same
+    folded_batch_id replay gate. Probe the maintained sketch with
+    ``sketch.cms_estimate(layout.read_versioned(spark, sketch_root),
+    candidates, key_col)``."""
+    from pg_parquet_spark.operators.sketch import cms_merge, cms_sketch
+
+    drain_with_mergeable_refresh(
+        sdf,
+        corpus_root,
+        sketch_root,
+        build_fn=lambda b: cms_sketch(b, key_col, depth, width),
+        merge_fn=cms_merge,
+        idempotent_merge=False,
+        partition_by=partition_by,
+        timeout_sec=timeout_sec,
+        checkpoint=checkpoint,
+    )

@@ -222,3 +222,60 @@ def test_equi_depth_binning_matches_oracle_and_balances(spark, sf):
     assert got.bin.nunique() == 4
     imbalance = sizes.groupby(level=0).apply(lambda s: s.max() / s.min())
     assert float(imbalance.max()) < 1.6
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_kmv_overlap_matches_oracle_and_error_band(spark, sf):
+    """Join-cardinality estimation from two sketches: the full estimate
+    table replicates bit-for-bit (hashes + positive-integer division),
+    and the intersection estimate lands in KMV's error band of the
+    exact |A∩B| per group."""
+    ev = table(spark, sf, "events")
+    a, b = ev.filter("value < 250"), ev.filter("value >= 100")
+    got = sketch.kmv_overlap(a, b, "event_type", "user_id", k=32).toPandas()
+    con = _con(sf)
+    want = con.execute(
+        sketch.kmv_overlap_oracle_sql(
+            "SELECT * FROM events WHERE value < 250",
+            "SELECT * FROM events WHERE value >= 100",
+            "event_type",
+            "user_id",
+            k=32,
+        )
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+    exact = (
+        con.execute(
+            """
+            SELECT CAST(event_type AS VARCHAR) grp, COUNT(DISTINCT user_id) n
+            FROM (
+              SELECT event_type, user_id FROM events WHERE value < 250
+              INTERSECT
+              SELECT event_type, user_id FROM events WHERE value >= 100
+            ) GROUP BY 1
+            """
+        )
+        .df()
+        .set_index("grp")
+        .n
+    )
+    for _, r in got.iterrows():
+        true = exact.get(r.grp, 0)
+        est = r.inter_est_milli / 1000
+        assert 0.4 * true <= est <= 1.8 * true or abs(est - true) < 20, (
+            r.grp,
+            est,
+            true,
+        )
+
+
+def test_kmv_overlap_disjoint_sets(spark):
+    """Disjoint inputs: matches 0, Jaccard 0, intersection 0 exactly."""
+    ev = table(spark, SFS[0], "events")
+    a = ev.filter("user_id % 2 = 0")
+    b = ev.filter("user_id % 2 = 1")
+    got = sketch.kmv_overlap(a, b, "event_type", "user_id", k=16).toPandas()
+    assert (got.matches == 0).all()
+    assert (got.inter_est_milli == 0).all()

@@ -162,3 +162,38 @@ def test_versioned_batch_writer_signals_publish_vs_replay(spark, tmp_path):
     assert sink(events, 0) is False  # replay
     assert sink(events.limit(0), 1) is False  # empty batch skip
     assert sink(events, 1) is True
+
+
+def test_streaming_cms_refresh_consistent(spark, tmp_path):
+    """CMS instance of the generic refresh (second non-idempotent
+    merge): after two tranches the maintained counters equal a
+    from-scratch sketch of the corpus — no batch double-folded."""
+    from pg_parquet_spark.operators.sketch import cms_sketch
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_cms_refresh
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    sk_root = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    for i, tranche in enumerate(
+        (events.filter("event_id % 2 = 0"), events.filter("event_id % 2 = 1"))
+    ):
+        tranche.coalesce(1).write.mode("append").parquet(src)
+        sdf = spark.readStream.schema(events.schema).parquet(src)
+        drain_with_cms_refresh(sdf, corpus, sk_root, checkpoint=ckpt)
+        got = sorted(
+            map(tuple, layout.read_versioned(spark, sk_root).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                cms_sketch(read_parquet(spark, corpus), "user_id").collect(),
+            )
+        )
+        assert got == want, f"tranche {i}"
+        assert layout.read_manifest(sk_root)["folded_batch_id"] == i
