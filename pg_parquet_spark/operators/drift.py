@@ -147,7 +147,7 @@ ORDER BY {alias}
 
 def robust_outlier_stats(
     df: DataFrame,
-    group_col: str = "event_type",
+    group_col: str | Column = "event_type",
     value_col: str = "value",
     c_x10000: int = 44478,
     unit: int = 1000,
@@ -174,8 +174,9 @@ def robust_outlier_stats(
     shape: two group-keyed exact percentiles + one broadcast of the
     group-stats table back onto the rows; shuffle is group-keyed,
     stats are sketch-sized."""
+    gcol = group_col if isinstance(group_col, Column) else F.col(group_col)
     base = df.select(
-        F.col(group_col).cast("string").alias("grp"),
+        gcol.cast("string").alias("grp"),
         F.floor(F.col(value_col).cast("double") * unit + F.lit(0.5))
         .cast("long")
         .alias("v"),
@@ -213,7 +214,7 @@ def robust_outlier_stats(
 def robust_outliers(
     df: DataFrame,
     id_col: str = "event_id",
-    group_col: str = "event_type",
+    group_col: str | Column = "event_type",
     value_col: str = "value",
     c_x10000: int = 44478,
     unit: int = 1000,
@@ -221,9 +222,10 @@ def robust_outliers(
     """The flagged ROWS (id, grp, v_milli, dev_milli_x2): same fence as
     :func:`robust_outlier_stats`, returned per offending record for
     quarantine/inspection pipelines."""
+    gcol = group_col if isinstance(group_col, Column) else F.col(group_col)
     base = df.select(
         F.col(id_col).alias("id"),
-        F.col(group_col).cast("string").alias("grp"),
+        gcol.cast("string").alias("grp"),
         F.floor(F.col(value_col).cast("double") * unit + F.lit(0.5))
         .cast("long")
         .alias("v_milli"),

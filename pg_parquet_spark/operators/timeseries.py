@@ -146,3 +146,88 @@ SELECT {key_col},
        arg_max(v, es * {_OKEY_BASE} + rid) AS v_close
 FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def seasonal_outliers(
+    events: DataFrame,
+    id_col: str = "event_id",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    season: str = "hour",
+    c_x10000: int = 44478,
+) -> DataFrame:
+    """Seasonal robust anomaly detection: a value is judged against the
+    median/MAD fence of ITS OWN SEASON (same hour-of-day / weekday /
+    month within the group), so a nightly batch spike isn't flagged
+    just for being in the quiet hours — the time-series rendition of
+    the drift tier's robust fences, and the heavy-tail-safe alternative
+    to the exact-moment z-score gate.
+
+    Pure composition: the season key folds into the group key
+    (``grp = group:season``) and the fence machinery is
+    :func:`pg_parquet_spark.operators.drift.robust_outliers` verbatim
+    — same integer med×2/MAD×4 determinism, same DuckDB oracle shape
+    (``concat(group, ':', hour(ts))`` replicates; Spark and DuckDB
+    agree on hour/dayofmonth/month values). Scale shape unchanged: two
+    season-keyed exact percentiles + broadcast fences.
+
+    ``season``: one of hour / dow-free keys that hash identically in
+    both engines ("hour", "day", "month")."""
+    from pg_parquet_spark.operators.drift import robust_outliers
+
+    fns = {"hour": F.hour, "day": F.dayofmonth, "month": F.month}
+    if season not in fns:
+        raise ValueError(
+            f"season must be one of {sorted(fns)} (engine-identical "
+            f"calendar keys), got {season!r}"
+        )
+    key = F.concat_ws(
+        ":", F.col(group_col).cast("string"), fns[season](F.col(ts_col)).cast("string")
+    )
+    return robust_outliers(
+        events,
+        id_col=id_col,
+        group_col=key,
+        value_col=value_col,
+        c_x10000=c_x10000,
+    )
+
+
+def seasonal_outliers_oracle_sql(
+    id_col: str = "event_id",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    season: str = "hour",
+    c_x10000: int = 44478,
+    table: str = "events",
+) -> str:
+    """DuckDB replica: same composite season key through the same
+    robust fence arithmetic (flagged ROWS, matching robust_outliers)."""
+    fns = {"hour": "hour", "day": "dayofmonth", "month": "month"}
+    key = (
+        f"concat(CAST({group_col} AS VARCHAR), ':', "
+        f"CAST({fns[season]}({ts_col}) AS VARCHAR))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {key} AS grp,
+         CAST(floor(CAST({value_col} AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           AS v_milli
+  FROM {table} WHERE {value_col} IS NOT NULL
+), med AS (
+  SELECT grp, CAST(quantile_cont(v_milli, 0.5) * 2 AS BIGINT) AS med2
+  FROM base GROUP BY grp
+), dev AS (
+  SELECT base.grp, id, v_milli, abs(v_milli * 2 - med2) AS dev_milli_x2
+  FROM base JOIN med USING (grp)
+), mad AS (
+  SELECT grp, CAST(quantile_cont(dev_milli_x2, 0.5) * 2 AS BIGINT) AS mad4
+  FROM dev GROUP BY grp
+)
+SELECT id, dev.grp, v_milli, dev_milli_x2
+FROM dev JOIN mad USING (grp)
+WHERE dev_milli_x2 * 2 * 10000 > {int(c_x10000)} * mad4
+ORDER BY dev.grp, id
+"""

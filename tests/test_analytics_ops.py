@@ -2,9 +2,11 @@
 plan shapes (range join must not be a BNLJ), stratified rates, and
 unigram scoring actually ranking rare-word documents higher."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from pg_parquet_spark.operators import analytics_queries as aq
+from pg_parquet_spark.session import table
 
 SF = "/root/testdata/sf0.001"
 
@@ -358,3 +360,49 @@ def test_subtree_rollup_matches_recursive_cte_oracle(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         graph.transitive_ancestors(chain, max_rounds=2)
+
+
+def test_seasonal_outliers_match_oracle_both_sfs(spark):
+    """Seasonal robust fences (same-hour median/MAD): flagged-row table
+    replicates bit-for-bit — the composite group:hour key and the
+    integer fence arithmetic are engine-identical."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries as ts_ops
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        got = ts_ops.seasonal_outliers(ev).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = con.execute(ts_ops.seasonal_outliers_oracle_sql()).df()
+        assert len(got) == len(want) > 0
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+
+
+def test_seasonal_outliers_use_seasonal_not_global_fence(spark):
+    """A value normal for its season but extreme globally is NOT
+    flagged; the same value in a quiet season IS — the defining
+    property vs the global fence."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import timeseries as ts_ops
+
+    rows = []
+    # hour 2: quiet baseline around 10; hour 14: busy baseline around 1000
+    for i in range(40):
+        rows.append((i, "g", f"2024-01-{(i % 20) + 1:02d} 02:00:00", 10.0 + (i % 3)))
+        rows.append((100 + i, "g", f"2024-01-{(i % 20) + 1:02d} 14:00:00", 1000.0 + (i % 3)))
+    rows.append((900, "g", "2024-01-21 14:00:00", 1003.0))  # busy-normal
+    rows.append((901, "g", "2024-01-21 02:00:00", 1000.0))  # quiet-EXTREME
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    flagged = {r.id for r in ts_ops.seasonal_outliers(df).collect()}
+    assert 901 in flagged and 900 not in flagged
+
+    with pytest.raises(ValueError, match="season must be one of"):
+        ts_ops.seasonal_outliers(df, season="minute")
