@@ -1249,7 +1249,15 @@ def publish_snapshot(
             "writer_id": _carry_writer_id(manifest),
             # caller metadata (e.g. the streaming refresh's
             # folded_batch_id replay stamp) rides the SAME atomic
-            # manifest write — no second-write torn-state window
+            # manifest write — no second-write torn-state window.
+            # The stamp is CARRIED across plain re-publishes so a
+            # full-replace of a refresh-maintained summary does not
+            # silently reset the replay gate (extra overrides).
+            **(
+                {"folded_batch_id": manifest["folded_batch_id"]}
+                if manifest and "folded_batch_id" in manifest
+                else {}
+            ),
             **(extra or {}),
         },
     )

@@ -802,6 +802,12 @@ def drain_with_mergeable_refresh(
       replay by the same stamp: the corpus sink skips the replayed
       batch (already in ITS manifest — its publish signal returns
       False), while the stale stamp admits exactly the missed merge.
+
+    Maintenance caveat: the stamp lives in the SUMMARY's manifest and
+    is carried across publish_snapshot re-publishes, but
+    ``compact_dataset``/``merge_upsert`` build their own manifests —
+    maintain the summary ONLY through this refresh (it is sketch-sized;
+    there is nothing to compact), compact the CORPUS freely.
     """
     from pg_parquet_spark.sources import layout
 

@@ -197,3 +197,19 @@ def test_streaming_cms_refresh_consistent(spark, tmp_path):
         )
         assert got == want, f"tranche {i}"
         assert layout.read_manifest(sk_root)["folded_batch_id"] == i
+
+
+def test_folded_stamp_survives_full_replace(spark, tmp_path):
+    """publish_snapshot carries the folded_batch_id stamp, so a
+    full-replace of a refresh-maintained summary doesn't silently
+    reset the replay gate."""
+    from pg_parquet_spark.sources import layout
+
+    root = str(tmp_path / "sum")
+    df = table(spark, SF, "events").limit(5).select("event_type", "value")
+    layout.publish_snapshot(spark, root, df, extra={"folded_batch_id": 7})
+    assert layout.read_manifest(root)["folded_batch_id"] == 7
+    layout.publish_snapshot(spark, root, df)  # plain re-publish
+    assert layout.read_manifest(root)["folded_batch_id"] == 7
+    layout.publish_snapshot(spark, root, df, extra={"folded_batch_id": 9})
+    assert layout.read_manifest(root)["folded_batch_id"] == 9
