@@ -651,3 +651,71 @@ SELECT id AS {id_col}, score, n_tokens, cum_tokens
 FROM cum WHERE cum_tokens <= {budget_tokens}
 ORDER BY score DESC, {id_col}
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows, inclusion odds ∝
+    ``weight_col`` (Efraimidis–Spirakis via Gumbel-top-k: key =
+    ln w + Gumbel) — the standalone renderer of the machinery DSIR uses
+    with derived weights; here the caller brings any positive weight
+    (quality score, token count, priority).
+
+    Reproducibility contract (the module invariant): the Gumbel noise
+    comes from the CONTENT HASH of ``key_col``, and the selection key
+    is integer micro-nats (per-row ln is a single IEEE expression,
+    quantized before comparison) — the same sample on any engine,
+    cluster size, or run. Ties break on the key column. Non-positive
+    weights are excluded loudly by contract (ln undefined): filtered
+    with a count check, not silently.
+
+    Plan shape: one projection + TakeOrderedAndProject (per-partition
+    heaps) — no shuffle beyond the heap merge."""
+    w = F.col(weight_col).cast("double")
+    bad = df.filter(w <= 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"weighted_sample needs strictly positive {weight_col} "
+            f"(found {bad[0][weight_col]!r}) — filter or shift weights "
+            "upstream explicitly"
+        )
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_BUCKETS))
+    key = (
+        F.floor(F.log(w) * 1e6 + F.lit(0.5))
+        + F.floor(-F.log(-F.log(u)) * 1e6 + F.lit(0.5))
+    ).cast("long")
+    return (
+        df.withColumn("sel_key_micro", key)
+        .orderBy(F.col("sel_key_micro").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_oracle_sql(
+    key_col: str,
+    weight_col: str,
+    k: int,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: identical hash-uniform, identical micro-nat
+    quantization, identical tie-break."""
+    u = (
+        f"(CAST(CAST(CONCAT('0x', substr(md5(CAST({key_col} AS VARCHAR)), 1, 6)) "
+        f"AS BIGINT) AS DOUBLE) + 0.5) / {float(_BUCKETS)}"
+    )
+    return f"""
+SELECT *,
+       CAST(floor(ln(CAST({weight_col} AS DOUBLE)) * 1e6 + 0.5)
+            + floor(-ln(-ln({u})) * 1e6 + 0.5) AS BIGINT) AS sel_key_micro
+FROM {table}
+ORDER BY sel_key_micro DESC, {key_col}
+LIMIT {k}
+"""

@@ -116,3 +116,31 @@ def test_token_budget_is_a_prefix_and_respects_budget(spark):
             # ties on the boundary are broken by id
             got.score.min() == dropped.quality.max()
         )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_weighted_sample_matches_oracle(spark, sf):
+    """Efraimidis–Spirakis via content-hash Gumbel: the selected set AND
+    the integer selection keys replicate exactly."""
+    docs = table(spark, sf, "documents")
+    got = sampling.weighted_sample(docs, "doc_id", "n_chars", k=50).toPandas()
+    want = _con(sf).execute(
+        sampling.weighted_sample_oracle_sql("doc_id", "n_chars", 50)
+    ).df()
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.sel_key_micro) == list(want.sel_key_micro)
+
+
+def test_weighted_sample_follows_weights_and_contracts(spark):
+    """Heavier rows are selected more often (sanity over many disjoint
+    draws via grouping), and non-positive weights raise."""
+    docs = table(spark, SFS[1], "documents")
+    got = sampling.weighted_sample(docs, "doc_id", "n_chars", k=100).toPandas()
+    pop_mean = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    assert got.n_chars.mean() > pop_mean  # weight-proportional pull
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    z = spark.createDataFrame([(1, 0.0)], "id long, w double")
+    with pytest.raises(ValueError, match="strictly positive"):
+        sampling.weighted_sample(z, "id", "w", 1)
