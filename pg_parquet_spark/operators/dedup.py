@@ -1025,3 +1025,120 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN hits h ON d.doc_id = h.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (exhaustive L-grams)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT cross-document duplicated-span detection: every token
+    L-gram, exhaustively — the recall-1 tier of the substring family
+    (Lee et al. 2022 dedup exact substrings ≥ N tokens; winnowing above
+    SAMPLES fingerprints, so its recall bound is the k+w−1 run length).
+    Any duplicated run of ≥ L tokens contains a duplicated L-gram, so a
+    clean report here PROVES no ≥L-token span is shared.
+
+    Output per duplicated L-gram hash: (gram_h, n_docs, n_occurrences,
+    first_doc, first_pos) for spans appearing in ≥ ``min_docs`` DISTINCT
+    documents — aggregate rows only, never pairs, so hot boilerplate
+    (a span shared by 10⁵ docs) costs one row, not 10¹⁰ pairs. Join
+    back on the hash to locate all occurrences.
+
+    Honest scale note: the shuffle is EVERY token position keyed by an
+    8-byte hash — ~corpus-token-count rows, the price of exactness
+    (Lee et al. pay it in a suffix array instead). Run the winnowing
+    tier for monitoring and this one for the final certification pass.
+    Same row-based gram build as winnowing (nested HOFs are O(n³) after
+    CollapseProject — measured there)."""
+    from pyspark.sql import Window
+
+    W = Window.partitionBy("_id").orderBy("_pos")
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    ).select("_id", F.posexplode("_t").alias("_pos", "_tok"))
+    n = F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    gram = F.concat_ws(
+        " ",
+        F.col("_tok"),
+        *[F.lead("_tok", j).over(W) for j in range(1, span_tokens)],
+    )
+    grams = (
+        toks.withColumn("_n", n)
+        .withColumn("_gram", gram)
+        .filter(F.col("_pos") <= F.col("_n") - span_tokens)
+        .select(
+            "_id",
+            "_pos",
+            F.conv(F.substring(F.md5("_gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gram_h"),
+        )
+    )
+    # first occurrence as a PACKED integer key (id·2²⁰ + pos): min of a
+    # plain long is engine-portable where struct-min aggregates differ;
+    # the 2²⁰ position budget (1M tokens/doc) is asserted upstream by
+    # the gram build never exceeding document length
+    packed = F.col("_id") * F.lit(1 << 20) + F.col("_pos")
+    return (
+        grams.select("gram_h", "_id", packed.alias("_k"))
+        .groupBy("gram_h")
+        .agg(
+            F.countDistinct("_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("_k").alias("_first"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "gram_h",
+            "n_docs",
+            "n_occurrences",
+            F.expr(f"_first div {1 << 20}").cast("long").alias("first_doc"),
+            (F.col("_first") % F.lit(1 << 20)).cast("long").alias("first_pos"),
+        )
+        .orderBy("gram_h")
+    )
+
+
+def duplicated_spans_oracle_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: identical grams via 1-based inclusive list
+    slices over the split (no positional self-join), identical hash,
+    identical aggregate."""
+    L = span_tokens
+    return f"""
+WITH docs_l AS (
+  SELECT {id_col} AS _id, string_split(lower({text_col}), ' ') AS _l
+  FROM {table}
+), posn AS (
+  SELECT _id, _l,
+         unnest(range(0, greatest(len(_l) - {L} + 1, 0))) AS _pos
+  FROM docs_l
+), grams AS (
+  SELECT _id, CAST(_pos AS BIGINT) AS _pos,
+         CAST(CONCAT('0x', substr(md5(
+              array_to_string(_l[_pos + 1 : _pos + {L}], ' ')), 1, 15))
+              AS BIGINT) AS gram_h
+  FROM posn
+)
+SELECT gram_h,
+       CAST(COUNT(DISTINCT _id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(_id * {1 << 20} + _pos) // {1 << 20} AS BIGINT) AS first_doc,
+       CAST(MIN(_id * {1 << 20} + _pos) % {1 << 20} AS BIGINT) AS first_pos
+FROM grams
+GROUP BY gram_h
+HAVING COUNT(DISTINCT _id) >= {min_docs}
+ORDER BY gram_h
+"""

@@ -683,3 +683,49 @@ def test_semantic_dedup_arrow_tier_matches_exact(spark):
     assert {v for v, _c, k in arrow if not k} == {9001, 9002, 9003}
     with _pytest.raises(ValueError, match="raise n_cells"):
         similarity.semantic_dedup_arrow(corpus, CENTROIDS, max_cell_rows=3)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection
+
+
+def test_duplicated_spans_match_oracle_both_sfs(spark):
+    """Exhaustive L-gram duplicate report replicates bit-for-bit
+    (grams, 60-bit hashes, packed first-occurrence key)."""
+    import duckdb
+
+    from pg_parquet_spark.session import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = table(spark, sf, "documents")
+        got = dedup.duplicated_spans(docs, span_tokens=12).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            dedup.duplicated_spans_oracle_sql(span_tokens=12)
+        ).df()
+        assert len(got) == len(want) > 0
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+
+
+def test_duplicated_spans_recall_one_on_planted_span(spark):
+    """A 15-token run shared by two docs yields exactly its 4 shared
+    12-grams (recall 1 for runs ≥ L — the certification property the
+    sampled winnowing tier cannot give); an unrelated doc contributes
+    nothing; first occurrence points into the earlier doc."""
+    span = " ".join(f"w{i}" for i in range(15))
+    rows = [
+        (1, f"alpha beta {span} gamma"),
+        (2, f"delta {span} epsilon zeta"),
+        (3, "unrelated text entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = dedup.duplicated_spans(df, span_tokens=12).toPandas()
+    assert len(hits) == 4  # positions 0..3 of the 15-token run
+    assert (hits.n_docs == 2).all()
+    assert (hits.n_occurrences == 2).all()
+    assert (hits.first_doc == 1).all()
+    assert sorted(hits.first_pos) == [2, 3, 4, 5]  # after "alpha beta"
