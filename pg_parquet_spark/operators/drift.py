@@ -53,22 +53,35 @@ def bucketize_sql(expr: str, edges: list[float]) -> str:
     )
 
 
-def psi_table(
-    ref: DataFrame, new: DataFrame, cat: Column, alias: str = "category"
+def category_counts(
+    df: DataFrame, cat: Column, alias: str = "category"
 ) -> DataFrame:
-    """Per-category drift table over the union of observed categories:
-    (category, c_ref, c_new, q_ppm, p_ppm, lr_micro, term), ordered.
-    ``cat`` is any categorical expression (a column, or ``bucketize``
-    over a numeric one) evaluated against BOTH frames."""
-    rc = ref.select(cat.alias(alias)).groupBy(alias).agg(
-        F.count("*").cast("long").alias("c_ref")
+    """(category, n): the mergeable drift state — PSI needs nothing
+    else, and counts merge by SUM, so a STREAM can maintain them via
+    ``stream.drain_with_count_refresh`` and drift is then computable
+    against any frozen reference without rescanning either side."""
+    return df.select(cat.alias(alias)).groupBy(alias).agg(
+        F.count("*").cast("long").alias("n")
     )
-    nc = new.select(cat.alias(alias)).groupBy(alias).agg(
-        F.count("*").cast("long").alias("c_new")
+
+
+def psi_from_counts(
+    ref_counts: DataFrame, new_counts: DataFrame, alias: str = "category"
+) -> DataFrame:
+    """The PSI table computed from two (category, n) count tables
+    (:func:`category_counts` output — e.g. one frozen reference and one
+    continuously stream-maintained). Same smoothing/quantization as
+    :func:`psi_table`; row totals derive from the counts (Σn ≡ the raw
+    row count, since every row lands in exactly one category)."""
+    rc = ref_counts.select(
+        F.col(alias), F.col("n").cast("long").alias("c_ref")
+    )
+    nc = new_counts.select(
+        F.col(alias), F.col("n").cast("long").alias("c_new")
     )
     cats = rc.select(alias).unionByName(nc.select(alias)).distinct()
-    n_ref = ref.count()
-    n_new = new.count()
+    n_ref = rc.agg(F.sum("c_ref")).first()[0] or 0
+    n_new = nc.agg(F.sum("c_new")).first()[0] or 0
     n_cats = cats.count()
     dr = n_ref + n_cats
     dn = n_new + n_cats
@@ -97,6 +110,20 @@ def psi_table(
             "term", (F.col("p_ppm") - F.col("q_ppm")) * F.col("lr_micro")
         )
         .orderBy(alias)
+    )
+
+
+def psi_table(
+    ref: DataFrame, new: DataFrame, cat: Column, alias: str = "category"
+) -> DataFrame:
+    """Per-category drift table over the union of observed categories:
+    (category, c_ref, c_new, q_ppm, p_ppm, lr_micro, term), ordered.
+    ``cat`` is any categorical expression (a column, or ``bucketize``
+    over a numeric one) evaluated against BOTH frames."""
+    return psi_from_counts(
+        category_counts(ref, cat, alias),
+        category_counts(new, cat, alias),
+        alias,
     )
 
 

@@ -402,18 +402,21 @@ def _to_units(value_col: str, unit: int) -> F.Column:
 
 def hdr_sketch(
     df: DataFrame,
-    group_col: str,
+    group_col,
     value_col: str,
     sub_bits: int = 5,
     unit: int = 1000,
 ) -> DataFrame:
     """(grp, bucket, cnt): the mergeable quantile sketch -- one
     map-side-combinable count per (group, HDR bucket of value in
-    1/``unit`` units)."""
+    1/``unit`` units). ``group_col`` may be a name or a Column
+    expression (e.g. a (type, hour-bucket) composite for latency
+    percentile TIME SERIES)."""
+    gcol = group_col if not isinstance(group_col, str) else F.col(group_col)
     v = _to_units(value_col, unit)
     return (
         df.select(
-            F.col(group_col).cast("string").alias("grp"),
+            gcol.cast("string").alias("grp"),
             v.alias("_v"),
         )
         # NULL values are IGNORED (the SQL-aggregate convention) —

@@ -951,3 +951,50 @@ def drain_with_cms_refresh(
         timeout_sec=timeout_sec,
         checkpoint=checkpoint,
     )
+
+
+def drain_with_count_refresh(
+    sdf: DataFrame,
+    corpus_root: str,
+    counts_root: str,
+    cat_col: str = "event_type",
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming DRIFT monitor state: maintain the (category, n) count
+    table — PSI's entire sufficient statistic — continuously over the
+    versioned sink. Count tables merge by SUM (non-idempotent →
+    folded_batch_id replay gate, like HDR/CMS). Compute drift against
+    any frozen reference at read time, no rescan of either side:
+
+        drift.psi_from_counts(ref_counts,
+            layout.read_versioned(spark, counts_root))
+    """
+    from pyspark.sql import functions as SF
+
+    def build(b: DataFrame) -> DataFrame:
+        return (
+            b.select(SF.col(cat_col).cast("string").alias("category"))
+            .groupBy("category")
+            .agg(SF.count("*").cast("long").alias("n"))
+        )
+
+    def merge(cur: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            cur.unionByName(new)
+            .groupBy("category")
+            .agg(SF.sum("n").cast("long").alias("n"))
+        )
+
+    drain_with_mergeable_refresh(
+        sdf,
+        corpus_root,
+        counts_root,
+        build_fn=build,
+        merge_fn=merge,
+        idempotent_merge=False,
+        partition_by=partition_by,
+        timeout_sec=timeout_sec,
+        checkpoint=checkpoint,
+    )

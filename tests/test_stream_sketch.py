@@ -213,3 +213,53 @@ def test_folded_stamp_survives_full_replace(spark, tmp_path):
     assert layout.read_manifest(root)["folded_batch_id"] == 7
     layout.publish_snapshot(spark, root, df, extra={"folded_batch_id": 9})
     assert layout.read_manifest(root)["folded_batch_id"] == 9
+
+
+def test_streaming_drift_counts_and_psi(spark, tmp_path):
+    """The drift-state instance: maintained counts equal a from-scratch
+    count of the corpus after every tranche, and PSI computed from the
+    maintained state vs a frozen reference equals PSI computed from the
+    raw frames (bit-for-bit, including the folded index)."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import drift
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_count_refresh
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    counts = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    ref = events.filter("event_id % 3 = 0")
+    for tranche in (
+        events.filter("event_id % 3 = 1"),
+        events.filter("event_id % 3 = 2"),
+    ):
+        tranche.coalesce(1).write.mode("append").parquet(src)
+        sdf = spark.readStream.schema(events.schema).parquet(src)
+        drain_with_count_refresh(sdf, corpus, counts, checkpoint=ckpt)
+        got = sorted(
+            map(tuple, layout.read_versioned(spark, counts).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                drift.category_counts(
+                    read_parquet(spark, corpus), F.col("event_type")
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    live = drift.psi_from_counts(
+        drift.category_counts(ref, F.col("event_type")),
+        layout.read_versioned(spark, counts),
+    ).toPandas()
+    raw = drift.psi_table(
+        ref, read_parquet(spark, corpus), F.col("event_type")
+    ).toPandas()
+    assert live.values.tolist() == raw.values.tolist()
