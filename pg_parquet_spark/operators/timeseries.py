@@ -39,7 +39,15 @@ def rollup_time_buckets(
     ``id_col``, which must be < 1e7 — see ``_OKEY_BASE``). The bucket
     is the epoch-second floor multiple of ``width_sec`` (BIGINT — a
     timezone-free bucket identity that compares identically on every
-    engine; render it with ``timestamp_seconds`` for humans). Rows with
+    engine; render it with ``timestamp_seconds`` for humans).
+
+    The ``id_col < _OKEY_BASE`` contract is ENFORCED, not advisory
+    (ADVICE r9: an id ≥ 1e7 would bleed into the seconds field of the
+    packed order key and silently reorder open/close): the packed key
+    is built behind a ``raise_error`` branch, so any out-of-range or
+    NULL id fails the job loudly in the SAME pass — no separate
+    validation scan. Streaming refresh loops feeding ever-growing ids
+    therefore fail fast at the boundary instead of corrupting. Rows with
     NULL ``ts_col``/``key_col`` land in NULL-keyed groups — and NULL
     merge keys break the (key, bucket)-keyed MERGE refresh (SQL NULL
     never equi-joins), so filter or default them upstream before using
@@ -48,7 +56,21 @@ def rollup_time_buckets(
     # TIMESTAMP first (session tz is pinned UTC, so the instant matches
     # DuckDB's wall-clock epoch()); a direct NTZ→long cast is illegal.
     es = F.col(ts_col).cast("timestamp").cast("long")
-    okey = es * F.lit(_OKEY_BASE) + F.col(id_col)
+    # in-pass fail-fast: the when() guard rides the main aggregation
+    # scan, so validation is free when the contract holds (cf. the
+    # weighted_sample/copurchase_edges fail-fast stance)
+    okey = F.when(
+        (F.col(id_col) >= 0) & (F.col(id_col) < _OKEY_BASE),
+        es * F.lit(_OKEY_BASE) + F.col(id_col),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"rollup_time_buckets: {id_col} must be a non-NULL integer "
+                f"in [0, {_OKEY_BASE}) — larger ids would corrupt the "
+                "packed open/close order key"
+            )
+        ).cast("long")
+    )
     v = F.col(val_col)
     return (
         df.select(

@@ -406,3 +406,33 @@ def test_seasonal_outliers_use_seasonal_not_global_fence(spark):
 
     with pytest.raises(ValueError, match="season must be one of"):
         ts_ops.seasonal_outliers(df, season="minute")
+
+
+def test_rollup_time_buckets_okey_guard_fails_fast(spark):
+    """ADVICE r9: an id >= _OKEY_BASE (or NULL) would bleed into the
+    seconds field of the packed open/close order key and silently
+    reorder open/close — undetectable by the oracle, which packs the
+    same key. The contract is now enforced in the SAME aggregation
+    pass (a when/raise_error branch on the key expression — no extra
+    validation scan), so oversized and NULL ids fail loudly."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import timeseries as ts_ops
+    from pg_parquet_spark.session import table
+
+    events = table(spark, "/root/testdata/sf0.001", "events")
+    big = events.withColumn(
+        "event_id", F.col("event_id") + F.lit(ts_ops._OKEY_BASE)
+    )
+    with pytest.raises(Exception, match="rollup_time_buckets"):
+        ts_ops.rollup_time_buckets(big).collect()
+    nulled = events.withColumn(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+            F.col("event_id")
+        ),
+    )
+    with pytest.raises(Exception, match="rollup_time_buckets"):
+        ts_ops.rollup_time_buckets(nulled).collect()
+    # in-range ids still aggregate (the guard is free on the good path)
+    assert ts_ops.rollup_time_buckets(events, 86400).count() > 0
