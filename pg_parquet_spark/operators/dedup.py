@@ -1056,8 +1056,27 @@ def duplicated_spans(
     (Lee et al. pay it in a suffix array instead). Run the winnowing
     tier for monitoring and this one for the final certification pass.
     Same row-based gram build as winnowing (nested HOFs are O(n³) after
-    CollapseProject — measured there)."""
+    CollapseProject — measured there).
+
+    Packing contract (ENFORCED, ADVICE r9): ``id_col`` must be an
+    integral column with values in [0, 2⁴³) and documents must stay
+    under 2²⁰ tokens, or the packed first-occurrence key would silently
+    corrupt first_doc/first_pos — a non-integral id raises TypeError up
+    front, and out-of-range ids/positions raise in the same pass as the
+    aggregation (when/raise_error on the key expression, no extra
+    validation scan)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        df.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        raise TypeError(
+            f"duplicated_spans: {id_col} must be an integral column "
+            f"(got {df.schema[id_col].dataType.simpleString()}) — the "
+            "first-occurrence key packs id*2^20 + pos into one long"
+        )
 
     W = Window.partitionBy("_id").orderBy("_pos")
     toks = df.select(
@@ -1082,10 +1101,25 @@ def duplicated_spans(
         )
     )
     # first occurrence as a PACKED integer key (id·2²⁰ + pos): min of a
-    # plain long is engine-portable where struct-min aggregates differ;
-    # the 2²⁰ position budget (1M tokens/doc) is asserted upstream by
-    # the gram build never exceeding document length
-    packed = F.col("_id") * F.lit(1 << 20) + F.col("_pos")
+    # plain long is engine-portable where struct-min aggregates differ.
+    # The 2²⁰ position budget (1M tokens/doc) and 2⁴³ id budget are
+    # enforced IN the packing expression — violations raise in the same
+    # pass (ADVICE r9: the old comment claimed an upstream assertion
+    # that did not exist)
+    packed = F.when(
+        (F.col("_id") >= 0)
+        & (F.col("_id") < F.lit(1 << 43))
+        & (F.col("_pos") < F.lit(1 << 20)),
+        F.col("_id") * F.lit(1 << 20) + F.col("_pos"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"duplicated_spans: {id_col} must be in [0, 2^43) and "
+                "documents under 2^20 tokens — larger values would "
+                "corrupt the packed first_doc/first_pos key"
+            )
+        ).cast("long")
+    )
     return (
         grams.select("gram_h", "_id", packed.alias("_k"))
         .groupBy("gram_h")

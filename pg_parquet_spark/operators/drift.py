@@ -72,22 +72,33 @@ def psi_from_counts(
     (:func:`category_counts` output — e.g. one frozen reference and one
     continuously stream-maintained). Same smoothing/quantization as
     :func:`psi_table`; row totals derive from the counts (Σn ≡ the raw
-    row count, since every row lands in exactly one category)."""
+    row count, since every row lands in exactly one category).
+
+    NULL is a REAL category (ADVICE r9): the category spine joins
+    null-safely (eqNullSafe / IS NOT DISTINCT FROM in the oracle), so a
+    NULL-bearing categorical column contributes its own row instead of
+    silently reading as 0 on both sides while still inflating the
+    totals — which skewed every other category's q/p and was oracle-
+    invisible because the old oracle shared the null-unsafe join."""
     rc = ref_counts.select(
-        F.col(alias), F.col("n").cast("long").alias("c_ref")
+        F.col(alias).alias("_cat_r"), F.col("n").cast("long").alias("c_ref")
     )
     nc = new_counts.select(
-        F.col(alias), F.col("n").cast("long").alias("c_new")
+        F.col(alias).alias("_cat_n"), F.col("n").cast("long").alias("c_new")
     )
-    cats = rc.select(alias).unionByName(nc.select(alias)).distinct()
+    cats = (
+        rc.select(F.col("_cat_r").alias(alias))
+        .unionByName(nc.select(F.col("_cat_n").alias(alias)))
+        .distinct()
+    )
     n_ref = rc.agg(F.sum("c_ref")).first()[0] or 0
     n_new = nc.agg(F.sum("c_new")).first()[0] or 0
     n_cats = cats.count()
     dr = n_ref + n_cats
     dn = n_new + n_cats
     j = (
-        cats.join(rc, alias, "left")
-        .join(nc, alias, "left")
+        cats.join(rc, F.col(alias).eqNullSafe(F.col("_cat_r")), "left")
+        .join(nc, F.col(alias).eqNullSafe(F.col("_cat_n")), "left")
         .select(
             alias,
             F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
@@ -151,7 +162,9 @@ j AS (
   SELECT c.{alias},
          COALESCE(rc.c_ref, 0) AS c_ref,
          COALESCE(nc.c_new, 0) AS c_new
-  FROM cats c LEFT JOIN rc USING ({alias}) LEFT JOIN nc USING ({alias})
+  FROM cats c
+  LEFT JOIN rc ON c.{alias} IS NOT DISTINCT FROM rc.{alias}
+  LEFT JOIN nc ON c.{alias} IS NOT DISTINCT FROM nc.{alias}
 )
 SELECT {alias}, CAST(c_ref AS BIGINT) AS c_ref, CAST(c_new AS BIGINT) AS c_new,
   CAST(((c_ref + 1) * {_PPM}) // dr AS BIGINT) AS q_ppm,

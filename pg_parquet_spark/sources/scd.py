@@ -61,7 +61,10 @@ def merge_scd2(
 ) -> None:
     """Apply one update batch with SCD-2 semantics and publish the new
     snapshot. ``effective_col`` (a monotone long/timestamp in the
-    update batch) becomes the interval boundary."""
+    update batch) becomes the interval boundary; ``_valid_to`` is typed
+    to the effective column's own type (ADVICE r9: a hardcoded long
+    NULL made a timestamp effective_col fail the union of open rows
+    against closed rows carrying timestamp ``_close_at``)."""
     for reserved in (VALID_FROM, VALID_TO):
         if reserved in updates.columns:
             raise ValueError(
@@ -80,11 +83,12 @@ def merge_scd2(
             "one state per key per batch; dedupe upstream with a documented "
             "precedence"
         )
+    eff_type = updates.schema[effective_col].dataType
     upd = updates.select(
         *key_cols,
         *attr_cols,
         F.col(effective_col).alias(VALID_FROM),
-        F.lit(None).cast("long").alias(VALID_TO),
+        F.lit(None).cast(eff_type).alias(VALID_TO),
     )
 
     if layout.read_manifest(root_uri.rstrip("/")) is None:
@@ -175,12 +179,15 @@ def scd2_oracle_sql(
     key_cols: list[str],
     attr_cols: list[str],
     tracked_cols: list[str] | None = None,
+    effective_sql_type: str = "BIGINT",
 ) -> str:
     """DuckDB replica of applying ``batches`` in order to an empty
     dataset — each entry is (updates_subquery_sql, effective_expr);
     the update subquery must produce key + attr columns. Unrolled into
     chained CTEs like the PageRank oracle; NULL-safe comparison via
-    IS DISTINCT FROM mirrors eqNullSafe."""
+    IS DISTINCT FROM mirrors eqNullSafe. ``effective_sql_type`` types
+    the open-interval NULL (pass TIMESTAMP for a timestamp effective
+    column, mirroring merge_scd2's typed NULL)."""
     tracked = tracked_cols if tracked_cols is not None else attr_cols
     keys = ", ".join(key_cols)
     attrs = ", ".join(attr_cols)
@@ -192,7 +199,7 @@ def scd2_oracle_sql(
     ctes.append(f"u0 AS ({u1})")
     ctes.append(
         f"s0 AS (SELECT {keys}, {attrs}, {eff1} AS _valid_from, "
-        "CAST(NULL AS BIGINT) AS _valid_to FROM u0)"
+        f"CAST(NULL AS {effective_sql_type}) AS _valid_to FROM u0)"
     )
     for i, (usql, eff) in enumerate(batches[1:], start=1):
         prev = f"s{i - 1}"
@@ -210,7 +217,7 @@ def scd2_oracle_sql(
   WHERE NOT EXISTS (SELECT 1 FROM u{i} u WHERE {keys_eq} AND ({diff}))
   UNION ALL
   SELECT u.{', u.'.join(key_cols)}, u.{', u.'.join(attr_cols)},
-         {eff} AS _valid_from, CAST(NULL AS BIGINT) AS _valid_to
+         {eff} AS _valid_from, CAST(NULL AS {effective_sql_type}) AS _valid_to
   FROM u{i} u
   WHERE NOT EXISTS (
     SELECT 1 FROM (SELECT * FROM {prev} WHERE _valid_to IS NULL) c

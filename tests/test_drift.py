@@ -61,6 +61,46 @@ def test_numeric_psi_matches_oracle(spark, sf):
         assert list(got[col]) == list(want[col]), col
 
 
+@pytest.mark.parametrize("sf", SFS)
+def test_null_category_psi_matches_oracle(spark, sf):
+    """ADVICE r9: NULL is a real category — the spine joins null-safely
+    on both engines, so NULL-bearing categorical columns get their own
+    (correctly counted) row instead of zeros that silently skew every
+    other category's smoothed probabilities."""
+    docs = table(spark, sf, "documents")
+    nullable = F.nullif(F.col("source"), F.lit("src3"))
+    ref = docs
+    new = docs.filter("n_chars % 3 != 0")
+    got = (
+        drift.psi_table(ref, new, nullable)
+        .toPandas()
+        .sort_values("category", na_position="first")
+        .reset_index(drop=True)
+    )
+    want = (
+        _con(sf)
+        .execute(
+            drift.psi_oracle_sql(
+                "SELECT * FROM documents",
+                "SELECT * FROM documents WHERE n_chars % 3 != 0",
+                "NULLIF(source, 'src3')",
+            )
+        )
+        .df()
+        .sort_values("category", na_position="first")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    null_rows = got[got["category"].isna()]
+    assert len(null_rows) == 1  # the NULL category is present...
+    assert int(null_rows["c_ref"].iloc[0]) > 0  # ...and actually counted
+    for col in COLS[1:]:
+        assert list(got[col]) == list(want[col]), col
+    assert [x for x in got["category"] if x == x] == [
+        x for x in want["category"] if x == x
+    ]
+
+
 def test_self_drift_is_exactly_zero_and_shift_is_loud(spark):
     docs = table(spark, SFS[1], "documents")
     same = drift.psi_table(docs, docs, F.col("source"))

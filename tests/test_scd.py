@@ -129,3 +129,48 @@ def test_scd2_contracts_raise(spark, tmp_path):
     reserved = b0.withColumn("_valid_from", F.lit(9))
     with pytest.raises(ValueError, match="reserved column"):
         scd.merge_scd2(spark, root, reserved, KEY, "eff")
+
+
+def test_scd2_timestamp_effective_col(spark, tmp_path):
+    """ADVICE r9: ``_valid_to`` is typed to the effective column's OWN
+    type, so the docstring-promised timestamp effective_col works — the
+    open-interval NULLs union cleanly against closed rows carrying a
+    timestamp ``_close_at`` (the hardcoded long NULL used to raise
+    AnalysisException on the union), and as-of reads filter on real
+    timestamps."""
+    import datetime
+
+    root = str(tmp_path / "dim_ts")
+    cust = (
+        table(spark, SF, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .filter("c_custkey < 60")
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    b0 = cust.withColumn("eff", F.lit(t0))
+    b1 = (
+        cust.filter("c_custkey % 2 = 0")
+        .withColumn("c_acctbal", F.col("c_acctbal") + 7)
+        .withColumn("eff", F.lit(t1))
+    )
+    scd.merge_scd2(spark, root, b0, KEY, "eff")
+    scd.merge_scd2(spark, root, b1, KEY, "eff")
+
+    out = layout.read_versioned(spark, root)
+    assert dict(out.dtypes)["_valid_to"] == "timestamp"
+    closed = out.filter("_valid_to IS NOT NULL").toPandas()
+    assert len(closed) > 0
+    assert set(closed["_valid_to"]) == {t1}
+    # point-in-time: mid-January sees only the original state
+    asof = scd.read_scd2_asof(spark, root, datetime.datetime(2024, 1, 15))
+    assert asof.count() == cust.count()
+    assert asof.filter("_valid_from > timestamp'2024-01-01'").count() == 0
+    # the oracle mirrors the typed NULL
+    sql = scd.scd2_oracle_sql(
+        [("SELECT 1 AS k, 2 AS v", "TIMESTAMP '2024-01-01'")],
+        ["k"],
+        ["v"],
+        effective_sql_type="TIMESTAMP",
+    )
+    assert "CAST(NULL AS TIMESTAMP)" in sql

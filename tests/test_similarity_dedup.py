@@ -729,3 +729,39 @@ def test_duplicated_spans_recall_one_on_planted_span(spark):
     assert (hits.n_occurrences == 2).all()
     assert (hits.first_doc == 1).all()
     assert sorted(hits.first_pos) == [2, 3, 4, 5]  # after "alpha beta"
+
+
+def test_duplicated_spans_packing_contract_enforced(spark):
+    """ADVICE r9: the id*2^20+pos packing budgets are enforced, not
+    comment-only — a doc id >= 2^43 raises in the aggregation pass, a
+    non-integral id column raises TypeError up front, and a document
+    over 2^20 tokens trips the position budget."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import dedup
+
+    ok = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "a b c d e a b c d e")],
+        "doc_id long, text string",
+    )
+    assert dedup.duplicated_spans(ok, span_tokens=5).count() > 0
+
+    big_id = spark.createDataFrame(
+        [(1 << 43, "a b c d e a b c d e"), (2, "a b c d e a b c d e")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(Exception, match="duplicated_spans"):
+        dedup.duplicated_spans(big_id, span_tokens=5).collect()
+
+    str_id = spark.createDataFrame(
+        [("x", "a b c")], "doc_id string, text string"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        dedup.duplicated_spans(str_id, span_tokens=2)
+
+    long_doc = spark.createDataFrame(
+        [(1, " ".join("t" for _ in range((1 << 20) + 30))), (2, "t t t")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(Exception, match="duplicated_spans"):
+        dedup.duplicated_spans(long_doc, span_tokens=2).collect()
