@@ -903,8 +903,82 @@ FROM counts ORDER BY event_type, next_type
 """
 
 
+# --- r10 merged scalar surface + OHLC rollup gate ---------------------------
+
+
+def q_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged scalar-catalog gate (r10, the q_scalar_collections merge
+    pattern): bitwise AND/OR/XOR/shifts, GREATEST/LEAST with
+    NULL-skipping, and sin/cos/atan2/radians/degrees — the surfaces of
+    retired q_scalar_bitwise + q_greatest_least + q_scalar_trig (all
+    three stay oracle-checked in tests/test_retired_gates.py) in ONE
+    scan and one codegen projection. Trig rounds to 6 decimals to
+    absorb libm ULP drift, per the determinism contract."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    x = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("band"),
+        F.expr("o_orderkey | 4096").alias("bor"),
+        F.expr("o_orderkey ^ o_custkey").alias("bxor"),
+        F.shiftleft(F.col("o_custkey"), 3).alias("shl"),
+        F.shiftright(F.col("o_orderkey"), 2).alias("shr"),
+        F.greatest(
+            price, F.lit(200000).cast("decimal(14,2)"),
+            F.nullif(price, price),  # always NULL — must be skipped
+        ).cast("double").alias("hi"),
+        F.least(price, F.lit(200000).cast("decimal(14,2)"))
+        .cast("double")
+        .alias("lo"),
+        F.round(F.sin(F.radians(x)), 6).alias("sin_r"),
+        F.round(F.cos(F.radians(x)), 6).alias("cos_r"),
+        F.round(F.atan2(x, F.lit(100.0)), 6).alias("at2"),
+        F.round(F.degrees(F.atan(x / F.lit(1000.0))), 6).alias("deg_at"),
+    ).orderBy("o_orderkey")
+
+
+Q_SCALAR_MISC_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS bor,
+       xor(o_orderkey, o_custkey) AS bxor,
+       o_custkey << 3 AS shl,
+       o_orderkey >> 2 AS shr,
+       CAST(GREATEST(CAST(o_totalprice AS DECIMAL(14,2)),
+                     CAST(200000 AS DECIMAL(14,2)), NULL) AS DOUBLE) AS hi,
+       CAST(LEAST(CAST(o_totalprice AS DECIMAL(14,2)),
+                  CAST(200000 AS DECIMAL(14,2))) AS DOUBLE) AS lo,
+       ROUND(SIN(RADIANS(o_totalprice)), 6) AS sin_r,
+       ROUND(COS(RADIANS(o_totalprice)), 6) AS cos_r,
+       ROUND(ATAN2(o_totalprice, 100.0), 6) AS at2,
+       ROUND(DEGREES(ATAN(o_totalprice / 1000.0)), 6) AS deg_at
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+"""
+
+
+def q_rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (r9 family, r10 gate):
+    per-(event_type, hour-bucket) OHLC — count, exact DECIMAL sum,
+    min/max, and first/last value by event time on the guarded packed
+    order key. One (key, bucket)-keyed shuffle with full map-side
+    partial aggregation; shuffle volume is the bucket count."""
+    from pg_parquet_spark.operators import timeseries
+
+    events = table(spark, sf_dir, "events")
+    return timeseries.rollup_time_buckets(events, width_sec=3600)
+
+
+def _rollup_ohlc_oracle() -> str:
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.rollup_oracle_sql(width_sec=3600)
+
+
 QUERIES = {
     "q_timeseries_gapfill": q_timeseries_gapfill,
+    "q_scalar_misc": q_scalar_misc,
+    "q_rollup_ohlc": q_rollup_ohlc,
     "q_outlier_zscore": q_outlier_zscore,
     "q_event_transitions": q_event_transitions,
     "q_pivot": q_pivot,
@@ -928,6 +1002,8 @@ QUERIES = {
 
 ORACLES = {
     "q_timeseries_gapfill": Q_TIMESERIES_GAPFILL_ORACLE,
+    "q_scalar_misc": Q_SCALAR_MISC_ORACLE,
+    "q_rollup_ohlc": _rollup_ohlc_oracle(),
     "q_outlier_zscore": Q_OUTLIER_ZSCORE_ORACLE,
     "q_event_transitions": Q_EVENT_TRANSITIONS_ORACLE,
     "q_pivot": Q_PIVOT_ORACLE,

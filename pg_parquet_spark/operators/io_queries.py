@@ -862,8 +862,84 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history-keeping MERGE (r9 family, r10 gate): a three-batch
+    dimension evolution — full load, attr changes + new keys, a segment
+    move — applied through merge_scd2's versioned crash-atomic publish,
+    then the COMPLETE interval table read back through the pointer. The
+    oracle replays the same batches as unrolled CTEs with IS DISTINCT
+    FROM change detection, so closed intervals, carried rows, no-op
+    replays, and insert boundaries must all line up row-for-row.
+    Covers read_scd2_asof's substrate too (the as-of read is an
+    interval filter over exactly this table; filter semantics pinned in
+    tests/test_scd.py)."""
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import layout, scd
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    b0 = cust.withColumn("eff", F.lit(1))
+    b1 = (
+        cust.filter("c_custkey % 3 IN (0, 1)")
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.filter("c_custkey < 3").select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                F.lit(1.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+        .withColumn("eff", F.lit(2))
+    )
+    b2 = (
+        cust.filter("c_custkey % 5 = 0 AND c_custkey % 3 <> 0")
+        .withColumn("c_mktsegment", F.lit("MOVED"))
+        .withColumn("eff", F.lit(3))
+    )
+    root = os.path.join(tempfile.gettempdir(), "pgpq_scd2_dim")
+    shutil.rmtree(root, ignore_errors=True)
+    for b in (b0, b1, b2):
+        scd.merge_scd2(spark, root, b, ["c_custkey"], "eff")
+    return layout.read_versioned(spark, root).orderBy(
+        "c_custkey", "_valid_from"
+    )
+
+
+def _scd2_oracle() -> str:
+    from pg_parquet_spark.sources import scd
+
+    b0 = "SELECT c_custkey, c_acctbal, c_mktsegment FROM customer"
+    b1 = """
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 3 IN (0, 1)
+      UNION ALL
+      SELECT c_custkey + 100000, 1.0, 'NEW' FROM customer WHERE c_custkey < 3
+    """
+    b2 = """
+      SELECT c_custkey, c_acctbal, 'MOVED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 3 <> 0
+    """
+    return scd.scd2_oracle_sql(
+        [(b0, "1"), (b1, "2"), (b2, "3")],
+        ["c_custkey"],
+        ["c_acctbal", "c_mktsegment"],
+    )
+
+
 QUERIES = {
     "q_io_versioned_maintenance": q_io_versioned_maintenance,
+    "q_scd2_merge": q_scd2_merge,
     "q_io_http_read": q_io_http_read,
     "q_io_glob_read": q_io_glob_read,
     "q_io_csv_roundtrip": q_io_csv_roundtrip,
@@ -888,6 +964,7 @@ QUERIES = {
 
 ORACLES = {
     "q_io_versioned_maintenance": Q_IO_VERSIONED_MAINTENANCE_ORACLE,
+    "q_scd2_merge": _scd2_oracle(),
     "q_io_http_read": Q_IO_HTTP_ORACLE,
     "q_io_glob_read": Q_IO_GLOB_ORACLE,
     "q_io_csv_roundtrip": Q_IO_CSV_ORACLE,

@@ -946,8 +946,67 @@ FROM h ORDER BY media_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r10 driver gates for the flagship r9 families (VERDICT r9 #2):
+# SemDeDup, BM25, DSIR — each 1-for-1 against a retired r7-cohort gate.
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas 2023) over the embeddings table
+    with the frozen quantizer (ivf_fixture.CENTROIDS — a plan literal,
+    so cell assignment replicates in the oracle): full (id, cell, keep)
+    corpus verdict. eps is loose enough that the sf corpus has real
+    within-cell drops, so the gate checks assignment AND the pair join
+    AND the threshold, not just the spine."""
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.semantic_dedup(emb, CENTROIDS, eps=_SEMDEDUP_EPS)
+
+
+_SEMDEDUP_EPS = 0.55
+
+
+def _semantic_oracle() -> str:
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    return similarity.semantic_dedup_oracle_sql(CENTROIDS, eps=_SEMDEDUP_EPS)
+
+
+_BM25_TERMS = ["spark", "vector", "scan"]
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval over the documents corpus: exact
+    integer corpus constants, per-(doc, term) contributions quantized to
+    micro-units before the per-doc fold (engine-exact ranking)."""
+    docs = table(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, _BM25_TERMS)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie 2023): hashed-unigram importance
+    weights toward the src13 target domain, Gumbel-top-k selection keyed
+    on content-hash uniforms — the full selected set (ids, weights,
+    selection keys) replicates bit-exactly in the oracle."""
+    from pg_parquet_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.filter("source = 'src13'")
+    return sampling.dsir_select(docs, target, frac=0.2)
+
+
+def _dsir_oracle() -> str:
+    from pg_parquet_spark.operators import sampling
+
+    return sampling.dsir_oracle_sql(frac=0.2, target_where="source = 'src13'")
+
+
 QUERIES = {
     "q_text_features": q_text_features,
+    "q_dedup_semantic": q_dedup_semantic,
+    "q_text_bm25": q_text_bm25,
+    "q_dsir_select": q_dsir_select,
     "q_text_lang_id": q_text_lang_id,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_normalized": q_dedup_normalized,
@@ -986,6 +1045,9 @@ QUERIES = {
 
 ORACLES = {
     "q_text_features": Q_TEXT_FEATURES_ORACLE,
+    "q_dedup_semantic": _semantic_oracle(),
+    "q_text_bm25": text.bm25_oracle_sql(_BM25_TERMS),
+    "q_dsir_select": _dsir_oracle(),
     "q_text_lang_id": Q_TEXT_LANG_ID_ORACLE,
     "q_dedup_exact": Q_DEDUP_EXACT_ORACLE,
     "q_dedup_normalized": Q_DEDUP_NORMALIZED_ORACLE,

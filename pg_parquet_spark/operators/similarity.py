@@ -449,6 +449,33 @@ def _sq_dist_sql(vec_expr: str, centroid: list[float], dims: int) -> str:
     )
 
 
+def _sq_dist_sql_unrolled(
+    vec_expr: str, centroid: list[float], dims: int
+) -> str:
+    """UNROLLED rendering of one _cell_distances component: an explicit
+    left-associated 64-term sum instead of a list_reduce fold. SQL's
+    ``+`` chains left-assoc, so ((t1+t2)+t3)… is the IDENTICAL IEEE
+    sequence to the fold — but DuckDB evaluates plain arithmetic ~30×
+    faster than interpreted list lambdas (r10: the semantic-dedup
+    oracle dropped 37 s → ~1 s at 500 vectors × 16 cells)."""
+    terms = " + ".join(
+        f"(CAST({vec_expr}[{i + 1}] AS DOUBLE) - ({centroid[i]!r}))"
+        f" * (CAST({vec_expr}[{i + 1}] AS DOUBLE) - ({centroid[i]!r}))"
+        for i in range(dims)
+    )
+    return "(" + terms + ")"
+
+
+def _pair_dot_sql_unrolled(a: str, b: str, dims: int) -> str:
+    """Unrolled a·b over two list columns — same IEEE sequence as the
+    ordered fold (see _sq_dist_sql_unrolled)."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dims + 1)
+    )
+    return "(" + terms + ")"
+
+
 def _dot_sql(vec_expr: str, centroid: list[float], dims: int) -> str:
     """DuckDB rendering of one _cell_dots component: identical literal
     centroid, identical ordered x*c fold."""
@@ -820,27 +847,33 @@ def semantic_dedup_oracle_sql(
     """DuckDB replica of semantic_dedup with a FIXED quantizer: the same
     literal centroid matrix → the same cell assignment (first-match
     argmin), the same within-cell pairs, the same ordered-fold cosines
-    → the same keep set."""
+    → the same keep set. Norms precompute per ROW before the pair join
+    (r10 — mirroring the Spark side's precomputed ``_n`` exactly:
+    sqrt(fold) per row, then the pair multiply; same IEEE sequence,
+    ~10× less fold work than re-deriving both norms per pair). All
+    folds render UNROLLED (left-assoc sums ≡ the fold's IEEE sequence;
+    _sq_dist_sql_unrolled) — plain arithmetic instead of interpreted
+    list lambdas."""
     cdists = "[" + ", ".join(
-        _sq_dist_sql("e." + vec_col, c, dims) for c in centroids
+        _sq_dist_sql_unrolled("e." + vec_col, c, dims) for c in centroids
     ) + "]"
-    fold = (
-        "list_reduce(list_transform(range(1, {d} + 1), "
-        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
-    )
-    dot = fold.format(d=dims, a="a.v", b="b.v")
-    na = fold.format(d=dims, a="a.v", b="a.v")
-    nb = fold.format(d=dims, a="b.v", b="b.v")
+    dot = _pair_dot_sql_unrolled("a.v", "b.v", dims)
+    nrm = _pair_dot_sql_unrolled("n.v", "n.v", dims)
     return f"""
-WITH assigned AS (
-  SELECT e.{id_col} AS _id, e.{vec_col} AS v,
-         CAST(list_position({cdists}, list_min({cdists})) - 1 AS INT) AS _cell
+WITH cdt AS MATERIALIZED (
+  SELECT e.{id_col} AS _id, e.{vec_col} AS v, {cdists} AS cds
   FROM {table} e
+), assigned AS MATERIALIZED (
+  SELECT _id, v,
+         CAST(list_position(cds, list_min(cds)) - 1 AS INT) AS _cell
+  FROM cdt
+), normed AS MATERIALIZED (
+  SELECT n._id, n.v, n._cell, sqrt({nrm}) AS nn FROM assigned n
 ), dropped AS (
   SELECT DISTINCT b._id AS _id
-  FROM assigned a JOIN assigned b
+  FROM normed a JOIN normed b
     ON a._cell = b._cell AND a._id < b._id
-  WHERE {dot} / (sqrt({na}) * sqrt({nb})) >= 1.0 - {eps}
+  WHERE {dot} / (a.nn * b.nn) >= 1.0 - {eps}
 )
 SELECT a._id AS {id_col}, a._cell AS cell,
        (a._id NOT IN (SELECT _id FROM dropped)) AS keep
