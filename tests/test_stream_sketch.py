@@ -263,3 +263,93 @@ def test_streaming_drift_counts_and_psi(spark, tmp_path):
         ref, read_parquet(spark, corpus), F.col("event_type")
     ).toPandas()
     assert live.values.tolist() == raw.values.tolist()
+
+
+def test_streaming_drift_crash_replay_bitexact_psi(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #5: the drift monitor's two-tranche partial-commit
+    crash drill. Tranche 2's corpus publish lands but the counts
+    publish crashes (the window between the two pointers); the replayed
+    drain must fold the missed batch EXACTLY once (corpus sink skips
+    the replay, the stale folded_batch_id admits the merge), landing
+    counts — and therefore PSI vs a frozen reference — bit-identical to
+    a from-scratch computation. A second (idle) replay flips no
+    pointers. Counts merge by SUM, so any double-fold breaks equality
+    loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import drift
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_count_refresh
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    counts = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    ref = events.filter("event_id % 3 = 0")
+    t1 = events.filter("event_id % 3 = 1")
+    t2 = events.filter("event_id % 3 = 2")
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_count_refresh(sdf, corpus, counts, checkpoint=ckpt)
+    assert layout.read_manifest(counts)["folded_batch_id"] == 0
+
+    # arm the crash: tranche 2's COUNTS publish dies AFTER the corpus
+    # publish succeeded — the exact two-pointer window the stamp heals
+    real_publish = layout.publish_snapshot
+
+    def crashing_publish(spark_, root, df, **kw):
+        if root.rstrip("/") == counts:
+            raise RuntimeError("simulated crash before counts publish")
+        return real_publish(spark_, root, df, **kw)
+
+    monkeypatch.setattr(layout, "publish_snapshot", crashing_publish)
+    t2.coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(events.schema).parquet(src)
+    with _pytest.raises(Exception, match="simulated crash"):
+        drain_with_count_refresh(sdf2, corpus, counts, checkpoint=ckpt)
+    monkeypatch.setattr(layout, "publish_snapshot", real_publish)
+
+    # the crash window is real: corpus has tranche 2, counts do not
+    assert read_parquet(spark, corpus).count() == t1.count() + t2.count()
+    assert layout.read_manifest(counts)["folded_batch_id"] == 0
+
+    # replay heals: the corpus sink detects the replayed batch, the
+    # stale stamp admits exactly the missed merge
+    sdf3 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_count_refresh(sdf3, corpus, counts, checkpoint=ckpt)
+    assert layout.read_manifest(counts)["folded_batch_id"] == 1
+    assert read_parquet(spark, corpus).count() == t1.count() + t2.count()
+
+    got = sorted(map(tuple, layout.read_versioned(spark, counts).collect()))
+    want = sorted(
+        map(
+            tuple,
+            drift.category_counts(
+                read_parquet(spark, corpus), F.col("event_type")
+            ).collect(),
+        )
+    )
+    assert got == want  # SUM-merge: a double-fold would double counts
+
+    live = drift.psi_from_counts(
+        drift.category_counts(ref, F.col("event_type")),
+        layout.read_versioned(spark, counts),
+    ).toPandas()
+    raw = drift.psi_table(
+        ref, read_parquet(spark, corpus), F.col("event_type")
+    ).toPandas()
+    assert live.values.tolist() == raw.values.tolist()
+
+    # second replay is idle: no new files, no pointer movement
+    vc = layout.read_manifest(corpus)["version"]
+    vs = layout.read_manifest(counts)["version"]
+    sdf4 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_count_refresh(sdf4, corpus, counts, checkpoint=ckpt)
+    assert layout.read_manifest(corpus)["version"] == vc
+    assert layout.read_manifest(counts)["version"] == vs
