@@ -1048,7 +1048,35 @@ def pq_topk(
     orders ABOVE every real score in a descending sort and would displace
     real candidates — ADVICE r7) and sort last at both the cell and the
     re-rank stage.
+
+    Choosing ``refine`` (VERDICT r9 #8 — measured on the 20k × 64-dim
+    soak corpus, SOAK_r09 ann_sweep, recall@10 vs brute force):
+
+    ========  =========  =========  ==========
+    ks        refine=4   refine=8   refine=16
+    ========  =========  =========  ==========
+    16        0.50       0.95       0.975
+    128       0.525      0.75       1.0
+    ========  =========  =========  ==========
+
+    Production guidance: **refine ≥ 8 for ks ≤ 16, refine ≥ 16 for
+    ks ≥ 128** — finer codebooks split clusters across more code cells,
+    so the cell-granular shortlist needs MORE cells, not fewer, to cover
+    the true neighbors. Below those knees this function warns (the
+    driver-gate fixture intentionally keeps refine=4: it pins shortlist
+    determinism, not recall).
     """
+    if (ks <= 16 and refine < 8) or (ks > 16 and refine < 16):
+        import warnings
+
+        knee = 8 if ks <= 16 else 16
+        warnings.warn(
+            f"pq_topk refine={refine} is below the measured recall knee "
+            f"for ks={ks} (need refine>={knee}; SOAK_r09 ann_sweep shows "
+            f"recall ~0.5 at refine=4) — raise refine for production "
+            "searches",
+            stacklevel=2,
+        )
     if codebooks is None:
         codebooks = pq_train(df, id_col, vec_col, m, ks, iters, dims)
     dsub = dims // m
