@@ -1314,3 +1314,96 @@ SELECT label, pos, COUNT(*) AS n_vectors,
   CAST(SUM(iv) AS DOUBLE) / (COUNT(*) * CAST({quant} AS DOUBLE)) AS centroid
 FROM ex GROUP BY label, pos ORDER BY label, pos
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the materialized train-once/search-many tier
+# (r10): cell assignment becomes a HIVE PARTITION KEY, so probing
+# nprobe cells is literal partition pruning at the file listing.
+
+
+def build_ivf_index(
+    df: DataFrame,
+    root_uri: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: assign every vector to its nearest
+    frozen-quantizer cell and hive-partition the corpus by that cell.
+    This is THE 100 TB ANN layout this module's docstrings promise —
+    after this one-time write, a search touches only ``nprobe``
+    partition directories out of ``n_cells``: the probe is partition
+    PRUNING at file-listing time (plan-asserted in
+    tests/test_similarity_dedup.py), not a filter over a full scan.
+    Cells are bounded by the quantizer (n_cells ∝ corpus size, the
+    SemDeDup rule), so partition count stays file-system-friendly."""
+    from pg_parquet_spark.sources.layout import write_partitioned
+
+    assigned = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "cell", _nearest_cell(F.col(vec_col), centroids)
+    )
+    write_partitioned(assigned, root_uri, ["cell"])
+
+
+def _probe_cells_py(
+    qvec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side probe-cell selection over the literal quantizer:
+    the same sequential (x-c)² left fold as _cell_distances (python
+    float ops replicate both engines' ordered folds bit-for-bit — the
+    plan-literal lesson), the same (distance, index) tie-break as the
+    array_sort struct ordering in ivf_topk."""
+    dists = []
+    for c in centroids:
+        acc = 0.0
+        for x, cv in zip(qvec, c):
+            d = float(x) - cv
+            acc = acc + d * d
+        dists.append(acc)
+    order = sorted(range(len(centroids)), key=lambda i: (dists[i], i))
+    return order[:nprobe]
+
+
+def ivf_index_topk(
+    spark,
+    root_uri: str,
+    query_df: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index (``build_ivf_index``): compute the
+    query's ``nprobe`` nearest cells DRIVER-SIDE over the literal
+    centroid matrix (the query is one bounded row — model-fitting
+    collect, like the PQ ADC tables), read ONLY those hive partitions
+    through the engine reader (partition pruning — the scan's
+    PartitionFilters carry the cell list and the file listing never
+    visits the other n_cells − nprobe directories), exact-cosine
+    re-rank inside. Returns the same (id, cosine_sim) top-k as the
+    in-memory ``ivf_topk`` with the same quantizer — asserted in tests
+    against both ivf_topk and the DuckDB oracle."""
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    qrows = query_df.select(F.col(vec_col)).take(2)
+    if not qrows:
+        raise ValueError("query_df is empty — IVF search needs one query vector")
+    if len(qrows) > 1:
+        raise ValueError(
+            "query_df must contain exactly one query vector "
+            "(got several) — loop queries driver-side or union results"
+        )
+    qvec = [float(x) for x in qrows[0][0]]
+    cells = _probe_cells_py(qvec, centroids, nprobe)
+    corpus = read_parquet(
+        spark, root_uri, where=f"cell IN ({', '.join(str(c) for c in cells)})"
+    )
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    cos = _exact_cosine(F.col(vec_col), qlit)
+    return (
+        corpus.select(F.col(id_col), cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1000,3 +1000,138 @@ SELECT id AS {id_col}, n_tokens, token_start,
 FROM cum
 ORDER BY {id_col}
 """
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model scoring (the perplexity-filter tier above the
+# unigram LM)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model scoring — the next rung of the KenLM-style
+    perplexity-filter ladder above ``q_text_unigram_logprob``: fit
+    corpus conditional probabilities P(w_i | w_{i-1}) with add-one
+    smoothing over the unigram vocabulary, score every document by its
+    summed and mean negative log probability. High mean = improbable
+    word SEQUENCES — catches shuffled/boilerplate/glued text that
+    unigram frequency alone cannot (every word common, no bigram ever
+    seen).
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = |unigram vocab| —
+    cbg ≤ c1 and V ≥ 1 guarantee p ≤ 1, so the NLL is non-negative and
+    the integer mean is division-safe.
+
+    Determinism (the unigram-LM contract): each DISTINCT bigram's -ln p
+    is computed once on the corpus gram table and quantized to integer
+    micro-nats BEFORE the per-document fold; V is an exact integer
+    (collected literal here, SQL-derived in the oracle — identical);
+    the per-doc mean is positive integer division. Single-token
+    documents have no bigrams and drop out (mirrored by the oracle,
+    the DSIR ngram=2 rule).
+
+    Scale shape: the corpus explodes ONCE into per-doc bigram counts
+    (id, gram, c); the corpus bigram table and its prefix margin derive
+    from that same compact table, and the scoring join is gram-keyed
+    over counts — the raw text is read a single time and never
+    shuffles. No broadcast of the bigram vocabulary (it is corpus-
+    sized); the joins are plain hash-partitioned equi-joins on the gram
+    key, which is exactly what scales."""
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, sz - 1),
+        F.slice(toks, 2, sz - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    doc_bg = (
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_cnt = doc_bg.groupBy("g").agg(F.sum("c").alias("cbg"))
+    pre_cnt = (
+        bg_cnt.withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("cbg").alias("c1"))
+    )
+    n_vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .select("w")
+        .distinct()
+        .count()
+    )
+    q_table = (
+        bg_cnt.withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .join(pre_cnt, "w1")
+        .select(
+            "g",
+            F.floor(
+                -F.log(
+                    (F.col("cbg") + F.lit(1)).cast("double")
+                    / (F.col("c1") + F.lit(n_vocab)).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        doc_bg.join(q_table, "g")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("q")).cast("long").alias("nll_micro"),
+        )
+        .withColumn(
+            "mean_nll_micro",
+            F.expr("nll_micro div n_bigrams").cast("long"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bigram_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replica of bigram_logprob: identical gram construction
+    (the DSIR ngram=2 rendering), identical smoothing expression shape,
+    SQL-derived exact-integer V, micro-nat quantization before the
+    per-doc fold, positive integer division for the mean."""
+    grams = "list_transform(range(1, len(_tk)), i -> _tk[i] || ' ' || _tk[i + 1])"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, string_split(lower({text_col}), ' ') AS _tk
+  FROM {table}
+), doc_bg AS (
+  SELECT id, unnest({grams}) AS g FROM t
+), doc_bg_c AS (
+  SELECT id, g, COUNT(*) AS c FROM doc_bg GROUP BY 1, 2
+), bg_cnt AS (
+  SELECT g, SUM(c) AS cbg FROM doc_bg_c GROUP BY 1
+), pre_cnt AS (
+  SELECT split_part(g, ' ', 1) AS w1, SUM(cbg) AS c1 FROM bg_cnt GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w) AS nv FROM
+    (SELECT unnest(string_split(lower({text_col}), ' ')) AS w FROM {table})
+), q_table AS (
+  SELECT g,
+         CAST(FLOOR(-ln(CAST(cbg + 1 AS DOUBLE)
+                        / CAST(c1 + nv AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+  FROM bg_cnt JOIN pre_cnt ON split_part(g, ' ', 1) = w1
+  CROSS JOIN v
+)
+SELECT id AS {id_col},
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c * q) AS BIGINT) AS nll_micro,
+       CAST(SUM(c * q) // SUM(c) AS BIGINT) AS mean_nll_micro
+FROM doc_bg_c JOIN q_table USING (g)
+GROUP BY id ORDER BY id
+"""

@@ -436,3 +436,53 @@ def test_rollup_time_buckets_okey_guard_fails_fast(spark):
         ts_ops.rollup_time_buckets(nulled).collect()
     # in-range ids still aggregate (the guard is free on the good path)
     assert ts_ops.rollup_time_buckets(events, 86400).count() > 0
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_bigram_logprob_matches_duckdb_oracle(spark, sf):
+    """Bigram LM scoring (r10): summed and mean negative log
+    probabilities replicate bit-exactly (per-gram micro-nat
+    quantization before the per-doc fold, SQL-derived V)."""
+    import duckdb
+
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table
+
+    docs = table(spark, sf, "documents")
+    got = text_ops.bigram_logprob(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(text_ops.bigram_oracle_sql()).df()
+    assert len(got) == len(want) > 0
+    for col in ("doc_id", "n_bigrams", "nll_micro", "mean_nll_micro"):
+        assert list(got[col]) == list(want[col]), col
+    assert (got["nll_micro"] >= 0).all()  # p <= 1 by construction
+
+
+def test_bigram_logprob_flags_shuffled_sequences(spark):
+    """The design claim vs the unigram tier: a document whose WORDS are
+    all common but whose SEQUENCES never occur in the corpus scores
+    worse (higher mean NLL) than a natural document built from the
+    corpus's actual phrases."""
+    from pg_parquet_spark.operators import text as text_ops
+
+    base = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows = base + [
+        (100, "the quick brown fox jumps over the lazy dog"),  # natural
+        (101, "dog the over quick lazy jumps fox brown the"),  # shuffled
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.mean_nll_micro
+        for r in text_ops.bigram_logprob(df).collect()
+    }
+    assert got[101] > got[100]
+    # single-token docs have no bigrams and drop out
+    one = spark.createDataFrame(
+        [(1, "hello"), (2, "a b")], "doc_id long, text string"
+    )
+    assert [r.doc_id for r in text_ops.bigram_logprob(one).collect()] == [2]

@@ -765,3 +765,83 @@ def test_duplicated_spans_packing_contract_enforced(spark):
     )
     with _pytest.raises(Exception, match="duplicated_spans"):
         dedup.duplicated_spans(long_doc, span_tokens=2).collect()
+
+
+def test_ivf_persisted_index_prunes_partitions_and_matches(spark, tmp_path):
+    """r10: the materialized IVF tier — cell assignment as a hive
+    partition key. The pruned search must (a) return exactly the
+    in-memory ivf_topk result with the same frozen quantizer, (b) match
+    the DuckDB oracle, and (c) actually PRUNE: the scan's
+    PartitionFilters carry the cell list and only nprobe of the cell
+    directories are read."""
+    import duckdb
+
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, root, CENTROIDS)
+
+    query = emb.filter("vec_id = 0")
+    got = similarity.ivf_index_topk(
+        spark, root, query, CENTROIDS, k=10, nprobe=2
+    )
+    got_rows = [(r.vec_id, r.cosine_sim) for r in got.collect()]
+
+    want_mem = similarity.ivf_topk(
+        emb, query, k=10, n_cells=16, nprobe=2, centroids=CENTROIDS
+    )
+    assert got_rows == [(r.vec_id, r.cosine_sim) for r in want_mem.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = con.execute(
+        similarity.ivf_oracle_sql(CENTROIDS, query_id=0, k=10, nprobe=2)
+    ).df()
+    assert [r[0] for r in got_rows] == list(want["vec_id"])
+    assert [r[1] for r in got_rows] == list(want["cosine_sim"])
+
+    # pruning evidence: partition filters present, and the scan lists
+    # only the probed cells' directories
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    cells = similarity._probe_cells_py(
+        [float(x) for x in query.collect()[0].embedding], CENTROIDS, 2
+    )
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "IN" in m.group(1).upper() or "cell" in (m.group(1) if m else ""), plan
+    # file-level proof: executed scan reads 2 of the 16 cell dirs
+    scanned = [
+        p for p in _re.findall(r"cell=(\d+)", plan)
+    ]
+    if scanned:  # location strings may be elided in long plans
+        assert set(int(c) for c in scanned) <= set(cells)
+
+
+def test_probe_cells_py_matches_engine_assignment(spark):
+    """The driver-side probe computation replicates the engine's
+    (distance, index) ordering: probing ALL cells in order must rank
+    the query's own cell first, and the top-nprobe prefix is stable
+    with the array_sort struct tie-break."""
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    rows = emb.limit(20).collect()
+    assigned = {
+        r.vec_id: r._cell
+        for r in similarity.ivf_assign(emb.limit(20), CENTROIDS).collect()
+    }
+    for r in rows:
+        probe = similarity._probe_cells_py(
+            [float(x) for x in r.embedding], CENTROIDS, 1
+        )
+        assert probe[0] == assigned[r.vec_id], r.vec_id
