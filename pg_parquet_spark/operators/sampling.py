@@ -730,3 +730,95 @@ FROM {table}
 ORDER BY sel_key_micro DESC, {key_col}
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/validation splitting (r10)
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    valid_ppm: int = 100_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic GROUP-level train/validation split: every row
+    whose ``group_col`` hashes into the first ``valid_ppm``/10⁶ of the
+    hash space goes to 'valid', the rest to 'train' — the whole group
+    moves together, which is the property row-level splitting cannot
+    give (near-duplicate documents, same-author posts, same-URL-domain
+    pages straddling the split is exactly how eval contamination
+    happens). Same content-hash mechanism as every selector in this
+    module: reproducible across runs, engines, and cluster sizes; a
+    pure projection, zero shuffle."""
+    if not 0 <= valid_ppm <= 1_000_000:
+        raise ValueError(f"valid_ppm must be in [0, 1e6], got {valid_ppm}")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(group_col).cast("string")), 1, 6), 16, 10
+    ).cast("long") % F.lit(1_000_000)
+    return df.withColumn(
+        split_col,
+        F.when(bucket < valid_ppm, F.lit("valid")).otherwise(F.lit("train")),
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    valid_ppm: int = 100_000,
+) -> DataFrame:
+    """Contamination-proof split for text corpora: group documents by
+    their normalized fingerprint (sorted-distinct-token md5 — the
+    dedup_normalized equivalence class, catching shuffles and repeated-
+    token padding), canonicalize each group to its smallest id, and
+    split at GROUP granularity via :func:`split_by_group`. Two
+    near-identical documents can therefore never land on opposite
+    sides of the split. Returns (id, group_id, split), ordered by id.
+
+    Scale shape: one fingerprint projection + one 16-byte-key groupBy
+    (the dedup_normalized shuffle — text never moves) + a fingerprint-
+    keyed join of (id, fp) against the group table; the split itself is
+    a projection. Swap the fingerprint for a MinHash-LSH cluster id
+    (dedup.dedup_clusters) when shuffled-token equivalence is too
+    narrow — split_by_group is grouping-agnostic."""
+    from pg_parquet_spark.operators.text import normalized_fingerprint
+
+    fp = df.select(
+        F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("_fp")
+    )
+    canon = fp.groupBy("_fp").agg(F.min(id_col).alias("group_id"))
+    joined = fp.join(canon, "_fp").select(id_col, "group_id")
+    return (
+        split_by_group(joined, "group_id", valid_ppm)
+        .select(id_col, "group_id", "split")
+        .orderBy(id_col)
+    )
+
+
+def leakage_split_oracle_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    valid_ppm: int = 100_000,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: identical fingerprint rendering (the
+    q_dedup_normalized oracle), identical md5-prefix bucket and
+    threshold."""
+    fp = (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"string_split(lower({text_col}), ' '))), ' '))"
+    )
+    return f"""
+WITH fp AS (
+  SELECT {id_col}, {fp} AS _fp FROM {table}
+), canon AS (
+  SELECT _fp, MIN({id_col}) AS group_id FROM fp GROUP BY 1
+)
+SELECT fp.{id_col}, canon.group_id,
+       CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(canon.group_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) % 1000000 < {valid_ppm}
+            THEN 'valid' ELSE 'train' END AS split
+FROM fp JOIN canon USING (_fp)
+ORDER BY fp.{id_col}
+"""

@@ -1135,3 +1135,111 @@ SELECT id AS {id_col},
 FROM doc_bg_c JOIN q_table USING (g)
 GROUP BY id ORDER BY id
 """
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining (pointwise mutual information over adjacent
+# token pairs)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs — the tokenizer-prep signal BPE pair frequency misses
+    (frequency finds 'of the'; PMI finds 'san francisco': pairs that
+    co-occur far above what their member frequencies predict). The
+    standard phrase-mining pass before vocabulary induction (Mikolov
+    2013's phrase detection is thresholded PMI).
+
+    pmi(w1, w2) = ln( N·c(w1 w2) / (c(w1·)·c(·w2)) ) with N = total
+    bigram count, c(w1·)/c(·w2) the prefix/suffix margins of the SAME
+    bigram table (self-consistent — every count refers to the same
+    event space). ``min_count`` suppresses the low-count PMI explosion
+    (a hapax pair has near-maximal PMI by construction — the standard
+    failure mode).
+
+    Determinism: all counts are exact integers; the single ln runs once
+    per DISTINCT surviving pair and quantizes to micro-nats; ranking
+    ties break on the pair text. Scale shape: one corpus explode into
+    bigram counts; margins are two narrow re-aggregations of that same
+    table; the margin joins are key-equi over counts; top-k is a heap
+    (TakeOrderedAndProject), never a full sort."""
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, sz - 1),
+        F.slice(toks, 2, sz - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        df.select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = bg.select(
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        "c",
+    )
+    n_total = bg.agg(F.sum("c")).collect()[0][0] or 0
+    pre = bg.groupBy("w1").agg(F.sum("c").alias("c1"))
+    suf = bg.groupBy("w2").agg(F.sum("c").alias("c2"))
+    pmi = F.floor(
+        F.log(
+            (F.col("c") * F.lit(float(n_total)))
+            / (F.col("c1") * F.col("c2")).cast("double")
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        bg.filter(F.col("c") >= min_count)
+        .join(pre, "w1")
+        .join(suf, "w2")
+        .select("w1", "w2", F.col("c").cast("long").alias("c"), pmi.alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
+def pmi_oracle_sql(
+    min_count: int = 5,
+    k: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replica: identical gram build, identical margin joins,
+    identical c·N / (c1·c2) expression shape (N SQL-derived — the same
+    exact integer the Spark side collects), micro-nat quantization,
+    (pmi desc, w1, w2) ordering."""
+    grams = "list_transform(range(1, len(_tk)), i -> _tk[i] || ' ' || _tk[i + 1])"
+    return f"""
+WITH t AS (
+  SELECT string_split(lower({text_col}), ' ') AS _tk FROM {table}
+), bg0 AS (
+  SELECT unnest({grams}) AS g FROM t
+), bg AS (
+  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+         COUNT(*) AS c
+  FROM bg0 GROUP BY 1, 2
+), n AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS nt FROM bg
+), pre AS (
+  SELECT w1, SUM(c) AS c1 FROM bg GROUP BY 1
+), suf AS (
+  SELECT w2, SUM(c) AS c2 FROM bg GROUP BY 1
+)
+SELECT bg.w1, bg.w2, CAST(bg.c AS BIGINT) AS c,
+       CAST(FLOOR(ln((bg.c * nt) / CAST(c1 * c2 AS DOUBLE)) * 1e6 + 0.5)
+            AS BIGINT) AS pmi_micro
+FROM bg JOIN pre USING (w1) JOIN suf USING (w2) CROSS JOIN n
+WHERE bg.c >= {min_count}
+ORDER BY pmi_micro DESC, bg.w1, bg.w2
+LIMIT {k}
+"""

@@ -164,3 +164,42 @@ def test_weighted_sample_is_single_scan(spark):
     )
     assert plan.count("FileScan") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_leakage_safe_split_matches_oracle(spark, sf):
+    """r10: group-level split — (id, group_id, split) replicates
+    bit-exactly (normalized-fingerprint groups, md5-prefix ppm
+    bucket)."""
+    docs = table(spark, sf, "documents")
+    got = sampling.leakage_safe_split(docs, valid_ppm=150_000).toPandas()
+    want = _con(sf).execute(
+        sampling.leakage_split_oracle_sql(valid_ppm=150_000)
+    ).df()
+    assert len(got) == len(want) == docs.count()
+    for c in ("doc_id", "group_id", "split"):
+        assert list(got[c]) == list(want[c]), c
+    # both classes are populated at this SF
+    assert set(got["split"]) == {"train", "valid"}
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """The contamination property: token-shuffled near-duplicates are
+    one group and can NEVER straddle the split; distinct docs split
+    independently; valid fraction tracks valid_ppm at group level."""
+    rows = []
+    for i in range(200):
+        rows.append((2 * i, f"alpha beta gamma delta doc{i}"))
+        # shuffled duplicate of the same token set
+        rows.append((2 * i + 1, f"doc{i} delta gamma beta alpha"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.leakage_safe_split(df, valid_ppm=300_000).toPandas()
+    assert len(out) == 400
+    by_group = out.groupby("group_id")["split"].nunique()
+    assert (by_group == 1).all()  # a group never straddles
+    assert out.groupby("group_id").size().eq(2).all()  # pairs grouped
+    frac = (out["split"] == "valid").mean()
+    assert 0.15 < frac < 0.45  # ~0.30 at group granularity
+
+    with pytest.raises(ValueError, match="valid_ppm"):
+        sampling.split_by_group(df, "doc_id", valid_ppm=2_000_000)

@@ -97,3 +97,45 @@ def test_token_stream_semantics_on_fixture(spark):
     s = text.stream_bins_summary(text.token_stream_layout(df, context_len=5)).toPandas()
     assert s.tokens_started.sum() == 9
     assert s.n_crossers.sum() == 1
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_pmi_collocations_match_oracle(spark, sf):
+    """PMI phrase mining (r10): the top-k pair table (counts + micro-nat
+    PMI) replicates bit-exactly; N is collected Spark-side and
+    SQL-derived oracle-side — identical exact integers."""
+    import duckdb
+
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table as t_
+
+    docs = t_(spark, sf, "documents")
+    got = text_ops.pmi_collocations(docs, min_count=3, k=40).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(text_ops.pmi_oracle_sql(min_count=3, k=40)).df()
+    assert len(got) == len(want) > 0
+    for c in ("w1", "w2", "c", "pmi_micro"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_pmi_prefers_exclusive_pairs_over_frequent_ones(spark):
+    """The design claim: a pair whose members occur ONLY together
+    outranks a more frequent pair built from promiscuous words."""
+    rows = []
+    for i in range(30):
+        # "is" and "the" are promiscuous (several distinct neighbors);
+        # only san→francisco is a fully exclusive pair
+        rows.append((i, "san francisco is of the is of the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        __import__("pg_parquet_spark.operators.text", fromlist=["x"])
+        .pmi_collocations(df, min_count=3, k=5)
+        .toPandas()
+    )
+    top = (got.w1.iloc[0], got.w2.iloc[0])
+    assert top == ("san", "francisco")
+    ofthe = got[(got.w1 == "of") & (got.w2 == "the")]
+    assert len(ofthe) == 1 and ofthe.pmi_micro.iloc[0] < got.pmi_micro.iloc[0]
