@@ -167,10 +167,12 @@ def decode_image(blob: bytes, fake: bool = False) -> dict:
     if not fake:
         if blob[:2] == b"BM":
             return decode_bmp(blob)
+        if blob[:2] in (b"P5", b"P6"):
+            return decode_ppm(blob)
         raise NotImplementedError(
             "compressed image codecs (PNG/JPEG) require PIL/opencv which "
-            "are not available; uncompressed BMP decodes natively, or "
-            "pass fake=True for the deterministic test decoder"
+            "are not available; uncompressed BMP/netpbm decode natively, "
+            "or pass fake=True for the deterministic test decoder"
         )
     digest = hashlib.sha256(blob).digest()
     width = 16 + digest[0] % 240
@@ -254,4 +256,244 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
         F.conv(F.substring(F.sha2(F.col("blob"), 256), 1, 8), 16, 10).cast("long")
         % every_n
         == 0
+    )
+
+
+# --------------------------------------------------------------------------
+# r10: netpbm decode, real nearest-neighbor resize, audio features
+
+
+def _ppm_header(blob: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary netpbm (P5/P6) header → (width, height, channels,
+    raster_offset). '#' comments run to end-of-line; a single whitespace
+    byte terminates the header before the raster."""
+    if blob[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm blob (need P5/P6 magic)")
+    channels = 3 if blob[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(blob):
+            raise ValueError("truncated netpbm header")
+        c = blob[pos : pos + 1]
+        if c == b"#":
+            nl = blob.find(b"\n", pos)
+            pos = len(blob) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(blob) and not blob[end : end + 1].isspace():
+                end += 1
+            fields.append(int(blob[pos:end]))
+            pos = end
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError(
+            f"16-bit netpbm (maxval={maxval}) not supported — 8-bit only"
+        )
+    need = width * height * channels
+    if len(blob) - pos < need:
+        raise ValueError(
+            f"truncated netpbm raster: {len(blob) - pos} bytes, need {need}"
+        )
+    return width, height, channels, pos
+
+
+def decode_ppm(blob: bytes) -> dict:
+    """REAL image decode for binary netpbm rasters — P5 (grayscale) and
+    P6 (RGB), maxval ≤ 255: pure header parse + one ``np.frombuffer``,
+    no codec library. netpbm is the simplest interchange format real
+    pipelines meet (ImageMagick/ffmpeg intermediates), and the second
+    natively-decodable family next to BMP."""
+    import numpy as np
+
+    width, height, channels, pos = _ppm_header(blob)
+    px = np.frombuffer(
+        blob, dtype=np.uint8, offset=pos, count=width * height * channels
+    )
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": channels,
+        "mean_intensity": float(px.mean()) / 255.0 if px.size else 0.0,
+        "feature": hashlib.sha256(px.tobytes()).hexdigest()[:16],
+    }
+
+
+def _raster_pixels(blob: bytes):
+    """Decode a natively-supported raster (BMP or netpbm) to a
+    top-down ``(h, w, c)`` uint8 ndarray — the shared substrate for
+    resize/feature stages."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] == b"BM":
+        meta_offset = struct.unpack_from("<I", blob, 10)[0]
+        width, height = struct.unpack_from("<ii", blob, 18)
+        bpp = struct.unpack_from("<H", blob, 28)[0]
+        compression = struct.unpack_from("<I", blob, 30)[0]
+        if compression != 0 or bpp not in (8, 24, 32):
+            raise NotImplementedError("only uncompressed 8/24/32-bpp BMP")
+        ch = bpp // 8
+        h = abs(height)
+        row_bytes = ((bpp * width + 31) // 32) * 4
+        px = np.frombuffer(
+            blob, dtype=np.uint8, offset=meta_offset, count=row_bytes * h
+        ).reshape(h, row_bytes)[:, : width * ch]
+        if height > 0:
+            px = px[::-1]  # bottom-up storage → top-down array
+        return px.reshape(h, width, ch)
+    if blob[:2] in (b"P5", b"P6"):
+        w, h, ch, pos = _ppm_header(blob)
+        px = np.frombuffer(blob, dtype=np.uint8, offset=pos, count=w * h * ch)
+        return px.reshape(h, w, ch)
+    raise NotImplementedError("resize supports BMP/netpbm rasters natively")
+
+
+RESIZE_SCHEMA = (
+    "media_id BIGINT, width INT, height INT, n_channels INT, "
+    "mean_intensity DOUBLE, feature STRING"
+)
+
+
+def resize_media(df: DataFrame, max_side: int = 64) -> DataFrame:
+    """REAL distributed image resize (nearest-neighbor downscale so the
+    longest side is ≤ ``max_side``): the training-data normalization
+    pass every vision pipeline runs before feature extraction. Pure
+    numpy index striding inside Arrow-batched ``mapInPandas`` — the
+    resize is a gather, deterministic on every platform (no
+    interpolation arithmetic, so no float divergence), and the output
+    fingerprint hashes the RESIZED pixels. Upscaling never happens
+    (images already within budget pass through with their original
+    pixels hashed)."""
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                px = _raster_pixels(bytes(blob))
+                h, w, ch = px.shape
+                scale = max(h, w) / max_side
+                if scale > 1.0:
+                    nh = max(1, int(h / scale))
+                    nw = max(1, int(w / scale))
+                    # nearest-neighbor: integer source index per target cell
+                    rows = (np.arange(nh) * h) // nh
+                    cols = (np.arange(nw) * w) // nw
+                    px = px[rows][:, cols]
+                else:
+                    nh, nw = h, w
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "width": nw,
+                        "height": nh,
+                        "n_channels": ch,
+                        "mean_intensity": float(px.mean()) / 255.0
+                        if px.size
+                        else 0.0,
+                        "feature": hashlib.sha256(px.tobytes()).hexdigest()[:16],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "mean_intensity",
+                    "feature",
+                ],
+            )
+
+    return df.select("media_id", "blob").mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id BIGINT, sample_rate INT, n_samples BIGINT, zcr DOUBLE, "
+    "peak DOUBLE, rms DOUBLE, n_frames INT, max_frame_rms DOUBLE"
+)
+
+
+def audio_features(df: DataFrame, frame_ms: int = 25) -> DataFrame:
+    """REAL audio feature extraction over PCM WAV blobs (the speech-
+    pipeline pre-filter tier): zero-crossing rate (voiced/unvoiced and
+    noise discriminator), normalized peak (clipping detector), global
+    RMS, and framewise RMS max over ``frame_ms`` windows (transient /
+    silence detector — a file whose max frame RMS ≈ global RMS is
+    steady-state; ≫ means bursts). All vectorized numpy over the
+    decoded sample array inside ``mapInPandas``; multi-channel files
+    fold channels into the sample stream the way ``decode_wav`` does."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    sampwidth = w.getsampwidth()
+                    rate = w.getframerate()
+                    frames = w.readframes(w.getnframes())
+                dtypes = {1: np.uint8, 2: np.int16, 4: np.int32}
+                if sampwidth not in dtypes:
+                    raise NotImplementedError(
+                        f"unsupported PCM sample width {sampwidth}"
+                    )
+                s = np.frombuffer(frames, dtype=dtypes[sampwidth]).astype(
+                    np.float64
+                )
+                if sampwidth == 1:
+                    s = s - 128.0
+                full = float(2 ** (8 * sampwidth - 1))
+                s = s / full
+                n = s.size
+                zcr = (
+                    float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                peak = float(np.max(np.abs(s))) if n else 0.0
+                rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
+                flen = max(1, int(rate * frame_ms / 1000))
+                nfr = n // flen
+                if nfr:
+                    fr = s[: nfr * flen].reshape(nfr, flen)
+                    max_fr = float(np.sqrt((fr * fr).mean(axis=1)).max())
+                else:
+                    max_fr = rms
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "zcr": zcr,
+                        "peak": peak,
+                        "rms": rms,
+                        "n_frames": nfr,
+                        "max_frame_rms": max_fr,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "zcr",
+                    "peak",
+                    "rms",
+                    "n_frames",
+                    "max_frame_rms",
+                ],
+            )
+
+    return df.select("media_id", "blob").mapInPandas(
+        feat_batches, AUDIO_FEATURES_SCHEMA
     )

@@ -533,3 +533,99 @@ def test_bmp_codec_property_roundtrip():
         assert abs(meta["mean_intensity"] - float(px.mean()) / 255.0) < 1e-9
 
     check()
+
+
+def _encode_ppm(px) -> bytes:
+    """Binary netpbm encoder (P5 gray / P6 RGB; test fixture) with a
+    header comment to exercise the comment-skipping parse."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    magic = b"P6" if ch == 3 else b"P5"
+    header = magic + b"\n# fixture\n" + f"{w} {h}\n255\n".encode()
+    return header + px.tobytes()
+
+
+def test_ppm_decode_real_roundtrip():
+    """r10: binary netpbm decodes for real — P6 RGB and P5 gray round
+    trip with exact dims/mean; comments skipped; 16-bit refused; the
+    sniffing dispatcher routes P5/P6 without fake=."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators.multimodal import decode_image, decode_ppm
+
+    rgb = np.full((4, 6, 3), 100, dtype=np.uint8)
+    meta = decode_ppm(_encode_ppm(rgb))
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (6, 4, 3)
+    assert abs(meta["mean_intensity"] - 100 / 255) < 1e-12
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    meta2 = decode_ppm(_encode_ppm(gray))
+    assert (meta2["width"], meta2["height"], meta2["n_channels"]) == (4, 3, 1)
+    assert abs(meta2["mean_intensity"] - gray.mean() / 255) < 1e-12
+    assert decode_image(_encode_ppm(rgb)) == meta
+
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n\0\0\0")
+
+
+def test_resize_media_nearest_neighbor(spark):
+    """r10: the real resize stage — a 64x64 gradient downscales to
+    16x16 by pure index striding (exact expected pixels), images within
+    budget pass through, and the pipeline runs distributed through
+    mapInPandas for BMP and PPM alike."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from pg_parquet_spark.operators.multimodal import resize_media
+
+    grad = np.zeros((64, 64, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(64, dtype=np.uint8)[None, :] * 4
+    small = np.full((8, 8, 3), 7, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, _encode_ppm(grad)), (2, _encode_ppm(small))],
+        "media_id long, blob binary",
+    )
+    got = {r.media_id: r for r in resize_media(df, max_side=16).collect()}
+    assert (got[1].width, got[1].height) == (16, 16)
+    rows = (np.arange(16) * 64) // 16
+    expect = grad[rows][:, rows]
+    assert got[1].feature == _hashlib.sha256(expect.tobytes()).hexdigest()[:16]
+    assert abs(got[1].mean_intensity - float(expect.mean()) / 255.0) < 1e-12
+    # within budget: untouched dims, original pixels hashed
+    assert (got[2].width, got[2].height) == (8, 8)
+    assert got[2].feature == _hashlib.sha256(small.tobytes()).hexdigest()[:16]
+
+
+def test_audio_features_distributed(spark):
+    """r10: zcr/peak/frame-RMS features — a full-scale square wave has
+    zcr ~1 and peak 1; a burst-then-silence file shows max_frame_rms far
+    above global rms; a constant (DC) signal has zcr 0."""
+    import numpy as np
+
+    from pg_parquet_spark.operators.multimodal import audio_features
+
+    n, rate = 8000, 8000
+    square = np.where(np.arange(n) % 2 == 0, 32767, -32767)
+    dc = np.full(n, 8000, dtype=np.int16)
+    burst = np.zeros(n, dtype=np.int16)
+    burst[:200] = 32000  # 25ms of loud, then silence
+    df = spark.createDataFrame(
+        [
+            (1, _encode_wav(square, rate)),
+            (2, _encode_wav(dc, rate)),
+            (3, _encode_wav(burst, rate)),
+        ],
+        "media_id long, blob binary",
+    )
+    got = {r.media_id: r for r in audio_features(df, frame_ms=25).collect()}
+    assert got[1].zcr > 0.99 and abs(got[1].peak - 1.0) < 1e-3
+    assert got[2].zcr == 0.0
+    assert got[3].max_frame_rms > 5 * got[3].rms
+    assert got[3].n_frames == 40  # 1s / 25ms
