@@ -1243,3 +1243,62 @@ WHERE bg.c >= {min_count}
 ORDER BY pmi_micro DESC, bg.w1, bg.w2
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# HTML stripping (the C4-style extraction front door)
+
+
+#: (pattern, replacement) chain shared by the Spark and DuckDB
+#: renderings. Patterns stay inside the Java-regex ∩ RE2 common subset
+#: ((?is) flags, non-greedy, character classes — no backrefs/lookahead).
+_HTML_PATTERNS = [
+    (r"(?is)<script\b.*?</script\s*>", " "),
+    (r"(?is)<style\b.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+]
+
+#: entity → character chain (plain string replace — identical engines).
+#: &amp; goes LAST so "&amp;lt;" decodes to the literal "&lt;" (one
+#: decode pass, the lossless order).
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Strip HTML to whitespace-normalized text — the extraction step
+    every web-corpus pipeline (C4, RefinedWeb, FineWeb) runs before any
+    quality filter: drop script/style payloads ENTIRELY (their content
+    is not text), drop comments, replace remaining tags with spaces
+    (so ``<p>a</p><p>b</p>`` keeps a word boundary), decode the
+    six ubiquitous entities, collapse whitespace runs, trim. A pure
+    codegen projection (regexp_replace chain) — zero shuffle, zero
+    Python; the pattern chain is shared verbatim with the DuckDB
+    rendering (``strip_html_sql``)."""
+    out = col
+    for pat, rep in _HTML_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_html_sql(expr: str) -> str:
+    """DuckDB rendering of strip_html — the same pattern chain with the
+    'g' flag (DuckDB replaces first-match by default; Spark replaces
+    all)."""
+    out = expr
+    for pat, rep in _HTML_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'gs')"
+    for ent, ch in _HTML_ENTITIES:
+        e = ent.replace("'", "''")
+        c = ch.replace("'", "''")
+        out = f"replace({out}, '{e}', '{c}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -253,3 +253,159 @@ FROM dev JOIN mad USING (grp)
 WHERE dev_milli_x2 * 2 * 10000 > {int(c_x10000)} * mad4
 ORDER BY dev.grp, id
 """
+
+
+def interpolate_gaps(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    unit: int = 1000,
+) -> DataFrame:
+    """Linear-interpolation gap fill — the second resampling tier next
+    to the LOCF gapfill (TimescaleDB's ``interpolate()`` vs ``locf()``):
+    daily per-key totals on a generated date spine, missing days filled
+    by the straight line between the surrounding known days; leading/
+    trailing gaps take the nearest known value (no extrapolation).
+
+    Determinism: day totals are exact integer milli-units (floor·unit
+    +0.5 per value, integer SUM), and the interpolation is the
+    POSITIVE-weighted integer average
+    ``(prev·(nd−d) + next·(d−pd)) div (nd−pd)`` — exact integer
+    arithmetic, identical on both engines while the operands stay
+    non-negative. Negative day totals would make Spark's truncating
+    ``div`` and DuckDB's flooring ``//`` diverge, so they FAIL FAST
+    in-pass (the okey-guard stance) rather than silently drifting.
+
+    Scale shape (the gapfill twin): one shuffle into the daily
+    aggregate; the spine generates map-side from per-key min/max; the
+    prev/next scans are two windows over the key partition — rows
+    bounded by keys × days, never the event count."""
+    from pyspark.sql import Window
+
+    day_milli = F.floor(F.col(val_col) * unit + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            F.col(key_col),
+            F.to_date(ts_col).alias("day"),
+            day_milli.alias("_vm"),
+        )
+        .groupBy(key_col, "day")
+        .agg(F.sum("_vm").alias("vm"))
+    )
+    guarded_vm = F.when(F.col("vm") >= 0, F.col("vm")).otherwise(
+        F.raise_error(
+            F.lit(
+                "interpolate_gaps: negative day totals break integer-"
+                "division parity between engines — shift values upstream"
+            )
+        ).cast("long")
+    )
+    daily = daily.select(key_col, "day", guarded_vm.alias("vm"))
+    spine = (
+        daily.groupBy(key_col)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            key_col,
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = spine.join(daily, [key_col, "day"], "left")
+    known_day = F.when(F.col("vm").isNotNull(), F.col("day"))
+    pv = F.last("vm", ignorenulls=True).over(wp)
+    pd_ = F.last(known_day, ignorenulls=True).over(wp)
+    nv = F.first("vm", ignorenulls=True).over(wn)
+    nd = F.first(known_day, ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("vm").isNotNull(), F.col("vm"))
+        .when(pd_.isNull(), nv)
+        .when(nd.isNull(), pv)
+        .otherwise(
+            F.expr(
+                "(_pv * datediff(_nd, day) + _nv * datediff(day, _pd)) "
+                "div datediff(_nd, _pd)"
+            )
+        )
+    )
+    return (
+        j.select(
+            key_col,
+            "day",
+            "vm",
+            pv.alias("_pv"),
+            pd_.alias("_pd"),
+            nv.alias("_nv"),
+            nd.alias("_nd"),
+        )
+        .select(
+            key_col,
+            F.col("day").cast("date").alias("day"),
+            interp.cast("long").alias("filled_milli"),
+            F.col("vm").isNull().alias("is_gap"),
+        )
+        .orderBy(key_col, "day")
+    )
+
+
+def interpolate_oracle_sql(
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    unit: int = 1000,
+    table: str = "events",
+    where: str | None = None,
+) -> str:
+    """DuckDB replica: same integer day totals, generate_series spine,
+    IGNORE NULLS window scans, positive-weight integer interpolation
+    (``//`` ≡ Spark ``div`` on non-negative operands)."""
+    w = f"WHERE {where}" if where else ""
+    return f"""
+WITH daily AS (
+  SELECT {key_col}, CAST({ts_col} AS DATE) AS day,
+         SUM(CAST(FLOOR({val_col} * {unit} + 0.5) AS BIGINT)) AS vm
+  FROM {table} {w}
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT {key_col}, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT {key_col},
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), j AS (
+  SELECT s.{key_col}, s.day, d.vm,
+    last_value(d.vm IGNORE NULLS) OVER
+      (PARTITION BY s.{key_col} ORDER BY s.day
+       ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN d.vm IS NOT NULL THEN s.day END IGNORE NULLS) OVER
+      (PARTITION BY s.{key_col} ORDER BY s.day
+       ROWS UNBOUNDED PRECEDING) AS pd,
+    first_value(d.vm IGNORE NULLS) OVER
+      (PARTITION BY s.{key_col} ORDER BY s.day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN d.vm IS NOT NULL THEN s.day END IGNORE NULLS) OVER
+      (PARTITION BY s.{key_col} ORDER BY s.day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM spine s LEFT JOIN daily d USING ({key_col}, day)
+)
+SELECT {key_col}, day,
+  CAST(CASE
+    WHEN vm IS NOT NULL THEN vm
+    WHEN pd IS NULL THEN nv
+    WHEN nd IS NULL THEN pv
+    ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+  END AS BIGINT) AS filled_milli,
+  vm IS NULL AS is_gap
+FROM j ORDER BY {key_col}, day
+"""

@@ -486,3 +486,130 @@ def test_bigram_logprob_flags_shuffled_sequences(spark):
         [(1, "hello"), (2, "a b")], "doc_id long, text string"
     )
     assert [r.doc_id for r in text_ops.bigram_logprob(one).collect()] == [2]
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_interpolate_gaps_matches_oracle(spark, sf):
+    """Linear-interpolation gap fill (r10): the full spine (known days,
+    interpolated gaps, boundary carries) replicates bit-exactly —
+    integer milli totals, positive-weight integer interpolation."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries as ts_ops
+    from pg_parquet_spark.session import table
+
+    ev = table(spark, sf, "events").filter("event_id % 37 = 0")
+    got = ts_ops.interpolate_gaps(ev).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(
+        ts_ops.interpolate_oracle_sql(where="event_id % 37 = 0")
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in ("event_type", "filled_milli", "is_gap"):
+        assert list(got[c]) == list(want[c]), c
+    assert list(got["day"]) == [d.date() if hasattr(d, "date") else d for d in want["day"]]
+    assert got["is_gap"].any()  # the sparse filter produced real gaps
+
+
+def test_interpolate_gaps_straight_line_and_contracts(spark):
+    """A two-point series (10 on day 0, 40 on day 3) interpolates to
+    exactly 20, 30 on the gap days; negative totals fail fast."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import timeseries as ts_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "g", "2024-01-01 00:00:00", 10.0),
+            (2, "g", "2024-01-04 00:00:00", 40.0),
+        ],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ts_ops.interpolate_gaps(df).toPandas()
+    assert list(out["filled_milli"]) == [10000, 20000, 30000, 40000]
+    assert list(out["is_gap"]) == [False, True, True, False]
+
+    neg = df.withColumn("value", F.col("value") - 100)
+    with pytest.raises(Exception, match="interpolate_gaps"):
+        ts_ops.interpolate_gaps(neg).collect()
+
+
+def test_strip_html_known_cases(spark):
+    """HTML extraction (r10): script/style payloads dropped entirely,
+    comments and tags become word boundaries, entities decode once
+    (&amp;lt; stays a literal '&lt;'), whitespace collapses."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import text as text_ops
+
+    cases = [
+        (1, "<html><body><p>Hello <b>world</b></p></body></html>", "Hello world"),
+        (2, "<script>var x = '<p>evil</p>';</script>keep", "keep"),
+        (3, "<style>p { color: red }</style>text", "text"),
+        (4, "<!-- note -->a<!-- more\n lines -->b", "a b"),
+        (5, "fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39;", "fish & chips <tag> \"q\" 's'"),
+        (6, "a&amp;lt;b", "a&lt;b"),
+        (7, "  spaced   <br/>   out  ", "spaced out"),
+        (8, "no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "id long, html string"
+    )
+    got = {
+        r.id: r.clean
+        for r in df.select(
+            "id", text_ops.strip_html(F.col("html")).alias("clean")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i])
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_strip_html_matches_duckdb_rendering(spark, sf):
+    """The Spark and DuckDB renderings of the shared pattern chain
+    produce IDENTICAL text over the whole corpus wrapped in markup —
+    regex dialects stay inside the common subset."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table
+
+    docs = table(spark, sf, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>x{}</style></head><body><p>"),
+            F.col("text"),
+            F.lit("</p><!-- c --></body></html>"),
+        ).alias("html"),
+    )
+    got = (
+        wrapped.select(
+            "doc_id", text_ops.strip_html(F.col("html")).alias("clean")
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    inner = (
+        "'<html><head><style>x{}</style></head><body><p>' || text || "
+        "'</p><!-- c --></body></html>'"
+    )
+    want = con.execute(
+        f"SELECT doc_id, {text_ops.strip_html_sql(inner)} AS clean "
+        "FROM documents ORDER BY doc_id"
+    ).df()
+    assert list(got["clean"]) == list(want["clean"])
