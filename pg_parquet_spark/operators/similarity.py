@@ -1407,3 +1407,43 @@ def ivf_index_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_index_upsert(
+    spark,
+    root_uri: str,
+    new_df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the persisted IVF index: assign the
+    ingest batch to its cells and MERGE it into the hive-partitioned
+    index through the crash-atomic versioned publish — only the touched
+    cell partitions rewrite, the pointer flip is atomic, and time
+    travel to the pre-ingest index is retained. The search path
+    (``ivf_index_topk``) is unchanged: the manifest resolver keeps
+    partition pruning across snapshots (r8 layout contract).
+
+    Contract (the merge_upsert partition-stability rule, enforced with
+    ``check_partition_stability=True``): a re-upserted id must land in
+    its ORIGINAL cell — embeddings are content-derived, so an id whose
+    vector genuinely moved cells means the upstream content changed;
+    the merge then FAILS FAST (one complement semi-join) instead of
+    leaving a stale duplicate in the old cell. Remediation: delete the
+    moved ids first or rebuild the index (quantizer drift eventually
+    warrants retraining anyway — the IVF paper's re-clustering rule)."""
+    from pg_parquet_spark.sources.layout import merge_upsert
+
+    assigned = new_df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "cell", _nearest_cell(F.col(vec_col), centroids)
+    )
+    merge_upsert(
+        spark,
+        root_uri,
+        assigned,
+        [id_col],
+        partition_col="cell",
+        check_partition_stability=True,
+        versioned=True,
+    )
