@@ -822,3 +822,141 @@ SELECT fp.{id_col}, canon.group_id,
 FROM fp JOIN canon USING (_fp)
 ORDER BY fp.{id_col}
 """
+
+
+# --------------------------------------------------------------------------
+# Frozen linear quality classifier (r10): the classifier-based quality
+# filtering step of GPT-3/LLaMA-style data pipelines, Spark-first
+
+
+def train_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> dict:
+    """Train a naive-Bayes log-odds text classifier over hashed unigram
+    buckets — the cheap stand-in for the fastText quality classifier
+    every web-corpus pipeline trains on (reference-domain positives vs
+    random-crawl negatives). Returns a FROZEN model dict
+    ``{"w_micro": {bucket: int}, "bias_micro": int, "n_buckets": n}``
+    whose weights are integer micro-nats collected driver-side — plan
+    LITERALS at apply time (the PQ-codebook pattern), so scoring is
+    reproducible on any engine and the model ships as a few KB of
+    constants, not a service.
+
+    w_b = ln p_pos(b) − ln p_neg(b) with add-one smoothing (each term
+    quantized to micro-nats separately, the DSIR determinism contract);
+    bias = ln(N_pos/N_neg) quantized. Training cost: two corpus
+    explodes into ≤ n_buckets counts — one pass over each corpus."""
+    import math
+
+    def bucket_counts(df):
+        toks = F.split(F.lower(F.col(text_col)), " ")
+        return (
+            df.select(F.explode(toks).alias("w"))
+            .select(_feature_bucket(F.col("w"), n_buckets).alias("f"))
+            .groupBy("f")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    pc = {r.f: r.c for r in bucket_counts(pos).collect()}
+    nc = {r.f: r.c for r in bucket_counts(neg).collect()}
+    pt = sum(pc.values()) + n_buckets
+    nt = sum(nc.values()) + n_buckets
+    w_micro = {}
+    for b in range(n_buckets):
+        qp = math.floor(math.log((pc.get(b, 0) + 1) / float(pt)) * 1e6 + 0.5)
+        qn = math.floor(math.log((nc.get(b, 0) + 1) / float(nt)) * 1e6 + 0.5)
+        if qp != qn:
+            w_micro[b] = qp - qn
+    n_pos = pos.count() or 1
+    n_neg = neg.count() or 1
+    bias_micro = math.floor(math.log(n_pos / float(n_neg)) * 1e6 + 0.5)
+    return {"w_micro": w_micro, "bias_micro": bias_micro, "n_buckets": n_buckets}
+
+
+def apply_quality_classifier(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Score every document with a frozen classifier
+    (:func:`train_quality_classifier`): logit = bias + Σ_b c_b·w_b in
+    exact integer micro-nats, keep = logit > threshold. The weight
+    table renders into the PLAN as a literal map (train-once/apply-many
+    — model serving without a model server; at 100 TB the scoring pass
+    is one explode + one ≤n_buckets-group aggregate per doc, zero
+    joins, zero shuffles of text).
+
+    Determinism: integer weights × integer counts → the fold is exact
+    on any engine/partitioning; the DuckDB oracle renders the same
+    frozen weights as a VALUES join."""
+    n_buckets = model["n_buckets"]
+    w = model["w_micro"]
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    bucketed = df.select(
+        F.col(id_col), F.explode(toks).alias("_w")
+    ).select(
+        F.col(id_col), _feature_bucket(F.col("_w"), n_buckets).alias("f")
+    )
+    if w:
+        pairs = []
+        for b in sorted(w):
+            pairs.append(F.lit(int(b)))
+            pairs.append(F.lit(int(w[b])))
+        wexpr = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col("f").cast("int")),
+            F.lit(0),
+        )
+    else:
+        wexpr = F.lit(0)
+    return (
+        bucketed.select(F.col(id_col), wexpr.cast("long").alias("_wm"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            (F.sum("_wm") + F.lit(int(model["bias_micro"])))
+            .cast("long")
+            .alias("logit_micro"),
+        )
+        .withColumn("keep", F.col("logit_micro") > F.lit(int(threshold_micro)))
+        .orderBy(id_col)
+    )
+
+
+def classifier_oracle_sql(
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micro: int = 0,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of apply_quality_classifier with the SAME frozen
+    weights rendered as a VALUES join (identical integer arithmetic)."""
+    n_buckets = model["n_buckets"]
+    w = model["w_micro"]
+    if w:
+        values = ", ".join(f"({int(b)}, {int(m)})" for b, m in sorted(w.items()))
+        wtab = f"(VALUES {values}) AS wt(f, wm)"
+        wjoin = f"LEFT JOIN {wtab} USING (f)"
+    else:
+        wjoin = "LEFT JOIN (SELECT NULL::BIGINT AS f, NULL::BIGINT AS wm WHERE false) wt USING (f)"
+    return f"""
+WITH ex AS (
+  SELECT {id_col},
+         CAST(CONCAT('0x', substr(md5(w), 1, 6)) AS BIGINT) % {n_buckets} AS f
+  FROM (SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS w
+        FROM {table})
+), scored AS (
+  SELECT ex.{id_col}, COALESCE(wm, 0) AS wm
+  FROM ex {wjoin}
+)
+SELECT {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(wm) + {int(model["bias_micro"])} AS BIGINT) AS logit_micro,
+       (SUM(wm) + {int(model["bias_micro"])}) > {int(threshold_micro)} AS keep
+FROM scored GROUP BY {id_col} ORDER BY {id_col}
+"""

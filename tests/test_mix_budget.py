@@ -203,3 +203,43 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
 
     with pytest.raises(ValueError, match="valid_ppm"):
         sampling.split_by_group(df, "doc_id", valid_ppm=2_000_000)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_quality_classifier_matches_oracle(spark, sf):
+    """Frozen NB log-odds classifier (r10): train on src13-vs-rest,
+    apply with the weights as plan literals — the full (id, n_feats,
+    logit, keep) table replicates bit-exactly via the VALUES-join
+    oracle rendering of the same frozen model."""
+    docs = table(spark, sf, "documents")
+    model = sampling.train_quality_classifier(
+        docs.filter("source = 'src13'"),
+        docs.filter("source <> 'src13'"),
+        n_buckets=256,
+    )
+    assert model["w_micro"], "training produced no discriminative buckets"
+    got = sampling.apply_quality_classifier(docs, model).toPandas()
+    want = _con(sf).execute(sampling.classifier_oracle_sql(model)).df()
+    assert len(got) == len(want) == docs.count()
+    for c in ("doc_id", "n_feats", "logit_micro", "keep"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_quality_classifier_separates_planted_domains(spark):
+    """The design property: trained on a vocabulary-distinct positive
+    domain, the classifier scores held-out positive-domain docs above
+    negative-domain docs (and the threshold keeps them)."""
+    pos_rows = [(i, "quantum tensor lattice spin boson") for i in range(40)]
+    neg_rows = [(100 + i, "pizza burger soda fries shake") for i in range(40)]
+    train_pos = spark.createDataFrame(pos_rows[:30], "doc_id long, text string")
+    train_neg = spark.createDataFrame(neg_rows[:30], "doc_id long, text string")
+    model = sampling.train_quality_classifier(train_pos, train_neg, n_buckets=128)
+    held = spark.createDataFrame(
+        pos_rows[30:] + neg_rows[30:], "doc_id long, text string"
+    )
+    got = sampling.apply_quality_classifier(held, model).toPandas()
+    pos_scores = got[got.doc_id < 100].logit_micro
+    neg_scores = got[got.doc_id >= 100].logit_micro
+    assert pos_scores.min() > neg_scores.max()
+    assert got[got.doc_id < 100].keep.all()
+    assert not got[got.doc_id >= 100].keep.any()
