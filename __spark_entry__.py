@@ -39,3 +39,21 @@ def oracle_sql() -> dict[str, str]:
     from pg_parquet_spark.operators.registry import all_oracles
 
     return all_oracles()
+
+
+def queries_extended() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Second certification tier (VERDICT r9 #3): the FULL oracle-backed
+    surface including retired gates — retirement leaves the driver's
+    50-gate window, never the oracle contract. A driver that wants to
+    certify beyond the window can iterate this; locally,
+    tools/local_gate_sweep.py runs it at both SFs each round and emits
+    CORRECTNESS_LOCAL_r{N}.json in the driver's row format."""
+    from pg_parquet_spark.operators.registry import all_queries
+
+    return all_queries(include_retired=True)
+
+
+def oracle_sql_extended() -> dict[str, str]:
+    from pg_parquet_spark.operators.registry import all_oracles
+
+    return all_oracles(include_retired=True)
