@@ -422,3 +422,50 @@ SELECT n, n_x, n_y,
        CAST(n * _t - n * 1000000 AS BIGINT) AS chi2_micro
 FROM agg
 """
+
+
+def text_psi(
+    ref: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Corpus-level TEXT drift: PSI over the hashed-unigram bucket
+    distribution (the DSIR feature space) — answers "does this week's
+    crawl still look like the reference corpus?" with one number, the
+    way the categorical PSI answers it for a label column. Pure
+    composition: tokens explode once into md5-prefix buckets and ride
+    :func:`psi_table` unchanged — two bucket-keyed counts (≤ n_buckets
+    rows each side after the map-side combine), then the counts-sized
+    PSI join; the text itself never shuffles."""
+    from pg_parquet_spark.operators.sampling import _feature_bucket
+
+    def bucketed(df):
+        toks = F.split(F.lower(F.col(text_col)), " ")
+        return df.select(F.explode(toks).alias("_w")).select(
+            _feature_bucket(F.col("_w"), n_buckets)
+            .cast("string")
+            .alias("_b")
+        )
+
+    return psi_table(bucketed(ref), bucketed(new), F.col("_b"))
+
+
+def text_psi_oracle_sql(
+    ref_where: str,
+    new_where: str,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: the same bucketed-token staging fed to the
+    categorical PSI oracle."""
+    stage = (
+        "SELECT CAST(CAST(CONCAT('0x', substr(md5(w), 1, 6)) AS BIGINT) "
+        f"% {n_buckets} AS VARCHAR) AS _b FROM "
+        f"(SELECT unnest(string_split(lower({text_col}), ' ')) AS w "
+        f"FROM {table} WHERE {{w}})"
+    )
+    return psi_oracle_sql(
+        stage.format(w=ref_where), stage.format(w=new_where), "_b"
+    )

@@ -224,3 +224,35 @@ def test_robust_and_hdr_ignore_null_values(spark):
     q = sketch.hdr_quantile_table(fix, "event_type", "value", qs_ppm=(500_000,))
     rows = {r.grp: r.est_milli for r in q.collect()}
     assert rows["g"] == 6912  # median 7000 -> its HDR bucket lower bound (54<<7)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_text_psi_matches_oracle(spark, sf):
+    """Corpus-level text drift (r10): PSI over hashed-unigram buckets
+    replicates bit-exactly through the categorical PSI machinery."""
+    docs = table(spark, sf, "documents")
+    got = drift.text_psi(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    ).toPandas()
+    want = _con(sf).execute(
+        drift.text_psi_oracle_sql("doc_id % 2 = 0", "doc_id % 2 = 1")
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in ("category", "c_ref", "c_new", "q_ppm", "p_ppm", "lr_micro", "term"):
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_text_psi_detects_vocabulary_shift(spark):
+    """An even split of one corpus is stable (PSI ≈ 0); swapping in a
+    vocabulary-distinct corpus crosses the 0.25 alarm."""
+    docs = table(spark, SFS[1], "documents")
+    stable = drift.text_psi(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+    assert abs(drift.psi_total(stable)) / 1e12 < 0.05
+    alien = spark.createDataFrame(
+        [(i, "zyx wvu tsr qpo nml kji") for i in range(500)],
+        "doc_id long, text string",
+    )
+    shifted = drift.text_psi(docs, alien)
+    assert drift.psi_total(shifted) / 1e12 > 0.25
