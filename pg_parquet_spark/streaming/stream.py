@@ -998,3 +998,60 @@ def drain_with_count_refresh(
         timeout_sec=timeout_sec,
         checkpoint=checkpoint,
     )
+
+
+def drain_with_quality_filter(
+    sdf: DataFrame,
+    corpus_root: str,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micro: int = 0,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming ingest with INLINE classifier-based quality filtering
+    (r10): each micro-batch is scored by the frozen literal-weight
+    classifier (``sampling.apply_quality_classifier`` — zero joins,
+    weights in the plan) and only keep-rows land in the versioned
+    corpus through the atomic pointer publish. The filter is stateless
+    and the sink's manifest replay-gates batch ids, so a crashed-then-
+    replayed batch converges to the same corpus — the simplest member
+    of the ingest-composition family (dedup ingest keeps an index;
+    this keeps nothing).
+
+    This is the streaming form of the GPT-3/LLaMA quality-filter pass:
+    score at ingest, keep the rejects out of the corpus entirely,
+    rather than filtering a 100 TB corpus after the fact."""
+    from pg_parquet_spark.operators.sampling import apply_quality_classifier
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = apply_quality_classifier(
+            batch_df,
+            model,
+            id_col=id_col,
+            text_col=text_col,
+            threshold_micro=threshold_micro,
+        ).filter("keep")
+        kept = batch_df.join(
+            scored.select(id_col), id_col, "left_semi"
+        )
+        sink(kept, batch_id)
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"quality-filter drain did not finish within {timeout_sec}s"
+        )

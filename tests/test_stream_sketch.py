@@ -353,3 +353,45 @@ def test_streaming_drift_crash_replay_bitexact_psi(spark, tmp_path, monkeypatch)
     drain_with_count_refresh(sdf4, corpus, counts, checkpoint=ckpt)
     assert layout.read_manifest(corpus)["version"] == vc
     assert layout.read_manifest(counts)["version"] == vs
+
+
+def test_streaming_quality_filter_ingest(spark, tmp_path):
+    """r10: inline classifier filtering at ingest — the landed corpus
+    holds exactly the batch-mode keep set across two tranches, and a
+    replayed drain changes nothing (stateless filter + manifest replay
+    gate)."""
+    from pg_parquet_spark.operators import sampling
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_quality_filter
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = table(spark, SF, "documents").select("doc_id", "text", "source")
+    model = sampling.train_quality_classifier(
+        docs.filter("source = 'src13'"),
+        docs.filter("source <> 'src13'"),
+        n_buckets=256,
+    )
+    scored = sampling.apply_quality_classifier(docs, model).toPandas()
+    thr = int(scored.logit_micro.quantile(0.9))  # keep the top decile
+    want_keep = set(scored[scored.logit_micro > thr].doc_id)
+    assert 0 < len(want_keep) < docs.count()
+
+    for tranche in ("doc_id % 2 = 0", "doc_id % 2 = 1"):
+        docs.filter(tranche).coalesce(1).write.mode("append").parquet(src)
+        sdf = spark.readStream.schema(docs.schema).parquet(src)
+        drain_with_quality_filter(
+            sdf, corpus, model, threshold_micro=thr, checkpoint=ckpt
+        )
+
+    landed = set(r.doc_id for r in read_parquet(spark, corpus).collect())
+    assert landed == want_keep
+    # replay: same checkpoint, no new files → no pointer movement
+    v = layout.read_manifest(corpus)["version"]
+    sdf2 = spark.readStream.schema(docs.schema).parquet(src)
+    drain_with_quality_filter(
+        sdf2, corpus, model, threshold_micro=thr, checkpoint=ckpt
+    )
+    assert layout.read_manifest(corpus)["version"] == v
