@@ -1,0 +1,64 @@
+"""Composed corpus-curation recipe: oracle equality of the full chain
+(extract -> bound -> group -> split) at both SFs, plus the end-to-end
+properties on a planted fixture."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.operators import recipe
+from pg_parquet_spark.session import table
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_curate_corpus_matches_oracle(spark, sf):
+    """The COMPOSITION is oracle-certified: the full curation table
+    over the html-wrapped corpus replicates bit-exactly through one
+    chained DuckDB query."""
+    docs = table(spark, sf, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+        ).alias("text"),
+    )
+    got = recipe.curate_corpus(wrapped, min_tokens=5, max_tokens=5000).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT doc_id, "
+        "'<html><body><p>' || text || '</p></body></html>' AS text "
+        f"FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        recipe.curate_oracle_sql(min_tokens=5, max_tokens=5000)
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in ("doc_id", "n_tokens", "group_id", "is_canonical", "split"):
+        assert list(got[c]) == list(want[c]), c
+    assert set(got["split"]) == {"train", "valid"}
+
+
+def test_curate_corpus_end_to_end_properties(spark):
+    """Planted fixture: markup is stripped before anything else (a doc
+    that is a near-dup only AFTER stripping groups correctly), length
+    bounds drop short/huge docs, groups never straddle the split, and
+    exactly one canonical per group."""
+    rows = [
+        (1, "<p>alpha beta gamma delta epsilon</p>"),
+        (2, "<div>epsilon delta gamma beta alpha</div>"),  # shuffled dup of 1
+        (3, "<b>tiny</b>"),                                 # under min_tokens
+        (4, "one two three four five six seven"),
+        (5, "<script>alpha beta gamma delta epsilon</script>unrelated words here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = recipe.curate_corpus(df, min_tokens=5, max_tokens=50).toPandas()
+    assert 3 not in set(out.doc_id)          # bounded out
+    g = out.set_index("doc_id")
+    assert g.loc[1, "group_id"] == g.loc[2, "group_id"] == 1  # post-strip dup
+    assert bool(g.loc[1, "is_canonical"]) and not bool(g.loc[2, "is_canonical"])
+    assert g.loc[1, "split"] == g.loc[2, "split"]  # group moves together
+    # script payload removed BEFORE fingerprinting: doc 5 is its own group
+    assert g.loc[5, "group_id"] == 5
+    assert (out.groupby("group_id")["is_canonical"].sum() == 1).all()
