@@ -113,3 +113,88 @@ SELECT fp.{id_col}, fp.n_tokens, canon.group_id,
 FROM fp JOIN canon USING (_fp)
 ORDER BY fp.{id_col}
 """
+
+
+def corpus_datacard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row corpus DATA CARD — the summary table a dataset release
+    ships (Gebru et al. 2021 datasheets): document and exact token
+    counts, source diversity, and the normalized near-duplicate rate,
+    in one pass plus one 16-byte-key aggregate. All cross-row math is
+    exact integers (counts and integer token sums), so the card
+    replicates bit-for-bit in the oracle and is stable across
+    partitionings — an auditable artifact, not a sample estimate.
+
+    dup_ratio_ppm = 10⁶ · (n_docs − n_normalized_groups) / n_docs,
+    integer division — the fraction of documents that are a normalized
+    near-duplicate of an earlier one."""
+    from pg_parquet_spark.operators.text import (
+        normalized_fingerprint,
+        token_count,
+    )
+
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(F.col(text_col)).alias("_nt"),
+        normalized_fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.min("_nt").cast("long").alias("min_tokens"),
+        F.max("_nt").cast("long").alias("max_tokens"),
+        F.countDistinct(source_col).cast("long").alias("n_sources"),
+        F.countDistinct("_fp").cast("long").alias("n_unique_normalized"),
+    ).select(
+        "n_docs",
+        "total_tokens",
+        F.expr("total_tokens div n_docs").cast("long").alias("mean_tokens"),
+        "min_tokens",
+        "max_tokens",
+        "n_sources",
+        "n_unique_normalized",
+        F.expr("(n_docs - n_unique_normalized) * 1000000 div n_docs")
+        .cast("long")
+        .alias("dup_ratio_ppm"),
+    )
+
+
+def datacard_oracle_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: identical token/fingerprint staging, identical
+    integer derivations."""
+    fp = (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"string_split(lower({text_col}), ' '))), ' '))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {source_col},
+         CAST(len(string_split(lower({text_col}), ' ')) AS BIGINT) AS _nt,
+         {fp} AS _fp
+  FROM {table}
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(_nt) AS BIGINT) AS total_tokens,
+         CAST(MIN(_nt) AS BIGINT) AS min_tokens,
+         CAST(MAX(_nt) AS BIGINT) AS max_tokens,
+         CAST(COUNT(DISTINCT {source_col}) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT _fp) AS BIGINT) AS n_unique_normalized
+  FROM base
+)
+SELECT n_docs, total_tokens,
+       CAST(total_tokens // n_docs AS BIGINT) AS mean_tokens,
+       min_tokens, max_tokens, n_sources, n_unique_normalized,
+       CAST((n_docs - n_unique_normalized) * 1000000 // n_docs AS BIGINT)
+         AS dup_ratio_ppm
+FROM agg
+"""

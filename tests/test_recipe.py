@@ -62,3 +62,33 @@ def test_curate_corpus_end_to_end_properties(spark):
     # script payload removed BEFORE fingerprinting: doc 5 is its own group
     assert g.loc[5, "group_id"] == 5
     assert (out.groupby("group_id")["is_canonical"].sum() == 1).all()
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_corpus_datacard_matches_oracle(spark, sf):
+    """The data card replicates bit-exactly (all integer derivations)."""
+    docs = table(spark, sf, "documents")
+    got = recipe.corpus_datacard(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(recipe.datacard_oracle_sql()).df()
+    assert got.values.tolist() == want.values.tolist()
+    row = got.iloc[0]
+    assert row.n_docs > 0 and row.total_tokens > row.n_docs
+    assert row.min_tokens <= row.mean_tokens <= row.max_tokens
+
+
+def test_corpus_datacard_counts_planted_dups(spark):
+    rows = [
+        (1, "a b c", "s1"),
+        (2, "c b a", "s1"),   # normalized dup of 1
+        (3, "x y z", "s2"),
+        (4, "p q r s", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    card = recipe.corpus_datacard(df).collect()[0]
+    assert card.n_docs == 4 and card.n_unique_normalized == 3
+    assert card.dup_ratio_ppm == 250_000
+    assert card.n_sources == 2 and card.total_tokens == 13
