@@ -1176,3 +1176,337 @@ GROUP BY gram_h
 HAVING COUNT(DISTINCT _id) >= {min_docs}
 ORDER BY gram_h
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-duplicate ingest (r10): the MinHash counterpart of
+# the exact fingerprint index — corpus state is a signature index,
+# never the corpus.
+
+
+def _sig_band_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """(_id, mh0..mh{n-1}, band0..band{b-1}) — the per-doc MinHash
+    state the near-dup index persists (the minhash_lsh_pairs signature
+    stage, factored for reuse). One projection pipeline, no shuffle."""
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col
+    ).select("_id", "_sh")
+    sig = sh.select(
+        "_id", base_hash_col(F.col("_sh")).alias("_h")
+    ).select("_id", *minhash_signature_from_base(F.col("_h"), num_hashes))
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sig.select("_id", *[F.col(f"mh{j}") for j in range(num_hashes)], *band_keys)
+
+
+def _explode_bands(sig: DataFrame, bands: int) -> DataFrame:
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+
+
+def _sig_matches(num_hashes: int) -> F.Column:
+    """Count of agreeing minhash components between an ``a.``- and
+    ``b.``-aliased signature pair — the integer MinHash Jaccard
+    estimator (matches/num_hashes ≈ J; the threshold compares the
+    integer count, no float anywhere)."""
+    m = F.lit(0)
+    for j in range(num_hashes):
+        m = m + F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
+    return m
+
+
+def build_minhash_index(
+    df: DataFrame,
+    uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> None:
+    """Persist the NEAR-dup signature index: one row per document —
+    its MinHash signature and band keys, never its text (~100 bytes
+    per doc at the defaults; ~1/1000th of a text corpus). Published
+    through the versioned pointer like the exact-fingerprint index."""
+    from pg_parquet_spark.sources.layout import publish_snapshot
+
+    sig = _sig_band_frame(df, id_col, text_col, num_hashes, bands).select(
+        F.col("_id").alias("owner_id"), "*"
+    ).drop("_id")
+    publish_snapshot(df.sparkSession, uri.rstrip("/"), sig)
+
+
+def dedup_incremental_near(
+    spark,
+    new_docs: DataFrame,
+    index_uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_matches: int = 12,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    update_index: bool = False,
+) -> DataFrame:
+    """Incremental NEAR-duplicate ingestion dedup — the MinHash tier of
+    :func:`dedup_incremental`: flag each new document against the
+    persisted signature index (``build_minhash_index``) WITHOUT
+    touching the corpus. A document is near-known when any indexed
+    signature shares a band bucket AND agrees on ≥ ``min_matches`` of
+    ``num_hashes`` minhash components (the integer Jaccard estimator —
+    12/16 ≈ J ≥ 0.75); within-batch near-dups drop against any
+    smaller-id batch member (the SemDeDup keep rule). Returns the batch
+    plus (known_in_corpus, keep) and the signature columns the commit
+    needs; COMMIT ORDER follows the exact tier — write kept rows to the
+    corpus first, then :func:`commit_minhash_signatures`.
+
+    Scale shape: the batch's signatures are one projection; candidate
+    lookup joins the batch's exploded band keys against the INDEX's
+    exploded band keys (narrow rows both sides; the index never ships
+    text); verification compares 16 ints per candidate pair. The index
+    update is the versioned MERGE on owner_id."""
+    from pg_parquet_spark.sources import layout
+
+    index_uri = index_uri.rstrip("/")
+    sigb = _sig_band_frame(new_docs, id_col, text_col, num_hashes, bands).persist()
+    eb = _explode_bands(sigb, bands)
+    a_side = sigb.select(
+        F.col("_id").alias("_aid"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(num_hashes)],
+    )
+
+    if layout.read_manifest(index_uri) is None:
+        known_ids = spark.createDataFrame([], "_aid long")
+    else:
+        idx = layout.read_versioned(spark, index_uri)
+        idx_sig = idx.select(
+            F.col("owner_id").alias("_id"),
+            *[F.col(f"mh{j}") for j in range(num_hashes)],
+            *[F.col(f"band{b}") for b in range(bands)],
+        )
+        ei = _explode_bands(idx_sig, bands).select(
+            F.col("band_idx"), F.col("key"), F.col("_id").alias("_oid")
+        )
+        b_side = idx_sig.select(
+            F.col("_id").alias("_oid"),
+            *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(num_hashes)],
+        )
+        cand = (
+            eb.join(ei, ["band_idx", "key"])
+            .select(F.col("_id").alias("_aid"), "_oid")
+            .dropDuplicates(["_aid", "_oid"])
+        )
+        known_ids = (
+            cand.join(a_side, "_aid")
+            .join(b_side, "_oid")
+            .withColumn("_m", _sig_matches(num_hashes))
+            .filter(F.col("_m") >= min_matches)
+            .select("_aid")
+            .distinct()
+        )
+
+    # within-batch: drop any doc near a SMALLER batch id (dropped docs
+    # still drop others — keeps the result set-identical to SemDeDup's
+    # greedy rule and independent of evaluation order)
+    right = eb.select(
+        F.col("band_idx"), F.col("key"), F.col("_id").alias("_bid")
+    )
+    bcand = (
+        eb.join(right, ["band_idx", "key"])
+        .filter(F.col("_id") < F.col("_bid"))
+        .select(F.col("_id").alias("_aid"), F.col("_bid"))
+        .dropDuplicates(["_aid", "_bid"])
+    )
+    b_batch = sigb.select(
+        F.col("_id").alias("_bid"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(num_hashes)],
+    )
+    batch_dropped = (
+        bcand.join(a_side, "_aid")
+        .join(b_batch, "_bid")
+        .withColumn("_m", _sig_matches(num_hashes))
+        .filter(F.col("_m") >= min_matches)
+        .select(F.col("_bid").alias("_did"))
+        .distinct()
+    )
+
+    flagged = (
+        new_docs.join(
+            sigb.withColumnRenamed("_id", id_col), id_col
+        )
+        .join(
+            known_ids.select(F.col("_aid").alias(id_col)).withColumn(
+                "_known", F.lit(True)
+            ),
+            id_col,
+            "left",
+        )
+        .join(
+            batch_dropped.select(F.col("_did").alias(id_col)).withColumn(
+                "_bdrop", F.lit(True)
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            *new_docs.columns,
+            *[f"mh{j}" for j in range(num_hashes)],
+            *[f"band{b}" for b in range(bands)],
+            F.coalesce("_known", F.lit(False)).alias("known_in_corpus"),
+            (
+                ~F.coalesce("_known", F.lit(False))
+                & ~F.coalesce("_bdrop", F.lit(False))
+            ).alias("keep"),
+        )
+        .persist()
+    )
+    if update_index:
+        commit_minhash_signatures(
+            spark, flagged, index_uri, id_col=id_col,
+            num_hashes=num_hashes, bands=bands,
+        )
+    return flagged
+
+
+def commit_minhash_signatures(
+    spark,
+    flagged: DataFrame,
+    index_uri: str,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> None:
+    """MERGE the kept rows' signatures into the near-dup index through
+    the versioned publish (after the kept rows are durably in the
+    corpus — the exact tier's commit-order rule). Replays converge:
+    owner_id-keyed MERGE re-lands identical rows."""
+    from pg_parquet_spark.sources import layout
+
+    index_uri = index_uri.rstrip("/")
+    additions = flagged.filter("keep").select(
+        F.col(id_col).alias("owner_id"),
+        *[f"mh{j}" for j in range(num_hashes)],
+        *[f"band{b}" for b in range(bands)],
+    )
+    if additions.isEmpty():
+        return
+    if layout.read_manifest(index_uri) is None:
+        layout.publish_snapshot(spark, index_uri, additions)
+        return
+    layout.merge_upsert(spark, index_uri, additions, ["owner_id"], versioned=True)
+
+
+def incremental_near_oracle_sql(
+    index_where: str,
+    batch_where: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_matches: int = 12,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> str:
+    """DuckDB replica of one dedup_incremental_near pass where the index
+    was built from ``index_where`` docs and the batch is ``batch_where``
+    docs: identical signatures (the minhash_lsh_oracle_sql rendering),
+    band-bucket candidates, integer match-count verification, SemDeDup
+    within-batch rule. Returns (id, known_in_corpus, keep) ordered."""
+    rows_per_band = num_hashes // bands
+    p = MINHASH_PRIME
+    mh_exprs = ",\n    ".join(
+        f"list_min(list_transform(h, x -> ({MINHASH_COEFFS[j][0]} * x + {MINHASH_COEFFS[j][1]}) % {p})) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    band_exprs = ",\n    ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT _id, {b} AS band_idx, band{b} AS key FROM sig2"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS _id, string_split(lower({text_col}), ' ') AS t,
+         CASE WHEN {batch_where} THEN 'batch' ELSE 'index' END AS side
+  FROM {table} WHERE ({index_where}) OR ({batch_where})
+), sh_t AS (
+  SELECT _id, side, list_distinct(list_transform(
+    range(1, greatest(len(t) - 1, 1) + 1),
+    i -> t[i] || ' ' || coalesce(t[i + 1], ''))) AS sh
+  FROM toks
+), hashed AS (
+  SELECT _id, side,
+    list_transform(sh,
+      s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % {p}) AS h
+  FROM sh_t
+), sig AS (
+  SELECT _id, side,
+    {mh_exprs}
+  FROM hashed
+), sig2 AS (
+  SELECT *,
+    {band_exprs}
+  FROM sig
+), exploded AS (
+  {band_union}
+), known AS (
+  SELECT DISTINCT a._id
+  FROM sig2 a JOIN sig2 b
+    ON a.side = 'batch' AND b.side = 'index'
+   AND EXISTS (
+     SELECT 1 FROM exploded ea JOIN exploded eb
+       ON ea.band_idx = eb.band_idx AND ea.key = eb.key
+     WHERE ea._id = a._id AND eb._id = b._id)
+  WHERE {matches} >= {min_matches}
+), bdrop AS (
+  SELECT DISTINCT b._id
+  FROM sig2 a JOIN sig2 b
+    ON a.side = 'batch' AND b.side = 'batch' AND a._id < b._id
+   AND EXISTS (
+     SELECT 1 FROM exploded ea JOIN exploded eb
+       ON ea.band_idx = eb.band_idx AND ea.key = eb.key
+     WHERE ea._id = a._id AND eb._id = b._id)
+  WHERE {matches} >= {min_matches}
+)
+SELECT s._id AS {id_col},
+       s._id IN (SELECT _id FROM known) AS known_in_corpus,
+       NOT (s._id IN (SELECT _id FROM known)
+            OR s._id IN (SELECT _id FROM bdrop)) AS keep
+FROM sig2 s WHERE s.side = 'batch'
+ORDER BY s._id
+"""

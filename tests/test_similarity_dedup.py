@@ -910,3 +910,82 @@ def test_ivf_index_upsert_incremental_maintenance(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="partition"):
         similarity.ivf_index_upsert(spark, root, moved, CENTROIDS)
+
+
+def test_incremental_near_dedup_matches_oracle(spark, tmp_path):
+    """r10: one incremental near-dup pass (index = even ids, batch =
+    odd ids) replicates the oracle's (known_in_corpus, keep) flags
+    bit-exactly — signatures, band buckets, integer match-count
+    verification, and the within-batch SemDeDup rule all line up."""
+    import duckdb
+
+    from pg_parquet_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    index_docs = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    root = str(tmp_path / "mh_index")
+    dedup.build_minhash_index(index_docs, root)
+    got = (
+        dedup.dedup_incremental_near(spark, batch, root, min_matches=6)
+        .select("doc_id", "known_in_corpus", "keep")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        dedup.incremental_near_oracle_sql(
+            "doc_id % 2 = 0", "doc_id % 2 = 1", min_matches=6
+        )
+    ).df()
+    assert len(got) == len(want) == batch.count()
+    for c in ("doc_id", "known_in_corpus", "keep"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_incremental_near_dedup_lifecycle(spark, tmp_path):
+    """Planted lifecycle: an indexed doc's near-copy is known; two
+    near-identical batch docs keep only the smaller id; survivors
+    commit, so a SECOND batch's copy of a first-batch survivor is then
+    known — near-dedup state flows across ingests without rereading
+    any corpus text."""
+    from pg_parquet_spark.operators import dedup
+    from pg_parquet_spark.sources import layout
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    idx_docs = spark.createDataFrame(
+        [(1, base), (2, "completely different words about parquet engines")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(idx_docs, root)
+
+    b1 = spark.createDataFrame(
+        [
+            (10, base + " extra"),                     # near-copy of indexed 1
+            (11, "fresh unrelated content one two three four five six"),
+            (12, "fresh unrelated content one two three four five seven"),  # near 11
+        ],
+        "doc_id long, text string",
+    )
+    f1 = dedup.dedup_incremental_near(spark, b1, root, min_matches=10)
+    got = {r.doc_id: (r.known_in_corpus, r.keep) for r in f1.collect()}
+    assert got[10] == (True, False)
+    assert got[11] == (False, True)
+    assert got[12] == (False, False)  # within-batch near-dup of 11
+    dedup.commit_minhash_signatures(spark, f1, root)
+    assert layout.read_versioned(spark, root).count() == 3  # 2 + survivor 11
+
+    b2 = spark.createDataFrame(
+        [(20, "fresh unrelated content one two three four five six!")],
+        "doc_id long, text string",
+    )
+    f2 = dedup.dedup_incremental_near(spark, b2, root, min_matches=10)
+    r = f2.collect()[0]
+    assert r.known_in_corpus is True and r.keep is False  # matches survivor 11
