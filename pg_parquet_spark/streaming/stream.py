@@ -1055,3 +1055,64 @@ def drain_with_quality_filter(
         raise TimeoutError(
             f"quality-filter drain did not finish within {timeout_sec}s"
         )
+
+
+def drain_with_near_dedup(
+    sdf: DataFrame,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_matches: int = 12,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming ingestion with inline NEAR-duplicate dedup (r10) — the
+    MinHash twin of ``drain_with_incremental_dedup``: each micro-batch
+    flags against the persisted signature index
+    (``dedup.dedup_incremental_near`` — band-key candidates + integer
+    match-count verification; neither side ships text), kept rows
+    publish through the versioned sink, and only then do the survivors'
+    SIGNATURES merge into the index. Same crash/replay convergence
+    argument as the exact tier: corpus visibility exactly-once by
+    manifest; the signature commit at-least-once but idempotent (an
+    owner_id-keyed MERGE of identical rows); a fully replayed batch
+    flags near-known and publishes nothing."""
+    from pg_parquet_spark.operators import dedup as dedup_ops
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        flagged = dedup_ops.dedup_incremental_near(
+            spark,
+            batch_df,
+            index_root,
+            id_col=id_col,
+            text_col=text_col,
+            min_matches=min_matches,
+        )
+        try:
+            kept = flagged.filter("keep").select(*batch_df.columns)
+            sink(kept, batch_id)
+            dedup_ops.commit_minhash_signatures(
+                spark, flagged, index_root, id_col=id_col
+            )
+        finally:
+            flagged.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"near-dedup drain did not finish within {timeout_sec}s"
+        )

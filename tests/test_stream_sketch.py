@@ -395,3 +395,53 @@ def test_streaming_quality_filter_ingest(spark, tmp_path):
         sdf2, corpus, model, threshold_micro=thr, checkpoint=ckpt
     )
     assert layout.read_manifest(corpus)["version"] == v
+
+
+def test_streaming_near_dedup_ingest(spark, tmp_path):
+    """r10: the near-dup ingest drain — tranche 2's near-copies of
+    tranche 1 survivors never land; the index self-bootstraps; a
+    replayed drain changes neither corpus nor index."""
+    from pg_parquet_spark.operators import dedup
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_near_dedup
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    t1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "totally different text about spark engines at scale"),
+            (3, base + " extra"),  # within-tranche near-dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    t2 = spark.createDataFrame(
+        [
+            (10, base + " word"),  # near-dup of survivor 1
+            (11, "genuinely novel content nine eight seven six five four"),
+        ],
+        "doc_id long, text string",
+    )
+    t1.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(t1.schema).parquet(src)
+    drain_with_near_dedup(sdf, corpus, index, min_matches=10, checkpoint=ckpt)
+    assert {r.doc_id for r in read_parquet(spark, corpus).collect()} == {1, 2}
+    assert layout.read_versioned(spark, index).count() == 2
+
+    t2.coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(t1.schema).parquet(src)
+    drain_with_near_dedup(sdf2, corpus, index, min_matches=10, checkpoint=ckpt)
+    assert {r.doc_id for r in read_parquet(spark, corpus).collect()} == {1, 2, 11}
+    assert layout.read_versioned(spark, index).count() == 3
+
+    # idle replay: nothing moves
+    vc = layout.read_manifest(corpus)["version"]
+    vi = layout.read_manifest(index)["version"]
+    sdf3 = spark.readStream.schema(t1.schema).parquet(src)
+    drain_with_near_dedup(sdf3, corpus, index, min_matches=10, checkpoint=ckpt)
+    assert layout.read_manifest(corpus)["version"] == vc
+    assert layout.read_manifest(index)["version"] == vi
