@@ -1294,7 +1294,13 @@ def dedup_incremental_near(
     from pg_parquet_spark.sources import layout
 
     index_uri = index_uri.rstrip("/")
+    # self-cleaning cache (the minhash_lsh_pairs convention): the
+    # signature frame feeds the candidate join, the within-batch join,
+    # and the flagged projection — cache it once, release the previous
+    # call's cache on entry
+    release_cached()
     sigb = _sig_band_frame(new_docs, id_col, text_col, num_hashes, bands).persist()
+    _CACHED_FRAMES.append(sigb)
     eb = _explode_bands(sigb, bands)
     a_side = sigb.select(
         F.col("_id").alias("_aid"),
