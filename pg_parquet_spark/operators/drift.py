@@ -469,3 +469,54 @@ def text_psi_oracle_sql(
     return psi_oracle_sql(
         stage.format(w=ref_where), stage.format(w=new_where), "_b"
     )
+
+
+def embedding_psi(
+    ref: DataFrame,
+    new: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING drift — the third member of the drift triad
+    (categorical :func:`psi_table`, text :func:`text_psi`, and this):
+    PSI over the frozen-quantizer CELL distribution. The k-means cells
+    partition the embedding space, so a shift in where new vectors land
+    (new topics, a changed encoder, corrupted embeddings) moves the
+    cell histogram even when no single coordinate looks anomalous —
+    the cheap monitor that the ANN index's own quantizer gives for
+    free. Assignment is the literal-matrix projection (``ivf_assign``),
+    so the whole check is two ≤n_cells-row counts + the counts-sized
+    PSI join; vectors never shuffle."""
+    from pg_parquet_spark.operators.similarity import ivf_assign
+
+    def cells(df):
+        return ivf_assign(df.select(vec_col), centroids).select(
+            F.col("_cell").cast("string").alias("_c")
+        )
+
+    return psi_table(cells(ref), cells(new), F.col("_c"))
+
+
+def embedding_psi_oracle_sql(
+    ref_where: str,
+    new_where: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    dims: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replica: the same literal-quantizer assignment (unrolled
+    sq-dist sums, first-match argmin) fed to the categorical PSI
+    oracle."""
+    from pg_parquet_spark.operators.similarity import _sq_dist_sql_unrolled
+
+    cdists = "[" + ", ".join(
+        _sq_dist_sql_unrolled("e." + vec_col, c, dims) for c in centroids
+    ) + "]"
+    stage = (
+        f"SELECT CAST(CAST(list_position(cds, list_min(cds)) - 1 AS INT) AS VARCHAR) AS _c "
+        f"FROM (SELECT {cdists} AS cds FROM {table} e WHERE {{w}})"
+    )
+    return psi_oracle_sql(
+        stage.format(w=ref_where), stage.format(w=new_where), "_c"
+    )

@@ -1116,3 +1116,82 @@ def drain_with_near_dedup(
         raise TimeoutError(
             f"near-dedup drain did not finish within {timeout_sec}s"
         )
+
+
+def drain_with_curation(
+    sdf: DataFrame,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_matches: int = 12,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """The FULL ingest-curation drain (r10): per micro-batch —
+    extract (``text.strip_html``; the landed text IS the extracted
+    text), length-bound, flag near-duplicates against the persisted
+    signature index, publish survivors through the versioned sink,
+    then commit their signatures. The streaming rendition of
+    ``recipe.curate_corpus``'s first three stages, with the near-dup
+    tier upgraded from normalized-exact to MinHash (state lives in the
+    index, so curation quality is corpus-global while each batch only
+    ever touches its own rows plus narrow signatures).
+
+    Crash/replay: extraction and bounding are deterministic pure
+    functions of the batch, so the exact-tier convergence argument
+    carries verbatim (corpus exactly-once by manifest; signature
+    commit at-least-once, idempotent)."""
+    from pyspark.sql import functions as SF
+
+    from pg_parquet_spark.operators import dedup as dedup_ops
+    from pg_parquet_spark.operators.text import strip_html
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        cleaned = batch_df.withColumn(
+            text_col, strip_html(SF.col(text_col))
+        ).withColumn(
+            "_nt", SF.size(SF.split(SF.lower(SF.col(text_col)), " "))
+        )
+        bounded = cleaned.filter(
+            (SF.col("_nt") >= min_tokens) & (SF.col("_nt") <= max_tokens)
+        ).drop("_nt")
+        if bounded.isEmpty():
+            return
+        flagged = dedup_ops.dedup_incremental_near(
+            spark,
+            bounded,
+            index_root,
+            id_col=id_col,
+            text_col=text_col,
+            min_matches=min_matches,
+        )
+        try:
+            kept = flagged.filter("keep").select(*batch_df.columns)
+            sink(kept, batch_id)
+            dedup_ops.commit_minhash_signatures(
+                spark, flagged, index_root, id_col=id_col
+            )
+        finally:
+            flagged.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"curation drain did not finish within {timeout_sec}s"
+        )

@@ -256,3 +256,48 @@ def test_text_psi_detects_vocabulary_shift(spark):
     )
     shifted = drift.text_psi(docs, alien)
     assert drift.psi_total(shifted) / 1e12 > 0.25
+
+
+def test_embedding_psi_matches_oracle(spark):
+    """Embedding drift (r10): PSI over frozen-quantizer cells
+    replicates bit-exactly (literal-matrix assignment both sides)."""
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = drift.embedding_psi(
+        emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1"), CENTROIDS
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = con.execute(
+        drift.embedding_psi_oracle_sql(
+            "vec_id % 2 = 0", "vec_id % 2 = 1", CENTROIDS
+        )
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in COLS:
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_embedding_psi_detects_encoder_shift(spark):
+    """An even split of one corpus is stable; a constant offset on
+    every vector (the changed-encoder failure) crosses the alarm."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    stable = drift.embedding_psi(
+        emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1"), CENTROIDS
+    )
+    assert abs(drift.psi_total(stable)) / 1e12 < 0.1
+    shifted = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(0.5))
+    )
+    moved = drift.embedding_psi(emb, shifted, CENTROIDS)
+    assert drift.psi_total(moved) / 1e12 > 0.25

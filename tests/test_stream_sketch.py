@@ -445,3 +445,54 @@ def test_streaming_near_dedup_ingest(spark, tmp_path):
     drain_with_near_dedup(sdf3, corpus, index, min_matches=10, checkpoint=ckpt)
     assert layout.read_manifest(corpus)["version"] == vc
     assert layout.read_manifest(index)["version"] == vi
+
+
+def test_streaming_curation_drain(spark, tmp_path):
+    """r10: the full ingest-curation drain — landed text is the
+    STRIPPED extraction, under-length docs never land, near-dups are
+    suppressed within and across tranches, and replays move nothing."""
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_curation
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    t1 = spark.createDataFrame(
+        [
+            (1, f"<html><p>{base}</p></html>"),
+            (2, "<b>too short</b>"),  # bounded out after stripping
+            (3, f"<div>{base} extra</div>"),  # near-dup of 1 post-strip
+            (4, "<p>wholly different content about engines one two three</p>"),
+        ],
+        "doc_id long, text string",
+    )
+    t2 = spark.createDataFrame(
+        [(10, f"<span>{base} word</span>")],  # near-dup of survivor 1
+        "doc_id long, text string",
+    )
+    t1.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(t1.schema).parquet(src)
+    drain_with_curation(
+        sdf, corpus, index, min_tokens=5, min_matches=10, checkpoint=ckpt
+    )
+    landed = {r.doc_id: r.text for r in read_parquet(spark, corpus).collect()}
+    assert set(landed) == {1, 4}
+    assert landed[1] == base  # stripped, not the raw html
+    assert "<" not in landed[4]
+
+    t2.coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(t1.schema).parquet(src)
+    drain_with_curation(
+        sdf2, corpus, index, min_tokens=5, min_matches=10, checkpoint=ckpt
+    )
+    assert {r.doc_id for r in read_parquet(spark, corpus).collect()} == {1, 4}
+
+    vc = layout.read_manifest(corpus)["version"]
+    sdf3 = spark.readStream.schema(t1.schema).parquet(src)
+    drain_with_curation(
+        sdf3, corpus, index, min_tokens=5, min_matches=10, checkpoint=ckpt
+    )
+    assert layout.read_manifest(corpus)["version"] == vc
