@@ -1302,3 +1302,93 @@ def strip_html_sql(expr: str) -> str:
         c = ch.replace("'", "''")
         out = f"replace({out}, '{e}', '{c}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of a document's bigrams never seen in the reference, in
+    exact ppm integers — the memorization/derivativeness signal dual to
+    ``decontaminate_against`` (that flags overlap with BENCHMARKS; this
+    scores originality against the EXISTING corpus: novelty ≈ 0 means
+    the "new" document is stitched from text the corpus already has,
+    even when no single span is long enough for the substring tiers).
+
+    Determinism: set-of-bigrams semantics (distinct per doc, mirrored
+    by the oracle), integer counts, ppm by positive integer division.
+    Scale shape: both corpora explode once into DISTINCT bigram rows;
+    the novelty check is one gram-keyed left join of the document grams
+    against the reference vocabulary (narrow md5-able keys, no text);
+    per-doc fold is a count aggregate."""
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    grams = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, sz - 1),
+            F.slice(toks, 2, sz - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    doc_g = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    ref_g = (
+        reference.select(F.explode(grams).alias("g"))
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    return (
+        doc_g.join(ref_g, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_seen").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("n_novel * 1000000 div n_grams").cast("long"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def novelty_oracle_sql(
+    ref_where: str,
+    doc_where: str | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replica: identical distinct-bigram staging, left join
+    against the reference vocabulary, ppm integer division."""
+    grams = (
+        "list_distinct(list_transform(range(1, len(_tk)), "
+        "i -> _tk[i] || ' ' || _tk[i + 1]))"
+    )
+    dw = f"WHERE {doc_where}" if doc_where else ""
+    return f"""
+WITH doc_g AS (
+  SELECT {id_col}, unnest({grams}) AS g FROM
+    (SELECT {id_col}, string_split(lower({text_col}), ' ') AS _tk
+     FROM {table} {dw})
+), ref_g AS (
+  SELECT DISTINCT unnest({grams}) AS g FROM
+    (SELECT string_split(lower({text_col}), ' ') AS _tk
+     FROM {table} WHERE {ref_where})
+), flagged AS (
+  SELECT d.{id_col}, r.g IS NOT NULL AS seen
+  FROM doc_g d LEFT JOIN ref_g r USING (g)
+)
+SELECT {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS novelty_ppm
+FROM flagged GROUP BY {id_col} ORDER BY {id_col}
+"""

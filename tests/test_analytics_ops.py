@@ -613,3 +613,82 @@ def test_strip_html_matches_duckdb_rendering(spark, sf):
         "FROM documents ORDER BY doc_id"
     ).df()
     assert list(got["clean"]) == list(want["clean"])
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_ngram_novelty_matches_oracle(spark, sf):
+    """Bigram novelty vs a reference corpus (r10): exact ppm table
+    replicates bit-exactly (distinct-gram semantics both sides)."""
+    import duckdb
+
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table
+
+    docs = table(spark, sf, "documents")
+    got = text_ops.ngram_novelty(
+        docs.filter("doc_id % 3 != 0"), docs.filter("doc_id % 3 = 0")
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        text_ops.novelty_oracle_sql("doc_id % 3 = 0", "doc_id % 3 != 0")
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in ("doc_id", "n_grams", "n_novel", "novelty_ppm"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_ngram_novelty_extremes(spark):
+    """A verbatim copy of reference text scores 0 ppm; alien vocabulary
+    scores 1e6; a half-stitched doc lands in between."""
+    from pg_parquet_spark.operators import text as text_ops
+
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # verbatim
+            (2, "qq ww ee rr tt yy"),                     # alien
+            (3, "alpha beta gamma qq ww ee"),             # stitched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.novelty_ppm for r in text_ops.ngram_novelty(docs, ref).collect()}
+    assert got[1] == 0
+    assert got[2] == 1_000_000
+    assert 0 < got[3] < 1_000_000
+
+
+def test_strip_html_property_plain_text_fixed_point(spark):
+    """Hypothesis property: for markup-free text (no <, >, &), strip_html
+    is exactly whitespace normalization — content is never altered."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import text as text_ops
+
+    alphabet = st.sampled_from(list("abcdefghij XYZ.,!?'\"0123456789\t\n"))
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(alphabet, min_size=0, max_size=40), min_size=1, max_size=5))
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "id long, t string")
+        got = {
+            r.id: r.c
+            for r in df.select(
+                "id", text_ops.strip_html(F.col("t")).alias("c")
+            ).collect()
+        }
+        for i, t in rows:
+            assert got[i] == " ".join(t.split()), repr(t)
+
+    check()
