@@ -643,25 +643,28 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 def q_scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sin/cos/atan2/radians/degrees scalar functions (PG math catalog
-    parity) — rounded to 6 decimals to absorb libm ULP differences
-    between engines, per the project determinism contract."""
+    parity) — quantized to 6 decimals via floor(x*1e6 + 0.5) (NOT
+    ROUND, which is engine-divergent at exact decimal halves; ADVICE
+    r10) to absorb libm ULP differences between engines, per the
+    project determinism contract."""
     cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     x = F.col("c_acctbal")
     return cust.select(
         "c_custkey",
-        F.round(F.sin(F.radians(x)), 6).alias("sin_r"),
-        F.round(F.cos(F.radians(x)), 6).alias("cos_r"),
-        F.round(F.atan2(x, F.lit(100.0)), 6).alias("at2"),
-        F.round(F.degrees(F.atan(x / F.lit(1000.0))), 6).alias("deg_at"),
+        (F.floor(F.sin(F.radians(x)) * 1e6 + F.lit(0.5)) / 1e6).alias("sin_r"),
+        (F.floor(F.cos(F.radians(x)) * 1e6 + F.lit(0.5)) / 1e6).alias("cos_r"),
+        (F.floor(F.atan2(x, F.lit(100.0)) * 1e6 + F.lit(0.5)) / 1e6).alias("at2"),
+        (F.floor(F.degrees(F.atan(x / F.lit(1000.0))) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("deg_at"),
     ).orderBy("c_custkey")
 
 
 Q_SCALAR_TRIG_ORACLE = """
 SELECT c_custkey,
-       ROUND(SIN(RADIANS(c_acctbal)), 6) AS sin_r,
-       ROUND(COS(RADIANS(c_acctbal)), 6) AS cos_r,
-       ROUND(ATAN2(c_acctbal, 100.0), 6) AS at2,
-       ROUND(DEGREES(ATAN(c_acctbal / 1000.0)), 6) AS deg_at
+       FLOOR(SIN(RADIANS(c_acctbal)) * 1e6 + 0.5) / 1e6 AS sin_r,
+       FLOOR(COS(RADIANS(c_acctbal)) * 1e6 + 0.5) / 1e6 AS cos_r,
+       FLOOR(ATAN2(c_acctbal, 100.0) * 1e6 + 0.5) / 1e6 AS at2,
+       FLOOR(DEGREES(ATAN(c_acctbal / 1000.0)) * 1e6 + 0.5) / 1e6 AS deg_at
 FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
 """
 
@@ -912,8 +915,10 @@ def q_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-skipping, and sin/cos/atan2/radians/degrees — the surfaces of
     retired q_scalar_bitwise + q_greatest_least + q_scalar_trig (all
     three stay oracle-checked in tests/test_retired_gates.py) in ONE
-    scan and one codegen projection. Trig rounds to 6 decimals to
-    absorb libm ULP drift, per the determinism contract."""
+    scan and one codegen projection. Trig quantizes to 6 decimals via
+    the floor(x*1e6 + 0.5) micro-unit idiom (NOT ROUND — double ROUND
+    is engine-divergent at exact decimal halves; ADVICE r10) to absorb
+    libm ULP drift, per the determinism contract."""
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     price = F.col("o_totalprice").cast("decimal(14,2)")
     x = F.col("o_totalprice")
@@ -931,10 +936,11 @@ def q_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(price, F.lit(200000).cast("decimal(14,2)"))
         .cast("double")
         .alias("lo"),
-        F.round(F.sin(F.radians(x)), 6).alias("sin_r"),
-        F.round(F.cos(F.radians(x)), 6).alias("cos_r"),
-        F.round(F.atan2(x, F.lit(100.0)), 6).alias("at2"),
-        F.round(F.degrees(F.atan(x / F.lit(1000.0))), 6).alias("deg_at"),
+        (F.floor(F.sin(F.radians(x)) * 1e6 + F.lit(0.5)) / 1e6).alias("sin_r"),
+        (F.floor(F.cos(F.radians(x)) * 1e6 + F.lit(0.5)) / 1e6).alias("cos_r"),
+        (F.floor(F.atan2(x, F.lit(100.0)) * 1e6 + F.lit(0.5)) / 1e6).alias("at2"),
+        (F.floor(F.degrees(F.atan(x / F.lit(1000.0))) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("deg_at"),
     ).orderBy("o_orderkey")
 
 
@@ -949,10 +955,10 @@ SELECT o_orderkey,
                      CAST(200000 AS DECIMAL(14,2)), NULL) AS DOUBLE) AS hi,
        CAST(LEAST(CAST(o_totalprice AS DECIMAL(14,2)),
                   CAST(200000 AS DECIMAL(14,2))) AS DOUBLE) AS lo,
-       ROUND(SIN(RADIANS(o_totalprice)), 6) AS sin_r,
-       ROUND(COS(RADIANS(o_totalprice)), 6) AS cos_r,
-       ROUND(ATAN2(o_totalprice, 100.0), 6) AS at2,
-       ROUND(DEGREES(ATAN(o_totalprice / 1000.0)), 6) AS deg_at
+       FLOOR(SIN(RADIANS(o_totalprice)) * 1e6 + 0.5) / 1e6 AS sin_r,
+       FLOOR(COS(RADIANS(o_totalprice)) * 1e6 + 0.5) / 1e6 AS cos_r,
+       FLOOR(ATAN2(o_totalprice, 100.0) * 1e6 + 0.5) / 1e6 AS at2,
+       FLOOR(DEGREES(ATAN(o_totalprice / 1000.0)) * 1e6 + 0.5) / 1e6 AS deg_at
 FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
 """
 

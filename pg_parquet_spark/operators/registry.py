@@ -86,6 +86,37 @@ RETIRED = {
         "conditional aggregate); retired 1-for-1 for q_dedup_semantic; "
         "stays oracle-checked locally"
     ),
+    "q_dedup_ngram_jaccard": (
+        "r11 (VERDICT r10 #4): the LSH near-dup tier is driver-covered "
+        "by q_dedup_minhash_lsh (same r8 cohort, re-verified r11) and "
+        "the exact tier by setsim.jaccard_join; retired 1-for-1 for "
+        "q_dedup_incremental_near; stays oracle-checked locally"
+    ),
+    "q_event_transitions": (
+        "r11 (VERDICT r10 #4): lead()-over-(user,time)-window shape "
+        "subsumed by q_funnel (same cohort — per-user ordered window + "
+        "aggregate); retired 1-for-1 for q_curate_corpus; stays "
+        "oracle-checked locally"
+    ),
+    "q_scalar_date": (
+        "r11 (VERDICT r10 #4): projection-only date-catalog scan merged "
+        "with q_scalar_date_arith (r10-green — same orders-date scan "
+        "shape; extraction functions year/month/day/date_trunc stay "
+        "oracle-checked locally); retired 1-for-1 for q_leakage_split"
+    ),
+    "q_io_json_roundtrip": (
+        "r11 (VERDICT r10 #4): same text-source write→schema-read→agg "
+        "roundtrip shape as q_io_csv_roundtrip (r9-green, due r12); the "
+        "JSON leg stays oracle-checked locally; retired 1-for-1 for "
+        "q_quality_classifier"
+    ),
+    "q_stream_dedup": (
+        "r11: superseded by q_stream_dedup_within_wm (r10-green) — the "
+        "bounded-state production variant of the same stateful "
+        "dropDuplicates drain + aggregate (the q_stream_sink_partitioned "
+        "precedent); unbounded tier stays oracle-checked locally; "
+        "retired 1-for-1 for q_text_bigram_logprob"
+    ),
 }
 
 #: Gates whose IMPLEMENTATION changed after their newest driver-green
@@ -94,77 +125,20 @@ RETIRED = {
 #: ordering while newest_green <= since; once re-verified the promotion
 #: expires on the next `apply`.
 PRIORITY_REFRESH = {
-    # q_window_percent_rank's r8 promotion expired: re-verified green r9.
-    "q_agg_rollup": {
-        "since": 9,
-        "reason": "474f485 pre-agg-before-Expand rewrite landed after its r7 green",
-    },
-    "q_agg_cube": {
-        "since": 9,
-        "reason": "5b7c692 pre-agg-before-Expand rewrite landed after its r8 green",
+    # rollup/cube r9 promotions expired: both re-verified green r10.
+    "q_scalar_misc": {
+        "since": 10,
+        "reason": "r11 ROUND→floor(x*1e6+0.5) trig determinism fix (ADVICE r10) landed after its r10 green",
     },
 }
 
 #: Generated by tools/rotation.py — edit via the tool, not by hand.
-REGISTRY_AS_OF = 9
+REGISTRY_AS_OF = 10
 
 GATE_ORDER = [
-    # -- never verified ----------------------------------------------
-    "q_dedup_semantic",
-    "q_dsir_select",
-    "q_rollup_ohlc",
+    # -- green r10 but CODE CHANGED (r11 ROUND→floor(x*1e6+0.5) trig determinism fix (ADVICE r10) landed after its r10 green) -
     "q_scalar_misc",
-    "q_scd2_merge",
-    "q_text_bm25",
-    # -- green r7 but CODE CHANGED (474f485 pre-agg-before-Expand rewrite landed after its r7 green) -
-    "q_agg_rollup",
-    # -- green r8 but CODE CHANGED (5b7c692 pre-agg-before-Expand rewrite landed after its r8 green) -
-    "q_agg_cube",
-    # -- green r7 ----------------------------------------------------
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q22_prospective_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q_agg_mode",
-    "q_agg_percentile_collect",
-    "q_data_mixture",
-    "q_dedup_segments",
-    "q_dedup_simhash",
-    "q_events_retention",
-    "q_explode_pos",
-    "q_io_bloom_read",
-    "q_join_inner_broadcast",
-    "q_min_max_by",
-    "q_multimodal_metadata",
-    "q_pivot",
-    "q_profile_columns",
-    "q_range_join",
-    "q_sample_deterministic",
-    "q_sample_stratified",
-    "q_scalar_date_arith",
-    "q_scalar_string_extra",
-    "q_sim_ann_lsh",
-    "q_sim_cosine_topk",
-    "q_sort_nulls",
-    "q_stream_dedup_within_wm",
-    "q_string_agg",
-    "q_text_fingerprint_rolling",
-    "q_text_unigram_logprob",
-    "q_topk_per_group",
-    "q_unpivot",
-    "q_window_frame",
     # -- green r8 ----------------------------------------------------
-    # ==== window cut at 50: entries below are NOT verified this round ====
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",
@@ -179,10 +153,8 @@ GATE_ORDER = [
     "q_dedup_embedding_cosine",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
     "q_dedup_normalized",
     "q_dedup_winnow",
-    "q_event_transitions",
     "q_except",
     "q_funnel",
     "q_intersect",
@@ -191,7 +163,6 @@ GATE_ORDER = [
     "q_io_file_metadata",
     "q_io_glob_read",
     "q_io_http_read",
-    "q_io_json_roundtrip",
     "q_io_list",
     "q_io_schema",
     "q_io_versioned_maintenance",
@@ -201,10 +172,8 @@ GATE_ORDER = [
     "q_multimodal_decode",
     "q_outlier_zscore",
     "q_pack_sequences",
-    "q_scalar_date",
     "q_sim_ann_ivf",
     "q_sim_ann_pq",
-    "q_stream_dedup",
     "q_stream_session",
     "q_stream_window",
     "q_text_chunk",
@@ -220,6 +189,7 @@ GATE_ORDER = [
     "q_embed_centroids",
     "q_exists_correlated",
     "q_feature_winsorize",
+    # ==== window cut at 50: entries below are NOT verified this round ====
     "q_grouping_sets",
     "q_io_coercion_read",
     "q_io_compact_partitions",
@@ -265,6 +235,56 @@ GATE_ORDER = [
     "q_window_ntile_dist",
     "q_window_percent_rank",
     "q_window_range_frame",
+    # -- green r10 ---------------------------------------------------
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q22_prospective_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q_agg_cube",
+    "q_agg_mode",
+    "q_agg_percentile_collect",
+    "q_agg_rollup",
+    "q_data_mixture",
+    "q_dedup_segments",
+    "q_dedup_semantic",
+    "q_dedup_simhash",
+    "q_dsir_select",
+    "q_events_retention",
+    "q_explode_pos",
+    "q_io_bloom_read",
+    "q_join_inner_broadcast",
+    "q_min_max_by",
+    "q_multimodal_metadata",
+    "q_pivot",
+    "q_profile_columns",
+    "q_range_join",
+    "q_rollup_ohlc",
+    "q_sample_deterministic",
+    "q_sample_stratified",
+    "q_scalar_date_arith",
+    "q_scalar_string_extra",
+    "q_scd2_merge",
+    "q_sim_ann_lsh",
+    "q_sim_cosine_topk",
+    "q_sort_nulls",
+    "q_stream_dedup_within_wm",
+    "q_string_agg",
+    "q_text_bm25",
+    "q_text_fingerprint_rolling",
+    "q_text_unigram_logprob",
+    "q_topk_per_group",
+    "q_unpivot",
+    "q_window_frame",
 ]
 
 
