@@ -37,6 +37,38 @@ def test_minhash_finds_planted_near_dup(spark):
     assert all(p.jaccard >= 0.5 for p in pairs)
 
 
+def test_minhash_hot_bucket_capped(spark):
+    """VERDICT r10 #2: a planted 200-doc duplicate class (one band
+    bucket per band, 19,900 all-pairs without the cap) is routed OUT of
+    the LSH tier by max_docs_per_band — zero pairs enumerated for the
+    hot class, while an ordinary planted near-dup pair in the same
+    corpus is still found."""
+    docs = table(spark, SF, "documents").limit(50)
+    boiler = spark.range(20000, 20200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("cookie policy accept all cookies to continue reading this site").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit(64).alias("n_chars"),
+    )
+    base = docs.filter(F.col("doc_id") == 0)
+    nd = base.select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(nd).unionByName(boiler)
+    pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", threshold=0.5).collect()
+    hot = [p for p in pairs if p.id_a >= 20000 and p.id_b >= 20000]
+    assert hot == [], f"hot-class pairs leaked through the cap: {len(hot)}"
+    assert any(p.id_a == 0 and p.id_b == 9000 for p in pairs)
+    # the hot class IS caught by the linear exact tier (the routing)
+    kept = dedup.dedup_exact(corpus, "doc_id").filter(
+        F.col("doc_id") >= 20000
+    ).collect()
+    assert len(kept) == 1 and kept[0].dup_count == 200
+
+
 def test_simhash_near_pairs_on_planted_dup(spark):
     docs = table(spark, SF, "documents").limit(100)
     clone = docs.filter(F.col("doc_id") == 5).select(

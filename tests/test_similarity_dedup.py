@@ -989,3 +989,45 @@ def test_incremental_near_dedup_lifecycle(spark, tmp_path):
     f2 = dedup.dedup_incremental_near(spark, b2, root, min_matches=10)
     r = f2.collect()[0]
     assert r.known_in_corpus is True and r.keep is False  # matches survivor 11
+
+
+def test_incremental_near_hot_bucket_capped(spark, tmp_path):
+    """VERDICT r10 #2 at the ingest tier: a 60-doc identical class in
+    the INDEX (over max_docs_per_band=50) is dropped from the candidate
+    join — a batch near-copy of it is NOT flagged near-known (the exact
+    tier owns massive duplicate classes), while a near-copy of an
+    ordinary indexed doc still is; a 60-doc identical class in the
+    BATCH likewise produces no within-batch drops."""
+    from pg_parquet_spark.operators import dedup
+
+    hot = "subscribe to our newsletter for updates delivered every morning"
+    normal = "the quick brown fox jumps over the lazy dog again and again"
+    idx_docs = spark.createDataFrame(
+        [(i, hot) for i in range(60)] + [(100, normal)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "mh_hot_idx")
+    dedup.build_minhash_index(idx_docs, root)
+
+    batch = spark.createDataFrame(
+        [(200, hot + " extra"), (201, normal + " extra")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.known_in_corpus, r.keep)
+        for r in dedup.dedup_incremental_near(
+            spark, batch, root, min_matches=10
+        ).collect()
+    }
+    assert got[200] == (False, True)  # hot index buckets capped out
+    assert got[201] == (True, False)  # ordinary near-dup still flagged
+
+    hot_batch = spark.createDataFrame(
+        [(300 + i, hot) for i in range(60)], "doc_id long, text string"
+    )
+    got2 = dedup.dedup_incremental_near(
+        spark, hot_batch, str(tmp_path / "mh_empty_idx"), min_matches=10
+    )
+    # no within-batch pair enumeration inside the over-cap bucket:
+    # every member survives here; the exact tier collapses the class
+    assert got2.filter("keep").count() == 60
