@@ -301,3 +301,36 @@ def test_embedding_psi_detects_encoder_shift(spark):
     )
     moved = drift.embedding_psi(emb, shifted, CENTROIDS)
     assert drift.psi_total(moved) / 1e12 > 0.25
+
+
+def test_psi_single_pass_over_upstream(spark):
+    """VERDICT r10 #2: psi_from_counts persists its two count frames
+    before the scalar actions, so a composed monitor's corpus-sized
+    upstream evaluates exactly ONCE per side — counted here with an
+    accumulator ticking per row through mapInPandas on the raw text
+    feed (previously 3 full passes: one per driver action)."""
+    docs = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .localCheckpoint()  # freeze upstream so only OUR wrapper ticks
+    )
+    n = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def ticking(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = docs.mapInPandas(ticking, "doc_id long, text string")
+    out = drift.text_psi(
+        counted.filter("doc_id % 2 = 0"), counted.filter("doc_id % 2 = 1")
+    )
+    assert out.count() > 0  # the table is already materialized
+    # each PSI side scans the shared feed once (the doc_id filter can't
+    # push through the opaque mapInPandas) → exactly 2n ticks; the
+    # pre-fix triple-action behavior measured 6n here
+    assert acc.value == 2 * n, (
+        f"upstream evaluated {acc.value / n:.1f}x (expected exactly 2x: "
+        "once per side)"
+    )
