@@ -1002,6 +1002,101 @@ def _dsir_oracle() -> str:
     return sampling.dsir_oracle_sql(frac=0.2, target_where="source = 'src13'")
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation recipe as ONE driver gate (r10 family,
+    r11 gate — VERDICT r10 #4's flagship): strip_html → token bounds →
+    normalized near-dup groups → leakage-safe group split, one plan,
+    one chained DuckDB oracle. Text is read once and drops before any
+    shuffle; see recipe.curate_corpus for per-stage scale evidence."""
+    from pg_parquet_spark.operators import recipe
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return recipe.curate_corpus(docs, min_tokens=5, max_tokens=5000)
+
+
+def _curate_oracle() -> str:
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.curate_oracle_sql(min_tokens=5, max_tokens=5000)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen NB log-odds quality classifier applied as plan literals
+    (r10 family, r11 gate): the GPT-3/LLaMA classifier-filter pass with
+    the model frozen in classifier_fixture (the ivf_fixture pattern) —
+    join-free integer scoring, (id, n_feats, logit_micro, keep)
+    replicates bit-exactly via the VALUES-join oracle."""
+    from pg_parquet_spark.operators import sampling
+    from pg_parquet_spark.operators.classifier_fixture import MODEL
+
+    docs = table(spark, sf_dir, "documents")
+    return sampling.apply_quality_classifier(docs, MODEL)
+
+
+def _quality_classifier_oracle() -> str:
+    from pg_parquet_spark.operators import sampling
+    from pg_parquet_spark.operators.classifier_fixture import MODEL
+
+    return sampling.classifier_oracle_sql(MODEL)
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid split (r10 family, r11 gate):
+    normalized-fingerprint near-dup groups split at GROUP granularity
+    (range-division ppm bucket since r11/ADVICE), so near-duplicates
+    never straddle the split — the contamination guarantee row-level
+    splitting cannot give."""
+    from pg_parquet_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    return sampling.leakage_safe_split(docs, valid_ppm=150_000)
+
+
+def _leakage_oracle() -> str:
+    from pg_parquet_spark.operators import sampling
+
+    return sampling.leakage_split_oracle_sql(valid_ppm=150_000)
+
+
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion against the persisted MinHash
+    signature index (r10 family, r11 gate — the near tier of
+    q_dedup_incremental): index built from even ids, the odd-id batch
+    flagged against it WITHOUT touching corpus text (band-bucket
+    candidates with the per-side hot-bucket cap, integer match-count
+    verification, SemDeDup within-batch rule)."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_mh_gate_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    dedup.build_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    flagged = dedup.dedup_incremental_near(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), idx, min_matches=6
+    )
+    return flagged.select("doc_id", "known_in_corpus", "keep").orderBy(
+        "doc_id"
+    )
+
+
+def _incremental_near_oracle() -> str:
+    return dedup.incremental_near_oracle_sql(
+        "doc_id % 2 = 0", "doc_id % 2 = 1", min_matches=6
+    )
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity scoring (r10 family, r11 gate): the rung
+    above q_text_unigram_logprob — catches improbable word SEQUENCES
+    (shuffled/glued text) that unigram frequency passes. Integer
+    micro-nat quantization before the per-doc fold; the corpus-sized
+    bigram vocab hash-joins, never broadcasts."""
+    docs = table(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs)
+
+
 QUERIES = {
     "q_text_features": q_text_features,
     "q_dedup_semantic": q_dedup_semantic,
@@ -1041,6 +1136,11 @@ QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_multimodal_metadata": q_multimodal_metadata,
     "q_multimodal_decode": q_multimodal_decode,
+    "q_curate_corpus": q_curate_corpus,
+    "q_quality_classifier": q_quality_classifier,
+    "q_leakage_split": q_leakage_split,
+    "q_dedup_incremental_near": q_dedup_incremental_near,
+    "q_text_bigram_logprob": q_text_bigram_logprob,
 }
 
 ORACLES = {
@@ -1082,4 +1182,9 @@ ORACLES = {
     "q_profile_columns": Q_PROFILE_ORACLE,
     "q_multimodal_metadata": Q_MULTIMODAL_META_ORACLE,
     "q_multimodal_decode": Q_MULTIMODAL_DECODE_ORACLE,
+    "q_curate_corpus": _curate_oracle(),
+    "q_quality_classifier": _quality_classifier_oracle(),
+    "q_leakage_split": _leakage_oracle(),
+    "q_dedup_incremental_near": _incremental_near_oracle(),
+    "q_text_bigram_logprob": text.bigram_oracle_sql(),
 }

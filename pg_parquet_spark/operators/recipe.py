@@ -107,8 +107,8 @@ WITH clean AS (
 )
 SELECT fp.{id_col}, fp.n_tokens, canon.group_id,
        fp.{id_col} = canon.group_id AS is_canonical,
-       CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(canon.group_id AS VARCHAR)), 1, 6))
-                 AS BIGINT) % 1000000 < {valid_ppm}
+       CASE WHEN (CAST(CONCAT('0x', substr(md5(CAST(canon.group_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) * 1000000) >> 24 < {valid_ppm}
             THEN 'valid' ELSE 'train' END AS split
 FROM fp JOIN canon USING (_fp)
 ORDER BY fp.{id_col}

@@ -136,6 +136,12 @@ PRIORITY_REFRESH = {
 REGISTRY_AS_OF = 10
 
 GATE_ORDER = [
+    # -- never verified ----------------------------------------------
+    "q_curate_corpus",
+    "q_dedup_incremental_near",
+    "q_leakage_split",
+    "q_quality_classifier",
+    "q_text_bigram_logprob",
     # -- green r10 but CODE CHANGED (r11 ROUND→floor(x*1e6+0.5) trig determinism fix (ADVICE r10) landed after its r10 green) -
     "q_scalar_misc",
     # -- green r8 ----------------------------------------------------
@@ -184,12 +190,12 @@ GATE_ORDER = [
     "q_timeseries_gapfill",
     "q_window_rank",
     # -- green r9 ----------------------------------------------------
+    # ==== window cut at 50: entries below are NOT verified this round ====
     "q_asof_join",
     "q_dedup_incremental",
     "q_embed_centroids",
     "q_exists_correlated",
     "q_feature_winsorize",
-    # ==== window cut at 50: entries below are NOT verified this round ====
     "q_grouping_sets",
     "q_io_coercion_read",
     "q_io_compact_partitions",

@@ -750,12 +750,22 @@ def split_by_group(
     pages straddling the split is exactly how eval contamination
     happens). Same content-hash mechanism as every selector in this
     module: reproducible across runs, engines, and cluster sizes; a
-    pure projection, zero shuffle."""
+    pure projection, zero shuffle.
+
+    The ppm bucket is RANGE division of the 2^24 md5-prefix space
+    ((prefix * 10^6) >> 24 — weighted_sample's u derivation), not
+    prefix % 10^6: the modulo over-weighted buckets 0..777215 by 1/16,
+    inflating the valid share ~1.3% above valid_ppm (ADVICE r10);
+    range division is within 2^-24 of the requested share."""
     if not 0 <= valid_ppm <= 1_000_000:
         raise ValueError(f"valid_ppm must be in [0, 1e6], got {valid_ppm}")
-    bucket = F.conv(
-        F.substring(F.md5(F.col(group_col).cast("string")), 1, 6), 16, 10
-    ).cast("long") % F.lit(1_000_000)
+    bucket = F.shiftright(
+        F.conv(
+            F.substring(F.md5(F.col(group_col).cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        * F.lit(1_000_000),
+        24,
+    )
     return df.withColumn(
         split_col,
         F.when(bucket < valid_ppm, F.lit("valid")).otherwise(F.lit("train")),
@@ -803,8 +813,8 @@ def leakage_split_oracle_sql(
     table: str = "documents",
 ) -> str:
     """DuckDB replica: identical fingerprint rendering (the
-    q_dedup_normalized oracle), identical md5-prefix bucket and
-    threshold."""
+    q_dedup_normalized oracle), identical md5-prefix range-division
+    bucket and threshold."""
     fp = (
         f"md5(array_to_string(list_sort(list_distinct("
         f"string_split(lower({text_col}), ' '))), ' '))"
@@ -816,8 +826,8 @@ WITH fp AS (
   SELECT _fp, MIN({id_col}) AS group_id FROM fp GROUP BY 1
 )
 SELECT fp.{id_col}, canon.group_id,
-       CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(canon.group_id AS VARCHAR)), 1, 6))
-                 AS BIGINT) % 1000000 < {valid_ppm}
+       CASE WHEN (CAST(CONCAT('0x', substr(md5(CAST(canon.group_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) * 1000000) >> 24 < {valid_ppm}
             THEN 'valid' ELSE 'train' END AS split
 FROM fp JOIN canon USING (_fp)
 ORDER BY fp.{id_col}

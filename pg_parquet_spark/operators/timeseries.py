@@ -293,7 +293,13 @@ def interpolate_gaps(
         .groupBy(key_col, "day")
         .agg(F.sum("_vm").alias("vm"))
     )
-    guarded_vm = F.when(F.col("vm") >= 0, F.col("vm")).otherwise(
+    # NULL vm = a day whose values were ALL NULL (SUM over nothing):
+    # it passes the guard untouched and flows as a GAP — exactly what
+    # the oracle computes — instead of tripping the negative-total
+    # error via NULL >= 0 evaluating NULL (ADVICE r10)
+    guarded_vm = F.when(
+        F.col("vm").isNull() | (F.col("vm") >= 0), F.col("vm")
+    ).otherwise(
         F.raise_error(
             F.lit(
                 "interpolate_gaps: negative day totals break integer-"

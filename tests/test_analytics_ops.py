@@ -692,3 +692,33 @@ def test_strip_html_property_plain_text_fixed_point(spark):
             assert got[i] == " ".join(t.split()), repr(t)
 
     check()
+
+
+def test_interpolate_gaps_all_null_day_is_gap(spark):
+    """ADVICE r10: a day whose values are ALL NULL must flow as a GAP
+    (the oracle's semantics) instead of tripping the negative-total
+    guard via NULL >= 0; genuinely negative day totals still fail
+    fast with the parity message."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import timeseries as ts_ops
+
+    ev = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 1.0),
+            ("k", "2024-01-02 00:00:00", None),
+            ("k", "2024-01-03 00:00:00", 3.0),
+        ],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.day.isoformat(): r for r in ts_ops.interpolate_gaps(ev).collect()}
+    assert out["2024-01-02"].is_gap is True
+    assert out["2024-01-02"].filled_milli == 2000  # (1000+3000) div 2
+    assert out["2024-01-01"].filled_milli == 1000
+
+    neg = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", -1.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with _pytest.raises(Exception, match="negative day totals"):
+        ts_ops.interpolate_gaps(neg).collect()
