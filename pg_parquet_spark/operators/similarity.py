@@ -1365,6 +1365,12 @@ def _probe_cells_py(
     return order[:nprobe]
 
 
+#: Batch-search bound: query vectors collect driver-side (the
+#: model-literal pattern's bounded set) — a frame beyond this is a
+#: corpus, not a query batch, and belongs in a cell-keyed join.
+MAX_INDEX_QUERIES = 1024
+
+
 def ivf_index_topk(
     spark,
     root_uri: str,
@@ -1374,38 +1380,88 @@ def ivf_index_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Search a persisted IVF index (``build_ivf_index``): compute the
+    """Search a persisted IVF index (``build_ivf_index``): compute each
     query's ``nprobe`` nearest cells DRIVER-SIDE over the literal
-    centroid matrix (the query is one bounded row — model-fitting
-    collect, like the PQ ADC tables), read ONLY those hive partitions
-    through the engine reader (partition pruning — the scan's
-    PartitionFilters carry the cell list and the file listing never
-    visits the other n_cells − nprobe directories), exact-cosine
-    re-rank inside. Returns the same (id, cosine_sim) top-k as the
-    in-memory ``ivf_topk`` with the same quantizer — asserted in tests
-    against both ivf_topk and the DuckDB oracle."""
+    centroid matrix (queries are a bounded set — model-fitting collect,
+    like the PQ ADC tables, capped at MAX_INDEX_QUERIES), read ONLY the
+    UNION of probed hive partitions through the engine reader
+    (partition pruning — the scan's PartitionFilters carry the cell
+    list and the file listing never visits the unprobed directories),
+    exact-cosine re-rank inside.
+
+    Single-row ``query_df`` (the r10 surface, byte-identical): returns
+    (id, cosine_sim) top-k, same as in-memory ``ivf_topk``.
+
+    Multi-row ``query_df`` (r11, VERDICT r10 minor): must carry
+    ``query_id_col``; returns (query_id, id, cosine_sim) — per-query
+    top-k via one window over the SINGLE pruned scan, equal to N
+    independent single-query calls (each query scores only its own
+    probed cells: the ≤MAX_INDEX_QUERIES query rows broadcast-join the
+    scan on array_contains(probe_cells, cell), so no query sees
+    another's cells and the corpus is read once)."""
     from pg_parquet_spark.sources.reader import read_parquet
 
-    qrows = query_df.select(F.col(vec_col)).take(2)
-    if not qrows:
-        raise ValueError("query_df is empty — IVF search needs one query vector")
-    if len(qrows) > 1:
+    head = query_df.take(MAX_INDEX_QUERIES + 1)
+    if not head:
+        raise ValueError("query_df is empty — IVF search needs a query vector")
+    if len(head) > MAX_INDEX_QUERIES:
         raise ValueError(
-            "query_df must contain exactly one query vector "
-            "(got several) — loop queries driver-side or union results"
+            f"query_df holds more than {MAX_INDEX_QUERIES} rows — that is "
+            "a corpus, not a query batch; use a cell-keyed join instead"
         )
-    qvec = [float(x) for x in qrows[0][0]]
-    cells = _probe_cells_py(qvec, centroids, nprobe)
+    if len(head) == 1:
+        qvec = [float(x) for x in head[0][vec_col]]
+        cells = _probe_cells_py(qvec, centroids, nprobe)
+        corpus = read_parquet(
+            spark, root_uri, where=f"cell IN ({', '.join(str(c) for c in cells)})"
+        )
+        qlit = F.array(*[F.lit(x) for x in qvec])
+        cos = _exact_cosine(F.col(vec_col), qlit)
+        return (
+            corpus.select(F.col(id_col), cos.alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+            .limit(k)
+        )
+
+    if query_id_col not in query_df.columns:
+        raise ValueError(
+            f"multi-row query_df needs a {query_id_col!r} column to key "
+            "the per-query result sets"
+        )
+    from pyspark.sql.window import Window
+
+    qmeta = [
+        (
+            int(r[query_id_col]),
+            [float(x) for x in r[vec_col]],
+            _probe_cells_py([float(x) for x in r[vec_col]], centroids, nprobe),
+        )
+        for r in head
+    ]
+    all_cells = sorted({c for _, _, pc in qmeta for c in pc})
     corpus = read_parquet(
-        spark, root_uri, where=f"cell IN ({', '.join(str(c) for c in cells)})"
+        spark, root_uri, where=f"cell IN ({', '.join(str(c) for c in all_cells)})"
     )
-    qlit = F.array(*[F.lit(x) for x in qvec])
-    cos = _exact_cosine(F.col(vec_col), qlit)
+    qframe = spark.createDataFrame(
+        qmeta,
+        f"{query_id_col} long, _qvec array<double>, _probe array<int>",
+    )
+    cos = _exact_cosine(F.col(vec_col), F.col("_qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
     return (
-        corpus.select(F.col(id_col), cos.alias("cosine_sim"))
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-        .limit(k)
+        corpus.join(
+            F.broadcast(qframe),
+            F.array_contains(F.col("_probe"), F.col("cell").cast("int")),
+        )
+        .select(query_id_col, F.col(id_col), cos.alias("cosine_sim"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .orderBy(query_id_col, F.col("cosine_sim").desc(), id_col)
     )
 
 
