@@ -496,3 +496,165 @@ def test_streaming_curation_drain(spark, tmp_path):
         sdf3, corpus, index, min_tokens=5, min_matches=10, checkpoint=ckpt
     )
     assert layout.read_manifest(corpus)["version"] == vc
+
+
+def test_streaming_curation_crash_between_corpus_and_signatures(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 #7: the curation drain's partial-commit drill.
+    Tranche 2's corpus publish lands but the signature MERGE crashes
+    (the window between the two pointers); the replay must re-flag
+    against the pre-crash index, skip the already-published corpus
+    batch (manifest gate), and land exactly the missing signatures —
+    after which the index equals the signatures of the corpus it
+    indexes bit-for-bit and a near-dup of the healed doc is caught."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import dedup
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_curation
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "wholly different content about parquet engines one two three"
+    schema = "doc_id long, text string"
+    t1 = spark.createDataFrame([(1, f"<p>{base}</p>")], schema)
+    t2 = spark.createDataFrame([(2, f"<p>{other}</p>")], schema)
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_curation(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, min_tokens=5, min_matches=10, checkpoint=ckpt,
+    )
+    assert layout.read_versioned(spark, index).count() == 1
+
+    # arm the crash: the signature MERGE dies AFTER the corpus publish
+    real_merge = layout.merge_upsert
+
+    def crashing_merge(spark_, root, *a, **kw):
+        if root.rstrip("/") == index:
+            raise RuntimeError("simulated crash before signature commit")
+        return real_merge(spark_, root, *a, **kw)
+
+    monkeypatch.setattr(layout, "merge_upsert", crashing_merge)
+    t2.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="simulated crash"):
+        drain_with_curation(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, index, min_tokens=5, min_matches=10, checkpoint=ckpt,
+        )
+    monkeypatch.setattr(layout, "merge_upsert", real_merge)
+
+    # the crash window is real: corpus has doc 2, the index does not
+    assert {r.doc_id for r in read_parquet(spark, corpus).collect()} == {1, 2}
+    assert layout.read_versioned(spark, index).count() == 1
+
+    # replay heals: corpus batch skipped by manifest, signature lands
+    cv = layout.read_manifest(corpus)["version"]
+    drain_with_curation(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, min_tokens=5, min_matches=10, checkpoint=ckpt,
+    )
+    assert layout.read_manifest(corpus)["version"] == cv  # no re-publish
+    assert layout.read_versioned(spark, index).count() == 2
+
+    # the healed index equals the signatures of the corpus bit-for-bit
+    got_idx = sorted(
+        map(tuple, layout.read_versioned(spark, index).collect())
+    )
+    want_idx = sorted(
+        map(
+            tuple,
+            dedup._sig_band_frame(
+                read_parquet(spark, corpus), "doc_id", "text"
+            )
+            .withColumnRenamed("_id", "owner_id")
+            .collect(),
+        )
+    )
+    assert got_idx == want_idx
+
+    # and it WORKS: a near-dup of the healed doc 2 publishes nothing
+    t3 = spark.createDataFrame([(3, f"<p>{other} extra</p>")], schema)
+    t3.coalesce(1).write.mode("append").parquet(src)
+    drain_with_curation(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, min_tokens=5, min_matches=10, checkpoint=ckpt,
+    )
+    assert {r.doc_id for r in read_parquet(spark, corpus).collect()} == {1, 2}
+
+
+def test_streaming_quality_filter_crash_mid_publish(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 #7, quality-filter drain: crash INSIDE the corpus
+    publish (batch dir staged, pointer never flips). The reader must
+    never see the half-landed batch; the replay re-stages and flips,
+    and the final corpus equals a from-scratch no-crash drain —
+    rejects stay out, keeps land exactly once."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators.classifier_fixture import MODEL
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_quality_filter
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    t1 = docs.filter("doc_id % 2 = 0")
+    t2 = docs.filter("doc_id % 2 = 1")
+
+    # the frozen model scores this synthetic corpus uniformly negative
+    # (bias ln(N_pos/N_neg) dominates); a mid-distribution threshold
+    # makes BOTH filter outcomes populated, which is what the drill
+    # needs (rejects must stay out across the crash)
+    thr = -10_700_000
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_quality_filter(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, MODEL, threshold_micro=thr, checkpoint=ckpt,
+    )
+    n1 = read_parquet(spark, corpus).count()
+    assert 0 < n1 < t1.count()
+
+    real_pub = layout._publish_manifest
+
+    def crashing_pub(root, manifest, **kw):
+        if root.rstrip("/") == corpus and manifest["version"] > 1:
+            raise RuntimeError("simulated crash mid publish")
+        return real_pub(root, manifest, **kw)
+
+    monkeypatch.setattr(layout, "_publish_manifest", crashing_pub)
+    t2.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="simulated crash"):
+        drain_with_quality_filter(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, MODEL, threshold_micro=thr, checkpoint=ckpt,
+        )
+    monkeypatch.setattr(layout, "_publish_manifest", real_pub)
+
+    # pointer never flipped: readers still see exactly tranche 1
+    assert read_parquet(spark, corpus).count() == n1
+
+    # replay re-stages the dir and flips; equals a no-crash drain
+    drain_with_quality_filter(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, MODEL, threshold_micro=thr, checkpoint=ckpt,
+    )
+    ref_corpus = str(tmp_path / "ref_corpus")
+    drain_with_quality_filter(
+        spark.readStream.schema(t1.schema).parquet(src),
+        ref_corpus, MODEL, threshold_micro=thr, checkpoint=str(tmp_path / "ref_ckpt"),
+    )
+    got = sorted(
+        map(tuple, read_parquet(spark, corpus).select("doc_id", "text").collect())
+    )
+    want = sorted(
+        map(tuple, read_parquet(spark, ref_corpus).select("doc_id", "text").collect())
+    )
+    assert got == want and len(got) > n1
