@@ -1082,6 +1082,164 @@ ORDER BY d.doc_id
 """
 
 
+def near_contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_matches: int = 12,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    max_docs_per_band: int = MAX_DOCS_PER_BAND,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination (r11) — the MinHash
+    tier above :func:`contamination_flags`: flag corpus documents whose
+    signature shares a band bucket with any evaluation document AND
+    agrees on ≥ ``min_matches`` of ``num_hashes`` components (12/16 ≈
+    J ≥ 0.75). The exact n-gram tier catches verbatim test leakage;
+    this tier catches PARAPHRASED/reformatted copies (the fuzzy
+    decontamination public LLM data reports describe for exactly the
+    cases n-gram overlap misses). Returns (id, near_contaminated),
+    ordered.
+
+    Scale shape: both corpora reduce to ~100 B/doc signatures before
+    anything joins (text never shuffles); the benchmark side is tiny
+    (megabytes — AQE broadcasts it); band buckets are capped per side
+    (MAX_DOCS_PER_BAND), so the candidate join is bounded at cap² per
+    bucket regardless of corpus size. Verification compares 16 ints
+    per candidate. This is the cross-corpus rendition of
+    :func:`dedup_incremental_near`'s index join."""
+    release_cached()
+    sig_c = _sig_band_frame(
+        df.select(id_col, text_col), id_col, text_col, num_hashes, bands
+    ).persist()
+    _CACHED_FRAMES.append(sig_c)
+    sig_b = _sig_band_frame(
+        benchmark.select(id_col, text_col), id_col, text_col, num_hashes, bands
+    ).persist()
+    _CACHED_FRAMES.append(sig_b)
+    ec = _cap_band_buckets(_explode_bands(sig_c, bands), max_docs_per_band)
+    eb = _cap_band_buckets(_explode_bands(sig_b, bands), max_docs_per_band)
+    cand = (
+        ec.join(
+            eb.select("band_idx", "key", F.col("_id").alias("_bid")),
+            ["band_idx", "key"],
+        )
+        .select(F.col("_id").alias("_cid"), "_bid")
+        .dropDuplicates(["_cid", "_bid"])
+    )
+    a_side = sig_c.select(
+        F.col("_id").alias("_cid"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(num_hashes)],
+    )
+    b_side = sig_b.select(
+        F.col("_id").alias("_bid"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(num_hashes)],
+    )
+    near = (
+        cand.join(a_side, "_cid")
+        .join(b_side, "_bid")
+        .withColumn("_m", _sig_matches(num_hashes))
+        .filter(F.col("_m") >= min_matches)
+        .select(F.col("_cid").alias(id_col))
+        .distinct()
+        .withColumn("_nc", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_nc", F.lit(False)).alias("near_contaminated"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def near_contamination_oracle_sql(
+    corpus_where: str,
+    bench_where: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_matches: int = 12,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    max_docs_per_band: int = MAX_DOCS_PER_BAND,
+) -> str:
+    """DuckDB replica of near_contamination_flags where corpus and
+    benchmark are DISJOINT predicate splits of ``table`` (the
+    incremental_near staging: identical signatures, per-side
+    hot-bucket cap, integer match-count verification)."""
+    rows_per_band = num_hashes // bands
+    p = MINHASH_PRIME
+    mh_exprs = ",\n    ".join(
+        f"list_min(list_transform(h, x -> ({MINHASH_COEFFS[j][0]} * x + {MINHASH_COEFFS[j][1]}) % {p})) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    band_exprs = ",\n    ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT _id, side, {b} AS band_idx, band{b} AS key FROM sig2"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS _id, string_split(lower({text_col}), ' ') AS t,
+         CASE WHEN {bench_where} THEN 'bench' ELSE 'corpus' END AS side
+  FROM {table} WHERE ({corpus_where}) OR ({bench_where})
+), sh_t AS (
+  SELECT _id, side, list_distinct(list_transform(
+    range(1, greatest(len(t) - 1, 1) + 1),
+    i -> t[i] || ' ' || coalesce(t[i + 1], ''))) AS sh
+  FROM toks
+), hashed AS (
+  SELECT _id, side,
+    list_transform(sh,
+      s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % {p}) AS h
+  FROM sh_t
+), sig AS (
+  SELECT _id, side,
+    {mh_exprs}
+  FROM hashed
+), sig2 AS (
+  SELECT *,
+    {band_exprs}
+  FROM sig
+), exploded AS (
+  {band_union}
+), capd AS (
+  SELECT side, band_idx, key FROM exploded
+  GROUP BY side, band_idx, key HAVING COUNT(*) <= {max_docs_per_band}
+), ee AS (
+  SELECT e.* FROM exploded e JOIN capd USING (side, band_idx, key)
+), near AS (
+  SELECT DISTINCT a._id
+  FROM sig2 a JOIN sig2 b
+    ON a.side = 'corpus' AND b.side = 'bench'
+   AND EXISTS (
+     SELECT 1 FROM ee ea JOIN ee eb
+       ON ea.band_idx = eb.band_idx AND ea.key = eb.key
+     WHERE ea._id = a._id AND eb._id = b._id)
+  WHERE {matches} >= {min_matches}
+)
+SELECT s._id AS {id_col},
+       s._id IN (SELECT _id FROM near) AS near_contaminated
+FROM sig2 s WHERE s.side = 'corpus'
+ORDER BY s._id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-span detection (exhaustive L-grams)
 

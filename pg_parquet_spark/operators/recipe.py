@@ -115,6 +115,90 @@ ORDER BY fp.{id_col}
 """
 
 
+def classifier_canonical(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware canonical selection (r11 composition): near-dup
+    clusters keep their HIGHEST-classifier-logit member instead of an
+    arbitrary one — when a boilerplate family has one clean rendition
+    and four mangled ones, the clean one survives. Composes three
+    proven pieces into one plan: MinHash-LSH clusters
+    (``dedup.near_dup_clusters``), the frozen literal-weight classifier
+    (``sampling.apply_quality_classifier``), and the representative
+    rule (``dedup.canonical_per_cluster`` with the logit as quality,
+    ties to the smallest id). Returns (id, cluster_id, keep), ordered.
+
+    Scale shape = the parts': signatures and scoring are projections
+    (weights in the plan, zero joins for scoring); clusters touch only
+    paired docs; the final decision join moves ids + one long."""
+    from pg_parquet_spark.operators import dedup
+    from pg_parquet_spark.operators.sampling import apply_quality_classifier
+
+    scores = apply_quality_classifier(
+        df, model, id_col=id_col, text_col=text_col
+    ).select(id_col, "logit_micro")
+    scored = df.select(id_col, text_col).join(scores, id_col)
+    clusters = dedup.near_dup_clusters(
+        scored, id_col, pairs=dedup.minhash_lsh_pairs(scored, id_col, text_col)
+    )
+    return dedup.canonical_per_cluster(
+        scored, id_col, quality_col="logit_micro", clusters=clusters
+    )
+
+
+def classifier_canonical_oracle_sql(
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica chaining the cluster closure, the VALUES-join
+    classifier logit, and the (logit DESC, id ASC) representative
+    rank."""
+    from pg_parquet_spark.operators.dedup import near_dup_clusters_oracle_sql
+
+    n_buckets = model["n_buckets"]
+    w = model["w_micro"]
+    if w:
+        values = ", ".join(f"({int(b)}, {int(m)})" for b, m in sorted(w.items()))
+        wjoin = f"LEFT JOIN (VALUES {values}) AS wt(f, wm) USING (f)"
+    else:
+        wjoin = (
+            "LEFT JOIN (SELECT NULL::BIGINT AS f, NULL::BIGINT AS wm "
+            "WHERE false) wt USING (f)"
+        )
+    return f"""
+WITH labeled AS (
+  SELECT * FROM ({near_dup_clusters_oracle_sql()}) t
+), ex AS (
+  SELECT {id_col},
+         CAST(CONCAT('0x', substr(md5(w), 1, 6)) AS BIGINT) % {n_buckets} AS f
+  FROM (SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS w
+        FROM {table})
+), logits AS (
+  SELECT {id_col},
+         CAST(SUM(COALESCE(wm, 0)) + {int(model["bias_micro"])} AS BIGINT)
+           AS logit_micro
+  FROM ex {wjoin}
+  GROUP BY {id_col}
+), ranked AS (
+  SELECT l.{id_col}, l.cluster_id,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY s.logit_micro DESC, l.{id_col} ASC)
+           AS rk
+  FROM labeled l JOIN logits s USING ({id_col})
+)
+SELECT d.{id_col},
+       COALESCE(r.cluster_id, d.{id_col}) AS cluster_id,
+       (r.rk IS NULL OR r.rk = 1) AS keep
+FROM {table} d LEFT JOIN ranked r USING ({id_col})
+ORDER BY d.{id_col}
+"""
+
+
 def corpus_datacard(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -92,3 +92,55 @@ def test_corpus_datacard_counts_planted_dups(spark):
     assert card.n_docs == 4 and card.n_unique_normalized == 3
     assert card.dup_ratio_ppm == 250_000
     assert card.n_sources == 2 and card.total_tokens == 13
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_classifier_canonical_matches_oracle(spark, sf):
+    """r11: quality-aware canonical selection — near-dup clusters keep
+    the highest-classifier-logit member; the full (id, cluster_id,
+    keep) table replicates the chained DuckDB oracle (cluster closure
+    + VALUES-join logits + representative rank) bit-exactly."""
+    from pg_parquet_spark.operators.classifier_fixture import MODEL
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    got = recipe.classifier_canonical(docs, MODEL).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        recipe.classifier_canonical_oracle_sql(MODEL)
+    ).df()
+    assert len(got) == len(want) == docs.count()
+    for c in ("doc_id", "cluster_id", "keep"):
+        assert list(got[c]) == list(want[c]), c
+    assert (~got["keep"]).sum() > 0  # some near-dups actually dropped
+
+
+def test_classifier_canonical_keeps_best_not_smallest(spark):
+    """The rule's reason to exist: in a planted near-dup family the
+    CLEANEST member wins even when a lower id exists (min-id canonical
+    would keep the mangled copy)."""
+    from pg_parquet_spark.operators import sampling
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base + " zz qq xx vv kk"),       # mangled copy, smaller id
+        (2, base),                           # clean rendition
+        (3, "wholly different content about parquet engines one two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # train a tiny model where the mangled junk tokens are negatives
+    model = sampling.train_quality_classifier(
+        spark.createDataFrame([(10, base)], "doc_id long, text string"),
+        spark.createDataFrame(
+            [(11, "zz qq xx vv kk")], "doc_id long, text string"
+        ),
+        n_buckets=64,
+    )
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in
+           recipe.classifier_canonical(df, model).collect()}
+    assert out[1][0] == out[2][0] == 1     # one cluster, min-id label
+    assert out[2][1] is True               # the CLEAN doc is kept
+    assert out[1][1] is False              # not the smallest id
+    assert out[3][1] is True               # unclustered stays

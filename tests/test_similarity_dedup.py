@@ -1095,3 +1095,73 @@ def test_ivf_index_topk_batch_queries(spark, tmp_path):
         similarity.ivf_index_topk(
             spark, root, emb.limit(3), CENTROIDS, k=5, nprobe=2
         )
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_near_contamination_matches_oracle(spark, sf):
+    """r11: MinHash-tier decontamination — (id, near_contaminated)
+    over a corpus/benchmark predicate split replicates the DuckDB
+    oracle bit-exactly (signatures, per-side hot-bucket cap, integer
+    match verification)."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter("doc_id % 20 <> 0")
+    bench = docs.filter("doc_id % 20 = 0")
+    got = dedup.near_contamination_flags(
+        corpus, bench, min_matches=6
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        dedup.near_contamination_oracle_sql(
+            "doc_id % 20 <> 0", "doc_id % 20 = 0", min_matches=6
+        )
+    ).df()
+    assert len(got) == len(want) == corpus.count()
+    for c in ("doc_id", "near_contaminated"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_near_contamination_catches_paraphrase_exact_tier_misses(spark):
+    """The tier's reason to exist: a benchmark doc copied with every
+    5th word REPLACED shares ZERO 5-grams (the exact tier's signal is
+    gone by construction — every 5-gram spans a replaced position) but
+    keeps ~60% of its bigram shingles, so the MinHash tier flags it
+    (2-row bands here: at J≈0.45 a 4-row band collides with p=J⁴≈4%,
+    the narrow-band config is the fuzzy-decontamination posture)."""
+    words = [f"tok{i}" for i in range(40)]
+    bench_text = " ".join(words)
+    para = " ".join(
+        (f"sub{i}" if i % 5 == 0 else w) for i, w in enumerate(words)
+    )
+    bench = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, para), (2, "wholly unrelated content about parquet engines")],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.contaminated
+        for r in dedup.contamination_flags(
+            corpus, bench, ngram=5, min_shared=1
+        ).collect()
+    }
+    assert exact == {1: False, 2: False}  # exact tier blind to it
+    near = {
+        r.doc_id: r.near_contaminated
+        for r in dedup.near_contamination_flags(
+            corpus, bench, min_matches=5, bands=8
+        ).collect()
+    }
+    assert near == {1: True, 2: False}
