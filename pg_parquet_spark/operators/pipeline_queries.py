@@ -1087,6 +1087,26 @@ def _incremental_near_oracle() -> str:
     )
 
 
+def q_near_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination (r11 family + gate):
+    the MinHash tier above q_text_decontaminate's exact n-gram overlap
+    — flags corpus docs that are paraphrased/reformatted copies of an
+    eval doc (zero shared 5-grams is still flaggable). Corpus = ids
+    %20 != 0, benchmark = ids %20 == 0; band-bucket candidates with
+    the per-side hot-bucket cap, integer match-count verification."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.near_contamination_flags(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        min_matches=6,
+    )
+
+
+Q_NEAR_DECONTAMINATE_ORACLE = dedup.near_contamination_oracle_sql(
+    "doc_id % 20 <> 0", "doc_id % 20 = 0", min_matches=6
+)
+
+
 def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM perplexity scoring (r10 family, r11 gate): the rung
     above q_text_unigram_logprob — catches improbable word SEQUENCES
@@ -1141,6 +1161,7 @@ QUERIES = {
     "q_leakage_split": q_leakage_split,
     "q_dedup_incremental_near": q_dedup_incremental_near,
     "q_text_bigram_logprob": q_text_bigram_logprob,
+    "q_near_decontaminate": q_near_decontaminate,
 }
 
 ORACLES = {
@@ -1187,4 +1208,5 @@ ORACLES = {
     "q_leakage_split": _leakage_oracle(),
     "q_dedup_incremental_near": _incremental_near_oracle(),
     "q_text_bigram_logprob": text.bigram_oracle_sql(),
+    "q_near_decontaminate": Q_NEAR_DECONTAMINATE_ORACLE,
 }

@@ -117,6 +117,13 @@ RETIRED = {
         "precedent); unbounded tier stays oracle-checked locally; "
         "retired 1-for-1 for q_text_bigram_logprob"
     ),
+    "q4_order_priority": (
+        "r11: filtered-semi-join + count-aggregate shape driver-covered "
+        "by q_exists_correlated (correlated EXISTS, r9-green) + "
+        "q_join_semi + q_agg_filtered (the q12/q14 thinnest-TPC-H "
+        "precedent); stays oracle-checked locally; retired 1-for-1 for "
+        "q_near_decontaminate"
+    ),
 }
 
 #: Gates whose IMPLEMENTATION changed after their newest driver-green
@@ -140,6 +147,7 @@ GATE_ORDER = [
     "q_curate_corpus",
     "q_dedup_incremental_near",
     "q_leakage_split",
+    "q_near_decontaminate",
     "q_quality_classifier",
     "q_text_bigram_logprob",
     # -- green r10 but CODE CHANGED (r11 ROUND→floor(x*1e6+0.5) trig determinism fix (ADVICE r10) landed after its r10 green) -
@@ -148,7 +156,6 @@ GATE_ORDER = [
     "q20_potential_promotion",
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",
-    "q4_order_priority",
     "q6_forecast_revenue",
     "q9_product_type_profit",
     "q_agg_distinct",

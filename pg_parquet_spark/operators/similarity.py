@@ -1503,3 +1503,178 @@ def ivf_index_upsert(
         check_partition_stability=True,
         versioned=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA over embeddings (r11): exact-integer moments + driver-side power
+# iteration — the whitening/dimensionality-reduction pass that fronts
+# ANN indexing and embedding-drift dashboards.
+
+
+def pca_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_components: int = 2,
+    iters: int = 24,
+) -> dict:
+    """Fit the top ``n_components`` principal directions of an
+    embedding column and return a FROZEN projection model (the
+    ivf_train/classifier pattern: moments reduce on the cluster, the
+    tiny model computes driver-side and applies as plan literals).
+
+    Determinism contract: components quantize to integer micro-units
+    (floor(v·10⁶ + 0.5)) before ANY cross-row math, so the raw second
+    moments are exact-integer sums (DECIMAL(38,0) — partitioning- and
+    scale-independent; verified 1-vs-32-partition identical);
+    covariance, power iteration (fixed all-ones start, fixed ``iters``,
+    deflation between components), and normalization run driver-side
+    in plain Python floats — one fixed IEEE sequence, reproducible
+    everywhere. Sign fixed by making the largest-|w| coordinate
+    positive.
+
+    Scale shape: one explode into (id, dim, q) — n·dims narrow rows —
+    then an id-keyed self-join bounded to the dims(dims+1)/2 upper
+    triangle and an (i, j)-grouped exact sum: shuffle ∝ n·dims², group
+    count = 2,080 rows at 64 dims. The model is a few KB. At extreme
+    row counts the micro-unit products stay exact in DECIMAL(38,0)
+    (10³⁸ headroom ≈ 10¹⁴ rows at unit-scale embeddings)."""
+    import math
+
+    q_micro = F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.posexplode(F.col(vec_col)).alias("d", "v"))
+        .select("_id", "d", q_micro.alias("q"))
+    )
+    n = df.count()
+    if n < 2:
+        raise ValueError(f"pca_train needs at least 2 rows, got {n}")
+    sums = {
+        r.d: int(r.s)
+        for r in ex.groupBy("d").agg(F.sum("q").alias("s")).collect()
+    }
+    a = ex.select("_id", F.col("d").alias("i"), F.col("q").alias("qi"))
+    b = ex.select("_id", F.col("d").alias("j"), F.col("q").alias("qj"))
+    prods = (
+        a.join(b, "_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("p")
+        )
+        .collect()
+    )
+    cov = [[0.0] * dims for _ in range(dims)]
+    for r in prods:
+        i, j = int(r.i), int(r.j)
+        v = float(r.p) / n - (sums.get(i, 0) / n) * (sums.get(j, 0) / n)
+        cov[i][j] = v
+        cov[j][i] = v
+
+    def _matvec(m, w):
+        out = []
+        for i in range(dims):
+            acc = 0.0
+            row = m[i]
+            for j in range(dims):
+                acc = acc + row[j] * w[j]
+            out.append(acc)
+        return out
+
+    def _norm(w):
+        acc = 0.0
+        for x in w:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    components, eigvals = [], []
+    work = [row[:] for row in cov]
+    for _ in range(n_components):
+        w = [1.0] * dims
+        nm = _norm(w)
+        w = [x / nm for x in w]
+        for _it in range(iters):
+            w = _matvec(work, w)
+            nm = _norm(w)
+            if nm == 0.0:
+                w = [1.0] + [0.0] * (dims - 1)
+                nm = 1.0
+            w = [x / nm for x in w]
+        lam = 0.0
+        mv = _matvec(work, w)
+        for d in range(dims):
+            lam = lam + w[d] * mv[d]
+        pivot = max(range(dims), key=lambda d: abs(w[d]))
+        if w[pivot] < 0:
+            w = [-x for x in w]
+        components.append(w)
+        eigvals.append(lam)
+        for i in range(dims):  # deflate: work -= lam * w wᵀ
+            for j in range(dims):
+                work[i][j] = work[i][j] - lam * w[i] * w[j]
+    return {
+        "mean_micro": [sums.get(d, 0) / n for d in range(dims)],
+        "components": components,
+        "eigvals_micro2": eigvals,
+        "dims": dims,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the frozen principal directions
+    (``pca_train``): pc_c = Σ_d (q_d − mean_d)·w_cd over integer
+    micro-unit components, the sum an explicit left-associated chain
+    (the engine-exact fold shared with the DuckDB oracle rendering),
+    quantized back to integer micro-units. Pure projection — zero
+    joins, zero shuffles; the model rides the plan as literals."""
+    dims = model["dims"]
+    cols = [F.col(id_col)]
+    for c, w in enumerate(model["components"]):
+        expr = None
+        for d in range(dims):
+            qd = F.floor(
+                F.col(vec_col)[d].cast("double") * 1e6 + F.lit(0.5)
+            ).cast("double")
+            term = (qd - F.lit(float(model["mean_micro"][d]))) * F.lit(
+                float(w[d])
+            )
+            expr = term if expr is None else expr + term
+        cols.append(
+            F.floor(expr + F.lit(0.5)).cast("long").alias(f"pc{c}_micro")
+        )
+    return df.select(*cols).orderBy(id_col)
+
+
+def pca_oracle_sql(
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    where: str | None = None,
+) -> str:
+    """DuckDB replica of pca_project: identical micro-unit
+    quantization, identical left-associated literal-weight chains
+    (SQL ``+`` associates left, so the IEEE sequence matches the
+    Spark expression term for term)."""
+    dims = model["dims"]
+    sel = [id_col]
+    for c, w in enumerate(model["components"]):
+        terms = " + ".join(
+            f"(FLOOR(CAST({vec_col}[{d + 1}] AS DOUBLE) * 1e6 + 0.5) "
+            f"- ({float(model['mean_micro'][d])!r})) * ({float(w[d])!r})"
+            for d in range(dims)
+        )
+        sel.append(f"CAST(FLOOR(({terms}) + 0.5) AS BIGINT) AS pc{c}_micro")
+    w_clause = f"WHERE {where}" if where else ""
+    cols = ",\n       ".join(sel)
+    return f"""
+SELECT {cols}
+FROM {table} {w_clause}
+ORDER BY {id_col}
+"""

@@ -1165,3 +1165,63 @@ def test_near_contamination_catches_paraphrase_exact_tier_misses(spark):
         ).collect()
     }
     assert near == {1: True, 2: False}
+
+
+@_pt.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_pca_project_matches_oracle(spark, sf):
+    """r11: PCA projection — train on the corpus (exact-integer
+    moments, driver power iteration), project with the frozen model;
+    (id, pc0, pc1) replicates the literal-weight DuckDB rendering
+    bit-exactly at both SFs."""
+    import duckdb
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    model = similarity.pca_train(emb)
+    got = similarity.pca_project(emb, model).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = con.execute(similarity.pca_oracle_sql(model)).df()
+    assert len(got) == len(want) == emb.count()
+    for c in ("vec_id", "pc0_micro", "pc1_micro"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_pca_train_partitioning_invariant_and_variance_dominant(spark):
+    """The determinism + correctness properties: (a) the model is
+    bit-identical trained on 1 vs 32 partitions (integer moments);
+    (b) pc0 captures at least as much variance as ANY raw coordinate
+    (it is the dominant direction of the quantized data); (c) the
+    projection of a planted dominant-direction dataset recovers it."""
+    import random
+
+    rng = random.Random(5)
+    # planted: variance 25x along direction e0+e1, noise elsewhere
+    rows = []
+    for i in range(300):
+        t = rng.gauss(0, 5.0)
+        vec = [t, t] + [rng.gauss(0, 1.0) for _ in range(14)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m1 = similarity.pca_train(df.coalesce(1), dims=16, n_components=1)
+    m32 = similarity.pca_train(df.repartition(32), dims=16, n_components=1)
+    assert m1 == m32  # partitioning-invariant to the bit
+
+    w = m1["components"][0]
+    # dominant direction ≈ (1,1,0,...)/sqrt(2)
+    assert abs(abs(w[0]) - 0.7071) < 0.05 and abs(abs(w[1]) - 0.7071) < 0.05
+    assert all(abs(x) < 0.2 for x in w[2:])
+
+    proj = similarity.pca_project(df, m1).toPandas()
+    import statistics
+
+    var_pc0 = statistics.pvariance(proj["pc0_micro"])
+    emb = df.toPandas()["embedding"]
+    for d in range(16):
+        var_d = statistics.pvariance([v[d] * 1e6 for v in emb])
+        assert var_pc0 >= var_d * 0.999, d
