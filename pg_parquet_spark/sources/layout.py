@@ -1024,6 +1024,132 @@ def merge_upsert(
     finally:
         updates.unpersist()
 
+
+def delete_where(
+    spark,
+    base_uri: str,
+    condition: str,
+    partition_col: str | None = None,
+    keep_history: int | None = None,
+) -> int:
+    """Versioned DELETE (r11) — the data-lifecycle primitive MERGE and
+    compaction don't cover: publish a new snapshot EXCLUDING every row
+    where ``condition`` evaluates TRUE (SQL DELETE semantics: NULL
+    keeps the row), through the same crash-atomic pointer flip as
+    ``merge_upsert``. Returns the number of rows deleted; deleting
+    zero rows publishes nothing.
+
+    With ``partition_col`` (the dataset's manifest partition column),
+    only partitions CONTAINING matches rewrite — untouched partitions
+    carry forward by reference, and a partition whose every row dies
+    leaves the manifest entirely. At 100 TB a targeted delete (one
+    user, one source, one day) is a touched-partitions rewrite, not a
+    table rewrite — Delta/Iceberg's copy-on-write DELETE granularity.
+
+    Right-to-be-forgotten note: the flip removes the rows from every
+    subsequent read atomically, but prior snapshots retain them for
+    time travel — PHYSICAL erasure is this call followed by
+    ``vacuum_dataset`` once the retention window passes. Versioned
+    datasets only: a pointerless dataset should migrate first
+    (``merge_upsert(..., versioned=True)`` or
+    ``compact_dataset(..., versioned=True)``)."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    base_uri = base_uri.rstrip("/")
+    manifest = read_manifest(base_uri)
+    if manifest is None:
+        raise ValueError(
+            f"{base_uri} is not a versioned dataset (no {_CURRENT}); "
+            "delete_where needs the manifest-pointer protocol — migrate "
+            "with merge_upsert/compact_dataset (versioned=True) first"
+        )
+    if manifest.get("format") == "batches":
+        raise ValueError(
+            "delete_where on a streaming-batches dataset: run "
+            "compact_dataset first to collapse the batch dirs into a "
+            "snapshot (the batches form has no per-partition dirs to "
+            "carry forward)"
+        )
+    vacuum_dataset(base_uri, keep_history=keep_history)
+    expected_version = manifest["version"]
+    base = read_versioned(spark, base_uri)
+    # SQL DELETE semantics: a NULL predicate keeps the row
+    dies = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    n_deleted = base.filter(dies).count()
+    if n_deleted == 0:
+        return 0
+
+    if partition_col is not None:
+        if manifest.get("partitions") is None:
+            raise ValueError(
+                "partitioned delete on an unpartitioned snapshot — pass "
+                "partition_col=None, or compact_dataset(partition_by=[...]) "
+                "first"
+            )
+        if manifest.get("partition_col") != partition_col:
+            raise ValueError(
+                f"partitioned delete on {partition_col!r} but the current "
+                f"snapshot is partitioned on {manifest.get('partition_col')!r}"
+            )
+        affected = [
+            r[0]
+            for r in base.filter(dies).select(partition_col).distinct().collect()
+        ]
+        scoped_kept = base.filter(
+            F.col(partition_col).isin(affected)
+        ).filter(~dies)
+        n = _next_version(base_uri, manifest)
+        vdir = f"_v{n}"
+        scoped_kept.write.mode("overwrite").partitionBy(partition_col).parquet(
+            pgfs.spark_uri(f"{base_uri}/{vdir}")
+        )
+        partitions = dict(manifest["partitions"])
+        for value in affected:
+            # fully-deleted partitions leave the manifest; survivors
+            # re-enter below from the new snapshot's hive dirs
+            partitions.pop(str(value), None)
+            partitions.pop(value, None)
+        for child, value in _hive_partition_dirs(
+            f"{base_uri}/{vdir}", partition_col
+        ):
+            name = child.rstrip("/").rsplit("/", 1)[1]
+            partitions[value] = f"{vdir}/{name}"
+        _check_not_concurrently_modified(base_uri, expected_version)
+        _publish_manifest(
+            base_uri,
+            {
+                "version": n,
+                "partition_col": partition_col,
+                "partition_dtype": manifest.get("partition_dtype"),
+                "partitions": partitions,
+                "max_batch_id": _carry_max_batch_id(manifest),
+                "writer_id": _carry_writer_id(manifest),
+            },
+        )
+        return n_deleted
+
+    kept = base.filter(~dies)
+    n = _next_version(base_uri, manifest)
+    vdir = f"_v{n}"
+    kept.write.mode("overwrite").parquet(pgfs.spark_uri(f"{base_uri}/{vdir}"))
+    _check_not_concurrently_modified(base_uri, expected_version)
+    _publish_manifest(
+        base_uri,
+        {
+            "version": n,
+            "partition_col": None,
+            "partition_dtype": None,
+            "partitions": None,
+            "path": vdir,
+            "max_batch_id": _carry_max_batch_id(manifest),
+            "writer_id": _carry_writer_id(manifest),
+        },
+    )
+    return n_deleted
+
+
 def compact_dataset(
     spark,
     uri: str,

@@ -1816,3 +1816,105 @@ def test_streaming_compositions_survive_empty_source(spark, tmp_path):
     )
     assert read_parquet(spark, corpus).count() == 200
     assert read_parquet(spark, rollup).count() > 0
+
+
+def test_delete_where_unpartitioned_versioned(spark, tmp_path):
+    """r11 DELETE: rows matching the predicate leave every subsequent
+    read atomically; NULL predicates keep rows (SQL DELETE semantics);
+    time travel still sees the pre-delete snapshot; a zero-match
+    delete publishes nothing."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.sources.layout import (
+        delete_where,
+        publish_snapshot,
+        read_manifest,
+        read_versioned,
+    )
+
+    root = str(tmp_path / "flat")
+    df = spark.range(30).selectExpr(
+        "id AS k", "CASE WHEN id % 3 = 0 THEN NULL ELSE id * 2 END AS val"
+    )
+    publish_snapshot(spark, root, df)
+
+    n = delete_where(spark, root, "val > 40")
+    assert n == df.filter("val > 40").count() > 0
+    back = read_parquet(spark, root)
+    assert back.count() == 30 - n
+    # NULL-val rows (predicate NULL) are all still there
+    assert back.filter("val IS NULL").count() == 10
+
+    v1 = read_versioned(spark, root, version=1)
+    assert v1.count() == 30  # time travel: pre-delete snapshot intact
+
+    v = read_manifest(root)["version"]
+    assert delete_where(spark, root, "k < 0") == 0
+    assert read_manifest(root)["version"] == v  # nothing published
+
+    with _pytest.raises(ValueError, match="not a versioned"):
+        flat2 = str(tmp_path / "plain")
+        df.write.parquet(flat2)
+        delete_where(spark, flat2, "val > 40")
+
+
+def test_delete_where_partitioned_touches_only_matching(spark, tmp_path):
+    """Partitioned DELETE is copy-on-write at partition granularity:
+    untouched partitions carry by REFERENCE (manifest path unchanged),
+    a fully-emptied partition leaves the manifest, and a crash before
+    the pointer flip leaves readers on the old version."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.sources.layout import (
+        delete_where,
+        merge_upsert,
+        read_manifest,
+    )
+
+    root = str(tmp_path / "pds")
+    _mk_base(spark, root)
+    # migrate to versioned via a no-op-ish merge
+    upd = spark.createDataFrame([(0, 0, "a")], "k long, val long, p string")
+    merge_upsert(spark, root, upd, ["k"], partition_col="p", versioned=True)
+    man0 = read_manifest(root)
+    b_ref = man0["partitions"]["b"]
+
+    # delete some of partition a; b untouched
+    n = delete_where(spark, root, "p = 'a' AND k >= 10", partition_col="p")
+    assert n == 10
+    man1 = read_manifest(root)
+    assert man1["partitions"]["b"] == b_ref  # carried by reference
+    assert man1["partitions"]["a"] != man0["partitions"]["a"]
+    back = read_parquet(spark, root)
+    assert back.count() == 30
+    assert back.filter("p = 'a'").count() == 10
+
+    # empty partition a entirely: it must leave the manifest
+    n2 = delete_where(spark, root, "p = 'a'", partition_col="p")
+    assert n2 == 10
+    man2 = read_manifest(root)
+    assert "a" not in man2["partitions"]
+    assert read_parquet(spark, root).select("p").distinct().collect() == [
+        ("b",)
+    ]
+
+    # crash before the pointer flip: readers stay on the old version
+    real_pub = layout._publish_manifest
+
+    def crashing(root_, manifest, **kw):
+        raise RuntimeError("simulated crash before pointer flip")
+
+    import unittest.mock as _mock
+
+    with _mock.patch.object(layout, "_publish_manifest", crashing):
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            delete_where(spark, root, "p = 'b' AND k < 25", partition_col="p")
+    assert read_parquet(spark, root).count() == 20  # unchanged
+    layout._publish_manifest = real_pub
+
+    # and the delete then succeeds cleanly on retry
+    n3 = delete_where(spark, root, "p = 'b' AND k < 25", partition_col="p")
+    assert n3 == 5
+    assert read_parquet(spark, root).count() == 15
