@@ -967,6 +967,68 @@ ORDER BY d.doc_id
 """
 
 
+def cluster_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup cluster-size histogram (r11) — the dedup AUDIT table a
+    curation report ships: (cluster_size, n_clusters, n_docs), ordered
+    by size, singletons included as size-1 clusters. "12% of the
+    corpus sits in clusters ≥ 100" is the one-line summary that
+    decides whether the minhash thresholds are right for a crawl.
+
+    Scale shape: cluster labels exist only for paired docs (a small
+    fraction); the histogram is two tiny aggregates plus one anti-join
+    of corpus ids against the labels — ids only, never text."""
+    clusters = near_dup_clusters(df, id_col, pairs=pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    singles = (
+        df.select(id_col)
+        .join(clusters, id_col, "left_anti")
+        .select(F.lit(1).alias("cluster_size"))
+    )
+    return (
+        sizes.select("cluster_size")
+        .unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def cluster_stats_oracle_sql(
+    pairs_sql: str | None = None, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB replica: the recursive closure labels, the same size
+    histogram with singleton fill."""
+    return f"""
+WITH labeled AS (
+  SELECT * FROM ({near_dup_clusters_oracle_sql(pairs_sql)}) t
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM labeled GROUP BY 1
+), singles AS (
+  SELECT 1 AS cluster_size FROM {table} d
+  WHERE {id_col} NOT IN (SELECT {id_col} FROM labeled)
+), allsz AS (
+  SELECT cluster_size FROM sizes UNION ALL SELECT cluster_size FROM singles
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM allsz GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 def near_dup_clusters_oracle_sql(pairs_sql: str | None = None) -> str:
     """DuckDB replica: recursive-CTE transitive closure, min reachable
     id per node (identical to the converged min-label fixed point)."""

@@ -195,3 +195,53 @@ def match_and_coerce(df, target_schema: StructType, match_by: str):
             )
         out_cols.append(coerce_expr(F.col(f.name), f.dataType, t.dataType).alias(t.name))
     return df.select(*out_cols)
+
+
+def schema_drift_report(
+    incoming: StructType, target: StructType
+) -> list[dict]:
+    """Ingest-time schema-drift guard (r11): classify every column of
+    an arriving batch against the corpus schema BEFORE any data moves —
+    the check a long-lived ingest pipeline runs when an upstream
+    producer redeploys. One dict per column name (union of both
+    schemas), ``status`` ∈:
+
+    - ``ok``          — present both sides, identical type;
+    - ``coercible``   — type changed but inside the PG explicit-cast
+                        allowlist (:func:`is_coercible`) — ingest can
+                        proceed through ``match_and_coerce``;
+    - ``incompatible``— type changed outside the allowlist — ingest
+                        must stop (silently casting here is how corpora
+                        rot);
+    - ``missing``     — in the corpus, absent from the batch (reader
+                        fills NULL under match_by=name semantics);
+    - ``new``         — in the batch, unknown to the corpus (dropped by
+                        match_by=name; surfaced so the producer change
+                        is a decision, not an accident).
+
+    Driver-side only — schemas, not data; pair with
+    ``match_and_coerce`` to act on the verdicts."""
+    inc = {f.name: f.dataType for f in incoming.fields}
+    tgt = {f.name: f.dataType for f in target.fields}
+    out = []
+    for name in sorted(set(inc) | set(tgt)):
+        if name in inc and name in tgt:
+            if inc[name] == tgt[name]:
+                status = "ok"
+            elif is_coercible(inc[name], tgt[name]):
+                status = "coercible"
+            else:
+                status = "incompatible"
+        elif name in tgt:
+            status = "missing"
+        else:
+            status = "new"
+        out.append(
+            {
+                "column": name,
+                "status": status,
+                "incoming_type": inc[name].simpleString() if name in inc else None,
+                "target_type": tgt[name].simpleString() if name in tgt else None,
+            }
+        )
+    return out

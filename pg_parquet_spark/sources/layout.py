@@ -1630,3 +1630,54 @@ def write_hilbert(
         .option("compression", compression)
         .parquet(pgfs.spark_uri(uri))
     )
+
+
+def snapshot_diff(
+    spark,
+    root_uri: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Audit DIFF between two retained snapshots of a versioned dataset
+    (r11): one row per key whose state changed — ``change`` ∈
+    {'added', 'removed', 'changed'} — the review artifact a MERGE or
+    DELETE ships with ("this publish touched exactly these keys").
+    ``to_version`` defaults to the current pointer. Both versions must
+    still be retained (see ``vacuum_dataset``'s keep_history).
+
+    Scale shape: two pointer-resolved reads, one full-outer join on the
+    key columns, a struct comparison on the non-key columns — the same
+    single key-shuffle a MERGE pays; 'changed' detection compares
+    typed structs (no hashing, no false positives). At partition
+    granularity most of both sides is the SAME carried-by-reference
+    files, which the scan dedupes at the FileScan level."""
+    from pyspark.sql import functions as F
+
+    old = read_versioned(spark, root_uri, version=from_version)
+    new = read_versioned(spark, root_uri, version=to_version)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: v{from_version} has "
+            f"{sorted(old.columns)}, target has {sorted(new.columns)} — "
+            "diff keys cannot align"
+        )
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols, F.struct(*val_cols).alias("_oval"), F.lit(True).alias("_in_old")
+    )
+    nw = new.select(
+        *key_cols, F.struct(*val_cols).alias("_nval"), F.lit(True).alias("_in_new")
+    )
+    j = o.join(nw, key_cols, "full_outer")
+    return (
+        j.select(
+            *key_cols,
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(~F.col("_oval").eqNullSafe(F.col("_nval")), F.lit("changed"))
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+        .orderBy(*key_cols)
+    )

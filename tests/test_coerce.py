@@ -339,3 +339,51 @@ def test_time64_reads_as_micros(spark, tmp_parquet):
     df = read_parquet(spark, path)
     assert [r.t for r in df.collect()] == [46800000000]
     assert dict(df.dtypes)["t"] == "bigint"
+
+
+def test_schema_drift_report_classifies_every_case():
+    """r11 ingest guard: ok / coercible (PG allowlist) / incompatible /
+    missing / new, across the union of both schemas."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pg_parquet_spark.sources.coerce import schema_drift_report
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("qty", IntegerType()),
+            StructField("note", StringType()),
+            StructField("tags", ArrayType(StringType())),
+            StructField("gone", DoubleType()),
+        ]
+    )
+    incoming = StructType(
+        [
+            StructField("id", LongType()),            # ok
+            StructField("qty", DoubleType()),         # coercible (num->num)
+            StructField("note", ArrayType(LongType())),  # incompatible
+            StructField("tags", ArrayType(StringType())),  # ok
+            StructField("extra", StringType()),       # new
+        ]                                             # gone -> missing
+    )
+    rep = {r["column"]: r["status"] for r in schema_drift_report(incoming, target)}
+    assert rep == {
+        "id": "ok",
+        "qty": "coercible",
+        "note": "incompatible",
+        "tags": "ok",
+        "extra": "new",
+        "gone": "missing",
+    }
+    detail = {r["column"]: r for r in schema_drift_report(incoming, target)}
+    assert detail["gone"]["incoming_type"] is None
+    assert detail["extra"]["target_type"] is None
+    assert detail["qty"]["incoming_type"] == "double"

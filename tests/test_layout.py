@@ -1918,3 +1918,31 @@ def test_delete_where_partitioned_touches_only_matching(spark, tmp_path):
     n3 = delete_where(spark, root, "p = 'b' AND k < 25", partition_col="p")
     assert n3 == 5
     assert read_parquet(spark, root).count() == 15
+
+
+def test_snapshot_diff_audits_merge_and_delete(spark, tmp_path):
+    """r11: the publish audit — after a MERGE (update + insert) and a
+    DELETE, snapshot_diff reports exactly the touched keys with the
+    right change kind, across any retained version pair."""
+    from pg_parquet_spark.sources.layout import (
+        delete_where,
+        merge_upsert,
+        publish_snapshot,
+        snapshot_diff,
+    )
+
+    root = str(tmp_path / "audit")
+    df = spark.range(10).selectExpr("id AS k", "id * 10 AS val")
+    publish_snapshot(spark, root, df)  # v1
+
+    upd = spark.createDataFrame([(3, 999), (100, 5)], "k long, val long")
+    merge_upsert(spark, root, upd, ["k"])  # v2: k=3 changed, k=100 added
+    d = {r.k: r.change for r in snapshot_diff(spark, root, ["k"], 1).collect()}
+    assert d == {3: "changed", 100: "added"}
+
+    delete_where(spark, root, "k >= 8 AND k <= 9")  # v3: 8, 9 removed
+    d2 = {r.k: r.change for r in snapshot_diff(spark, root, ["k"], 2).collect()}
+    assert d2 == {8: "removed", 9: "removed"}
+    # cumulative diff v1 -> v3
+    d3 = {r.k: r.change for r in snapshot_diff(spark, root, ["k"], 1, 3).collect()}
+    assert d3 == {3: "changed", 100: "added", 8: "removed", 9: "removed"}

@@ -1225,3 +1225,27 @@ def test_pca_train_partitioning_invariant_and_variance_dominant(spark):
     for d in range(16):
         var_d = statistics.pvariance([v[d] * 1e6 for v in emb])
         assert var_pc0 >= var_d * 0.999, d
+
+
+@_pt.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_cluster_stats_matches_oracle(spark, sf):
+    """r11: the dedup audit histogram replicates the chained closure
+    oracle bit-exactly, singletons included, and the doc mass sums to
+    the corpus size."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = dedup.cluster_stats(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(dedup.cluster_stats_oracle_sql()).df()
+    assert len(got) == len(want) > 1
+    for c in ("cluster_size", "n_clusters", "n_docs"):
+        assert list(got[c]) == list(want[c]), c
+    assert int(got["n_docs"].sum()) == docs.count()  # partition of corpus
