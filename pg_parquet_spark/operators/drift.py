@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 
 _PPM = 1_000_000
 
+#: self-cleaning cache registry (the dedup module's convention): the
+#: tiny count frames psi_from_counts persists for its single-pass
+#: contract live here; the NEXT psi call frees them, release_cached()
+#: frees them eagerly.
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    while _CACHED_FRAMES:
+        _CACHED_FRAMES.pop().unpersist()
+
 
 def bucketize(col: Column, edges: list[float]) -> Column:
     """Label a numeric column into len(edges)+1 buckets by literal
@@ -85,57 +96,55 @@ def psi_from_counts(
     are persisted before any scalar action, so each corpus-sized
     upstream (text_psi's token explode, embedding_psi's cell
     assignment) evaluates exactly ONCE — previously the three driver
-    actions (Σc_ref, Σc_new, n_cats) re-ran it three times. The final
-    ≤n_cats-row table is materialized eagerly (localCheckpoint) so the
-    tiny caches can be released before returning — callers never leak
-    executor memory and re-collect the result for free."""
+    actions (Σc_ref, Σc_new, n_cats) re-ran it three times. The tiny
+    (≤ n_cats-row) caches stay registered in the module's
+    self-cleaning list (the dedup convention): the NEXT psi call's
+    release frees them, and :func:`release_cached` frees them
+    eagerly."""
+    release_cached()
     rc = ref_counts.select(
         F.col(alias).alias("_cat_r"), F.col("n").cast("long").alias("c_ref")
     ).persist()
     nc = new_counts.select(
         F.col(alias).alias("_cat_n"), F.col("n").cast("long").alias("c_new")
     ).persist()
-    try:
-        cats = (
-            rc.select(F.col("_cat_r").alias(alias))
-            .unionByName(nc.select(F.col("_cat_n").alias(alias)))
-            .distinct()
+    _CACHED_FRAMES.extend([rc, nc])
+    cats = (
+        rc.select(F.col("_cat_r").alias(alias))
+        .unionByName(nc.select(F.col("_cat_n").alias(alias)))
+        .distinct()
+    )
+    n_ref = rc.agg(F.sum("c_ref")).first()[0] or 0  # materializes rc
+    n_new = nc.agg(F.sum("c_new")).first()[0] or 0  # materializes nc
+    n_cats = cats.count()  # reads both caches
+    dr = n_ref + n_cats
+    dn = n_new + n_cats
+    j = (
+        cats.join(rc, F.col(alias).eqNullSafe(F.col("_cat_r")), "left")
+        .join(nc, F.col(alias).eqNullSafe(F.col("_cat_n")), "left")
+        .select(
+            alias,
+            F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
+            F.coalesce("c_new", F.lit(0)).cast("long").alias("c_new"),
         )
-        n_ref = rc.agg(F.sum("c_ref")).first()[0] or 0  # materializes rc
-        n_new = nc.agg(F.sum("c_new")).first()[0] or 0  # materializes nc
-        n_cats = cats.count()  # reads both caches
-        dr = n_ref + n_cats
-        dn = n_new + n_cats
-        j = (
-            cats.join(rc, F.col(alias).eqNullSafe(F.col("_cat_r")), "left")
-            .join(nc, F.col(alias).eqNullSafe(F.col("_cat_n")), "left")
-            .select(
-                alias,
-                F.coalesce("c_ref", F.lit(0)).cast("long").alias("c_ref"),
-                F.coalesce("c_new", F.lit(0)).cast("long").alias("c_new"),
-            )
+    )
+    lr = (
+        F.log(F.col("c_new") + 1)
+        - F.log(F.lit(float(dn)))
+        - F.log(F.col("c_ref") + 1)
+        + F.log(F.lit(float(dr)))
+    )
+    return (
+        j.withColumn("q_ppm", F.expr(f"((c_ref + 1) * {_PPM}) div {dr}"))
+        .withColumn("p_ppm", F.expr(f"((c_new + 1) * {_PPM}) div {dn}"))
+        .withColumn(
+            "lr_micro", F.floor(lr * _PPM + F.lit(0.5)).cast("long")
         )
-        lr = (
-            F.log(F.col("c_new") + 1)
-            - F.log(F.lit(float(dn)))
-            - F.log(F.col("c_ref") + 1)
-            + F.log(F.lit(float(dr)))
+        .withColumn(
+            "term", (F.col("p_ppm") - F.col("q_ppm")) * F.col("lr_micro")
         )
-        return (
-            j.withColumn("q_ppm", F.expr(f"((c_ref + 1) * {_PPM}) div {dr}"))
-            .withColumn("p_ppm", F.expr(f"((c_new + 1) * {_PPM}) div {dn}"))
-            .withColumn(
-                "lr_micro", F.floor(lr * _PPM + F.lit(0.5)).cast("long")
-            )
-            .withColumn(
-                "term", (F.col("p_ppm") - F.col("q_ppm")) * F.col("lr_micro")
-            )
-            .orderBy(alias)
-            .localCheckpoint()
-        )
-    finally:
-        rc.unpersist()
-        nc.unpersist()
+        .orderBy(alias)
+    )
 
 
 def _psi_from_tagged(tagged: DataFrame, alias: str = "category") -> DataFrame:
@@ -144,20 +153,21 @@ def _psi_from_tagged(tagged: DataFrame, alias: str = "category") -> DataFrame:
     both corpora in ONE pass — the composed monitors' upstream
     (token explode, cell assignment) is in the plan exactly once. The
     tiny tagged-count frame is persisted so psi_from_counts' scalar
-    actions read it instead of re-running the job."""
+    actions read it instead of re-running the job; psi_from_counts'
+    release_cached() (run on ITS next entry) frees it along with the
+    per-side count caches."""
     counts = (
         tagged.groupBy("_side", alias)
         .agg(F.count("*").cast("long").alias("n"))
         .persist()
     )
-    try:
-        return psi_from_counts(
-            counts.filter(F.col("_side") == "r").select(alias, "n"),
-            counts.filter(F.col("_side") == "n").select(alias, "n"),
-            alias,
-        )
-    finally:
-        counts.unpersist()
+    out = psi_from_counts(
+        counts.filter(F.col("_side") == "r").select(alias, "n"),
+        counts.filter(F.col("_side") == "n").select(alias, "n"),
+        alias,
+    )
+    _CACHED_FRAMES.append(counts)
+    return out
 
 
 def psi_table(

@@ -326,7 +326,7 @@ def test_psi_single_pass_over_upstream(spark):
     out = drift.text_psi(
         counted.filter("doc_id % 2 = 0"), counted.filter("doc_id % 2 = 1")
     )
-    assert out.count() > 0  # the table is already materialized
+    assert out.count() > 0  # reads the persisted counts, not the feed
     # each PSI side scans the shared feed once (the doc_id filter can't
     # push through the opaque mapInPandas) → exactly 2n ticks; the
     # pre-fix triple-action behavior measured 6n here
