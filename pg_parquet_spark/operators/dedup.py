@@ -1115,10 +1115,19 @@ def contamination_oracle_sql(
     min_shared: int = 3,
     bench_pred: str = "doc_id % 20 = 0",
     table: str = "documents",
+    corpus_pred: str = "TRUE",
 ) -> str:
     """DuckDB replica: identical distinct-gram extraction, overlap join
-    and threshold."""
+    and threshold. ``corpus_pred`` restricts the scored side (default
+    everything — rendering then byte-identical to the pre-r11 gate
+    oracle)."""
     joined = " || ' ' || ".join(f"toks[i+{k}]" for k in range(ngram))
+    cw = "" if corpus_pred == "TRUE" else f" WHERE {corpus_pred}"
+    fw = (
+        ""
+        if corpus_pred == "TRUE"
+        else f"\nWHERE {corpus_pred.replace('doc_id', 'd.doc_id')}"
+    )
     return f"""
 WITH t AS (
   SELECT doc_id, string_split(lower(text), ' ') AS toks FROM {table}
@@ -1129,7 +1138,7 @@ WITH t AS (
     ELSE [] END) AS gs
   FROM t
 ), corpus AS (
-  SELECT doc_id, unnest(gs) AS gram FROM g
+  SELECT doc_id, unnest(gs) AS gram FROM g{cw}
 ), bench AS (
   SELECT DISTINCT unnest(gs) AS gram FROM g WHERE {bench_pred}
 ), hits AS (
@@ -1139,8 +1148,70 @@ WITH t AS (
 SELECT d.doc_id,
   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
   COALESCE(h.n, 0) >= {min_shared} AS contaminated
-FROM {table} d LEFT JOIN hits h ON d.doc_id = h.doc_id
+FROM {table} d LEFT JOIN hits h ON d.doc_id = h.doc_id{fw}
 ORDER BY d.doc_id
+"""
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-SOURCE near-duplicate overlap matrix (r11): how many
+    verified near-dup pairs join each (source, source) combination —
+    the mix-design diagnostic ("CommonCrawl duplicates 30% of the news
+    slice, so their mixture weights double-count") that decides whether
+    sources need joint or independent dedup. Returns (source_a,
+    source_b, n_pairs) with source_a ≤ source_b, ordered.
+
+    Scale shape: rides :func:`minhash_lsh_pairs` (hot-bucket-capped),
+    then two id-keyed joins against the (id, source) projection and a
+    source-pair aggregate — labels and ids only; the output is
+    |sources|² rows at most."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold)
+    sa = df.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa")
+    )
+    sb = df.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_overlap_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB replica: the minhash pair oracle joined to source labels,
+    least/greatest-normalized pair keys."""
+    pairs = minhash_lsh_oracle_sql(
+        table=table, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    return f"""
+WITH p AS ({pairs})
+SELECT LEAST(a.{source_col}, b.{source_col}) AS source_a,
+       GREATEST(a.{source_col}, b.{source_col}) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p
+JOIN {table} a ON a.{id_col} = p.id_a
+JOIN {table} b ON b.{id_col} = p.id_b
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 

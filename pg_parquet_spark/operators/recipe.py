@@ -199,6 +199,100 @@ ORDER BY d.{id_col}
 """
 
 
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    ngram: int = 5,
+    min_shared: int = 3,
+    min_matches: int = 12,
+) -> DataFrame:
+    """Per-SOURCE benchmark-contamination datasheet (r11 composition):
+    both decontamination tiers — exact n-gram overlap
+    (``dedup.contamination_flags``) and MinHash near-duplication
+    (``dedup.near_contamination_flags``) — folded into one release
+    table: (source, n_docs, n_exact, n_near, exact_ppm, near_ppm),
+    ordered. Integer ppm via positive integer division, so the report
+    replicates bit-for-bit in the chained oracle. This is the
+    "which supplier leaked the benchmark" table a data release ships
+    next to the corpus_datacard."""
+    from pg_parquet_spark.operators import dedup
+
+    exact = dedup.contamination_flags(
+        df, benchmark, id_col, text_col, ngram=ngram, min_shared=min_shared
+    ).select(id_col, "contaminated")
+    near = dedup.near_contamination_flags(
+        df, benchmark, id_col, text_col, min_matches=min_matches
+    )
+    return (
+        df.select(id_col, source_col)
+        .join(exact, id_col)
+        .join(near, id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).cast("long").alias("n_exact"),
+            F.sum(F.col("near_contaminated").cast("long"))
+            .cast("long")
+            .alias("n_near"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_exact",
+            "n_near",
+            F.expr("n_exact * 1000000 div n_docs").cast("long").alias("exact_ppm"),
+            F.expr("n_near * 1000000 div n_docs").cast("long").alias("near_ppm"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def contamination_report_oracle_sql(
+    corpus_pred: str,
+    bench_pred: str,
+    source_col: str = "source",
+    ngram: int = 5,
+    min_shared: int = 3,
+    min_matches: int = 12,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica chaining both tiers' oracles into the per-source
+    fold (corpus and benchmark as disjoint predicate splits)."""
+    from pg_parquet_spark.operators.dedup import (
+        contamination_oracle_sql,
+        near_contamination_oracle_sql,
+    )
+
+    exact = contamination_oracle_sql(
+        ngram=ngram,
+        min_shared=min_shared,
+        bench_pred=bench_pred,
+        table=table,
+        corpus_pred=corpus_pred,
+    )
+    near = near_contamination_oracle_sql(
+        corpus_pred, bench_pred, table=table, min_matches=min_matches
+    )
+    return f"""
+WITH exact_t AS ({exact}), near_t AS ({near})
+SELECT d.{source_col},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN e.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN n.near_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       CAST(SUM(CASE WHEN e.contaminated THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS exact_ppm,
+       CAST(SUM(CASE WHEN n.near_contaminated THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS near_ppm
+FROM {table} d
+JOIN exact_t e ON e.doc_id = d.doc_id
+JOIN near_t n ON n.doc_id = d.doc_id
+GROUP BY d.{source_col} ORDER BY d.{source_col}
+"""
+
+
 def corpus_datacard(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -144,3 +144,27 @@ def test_classifier_canonical_keeps_best_not_smallest(spark):
     assert out[2][1] is True               # the CLEAN doc is kept
     assert out[1][1] is False              # not the smallest id
     assert out[3][1] is True               # unclustered stays
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_contamination_report_matches_oracle(spark, sf):
+    """r11 composition: the per-source two-tier contamination
+    datasheet (exact n-gram + MinHash near) replicates the chained
+    oracle bit-exactly over a corpus/benchmark split."""
+    docs = table(spark, sf, "documents").select("doc_id", "text", "source")
+    corpus = docs.filter("doc_id % 20 <> 0")
+    bench = docs.filter("doc_id % 20 = 0")
+    got = recipe.contamination_report(corpus, bench, min_matches=6).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        recipe.contamination_report_oracle_sql(
+            "doc_id % 20 <> 0", "doc_id % 20 = 0", min_matches=6
+        )
+    ).df()
+    assert len(got) == len(want) > 1
+    for c in ("source", "n_docs", "n_exact", "n_near", "exact_ppm", "near_ppm"):
+        assert list(got[c]) == list(want[c]), c
+    assert int(got["n_docs"].sum()) == corpus.count()

@@ -1249,3 +1249,27 @@ def test_cluster_stats_matches_oracle(spark, sf):
     for c in ("cluster_size", "n_clusters", "n_docs"):
         assert list(got[c]) == list(want[c]), c
     assert int(got["n_docs"].sum()) == docs.count()  # partition of corpus
+
+
+@_pt.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_source_overlap_matrix_matches_oracle(spark, sf):
+    """r11: the cross-source near-dup overlap matrix replicates the
+    chained pair oracle, and its pair mass equals the raw pair count."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    got = dedup.source_overlap_matrix(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(dedup.source_overlap_oracle_sql()).df()
+    assert len(got) == len(want) > 0
+    for c in ("source_a", "source_b", "n_pairs"):
+        assert list(got[c]) == list(want[c]), c
+    n_pairs = dedup.minhash_lsh_pairs(docs, "doc_id").count()
+    assert int(got["n_pairs"].sum()) == n_pairs
