@@ -1137,6 +1137,99 @@ GROUP BY id ORDER BY id
 """
 
 
+def perplexity_datamap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = 8,
+) -> DataFrame:
+    """Perplexity DATAMAP (r11): equi-depth buckets over the corpus's
+    bigram-LM difficulty — the "datamap" view (easy → hard deciles)
+    curriculum and filtering decisions read. Composes
+    :func:`bigram_logprob` with an exact in-plan equi-depth binning:
+    (bin, n_docs, min_nll_micro, max_nll_micro, total_bigrams),
+    ordered by bin.
+
+    Determinism: ``n_bins`` must be a POWER OF TWO — the bin edges are
+    interpolated percentiles at binary fractions i/n over integer
+    micro-nats, where both engines' interpolation formulas
+    ((1−g)·a + g·b vs a + (b−a)·g) are exact integer-scaled binary
+    arithmetic and therefore bit-equal; any other n would leave the
+    edge value to non-associative float luck. Edge values ride the
+    plan as a broadcast 1-row bounds frame (the established crossJoin
+    pattern), so binning is a pure projection.
+
+    Scale shape: the bigram scoring reads text once (its contract);
+    the percentile aggregate reduces doc-level longs; the final
+    aggregate is n_bins rows. No global sort, no single-partition
+    window."""
+    if n_bins < 2 or (n_bins & (n_bins - 1)) != 0:
+        raise ValueError(
+            f"n_bins must be a power of two ≥ 2 (binary-fraction "
+            f"percentile positions are the engine-exactness contract), "
+            f"got {n_bins}"
+        )
+    scored = bigram_logprob(df, id_col, text_col)
+    fr = [i / n_bins for i in range(1, n_bins)]
+    edges = scored.agg(
+        F.expr(
+            f"percentile(mean_nll_micro, array({', '.join(map(repr, fr))}))"
+        ).alias("_edges")
+    )
+    return (
+        scored.crossJoin(F.broadcast(edges))
+        .withColumn(
+            "bin",
+            F.size(
+                F.filter(
+                    F.col("_edges"),
+                    lambda e: F.col("mean_nll_micro").cast("double") > e,
+                )
+            ).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("mean_nll_micro").cast("long").alias("min_nll_micro"),
+            F.max("mean_nll_micro").cast("long").alias("max_nll_micro"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+        )
+        .orderBy("bin")
+    )
+
+
+def perplexity_datamap_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = 8,
+) -> str:
+    """DuckDB replica: the bigram oracle as a CTE, quantile_cont at the
+    same binary fractions, the same strict-greater edge count."""
+    fr = [i / n_bins for i in range(1, n_bins)]
+    scored = bigram_oracle_sql(table, id_col, text_col)
+    return f"""
+WITH scored AS ({scored}),
+edges AS (
+  SELECT quantile_cont(CAST(mean_nll_micro AS DOUBLE),
+                       [{', '.join(map(repr, fr))}]) AS e
+  FROM scored
+),
+binned AS (
+  SELECT s.*,
+         len(list_filter(e, x -> CAST(s.mean_nll_micro AS DOUBLE) > x))
+           AS bin
+  FROM scored s CROSS JOIN edges
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(mean_nll_micro) AS BIGINT) AS min_nll_micro,
+       CAST(MAX(mean_nll_micro) AS BIGINT) AS max_nll_micro,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
 # --------------------------------------------------------------------------
 # PMI collocation mining (pointwise mutual information over adjacent
 # token pairs)

@@ -1057,6 +1057,81 @@ def drain_with_quality_filter(
         )
 
 
+def drain_with_quality_split(
+    sdf: DataFrame,
+    corpus_root: str,
+    quarantine_root: str,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micro: int = 0,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Quality-filtered ingest with a QUARANTINE tier (r11): each
+    micro-batch is scored by the frozen literal-weight classifier and
+    split — keeps publish to the corpus, rejects publish to a second
+    versioned dataset instead of vanishing. Production pipelines keep
+    the rejects: they are the audit trail ("show me what the filter
+    dropped last Tuesday"), the classifier's retraining pool, and the
+    recovery path when a threshold was wrong.
+
+    Crash/replay: the two publishes share one batch-id space; a crash
+    BETWEEN them (corpus landed, quarantine didn't) heals on replay —
+    the corpus manifest skips the replayed id, the quarantine manifest
+    admits it, and both end bit-identical to a no-crash drain
+    (the drill in tests/test_stream_sketch.py). The scored frame is
+    persisted per batch so the classifier explode runs once, not once
+    per sink."""
+    from pg_parquet_spark.operators.sampling import apply_quality_classifier
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink_keep = versioned_batch_writer(
+        corpus_root, partition_by, writer_id=writer_id
+    )
+    sink_rej = versioned_batch_writer(
+        quarantine_root, partition_by, writer_id=writer_id
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = apply_quality_classifier(
+            batch_df,
+            model,
+            id_col=id_col,
+            text_col=text_col,
+            threshold_micro=threshold_micro,
+        ).persist()
+        try:
+            kept = batch_df.join(
+                scored.filter("keep").select(id_col), id_col, "left_semi"
+            )
+            rejects = batch_df.join(
+                scored.filter("NOT keep").select(id_col), id_col, "left_semi"
+            )
+            # corpus first: a crash between the publishes must leave the
+            # QUARANTINE behind, never the corpus — replay then fills
+            # the quarantine while the corpus manifest skips the batch
+            sink_keep(kept, batch_id)
+            sink_rej(rejects, batch_id)
+        finally:
+            scored.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"quality-split drain did not finish within {timeout_sec}s"
+        )
+
+
 def drain_with_near_dedup(
     sdf: DataFrame,
     corpus_root: str,

@@ -722,3 +722,34 @@ def test_interpolate_gaps_all_null_day_is_gap(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     with _pytest.raises(Exception, match="negative day totals"):
         ts_ops.interpolate_gaps(neg).collect()
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_perplexity_datamap_matches_oracle(spark, sf):
+    """r11: the equi-depth bigram-difficulty datamap replicates the
+    chained oracle bit-exactly (binary-fraction percentile edges), the
+    bins partition the corpus, and depths are near-equal."""
+    import duckdb
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table as _table
+
+    docs = _table(spark, sf, "documents").select("doc_id", "text")
+    got = text_ops.perplexity_datamap(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(text_ops.perplexity_datamap_oracle_sql()).df()
+    assert len(got) == len(want) == 8
+    for c in ("bin", "n_docs", "min_nll_micro", "max_nll_micro", "total_bigrams"):
+        assert list(got[c]) == list(want[c]), c
+    n = int(got["n_docs"].sum())
+    assert n == docs.count()  # a partition of the corpus
+    assert got["n_docs"].max() - got["n_docs"].min() <= n // 4  # equi-ish
+
+    with _pytest.raises(ValueError, match="power of two"):
+        text_ops.perplexity_datamap(docs, n_bins=10)

@@ -658,3 +658,86 @@ def test_streaming_quality_filter_crash_mid_publish(
         map(tuple, read_parquet(spark, ref_corpus).select("doc_id", "text").collect())
     )
     assert got == want and len(got) > n1
+
+
+def test_streaming_quality_split_quarantine_and_crash(spark, tmp_path, monkeypatch):
+    """r11: the quarantine drain — keeps and rejects PARTITION each
+    tranche exactly (nothing vanishes); a crash between the corpus and
+    quarantine publishes heals on replay to a state bit-identical to a
+    no-crash drain; an idle replay moves neither pointer."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators.classifier_fixture import MODEL
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_quality_split
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    quar = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    thr = -10_700_000  # mid-distribution: both outcomes populated
+    t1 = docs.filter("doc_id % 2 = 0")
+    t2 = docs.filter("doc_id % 2 = 1")
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_quality_split(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, quar, MODEL, threshold_micro=thr, checkpoint=ckpt,
+    )
+    k1 = read_parquet(spark, corpus).count()
+    r1 = read_parquet(spark, quar).count()
+    assert k1 > 0 and r1 > 0 and k1 + r1 == t1.count()
+
+    # crash between the two publishes on tranche 2
+    real_pub = layout._publish_manifest
+
+    def crashing(root_, manifest, **kw):
+        if root_.rstrip("/") == quar and manifest["version"] > 1:
+            raise RuntimeError("simulated crash before quarantine publish")
+        return real_pub(root_, manifest, **kw)
+
+    monkeypatch.setattr(layout, "_publish_manifest", crashing)
+    t2.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="simulated crash"):
+        drain_with_quality_split(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, quar, MODEL, threshold_micro=thr, checkpoint=ckpt,
+        )
+    monkeypatch.setattr(layout, "_publish_manifest", real_pub)
+
+    # the window is real: corpus advanced, quarantine did not
+    assert read_parquet(spark, corpus).count() > k1
+    assert read_parquet(spark, quar).count() == r1
+
+    # replay heals both sides; equals a from-scratch no-crash drain
+    drain_with_quality_split(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, quar, MODEL, threshold_micro=thr, checkpoint=ckpt,
+    )
+    ref_c, ref_q = str(tmp_path / "rc"), str(tmp_path / "rq")
+    drain_with_quality_split(
+        spark.readStream.schema(t1.schema).parquet(src),
+        ref_c, ref_q, MODEL, threshold_micro=thr,
+        checkpoint=str(tmp_path / "rck"),
+    )
+    for lhs, rhs in ((corpus, ref_c), (quar, ref_q)):
+        got = sorted(r.doc_id for r in read_parquet(spark, lhs).collect())
+        want = sorted(r.doc_id for r in read_parquet(spark, rhs).collect())
+        assert got == want
+    # keeps ∪ rejects == everything, disjoint
+    all_ids = sorted(
+        [r.doc_id for r in read_parquet(spark, corpus).collect()]
+        + [r.doc_id for r in read_parquet(spark, quar).collect()]
+    )
+    assert all_ids == sorted(r.doc_id for r in docs.collect())
+
+    # idle replay: neither pointer moves
+    vc = layout.read_manifest(corpus)["version"]
+    vq = layout.read_manifest(quar)["version"]
+    drain_with_quality_split(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, quar, MODEL, threshold_micro=thr, checkpoint=ckpt,
+    )
+    assert layout.read_manifest(corpus)["version"] == vc
+    assert layout.read_manifest(quar)["version"] == vq
