@@ -147,3 +147,120 @@ JOIN sizes sb ON sb.id = ov.id_b
 WHERE inter * {_PPM} >= (sa.n + sb.n - inter) * {threshold_ppm}
 ORDER BY id_a, id_b
 """
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_ppm: int = 800_000,
+) -> DataFrame:
+    """Exact set-CONTAINMENT self-join (r11): all (id_a < id_b) pairs
+    with |A∩B| / min(|A|, |B|) ≥ θ — the asymmetric tier Jaccard
+    misses by construction: a 20-token doc quoted verbatim inside a
+    500-token doc has containment 1.0 but Jaccard ≈ 0.04. This is the
+    quote/subset detector (news wire inside aggregator pages, licence
+    headers, embedded abstracts).
+
+    Prefix-filter correctness for containment: if the SMALLER set A
+    reaches overlap t = ⌈θ·|A|⌉ with B, then A's first
+    |A| − t + 1 rarest tokens cannot all miss B — so candidates are
+    every doc's own-θ prefix probed against the FULL posting lists.
+    Probing from both sides is a superset (we don't know which side is
+    smaller), and exact verification prunes it. Prefix tokens are the
+    corpus-rarest by construction, so the probed postings are the
+    short ones — hot boilerplate tokens never enter a prefix.
+
+    Output: (id_a, id_b, inter_n, min_n, containment_ppm), ordered;
+    ppm via positive integer division (engine-exact)."""
+    dt = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+        ).alias("tok"),
+    )
+    rank = (
+        dt.groupBy("tok")
+        .agg(F.count("*").alias("_df"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy("_df", "tok")).cast("long"),
+        )
+        .select("tok", "rk")
+    )
+    ranked = dt.join(F.broadcast(rank), "tok").select("id", "rk")
+    arrs = (
+        ranked.groupBy("id")
+        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
+        .withColumn("n", F.size("rks").cast("long"))
+    )
+    p = F.col("n") - F.expr(
+        f"(n * {threshold_ppm} + {_PPM - 1}) div {_PPM}"
+    ) + F.lit(1)
+    pref = arrs.select("id", F.explode(F.slice("rks", F.lit(1), p)).alias("rk"))
+    cand = (
+        pref.join(
+            ranked.select(F.col("id").alias("id2"), "rk"), "rk"
+        )
+        .filter(F.col("id") != F.col("id2"))
+        .select(
+            F.least("id", "id2").alias("id_a"),
+            F.greatest("id", "id2").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = arrs.select(
+        F.col("id").alias("id_a"), F.col("rks").alias("rks_a"), F.col("n").alias("na")
+    )
+    vb = arrs.select(
+        F.col("id").alias("id_b"), F.col("rks").alias("rks_b"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("rks_a", "rks_b")).cast("long")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("inter_n", inter)
+        .withColumn("min_n", F.least("na", "nb"))
+        .filter(F.col("inter_n") * _PPM >= F.col("min_n") * threshold_ppm)
+        .select(
+            "id_a",
+            "id_b",
+            "inter_n",
+            "min_n",
+            F.expr(f"(inter_n * {_PPM}) div min_n").alias("containment_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def containment_join_oracle_sql(
+    threshold_ppm: int = 800_000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """The ALL-PAIRS exact containment join (quadratic small-SF oracle
+    — equality against it proves the prefix probe dropped no
+    qualifying pair)."""
+    return f"""
+WITH dt AS (
+  SELECT {id_col} AS id,
+         unnest(list_distinct(string_split(lower({text_col}), ' '))) AS tok
+  FROM {table}
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM dt GROUP BY id
+), ov AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter_n,
+       CAST(LEAST(sa.n, sb.n) AS BIGINT) AS min_n,
+       CAST((inter * {_PPM}) // LEAST(sa.n, sb.n) AS BIGINT)
+         AS containment_ppm
+FROM ov
+JOIN sizes sa ON sa.id = ov.id_a
+JOIN sizes sb ON sb.id = ov.id_b
+WHERE inter * {_PPM} >= LEAST(sa.n, sb.n) * {threshold_ppm}
+ORDER BY id_a, id_b
+"""

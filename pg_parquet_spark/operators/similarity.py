@@ -1678,3 +1678,146 @@ SELECT {cols}
 FROM {table} {w_clause}
 ORDER BY {id_col}
 """
+
+
+def hard_negatives(
+    spark,
+    root_uri: str,
+    anchors: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    max_cos: float = 0.95,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive HARD-NEGATIVE mining (r11) over the persisted IVF
+    index: for each anchor, the ``k`` most-similar indexed vectors
+    whose cosine is STRICTLY below ``max_cos`` — similar enough to be
+    confusable, not so similar they're the same content (near-dups
+    above the band are positives/duplicates, not negatives; mining
+    them as negatives is how contrastive training poisons itself).
+    Returns (query_id, id, cosine_sim), per-anchor top-k, ordered.
+
+    Scale shape = the batch ANN search: anchors are a bounded
+    driver-collected set (≤ MAX_INDEX_QUERIES), ONE scan pruned to the
+    union of probed cells, per-anchor gating via the broadcast
+    array_contains join, the cosine band filter BEFORE the ranking
+    window (so dups never consume result slots), one window top-k."""
+    from pyspark.sql.window import Window
+
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    head = anchors.take(MAX_INDEX_QUERIES + 1)
+    if not head:
+        raise ValueError("anchors is empty — mining needs anchor vectors")
+    if len(head) > MAX_INDEX_QUERIES:
+        raise ValueError(
+            f"anchors holds more than {MAX_INDEX_QUERIES} rows — mine in "
+            "bounded batches (the model-literal contract)"
+        )
+    if query_id_col not in anchors.columns:
+        raise ValueError(
+            f"anchors needs a {query_id_col!r} column to key the result sets"
+        )
+    qmeta = [
+        (
+            int(r[query_id_col]),
+            [float(x) for x in r[vec_col]],
+            _probe_cells_py([float(x) for x in r[vec_col]], centroids, nprobe),
+        )
+        for r in head
+    ]
+    all_cells = sorted({c for _, _, pc in qmeta for c in pc})
+    corpus = read_parquet(
+        spark, root_uri, where=f"cell IN ({', '.join(str(c) for c in all_cells)})"
+    )
+    qframe = spark.createDataFrame(
+        qmeta,
+        f"{query_id_col} long, _qvec array<double>, _probe array<int>",
+    )
+    cos = _exact_cosine(F.col(vec_col), F.col("_qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        corpus.join(
+            F.broadcast(qframe),
+            F.array_contains(F.col("_probe"), F.col("cell").cast("int")),
+        )
+        .select(query_id_col, F.col(id_col), cos.alias("cosine_sim"))
+        .filter(
+            (F.col("cosine_sim") < F.lit(float(max_cos)))
+            & (F.col(id_col) != F.col(query_id_col))
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .orderBy(query_id_col, F.col("cosine_sim").desc(), id_col)
+    )
+
+
+def hard_negatives_oracle_sql(
+    centroids: list[list[float]],
+    anchor_ids: list[int],
+    k: int = 5,
+    max_cos: float = 0.95,
+    nprobe: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> str:
+    """DuckDB replica for anchors drawn from ``table`` by id: the same
+    literal-quantizer probe cells per anchor, the same ordered-fold
+    cosines, the band filter before the per-anchor rank."""
+    n_cells = len(centroids)
+    cdists = "[" + ", ".join(
+        _sq_dist_sql("e." + vec_col, c, dims) for c in centroids
+    ) + "]"
+    qdists = "[" + ", ".join(
+        _sq_dist_sql("qvec", c, dims) for c in centroids
+    ) + "]"
+    fold = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    dot = fold.format(d=dims, a="v", b="qvec")
+    na = fold.format(d=dims, a="v", b="v")
+    nb = fold.format(d=dims, a="qvec", b="qvec")
+    ids = ", ".join(str(int(i)) for i in anchor_ids)
+    return f"""
+WITH anchors AS (
+  SELECT {id_col} AS qid, {vec_col} AS qvec FROM {table}
+  WHERE {id_col} IN ({ids})
+), qd AS (
+  SELECT qid, qvec, {qdists} AS d FROM anchors
+), qcells AS (
+  SELECT qid, CAST(i - 1 AS INT) AS _qcell
+  FROM (
+    SELECT qid, i,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY d[CAST(i AS INT)], i) AS crk
+    FROM qd, range(1, {n_cells} + 1) t(i)
+  ) WHERE crk <= {nprobe}
+), assigned AS (
+  SELECT e.{id_col} AS _id, e.{vec_col} AS v,
+         CAST(list_position({cdists}, list_min({cdists})) - 1 AS INT) AS _cell
+  FROM {table} e
+), cand AS (
+  SELECT q.qid, a._id,
+         {dot} / (sqrt({na}) * sqrt({nb})) AS cosine_sim
+  FROM assigned a
+  JOIN qcells c ON a._cell = c._qcell
+  JOIN qd q ON q.qid = c.qid
+), banded AS (
+  SELECT qid, _id, cosine_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine_sim DESC, _id) AS rk
+  FROM cand WHERE cosine_sim < {max_cos!r} AND _id <> qid
+)
+SELECT qid AS query_id, _id AS {id_col}, cosine_sim
+FROM banded WHERE rk <= {k}
+ORDER BY query_id, cosine_sim DESC, {id_col}
+"""

@@ -50,3 +50,39 @@ def test_prefix_boundary_pair_not_missed(spark):
     # every doc pair shares 3 of 5 distinct → all 6 pairs qualify at 0.6
     assert pairs == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
     assert set(got["jacc_ppm"]) == {600_000}
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_containment_join_matches_allpairs_oracle(spark, sf):
+    """r11: the prefix-probed containment join equals the quadratic
+    all-pairs oracle exactly — the completeness proof."""
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    got = setsim.containment_join(docs, threshold_ppm=800_000).toPandas()
+    want = _con(sf).execute(
+        setsim.containment_join_oracle_sql(threshold_ppm=800_000)
+    ).df()
+    assert len(got) == len(want)
+    for c in ("id_a", "id_b", "inter_n", "min_n", "containment_ppm"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """The tier's reason to exist: a short doc quoted verbatim inside
+    a long one has containment 1.0 but Jaccard far below any near-dup
+    threshold."""
+    quote = "the quarterly revenue rose nine percent beating forecasts"
+    filler = " ".join(f"word{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote),
+            (3, "wholly unrelated content about gardening"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = setsim.containment_join(df, threshold_ppm=900_000).collect()
+    assert [(r.id_a, r.id_b, r.containment_ppm) for r in cont] == [
+        (1, 2, 1_000_000)
+    ]
+    jac = setsim.jaccard_join(df, threshold_ppm=500_000).collect()
+    assert jac == []  # jaccard ~ 8/208, blind to the quote

@@ -1273,3 +1273,43 @@ def test_source_overlap_matrix_matches_oracle(spark, sf):
         assert list(got[c]) == list(want[c]), c
     n_pairs = dedup.minhash_lsh_pairs(docs, "doc_id").count()
     assert int(got["n_pairs"].sum()) == n_pairs
+
+
+@_pt.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_hard_negatives_matches_oracle(spark, sf, tmp_path):
+    """r11: contrastive hard-negative mining over the persisted index
+    replicates the literal-quantizer DuckDB oracle bit-exactly; no
+    anchor ever mines itself or anything at/above the near-dup band."""
+    import duckdb
+
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path / "ivf_hn")
+    similarity.build_ivf_index(emb, root, CENTROIDS)
+    qids = [0, 7, 33]
+    anchors = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.hard_negatives(
+        spark, root, anchors, CENTROIDS, k=5, max_cos=0.95
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = con.execute(
+        similarity.hard_negatives_oracle_sql(
+            CENTROIDS, qids, k=5, max_cos=0.95
+        )
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in ("query_id", "vec_id", "cosine_sim"):
+        assert list(got[c]) == list(want[c]), c
+    assert (got["cosine_sim"] < 0.95).all()
+    assert (got["query_id"] != got["vec_id"]).all()
+    assert got.groupby("query_id").size().le(5).all()
