@@ -1057,6 +1057,69 @@ def drain_with_quality_filter(
         )
 
 
+def drain_with_decontamination(
+    sdf: DataFrame,
+    corpus_root: str,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    min_shared: int = 3,
+    min_matches: int = 12,
+    bands: int | None = None,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming ingest with BOTH decontamination tiers inline (r11):
+    each micro-batch is checked against a static benchmark frame —
+    exact n-gram overlap (``dedup.contamination_flags``) AND MinHash
+    near-duplication (``dedup.near_contamination_flags``; pass
+    ``bands=8`` for the narrow-band paraphrase posture) — and only
+    clean rows publish through the versioned sink. Test-set text never
+    enters the corpus at all, which beats filtering a 100 TB corpus
+    after the leak.
+
+    Scale shape: the benchmark is megabytes — its gram set broadcasts
+    and its signatures are narrow; both checks are batch-local (no
+    state to maintain: the benchmark IS the state, frozen). Stateless
+    per batch, so the quality-filter drain's crash/replay argument
+    carries verbatim (corpus exactly-once by manifest)."""
+    from pg_parquet_spark.operators import dedup as dedup_ops
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        exact = dedup_ops.contamination_flags(
+            batch_df, benchmark, id_col, text_col,
+            ngram=ngram, min_shared=min_shared,
+        ).filter("NOT contaminated")
+        near_kw = {} if bands is None else {"bands": bands}
+        near = dedup_ops.near_contamination_flags(
+            batch_df, benchmark, id_col, text_col,
+            min_matches=min_matches, **near_kw,
+        ).filter("NOT near_contaminated")
+        clean = batch_df.join(
+            exact.select(id_col), id_col, "left_semi"
+        ).join(near.select(id_col), id_col, "left_semi")
+        sink(clean, batch_id)
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"decontamination drain did not finish within {timeout_sec}s"
+        )
+
+
 def drain_with_quality_split(
     sdf: DataFrame,
     corpus_root: str,

@@ -741,3 +741,48 @@ def test_streaming_quality_split_quarantine_and_crash(spark, tmp_path, monkeypat
     )
     assert layout.read_manifest(corpus)["version"] == vc
     assert layout.read_manifest(quar)["version"] == vq
+
+
+def test_streaming_decontamination_drain(spark, tmp_path):
+    """r11: the ingest decontamination drain — an exact benchmark copy
+    AND a paraphrased near-copy (zero shared 5-grams) both never land;
+    clean docs do; replays move nothing."""
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_decontamination
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    words = [f"tok{i}" for i in range(40)]
+    bench_text = " ".join(words)
+    para = " ".join(
+        (f"sub{i}" if i % 5 == 0 else w) for i, w in enumerate(words)
+    )
+    bench = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id long, text string"
+    )
+    t1 = spark.createDataFrame(
+        [
+            (1, bench_text),                       # exact copy
+            (2, para),                              # paraphrase (near tier)
+            (3, "wholly unrelated content about parquet engines one two"),
+        ],
+        "doc_id long, text string",
+    )
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_decontamination(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, bench, min_shared=1, min_matches=5, bands=8,
+        checkpoint=ckpt,
+    )
+    landed = {r.doc_id for r in read_parquet(spark, corpus).collect()}
+    assert landed == {3}  # exact copy AND paraphrase both blocked
+
+    v = layout.read_manifest(corpus)["version"]
+    drain_with_decontamination(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, bench, min_shared=1, min_matches=5, bands=8,
+        checkpoint=ckpt,
+    )
+    assert layout.read_manifest(corpus)["version"] == v  # idle replay
