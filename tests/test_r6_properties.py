@@ -219,3 +219,52 @@ def test_merge_upsert_is_idempotent(spark, tmp_path):
     merge_upsert(spark, base, updates, ["doc_id"], partition_col="lang")
     second = sorted(map(tuple, spark.read.parquet(base).collect()))
     assert first == second
+
+
+# ---------------------------------------------------------------------------
+# r11 properties
+
+
+@given(
+    st.integers(min_value=0, max_value=1_000_000),
+    st.integers(min_value=0, max_value=16_777_215),
+)
+def test_split_bucket_range_division_share_is_tight(valid_ppm, prefix):
+    """The range-division ppm bucket (ADVICE r10 fix): membership of a
+    2^24 prefix in the valid slice is exactly `prefix < ceil(ppm·2^24 /
+    1e6)`, so the realized share |{p : (p·1e6)>>24 < ppm}| / 2^24 is
+    within 2^-24·1e6 < 0.06 ppm-units of the request — the modulo
+    version was off by up to ~13,000 ppm-units (1.3%)."""
+    bucket = (prefix * 1_000_000) >> 24
+    cutoff = -((-valid_ppm * 16_777_216) // 1_000_000)  # ceil
+    assert (bucket < valid_ppm) == (prefix < cutoff)
+    share_ppm = cutoff * 1_000_000 / 16_777_216
+    assert abs(share_ppm - valid_ppm) < 1.0
+
+
+@settings(deadline=None, max_examples=8)
+@given(rng=st.randoms(use_true_random=False))
+def test_containment_join_is_token_order_invariant(spark, rng):
+    """containment_join works on DISTINCT token sets, so shuffling the
+    words inside every document changes nothing — the property that
+    separates the set tier from the sequence (shingle) tiers."""
+    from pg_parquet_spark.operators import setsim
+
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(12):
+        k = rng.randint(3, 12)
+        toks = rng.sample(vocab, k)
+        rows.append((i, " ".join(toks), toks))
+    df1 = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    shuffled = []
+    for i, _t, toks in rows:
+        t2 = toks[:]
+        rng.shuffle(t2)
+        shuffled.append((i, " ".join(t2)))
+    df2 = spark.createDataFrame(shuffled, "doc_id long, text string")
+    a = [tuple(r) for r in setsim.containment_join(df1, threshold_ppm=600_000).collect()]
+    b = [tuple(r) for r in setsim.containment_join(df2, threshold_ppm=600_000).collect()]
+    assert a == b
