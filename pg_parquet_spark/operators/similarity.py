@@ -1821,3 +1821,217 @@ SELECT qid AS query_id, _id AS {id_col}, cosine_sim
 FROM banded WHERE rk <= {k}
 ORDER BY query_id, cosine_sim DESC, {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF+PQ index (r11): the production ANN layout — IVF's cell
+# partitioning prunes the FILES a search lists, PQ's codes shrink the
+# BYTES the ranking pass reads. FAISS's IndexIVFPQ, as a parquet layout.
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    root_uri: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> None:
+    """Materialize the combined index: every vector gets its coarse
+    CELL (hive partition key — nprobe search is partition pruning,
+    the build_ivf_index contract), its ``m`` PQ codes (tiny-int
+    columns — the ADC ranking pass reads codes + one float, never the
+    vector), and its exact norm (the cosine-consistent ADC denominator,
+    precomputed so ranking doesn't touch raw vectors). Raw vectors are
+    kept in the same rows for the exact re-rank — column pruning means
+    a scan reads them ONLY in the refine projection.
+
+    At 100 TB: listing touches nprobe/n_cells of the directories and
+    the ranking scan reads ~(m + 8) bytes per vector instead of
+    dims·8 — the two ANN scaling axes composed."""
+    m = len(codebooks)
+    dsub = dims // m
+    assigned = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
+        .select(
+            "*",
+            *[
+                _nearest_cell(
+                    _subvec(F.col(vec_col), mi, dsub), codebooks[mi]
+                ).alias(f"_c{mi}")
+                for mi in range(m)
+            ],
+            F.sqrt(_norm_sq(F.col(vec_col))).alias("_xnorm"),
+        )
+    )
+    from pg_parquet_spark.sources.layout import write_partitioned
+
+    write_partitioned(assigned, root_uri, ["cell"])
+
+
+def ivfpq_index_topk(
+    spark,
+    root_uri: str,
+    query_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Search the combined index: probe cells computed DRIVER-SIDE on
+    the literal coarse quantizer (partition pruning at listing time),
+    ADC inner-product ranking over the PERSISTED codes inside the
+    probed cells (driver-built m×ks lookup tables as plan literals;
+    the scan's ReadSchema is codes + norm + id), cell-granular
+    shortlist (pq_topk's refine contract, budget scaled by ks/16),
+    exact-cosine re-rank of the shortlist members only. Single query
+    vector (the bounded-row contract; batch via the hard_negatives /
+    ivf_index_topk pattern)."""
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    qrows = query_df.select(F.col(vec_col)).take(2)
+    if not qrows:
+        raise ValueError("query_df is empty — search needs one query vector")
+    if len(qrows) > 1:
+        raise ValueError(
+            "query_df must contain exactly one query vector — loop "
+            "driver-side or use the batch pattern"
+        )
+    qvec = [float(x) for x in qrows[0][0]]
+    cells = _probe_cells_py(qvec, centroids, nprobe)
+    corpus = read_parquet(
+        spark, root_uri, where=f"cell IN ({', '.join(str(c) for c in cells)})"
+    )
+    m = len(codebooks)
+    dsub = dims // m
+
+    def _dot_py(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    adc_ip = None
+    for mi in range(m):
+        qs = qvec[mi * dsub : (mi + 1) * dsub]
+        table = F.array(*[F.lit(_dot_py(qs, c)) for c in codebooks[mi]])
+        term = F.element_at(table, F.col(f"_c{mi}") + 1)
+        adc_ip = term if adc_ip is None else adc_ip + term
+    code_cols = [f"_c{mi}" for mi in range(m)]
+    row_score = F.when(F.col("_xnorm") > 0, adc_ip / F.col("_xnorm"))
+    scored = corpus.withColumn("_adc", row_score)
+    ks_actual = len(codebooks[0])
+    n_cells = k * refine * max(1, ks_actual // 16)
+    top_cells = (
+        scored.groupBy(*code_cols)
+        .agg(F.max("_adc").alias("_cadc"))
+        .orderBy(F.col("_cadc").desc_nulls_last(), *code_cols)
+        .limit(n_cells)
+        .select(*code_cols)
+    )
+    members = scored.join(F.broadcast(top_cells), on=code_cols).withColumn(
+        "_qvec", F.array(*[F.lit(v) for v in qvec])
+    )
+    qnorm = F.sqrt(_norm_sq(F.col("_qvec")))
+    cos = F.when(
+        F.col("_xnorm") * qnorm > 0,
+        _dot(F.col(vec_col), F.col("_qvec")) / (F.col("_xnorm") * qnorm),
+    )
+    return (
+        members.select(F.col(id_col), cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_oracle_sql(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> str:
+    """DuckDB replica of the combined search with FIXED quantizers:
+    the ivf_oracle_sql probe-cell selection restricting the
+    pq_oracle_sql code/ADC/shortlist/re-rank chain — identical
+    literals, folds, budgets, and tie-breaks on both engines."""
+    n_coarse = len(centroids)
+    m = len(codebooks)
+    dsub = dims // m
+    n_cells = k * refine * max(1, len(codebooks[0]) // 16)
+
+    def sub(expr: str, mi: int) -> str:
+        return f"({expr}[{mi * dsub + 1}:{(mi + 1) * dsub}])"
+
+    cdists = "[" + ", ".join(
+        _sq_dist_sql("e." + vec_col, c, dims) for c in centroids
+    ) + "]"
+    qdists = "[" + ", ".join(
+        _sq_dist_sql("qvec", c, dims) for c in centroids
+    ) + "]"
+    code_cols = ", ".join(
+        "CAST(list_position({d}, list_min({d})) - 1 AS INT) AS _c{mi}".format(
+            d="["
+            + ", ".join(
+                _sq_dist_sql(sub("e." + vec_col, mi), c, dsub)
+                for c in codebooks[mi]
+            )
+            + "]",
+            mi=mi,
+        )
+        for mi in range(m)
+    )
+    adc_ip = " + ".join(
+        "(["
+        + ", ".join(_dot_sql(sub("qvec", mi), c, dsub) for c in codebooks[mi])
+        + f"])[_c{mi} + 1]"
+        for mi in range(m)
+    )
+    fold = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    dot = fold.format(d=dims, a="v", b="qvec")
+    na = fold.format(d=dims, a="v", b="v")
+    nb = fold.format(d=dims, a="qvec", b="qvec")
+    codes = ", ".join(f"_c{mi}" for mi in range(m))
+    return f"""
+WITH q AS (
+  SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id}
+), qd AS (
+  SELECT qvec, {qdists} AS d FROM q
+), qcells AS (
+  SELECT CAST(i - 1 AS INT) AS _qcell
+  FROM qd, range(1, {n_coarse} + 1) t(i)
+  ORDER BY d[CAST(i AS INT)], i LIMIT {nprobe}
+), coded AS (
+  SELECT e.{id_col} AS _id, e.{vec_col} AS v,
+         CAST(list_position({cdists}, list_min({cdists})) - 1 AS INT) AS _cell,
+         {code_cols}
+  FROM {table} e
+), probed AS (
+  SELECT * FROM coded WHERE _cell IN (SELECT _qcell FROM qcells)
+), cells AS (
+  SELECT {codes}, max(({adc_ip}) / nullif(sqrt({na}), 0)) AS _cadc
+  FROM probed, q
+  GROUP BY {codes}
+  ORDER BY _cadc DESC NULLS LAST, {codes}
+  LIMIT {n_cells}
+)
+SELECT c._id AS {id_col},
+       {dot} / nullif(sqrt({na}) * sqrt({nb}), 0) AS cosine_sim
+FROM probed c JOIN cells USING ({codes}), q
+ORDER BY cosine_sim DESC NULLS LAST, c._id
+LIMIT {k}
+"""

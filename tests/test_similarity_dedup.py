@@ -1313,3 +1313,77 @@ def test_hard_negatives_matches_oracle(spark, sf, tmp_path):
     assert (got["cosine_sim"] < 0.95).all()
     assert (got["query_id"] != got["vec_id"]).all()
     assert got.groupby("query_id").size().le(5).all()
+
+
+@_pt.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_ivfpq_index_matches_oracle(spark, sf, tmp_path):
+    """r11: the combined IVF+PQ persisted index — probe cells prune
+    partitions, ADC ranks over persisted codes, exact re-rank inside
+    the shortlist — replicates the chained literal-quantizer oracle
+    bit-exactly."""
+    import duckdb
+
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+    from pg_parquet_spark.operators.pq_fixture import CODEBOOKS
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(emb, root, CENTROIDS, CODEBOOKS)
+    query = emb.filter("vec_id = 0")
+    got = similarity.ivfpq_index_topk(
+        spark, root, query, CENTROIDS, CODEBOOKS, k=10, nprobe=2, refine=8
+    )
+    got_rows = [(r.vec_id, r.cosine_sim) for r in got.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = con.execute(
+        similarity.ivfpq_oracle_sql(
+            CENTROIDS, CODEBOOKS, query_id=0, k=10, nprobe=2, refine=8
+        )
+    ).df()
+    assert got_rows == list(zip(want["vec_id"], want["cosine_sim"]))
+
+    # physical evidence of both scaling axes: the executed plan prunes
+    # to the probed cell dirs (PartitionFilters) AND the ADC/shortlist
+    # scan never reads the raw vector column (ReadSchema)
+    import re as _re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    schemas = _re.findall(r"ReadSchema: ([^\n]+)", plan)
+    assert any("embedding" not in s for s in schemas), schemas
+
+
+def test_ivfpq_recall_matches_cell_restricted_pq(spark, tmp_path):
+    """Semantics pin: the combined search equals pq_topk run over the
+    probe-cell-restricted corpus with the same codebooks/budget — IVF
+    adds pruning, never a different ranking."""
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+    from pg_parquet_spark.operators.pq_fixture import CODEBOOKS
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    root = str(tmp_path / "ivfpq2")
+    similarity.build_ivfpq_index(emb, root, CENTROIDS, CODEBOOKS)
+    query = emb.filter("vec_id = 7")
+    got = similarity.ivfpq_index_topk(
+        spark, root, query, CENTROIDS, CODEBOOKS, k=10, nprobe=2, refine=8
+    ).collect()
+    qvec = [float(x) for x in query.collect()[0].embedding]
+    cells = similarity._probe_cells_py(qvec, CENTROIDS, 2)
+    restricted = similarity.ivf_assign(emb, CENTROIDS).filter(
+        F.col("_cell").isin(cells)
+    ).drop("_cell")
+    want = similarity.pq_topk(
+        restricted, query, k=10, refine=8, codebooks=CODEBOOKS
+    ).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in got] == [
+        (r.vec_id, r.cosine_sim) for r in want
+    ]
