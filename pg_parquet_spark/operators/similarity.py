@@ -2035,3 +2035,47 @@ FROM probed c JOIN cells USING ({codes}), q
 ORDER BY cosine_sim DESC NULLS LAST, c._id
 LIMIT {k}
 """
+
+
+def ivfpq_index_upsert(
+    spark,
+    root_uri: str,
+    new_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> None:
+    """Incremental maintenance for the combined index — the
+    ivf_index_upsert contract (versioned touched-cells-only MERGE,
+    partition-stability fail-fast on cell-moving ids) with the PQ
+    codes and norm recomputed for the batch through the same frozen
+    quantizers the index was built with."""
+    from pg_parquet_spark.sources.layout import merge_upsert
+
+    m = len(codebooks)
+    dsub = dims // m
+    assigned = (
+        new_df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("cell", _nearest_cell(F.col(vec_col), centroids))
+        .select(
+            "*",
+            *[
+                _nearest_cell(
+                    _subvec(F.col(vec_col), mi, dsub), codebooks[mi]
+                ).alias(f"_c{mi}")
+                for mi in range(m)
+            ],
+            F.sqrt(_norm_sq(F.col(vec_col))).alias("_xnorm"),
+        )
+    )
+    merge_upsert(
+        spark,
+        root_uri,
+        assigned,
+        [id_col],
+        partition_col="cell",
+        check_partition_stability=True,
+        versioned=True,
+    )

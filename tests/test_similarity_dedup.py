@@ -1387,3 +1387,34 @@ def test_ivfpq_recall_matches_cell_restricted_pq(spark, tmp_path):
     assert [(r.vec_id, r.cosine_sim) for r in got] == [
         (r.vec_id, r.cosine_sim) for r in want
     ]
+
+
+def test_ivfpq_index_upsert_keeps_search_exact(spark, tmp_path):
+    """r11: the combined index stays search-exact under incremental
+    ingest — build from half, upsert the rest, and the pruned+coded
+    search equals the from-scratch index's answer."""
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+    from pg_parquet_spark.operators.pq_fixture import CODEBOOKS
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    inc = str(tmp_path / "ivfpq_inc")
+    similarity.build_ivfpq_index(
+        emb.filter("vec_id % 2 = 0"), inc, CENTROIDS, CODEBOOKS
+    )
+    similarity.ivfpq_index_upsert(
+        spark, inc, emb.filter("vec_id % 2 = 1"), CENTROIDS, CODEBOOKS
+    )
+    full = str(tmp_path / "ivfpq_full")
+    similarity.build_ivfpq_index(emb, full, CENTROIDS, CODEBOOKS)
+    q = emb.filter("vec_id = 0")
+    got = similarity.ivfpq_index_topk(
+        spark, inc, q, CENTROIDS, CODEBOOKS, k=10, refine=8
+    ).collect()
+    want = similarity.ivfpq_index_topk(
+        spark, full, q, CENTROIDS, CODEBOOKS, k=10, refine=8
+    ).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in got] == [
+        (r.vec_id, r.cosine_sim) for r in want
+    ]
