@@ -1485,3 +1485,95 @@ SELECT {id_col},
             AS BIGINT) AS novelty_ppm
 FROM flagged GROUP BY {id_col} ORDER BY {id_col}
 """
+
+
+# --------------------------------------------------------------------------
+# Character-class profile / code detection (r11)
+
+_CODE_SYMBOLS = "{}[]();=<>&|#"
+_DIGITS = "0123456789"
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def charclass_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    code_threshold_ppm: int = 40_000,
+) -> DataFrame:
+    """Character-class PROFILE per document (r11) — the cheap signals a
+    mixture designer reads before weighting code vs prose slices, and a
+    quality filter reads before dropping symbol soup: exact integer ppm
+    of code symbols ({}[]();=<>&|#), digits, and uppercase letters,
+    plus ``code_like`` (symbol density over the threshold — a few
+    percent symbol mass separates code from prose robustly).
+
+    Determinism contract: every ratio is length arithmetic —
+    ``len(text) − len(translate(text, class, ''))`` — so the whole
+    profile is exact integers through positive integer division
+    (Spark ``div`` ≡ DuckDB ``//``); TRANSLATE and LENGTH agree
+    between engines by definition — no regex engine in the path,
+    unlike pattern-based detectors. One codegen projection, zero
+    shuffles, zero Python."""
+    c = F.col(text_col)
+    n = F.length(c).cast("long")
+
+    def class_count(chars: str) -> Column:
+        return (F.length(c) - F.length(F.translate(c, chars, ""))).cast("long")
+
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("n_chars"),
+            class_count(_CODE_SYMBOLS).alias("_s"),
+            class_count(_DIGITS).alias("_d"),
+            class_count(_UPPER).alias("_u"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            F.expr("(_s * 1000000) div greatest(n_chars, 1)")
+            .cast("long")
+            .alias("symbol_ppm"),
+            F.expr("(_d * 1000000) div greatest(n_chars, 1)")
+            .cast("long")
+            .alias("digit_ppm"),
+            F.expr("(_u * 1000000) div greatest(n_chars, 1)")
+            .cast("long")
+            .alias("upper_ppm"),
+        )
+        .withColumn(
+            "code_like", F.col("symbol_ppm") > F.lit(int(code_threshold_ppm))
+        )
+        .orderBy(id_col)
+    )
+
+
+def charclass_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    code_threshold_ppm: int = 40_000,
+) -> str:
+    """DuckDB replica: identical translate/length arithmetic and
+    integer division."""
+
+    def cc(chars: str) -> str:
+        esc = chars.replace("'", "''")
+        return f"(LENGTH({text_col}) - LENGTH(translate({text_col}, '{esc}', '')))"
+
+    return f"""
+SELECT {id_col},
+       CAST(LENGTH({text_col}) AS BIGINT) AS n_chars,
+       CAST(({cc(_CODE_SYMBOLS)} * 1000000)
+            // GREATEST(LENGTH({text_col}), 1) AS BIGINT) AS symbol_ppm,
+       CAST(({cc(_DIGITS)} * 1000000)
+            // GREATEST(LENGTH({text_col}), 1) AS BIGINT) AS digit_ppm,
+       CAST(({cc(_UPPER)} * 1000000)
+            // GREATEST(LENGTH({text_col}), 1) AS BIGINT) AS upper_ppm,
+       ({cc(_CODE_SYMBOLS)} * 1000000)
+            // GREATEST(LENGTH({text_col}), 1) > {code_threshold_ppm}
+         AS code_like
+FROM {table}
+ORDER BY {id_col}
+"""

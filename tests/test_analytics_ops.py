@@ -753,3 +753,45 @@ def test_perplexity_datamap_matches_oracle(spark, sf):
 
     with _pytest.raises(ValueError, match="power of two"):
         text_ops.perplexity_datamap(docs, n_bins=10)
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_charclass_features_match_oracle(spark, sf):
+    """r11: the character-class profile replicates bit-exactly —
+    translate/length arithmetic and integer division only."""
+    import duckdb
+
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.session import table as _table
+
+    docs = _table(spark, sf, "documents").select("doc_id", "text")
+    got = text_ops.charclass_features(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(text_ops.charclass_oracle_sql()).df()
+    assert len(got) == len(want) == docs.count()
+    for c in ("doc_id", "n_chars", "symbol_ppm", "digit_ppm", "upper_ppm", "code_like"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_charclass_separates_code_from_prose(spark):
+    """The detector's design property: a code snippet crosses the
+    code_like threshold, prose and empty docs do not."""
+    from pg_parquet_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "def f(x): return {'k': [x << 2 for x in range(10)]};"),
+            (2, "the quiet afternoon settled over the valley in amber light"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.charclass_features(df).collect()}
+    assert out[1].code_like is True
+    assert out[2].code_like is False
+    assert out[3].code_like is False and out[3].symbol_ppm == 0
