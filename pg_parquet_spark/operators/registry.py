@@ -140,64 +140,10 @@ PRIORITY_REFRESH = {
 }
 
 #: Generated by tools/rotation.py — edit via the tool, not by hand.
-REGISTRY_AS_OF = 10
+REGISTRY_AS_OF = 11
 
 GATE_ORDER = [
-    # -- never verified ----------------------------------------------
-    "q_curate_corpus",
-    "q_dedup_incremental_near",
-    "q_leakage_split",
-    "q_near_decontaminate",
-    "q_quality_classifier",
-    "q_text_bigram_logprob",
-    # -- green r10 but CODE CHANGED (r11 ROUND→floor(x*1e6+0.5) trig determinism fix (ADVICE r10) landed after its r10 green) -
-    "q_scalar_misc",
-    # -- green r8 ----------------------------------------------------
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q_agg_distinct",
-    "q_agg_filtered",
-    "q_case_when",
-    "q_dedup_canonical",
-    "q_dedup_clusters",
-    "q_dedup_embedding_cosine",
-    "q_dedup_exact",
-    "q_dedup_minhash_lsh",
-    "q_dedup_normalized",
-    "q_dedup_winnow",
-    "q_except",
-    "q_funnel",
-    "q_intersect",
-    "q_io_column_stats",
-    "q_io_copy_from_table",
-    "q_io_file_metadata",
-    "q_io_glob_read",
-    "q_io_http_read",
-    "q_io_list",
-    "q_io_schema",
-    "q_io_versioned_maintenance",
-    "q_io_where_filter",
-    "q_join_anti",
-    "q_join_full",
-    "q_multimodal_decode",
-    "q_outlier_zscore",
-    "q_pack_sequences",
-    "q_sim_ann_ivf",
-    "q_sim_ann_pq",
-    "q_stream_session",
-    "q_stream_window",
-    "q_text_chunk",
-    "q_text_entropy",
-    "q_text_features",
-    "q_text_pii_scrub",
-    "q_text_repetition",
-    "q_timeseries_gapfill",
-    "q_window_rank",
     # -- green r9 ----------------------------------------------------
-    # ==== window cut at 50: entries below are NOT verified this round ====
     "q_asof_join",
     "q_dedup_incremental",
     "q_embed_centroids",
@@ -249,6 +195,7 @@ GATE_ORDER = [
     "q_window_percent_rank",
     "q_window_range_frame",
     # -- green r10 ---------------------------------------------------
+    # ==== window cut at 50: entries below are NOT verified this round ====
     "q10_returned_items",
     "q11_important_stock",
     "q13_customer_distribution",
@@ -298,6 +245,57 @@ GATE_ORDER = [
     "q_topk_per_group",
     "q_unpivot",
     "q_window_frame",
+    # -- green r11 ---------------------------------------------------
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q_agg_distinct",
+    "q_agg_filtered",
+    "q_case_when",
+    "q_curate_corpus",
+    "q_dedup_canonical",
+    "q_dedup_clusters",
+    "q_dedup_embedding_cosine",
+    "q_dedup_exact",
+    "q_dedup_incremental_near",
+    "q_dedup_minhash_lsh",
+    "q_dedup_normalized",
+    "q_dedup_winnow",
+    "q_except",
+    "q_funnel",
+    "q_intersect",
+    "q_io_column_stats",
+    "q_io_copy_from_table",
+    "q_io_file_metadata",
+    "q_io_glob_read",
+    "q_io_http_read",
+    "q_io_list",
+    "q_io_schema",
+    "q_io_versioned_maintenance",
+    "q_io_where_filter",
+    "q_join_anti",
+    "q_join_full",
+    "q_leakage_split",
+    "q_multimodal_decode",
+    "q_near_decontaminate",
+    "q_outlier_zscore",
+    "q_pack_sequences",
+    "q_quality_classifier",
+    "q_scalar_misc",
+    "q_sim_ann_ivf",
+    "q_sim_ann_pq",
+    "q_stream_session",
+    "q_stream_window",
+    "q_text_bigram_logprob",
+    "q_text_chunk",
+    "q_text_entropy",
+    "q_text_features",
+    "q_text_pii_scrub",
+    "q_text_repetition",
+    "q_timeseries_gapfill",
+    "q_window_rank",
 ]
 
 
