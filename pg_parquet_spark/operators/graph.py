@@ -343,17 +343,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     worst-case instead of deg_max². Each triangle {x,y,z} with ranks
     x<y<z is counted EXACTLY once, as the wedge (x→y, x→z) closed by
     the edge y→z. Three key-partitioned hash joins, no cartesian. The
-    rank assignment is one window over NODES — the single-partition
-    pinch point at billion-node scale; the web-scale fix is the setsim
-    one (rank = degree-bucket × tie-hash: orientation only needs a
-    total order, not dense ranks). Returns one row
+    rank assignment is :func:`distrank.distributed_row_number` over
+    (deg, n) — range exchange + per-partition windows, identical
+    values to the global row_number, so a billion-node graph ranks in
+    parallel instead of through one task. Returns one row
     (n_nodes, n_edges, n_triangles).
 
     Oracle: the identical formulation in DuckDB SQL
     (:func:`triangle_oracle_sql`) — being a pure integer pipeline it
     replicates exactly; tests also cross-check a brute-force
     3-way-join count on a small fixture."""
-    from pyspark.sql.window import Window
+    from pg_parquet_spark.operators.distrank import distributed_row_number
 
     und = (
         edges.select(
@@ -368,9 +368,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("n")
         .agg(F.count("*").alias("deg"))
     )
-    rank = deg.withColumn(
-        "r", F.row_number().over(Window.orderBy("deg", "n")).cast("long")
-    ).select("n", "r")
+    rank = distributed_row_number(deg, ["deg", "n"], out_col="r").select(
+        "n", "r"
+    )
     # no broadcast hint: the rank table is NODE-sized — dimension-small
     # here (parts), potentially huge on a web graph — so the join
     # strategy is left to AQE's runtime size estimate

@@ -11,16 +11,16 @@ Scale design — NO self-join, NO quadratic term:
   or a SAME-COST row strictly beats it. So:
     1. aggregate to cost LEVELS (cost → max benefit) — map-side
        combinable, output is |distinct costs| rows;
-    2. one running-max window over the levels ordered by cost
-       (``rows between unbounded preceding and 1 preceding``);
+    2. a DISTRIBUTED running max over the levels ordered by cost
+       (``rows between unbounded preceding and 1 preceding``
+       semantics) via :func:`distrank.distributed_running_max` —
+       range-partition by cost, per-partition cummax, prefix the
+       per-partition maxima broadcast back — so even unbounded level
+       cardinality (continuous costs at web scale) never funnels
+       through a single-task window;
     3. join the level decisions back on the cost key.
-  The only data-sized operations are the level aggregation and the
-  final key-equi join; the window runs on LEVELS. With unbounded level
-  cardinality the window is the classic single-partition pinch — the
-  two-pass fix (range-partition by cost, per-partition cummax, prefix
-  the per-partition maxima) keeps the same plan shape; at realistic
-  level counts (≤ tens of millions of 2-col rows) the single window is
-  the right trade and is stated here rather than hidden.
+  The only data-sized operations are the level aggregation, the level
+  range exchange, and the final key-equi join.
 - No arithmetic on the measures — only comparisons — so doubles are
   hash-safe in the oracle compare (the float-aggregate rule doesn't
   apply: values pass through untouched).
@@ -34,7 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from pg_parquet_spark.operators.distrank import distributed_running_max
 
 
 def pareto_frontier(
@@ -45,8 +46,7 @@ def pareto_frontier(
     lvl = df.groupBy(F.col(cost_col).alias("_cost")).agg(
         F.max(benefit_col).alias("_mx")
     )
-    w = Window.orderBy("_cost").rowsBetween(Window.unboundedPreceding, -1)
-    lvl = lvl.withColumn("_best_prev", F.max("_mx").over(w))
+    lvl = distributed_running_max(lvl, "_cost", "_mx")
     dominated = (
         F.col("_best_prev").isNotNull()
         & (F.col("_best_prev") >= F.col(benefit_col))

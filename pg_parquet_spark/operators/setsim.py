@@ -20,22 +20,27 @@ being joined are the shortest ones. A symmetric length filter
 (θ·max(n_a,n_b) ≤ min(n_a,n_b), in exact ppm integers) prunes further
 before verification.
 
-Scale shape: the frequency-rank table is vocabulary-sized and
-BROADCAST; documents shuffle as integer rank arrays (tokens never move
-as strings past the ranking join); the verify step touches candidate
-pairs only, computing the exact intersection with array_intersect on
-sorted distinct int arrays. The ranking row_number is a single window
-over the VOCABULARY — bounded (vocab ≪ corpus; the web-scale fix is
-rank = df-bucket × tie-hash, same contract). All similarity arithmetic
-is ppm integers (inter·10⁶ vs θ·union — Spark ``div`` ≡ DuckDB ``//``),
-so the pair list replicates in the oracle bit-for-bit.
+Scale shape: documents shuffle as integer rank arrays (tokens never
+move as strings past the ranking join); the verify step touches
+candidate pairs only, computing the exact intersection with
+array_intersect on sorted distinct int arrays. The frequency rank is
+:func:`distrank.distributed_row_number` over (_df, tok) — a range
+exchange plus per-partition windows, NEVER a single-task global
+window, so a web-scale vocabulary (billions of distinct tokens) ranks
+in parallel; and the rank table joins back as an ordinary hash join
+(no broadcast hint — AQE broadcasts it only when its runtime size
+actually fits, so a billions-row vocabulary shuffles instead of
+dying in a broadcast). All similarity arithmetic is ppm integers
+(inter·10⁶ vs θ·union — Spark ``div`` ≡ DuckDB ``//``), so the pair
+list replicates in the oracle bit-for-bit.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from pg_parquet_spark.operators.distrank import distributed_row_number
 
 _PPM = 1_000_000
 
@@ -55,17 +60,11 @@ def jaccard_join(
             F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
         ).alias("tok"),
     )
-    rank = (
-        dt.groupBy("tok")
-        .agg(F.count("*").alias("_df"))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy("_df", "tok")).cast("long"),
-        )
-        .select("tok", "rk")
-    )
+    rank = distributed_row_number(
+        dt.groupBy("tok").agg(F.count("*").alias("_df")), ["_df", "tok"]
+    ).select("tok", "rk")
     arrs = (
-        dt.join(F.broadcast(rank), "tok")
+        dt.join(rank, "tok")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
         .withColumn("n", F.size("rks").cast("long"))
@@ -179,16 +178,10 @@ def containment_join(
             F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
         ).alias("tok"),
     )
-    rank = (
-        dt.groupBy("tok")
-        .agg(F.count("*").alias("_df"))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy("_df", "tok")).cast("long"),
-        )
-        .select("tok", "rk")
-    )
-    ranked = dt.join(F.broadcast(rank), "tok").select("id", "rk")
+    rank = distributed_row_number(
+        dt.groupBy("tok").agg(F.count("*").alias("_df")), ["_df", "tok"]
+    ).select("tok", "rk")
+    ranked = dt.join(rank, "tok").select("id", "rk")
     arrs = (
         ranked.groupBy("id")
         .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
