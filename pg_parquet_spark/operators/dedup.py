@@ -342,6 +342,87 @@ def _cap_band_buckets(exploded: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def lsh_hot_bucket_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    max_docs_per_band: int = MAX_DOCS_PER_BAND,
+) -> DataFrame:
+    """The DROPPED side of the band cap, surfaced (ADVICE r11): every
+    (band_idx, key) bucket the LSH tier refuses to pair-enumerate,
+    with its member count and min/max member ids as representatives.
+    Empty result ⇔ ``minhash_lsh_pairs`` at the same parameters ran
+    cap-free (no recall loss). A non-empty result is the caller's cue
+    to either raise ``max_docs_per_band`` or pre-run
+    ``dedup_normalized`` so the over-cap class collapses before the
+    near tier (its VERBATIM members are linear-tier material either
+    way; what the cap can silently drop is a NEAR-variant whose only
+    shared buckets are hot — see the cap rationale at
+    MAX_DOCS_PER_BAND).
+
+    Output: (band_idx, key, n_members, min_id, max_id), ordered by
+    n_members desc. Bounded by n_docs·bands/cap rows; members are
+    NEVER collected (min/max, not collect_list — a million-doc
+    boilerplate class stays an aggregate)."""
+    rows_per_band = num_hashes // bands
+    sig = (
+        with_shingles(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col
+        )
+        .select("_id", "_sh")
+        .select("_id", base_hash_col(F.col("_sh")).alias("_h"))
+        .select(
+            "_id", *minhash_signature_from_base(F.col("_h"), num_hashes)
+        )
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    exploded = (
+        sig.select("_id", *band_keys)
+        .select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.col(f"band{b}").alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(
+            "_id",
+            F.col("bk.band_idx").alias("band_idx"),
+            F.col("bk.key").alias("key"),
+        )
+    )
+    return (
+        exploded.groupBy("band_idx", "key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("_id").alias("min_id"),
+            F.max("_id").alias("max_id"),
+        )
+        .filter(F.col("n_members") > max_docs_per_band)
+        .orderBy(F.col("n_members").desc(), "band_idx", "key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -1123,10 +1204,15 @@ def contamination_oracle_sql(
     oracle)."""
     joined = " || ' ' || ".join(f"toks[i+{k}]" for k in range(ngram))
     cw = "" if corpus_pred == "TRUE" else f" WHERE {corpus_pred}"
-    fw = (
-        ""
+    # ADVICE r11: the scored side filters through an aliased subquery
+    # (same shape as the corpus CTE), NEVER a textual predicate rewrite
+    # — a predicate naming a column that merely CONTAINS 'doc_id'
+    # (src_doc_id) survives intact, and the raw predicate binds in the
+    # table's own namespace where every column is unambiguous.
+    scored = (
+        table
         if corpus_pred == "TRUE"
-        else f"\nWHERE {corpus_pred.replace('doc_id', 'd.doc_id')}"
+        else f"(SELECT * FROM {table} WHERE {corpus_pred})"
     )
     return f"""
 WITH t AS (
@@ -1148,7 +1234,7 @@ WITH t AS (
 SELECT d.doc_id,
   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
   COALESCE(h.n, 0) >= {min_shared} AS contaminated
-FROM {table} d LEFT JOIN hits h ON d.doc_id = h.doc_id{fw}
+FROM {scored} d LEFT JOIN hits h ON d.doc_id = h.doc_id
 ORDER BY d.doc_id
 """
 

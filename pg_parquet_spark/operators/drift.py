@@ -32,14 +32,28 @@ _PPM = 1_000_000
 
 #: self-cleaning cache registry (the dedup module's convention): the
 #: tiny count frames psi_from_counts persists for its single-pass
-#: contract live here; the NEXT psi call frees them, release_cached()
-#: frees them eagerly.
+#: contract live here. Trimmed FIFO past _CACHE_KEEP handles (ADVICE
+#: r11: a report composing several monitors BEFORE collecting any of
+#: them must not have monitor k+1 unpersist monitor k's still-lazy
+#: count frames — an entry-time release-all did exactly that, silently
+#: re-running each corpus-sized upstream at collect time; results were
+#: correct, the single-pass contract wasn't). Each psi call registers
+#: ≤3 frames of ≤n_cats rows, so the bound keeps the last ~8 monitors'
+#: results cache-backed while still guaranteeing no unbounded leak.
+#: release_cached() still frees everything eagerly — call it after the
+#: report is materialized.
 _CACHED_FRAMES: list[DataFrame] = []
+_CACHE_KEEP = 24
 
 
 def release_cached() -> None:
     while _CACHED_FRAMES:
         _CACHED_FRAMES.pop().unpersist()
+
+
+def _trim_cache() -> None:
+    while len(_CACHED_FRAMES) > _CACHE_KEEP:
+        _CACHED_FRAMES.pop(0).unpersist()
 
 
 def bucketize(col: Column, edges: list[float]) -> Column:
@@ -98,10 +112,13 @@ def psi_from_counts(
     assignment) evaluates exactly ONCE — previously the three driver
     actions (Σc_ref, Σc_new, n_cats) re-ran it three times. The tiny
     (≤ n_cats-row) caches stay registered in the module's
-    self-cleaning list (the dedup convention): the NEXT psi call's
-    release frees them, and :func:`release_cached` frees them
-    eagerly."""
-    release_cached()
+    self-cleaning list (the dedup convention), trimmed FIFO past
+    _CACHE_KEEP handles — NOT released wholesale at entry, so a
+    report can compose several monitors and collect afterwards
+    without monitor k+1 evicting monitor k's still-uncollected
+    frames (ADVICE r11); :func:`release_cached` frees everything
+    eagerly once the report is materialized."""
+    _trim_cache()
     rc = ref_counts.select(
         F.col(alias).alias("_cat_r"), F.col("n").cast("long").alias("c_ref")
     ).persist()
@@ -153,9 +170,9 @@ def _psi_from_tagged(tagged: DataFrame, alias: str = "category") -> DataFrame:
     both corpora in ONE pass — the composed monitors' upstream
     (token explode, cell assignment) is in the plan exactly once. The
     tiny tagged-count frame is persisted so psi_from_counts' scalar
-    actions read it instead of re-running the job; psi_from_counts'
-    release_cached() (run on ITS next entry) frees it along with the
-    per-side count caches."""
+    actions read it instead of re-running the job; it is freed by the
+    registry's FIFO trim (or an explicit release_cached()) along with
+    the per-side count caches."""
     counts = (
         tagged.groupBy("_side", alias)
         .agg(F.count("*").cast("long").alias("n"))

@@ -41,7 +41,17 @@ def curate_corpus(
     id — one row per surviving document. Downstream: train set =
     ``is_canonical AND split = 'train'``; the non-canonical rows are
     retained so the drop decisions stay auditable (the SemDeDup
-    keep-column convention)."""
+    keep-column convention).
+
+    NEAR-DUP residual (ADVICE r11): step 3 collapses NORMALIZED
+    equivalence only. If a fuzzier tier (``dedup.minhash_lsh_pairs``
+    / ``dedup.dedup_incremental_near``) is composed around this
+    recipe, its band cap (``dedup.MAX_DOCS_PER_BAND``) can drop a
+    near-VARIANT of an over-cap boilerplate class whose only shared
+    buckets are hot — run :func:`dedup.lsh_hot_bucket_audit` to see
+    exactly which buckets the cap silenced, then raise the cap or
+    rely on this recipe's normalized grouping having already
+    collapsed the verbatim class."""
     from pg_parquet_spark.operators.sampling import split_by_group
     from pg_parquet_spark.operators.text import normalized_fingerprint
 

@@ -1391,16 +1391,22 @@ def ivf_index_topk(
     list and the file listing never visits the unprobed directories),
     exact-cosine re-rank inside.
 
-    Single-row ``query_df`` (the r10 surface, byte-identical): returns
-    (id, cosine_sim) top-k, same as in-memory ``ivf_topk``.
+    The output shape is decided by the PRESENCE of ``query_id_col``
+    (ADVICE r11: never by row count, so a 1-row keyed batch keeps its
+    key column):
 
-    Multi-row ``query_df`` (r11, VERDICT r10 minor): must carry
-    ``query_id_col``; returns (query_id, id, cosine_sim) — per-query
-    top-k via one window over the SINGLE pruned scan, equal to N
-    independent single-query calls (each query scores only its own
-    probed cells: the ≤MAX_INDEX_QUERIES query rows broadcast-join the
-    scan on array_contains(probe_cells, cell), so no query sees
-    another's cells and the corpus is read once)."""
+    - ``query_df`` WITHOUT ``query_id_col`` (the r10 surface,
+      byte-identical): exactly one row, returns (id, cosine_sim)
+      top-k, same as in-memory ``ivf_topk``.
+    - ``query_df`` WITH ``query_id_col`` (r11, VERDICT r10 minor):
+      returns (query_id, id, cosine_sim) — per-query top-k via one
+      window over the SINGLE pruned scan, equal to N independent
+      single-query calls (each query scores only its own probed
+      cells: the ≤MAX_INDEX_QUERIES query rows broadcast-join the
+      scan on array_contains(probe_cells, cell), so no query sees
+      another's cells and the corpus is read once). Duplicate query
+      ids raise — they would silently merge per-query result sets
+      through the shared row_number window."""
     from pg_parquet_spark.sources.reader import read_parquet
 
     head = query_df.take(MAX_INDEX_QUERIES + 1)
@@ -1411,7 +1417,12 @@ def ivf_index_topk(
             f"query_df holds more than {MAX_INDEX_QUERIES} rows — that is "
             "a corpus, not a query batch; use a cell-keyed join instead"
         )
-    if len(head) == 1:
+    if query_id_col not in query_df.columns:
+        if len(head) > 1:
+            raise ValueError(
+                f"multi-row query_df needs a {query_id_col!r} column to key "
+                "the per-query result sets"
+            )
         qvec = [float(x) for x in head[0][vec_col]]
         cells = _probe_cells_py(qvec, centroids, nprobe)
         corpus = read_parquet(
@@ -1425,11 +1436,6 @@ def ivf_index_topk(
             .limit(k)
         )
 
-    if query_id_col not in query_df.columns:
-        raise ValueError(
-            f"multi-row query_df needs a {query_id_col!r} column to key "
-            "the per-query result sets"
-        )
     from pyspark.sql.window import Window
 
     qmeta = [
@@ -1440,6 +1446,12 @@ def ivf_index_topk(
         )
         for r in head
     ]
+    qids = [q for q, _, _ in qmeta]
+    if len(set(qids)) != len(qids):
+        raise ValueError(
+            f"duplicate {query_id_col!r} values in the query batch — "
+            "per-query top-k sets would silently merge"
+        )
     all_cells = sorted({c for _, _, pc in qmeta for c in pc})
     corpus = read_parquet(
         spark, root_uri, where=f"cell IN ({', '.join(str(c) for c in all_cells)})"
@@ -1704,7 +1716,18 @@ def hard_negatives(
     driver-collected set (≤ MAX_INDEX_QUERIES), ONE scan pruned to the
     union of probed cells, per-anchor gating via the broadcast
     array_contains join, the cosine band filter BEFORE the ranking
-    window (so dups never consume result slots), one window top-k."""
+    window (so dups never consume result slots), one window top-k.
+
+    ID-NAMESPACE REQUIREMENT (ADVICE r11): anchors' ``query_id_col``
+    must share the corpus' ``id_col`` namespace — self-exclusion is
+    ``id != query_id`` (the oracle states the same predicate). An
+    anchor keyed by an arbitrary external id would (a) fail to
+    exclude its own indexed copy and (b) drop one unrelated corpus
+    vector that happens to carry the same number. For external
+    anchors, re-key them to their corpus ids first (or pass a fresh
+    id range disjoint from the corpus and accept that in-corpus
+    copies surface at cosine 1.0 above ``max_cos``, where the band
+    filter already removes them)."""
     from pyspark.sql.window import Window
 
     from pg_parquet_spark.sources.reader import read_parquet
@@ -1883,33 +1906,36 @@ def ivfpq_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    query_id_col: str = "query_id",
 ) -> DataFrame:
     """Search the combined index: probe cells computed DRIVER-SIDE on
     the literal coarse quantizer (partition pruning at listing time),
     ADC inner-product ranking over the PERSISTED codes inside the
-    probed cells (driver-built m×ks lookup tables as plan literals;
-    the scan's ReadSchema is codes + norm + id), cell-granular
-    shortlist (pq_topk's refine contract, budget scaled by ks/16),
-    exact-cosine re-rank of the shortlist members only. Single query
-    vector (the bounded-row contract; batch via the hard_negatives /
-    ivf_index_topk pattern)."""
+    probed cells (driver-built m×ks lookup tables; the scan's
+    ReadSchema is codes + norm + id), cell-granular shortlist
+    (pq_topk's refine contract, budget scaled by ks/16), exact-cosine
+    re-rank of the shortlist members only.
+
+    Output shape follows the ivf_index_topk contract — decided by the
+    PRESENCE of ``query_id_col``, never by row count:
+
+    - WITHOUT ``query_id_col``: exactly one row, returns
+      (id, cosine_sim) top-k (the r11 surface, byte-identical).
+    - WITH ``query_id_col`` (r12, ≤MAX_INDEX_QUERIES rows, unique
+      ids): returns (query_id, id, cosine_sim) — ONE scan pruned to
+      the UNION of the queries' probe cells; each query ranks only
+      its own probed cells (broadcast join on
+      array_contains(probe_cells, cell)); the per-query m×ks ADC
+      tables ride the broadcast frame as array columns instead of
+      plan literals; per-query shortlist and re-rank via windows —
+      equal to N independent single-query calls."""
     from pg_parquet_spark.sources.reader import read_parquet
 
-    qrows = query_df.select(F.col(vec_col)).take(2)
-    if not qrows:
-        raise ValueError("query_df is empty — search needs one query vector")
-    if len(qrows) > 1:
-        raise ValueError(
-            "query_df must contain exactly one query vector — loop "
-            "driver-side or use the batch pattern"
-        )
-    qvec = [float(x) for x in qrows[0][0]]
-    cells = _probe_cells_py(qvec, centroids, nprobe)
-    corpus = read_parquet(
-        spark, root_uri, where=f"cell IN ({', '.join(str(c) for c in cells)})"
-    )
     m = len(codebooks)
     dsub = dims // m
+    code_cols = [f"_c{mi}" for mi in range(m)]
+    ks_actual = len(codebooks[0])
+    n_cells = k * refine * max(1, ks_actual // 16)
 
     def _dot_py(a: list[float], b: list[float]) -> float:
         acc = 0.0
@@ -1917,36 +1943,130 @@ def ivfpq_index_topk(
             acc = acc + x * y
         return acc
 
+    head = query_df.take(MAX_INDEX_QUERIES + 1)
+    if not head:
+        raise ValueError("query_df is empty — search needs a query vector")
+    if len(head) > MAX_INDEX_QUERIES:
+        raise ValueError(
+            f"query_df holds more than {MAX_INDEX_QUERIES} rows — that is "
+            "a corpus, not a query batch; use a cell-keyed join instead"
+        )
+
+    if query_id_col not in query_df.columns:
+        if len(head) > 1:
+            raise ValueError(
+                f"multi-row query_df needs a {query_id_col!r} column to "
+                "key the per-query result sets"
+            )
+        qvec = [float(x) for x in head[0][vec_col]]
+        cells = _probe_cells_py(qvec, centroids, nprobe)
+        corpus = read_parquet(
+            spark,
+            root_uri,
+            where=f"cell IN ({', '.join(str(c) for c in cells)})",
+        )
+        adc_ip = None
+        for mi in range(m):
+            qs = qvec[mi * dsub : (mi + 1) * dsub]
+            table = F.array(*[F.lit(_dot_py(qs, c)) for c in codebooks[mi]])
+            term = F.element_at(table, F.col(f"_c{mi}") + 1)
+            adc_ip = term if adc_ip is None else adc_ip + term
+        row_score = F.when(F.col("_xnorm") > 0, adc_ip / F.col("_xnorm"))
+        scored = corpus.withColumn("_adc", row_score)
+        top_cells = (
+            scored.groupBy(*code_cols)
+            .agg(F.max("_adc").alias("_cadc"))
+            .orderBy(F.col("_cadc").desc_nulls_last(), *code_cols)
+            .limit(n_cells)
+            .select(*code_cols)
+        )
+        members = scored.join(
+            F.broadcast(top_cells), on=code_cols
+        ).withColumn("_qvec", F.array(*[F.lit(v) for v in qvec]))
+        qnorm = F.sqrt(_norm_sq(F.col("_qvec")))
+        cos = F.when(
+            F.col("_xnorm") * qnorm > 0,
+            _dot(F.col(vec_col), F.col("_qvec")) / (F.col("_xnorm") * qnorm),
+        )
+        return (
+            members.select(F.col(id_col), cos.alias("cosine_sim"))
+            .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col))
+            .limit(k)
+        )
+
+    from pyspark.sql.window import Window
+
+    qmeta = []
+    for r in head:
+        qvec = [float(x) for x in r[vec_col]]
+        adc_tabs = [
+            [_dot_py(qvec[mi * dsub : (mi + 1) * dsub], c) for c in codebooks[mi]]
+            for mi in range(m)
+        ]
+        qmeta.append(
+            (
+                int(r[query_id_col]),
+                qvec,
+                _probe_cells_py(qvec, centroids, nprobe),
+                adc_tabs,
+            )
+        )
+    qids = [q for q, _, _, _ in qmeta]
+    if len(set(qids)) != len(qids):
+        raise ValueError(
+            f"duplicate {query_id_col!r} values in the query batch — "
+            "per-query top-k sets would silently merge"
+        )
+    all_cells = sorted({c for _, _, pc, _ in qmeta for c in pc})
+    corpus = read_parquet(
+        spark,
+        root_uri,
+        where=f"cell IN ({', '.join(str(c) for c in all_cells)})",
+    )
+    qframe = spark.createDataFrame(
+        qmeta,
+        f"{query_id_col} long, _qvec array<double>, _probe array<int>, "
+        "_adctab array<array<double>>",
+    )
     adc_ip = None
     for mi in range(m):
-        qs = qvec[mi * dsub : (mi + 1) * dsub]
-        table = F.array(*[F.lit(_dot_py(qs, c)) for c in codebooks[mi]])
-        term = F.element_at(table, F.col(f"_c{mi}") + 1)
+        term = F.element_at(
+            F.element_at(F.col("_adctab"), mi + 1), F.col(f"_c{mi}") + 1
+        )
         adc_ip = term if adc_ip is None else adc_ip + term
-    code_cols = [f"_c{mi}" for mi in range(m)]
-    row_score = F.when(F.col("_xnorm") > 0, adc_ip / F.col("_xnorm"))
-    scored = corpus.withColumn("_adc", row_score)
-    ks_actual = len(codebooks[0])
-    n_cells = k * refine * max(1, ks_actual // 16)
-    top_cells = (
-        scored.groupBy(*code_cols)
-        .agg(F.max("_adc").alias("_cadc"))
-        .orderBy(F.col("_cadc").desc_nulls_last(), *code_cols)
-        .limit(n_cells)
-        .select(*code_cols)
+    scored = corpus.join(
+        F.broadcast(qframe),
+        F.array_contains(F.col("_probe"), F.col("cell").cast("int")),
+    ).withColumn("_adc", F.when(F.col("_xnorm") > 0, adc_ip / F.col("_xnorm")))
+    w_cell = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cadc").desc_nulls_last(), *code_cols
     )
-    members = scored.join(F.broadcast(top_cells), on=code_cols).withColumn(
-        "_qvec", F.array(*[F.lit(v) for v in qvec])
+    top_cells = (
+        scored.groupBy(query_id_col, *code_cols)
+        .agg(F.max("_adc").alias("_cadc"))
+        .withColumn("_crk", F.row_number().over(w_cell))
+        .filter(F.col("_crk") <= n_cells)
+        .select(query_id_col, *code_cols)
+    )
+    members = scored.join(
+        F.broadcast(top_cells), on=[query_id_col] + code_cols
     )
     qnorm = F.sqrt(_norm_sq(F.col("_qvec")))
     cos = F.when(
         F.col("_xnorm") * qnorm > 0,
         _dot(F.col(vec_col), F.col("_qvec")) / (F.col("_xnorm") * qnorm),
     )
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc_nulls_last(), F.col(id_col)
+    )
     return (
-        members.select(F.col(id_col), cos.alias("cosine_sim"))
-        .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col))
-        .limit(k)
+        members.select(query_id_col, F.col(id_col), cos.alias("cosine_sim"))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .orderBy(
+            query_id_col, F.col("cosine_sim").desc_nulls_last(), id_col
+        )
     )
 
 

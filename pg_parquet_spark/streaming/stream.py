@@ -1282,7 +1282,16 @@ def drain_with_curation(
     Crash/replay: extraction and bounding are deterministic pure
     functions of the batch, so the exact-tier convergence argument
     carries verbatim (corpus exactly-once by manifest; signature
-    commit at-least-once, idempotent)."""
+    commit at-least-once, idempotent).
+
+    NEAR-DUP residual (ADVICE r11): the MinHash tier is band-capped
+    (``dedup.MAX_DOCS_PER_BAND``) — a near-VARIANT of an over-cap
+    boilerplate class whose only shared buckets are hot is ADMITTED
+    by every tier here (verbatim members of such classes are what
+    the cap routes to the exact tier; variants are not verbatim).
+    If ingest sources carry templated boilerplate, audit with
+    ``dedup.lsh_hot_bucket_audit`` over the landed corpus and either
+    raise the cap or pre-normalize (strip the template) upstream."""
     from pyspark.sql import functions as SF
 
     from pg_parquet_spark.operators import dedup as dedup_ops

@@ -334,3 +334,44 @@ def test_psi_single_pass_over_upstream(spark):
         f"upstream evaluated {acc.value / n:.1f}x (expected exactly 2x: "
         "once per side)"
     )
+
+
+def test_psi_composed_monitors_keep_caches(spark):
+    """ADVICE r11: composing a SECOND monitor before collecting the
+    first must not evict the first's persisted count frames — the
+    registry trims FIFO past _CACHE_KEEP instead of releasing at
+    entry. Both monitors collect AFTER both are built; each side of
+    each feed still evaluates exactly once (entry-release measured an
+    extra full pass per evicted monitor here)."""
+    from pg_parquet_spark.operators.drift import release_cached
+
+    release_cached()
+    docs = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    n = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def ticking(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = docs.mapInPandas(ticking, "doc_id long, text string")
+    m_a = drift.text_psi(
+        counted.filter("doc_id % 2 = 0"), counted.filter("doc_id % 2 = 1")
+    )
+    m_b = drift.text_psi(
+        counted.filter("doc_id % 3 = 0"), counted.filter("doc_id % 3 <> 0")
+    )
+    # collect in build order AFTER both exist — the old entry-release
+    # had monitor B's construction evict A's caches, so this first
+    # collect re-ran A's two feed scans (+2n ticks)
+    assert m_a.count() > 0 and m_b.count() > 0
+    assert acc.value == 4 * n, (
+        f"feeds evaluated {acc.value / n:.1f}x (expected exactly 4x: "
+        "two monitors x two sides, no post-eviction re-runs)"
+    )
+    release_cached()

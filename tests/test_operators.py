@@ -661,3 +661,33 @@ def test_audio_features_distributed(spark):
     assert got[2].zcr == 0.0
     assert got[3].max_frame_rms > 5 * got[3].rms
     assert got[3].n_frames == 40  # 1s / 25ms
+
+
+def test_lsh_hot_bucket_audit_surfaces_drops(spark):
+    """ADVICE r11: the band cap's dropped side is now observable —
+    lsh_hot_bucket_audit reports every over-cap (band_idx, key)
+    bucket with its member count and min/max representative ids, and
+    is empty exactly when minhash_lsh_pairs ran cap-free."""
+    from pg_parquet_spark.operators import dedup
+
+    hot = "subscribe to our newsletter for updates delivered every morning"
+    docs = spark.createDataFrame(
+        [(i, hot) for i in range(60)]
+        + [(100, "the quick brown fox jumps over the lazy dog once more")],
+        "doc_id long, text string",
+    )
+    audit = dedup.lsh_hot_bucket_audit(docs, "doc_id").collect()
+    assert audit, "60 identical docs must trip the 50-doc band cap"
+    # every band of the identical class is one 60-member bucket
+    assert {r.n_members for r in audit} == {60}
+    assert all(r.min_id == 0 and r.max_id == 59 for r in audit)
+    assert audit == sorted(
+        audit, key=lambda r: (-r.n_members, r.band_idx, r.key)
+    )
+    # a corpus with no over-cap class audits empty (no recall loss)
+    varied = spark.createDataFrame(
+        [(i, f"document number {i} discusses topic {i % 7} in detail")
+         for i in range(80)],
+        "doc_id long, text string",
+    )
+    assert dedup.lsh_hot_bucket_audit(varied, "doc_id").count() == 0

@@ -1418,3 +1418,160 @@ def test_ivfpq_index_upsert_keeps_search_exact(spark, tmp_path):
     assert [(r.vec_id, r.cosine_sim) for r in got] == [
         (r.vec_id, r.cosine_sim) for r in want
     ]
+
+
+def test_ivfpq_index_topk_batch_queries(spark, tmp_path):
+    """r12 (VERDICT r11 minor): the combined index takes the same
+    bounded query-frame contract as ivf_index_topk — ONE scan pruned
+    to the union of probe cells, per-query ADC shortlist + exact
+    re-rank, equal to N independent single-query calls; shape is
+    decided by query_id presence (a 1-row keyed batch keeps its key);
+    duplicate ids raise."""
+    import pytest as _pytest
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+    from pg_parquet_spark.operators.pq_fixture import CODEBOOKS
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    root = str(tmp_path / "ivfpq_batch")
+    similarity.build_ivfpq_index(emb, root, CENTROIDS, CODEBOOKS)
+
+    qids = [0, 7, 33]
+    batch = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivfpq_index_topk(
+        spark, root, batch, CENTROIDS, CODEBOOKS, k=5, nprobe=2, refine=8
+    )
+    got_rows = [(r.query_id, r.vec_id, r.cosine_sim) for r in got.collect()]
+    want = []
+    probe_union = set()
+    for q in qids:
+        single = similarity.ivfpq_index_topk(
+            spark, root, emb.filter(f"vec_id = {q}"), CENTROIDS, CODEBOOKS,
+            k=5, nprobe=2, refine=8,
+        )
+        want += [(q, r.vec_id, r.cosine_sim) for r in single.collect()]
+        qvec = [
+            float(x)
+            for x in emb.filter(f"vec_id = {q}").take(1)[0]["embedding"]
+        ]
+        probe_union |= set(similarity._probe_cells_py(qvec, CENTROIDS, 2))
+    assert got_rows == want
+
+    # both scaling axes in the batch plan: exactly the designed TWO
+    # parquet scans (codes-only ADC ranking + the refine projection),
+    # each pruned to the union of probe cells — never one per query
+    import re as _re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2, final
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    scanned = {int(c) for c in _re.findall(r"cell=(\d+)", plan)}
+    if scanned:
+        assert scanned <= probe_union
+    assert len(probe_union) < len(CENTROIDS)
+    schemas = _re.findall(r"ReadSchema: ([^\n]+)", plan)
+    assert any("embedding" not in s for s in schemas), schemas
+
+    # a 1-row frame that carries query_id keeps the keyed shape
+    one = similarity.ivfpq_index_topk(
+        spark, root, batch.filter("query_id = 7"), CENTROIDS, CODEBOOKS,
+        k=5, nprobe=2, refine=8,
+    )
+    assert one.columns == ["query_id", "vec_id", "cosine_sim"]
+    assert [(r.vec_id, r.cosine_sim) for r in one.collect()] == [
+        (v, c) for q, v, c in want if q == 7
+    ]
+
+    # guardrails: multi-row without the key, duplicate keys
+    with _pytest.raises(ValueError, match="query_id"):
+        similarity.ivfpq_index_topk(
+            spark, root, emb.limit(3), CENTROIDS, CODEBOOKS, k=5
+        )
+    dup = batch.unionAll(batch.filter("query_id = 0"))
+    with _pytest.raises(ValueError, match="duplicate"):
+        similarity.ivfpq_index_topk(
+            spark, root, dup, CENTROIDS, CODEBOOKS, k=5
+        )
+
+
+def test_ivf_index_topk_keyed_single_row_and_dup_guard(spark, tmp_path):
+    """ADVICE r11: ivf_index_topk's output shape follows query_id
+    PRESENCE — a keyed 1-row batch returns (query_id, id, cosine_sim)
+    equal to the bare single-query call's pairs; duplicate ids raise."""
+    import pytest as _pytest
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    root = str(tmp_path / "ivf_keyed1")
+    similarity.build_ivf_index(emb, root, CENTROIDS)
+
+    bare = similarity.ivf_index_topk(
+        spark, root, emb.filter("vec_id = 7"), CENTROIDS, k=5, nprobe=2
+    )
+    assert bare.columns == ["vec_id", "cosine_sim"]
+    keyed = similarity.ivf_index_topk(
+        spark,
+        root,
+        emb.filter("vec_id = 7").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        CENTROIDS,
+        k=5,
+        nprobe=2,
+    )
+    assert keyed.columns == ["query_id", "vec_id", "cosine_sim"]
+    assert [(r.vec_id, r.cosine_sim) for r in keyed.collect()] == [
+        (r.vec_id, r.cosine_sim) for r in bare.collect()
+    ]
+    assert {r.query_id for r in keyed.collect()} == {7}
+
+    batch = emb.filter(F.col("vec_id").isin([0, 7])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dup = batch.unionAll(batch.filter("query_id = 7"))
+    with _pytest.raises(ValueError, match="duplicate"):
+        similarity.ivf_index_topk(spark, root, dup, CENTROIDS, k=5)
+
+
+def test_contamination_oracle_predicate_is_not_string_rewritten(spark):
+    """ADVICE r11: contamination_oracle_sql's scored side filters
+    through an aliased subquery — a corpus_pred naming a column that
+    merely CONTAINS 'doc_id' survives verbatim (the old textual
+    replace corrupted it to d.src_d.doc_id), and a real predicate
+    run replicates the engine bit-exactly."""
+    import duckdb
+
+    sql = dedup.contamination_oracle_sql(
+        corpus_pred="src_doc_id IS NOT NULL"
+    )
+    assert "src_doc_id IS NOT NULL" in sql
+    assert "d.src_doc_id" not in sql and "src_d.doc_id" not in sql
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pred = "doc_id % 20 <> 0 AND doc_id % 3 = 0"
+    got = (
+        dedup.contamination_flags(
+            docs.filter(pred), docs.filter("doc_id % 20 = 0"), min_shared=3
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        dedup.contamination_oracle_sql(min_shared=3, corpus_pred=pred)
+    ).df()
+    assert len(got) == len(want) == docs.filter(pred).count()
+    for c in ("doc_id", "n_shared_grams", "contaminated"):
+        assert list(got[c]) == list(want[c]), c
