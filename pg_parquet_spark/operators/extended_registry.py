@@ -1,0 +1,429 @@
+"""Third certification tier (VERDICT r11 "What's missing" #1): the
+NON-registry oracle-backed operator families as (spark, sf_dir) query
+functions with their DuckDB oracles.
+
+The driver registry is saturated at 150 gates (50-slot window ×
+3-round freshness), so operator families beyond it used to carry their
+DuckDB-oracle equality only inside pytest — provable, but absent from
+every CORRECTNESS artifact. This module gives each such family the
+same (query, oracle) contract the registry uses, and
+``tools/extended_gate_sweep.py`` runs them all through the
+driver-identical compare at both SFs each round, emitting
+``CORRECTNESS_EXTENDED_r{N}.json``.
+
+Names are ``x_``-prefixed so the tier can never be confused with the
+driver surface (``q_``). Parameters mirror the pytest invocations
+one-for-one — the sweep certifies exactly what the tests assert,
+as a machine-readable artifact instead of prose.
+
+Streaming drains are NOT here: a drain's contract is crash/replay
+convergence, proven by the per-drain crash drills in
+tests/test_stream_*.py, not a one-shot SQL equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_parquet_spark.session import table
+
+_MIX_TGT = {"src1": 500_000, "src3": 300_000, "src7": 200_000}
+
+
+def _docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+# --- sketches ---------------------------------------------------------------
+
+def x_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sketch
+
+    return sketch.kmv_distinct(
+        table(spark, sf_dir, "events"), "event_type", "user_id", k=8
+    )
+
+
+def x_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sketch
+
+    return sketch.cms_heavy_hitters(
+        table(spark, sf_dir, "events"), "user_id", top_k=10
+    )
+
+
+def x_sketch_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sketch
+
+    return sketch.hdr_quantile_table(
+        table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+def x_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sketch
+
+    return sketch.assign_quantile_bins(
+        table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+def x_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sketch
+
+    ev = table(spark, sf_dir, "events")
+    return sketch.kmv_overlap(
+        ev.filter("value < 250"),
+        ev.filter("value >= 100"),
+        "event_type",
+        "user_id",
+        k=32,
+    )
+
+
+# --- exact set similarity ---------------------------------------------------
+
+def x_setsim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import setsim
+
+    return setsim.jaccard_join(
+        _docs(spark, sf_dir).select("doc_id", "text"), threshold_ppm=500_000
+    )
+
+
+# --- graph ------------------------------------------------------------------
+
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import graph
+
+    edges = graph.bipartite_order_edges(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    )
+    return graph.page_rank(edges, iterations=3, top_k=20)
+
+
+def x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import graph
+
+    edges = graph.copurchase_edges(
+        table(spark, sf_dir, "lineitem"), max_order_items=20
+    )
+    return graph.triangle_count(edges)
+
+
+def x_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import graph
+
+    part = table(spark, sf_dir, "part")
+    edges = part.filter("p_partkey > 0").selectExpr(
+        "p_partkey AS node", "p_partkey DIV 10 AS parent"
+    )
+    values = part.selectExpr("p_partkey AS node", "p_retailprice AS value")
+    return graph.subtree_rollup(edges, values)
+
+
+# --- linkage / basket / skyline ----------------------------------------------
+
+def x_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import linkage
+
+    return linkage.resolve_entities(
+        table(spark, sf_dir, "part"), "p_partkey", "p_name", max_dist=2
+    )
+
+
+def x_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import basket
+
+    return basket.association_rules(
+        table(spark, sf_dir, "lineitem"), min_cooccur=2, top_k=20
+    )
+
+
+def x_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import pareto
+
+    return pareto.pareto_frontier(
+        table(spark, sf_dir, "part"), "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+# --- drift ------------------------------------------------------------------
+
+def x_psi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import drift
+
+    docs = _docs(spark, sf_dir)
+    return drift.psi_table(
+        docs, docs.filter("n_chars % 3 != 0"), F.col("source")
+    )
+
+
+def x_text_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import drift
+
+    docs = _docs(spark, sf_dir)
+    return drift.text_psi(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+
+
+def x_embedding_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import drift
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = table(spark, sf_dir, "embeddings")
+    return drift.embedding_psi(
+        emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1"), CENTROIDS
+    )
+
+
+def x_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import drift
+
+    ev = table(spark, sf_dir, "events")
+    return drift.chi2_stat(ev, F.col("event_type"), F.dayofweek("ts"))
+
+
+def x_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import drift
+
+    return drift.robust_outlier_stats(table(spark, sf_dir, "events"))
+
+
+# --- time series -------------------------------------------------------------
+
+def x_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.seasonal_outliers(table(spark, sf_dir, "events"))
+
+
+def x_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.interpolate_gaps(
+        table(spark, sf_dir, "events").filter("event_id % 37 = 0")
+    )
+
+
+# --- text -------------------------------------------------------------------
+
+def x_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import text
+
+    return text.pmi_collocations(_docs(spark, sf_dir), min_count=3, k=40)
+
+
+def x_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import text
+
+    return text.charclass_features(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+
+
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import text
+
+    docs = _docs(spark, sf_dir)
+    return text.ngram_novelty(
+        docs.filter("doc_id % 3 != 0"), docs.filter("doc_id % 3 = 0")
+    )
+
+
+def x_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import text
+
+    return text.token_stream_layout(_docs(spark, sf_dir), context_len=512)
+
+
+def x_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import text
+
+    return text.vocab_top_terms(_docs(spark, sf_dir), top_k=40)
+
+
+def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import text
+
+    return text.bpe_pair_counts(_docs(spark, sf_dir), top_k=40)
+
+
+# --- dedup audit -------------------------------------------------------------
+
+def x_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import dedup
+
+    return dedup.duplicated_spans(_docs(spark, sf_dir), span_tokens=12)
+
+
+def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import dedup
+
+    return dedup.source_overlap_matrix(
+        _docs(spark, sf_dir).select("doc_id", "text", "source")
+    )
+
+
+# --- sampling / mixing -------------------------------------------------------
+
+def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sampling
+
+    feats = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "text", "cast(n_chars as double) as quality"
+    )
+    return sampling.select_token_budget(
+        feats, score_col="quality", budget_tokens=20_000
+    )
+
+
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sampling
+
+    return sampling.weighted_sample(
+        _docs(spark, sf_dir), "doc_id", "n_chars", k=50
+    )
+
+
+def x_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sampling
+
+    return sampling.rebalance_to_mix(
+        _docs(spark, sf_dir), "source", "doc_id", _MIX_TGT
+    )
+
+
+# --- recipes ----------------------------------------------------------------
+
+def x_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.corpus_datacard(_docs(spark, sf_dir))
+
+
+EXTENDED_QUERIES = {
+    "x_sketch_kmv": x_sketch_kmv,
+    "x_sketch_cms": x_sketch_cms,
+    "x_sketch_hdr": x_sketch_hdr,
+    "x_quantile_bins": x_quantile_bins,
+    "x_kmv_overlap": x_kmv_overlap,
+    "x_setsim_jaccard": x_setsim_jaccard,
+    "x_pagerank": x_pagerank,
+    "x_triangles": x_triangles,
+    "x_subtree_rollup": x_subtree_rollup,
+    "x_linkage": x_linkage,
+    "x_basket": x_basket,
+    "x_pareto": x_pareto,
+    "x_psi_table": x_psi_table,
+    "x_text_psi": x_text_psi,
+    "x_embedding_psi": x_embedding_psi,
+    "x_chi2": x_chi2,
+    "x_robust_outliers": x_robust_outliers,
+    "x_seasonal_outliers": x_seasonal_outliers,
+    "x_interpolate_gaps": x_interpolate_gaps,
+    "x_pmi": x_pmi,
+    "x_charclass": x_charclass,
+    "x_ngram_novelty": x_ngram_novelty,
+    "x_token_stream": x_token_stream,
+    "x_vocab": x_vocab,
+    "x_bpe_pairs": x_bpe_pairs,
+    "x_duplicated_spans": x_duplicated_spans,
+    "x_source_overlap": x_source_overlap,
+    "x_token_budget": x_token_budget,
+    "x_weighted_sample": x_weighted_sample,
+    "x_rebalance_mix": x_rebalance_mix,
+    "x_datacard": x_datacard,
+}
+
+
+def extended_oracles() -> dict[str, str]:
+    """Oracle SQL per family — built lazily (some render frozen-model
+    literals)."""
+    from pg_parquet_spark.operators import (
+        basket,
+        dedup,
+        drift,
+        graph,
+        linkage,
+        pareto,
+        recipe,
+        sampling,
+        setsim,
+        sketch,
+        text,
+        timeseries,
+    )
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    return {
+        "x_sketch_kmv": sketch.kmv_oracle_sql("event_type", "user_id", k=8),
+        "x_sketch_cms": sketch.cms_oracle_sql("user_id", top_k=10),
+        "x_sketch_hdr": sketch.hdr_oracle_sql("event_type", "value"),
+        "x_quantile_bins": sketch.binning_oracle_sql("event_type", "value"),
+        "x_kmv_overlap": sketch.kmv_overlap_oracle_sql(
+            "SELECT * FROM events WHERE value < 250",
+            "SELECT * FROM events WHERE value >= 100",
+            "event_type",
+            "user_id",
+            k=32,
+        ),
+        "x_setsim_jaccard": setsim.jaccard_join_oracle_sql(500_000),
+        "x_pagerank": graph.page_rank_oracle_sql(
+            graph.bipartite_order_edges_sql(), iterations=3, top_k=20
+        ),
+        "x_triangles": graph.triangle_oracle_sql(),
+        "x_subtree_rollup": graph.subtree_rollup_oracle_sql(
+            "SELECT p_partkey AS node, p_partkey // 10 AS parent "
+            "FROM part WHERE p_partkey > 0",
+            "SELECT p_partkey AS node, p_retailprice AS value FROM part",
+        ),
+        "x_linkage": linkage.resolve_entities_oracle_sql(
+            "p_partkey", "p_name", max_dist=2
+        ),
+        "x_basket": basket.association_rules_oracle_sql(
+            min_cooccur=2, top_k=20
+        ),
+        "x_pareto": pareto.pareto_frontier_oracle_sql(),
+        "x_psi_table": drift.psi_oracle_sql(
+            "SELECT * FROM documents",
+            "SELECT * FROM documents WHERE n_chars % 3 != 0",
+            "source",
+        ),
+        "x_text_psi": drift.text_psi_oracle_sql(
+            "doc_id % 2 = 0", "doc_id % 2 = 1"
+        ),
+        "x_embedding_psi": drift.embedding_psi_oracle_sql(
+            "vec_id % 2 = 0", "vec_id % 2 = 1", CENTROIDS
+        ),
+        "x_chi2": drift.chi2_oracle_sql("event_type", "dayofweek(ts)"),
+        "x_robust_outliers": drift.robust_outlier_oracle_sql(),
+        "x_seasonal_outliers": timeseries.seasonal_outliers_oracle_sql(),
+        "x_interpolate_gaps": timeseries.interpolate_oracle_sql(
+            where="event_id % 37 = 0"
+        ),
+        "x_pmi": text.pmi_oracle_sql(min_count=3, k=40),
+        "x_charclass": text.charclass_oracle_sql(),
+        "x_ngram_novelty": text.novelty_oracle_sql(
+            "doc_id % 3 = 0", "doc_id % 3 != 0"
+        ),
+        "x_token_stream": text.token_stream_oracle_sql(context_len=512),
+        "x_vocab": text.vocab_oracle_sql(top_k=40),
+        "x_bpe_pairs": text.bpe_pair_oracle_sql(top_k=40),
+        "x_duplicated_spans": dedup.duplicated_spans_oracle_sql(
+            span_tokens=12
+        ),
+        "x_source_overlap": dedup.source_overlap_oracle_sql(),
+        "x_token_budget": sampling.token_budget_oracle_sql(
+            score_expr="CAST(n_chars AS DOUBLE)", budget_tokens=20_000
+        ),
+        "x_weighted_sample": sampling.weighted_sample_oracle_sql(
+            "doc_id", "n_chars", 50
+        ),
+        "x_rebalance_mix": sampling.rebalance_oracle_sql(
+            "source", "doc_id", _MIX_TGT
+        ),
+        "x_datacard": recipe.datacard_oracle_sql(),
+    }

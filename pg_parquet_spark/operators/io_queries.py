@@ -937,8 +937,45 @@ def _scd2_oracle() -> str:
     )
 
 
+def q_io_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned DELETE lifecycle (r11 family, r12 gate — the
+    right-to-be-forgotten primitive): publish customers as a versioned
+    snapshot, DELETE every negative balance through the crash-atomic
+    pointer flip, then audit the publish with snapshot_diff between
+    the pre-delete snapshot (still retained — time travel) and the
+    current pointer. The diff IS the proof artifact: exactly the
+    deleted keys, each 'removed', nothing added or changed — which is
+    what the pure-SQL oracle states directly."""
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources.layout import (
+        delete_where,
+        publish_snapshot,
+        snapshot_diff,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    path = os.path.join(tempfile.gettempdir(), "pgpq_delete_lifecycle")
+    shutil.rmtree(path, ignore_errors=True)
+    publish_snapshot(spark, path, cust)  # v1
+    delete_where(spark, path, "c_acctbal < 0")  # v2 via atomic flip
+    return snapshot_diff(spark, path, ["c_custkey"], from_version=1)
+
+
+Q_IO_DELETE_LIFECYCLE_ORACLE = """
+SELECT c_custkey, 'removed' AS change
+FROM customer WHERE c_acctbal < 0
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "q_io_versioned_maintenance": q_io_versioned_maintenance,
+    "q_io_delete_lifecycle": q_io_delete_lifecycle,
     "q_scd2_merge": q_scd2_merge,
     "q_io_http_read": q_io_http_read,
     "q_io_glob_read": q_io_glob_read,
@@ -964,6 +1001,7 @@ QUERIES = {
 
 ORACLES = {
     "q_io_versioned_maintenance": Q_IO_VERSIONED_MAINTENANCE_ORACLE,
+    "q_io_delete_lifecycle": Q_IO_DELETE_LIFECYCLE_ORACLE,
     "q_scd2_merge": _scd2_oracle(),
     "q_io_http_read": Q_IO_HTTP_ORACLE,
     "q_io_glob_read": Q_IO_GLOB_ORACLE,

@@ -1117,6 +1117,186 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(docs)
 
 
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined IVF+PQ persisted-index search (r11 family, r12 gate —
+    the production ANN layout: partition pruning at listing time AND a
+    codes+norm-only ranking ReadSchema): build the index in a temp
+    root (the q_dedup_incremental_near tmp-index pattern), search one
+    frozen query through probe-cell pruning → persisted-code ADC
+    shortlist → exact re-rank. Oracle = the chained literal-quantizer
+    SQL with identical folds, budgets, and tie-breaks."""
+    import os
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+    from pg_parquet_spark.operators.pq_fixture import CODEBOOKS
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_ivfpq_gate_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.build_ivfpq_index(emb, idx, CENTROIDS, CODEBOOKS)
+    return similarity.ivfpq_index_topk(
+        spark,
+        idx,
+        emb.filter(F.col("vec_id") == 0),
+        CENTROIDS,
+        CODEBOOKS,
+        k=10,
+        nprobe=2,
+        refine=8,
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+    from pg_parquet_spark.operators.pq_fixture import CODEBOOKS
+
+    return similarity.ivfpq_oracle_sql(
+        CENTROIDS, CODEBOOKS, query_id=0, k=10, nprobe=2, refine=8
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (r11 family, r12 gate): for
+    each anchor, the k most-similar indexed vectors STRICTLY below the
+    near-dup band (mining dups as negatives poisons contrastive
+    training) — one scan pruned to the union of the anchors' probe
+    cells over the persisted IVF index, per-anchor window top-k.
+    Anchors share the corpus id namespace (the documented
+    self-exclusion contract)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_hn_gate_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.build_ivf_index(emb, idx, CENTROIDS)
+    anchors = emb.filter(F.col("vec_id").isin([0, 7, 33])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.hard_negatives(
+        spark, idx, anchors, CENTROIDS, k=5, max_cos=0.95
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    return similarity.hard_negatives_oracle_sql(
+        CENTROIDS, [0, 7, 33], k=5, max_cos=0.95
+    )
+
+
+def q_setsim_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-CONTAINMENT self-join (r11 family, r12 gate): every
+    (id_a < id_b) pair with |A∩B|/min(|A|,|B|) ≥ 0.8 — the
+    quote/subset tier Jaccard is blind to. Prefix-probe candidates
+    over the distributed vocabulary rank; the quadratic all-pairs
+    oracle IS the completeness proof (no qualifying pair dropped)."""
+    from pg_parquet_spark.operators import setsim
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return setsim.containment_join(docs, threshold_ppm=800_000)
+
+
+def _containment_oracle() -> str:
+    from pg_parquet_spark.operators import setsim
+
+    return setsim.containment_join_oracle_sql(800_000)
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-tier contamination datasheet (r11 family, r12
+    gate): exact n-gram overlap AND MinHash near-duplication against a
+    benchmark split, folded to (source, n_docs, n_exact, n_near,
+    exact_ppm, near_ppm) — the "which supplier leaked the benchmark"
+    release table. Integer ppm division, chained two-tier oracle."""
+    from pg_parquet_spark.operators import recipe
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    return recipe.contamination_report(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        min_matches=6,
+    )
+
+
+def _contamination_report_oracle() -> str:
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.contamination_report_oracle_sql(
+        "doc_id % 20 <> 0", "doc_id % 20 = 0", min_matches=6
+    )
+
+
+def q_classifier_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (r11 composition, r12 gate):
+    near-dup clusters keep their highest-classifier-logit member (ties
+    to the smallest id) instead of an arbitrary one — the frozen
+    literal-weight model (classifier_fixture) scores join-free, the
+    cluster closure and representative rule ride the proven dedup
+    machinery, all three pieces certified in ONE chained oracle."""
+    from pg_parquet_spark.operators import recipe
+    from pg_parquet_spark.operators.classifier_fixture import MODEL
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return recipe.classifier_canonical(docs, MODEL)
+
+
+def _classifier_canonical_oracle() -> str:
+    from pg_parquet_spark.operators import recipe
+    from pg_parquet_spark.operators.classifier_fixture import MODEL
+
+    return recipe.classifier_canonical_oracle_sql(MODEL)
+
+
+def q_perplexity_datamap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity datamap (r11 family, r12 gate): equi-depth difficulty
+    buckets over the corpus's bigram-LM NLL — the easy→hard decile
+    view curriculum/filtering decisions read. Bin edges are
+    interpolated percentiles at power-of-two binary fractions over
+    integer micro-nats (engine-exact interpolation on both sides); no
+    global sort, no single-partition window."""
+    docs = table(spark, sf_dir, "documents")
+    return text.perplexity_datamap(docs)
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (r11 family, r12 gate): the
+    dedup audit table — (cluster_size, n_clusters, n_docs) with
+    singleton fill — that decides whether minhash thresholds fit a
+    crawl. Recursive-closure labels replicate via the min-label fixed
+    point; oracle chains the closure + histogram."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.cluster_stats(docs)
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection with a FROZEN model (r11 family, r12 gate —
+    the classifier_fixture pattern): every embedding projects onto the
+    frozen principal directions (pca_fixture.MODEL, trained once by
+    the exact-integer-moment pca_train) via left-associated
+    literal-weight chains, quantized to integer micro-units — a pure
+    projection, zero joins, bit-identical in the oracle's identical
+    SQL rendering."""
+    from pg_parquet_spark.operators.pca_fixture import MODEL
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.pca_project(emb, MODEL)
+
+
+def _pca_project_oracle() -> str:
+    from pg_parquet_spark.operators.pca_fixture import MODEL
+
+    return similarity.pca_oracle_sql(MODEL)
+
+
 QUERIES = {
     "q_text_features": q_text_features,
     "q_dedup_semantic": q_dedup_semantic,
@@ -1162,6 +1342,14 @@ QUERIES = {
     "q_dedup_incremental_near": q_dedup_incremental_near,
     "q_text_bigram_logprob": q_text_bigram_logprob,
     "q_near_decontaminate": q_near_decontaminate,
+    "q_sim_ann_ivfpq": q_sim_ann_ivfpq,
+    "q_hard_negatives": q_hard_negatives,
+    "q_setsim_containment": q_setsim_containment,
+    "q_contamination_report": q_contamination_report,
+    "q_classifier_canonical": q_classifier_canonical,
+    "q_perplexity_datamap": q_perplexity_datamap,
+    "q_dedup_cluster_stats": q_dedup_cluster_stats,
+    "q_pca_project": q_pca_project,
 }
 
 ORACLES = {
@@ -1209,4 +1397,12 @@ ORACLES = {
     "q_dedup_incremental_near": _incremental_near_oracle(),
     "q_text_bigram_logprob": text.bigram_oracle_sql(),
     "q_near_decontaminate": Q_NEAR_DECONTAMINATE_ORACLE,
+    "q_sim_ann_ivfpq": _ivfpq_oracle(),
+    "q_hard_negatives": _hard_negatives_oracle(),
+    "q_setsim_containment": _containment_oracle(),
+    "q_contamination_report": _contamination_report_oracle(),
+    "q_classifier_canonical": _classifier_canonical_oracle(),
+    "q_perplexity_datamap": text.perplexity_datamap_oracle_sql(),
+    "q_dedup_cluster_stats": dedup.cluster_stats_oracle_sql(),
+    "q_pca_project": _pca_project_oracle(),
 }

@@ -124,6 +124,69 @@ RETIRED = {
         "precedent); stays oracle-checked locally; retired 1-for-1 for "
         "q_near_decontaminate"
     ),
+    "q_embed_centroids": (
+        "r12: the centroid-assignment aggregate is the BUILD stage of "
+        "q_sim_ann_ivf (r11-green) and the new q_sim_ann_ivfpq — both "
+        "drive _nearest_cell assignment through the persisted-index "
+        "tier end-to-end; retired 1-for-1 for q_sim_ann_ivfpq; stays "
+        "oracle-checked locally"
+    ),
+    "q_topk": (
+        "r12: global top-k is the thinnest ranking shape — "
+        "q_topk_per_group (r10-green) drives the per-group window "
+        "variant and the TakeOrderedAndProject plan invariant is "
+        "asserted in test_headline_plans; retired 1-for-1 for "
+        "q_hard_negatives (per-anchor banded top-k over the persisted "
+        "index); stays oracle-checked locally"
+    ),
+    "q_join_cross": (
+        "r12: the bounded-dims crossJoin shape runs inside "
+        "q11_important_stock/q22_prospective_customers (1-row scalar "
+        "cross frames, driver-green r10/r11 cohorts) and the "
+        "region×nation constant frame in q5's chain; retired 1-for-1 "
+        "for q_setsim_containment; stays oracle-checked locally"
+    ),
+    "q_text_decontaminate": (
+        "r12: exact n-gram contamination_flags is literally the first "
+        "tier INSIDE q_contamination_report (and the near tier is "
+        "q_near_decontaminate, r11-green) — the composed gate drives "
+        "the same code with the same oracle chained; retired 1-for-1 "
+        "for q_contamination_report; stays oracle-checked locally"
+    ),
+    "q_sample_cap_per_source": (
+        "r12: identical per-group row_number cap shape as "
+        "q_topk_per_group (r10-green; same window + filter ≤ k plan); "
+        "retired 1-for-1 for q_classifier_canonical; stays "
+        "oracle-checked locally"
+    ),
+    "q_text_token_count": (
+        "r12: whitespace token counting runs inside q_curate_corpus's "
+        "length gate and q_text_quality_gopher's ratios (both "
+        "r11-green) — the standalone projection adds no driver "
+        "coverage; retired 1-for-1 for q_perplexity_datamap; stays "
+        "oracle-checked locally"
+    ),
+    "q_union_all": (
+        "r12: thinnest set-op — q_intersect/q_except (r11-green) keep "
+        "the set-op family driver-covered and UNION ALL legs run "
+        "inside q13_customer_distribution and the PSI/gap-fill spines; "
+        "retired 1-for-1 for q_dedup_cluster_stats; stays "
+        "oracle-checked locally"
+    ),
+    "q_scalar_math": (
+        "r12: projection-only math-catalog scan, same shape as "
+        "q_scalar_misc (r11-green, the merged scalar gate precedent); "
+        "the function list stays oracle-checked locally; retired "
+        "1-for-1 for q_pca_project"
+    ),
+    "q_io_time_travel": (
+        "r12: version-pinned reads are exercised INSIDE the new "
+        "q_io_delete_lifecycle (snapshot_diff reads the pre-delete "
+        "snapshot by version through the same read_versioned resolver) "
+        "and by q_io_versioned_maintenance's pointer resolution "
+        "(r11-green); retired 1-for-1 for q_io_delete_lifecycle; stays "
+        "oracle-checked locally"
+    ),
 }
 
 #: Gates whose IMPLEMENTATION changed after their newest driver-green
@@ -143,10 +206,19 @@ PRIORITY_REFRESH = {
 REGISTRY_AS_OF = 11
 
 GATE_ORDER = [
+    # -- never verified ----------------------------------------------
+    "q_classifier_canonical",
+    "q_contamination_report",
+    "q_dedup_cluster_stats",
+    "q_hard_negatives",
+    "q_io_delete_lifecycle",
+    "q_pca_project",
+    "q_perplexity_datamap",
+    "q_setsim_containment",
+    "q_sim_ann_ivfpq",
     # -- green r9 ----------------------------------------------------
     "q_asof_join",
     "q_dedup_incremental",
-    "q_embed_centroids",
     "q_exists_correlated",
     "q_feature_winsorize",
     "q_grouping_sets",
@@ -157,9 +229,7 @@ GATE_ORDER = [
     "q_io_match_position",
     "q_io_partitioned_roundtrip",
     "q_io_schema_evolution",
-    "q_io_time_travel",
     "q_io_zorder_read",
-    "q_join_cross",
     "q_join_left",
     "q_join_semi",
     "q_pandas_udf_grouped_agg",
@@ -167,10 +237,8 @@ GATE_ORDER = [
     "q_pipeline_end_to_end",
     "q_projection_filter",
     "q_python_udtf",
-    "q_sample_cap_per_source",
     "q_scalar_collections",
     "q_scalar_json",
-    "q_scalar_math",
     "q_scalar_string",
     "q_sessionize_batch",
     "q_skew_salted_agg",
@@ -183,13 +251,9 @@ GATE_ORDER = [
     "q_subquery_in",
     "q_subquery_scalar",
     "q_text_c4_clean",
-    "q_text_decontaminate",
     "q_text_lang_id",
     "q_text_quality_gopher",
     "q_text_tfidf",
-    "q_text_token_count",
-    "q_topk",
-    "q_union_all",
     "q_window_lag_lead",
     "q_window_ntile_dist",
     "q_window_percent_rank",
