@@ -48,6 +48,36 @@ HEADLINE = [
 ]
 
 
+#: Version stamp for the machine probe. NEVER change the probe body
+#: without bumping this — cross-round noise-floor comparisons are only
+#: valid between identical probe versions.
+PROBE_VERSION = 1
+
+
+def _machine_probe(spark) -> float:
+    """One timed pass of a FIXED synthetic workload (VERDICT r11 #6 —
+    the automated stash-control): 20M generated rows through a hash
+    projection and a grouped aggregate, no parquet, no repo operators,
+    no data dependence — so its wall time moves ONLY with the machine
+    (CPU contention, JVM state, thermal/noisy-neighbor effects).
+    Cross-round: probe_min(rN) / probe_min(rM) estimates the machine
+    delta between rounds — a headline query that moved by the same
+    factor moved with the machine, not the code (r10/r11 litigated
+    this manually via git-stash re-measurement; this field carries
+    the evidence in every BENCH artifact)."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 20_000_000, 1, 32)
+        .selectExpr("id % 97 AS k", "md5(cast(id AS string)) AS h")
+        .groupBy("k")
+        .agg({"h": "min", "*": "count"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -59,8 +89,15 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = all_queries()
+    # include_retired: the bench set is FROZEN for BASELINE
+    # comparability — gate retirement (r12: q_topk, q_union_all)
+    # removes a query from the driver's certification window, never
+    # its implementation, so headline members keep being measured.
+    queries = all_queries(include_retired=True)
     names = [n for n in HEADLINE if n in queries]
+    assert len(names) == len(HEADLINE), sorted(
+        set(HEADLINE) - set(names)
+    )  # frozen set must resolve completely
     # extend with any registered pipeline benchmarks
     names += [n for n in queries if n.startswith("bench_") and n not in names]
 
@@ -83,6 +120,25 @@ def main() -> None:
             all_trials[name].append(round(time.perf_counter() - t0, 3))
     timings = {n: min(ts) for n, ts in all_trials.items()}
 
+    # machine noise floor: warm pass + the same trial protocol as the
+    # queries; min = this machine's steady-state, spread = intra-run
+    # noise. Compare probe_min across rounds before reading anything
+    # into a headline delta.
+    _machine_probe(spark)  # warm: codegen compile + JIT
+    _machine_probe(spark)  # warm: post-suite GC settle
+    probe_trials = [_machine_probe(spark) for _ in range(trials)]
+    noise_floor = {
+        "probe_version": PROBE_VERSION,
+        "probe_sec": probe_trials,
+        "probe_min": min(probe_trials),
+        "probe_spread_pct": round(
+            (max(probe_trials) - min(probe_trials))
+            / max(min(probe_trials), 1e-9)
+            * 100,
+            1,
+        ),
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -94,6 +150,7 @@ def main() -> None:
                 "query_trials": all_trials,
                 "sf": sf,
                 "trials": trials,
+                "noise_floor": noise_floor,
             }
         )
     )
