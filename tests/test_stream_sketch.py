@@ -786,3 +786,75 @@ def test_streaming_decontamination_drain(spark, tmp_path):
         checkpoint=ckpt,
     )
     assert layout.read_manifest(corpus)["version"] == v  # idle replay
+
+
+def test_streaming_decontamination_crash_mid_publish(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #7: the decontamination drain's crash/replay
+    argument was carried by prose ("stateless → the quality-filter
+    argument carries verbatim") — this is the mechanical proof. Crash
+    INSIDE the second tranche's corpus publish (batch dir staged,
+    pointer never flips): readers keep seeing exactly tranche 1, the
+    replay re-stages and flips, and the final corpus equals a
+    from-scratch no-crash drain — contaminated rows stay out across
+    the crash, clean rows land exactly once."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_decontamination
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id % 20 = 0")
+    t1 = docs.filter("doc_id % 20 <> 0 AND doc_id % 2 = 0")
+    t2 = docs.filter("doc_id % 20 <> 0 AND doc_id % 2 = 1")
+
+    kw = dict(min_shared=3, min_matches=6, bands=8)
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_decontamination(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, bench, checkpoint=ckpt, **kw,
+    )
+    n1 = read_parquet(spark, corpus).count()
+    assert 0 < n1 <= t1.count()
+
+    real_pub = layout._publish_manifest
+
+    def crashing_pub(root, manifest, **pkw):
+        if root.rstrip("/") == corpus and manifest["version"] > 1:
+            raise RuntimeError("simulated crash mid publish")
+        return real_pub(root, manifest, **pkw)
+
+    monkeypatch.setattr(layout, "_publish_manifest", crashing_pub)
+    t2.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="simulated crash"):
+        drain_with_decontamination(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, bench, checkpoint=ckpt, **kw,
+        )
+    monkeypatch.setattr(layout, "_publish_manifest", real_pub)
+
+    # pointer never flipped: readers still see exactly tranche 1
+    assert read_parquet(spark, corpus).count() == n1
+
+    # replay re-stages and flips; equals a no-crash drain from scratch
+    drain_with_decontamination(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, bench, checkpoint=ckpt, **kw,
+    )
+    ref_corpus = str(tmp_path / "ref_corpus")
+    drain_with_decontamination(
+        spark.readStream.schema(t1.schema).parquet(src),
+        ref_corpus, bench, checkpoint=str(tmp_path / "ref_ckpt"), **kw,
+    )
+    got = sorted(
+        map(tuple, read_parquet(spark, corpus).select("doc_id").collect())
+    )
+    want = sorted(
+        map(tuple, read_parquet(spark, ref_corpus).select("doc_id").collect())
+    )
+    assert got == want and len(got) > n1
