@@ -289,10 +289,17 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the semantic contract is the selected ID SET (the pytest
+    # assertion); engine and oracle carry different audit columns, so
+    # both sides project to the ids for the digest compare
     from pg_parquet_spark.operators import sampling
 
-    return sampling.rebalance_to_mix(
-        _docs(spark, sf_dir), "source", "doc_id", _MIX_TGT
+    return (
+        sampling.rebalance_to_mix(
+            _docs(spark, sf_dir), "source", "doc_id", _MIX_TGT
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
     )
 
 
@@ -422,8 +429,10 @@ def extended_oracles() -> dict[str, str]:
         "x_weighted_sample": sampling.weighted_sample_oracle_sql(
             "doc_id", "n_chars", 50
         ),
-        "x_rebalance_mix": sampling.rebalance_oracle_sql(
-            "source", "doc_id", _MIX_TGT
+        "x_rebalance_mix": (
+            "SELECT doc_id FROM ("
+            + sampling.rebalance_oracle_sql("source", "doc_id", _MIX_TGT)
+            + ") ORDER BY doc_id"
         ),
         "x_datacard": recipe.datacard_oracle_sql(),
     }
