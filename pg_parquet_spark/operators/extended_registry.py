@@ -303,6 +303,15 @@ def x_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "n_chars div 500 AS diff_bin"
+    )
+    return sampling.curriculum_order(docs, "doc_id", "diff_bin")
+
+
 # --- recipes ----------------------------------------------------------------
 
 def x_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,6 +351,7 @@ EXTENDED_QUERIES = {
     "x_token_budget": x_token_budget,
     "x_weighted_sample": x_weighted_sample,
     "x_rebalance_mix": x_rebalance_mix,
+    "x_curriculum_order": x_curriculum_order,
     "x_datacard": x_datacard,
 }
 
@@ -433,6 +443,9 @@ def extended_oracles() -> dict[str, str]:
             "SELECT doc_id FROM ("
             + sampling.rebalance_oracle_sql("source", "doc_id", _MIX_TGT)
             + ") ORDER BY doc_id"
+        ),
+        "x_curriculum_order": sampling.curriculum_order_oracle_sql(
+            "n_chars // 500"
         ),
         "x_datacard": recipe.datacard_oracle_sql(),
     }

@@ -970,3 +970,75 @@ SELECT {id_col},
        (SUM(wm) + {int(model["bias_micro"])}) > {int(threshold_micro)} AS keep
 FROM scored GROUP BY {id_col} ORDER BY {id_col}
 """
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic GLOBAL training order (r12): every row gets its
+    exact position in the epoch's sample stream — curriculum bins
+    consumed in ascending order (easy → hard when ``bin_col`` is a
+    difficulty bucket, e.g. ``perplexity_datamap``'s bin), rows
+    hash-shuffled WITHIN each bin by md5(salt ∥ id). This is the
+    dataloader's order column: ``ORDER BY global_pos`` (or a range
+    filter per worker) replays the identical epoch on any cluster,
+    any partitioning, any engine — the reproducibility property a
+    100 TB training run needs and ``ORDER BY rand()`` can never give.
+    ``salt`` varies the within-bin shuffle across epochs without
+    touching the curriculum.
+
+    Scale shape: the position is :func:`distrank.distributed_row_number`
+    over (bin, shuffle_key, id) — one range exchange plus
+    per-partition windows; a naive ``row_number() OVER (ORDER BY …)``
+    is the single-task funnel the r12 distrank work exists to avoid,
+    and a global ``orderBy`` write pays a full sort per epoch. Returns
+    (id, bin, global_pos), global_pos ∈ [1, n], ordered.
+
+    ``bin_col`` must be NON-NULL (the windows-order-NULLs lesson:
+    Spark sorts NULLS FIRST, DuckDB NULLS LAST — a NULL bin would
+    diverge from the oracle); coalesce unbinned rows to a sentinel
+    bin first."""
+    from pg_parquet_spark.operators.distrank import distributed_row_number
+
+    keyed = df.select(
+        F.col(id_col).alias("_cid"), F.col(bin_col).alias("bin")
+    ).withColumn(
+        "_shuf", F.md5(F.concat(F.lit(salt), F.col("_cid").cast("string")))
+    )
+    return (
+        distributed_row_number(
+            keyed, ["bin", "_shuf", "_cid"], out_col="global_pos"
+        )
+        .select(
+            F.col("_cid").alias(id_col),
+            "bin",
+            F.col("global_pos").cast("long"),
+        )
+        .orderBy("global_pos")
+    )
+
+
+def curriculum_order_oracle_sql(
+    bin_expr: str,
+    id_col: str = "doc_id",
+    table: str = "documents",
+    salt: str = "",
+) -> str:
+    """DuckDB replica: the single-window formulation — equality against
+    it IS the proof the distributed two-pass rank composes correctly
+    (the token_stream_layout convention)."""
+    return f"""
+WITH keyed AS (
+  SELECT {id_col} AS id, {bin_expr} AS bin,
+         md5({salt!r} || CAST({id_col} AS VARCHAR)) AS shuf
+  FROM {table}
+)
+SELECT id AS {id_col}, bin,
+       CAST(row_number() OVER (ORDER BY bin, shuf, id) AS BIGINT)
+         AS global_pos
+FROM keyed
+ORDER BY global_pos
+"""

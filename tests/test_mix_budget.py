@@ -243,3 +243,61 @@ def test_quality_classifier_separates_planted_domains(spark):
     assert pos_scores.min() > neg_scores.max()
     assert got[got.doc_id < 100].keep.all()
     assert not got[got.doc_id >= 100].keep.any()
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_curriculum_order_matches_oracle(spark, sf):
+    """r12: the deterministic global training order — curriculum bins
+    ascending, md5-shuffled within bin — replicates the single-window
+    DuckDB formulation row-for-row (the distributed two-pass rank
+    composition proof)."""
+    docs = table(spark, sf, "documents").selectExpr(
+        "doc_id", "n_chars div 500 AS diff_bin"
+    )
+    got = sampling.curriculum_order(docs, "doc_id", "diff_bin").toPandas()
+    want = _con(sf).execute(
+        sampling.curriculum_order_oracle_sql("n_chars // 500")
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in ("doc_id", "bin", "global_pos"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_curriculum_order_properties(spark):
+    """Positions are a permutation of [1, n]; bins are consumed in
+    ascending blocks; the within-bin order is salt-dependent (epoch
+    reshuffle) but bin boundaries are salt-invariant; the result is
+    partition-placement-independent."""
+    docs = table(spark, SFS[0], "documents").selectExpr(
+        "doc_id", "n_chars div 500 AS b"
+    )
+    out = sampling.curriculum_order(docs, "doc_id", "b").toPandas()
+    n = len(out)
+    assert sorted(out.global_pos) == list(range(1, n + 1))
+    # ascending bin blocks: positions sorted by bin are already sorted
+    assert list(out.sort_values("global_pos").bin) == sorted(out.bin)
+    # salt changes the within-bin order, not the bin blocks
+    alt = sampling.curriculum_order(docs, "doc_id", "b", salt="epoch2").toPandas()
+    assert not out.sort_values("global_pos").doc_id.equals(
+        alt.sort_values("global_pos").doc_id
+    )
+    bins_a = out.sort_values("global_pos").bin.tolist()
+    assert bins_a == alt.sort_values("global_pos").bin.tolist()
+    # partition invariance
+    for k in (1, 32):
+        rep = sampling.curriculum_order(
+            docs.repartition(k), "doc_id", "b"
+        ).toPandas()
+        assert rep.equals(out), k
+    # plan: range exchange, no single-task data window
+    import re
+
+    plan = (
+        sampling.curriculum_order(docs, "doc_id", "b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" in plan
+    for spec in re.findall(r"windowspecdefinition\(\w+#\d+[, ]", plan):
+        assert spec[len("windowspecdefinition(") :].startswith("_pid#"), spec
