@@ -251,6 +251,12 @@ def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(_docs(spark, sf_dir), top_k=40)
 
 
+def x_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import text
+
+    return text.vocab_zipf(_docs(spark, sf_dir))
+
+
 # --- dedup audit -------------------------------------------------------------
 
 def x_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,6 +352,7 @@ EXTENDED_QUERIES = {
     "x_token_stream": x_token_stream,
     "x_vocab": x_vocab,
     "x_bpe_pairs": x_bpe_pairs,
+    "x_vocab_zipf": x_vocab_zipf,
     "x_duplicated_spans": x_duplicated_spans,
     "x_source_overlap": x_source_overlap,
     "x_token_budget": x_token_budget,
@@ -429,6 +436,7 @@ def extended_oracles() -> dict[str, str]:
         "x_token_stream": text.token_stream_oracle_sql(context_len=512),
         "x_vocab": text.vocab_oracle_sql(top_k=40),
         "x_bpe_pairs": text.bpe_pair_oracle_sql(top_k=40),
+        "x_vocab_zipf": text.vocab_zipf_oracle_sql(),
         "x_duplicated_spans": dedup.duplicated_spans_oracle_sql(
             span_tokens=12
         ),

@@ -1577,3 +1577,120 @@ SELECT {id_col},
 FROM {table}
 ORDER BY {id_col}
 """
+
+
+def vocab_zipf(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-health Zipf diagnostic (r12): least-squares slope of
+    ln(frequency) on ln(rank) over the WHOLE vocabulary — natural
+    corpora run slope ≈ −1 (Zipf's law); a much flatter slope says
+    template/synthetic text, a much steeper one says tiny effective
+    vocabulary. One number a datacard ships next to the token counts.
+
+    Returns one row (n_terms, slope_micro, intercept_micro).
+
+    Determinism contract (the DSIR/PCA pattern composed):
+    ranks come from :func:`distrank.distributed_row_number` over
+    (freq DESC, term) — a web-scale vocabulary ranks in parallel,
+    never through one task; per-term ln(rank)/ln(freq) quantize to
+    integer micro-nats BEFORE any cross-row fold; the four regression
+    moments are exact DECIMAL(38,0) integer sums (partitioning-
+    invariant); the closing least-squares arithmetic runs driver-side
+    in plain Python floats from those exact integers — one fixed IEEE
+    sequence the oracle's SQL replicates operation for operation."""
+    import math
+
+    from pg_parquet_spark.operators.distrank import distributed_row_number
+
+    freq = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = distributed_row_number(
+        freq, [F.col("n").desc(), F.col("term")], out_col="rank"
+    )
+    q = lambda c: F.floor(F.log(c.cast("double")) * 1e6 + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    pts = ranked.select(q(F.col("rank")).alias("x"), q(F.col("n")).alias("y"))
+    row = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            (F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            (F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).alias("sxx"),
+    ).first()
+    if row["cnt"] == 0:
+        raise ValueError("vocab_zipf on an empty corpus — no terms to rank")
+    cnt = float(row["cnt"])
+    sx, sy = float(row["sx"]), float(row["sy"])
+    sxy, sxx = float(row["sxy"]), float(row["sxx"])
+    denom = cnt * sxx - sx * sx
+    slope = (cnt * sxy - sx * sy) / denom if denom != 0.0 else 0.0
+    intercept = (sy - slope * sx) / cnt
+    # x/y carry 1e6 scaling: slope is scale-free; intercept is in
+    # micro-nats already. Quantize the slope to micro-units the same
+    # floor(x*1e6+0.5) way both engines do.
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(row["cnt"]),
+                int(math.floor(slope * 1e6 + 0.5)),
+                int(math.floor(intercept + 0.5)),
+            )
+        ],
+        "n_terms long, slope_micro long, intercept_micro long",
+    )
+
+
+def vocab_zipf_oracle_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB replica: the same micro-nat quantization, the same exact
+    HUGEINT moment sums, the same least-squares float sequence
+    (left-to-right products and subtractions mirror the Python
+    driver-side arithmetic term for term)."""
+    return f"""
+WITH freq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(lower({text_col}), ' ')) AS term
+        FROM {table})
+  GROUP BY term
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM freq
+), pts AS (
+  SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM ranked
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM pts
+)
+SELECT cnt AS n_terms,
+       CAST(FLOOR(
+         ((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e6 + 0.5
+       ) AS BIGINT) AS slope_micro,
+       CAST(FLOOR(
+         ((CAST(sy AS DOUBLE)
+           - ((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE))
+          / CAST(cnt AS DOUBLE)) + 0.5
+       ) AS BIGINT) AS intercept_micro
+FROM mom
+"""

@@ -139,3 +139,40 @@ def test_pmi_prefers_exclusive_pairs_over_frequent_ones(spark):
     assert top == ("san", "francisco")
     ofthe = got[(got.w1 == "of") & (got.w2 == "the")]
     assert len(ofthe) == 1 and ofthe.pmi_micro.iloc[0] < got.pmi_micro.iloc[0]
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_vocab_zipf_matches_oracle(spark, sf):
+    """r12: the Zipf corpus-health diagnostic replicates bit-for-bit —
+    distributed vocab rank, micro-nat quantization before the exact
+    DECIMAL moment sums, one fixed IEEE least-squares sequence on
+    both engines."""
+    docs = table(spark, sf, "documents")
+    got = text.vocab_zipf(docs).toPandas()
+    want = _con(sf).execute(text.vocab_zipf_oracle_sql()).df()
+    assert got.values.tolist() == want.values.tolist()
+    # the templated synthetic corpus is far from Zipfian (slope ~ -0.18,
+    # natural text ~ -1): exactly the signal the diagnostic exists for
+    assert -1_000_000 < int(got.slope_micro.iloc[0]) < 0
+
+
+def test_vocab_zipf_partition_invariant_and_zipfian_flags(spark):
+    docs = table(spark, SFS[0], "documents")
+    base = text.vocab_zipf(docs).toPandas()
+    for n in (1, 32):
+        alt = text.vocab_zipf(docs.repartition(n)).toPandas()
+        assert alt.equals(base), n
+    # a hand-built corpus with freq ~ 1/rank lands near slope -1
+    rows = []
+    did = 0
+    for r in range(1, 33):
+        for _ in range(max(1, 64 // r)):
+            rows.append((did, f"w{r:02d}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    z = text.vocab_zipf(df).toPandas()
+    assert -1_300_000 < int(z.slope_micro.iloc[0]) < -700_000
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="empty"):
+        text.vocab_zipf(df.filter("doc_id < 0"))
