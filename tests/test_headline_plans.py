@@ -33,7 +33,10 @@ def _plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def plans(spark):
-    qs = all_queries()
+    # include_retired: the frozen headline set outlives gate
+    # retirement (bench.py resolves the same way — r12: q_topk,
+    # q_union_all left the driver window, not the bench)
+    qs = all_queries(include_retired=True)
     return {name: _plan(qs[name](spark, SF)) for name in HEADLINE}
 
 
