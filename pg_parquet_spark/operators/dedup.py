@@ -1610,6 +1610,200 @@ ORDER BY gram_h
 """
 
 
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT-substring deduplication that REWRITES the corpus (r12 —
+    the Lee et al. 2022 "deduplicating training data" action tier on
+    top of :func:`duplicated_spans`'s report tier): every token
+    covered by a duplicated L-gram occurrence is removed, EXCEPT the
+    corpus-wide FIRST occurrence of that gram (min packed
+    ``id·2²⁰ + pos`` key — deterministic, engine-portable), which
+    keeps its copy. Coverage is the UNION of the non-first duplicated
+    occurrences' [pos, pos+L) windows, so overlapping duplicated runs
+    collapse to one surviving copy without double-counting.
+
+    Returns one row per input document:
+    (id, text_clean, n_tokens_kept, n_tokens_dropped), ordered by id —
+    ``text_clean`` is the surviving token stream re-joined with single
+    spaces over LOWERCASED whitespace tokens (the family's token
+    normalization: the rewrite operates on the token stream, not the
+    raw bytes; a fully-duplicated document comes back as '').
+
+    Scale shape: the gram build and the hash-keyed aggregate are
+    duplicated_spans' (corpus-token-count shuffle — the price of
+    exactness); the extra work is one gram_h-keyed join back (hits
+    only duplicated grams), a bounded per-occurrence explode of L
+    covered positions, one (id, pos) anti-join, and a per-doc
+    collect_list rebuild whose row width is the document itself.
+    Same packing contract as duplicated_spans (integral id < 2⁴³,
+    docs < 2²⁰ tokens — enforced in-pass)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        df.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        raise TypeError(
+            f"strip_duplicated_spans: {id_col} must be an integral "
+            f"column (got {df.schema[id_col].dataType.simpleString()}) — "
+            "the first-occurrence key packs id*2^20 + pos into one long"
+        )
+    L = int(span_tokens)
+
+    W = Window.partitionBy("_id").orderBy("_pos")
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    ).select("_id", F.posexplode("_t").alias("_pos", "_tok"))
+    n = F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    gram = F.concat_ws(
+        " ",
+        F.col("_tok"),
+        *[F.lead("_tok", j).over(W) for j in range(1, L)],
+    )
+    packed = F.when(
+        (F.col("_id") >= 0)
+        & (F.col("_id") < F.lit(1 << 43))
+        & (F.col("_pos") < F.lit(1 << 20)),
+        F.col("_id") * F.lit(1 << 20) + F.col("_pos"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "strip_duplicated_spans: id/pos outside the packed-key "
+                "budget (id < 2^43, pos < 2^20)"
+            )
+        )
+    )
+    grams = (
+        toks.withColumn("_n", n)
+        .withColumn("_gram", gram)
+        .filter(F.col("_pos") <= F.col("_n") - L)
+        .select(
+            "_id",
+            "_pos",
+            F.conv(F.substring(F.md5("_gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gram_h"),
+            packed.alias("_key"),
+        )
+    )
+    dups = (
+        grams.groupBy("gram_h")
+        .agg(
+            F.countDistinct("_id").alias("_nd"),
+            F.min("_key").alias("_first_key"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram_h", "_first_key")
+    )
+    covered = (
+        grams.join(dups, "gram_h")
+        .filter(F.col("_key") != F.col("_first_key"))
+        .select(
+            F.col("_id").alias("_cid"),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
+            ).alias("_cpos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(
+        covered,
+        (F.col("_id") == F.col("_cid")) & (F.col("_pos") == F.col("_cpos")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_ntot"),
+    )
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_tokens_kept", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+            (F.col("_ntot") - F.coalesce("n_tokens_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_dropped"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def strip_spans_oracle_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: identical grams/hash/packed-first key, the same
+    covered-position union, string_agg rebuild in position order."""
+    L = span_tokens
+    return f"""
+WITH docs_l AS (
+  SELECT {id_col} AS _id, string_split(lower({text_col}), ' ') AS _l
+  FROM {table}
+), toks AS (
+  SELECT _id, CAST(p AS BIGINT) AS _pos, _l[CAST(p AS BIGINT) + 1] AS _tok
+  FROM (SELECT _id, _l, unnest(range(0, len(_l))) AS p FROM docs_l)
+), posn AS (
+  SELECT _id, _l,
+         unnest(range(0, greatest(len(_l) - {L} + 1, 0))) AS _pos
+  FROM docs_l
+), grams AS (
+  SELECT _id, CAST(_pos AS BIGINT) AS _pos,
+         CAST(CONCAT('0x', substr(md5(
+              array_to_string(_l[_pos + 1 : _pos + {L}], ' ')), 1, 15))
+              AS BIGINT) AS gram_h,
+         CAST(_id * {1 << 20} + _pos AS BIGINT) AS _key
+  FROM posn
+), dups AS (
+  SELECT gram_h, MIN(_key) AS _first_key
+  FROM grams GROUP BY gram_h
+  HAVING COUNT(DISTINCT _id) >= {min_docs}
+), covered AS (
+  SELECT DISTINCT g._id,
+         CAST(unnest(range(g._pos, g._pos + {L})) AS BIGINT) AS _cpos
+  FROM grams g JOIN dups d USING (gram_h)
+  WHERE g._key <> d._first_key
+), kept AS (
+  SELECT t.* FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c._id = t._id AND c._cpos = t._pos
+  )
+), rebuilt AS (
+  SELECT _id, string_agg(_tok, ' ' ORDER BY _pos) AS text_clean,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens_kept
+  FROM kept GROUP BY _id
+)
+SELECT d._id AS {id_col},
+       COALESCE(r.text_clean, '') AS text_clean,
+       CAST(COALESCE(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(d._l) - COALESCE(r.n_tokens_kept, 0) AS BIGINT)
+         AS n_tokens_dropped
+FROM docs_l d LEFT JOIN rebuilt r USING (_id)
+ORDER BY {id_col}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental NEAR-duplicate ingest (r10): the MinHash counterpart of
 # the exact fingerprint index — corpus state is a signature index,

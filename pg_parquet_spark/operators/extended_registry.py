@@ -265,6 +265,12 @@ def x_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(_docs(spark, sf_dir), span_tokens=12)
 
 
+def x_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import dedup
+
+    return dedup.strip_duplicated_spans(_docs(spark, sf_dir), span_tokens=12)
+
+
 def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import dedup
 
@@ -354,6 +360,7 @@ EXTENDED_QUERIES = {
     "x_bpe_pairs": x_bpe_pairs,
     "x_vocab_zipf": x_vocab_zipf,
     "x_duplicated_spans": x_duplicated_spans,
+    "x_strip_spans": x_strip_spans,
     "x_source_overlap": x_source_overlap,
     "x_token_budget": x_token_budget,
     "x_weighted_sample": x_weighted_sample,
@@ -440,6 +447,7 @@ def extended_oracles() -> dict[str, str]:
         "x_duplicated_spans": dedup.duplicated_spans_oracle_sql(
             span_tokens=12
         ),
+        "x_strip_spans": dedup.strip_spans_oracle_sql(span_tokens=12),
         "x_source_overlap": dedup.source_overlap_oracle_sql(),
         "x_token_budget": sampling.token_budget_oracle_sql(
             score_expr="CAST(n_chars AS DOUBLE)", budget_tokens=20_000

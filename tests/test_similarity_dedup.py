@@ -1575,3 +1575,69 @@ def test_contamination_oracle_predicate_is_not_string_rewritten(spark):
     assert len(got) == len(want) == docs.filter(pred).count()
     for c in ("doc_id", "n_shared_grams", "contaminated"):
         assert list(got[c]) == list(want[c]), c
+
+
+def test_strip_duplicated_spans_matches_oracle(spark):
+    """r12: the exact-substring REWRITE tier — keep-first semantics
+    over duplicated L-gram coverage replicates the DuckDB chain
+    (grams, packed first key, covered-position union, position-order
+    rebuild) bit-for-bit at both SFs."""
+    import duckdb
+
+    from pg_parquet_spark.session import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = table(spark, sf, "documents")
+        got = dedup.strip_duplicated_spans(docs, span_tokens=12).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            dedup.strip_spans_oracle_sql(span_tokens=12)
+        ).df()
+        assert len(got) == len(want) == docs.count()
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+        assert int(got.n_tokens_dropped.sum()) > 0  # corpus has dups
+
+
+def test_strip_duplicated_spans_semantics(spark):
+    """Keep-first contract on a planted fixture: the corpus-wide first
+    occurrence survives verbatim, every later copy is excised, clean
+    docs pass untouched, a fully-duplicated doc returns ''; the result
+    is partition-placement-invariant."""
+    span = " ".join(f"dup{i}" for i in range(6))
+    rows = [
+        (1, span + " tail one two three"),        # first occurrence
+        (2, "head words here " + span),           # later copy -> excised
+        (3, "wholly unrelated clean document text"),
+        (4, span),                                 # fully duplicated -> ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.strip_duplicated_spans(
+            df, span_tokens=6, min_docs=2
+        ).collect()
+    }
+    assert out[1].text_clean == span + " tail one two three"
+    assert out[1].n_tokens_dropped == 0
+    assert out[2].text_clean == "head words here"
+    assert out[2].n_tokens_dropped == 6
+    assert out[3].text_clean == rows[2][1]
+    assert out[4].text_clean == "" and out[4].n_tokens_kept == 0
+    base = dedup.strip_duplicated_spans(df, span_tokens=6).toPandas()
+    for n in (1, 4):
+        alt = dedup.strip_duplicated_spans(
+            df.repartition(n), span_tokens=6
+        ).toPandas()
+        assert alt.equals(base), n
+    # non-integral id raises up front (the packed-key contract)
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="integral"):
+        dedup.strip_duplicated_spans(
+            df.withColumn("doc_id", df.doc_id.cast("string")),
+            span_tokens=6,
+        )
