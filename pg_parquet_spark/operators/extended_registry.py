@@ -315,6 +315,18 @@ def x_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sampling
+
+    return (
+        sampling.kfold_by_group(
+            _docs(spark, sf_dir).select("doc_id", "source"), "source", k=5
+        )
+        .select("doc_id", "fold")
+        .orderBy("doc_id")
+    )
+
+
 def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import sampling
 
@@ -365,6 +377,7 @@ EXTENDED_QUERIES = {
     "x_token_budget": x_token_budget,
     "x_weighted_sample": x_weighted_sample,
     "x_rebalance_mix": x_rebalance_mix,
+    "x_kfold": x_kfold,
     "x_curriculum_order": x_curriculum_order,
     "x_datacard": x_datacard,
 }
@@ -460,6 +473,7 @@ def extended_oracles() -> dict[str, str]:
             + sampling.rebalance_oracle_sql("source", "doc_id", _MIX_TGT)
             + ") ORDER BY doc_id"
         ),
+        "x_kfold": sampling.kfold_oracle_sql("source", k=5),
         "x_curriculum_order": sampling.curriculum_order_oracle_sql(
             "n_chars // 500"
         ),

@@ -1042,3 +1042,51 @@ SELECT id AS {id_col}, bin,
 FROM keyed
 ORDER BY global_pos
 """
+
+
+def kfold_by_group(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic GROUP-granular k-fold assignment (r12): every row
+    gets a fold in [0, k) by RANGE division of its group's md5-prefix
+    bucket — the cross-validation generalization of
+    :func:`split_by_group` (k=... folds instead of one valid slice),
+    with the same contamination guarantee: a group (near-dup family,
+    author, domain) lands WHOLLY inside one fold, so no fold's
+    held-out set leaks into the others' training unions. Content-hash
+    driven — reproducible across runs/engines/cluster sizes; a pure
+    projection, zero shuffle. Fold sizes are equal within 2⁻²⁴ of 1/k
+    per group-hash mass (range division, never modulo — the
+    split_by_group ADVICE lesson applies verbatim)."""
+    if not 2 <= k <= 1_000_000:
+        raise ValueError(f"k must be in [2, 1e6], got {k}")
+    bucket = F.shiftright(
+        F.conv(
+            F.substring(F.md5(F.col(group_col).cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        * F.lit(int(k)),
+        24,
+    )
+    return df.withColumn(fold_col, bucket.cast("long"))
+
+
+def kfold_oracle_sql(
+    group_expr: str,
+    k: int = 5,
+    table: str = "documents",
+    select_cols: str = "doc_id",
+    order_by: str = "doc_id",
+) -> str:
+    """DuckDB replica of the fold bucket: identical md5-prefix range
+    division."""
+    return f"""
+SELECT {select_cols},
+       CAST((CAST(CONCAT('0x', substr(md5(CAST({group_expr} AS VARCHAR)),
+                         1, 6)) AS BIGINT) * {int(k)}) // 16777216
+            AS BIGINT) AS fold
+FROM {table}
+ORDER BY {order_by}
+"""

@@ -301,3 +301,38 @@ def test_curriculum_order_properties(spark):
     assert "Exchange rangepartitioning" in plan
     for spec in re.findall(r"windowspecdefinition\(\w+#\d+[, ]", plan):
         assert spec[len("windowspecdefinition(") :].startswith("_pid#"), spec
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_kfold_by_group_matches_oracle(spark, sf):
+    """r12: group-granular k-fold assignment replicates the md5-prefix
+    range division bit-for-bit."""
+    docs = table(spark, sf, "documents")
+    got = (
+        sampling.kfold_by_group(docs.select("doc_id", "source"), "source", k=5)
+        .select("doc_id", "fold")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = _con(sf).execute(
+        sampling.kfold_oracle_sql("source", k=5)
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in ("doc_id", "fold"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_kfold_group_granularity_and_balance(spark):
+    """Every group sits wholly inside one fold; folds are within a
+    loose balance band; k is validated."""
+    docs = table(spark, SFS[1], "documents").select("doc_id", "source")
+    out = sampling.kfold_by_group(docs, "source", k=4).toPandas()
+    per_group = out.groupby("source").fold.nunique()
+    assert (per_group == 1).all()
+    assert set(out.fold) <= set(range(4))
+    sizes = out.groupby("fold").size()
+    assert len(sizes) >= 2  # synthetic corpus has ~20 sources
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        sampling.kfold_by_group(docs, "source", k=1)
