@@ -1642,6 +1642,30 @@ def strip_duplicated_spans(
     collect_list rebuild whose row width is the document itself.
     Same packing contract as duplicated_spans (integral id < 2⁴³,
     docs < 2²⁰ tokens — enforced in-pass)."""
+    toks, grams = _span_tok_gram_frames(
+        df, id_col, text_col, span_tokens, "strip_duplicated_spans"
+    )
+    dups = (
+        grams.groupBy("gram_h")
+        .agg(
+            F.countDistinct("_id").alias("_nd"),
+            F.min("_key").alias("_first_key"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram_h", "_first_key")
+    )
+    dropped = grams.join(dups, "gram_h").filter(
+        F.col("_key") != F.col("_first_key")
+    )
+    return _rebuild_without(
+        df, toks, dropped, id_col, text_col, span_tokens
+    )
+
+
+def _span_tok_gram_frames(df, id_col, text_col, span_tokens, op_name):
+    """(toks, grams) for the span family: (_id, _pos, _tok) and
+    (_id, _pos, gram_h, _key) with the packed-key budget enforced
+    in-pass (the duplicated_spans contract)."""
     from pyspark.sql import Window
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -1650,12 +1674,11 @@ def strip_duplicated_spans(
         (ByteType, ShortType, IntegerType, LongType),
     ):
         raise TypeError(
-            f"strip_duplicated_spans: {id_col} must be an integral "
-            f"column (got {df.schema[id_col].dataType.simpleString()}) — "
-            "the first-occurrence key packs id*2^20 + pos into one long"
+            f"{op_name}: {id_col} must be an integral column "
+            f"(got {df.schema[id_col].dataType.simpleString()}) — the "
+            "first-occurrence key packs id*2^20 + pos into one long"
         )
     L = int(span_tokens)
-
     W = Window.partitionBy("_id").orderBy("_pos")
     toks = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
@@ -1674,7 +1697,7 @@ def strip_duplicated_spans(
     ).otherwise(
         F.raise_error(
             F.lit(
-                "strip_duplicated_spans: id/pos outside the packed-key "
+                f"{op_name}: id/pos outside the packed-key "
                 "budget (id < 2^43, pos < 2^20)"
             )
         )
@@ -1692,22 +1715,18 @@ def strip_duplicated_spans(
             packed.alias("_key"),
         )
     )
-    dups = (
-        grams.groupBy("gram_h")
-        .agg(
-            F.countDistinct("_id").alias("_nd"),
-            F.min("_key").alias("_first_key"),
-        )
-        .filter(F.col("_nd") >= min_docs)
-        .select("gram_h", "_first_key")
-    )
+    return toks, grams
+
+
+def _rebuild_without(df, toks, dropped_occurrences, id_col, text_col, L):
+    """Excise the [pos, pos+L) coverage union of ``dropped_occurrences``
+    ((_id, _pos, ...) rows) from ``toks`` and rebuild one row per input
+    document: (id, text_clean, n_tokens_kept, n_tokens_dropped)."""
     covered = (
-        grams.join(dups, "gram_h")
-        .filter(F.col("_key") != F.col("_first_key"))
-        .select(
+        dropped_occurrences.select(
             F.col("_id").alias("_cid"),
             F.explode(
-                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(int(L) - 1))
             ).alias("_cpos"),
         )
         .distinct()
@@ -1800,6 +1819,219 @@ SELECT d._id AS {id_col},
        CAST(len(d._l) - COALESCE(r.n_tokens_kept, 0) AS BIGINT)
          AS n_tokens_dropped
 FROM docs_l d LEFT JOIN rebuilt r USING (_id)
+ORDER BY {id_col}
+"""
+
+
+def build_span_index(
+    df: DataFrame,
+    uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+) -> None:
+    """Persist the exact-substring GRAM index (r12 — the incremental
+    counterpart of :func:`strip_duplicated_spans`, structured like the
+    fingerprint/MinHash indexes): one row per DISTINCT corpus L-gram
+    hash with its first-occurrence provenance
+    (gram_h, first_doc, first_pos). Published through the versioned
+    pointer.
+
+    Honest size note: this index is ~corpus-token-count rows of three
+    longs (~24 B/token before encoding — parquet dictionary+delta
+    compresses the monotone keys hard) — the exactness price, paid in
+    storage instead of Lee et al.'s suffix-array RAM. The near tier
+    (build_minhash_index, ~100 B/DOC) is the cheap monitor; this is
+    the certification/ingest-enforcement tier."""
+    from pg_parquet_spark.sources.layout import publish_snapshot
+
+    _, grams = _span_tok_gram_frames(
+        df, id_col, text_col, span_tokens, "build_span_index"
+    )
+    idx = grams.groupBy("gram_h").agg(F.min("_key").alias("_fk")).select(
+        "gram_h",
+        F.expr(f"_fk div {1 << 20}").cast("long").alias("first_doc"),
+        (F.col("_fk") % F.lit(1 << 20)).cast("long").alias("first_pos"),
+    )
+    publish_snapshot(df.sparkSession, uri.rstrip("/"), idx)
+
+
+def strip_incremental(
+    spark,
+    new_docs: DataFrame,
+    index_uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Ingest-time exact-substring dedup against the persisted gram
+    index (r12): every batch token covered by an L-gram the CORPUS
+    already contains is excised (the corpus copy is by definition
+    first), and batch-INTERNAL duplicated grams keep their batch-first
+    occurrence under the :func:`strip_duplicated_spans` rule —
+    applied only to grams NOT in the index, so a corpus-known gram
+    never has a "surviving batch copy". Returns
+    (id, text_clean, n_tokens_kept, n_tokens_dropped), ordered.
+
+    Commit order (the incremental-dedup family rule): publish the
+    stripped text to the corpus FIRST, then
+    :func:`commit_span_grams` — a crash between the two leaves the
+    index missing grams (future copies of the new text would
+    survive once) but never claiming grams the corpus doesn't have.
+
+    Scale shape: batch grams shuffle on gram_h against the index
+    (key-partitioned hash join — the index never broadcasts), the
+    coverage explode is L rows per DROPPED occurrence only, and the
+    rebuild touches batch rows only. The corpus is never read."""
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    toks, grams = _span_tok_gram_frames(
+        new_docs, id_col, text_col, span_tokens, "strip_incremental"
+    )
+    idx = read_parquet(spark, index_uri.rstrip("/")).select("gram_h")
+    known = grams.join(idx, "gram_h", "left_semi")
+    fresh = grams.join(idx, "gram_h", "left_anti")
+    batch_dups = (
+        fresh.groupBy("gram_h")
+        .agg(
+            F.countDistinct("_id").alias("_nd"),
+            F.min("_key").alias("_first_key"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram_h", "_first_key")
+    )
+    batch_dropped = fresh.join(batch_dups, "gram_h").filter(
+        F.col("_key") != F.col("_first_key")
+    )
+    dropped = known.select("_id", "_pos").unionByName(
+        batch_dropped.select("_id", "_pos")
+    )
+    return _rebuild_without(
+        new_docs, toks, dropped, id_col, text_col, span_tokens
+    )
+
+
+def commit_span_grams(
+    spark,
+    stripped: DataFrame,
+    index_uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text_clean",
+    span_tokens: int = 20,
+) -> None:
+    """MERGE the PUBLISHED (post-strip) batch text's grams into the
+    span index — after the corpus publish, the family's commit-order
+    rule. gram_h-keyed MERGE: replays re-land identical rows and an
+    already-indexed gram keeps its original first-occurrence
+    provenance (merge updates only the batch's own rows)."""
+    from pg_parquet_spark.sources import layout
+
+    index_uri = index_uri.rstrip("/")
+    _, grams = _span_tok_gram_frames(
+        stripped, id_col, text_col, span_tokens, "commit_span_grams"
+    )
+    additions = (
+        grams.groupBy("gram_h")
+        .agg(F.min("_key").alias("_fk"))
+        .select(
+            "gram_h",
+            F.expr(f"_fk div {1 << 20}").cast("long").alias("first_doc"),
+            (F.col("_fk") % F.lit(1 << 20)).cast("long").alias("first_pos"),
+        )
+    )
+    if additions.isEmpty():
+        return
+    if layout.read_manifest(index_uri) is None:
+        layout.publish_snapshot(spark, index_uri, additions)
+        return
+    # a gram_h-keyed merge would overwrite an existing row with the
+    # batch's provenance, LOSING the original first occurrence — so
+    # drop already-indexed grams before merging
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    fresh = additions.join(
+        read_parquet(spark, index_uri).select("gram_h"),
+        "gram_h",
+        "left_anti",
+    )
+    if fresh.isEmpty():
+        return
+    layout.merge_upsert(spark, index_uri, fresh, ["gram_h"], versioned=True)
+
+
+def strip_incremental_oracle_sql(
+    index_where: str,
+    batch_where: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB replica of strip_incremental with the index/batch as
+    predicate splits of one table: corpus-known grams cover every
+    batch occurrence; index-fresh grams apply the keep-batch-first
+    rule; identical hash/key/coverage/rebuild chain."""
+    L = span_tokens
+    return f"""
+WITH docs_l AS (
+  SELECT {id_col} AS _id, string_split(lower({text_col}), ' ') AS _l,
+         ({index_where}) AS _in_idx, ({batch_where}) AS _in_batch
+  FROM {table}
+  WHERE ({index_where}) OR ({batch_where})
+), toks AS (
+  SELECT _id, CAST(p AS BIGINT) AS _pos, _l[CAST(p AS BIGINT) + 1] AS _tok
+  FROM (SELECT _id, _l, unnest(range(0, len(_l))) AS p
+        FROM docs_l WHERE _in_batch)
+), posn AS (
+  SELECT _id, _l, _in_idx, _in_batch,
+         unnest(range(0, greatest(len(_l) - {L} + 1, 0))) AS _pos
+  FROM docs_l
+), grams AS (
+  SELECT _id, _in_idx, _in_batch, CAST(_pos AS BIGINT) AS _pos,
+         CAST(CONCAT('0x', substr(md5(
+              array_to_string(_l[_pos + 1 : _pos + {L}], ' ')), 1, 15))
+              AS BIGINT) AS gram_h,
+         CAST(_id * {1 << 20} + _pos AS BIGINT) AS _key
+  FROM posn
+), idx AS (
+  SELECT DISTINCT gram_h FROM grams WHERE _in_idx
+), bgrams AS (
+  SELECT * FROM grams WHERE _in_batch
+), fresh AS (
+  SELECT * FROM bgrams WHERE gram_h NOT IN (SELECT gram_h FROM idx)
+), batch_dups AS (
+  SELECT gram_h, MIN(_key) AS _first_key
+  FROM fresh GROUP BY gram_h
+  HAVING COUNT(DISTINCT _id) >= {min_docs}
+), dropped AS (
+  SELECT _id, _pos FROM bgrams
+  WHERE gram_h IN (SELECT gram_h FROM idx)
+  UNION ALL
+  SELECT f._id, f._pos FROM fresh f JOIN batch_dups d USING (gram_h)
+  WHERE f._key <> d._first_key
+), covered AS (
+  SELECT DISTINCT _id,
+         CAST(unnest(range(_pos, _pos + {L})) AS BIGINT) AS _cpos
+  FROM dropped
+), kept AS (
+  SELECT t.* FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c._id = t._id AND c._cpos = t._pos
+  )
+), rebuilt AS (
+  SELECT _id, string_agg(_tok, ' ' ORDER BY _pos) AS text_clean,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens_kept
+  FROM kept GROUP BY _id
+)
+SELECT d._id AS {id_col},
+       COALESCE(r.text_clean, '') AS text_clean,
+       CAST(COALESCE(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(d._l) - COALESCE(r.n_tokens_kept, 0) AS BIGINT)
+         AS n_tokens_dropped
+FROM docs_l d LEFT JOIN rebuilt r USING (_id)
+WHERE d._in_batch
 ORDER BY {id_col}
 """
 

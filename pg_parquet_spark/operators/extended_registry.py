@@ -271,6 +271,24 @@ def x_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.strip_duplicated_spans(_docs(spark, sf_dir), span_tokens=12)
 
 
+def x_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_span_x_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    dedup.build_span_index(
+        docs.filter("doc_id % 2 = 0"), idx, span_tokens=12
+    )
+    return dedup.strip_incremental(
+        spark, docs.filter("doc_id % 2 = 1"), idx, span_tokens=12
+    )
+
+
 def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import dedup
 
@@ -373,6 +391,7 @@ EXTENDED_QUERIES = {
     "x_vocab_zipf": x_vocab_zipf,
     "x_duplicated_spans": x_duplicated_spans,
     "x_strip_spans": x_strip_spans,
+    "x_strip_incremental": x_strip_incremental,
     "x_source_overlap": x_source_overlap,
     "x_token_budget": x_token_budget,
     "x_weighted_sample": x_weighted_sample,
@@ -461,6 +480,9 @@ def extended_oracles() -> dict[str, str]:
             span_tokens=12
         ),
         "x_strip_spans": dedup.strip_spans_oracle_sql(span_tokens=12),
+        "x_strip_incremental": dedup.strip_incremental_oracle_sql(
+            "doc_id % 2 = 0", "doc_id % 2 = 1", span_tokens=12
+        ),
         "x_source_overlap": dedup.source_overlap_oracle_sql(),
         "x_token_budget": sampling.token_budget_oracle_sql(
             score_expr="CAST(n_chars AS DOUBLE)", budget_tokens=20_000

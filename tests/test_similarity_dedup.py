@@ -1641,3 +1641,88 @@ def test_strip_duplicated_spans_semantics(spark):
             df.withColumn("doc_id", df.doc_id.cast("string")),
             span_tokens=6,
         )
+
+
+def test_strip_incremental_matches_oracle(spark, tmp_path):
+    """r12: ingest-time exact-substring dedup against the persisted
+    gram index replicates the predicate-split DuckDB chain bit-for-bit
+    at both SFs (corpus-known grams cover everything; index-fresh
+    grams keep batch-first)."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        idx = str(tmp_path / f"span_idx_{sf[-3:]}")
+        dedup.build_span_index(
+            docs.filter("doc_id % 2 = 0"), idx, span_tokens=12
+        )
+        got = dedup.strip_incremental(
+            spark, docs.filter("doc_id % 2 = 1"), idx, span_tokens=12
+        ).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            dedup.strip_incremental_oracle_sql(
+                "doc_id % 2 = 0", "doc_id % 2 = 1", span_tokens=12
+            )
+        ).df()
+        assert len(got) == len(want) > 0
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+
+
+def test_strip_incremental_commit_cycle(spark, tmp_path):
+    """The ingest lifecycle: batch-1's surviving text commits its
+    grams; a batch-2 copy of that text then strips fully; the index
+    keeps the ORIGINAL first-occurrence provenance across commits;
+    replaying the same commit is a no-op (converged index version)."""
+    from pg_parquet_spark.sources import layout
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    span = " ".join(f"w{i}" for i in range(8))
+    idx = str(tmp_path / "span_idx_cycle")
+    corpus0 = spark.createDataFrame(
+        [(1, "seed document " + span)], "doc_id long, text string"
+    )
+    dedup.build_span_index(corpus0, idx, span_tokens=8)
+    first = {
+        r.gram_h: (r.first_doc, r.first_pos)
+        for r in read_parquet(spark, idx).collect()
+    }
+
+    batch1 = spark.createDataFrame(
+        [(10, span + " brand new tail content here"),  # span known -> cut
+         (11, "totally fresh sentence with no shared content at all today")],
+        "doc_id long, text string",
+    )
+    stripped = dedup.strip_incremental(spark, batch1, idx, span_tokens=8)
+    out = {r.doc_id: r for r in stripped.collect()}
+    assert out[10].n_tokens_dropped == 8
+    assert out[11].n_tokens_dropped == 0
+    dedup.commit_span_grams(spark, stripped, idx, span_tokens=8)
+
+    # original provenance survives the merge
+    after = {
+        r.gram_h: (r.first_doc, r.first_pos)
+        for r in read_parquet(spark, idx).collect()
+    }
+    for h, prov in first.items():
+        assert after[h] == prov, "commit overwrote corpus provenance"
+    assert len(after) > len(first)  # batch-1 survivors indexed
+
+    # a batch-2 verbatim copy of doc 11's PUBLISHED text strips fully
+    batch2 = spark.createDataFrame(
+        [(20, "totally fresh sentence with no shared content at all today")],
+        "doc_id long, text string",
+    )
+    got2 = dedup.strip_incremental(spark, batch2, idx, span_tokens=8).collect()
+    assert got2[0].text_clean == "" and got2[0].n_tokens_kept == 0
+
+    # replayed commit converges (no new index version)
+    v = layout.read_manifest(idx)["version"]
+    dedup.commit_span_grams(spark, stripped, idx, span_tokens=8)
+    assert layout.read_manifest(idx)["version"] == v
