@@ -1883,13 +1883,22 @@ def strip_incremental(
     Scale shape: batch grams shuffle on gram_h against the index
     (key-partitioned hash join — the index never broadcasts), the
     coverage explode is L rows per DROPPED occurrence only, and the
-    rebuild touches batch rows only. The corpus is never read."""
+    rebuild touches batch rows only. The corpus is never read.
+
+    Bootstrap: a missing index (no versioned manifest — the state
+    before the first commit) is an EMPTY gram set, so the first batch
+    strips only against itself — the drain self-bootstraps like the
+    exact/near ingest tiers."""
+    from pg_parquet_spark.sources import layout
     from pg_parquet_spark.sources.reader import read_parquet
 
     toks, grams = _span_tok_gram_frames(
         new_docs, id_col, text_col, span_tokens, "strip_incremental"
     )
-    idx = read_parquet(spark, index_uri.rstrip("/")).select("gram_h")
+    if layout.read_manifest(index_uri.rstrip("/")) is None:
+        idx = spark.createDataFrame([], "gram_h long")
+    else:
+        idx = read_parquet(spark, index_uri.rstrip("/")).select("gram_h")
     known = grams.join(idx, "gram_h", "left_semi")
     fresh = grams.join(idx, "gram_h", "left_anti")
     batch_dups = (

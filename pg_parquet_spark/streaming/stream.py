@@ -1342,3 +1342,87 @@ def drain_with_curation(
         raise TimeoutError(
             f"curation drain did not finish within {timeout_sec}s"
         )
+
+
+def drain_with_span_dedup(
+    sdf: DataFrame,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming ingestion with inline EXACT-SUBSTRING dedup (r12) —
+    the span-family member of the ingest-drain set (exact doc /
+    near-dup / curation / decontamination / quality): each micro-batch
+    strips every token covered by an L-gram the persisted index
+    already holds (``dedup.strip_incremental``; batch-internal
+    duplicated grams keep batch-first), fully-excised documents are
+    dropped, survivors publish their REWRITTEN text through the
+    versioned sink, and only then do the published text's grams merge
+    into the index (``dedup.commit_span_grams`` — anti-joined, so
+    original first-occurrence provenance is never overwritten).
+
+    Crash/replay: stripping is a pure function of (batch, index) —
+    the family's convergence argument carries: corpus visibility
+    exactly-once by manifest; the gram commit at-least-once but
+    idempotent (replaying an already-committed batch merges nothing
+    and publishes no index version); a crash between corpus publish
+    and gram commit loses only future-strip coverage for the batch's
+    own new text, never corpus truth. Index self-bootstraps on the
+    first batch (missing manifest = empty gram set).
+
+    Framing note: the RESULT depends on micro-batch boundaries —
+    excising a batch's internal duplicates reshapes the grams it
+    commits (tokens L−1 apart become adjacent), so two framings of
+    the same rows are two different, equally valid dedups. Replays of
+    the SAME checkpointed batch sequence are exactly reproducible
+    (the crash drill's contract); cross-framing equality is not a
+    property any incremental exact-substring dedup can offer."""
+    from pg_parquet_spark.operators import dedup as dedup_ops
+    from pyspark.sql import functions as SF
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        stripped = dedup_ops.strip_incremental(
+            spark,
+            batch_df,
+            index_root,
+            id_col=id_col,
+            text_col=text_col,
+            span_tokens=span_tokens,
+            min_docs=min_docs,
+        ).filter(SF.col("n_tokens_kept") > 0)
+        kept = stripped.select(
+            SF.col(id_col), SF.col("text_clean").alias(text_col)
+        )
+        sink(kept, batch_id)
+        dedup_ops.commit_span_grams(
+            spark,
+            stripped,
+            index_root,
+            id_col=id_col,
+            text_col="text_clean",
+            span_tokens=span_tokens,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"span-dedup drain did not finish within {timeout_sec}s"
+        )

@@ -858,3 +858,132 @@ def test_streaming_decontamination_crash_mid_publish(
         map(tuple, read_parquet(spark, ref_corpus).select("doc_id").collect())
     )
     assert got == want and len(got) > n1
+
+
+def test_streaming_span_dedup_drain(spark, tmp_path):
+    """r12: the exact-substring ingest drain — a later batch's verbatim
+    copy of published text strips to nothing and never lands; partial
+    overlaps land REWRITTEN (covered tokens excised); the index
+    self-bootstraps; replays move nothing."""
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_span_dedup
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "span_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    span = " ".join(f"tok{i}" for i in range(8))
+    t1 = spark.createDataFrame(
+        [(1, span + " original tail content"),
+         (2, "independent first tranche document body")],
+        "doc_id long, text string",
+    )
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_span_dedup(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, span_tokens=8, checkpoint=ckpt,
+    )
+    landed = {r.doc_id: r.text for r in read_parquet(spark, corpus).collect()}
+    assert set(landed) == {1, 2}
+    assert landed[1] == span + " original tail content"
+
+    t2 = spark.createDataFrame(
+        [(10, span),                                   # verbatim span -> ''
+         (11, span + " but with a brand new suffix"),  # rewritten
+         (12, "another wholly unrelated document text")],
+        "doc_id long, text string",
+    )
+    t2.coalesce(1).write.mode("append").parquet(src)
+    drain_with_span_dedup(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, span_tokens=8, checkpoint=ckpt,
+    )
+    landed = {r.doc_id: r.text for r in read_parquet(spark, corpus).collect()}
+    assert 10 not in landed            # fully excised, never published
+    assert landed[11] == "but with a brand new suffix"
+    assert landed[12] == "another wholly unrelated document text"
+
+    # idle replay: neither corpus nor index version moves
+    vc = layout.read_manifest(corpus)["version"]
+    vi = layout.read_manifest(index)["version"]
+    drain_with_span_dedup(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, span_tokens=8, checkpoint=ckpt,
+    )
+    assert layout.read_manifest(corpus)["version"] == vc
+    assert layout.read_manifest(index)["version"] == vi
+
+
+def test_streaming_span_dedup_crash_mid_publish(spark, tmp_path, monkeypatch):
+    """The span drain's mechanical crash drill (the family pattern):
+    crash inside the second tranche's corpus publish — readers keep
+    seeing tranche 1, the replay re-stages and flips, and the final
+    corpus equals a from-scratch no-crash drain."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_span_dedup
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "span_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    t1 = docs.filter("doc_id % 2 = 0")
+    t2 = docs.filter("doc_id % 2 = 1")
+    kw = dict(span_tokens=12, checkpoint=ckpt)
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_span_dedup(
+        spark.readStream.schema(t1.schema).parquet(src), corpus, index, **kw
+    )
+    n1 = read_parquet(spark, corpus).count()
+    assert n1 > 0
+
+    real_pub = layout._publish_manifest
+
+    def crashing_pub(root, manifest, **pkw):
+        if root.rstrip("/") == corpus and manifest["version"] > 1:
+            raise RuntimeError("simulated crash mid publish")
+        return real_pub(root, manifest, **pkw)
+
+    monkeypatch.setattr(layout, "_publish_manifest", crashing_pub)
+    t2.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="simulated crash"):
+        drain_with_span_dedup(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, index, **kw,
+        )
+    monkeypatch.setattr(layout, "_publish_manifest", real_pub)
+    assert read_parquet(spark, corpus).count() == n1  # pointer never flipped
+
+    drain_with_span_dedup(
+        spark.readStream.schema(t1.schema).parquet(src), corpus, index, **kw
+    )
+    # reference = the SAME two-tranche batch sequence without a crash
+    # (span stripping cascades: excising tranche-1's internal dups
+    # reshapes the grams it commits, so a one-mega-batch framing is a
+    # DIFFERENT — equally valid — dedup, not this drain's replay)
+    ref_src = str(tmp_path / "ref_src")
+    ref_corpus = str(tmp_path / "ref_corpus")
+    ref_index = str(tmp_path / "ref_index")
+    ref_ckpt = str(tmp_path / "ref_ckpt")
+    t1.coalesce(1).write.mode("append").parquet(ref_src)
+    drain_with_span_dedup(
+        spark.readStream.schema(t1.schema).parquet(ref_src),
+        ref_corpus, ref_index, span_tokens=12, checkpoint=ref_ckpt,
+    )
+    t2.coalesce(1).write.mode("append").parquet(ref_src)
+    drain_with_span_dedup(
+        spark.readStream.schema(t1.schema).parquet(ref_src),
+        ref_corpus, ref_index, span_tokens=12, checkpoint=ref_ckpt,
+    )
+    got = sorted(
+        map(tuple, read_parquet(spark, corpus).select("doc_id", "text").collect())
+    )
+    want = sorted(
+        map(tuple, read_parquet(spark, ref_corpus).select("doc_id", "text").collect())
+    )
+    assert got == want and len(got) > 0
