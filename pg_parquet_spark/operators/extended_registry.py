@@ -362,6 +362,12 @@ def x_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recipe.corpus_datacard(_docs(spark, sf_dir))
 
 
+def x_curriculum_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.curriculum_from_perplexity(_docs(spark, sf_dir))
+
+
 EXTENDED_QUERIES = {
     "x_sketch_kmv": x_sketch_kmv,
     "x_sketch_cms": x_sketch_cms,
@@ -398,6 +404,7 @@ EXTENDED_QUERIES = {
     "x_rebalance_mix": x_rebalance_mix,
     "x_kfold": x_kfold,
     "x_curriculum_order": x_curriculum_order,
+    "x_curriculum_perplexity": x_curriculum_perplexity,
     "x_datacard": x_datacard,
 }
 
@@ -500,4 +507,5 @@ def extended_oracles() -> dict[str, str]:
             "n_chars // 500"
         ),
         "x_datacard": recipe.datacard_oracle_sql(),
+        "x_curriculum_perplexity": recipe.curriculum_perplexity_oracle_sql(),
     }

@@ -386,3 +386,101 @@ SELECT n_docs, total_tokens,
          AS dup_ratio_ppm
 FROM agg
 """
+
+
+def curriculum_from_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Composed curriculum recipe (r12 — the curate_corpus pattern:
+    proven pieces in ONE plan, certified by ONE chained oracle):
+    bigram-LM difficulty → equi-depth bin assignment at power-of-two
+    binary-fraction percentile edges (the perplexity_datamap binning,
+    engine-exact) → deterministic global training order within the
+    easy→hard curriculum (``sampling.curriculum_order``: md5(salt∥id)
+    within-bin shuffle, position via the distributed two-pass rank —
+    no global sort). The output IS the dataloader's epoch: read
+    ``ORDER BY global_pos`` (or range-filter per worker) and the
+    identical curriculum replays on any cluster or engine; ``salt``
+    reshuffles epochs without moving the difficulty blocks.
+
+    Returns (id, bin, mean_nll_micro, global_pos), ordered by
+    global_pos. Documents with no bigram (single-token) drop out of
+    the scored set — the bigram_logprob contract, mirrored by the
+    oracle."""
+    from pg_parquet_spark.operators.sampling import curriculum_order
+    from pg_parquet_spark.operators.text import bigram_logprob
+
+    if n_bins < 2 or (n_bins & (n_bins - 1)) != 0:
+        raise ValueError(
+            f"n_bins must be a power of two ≥ 2, got {n_bins}"
+        )
+    scored = bigram_logprob(df, id_col, text_col)
+    fr = [i / n_bins for i in range(1, n_bins)]
+    edges = scored.agg(
+        F.expr(
+            f"percentile(mean_nll_micro, array({', '.join(map(repr, fr))}))"
+        ).alias("_edges")
+    )
+    binned = (
+        scored.crossJoin(F.broadcast(edges))
+        .withColumn(
+            "bin",
+            F.size(
+                F.filter(
+                    F.col("_edges"),
+                    lambda e: F.col("mean_nll_micro").cast("double") > e,
+                )
+            ).cast("long"),
+        )
+        .select(id_col, "bin", "mean_nll_micro")
+    )
+    ordered = curriculum_order(binned, id_col, "bin", salt=salt)
+    return (
+        ordered.join(binned.select(id_col, "mean_nll_micro"), id_col)
+        .select(id_col, "bin", "mean_nll_micro", "global_pos")
+        .orderBy("global_pos")
+    )
+
+
+def curriculum_perplexity_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = 8,
+    salt: str = "",
+) -> str:
+    """DuckDB replica chaining the bigram oracle, quantile_cont edges
+    at the same binary fractions, the same strict-greater bin count,
+    and the single-window curriculum rank."""
+    from pg_parquet_spark.operators.text import bigram_oracle_sql
+
+    fr = [i / n_bins for i in range(1, n_bins)]
+    return f"""
+WITH scored AS ({bigram_oracle_sql(table, id_col, text_col)}),
+edges AS (
+  SELECT quantile_cont(CAST(mean_nll_micro AS DOUBLE),
+                       [{', '.join(map(repr, fr))}]) AS e
+  FROM scored
+),
+binned AS (
+  SELECT s.{id_col},
+         CAST(len(list_filter(e, x -> CAST(s.mean_nll_micro AS DOUBLE) > x))
+              AS BIGINT) AS bin,
+         s.mean_nll_micro
+  FROM scored s CROSS JOIN edges
+),
+keyed AS (
+  SELECT {id_col}, bin, mean_nll_micro,
+         md5({salt!r} || CAST({id_col} AS VARCHAR)) AS shuf
+  FROM binned
+)
+SELECT {id_col}, bin, mean_nll_micro,
+       CAST(row_number() OVER (ORDER BY bin, shuf, {id_col}) AS BIGINT)
+         AS global_pos
+FROM keyed
+ORDER BY global_pos
+"""

@@ -168,3 +168,37 @@ def test_contamination_report_matches_oracle(spark, sf):
     for c in ("source", "n_docs", "n_exact", "n_near", "exact_ppm", "near_ppm"):
         assert list(got[c]) == list(want[c]), c
     assert int(got["n_docs"].sum()) == corpus.count()
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_curriculum_from_perplexity_matches_oracle(spark, sf):
+    """r12 composition: bigram difficulty → equi-depth bins →
+    deterministic curriculum order, certified by ONE chained oracle
+    (the curate_corpus pattern)."""
+    docs = table(spark, sf, "documents")
+    got = recipe.curriculum_from_perplexity(docs).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(recipe.curriculum_perplexity_oracle_sql()).df()
+    assert len(got) == len(want) > 0
+    for c in ("doc_id", "bin", "mean_nll_micro", "global_pos"):
+        assert list(got[c]) == list(want[c]), c
+    # the curriculum property: difficulty blocks ascend with position
+    ordered = got.sort_values("global_pos")
+    assert list(ordered.bin) == sorted(ordered.bin)
+
+
+def test_curriculum_from_perplexity_salt_reshuffles_epochs(spark):
+    docs = table(spark, SFS[0], "documents")
+    e1 = recipe.curriculum_from_perplexity(docs, salt="e1").toPandas()
+    e2 = recipe.curriculum_from_perplexity(docs, salt="e2").toPandas()
+    a = e1.sort_values("global_pos")
+    b = e2.sort_values("global_pos")
+    assert not a.doc_id.equals(b.doc_id)          # epochs reshuffle
+    assert list(a.bin) == list(b.bin)             # curriculum invariant
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="power of two"):
+        recipe.curriculum_from_perplexity(docs, n_bins=6)
