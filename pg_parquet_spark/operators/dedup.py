@@ -1110,6 +1110,83 @@ FROM allsz GROUP BY cluster_size ORDER BY cluster_size
 """
 
 
+_PPM_W = 1_000_000
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Soft deduplication (r12): DOWN-WEIGHT near-duplicates instead of
+    dropping them — the loss-reweighting alternative the hard tiers
+    (canonical keep-one) can't express: every member of a near-dup
+    cluster of size s gets sampling/loss weight 1/s, so the cluster's
+    TOTAL gradient mass equals one unique document's while no text is
+    discarded (the published soft-dedup posture; also the right knob
+    when duplicates are legitimate — licenses, quotes, boilerplate a
+    model should still see once-worth of).
+
+    Returns (id, cluster_size, weight_ppm) for EVERY input row —
+    singletons carry size 1 / weight 10⁶; weight_ppm = 10⁶ div size
+    (positive integer division, engine-exact). Feed ``weight_ppm``
+    to ``sampling.weighted_sample`` or export it as the loss-weight
+    column.
+
+    Scale shape: rides the capped MinHash pairs + min-label clusters
+    (ids only); the weight is one cluster-keyed count + a left join
+    back of (id → size) — text never moves past the signature
+    projection."""
+    clusters = near_dup_clusters(
+        df.select(F.col(id_col), F.col(text_col)), id_col, pairs=pairs
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_csz")
+    )
+    labeled = clusters.join(sizes, "cluster_id").select(
+        id_col, F.col("_csz").alias("cluster_size")
+    )
+    return (
+        df.select(id_col)
+        .join(labeled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            F.expr(
+                f"{_PPM_W} div coalesce(cluster_size, 1)"
+            )
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+        .orderBy(id_col)
+    )
+
+
+
+def soft_dedup_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB replica: the recursive closure labels, the same size
+    count, the same positive integer division, singleton fill."""
+    return f"""
+WITH labeled AS (
+  SELECT * FROM ({near_dup_clusters_oracle_sql()}) t
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS csz FROM labeled GROUP BY 1
+), lab AS (
+  SELECT l.{id_col}, s.csz FROM labeled l JOIN sizes s USING (cluster_id)
+)
+SELECT d.{id_col},
+       CAST(COALESCE(lab.csz, 1) AS BIGINT) AS cluster_size,
+       CAST({_PPM_W} // COALESCE(lab.csz, 1) AS BIGINT) AS weight_ppm
+FROM {table} d LEFT JOIN lab USING ({id_col})
+ORDER BY d.{id_col}
+"""
+
+
 def near_dup_clusters_oracle_sql(pairs_sql: str | None = None) -> str:
     """DuckDB replica: recursive-CTE transitive closure, min reachable
     id per node (identical to the converged min-label fixed point)."""

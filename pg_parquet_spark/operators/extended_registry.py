@@ -271,6 +271,14 @@ def x_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.strip_duplicated_spans(_docs(spark, sf_dir), span_tokens=12)
 
 
+def x_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import dedup
+
+    return dedup.soft_dedup_weights(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+
+
 def x_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
@@ -398,6 +406,7 @@ EXTENDED_QUERIES = {
     "x_duplicated_spans": x_duplicated_spans,
     "x_strip_spans": x_strip_spans,
     "x_strip_incremental": x_strip_incremental,
+    "x_soft_dedup": x_soft_dedup,
     "x_source_overlap": x_source_overlap,
     "x_token_budget": x_token_budget,
     "x_weighted_sample": x_weighted_sample,
@@ -490,6 +499,7 @@ def extended_oracles() -> dict[str, str]:
         "x_strip_incremental": dedup.strip_incremental_oracle_sql(
             "doc_id % 2 = 0", "doc_id % 2 = 1", span_tokens=12
         ),
+        "x_soft_dedup": dedup.soft_dedup_oracle_sql(),
         "x_source_overlap": dedup.source_overlap_oracle_sql(),
         "x_token_budget": sampling.token_budget_oracle_sql(
             score_expr="CAST(n_chars AS DOUBLE)", budget_tokens=20_000

@@ -1726,3 +1726,33 @@ def test_strip_incremental_commit_cycle(spark, tmp_path):
     v = layout.read_manifest(idx)["version"]
     dedup.commit_span_grams(spark, stripped, idx, span_tokens=8)
     assert layout.read_manifest(idx)["version"] == v
+
+
+def test_soft_dedup_weights_match_oracle(spark):
+    """r12: soft deduplication — cluster-size down-weighting with
+    weight_ppm = 1e6 div size replicates the chained closure oracle
+    at both SFs; cluster mass sums to one doc's weight (up to the
+    integer-division floor); singletons keep full weight."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        got = dedup.soft_dedup_weights(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(dedup.soft_dedup_oracle_sql()).df()
+        assert len(got) == len(want) == docs.count()
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+        singles = got[got.cluster_size == 1]
+        assert (singles.weight_ppm == 1_000_000).all()
+        clustered = got[got.cluster_size > 1]
+        assert len(clustered) > 0
+        # per-cluster mass ≈ 1e6 (floor of the integer division)
+        mass = clustered.groupby("cluster_size").weight_ppm.first()
+        for sz, w in mass.items():
+            assert w == 1_000_000 // sz
