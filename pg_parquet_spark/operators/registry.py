@@ -200,66 +200,21 @@ PRIORITY_REFRESH = {
         "since": 10,
         "reason": "r11 ROUND→floor(x*1e6+0.5) trig determinism fix (ADVICE r10) landed after its r10 green",
     },
+    "q_setsim_containment": {
+        "since": 12,
+        "reason": "r13 FIFO cache trim (ADVICE r12: entry-time release-all broke the composed single-pass contract) landed after its r12 green",
+    },
+    "q_sim_ann_ivfpq": {
+        "since": 12,
+        "reason": "r13 integral query-id validation (ADVICE r12: driver-side int() truncated float ids) landed after its r12 green",
+    },
 }
 
 #: Generated by tools/rotation.py — edit via the tool, not by hand.
-REGISTRY_AS_OF = 11
+REGISTRY_AS_OF = 12
 
 GATE_ORDER = [
-    # -- never verified ----------------------------------------------
-    "q_classifier_canonical",
-    "q_contamination_report",
-    "q_dedup_cluster_stats",
-    "q_hard_negatives",
-    "q_io_delete_lifecycle",
-    "q_pca_project",
-    "q_perplexity_datamap",
-    "q_setsim_containment",
-    "q_sim_ann_ivfpq",
-    # -- green r9 ----------------------------------------------------
-    "q_asof_join",
-    "q_dedup_incremental",
-    "q_exists_correlated",
-    "q_feature_winsorize",
-    "q_grouping_sets",
-    "q_io_coercion_read",
-    "q_io_compact_partitions",
-    "q_io_csv_roundtrip",
-    "q_io_geo_roundtrip",
-    "q_io_match_position",
-    "q_io_partitioned_roundtrip",
-    "q_io_schema_evolution",
-    "q_io_zorder_read",
-    "q_join_left",
-    "q_join_semi",
-    "q_pandas_udf_grouped_agg",
-    "q_pandas_udf_scalar",
-    "q_pipeline_end_to_end",
-    "q_projection_filter",
-    "q_python_udtf",
-    "q_scalar_collections",
-    "q_scalar_json",
-    "q_scalar_string",
-    "q_sessionize_batch",
-    "q_skew_salted_agg",
-    "q_skew_salted_join",
-    "q_stream_join",
-    "q_stream_sink_versioned",
-    "q_stream_sliding_window",
-    "q_stream_stateful",
-    "q_stream_stream_join",
-    "q_subquery_in",
-    "q_subquery_scalar",
-    "q_text_c4_clean",
-    "q_text_lang_id",
-    "q_text_quality_gopher",
-    "q_text_tfidf",
-    "q_window_lag_lead",
-    "q_window_ntile_dist",
-    "q_window_percent_rank",
-    "q_window_range_frame",
     # -- green r10 ---------------------------------------------------
-    # ==== window cut at 50: entries below are NOT verified this round ====
     "q10_returned_items",
     "q11_important_stock",
     "q13_customer_distribution",
@@ -311,6 +266,7 @@ GATE_ORDER = [
     "q_window_frame",
     # -- green r11 ---------------------------------------------------
     "q20_potential_promotion",
+    # ==== window cut at 50: entries below are NOT verified this round ====
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
@@ -360,6 +316,57 @@ GATE_ORDER = [
     "q_text_repetition",
     "q_timeseries_gapfill",
     "q_window_rank",
+    # -- green r12 ---------------------------------------------------
+    "q_asof_join",
+    "q_classifier_canonical",
+    "q_contamination_report",
+    "q_dedup_cluster_stats",
+    "q_dedup_incremental",
+    "q_exists_correlated",
+    "q_feature_winsorize",
+    "q_grouping_sets",
+    "q_hard_negatives",
+    "q_io_coercion_read",
+    "q_io_compact_partitions",
+    "q_io_csv_roundtrip",
+    "q_io_delete_lifecycle",
+    "q_io_geo_roundtrip",
+    "q_io_match_position",
+    "q_io_partitioned_roundtrip",
+    "q_io_schema_evolution",
+    "q_io_zorder_read",
+    "q_join_left",
+    "q_join_semi",
+    "q_pandas_udf_grouped_agg",
+    "q_pandas_udf_scalar",
+    "q_pca_project",
+    "q_perplexity_datamap",
+    "q_pipeline_end_to_end",
+    "q_projection_filter",
+    "q_python_udtf",
+    "q_scalar_collections",
+    "q_scalar_json",
+    "q_scalar_string",
+    "q_sessionize_batch",
+    "q_setsim_containment",
+    "q_sim_ann_ivfpq",
+    "q_skew_salted_agg",
+    "q_skew_salted_join",
+    "q_stream_join",
+    "q_stream_sink_versioned",
+    "q_stream_sliding_window",
+    "q_stream_stateful",
+    "q_stream_stream_join",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_text_c4_clean",
+    "q_text_lang_id",
+    "q_text_quality_gopher",
+    "q_text_tfidf",
+    "q_window_lag_lead",
+    "q_window_ntile_dist",
+    "q_window_percent_rank",
+    "q_window_range_frame",
 ]
 
 
