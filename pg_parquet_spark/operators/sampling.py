@@ -1060,7 +1060,15 @@ def kfold_by_group(
     driven — reproducible across runs/engines/cluster sizes; a pure
     projection, zero shuffle. Fold sizes are equal within 2⁻²⁴ of 1/k
     per group-hash mass (range division, never modulo — the
-    split_by_group ADVICE lesson applies verbatim)."""
+    split_by_group ADVICE lesson applies verbatim).
+
+    NULL groups fail loudly by contract (ADVICE r12: md5(NULL) is NULL
+    in both engines, so a NULL group would silently map to a NULL fold
+    — rows belonging to NO fold, vanishing from every train/held-out
+    union downstream). Coalesce to a sentinel group upstream
+    explicitly if NULL means "its own group". The guard is IN the main
+    projection (when/raise_error, the weighted_sample pattern) — no
+    extra validation scan."""
     if not 2 <= k <= 1_000_000:
         raise ValueError(f"k must be in [2, 1e6], got {k}")
     bucket = F.shiftright(
@@ -1070,7 +1078,18 @@ def kfold_by_group(
         * F.lit(int(k)),
         24,
     )
-    return df.withColumn(fold_col, bucket.cast("long"))
+    guarded = F.when(
+        F.col(group_col).isNotNull(), bucket.cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"kfold_by_group: NULL in group column '{group_col}' — a "
+                "NULL group would belong to no fold; coalesce NULLs to a "
+                "sentinel group upstream explicitly"
+            )
+        )
+    )
+    return df.withColumn(fold_col, guarded)
 
 
 def kfold_oracle_sql(

@@ -49,15 +49,31 @@ _PPM = 1_000_000
 #: (prefix explode, both verify sides, the containment probe) —
 #: without the cache the corpus explode + vocab rank pipeline runs
 #: once per consumer (measured: zero ReusedExchange in the executed
-#: plan). The next call's entry releases the previous call's cache;
-#: release_cached() frees eagerly. At cluster scale this
-#: materialization point is a checkpoint to storage.
+#: plan). Trimmed FIFO past _CACHE_KEEP handles (ADVICE r12: an
+#: entry-time release-all unpersisted the PREVIOUS call's still-lazy
+#: frames, so composing two setsim joins before collecting either
+#: silently re-ran the first join's explode+rank pipeline — the exact
+#: composed-consumers pitfall drift.py fixed in r11). The frames here
+#: are data-sized (per-doc rank arrays), so the bound stays small:
+#: three composed joins' worth. release_cached() still frees
+#: everything eagerly — call it after results are materialized. At
+#: cluster scale this materialization point is a checkpoint to storage.
 _CACHED_FRAMES: list = []
+_CACHE_KEEP = 6
 
 
 def release_cached() -> None:
     while _CACHED_FRAMES:
         df = _CACHED_FRAMES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
+
+def _trim_cache() -> None:
+    while len(_CACHED_FRAMES) > _CACHE_KEEP:
+        df = _CACHED_FRAMES.pop(0)
         try:
             df.unpersist()
         except Exception:  # pragma: no cover - session already stopped
@@ -82,7 +98,6 @@ def jaccard_join(
     rank = distributed_row_number(
         dt.groupBy("tok").agg(F.count("*").alias("_df")), ["_df", "tok"]
     ).select("tok", "rk")
-    release_cached()
     arrs = (
         dt.join(rank, "tok")
         .groupBy("id")
@@ -91,6 +106,7 @@ def jaccard_join(
         .persist()
     )
     _CACHED_FRAMES.append(arrs)
+    _trim_cache()
     # prefix length p = n − ⌈θ·n⌉ + 1, integer ceil
     p = F.col("n") - F.expr(
         f"(n * {threshold_ppm} + {_PPM - 1}) div {_PPM}"
@@ -203,7 +219,6 @@ def containment_join(
     rank = distributed_row_number(
         dt.groupBy("tok").agg(F.count("*").alias("_df")), ["_df", "tok"]
     ).select("tok", "rk")
-    release_cached()
     ranked = dt.join(rank, "tok").select("id", "rk").persist()
     arrs = (
         ranked.groupBy("id")
@@ -212,6 +227,7 @@ def containment_join(
         .persist()
     )
     _CACHED_FRAMES.extend([ranked, arrs])
+    _trim_cache()
     p = F.col("n") - F.expr(
         f"(n * {threshold_ppm} + {_PPM - 1}) div {_PPM}"
     ) + F.lit(1)

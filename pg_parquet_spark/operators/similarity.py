@@ -1371,6 +1371,25 @@ def _probe_cells_py(
 MAX_INDEX_QUERIES = 1024
 
 
+def _require_integral_query_ids(df: DataFrame, col: str, op: str) -> None:
+    """Batch paths key result sets by ``int(row[col])`` driver-side —
+    a float id column would silently TRUNCATE (7.0 and 7.9 collide
+    into a spurious duplicate-id error or mislabeled keys, ADVICE
+    r12). Validate the column type up front instead of coercing (the
+    duplicated_spans TypeError pattern)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        df.schema[col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        raise TypeError(
+            f"{op}: {col} must be an integral column (got "
+            f"{df.schema[col].dataType.simpleString()}) — driver-side "
+            "int() keying would silently truncate fractional ids"
+        )
+
+
 def ivf_index_topk(
     spark,
     root_uri: str,
@@ -1438,6 +1457,7 @@ def ivf_index_topk(
 
     from pyspark.sql.window import Window
 
+    _require_integral_query_ids(query_df, query_id_col, "ivf_index_topk")
     qmeta = [
         (
             int(r[query_id_col]),
@@ -1744,6 +1764,7 @@ def hard_negatives(
         raise ValueError(
             f"anchors needs a {query_id_col!r} column to key the result sets"
         )
+    _require_integral_query_ids(anchors, query_id_col, "hard_negatives")
     qmeta = [
         (
             int(r[query_id_col]),
@@ -1996,6 +2017,7 @@ def ivfpq_index_topk(
 
     from pyspark.sql.window import Window
 
+    _require_integral_query_ids(query_df, query_id_col, "ivfpq_index_topk")
     qmeta = []
     for r in head:
         qvec = [float(x) for x in r[vec_col]]

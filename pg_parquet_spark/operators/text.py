@@ -1675,22 +1675,26 @@ WITH freq AS (
          SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
          SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
   FROM pts
+), fit AS (
+  -- degenerate corpus (one distinct term): denom = 0 and the Python
+  -- path pins slope = 0.0 (ADVICE r12) — mirror the guard here so the
+  -- oracle never evaluates 0/0
+  SELECT cnt, sx, sy,
+         CASE WHEN CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+              THEN 0.0
+              ELSE (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         END AS slope
+  FROM mom
 )
 SELECT cnt AS n_terms,
+       CAST(FLOOR(slope * 1e6 + 0.5) AS BIGINT) AS slope_micro,
        CAST(FLOOR(
-         ((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-          / (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e6 + 0.5
-       ) AS BIGINT) AS slope_micro,
-       CAST(FLOOR(
-         ((CAST(sy AS DOUBLE)
-           - ((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-             * CAST(sx AS DOUBLE))
+         ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
           / CAST(cnt AS DOUBLE)) + 0.5
        ) AS BIGINT) AS intercept_micro
-FROM mom
+FROM fit
 """

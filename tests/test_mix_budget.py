@@ -336,3 +336,20 @@ def test_kfold_group_granularity_and_balance(spark):
 
     with _pt.raises(ValueError, match="k must be"):
         sampling.kfold_by_group(docs, "source", k=1)
+
+
+def test_kfold_by_group_null_group_raises(spark):
+    """ADVICE r12: md5(NULL) is NULL in both engines, so a NULL group
+    used to map silently to a NULL fold — rows belonging to NO fold,
+    vanishing from every train/held-out union downstream. The guard is
+    in-pass (when/raise_error, the weighted_sample pattern)."""
+    df = spark.createDataFrame(
+        [(1, "src1"), (2, None), (3, "src2")], "doc_id long, source string"
+    )
+    with pytest.raises(Exception, match="NULL in group column"):
+        sampling.kfold_by_group(df, "source", k=4).collect()
+    # non-NULL rows still fold normally once NULLs are coalesced
+    out = sampling.kfold_by_group(
+        df.fillna({"source": "__null__"}), "source", k=4
+    ).toPandas()
+    assert out.fold.notna().all() and set(out.fold) <= set(range(4))

@@ -86,3 +86,50 @@ def test_containment_catches_quote_jaccard_misses(spark):
     ]
     jac = setsim.jaccard_join(df, threshold_ppm=500_000).collect()
     assert jac == []  # jaccard ~ 8/208, blind to the quote
+
+
+def test_composed_joins_keep_caches_single_pass(spark):
+    """ADVICE r12: building a SECOND setsim join before collecting the
+    first must not unpersist the first's still-lazy ranked/arrs frames
+    (the entry-time release-all did exactly that — results stayed
+    correct, the single-pass contract silently broke and the first
+    join's explode+rank pipeline re-ran at collect time). The registry
+    now trims FIFO past _CACHE_KEEP, the drift.py convention. The
+    assertion: corpus-feed ticks for build-A,collect-A,build-B,
+    collect-B (sequential baseline) equal ticks for build-A,build-B,
+    collect-A,collect-B (composed)."""
+    from pg_parquet_spark.session import table as _table
+
+    setsim.release_cached()
+    docs = (
+        _table(spark, SFS[0], "documents")
+        .select("doc_id", "text")
+        .localCheckpoint()  # freeze upstream so only OUR wrapper ticks
+    )
+
+    def run(composed: bool) -> int:
+        acc = spark.sparkContext.accumulator(0)
+
+        def ticking(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        feed = docs.mapInPandas(ticking, "doc_id long, text string")
+        a = setsim.jaccard_join(feed.filter("doc_id % 2 = 0"))
+        if composed:
+            b = setsim.jaccard_join(feed.filter("doc_id % 2 = 1"))
+            assert a.count() >= 0 and b.count() >= 0
+        else:
+            assert a.count() >= 0
+            b = setsim.jaccard_join(feed.filter("doc_id % 2 = 1"))
+            assert b.count() >= 0
+        setsim.release_cached()
+        return acc.value
+
+    sequential = run(composed=False)
+    composed = run(composed=True)
+    assert composed == sequential, (
+        f"composed build re-evaluated the corpus feed: {composed} ticks "
+        f"vs sequential {sequential}"
+    )

@@ -1756,3 +1756,52 @@ def test_soft_dedup_weights_match_oracle(spark):
         mass = clustered.groupby("cluster_size").weight_ppm.first()
         for sz, w in mass.items():
             assert w == 1_000_000 // sz
+
+
+class TestBatchQueryIdIntegralContract:
+    """ADVICE r12: batch index searches key result sets via driver-side
+    int(row[query_id_col]) — a float id column would silently truncate
+    (7.0 and 7.9 collide). All three batch paths validate the column
+    type up front (the duplicated_spans TypeError pattern) before any
+    index read, so a bogus root_uri never gets touched."""
+
+    def _float_queries(self, spark):
+        return spark.createDataFrame(
+            [(7.0, [1.0, 0.0]), (7.9, [0.0, 1.0])],
+            "query_id double, embedding array<double>",
+        )
+
+    def test_ivf_index_topk_rejects_float_ids(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(TypeError, match="integral column"):
+            similarity.ivf_index_topk(
+                spark,
+                "/nonexistent/ivf_index",
+                self._float_queries(spark),
+                centroids=[[0.0, 0.0], [1.0, 1.0]],
+            )
+
+    def test_ivfpq_index_topk_rejects_float_ids(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(TypeError, match="integral column"):
+            similarity.ivfpq_index_topk(
+                spark,
+                "/nonexistent/ivfpq_index",
+                self._float_queries(spark),
+                centroids=[[0.0, 0.0], [1.0, 1.0]],
+                codebooks=[[[0.0], [1.0]], [[0.0], [1.0]]],
+                dims=2,
+            )
+
+    def test_hard_negatives_rejects_float_ids(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(TypeError, match="integral column"):
+            similarity.hard_negatives(
+                spark,
+                "/nonexistent/ivf_index",
+                self._float_queries(spark),
+                centroids=[[0.0, 0.0], [1.0, 1.0]],
+            )

@@ -176,3 +176,26 @@ def test_vocab_zipf_partition_invariant_and_zipfian_flags(spark):
 
     with _pt.raises(Exception, match="empty"):
         text.vocab_zipf(df.filter("doc_id < 0"))
+
+
+def test_vocab_zipf_degenerate_corpus_oracle_parity(spark):
+    """ADVICE r12: a one-distinct-term corpus makes the least-squares
+    denominator exactly 0 — the Python path pins slope = 0; the oracle
+    must mirror the guard instead of evaluating 0/0 (NaN → failed/NULL
+    CAST). Engine and oracle must agree row-for-row here too."""
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello hello"), (3, "hello hello hello")],
+        "doc_id long, text string",
+    )
+    got = text.vocab_zipf(df).toPandas()
+    assert int(got.n_terms.iloc[0]) == 1
+    assert int(got.slope_micro.iloc[0]) == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'hello'), (2, 'hello hello'), (3, 'hello hello hello')"
+        ") AS t(doc_id, text)"
+    )
+    want = con.execute(text.vocab_zipf_oracle_sql()).df()
+    assert got.values.tolist() == want.values.tolist()
