@@ -16,6 +16,14 @@ driver surface (``q_``). Parameters mirror the pytest invocations
 one-for-one — the sweep certifies exactly what the tests assert,
 as a machine-readable artifact instead of prose.
 
+Families PROMOTED to the driver registry keep their ``x_`` entry here
+(r13: x_setsim_jaccard, x_vocab_zipf, x_kfold, x_curriculum_order,
+x_curriculum_perplexity, x_strip_spans, x_strip_incremental,
+x_soft_dedup gained q_* gates): the driver window covers a gate at
+most once per 3-round cycle, while this tier re-certifies at BOTH SFs
+every round — dropping the entry on promotion would weaken coverage,
+not move it.
+
 Streaming drains are NOT here: a drain's contract is crash/replay
 convergence, proven by the per-drain crash drills in
 tests/test_stream_*.py, not a one-shot SQL equivalence.

@@ -1297,6 +1297,156 @@ def _pca_project_oracle() -> str:
     return similarity.pca_oracle_sql(MODEL)
 
 
+# --- r13 promotions from the extended tier (VERDICT r12 #2/#3) -----------
+
+
+def q_setsim_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard set-similarity self-join (r12
+    extended family x_setsim_jaccard, r13 gate — the completeness-
+    proof tier): all (id_a < id_b) token-set pairs with Jaccard ≥ 0.5,
+    found via prefix filtering over a distrank-ranked vocabulary (no
+    single-task window, r12) — the oracle is the ALL-PAIRS join, so
+    equality IS the recall proof. Only (id, rank) pairs shuffle; the
+    text never moves past the first projection."""
+    from pg_parquet_spark.operators import setsim
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return setsim.jaccard_join(docs, threshold_ppm=500_000)
+
+
+def _setsim_jaccard_oracle() -> str:
+    from pg_parquet_spark.operators import setsim
+
+    return setsim.jaccard_join_oracle_sql(500_000)
+
+
+def q_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-slope corpus-health diagnostic (r12 family x_vocab_zipf,
+    r13 gate): least-squares slope of ln(freq) on ln(rank) over the
+    whole vocabulary — distributed vocab rank (distrank), micro-nat
+    quantization, exact DECIMAL(38,0) moment sums, one driver-side
+    IEEE least-squares sequence mirrored op-for-op in the oracle
+    (degenerate-denominator guard on BOTH sides since r13/ADVICE)."""
+    docs = table(spark, sf_dir, "documents")
+    return text.vocab_zipf(docs)
+
+
+def q_kfold_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-granular k-fold assignment (r12 family x_kfold, r13
+    gate): every row folds in [0,k) by RANGE division of its group's
+    md5-prefix bucket, so a near-dup family/author/domain lands WHOLLY
+    inside one fold — the cross-validation generalization of
+    q_leakage_split's contamination guarantee. Pure projection, zero
+    shuffle; NULL groups raise in-pass (ADVICE r12)."""
+    from pg_parquet_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        sampling.kfold_by_group(docs, "source", k=5)
+        .select("doc_id", "fold")
+        .orderBy("doc_id")
+    )
+
+
+def _kfold_oracle() -> str:
+    from pg_parquet_spark.operators import sampling
+
+    return sampling.kfold_oracle_sql("source", k=5)
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order (r12 family
+    x_curriculum_order, r13 gate): curriculum bins ascending,
+    md5(salt∥id) shuffle within bin, global position via the
+    distributed two-pass rank (distrank — no single-task window). A
+    new salt reshuffles epochs while bin boundaries stay invariant;
+    the oracle is the single-window formulation, so equality proves
+    the distributed rank composes correctly."""
+    from pg_parquet_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars div 500 AS diff_bin"
+    )
+    return sampling.curriculum_order(docs, "doc_id", "diff_bin")
+
+
+def _curriculum_order_oracle() -> str:
+    from pg_parquet_spark.operators import sampling
+
+    return sampling.curriculum_order_oracle_sql("n_chars // 500")
+
+
+def q_curriculum_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed difficulty-curriculum recipe (r12 family
+    x_curriculum_perplexity, r13 gate — the q_curate_corpus
+    composition-certification pattern): perplexity-score the corpus
+    with the frozen unigram LM, bin into the datamap's difficulty
+    tiers, then emit the deterministic training order — ONE chained
+    oracle certifies the whole composition end-to-end."""
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.curriculum_from_perplexity(
+        table(spark, sf_dir, "documents")
+    )
+
+
+def _curriculum_perplexity_oracle() -> str:
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.curriculum_perplexity_oracle_sql()
+
+
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, REWRITE tier (r12 family x_strip_spans,
+    r13 gate): duplicated 12-token spans are excised keep-first (by
+    packed (doc,pos) key), covered positions unioned per document, the
+    survivors' text rebuilt — the ExactSubstr step of modern pretrain
+    recipes. Only (id, 16-byte gram hash, pos) tuples shuffle."""
+    return dedup.strip_duplicated_spans(
+        table(spark, sf_dir, "documents"), span_tokens=12
+    )
+
+
+def q_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup against the PERSISTED
+    distinct-gram index (r12 family x_strip_incremental, r13 gate —
+    the q_dedup_incremental_near tmp-index pattern): index built from
+    even ids, the odd-id batch stripped against it (corpus-known grams
+    always lose, batch-internal keep-first applies to index-fresh
+    grams only). ~16 B/gram at rest; batch text never joins corpus
+    text."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_span_gate_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    dedup.build_span_index(docs.filter("doc_id % 2 = 0"), idx, span_tokens=12)
+    return dedup.strip_incremental(
+        spark, docs.filter("doc_id % 2 = 1"), idx, span_tokens=12
+    )
+
+
+def _strip_incremental_oracle() -> str:
+    return dedup.strip_incremental_oracle_sql(
+        "doc_id % 2 = 0", "doc_id % 2 = 1", span_tokens=12
+    )
+
+
+def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (r12 family x_soft_dedup, r13 NET-NEW gate
+    restoring the 150-slot saturation — VERDICT r12 #3): instead of
+    dropping duplicates, every doc in an exact-duplicate cluster gets
+    loss weight 1/cluster_size ppm (capped clusters), so total loss
+    mass per unique content stays constant — the loss-reweighting
+    alternative modern data recipes prefer when provenance must
+    survive. Ids and 16-byte hashes shuffle; text never does."""
+    return dedup.soft_dedup_weights(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 QUERIES = {
     "q_text_features": q_text_features,
     "q_dedup_semantic": q_dedup_semantic,
@@ -1350,6 +1500,14 @@ QUERIES = {
     "q_perplexity_datamap": q_perplexity_datamap,
     "q_dedup_cluster_stats": q_dedup_cluster_stats,
     "q_pca_project": q_pca_project,
+    "q_setsim_jaccard": q_setsim_jaccard,
+    "q_vocab_zipf": q_vocab_zipf,
+    "q_kfold_group": q_kfold_group,
+    "q_curriculum_order": q_curriculum_order,
+    "q_curriculum_perplexity": q_curriculum_perplexity,
+    "q_strip_spans": q_strip_spans,
+    "q_strip_incremental": q_strip_incremental,
+    "q_dedup_soft": q_dedup_soft,
 }
 
 ORACLES = {
@@ -1405,4 +1563,12 @@ ORACLES = {
     "q_perplexity_datamap": text.perplexity_datamap_oracle_sql(),
     "q_dedup_cluster_stats": dedup.cluster_stats_oracle_sql(),
     "q_pca_project": _pca_project_oracle(),
+    "q_setsim_jaccard": _setsim_jaccard_oracle(),
+    "q_vocab_zipf": text.vocab_zipf_oracle_sql(),
+    "q_kfold_group": _kfold_oracle(),
+    "q_curriculum_order": _curriculum_order_oracle(),
+    "q_curriculum_perplexity": _curriculum_perplexity_oracle(),
+    "q_strip_spans": dedup.strip_spans_oracle_sql(span_tokens=12),
+    "q_strip_incremental": _strip_incremental_oracle(),
+    "q_dedup_soft": dedup.soft_dedup_oracle_sql(),
 }

