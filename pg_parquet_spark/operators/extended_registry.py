@@ -384,6 +384,37 @@ def x_curriculum_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recipe.curriculum_from_perplexity(_docs(spark, sf_dir))
 
 
+# --- r13 families -------------------------------------------------------------
+
+def x_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import recipe
+
+    emb = table(spark, sf_dir, "embeddings")
+    return recipe.hybrid_search(
+        _docs(spark, sf_dir),
+        emb,
+        ["spark", "vector", "scan"],
+        emb.filter(F.col("vec_id") == 0),
+    )
+
+
+def x_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_topk(
+        emb, emb.filter(F.col("vec_id") == 0), d_coarse=16, shortlist=50, k=10
+    )
+
+
+def x_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sampling
+
+    return sampling.temperature_mix(
+        _docs(spark, sf_dir), "source", "doc_id", total=120
+    )
+
+
 EXTENDED_QUERIES = {
     "x_sketch_kmv": x_sketch_kmv,
     "x_sketch_cms": x_sketch_cms,
@@ -423,6 +454,9 @@ EXTENDED_QUERIES = {
     "x_curriculum_order": x_curriculum_order,
     "x_curriculum_perplexity": x_curriculum_perplexity,
     "x_datacard": x_datacard,
+    "x_hybrid_search": x_hybrid_search,
+    "x_matryoshka": x_matryoshka,
+    "x_temperature_mix": x_temperature_mix,
 }
 
 
@@ -439,6 +473,7 @@ def extended_oracles() -> dict[str, str]:
         recipe,
         sampling,
         setsim,
+        similarity,
         sketch,
         text,
         timeseries,
@@ -526,4 +561,13 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_datacard": recipe.datacard_oracle_sql(),
         "x_curriculum_perplexity": recipe.curriculum_perplexity_oracle_sql(),
+        "x_hybrid_search": recipe.hybrid_search_oracle_sql(
+            ["spark", "vector", "scan"], query_id=0
+        ),
+        "x_matryoshka": similarity.matryoshka_oracle_sql(
+            query_id=0, d_coarse=16, shortlist=50, k=10
+        ),
+        "x_temperature_mix": sampling.temperature_mix_oracle_sql(
+            "source", "doc_id", total=120
+        ),
     }

@@ -484,3 +484,102 @@ SELECT {id_col}, bin, mean_nll_micro,
 FROM keyed
 ORDER BY global_pos
 """
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_df: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    k0: int = 60,
+    shortlist: int = 50,
+    top_k: int = 20,
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval (r13 — the composed-recipe
+    pattern): BM25 over the corpus text and exact cosine over the
+    embedding column each produce a bounded shortlist; Reciprocal Rank
+    Fusion combines them without score calibration
+    (``similarity.reciprocal_rank_fusion`` — integer nano-unit
+    contributions, engine-exact). Returns (id, n_lists, rrf_nano)
+    best-first — the standard RAG retrieval stack as ONE Spark plan.
+
+    ID-NAMESPACE REQUIREMENT (the hard_negatives convention): document
+    ids and vector ids must share a namespace, or fusion degenerates
+    to interleaving two unrelated lists.
+
+    Scale shape: each ranker ends in TakeOrderedAndProject (bounded
+    top-``shortlist``), so the rank windows and the fusion union run
+    over ≤2·shortlist rows — bounded frames, the benign single-task
+    exception (the MAX_INDEX_QUERIES convention), never a data-sized
+    global window. The corpus text and the vectors are each read
+    once and never shuffle."""
+    from pyspark.sql import Window
+
+    from pg_parquet_spark.operators import similarity, text
+
+    lex = text.bm25_scores(docs, query_terms, id_col=doc_id_col).limit(
+        shortlist
+    )
+    wl = Window.orderBy(F.col("score_micro").desc(), F.col(doc_id_col))
+    lex_r = lex.select(
+        F.col(doc_id_col), F.row_number().over(wl).alias("rank")
+    )
+    dense = similarity.cosine_topk(
+        emb, query_df, k=shortlist, id_col=vec_id_col
+    )
+    wd = Window.orderBy(F.col("cosine_sim").desc(), F.col(vec_id_col))
+    dense_r = dense.select(
+        F.col(vec_id_col).alias(doc_id_col),
+        F.row_number().over(wd).alias("rank"),
+    )
+    return similarity.reciprocal_rank_fusion(
+        [lex_r, dense_r], id_col=doc_id_col, k0=k0, top_k=top_k
+    )
+
+
+def hybrid_search_oracle_sql(
+    query_terms: list[str],
+    query_id: int = 0,
+    k0: int = 60,
+    shortlist: int = 50,
+    top_k: int = 20,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> str:
+    """ONE chained DuckDB replica of the whole hybrid stack: the BM25
+    oracle and the cosine oracle as CTEs, identical shortlists and
+    tie-breaks, the same integer ``1e9 // (k0 + rank)`` fusion."""
+    from pg_parquet_spark.operators import similarity, text
+
+    bm25 = text.bm25_oracle_sql(query_terms, id_col=doc_id_col)
+    cosine = similarity.cosine_topk_oracle_sql(
+        query_id=query_id, k=shortlist, id_col=vec_id_col
+    )
+    return f"""
+WITH lex_scores AS ({bm25}),
+lex AS (
+  SELECT {doc_id_col} AS id,
+         row_number() OVER (ORDER BY score_micro DESC, {doc_id_col})
+           AS rank
+  FROM (SELECT * FROM lex_scores
+        ORDER BY score_micro DESC, {doc_id_col} LIMIT {shortlist})
+),
+dense_scores AS ({cosine}),
+dense AS (
+  SELECT {vec_id_col} AS id,
+         row_number() OVER (ORDER BY cosine_sim DESC, {vec_id_col})
+           AS rank
+  FROM dense_scores
+),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+fused AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+         CAST(SUM(CAST({10**9} // ({k0} + rank) AS BIGINT)) AS BIGINT)
+           AS rrf_nano
+  FROM u GROUP BY id
+)
+SELECT id AS {doc_id_col}, n_lists, rrf_nano FROM fused
+ORDER BY rrf_nano DESC, {doc_id_col} LIMIT {top_k}
+"""

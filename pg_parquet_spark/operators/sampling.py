@@ -1109,3 +1109,137 @@ SELECT {select_cols},
 FROM {table}
 ORDER BY {order_by}
 """
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    total: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened source mixing (r13 — the multilingual-LM
+    recipe: quota_i ∝ n_i^α, α<1 up-weights small sources, the
+    mBERT/XLM-R exponent-sampling rule stated as a SELECTION): compute
+    per-source quotas for a ``total``-row corpus by largest-remainder
+    apportionment over integer micro-unit weights
+    w_i = ⌊n_i^α·10⁶ + ½⌋, cap each quota at n_i (capped mass is NOT
+    redistributed — the honest contract; redistribute by re-running
+    with a larger total if needed), then keep the quota's
+    content-hash-first rows per source. Deterministic across runs,
+    engines, partitionings.
+
+    Certification note: α = 0.5 routes through sqrt, which IEEE
+    requires correctly rounded — the SQL oracle reproduces the weights
+    bit-for-bit. Any other α goes through libm pow, which is NOT
+    cross-engine reproducible: allowed, but only the α=0.5 path is
+    oracle-certified. NULL groups raise (the kfold_by_group rule).
+
+    Scale shape: one map-side-combinable count per source (collected —
+    source cardinality is recipe-sized), quota arithmetic driver-side
+    in exact integers, then ONE window shuffle keyed on the source
+    with the quotas riding as plan literals (the rebalance_to_mix
+    shape)."""
+    import math
+
+    from pyspark.sql import Window
+
+    if total < 1:
+        raise ValueError(f"total must be >= 1, got {total}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r["grp"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if None in counts:
+        raise ValueError(
+            f"temperature_mix: NULL in group column '{group_col}' — "
+            "coalesce NULLs to a sentinel source upstream explicitly"
+        )
+    if not counts:
+        raise ValueError("temperature_mix on an empty frame")
+    if alpha == 0.5:
+        w = {c: math.floor(math.sqrt(n) * 1e6 + 0.5) for c, n in counts.items()}
+    else:
+        w = {c: math.floor(n**alpha * 1e6 + 0.5) for c, n in counts.items()}
+    big_w = sum(w.values())
+    base = {c: total * wi // big_w for c, wi in w.items()}
+    rem = {c: total * wi % big_w for c, wi in w.items()}
+    leftover = total - sum(base.values())
+    order = sorted(counts, key=lambda c: (-rem[c], str(c)))
+    quotas = {
+        c: min(base[c] + (1 if i < leftover else 0), counts[c])
+        for i, c in enumerate(order)
+    }
+
+    cap_col = None
+    for c, m in quotas.items():
+        branch = F.when(F.col(group_col) == c, F.lit(m))
+        cap_col = branch if cap_col is None else cap_col.when(
+            F.col(group_col) == c, F.lit(m)
+        )
+    cap_col = cap_col.otherwise(F.lit(0))
+    wsel = Window.partitionBy(group_col).orderBy(
+        hash_fraction(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_cap", cap_col)
+        .withColumn("_rn", F.row_number().over(wsel))
+        .filter(F.col("_rn") <= F.col("_cap"))
+        .select(key_col, group_col)
+        .orderBy(key_col)
+    )
+
+
+def temperature_mix_oracle_sql(
+    group_col: str,
+    key_col: str,
+    total: int,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of temperature_mix at α = 0.5: the SAME integer
+    micro-unit sqrt weights, largest-remainder apportionment, caps,
+    and md5-hash-first selection — computed IN SQL from the data, so
+    equality proves the collected-literal quotas match."""
+    frac = (
+        f"CAST(CAST(CONCAT('0x', substr(md5(CAST({key_col} AS VARCHAR)), 1, 6)) "
+        f"AS BIGINT) AS DOUBLE) / {float(_BUCKETS)}"
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST({group_col} AS VARCHAR) AS grp, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1
+), w AS (
+  SELECT grp, n,
+         CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS wi
+  FROM c
+), tw AS (
+  SELECT CAST(SUM(wi) AS BIGINT) AS big_w FROM w
+), q0 AS (
+  SELECT grp, n,
+         CAST(CAST({total} AS HUGEINT) * wi // big_w AS BIGINT) AS base,
+         CAST(CAST({total} AS HUGEINT) * wi % big_w AS BIGINT) AS rem
+  FROM w CROSS JOIN tw
+), lo AS (
+  SELECT CAST({total} - SUM(base) AS BIGINT) AS leftover FROM q0
+), lr AS (
+  SELECT q0.*, row_number() OVER (ORDER BY rem DESC, grp) AS rr FROM q0
+), quota AS (
+  SELECT grp,
+         LEAST(base + CASE WHEN rr <= (SELECT leftover FROM lo)
+                           THEN 1 ELSE 0 END, n) AS cap
+  FROM lr
+), ranked AS (
+  SELECT t.{key_col}, CAST(t.{group_col} AS VARCHAR) AS grp,
+         ROW_NUMBER() OVER (PARTITION BY t.{group_col}
+                            ORDER BY {frac}, t.{key_col}) AS rn
+  FROM {table} t
+)
+SELECT r.{key_col}, r.grp AS {group_col}
+FROM ranked r JOIN quota q ON r.grp = q.grp
+WHERE r.rn <= q.cap
+ORDER BY r.{key_col}
+"""

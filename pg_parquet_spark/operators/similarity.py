@@ -2221,3 +2221,166 @@ def ivfpq_index_upsert(
         check_partition_stability=True,
         versioned=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal rank fusion (r13)
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Fuse N retrieval rankings by Reciprocal Rank Fusion
+    (Cormack et al.): fused(d) = Σ_lists 1/(k0 + rank_d). The standard
+    way to combine lexical (BM25) and dense (embedding) retrieval
+    without score calibration — ranks are comparable where raw scores
+    never are.
+
+    Determinism: each contribution is the INTEGER
+    ``1e9 div (k0 + rank)`` (rank ≥ 1 enforced in-pass), so the fold
+    is exact integer addition on every engine — no float rank math.
+    Returns (id, n_lists, rrf_nano) best-first, ties on id.
+
+    Scale shape: inputs are SHORTLISTS (each ranker's bounded top-N —
+    rankers at 100 TB end in TakeOrderedAndProject), so the union and
+    groupBy here are bounded by Σ shortlist sizes, not the corpus."""
+    if not rankings:
+        raise ValueError("reciprocal_rank_fusion needs at least one ranking")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    parts = [
+        r.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias("_rk")
+        )
+        for r in rankings
+    ]
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    contrib = F.when(
+        F.col("_rk") >= 1, F.expr(f"{10**9} div ({int(k0)} + _rk)")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("reciprocal_rank_fusion: ranks must be >= 1 (found "),
+                F.coalesce(F.col("_rk").cast("string"), F.lit("NULL")),
+                F.lit(")"),
+            )
+        )
+    )
+    return (
+        tagged.withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum("_c").alias("rrf_nano"),
+        )
+        .orderBy(F.col("rrf_nano").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka funnel search (r13)
+
+def matryoshka_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    d_coarse: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Funnel search over Matryoshka-style embeddings (Kusupati et
+    al.): coarse-rank the corpus on the FIRST ``d_coarse`` dimensions
+    (MRL trains prefixes to be usable embeddings), keep a bounded
+    shortlist, exact-re-rank it on the full vector. Returns
+    (id, cosine_coarse, cosine_sim) best-first by the FULL-dim score.
+
+    Determinism: both passes are the cosine_topk ordered left folds
+    (bit-identical in the oracle's list_reduce rendering); ties break
+    on id at both stages.
+
+    Scale note (honest): with one array column, parquet decodes the
+    whole vector either way — the 100 TB byte saving comes from
+    MATERIALIZING the prefix once (``df.select(id, slice(vec, 1, d))``
+    written as its own dataset/column) and pointing the coarse pass at
+    it; the funnel algebra here is identical. The compute saving
+    (d_coarse/dims of the multiplies on the corpus-sized pass) is real
+    in either layout."""
+    if d_coarse < 1:
+        raise ValueError(f"d_coarse must be >= 1, got {d_coarse}")
+    q = F.broadcast(query_df.select(F.col(vec_col).alias("_qvec")))
+    joined = df.crossJoin(q)
+
+    # the _dot widen-before-multiply fold: float32 products would
+    # diverge from the oracle's double products at ~1e-8
+    tv = F.slice(F.col(vec_col), 1, d_coarse)
+    tq = F.slice(F.col("_qvec"), 1, d_coarse)
+    cos_t = _dot(tv, tq) / (F.sqrt(_norm_sq(tv)) * F.sqrt(_norm_sq(tq)))
+    short = (
+        joined.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_qvec"),
+            cos_t.alias("cosine_coarse"),
+        )
+        .orderBy(F.col("cosine_coarse").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    cos_f = _dot(F.col(vec_col), F.col("_qvec")) / (
+        F.sqrt(_norm_sq(F.col(vec_col))) * F.sqrt(_norm_sq(F.col("_qvec")))
+    )
+    return (
+        short.select(
+            F.col(id_col), F.col("cosine_coarse"), cos_f.alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def matryoshka_oracle_sql(
+    query_id: int = 0,
+    d_coarse: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replica of the funnel: identical truncated and full
+    ordered folds, identical shortlist and tie-breaks."""
+
+    def fold_dot(a, b, n):
+        return (
+            f"list_reduce(list_transform(range(1, {n} + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            "(x, y) -> x + y)"
+        )
+
+    return f"""
+WITH q AS (
+  SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id}
+), coarse AS (
+  SELECT e.{id_col} AS _id, e.{vec_col} AS vec, q.qvec AS qvec,
+    {fold_dot(f'e.{vec_col}', 'q.qvec', d_coarse)}
+      / (sqrt({fold_dot(f'e.{vec_col}', f'e.{vec_col}', d_coarse)})
+         * sqrt({fold_dot('q.qvec', 'q.qvec', d_coarse)})) AS cosine_coarse
+  FROM {table} e, q
+), short AS (
+  SELECT * FROM coarse ORDER BY cosine_coarse DESC, _id LIMIT {shortlist}
+), rerank AS (
+  SELECT _id, cosine_coarse,
+    {fold_dot('vec', 'qvec', 'len(vec)')}
+      / (sqrt({fold_dot('vec', 'vec', 'len(vec)')})
+         * sqrt({fold_dot('qvec', 'qvec', 'len(qvec)')})) AS cosine_sim
+  FROM short
+)
+SELECT _id AS {id_col}, cosine_coarse, cosine_sim
+FROM rerank ORDER BY cosine_sim DESC, {id_col} LIMIT {k}
+"""

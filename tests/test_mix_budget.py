@@ -353,3 +353,53 @@ def test_kfold_by_group_null_group_raises(spark):
         df.fillna({"source": "__null__"}), "source", k=4
     ).toPandas()
     assert out.fold.notna().all() and set(out.fold) <= set(range(4))
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_temperature_mix_matches_oracle(spark, sf):
+    """r13: α=0.5 temperature mixing replicates bit-for-bit — integer
+    micro-unit sqrt weights (sqrt is IEEE correctly-rounded on both
+    engines), largest-remainder apportionment, availability caps,
+    md5-hash-first selection."""
+    docs = table(spark, sf, "documents")
+    got = sampling.temperature_mix(docs, "source", "doc_id", total=120).toPandas()
+    want = _con(sf).execute(
+        sampling.temperature_mix_oracle_sql("source", "doc_id", total=120)
+    ).df()
+    assert len(got) == len(want) == 120
+    for c in ("doc_id", "source"):
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_temperature_mix_flattens_and_validates(spark):
+    """α<1 up-weights small sources relative to proportional sampling;
+    quotas never exceed availability; loud contracts."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, SFS[1], "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    got = sampling.temperature_mix(docs, "source", "doc_id", total=100).toPandas()
+    taken = got.groupby("source").size().to_dict()
+    # flattening: the selected share of every small source exceeds its
+    # corpus share; no source exceeds its availability
+    tot_n = sum(counts.values())
+    for src, t in taken.items():
+        assert t <= counts[src]
+    small = min(counts, key=counts.get)
+    big = max(counts, key=counts.get)
+    if counts[small] < counts[big]:  # guard degenerate corpora
+        assert taken.get(small, 0) / 100 >= counts[small] / tot_n
+        assert taken.get(big, 0) / 100 <= counts[big] / tot_n * 1.01
+
+    with pytest.raises(ValueError, match="total"):
+        sampling.temperature_mix(docs, "source", "doc_id", total=0)
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mix(docs, "source", "doc_id", total=10, alpha=1.5)
+    null_df = spark.createDataFrame(
+        [(1, "a"), (2, None)], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="NULL in group column"):
+        sampling.temperature_mix(null_df, "source", "doc_id", total=1)

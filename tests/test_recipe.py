@@ -202,3 +202,34 @@ def test_curriculum_from_perplexity_salt_reshuffles_epochs(spark):
 
     with _pt.raises(ValueError, match="power of two"):
         recipe.curriculum_from_perplexity(docs, n_bins=6)
+
+
+def test_hybrid_search_matches_chained_oracle(spark):
+    """r13: the composed RAG retrieval stack — BM25 shortlist + dense
+    cosine shortlist fused by integer RRF — certified by ONE chained
+    DuckDB oracle at both SFs (the curate_corpus pattern)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from tools.check_oracle import frame_digest
+
+    terms = ["spark", "vector", "scan"]
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = table(spark, sf, "documents")
+        emb = table(spark, sf, "embeddings")
+        got = recipe.hybrid_search(
+            docs, emb, terms, emb.filter(F.col("vec_id") == 0)
+        ).toPandas()
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')"
+            )
+        want = con.execute(recipe.hybrid_search_oracle_sql(terms)).df()
+        assert len(got) == len(want) > 0, sf
+        assert frame_digest(got)[:3] == frame_digest(want)[:3], sf
+        # fusion semantics: every fused doc sits in >=1 list; docs in
+        # both lists carry n_lists == 2
+        assert set(got.n_lists) <= {1, 2}

@@ -1805,3 +1805,78 @@ class TestBatchQueryIdIntegralContract:
                 self._float_queries(spark),
                 centroids=[[0.0, 0.0], [1.0, 1.0]],
             )
+
+
+class TestMatryoshkaFunnel:
+    """r13: coarse-rank on the embedding PREFIX, exact full-dim
+    re-rank of the bounded shortlist (the MRL funnel)."""
+
+    def test_matches_oracle_both_sfs(self, spark):
+        import duckdb
+
+        from pg_parquet_spark.session import table as _table
+        from tools.check_oracle import frame_digest
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            emb = _table(spark, sf, "embeddings")
+            got = similarity.matryoshka_topk(
+                emb, emb.filter(F.col("vec_id") == 0)
+            ).toPandas()
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')"
+            )
+            want = con.execute(similarity.matryoshka_oracle_sql()).df()
+            assert frame_digest(got)[:3] == frame_digest(want)[:3], sf
+
+    def test_funnel_recall_vs_brute_force(self, spark):
+        """With a generous shortlist the funnel reproduces brute-force
+        top-k exactly; d_coarse validation is loud."""
+        import pytest as _pt
+
+        from pg_parquet_spark.session import table as _table
+
+        emb = _table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.filter(F.col("vec_id") == 0)
+        brute = [
+            r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()
+        ]
+        funnel = [
+            r.vec_id
+            for r in similarity.matryoshka_topk(
+                emb, q, d_coarse=32, shortlist=200, k=10
+            ).collect()
+        ]
+        assert len(set(brute) & set(funnel)) >= 9  # near-exact at this width
+        with _pt.raises(ValueError, match="d_coarse"):
+            similarity.matryoshka_topk(emb, q, d_coarse=0)
+
+
+class TestReciprocalRankFusion:
+    def test_hand_case_integer_math(self, spark):
+        """fused = Σ 1e9 div (60 + rank) — exact integers; a doc in
+        both lists outranks single-list docs at the same ranks."""
+        a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+        b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+        got = {
+            r.doc_id: (r.n_lists, r.rrf_nano)
+            for r in similarity.reciprocal_rank_fusion([a, b]).collect()
+        }
+        assert got[2] == (2, 10**9 // 62 + 10**9 // 61)
+        assert got[1] == (1, 10**9 // 61)
+        assert got[3] == (1, 10**9 // 62)
+        assert got[2][1] > got[1][1] > got[3][1]
+
+    def test_invalid_ranks_raise(self, spark):
+        import pytest as _pt
+
+        bad = spark.createDataFrame([(1, 0)], "doc_id long, rank long")
+        with _pt.raises(Exception, match="ranks must be >= 1"):
+            similarity.reciprocal_rank_fusion([bad]).collect()
+        with _pt.raises(ValueError, match="at least one ranking"):
+            similarity.reciprocal_rank_fusion([])
+        with _pt.raises(ValueError, match="k0"):
+            similarity.reciprocal_rank_fusion(
+                [bad], k0=0
+            )
