@@ -415,6 +415,28 @@ def x_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.hamming_topk(emb, emb.filter(F.col("vec_id") == 0))
+
+
+def x_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.operators import text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_bm25_x_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    text.build_bm25_index(docs.filter("doc_id % 2 = 0"), idx)
+    text.bm25_index_upsert(spark, docs.filter("doc_id % 2 = 1"), idx)
+    return text.bm25_index_topk(spark, idx, ["spark", "vector", "scan"])
+
+
 EXTENDED_QUERIES = {
     "x_sketch_kmv": x_sketch_kmv,
     "x_sketch_cms": x_sketch_cms,
@@ -457,6 +479,8 @@ EXTENDED_QUERIES = {
     "x_hybrid_search": x_hybrid_search,
     "x_matryoshka": x_matryoshka,
     "x_temperature_mix": x_temperature_mix,
+    "x_hamming_topk": x_hamming_topk,
+    "x_bm25_index": x_bm25_index,
 }
 
 
@@ -570,4 +594,8 @@ def extended_oracles() -> dict[str, str]:
         "x_temperature_mix": sampling.temperature_mix_oracle_sql(
             "source", "doc_id", total=120
         ),
+        "x_hamming_topk": similarity.hamming_topk_oracle_sql(query_id=0),
+        # the incremental-index oracle pattern: build evens + upsert
+        # odds must equal direct BM25 over the FULL corpus
+        "x_bm25_index": text.bm25_oracle_sql(["spark", "vector", "scan"]),
     }

@@ -2384,3 +2384,121 @@ WITH q AS (
 SELECT _id AS {id_col}, cosine_coarse, cosine_sim
 FROM rerank ORDER BY cosine_sim DESC, {id_col} LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# binary quantization + Hamming search (r13)
+
+def binary_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Sign-bit binary quantization: each 32-dim slice of the vector
+    packs into one long word (bit i set iff component > 0) — 32×
+    smaller than float32 at rest, and Hamming distance over the words
+    approximates angular distance (the binary-quantized retrieval tier
+    modern vector stores ship under "BQ"). 32 bits per word keeps
+    every shift inside non-negative int64 on every engine.
+
+    Scale shape: a pure projection — materialize once
+    (``write_parquet``) and the Hamming pass reads ~dims/4 bytes per
+    vector instead of 4·dims."""
+    # Horner fold over the REVERSED slice (acc·2 + bit) instead of
+    # per-bit shifts: bit i of the original order lands at weight 2^i,
+    # and the same fold renders to DuckDB's list_reduce exactly
+    n_words = F.floor(
+        (F.size(F.col(vec_col)) + F.lit(31)) / F.lit(32)
+    ).cast("int")
+    sig = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.transform(
+                F.reverse(F.slice(F.col(vec_col), w * 32 + 1, 32)),
+                lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 2 + v,
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias(sig_col))
+
+
+def hamming_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by Hamming distance between sign-bit signatures —
+    the brute-force pass of binary-quantized retrieval. Pure integer
+    arithmetic (bit_count over XOR-ed words), so the oracle replicates
+    bit-for-bit. Returns (id, hamming) closest-first, ties on id.
+
+    Scale shape: quantize-once + one codegen projection + per-partition
+    top-k heaps (TakeOrderedAndProject) — the corpus never shuffles;
+    at 100 TB point this at a MATERIALIZED signature column so the
+    scan reads words, not vectors."""
+    sigs = binary_quantize(df, id_col, vec_col)
+    qsig = F.broadcast(
+        binary_quantize(
+            query_df.select(F.col(vec_col)), id_col=vec_col, vec_col=vec_col
+        ).select(F.col("sig").alias("_qsig"))
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.col("_qsig"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        sigs.crossJoin(qsig)
+        .select(F.col(id_col), ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hamming_topk_oracle_sql(
+    query_id: int = 0,
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replica: identical 32-bit word packing via the same
+    Horner fold over the reversed slice (list slicing clamps to the
+    array length exactly like Spark's slice tail), identical
+    XOR/bit_count fold. list_reduce seeds with the first element —
+    equivalent here because Spark's 0·2 + b ≡ b."""
+    pack = (
+        "list_transform(range(1, CAST(ceil(len({v}) / 32.0) AS BIGINT) + 1), "
+        "w -> list_reduce(list_transform("
+        "list_reverse({v}[CAST((w-1)*32 + 1 AS BIGINT) : CAST(w*32 AS BIGINT)]), "
+        "x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END), "
+        "(a, b) -> a * 2 + b))"
+    )
+    return f"""
+WITH q AS (
+  SELECT {pack.format(v=vec_col)} AS qsig FROM {table}
+  WHERE {id_col} = {query_id}
+), sigs AS (
+  SELECT {id_col} AS _id, {pack.format(v=vec_col)} AS sig FROM {table}
+), scored AS (
+  SELECT _id,
+    CAST(list_reduce(list_transform(range(1, len(sig) + 1),
+      w -> CAST(bit_count(xor(sig[w], q.qsig[w])) AS BIGINT)),
+      (a, b) -> a + b) AS BIGINT) AS hamming
+  FROM sigs, q
+)
+SELECT _id AS {id_col}, hamming FROM scored
+ORDER BY hamming ASC, {id_col} LIMIT {k}
+"""

@@ -1698,3 +1698,187 @@ SELECT cnt AS n_terms,
        ) AS BIGINT) AS intercept_micro
 FROM fit
 """
+
+
+# ---------------------------------------------------------------------------
+# persisted BM25 term index (r13): build / search / upsert, the
+# ivf-index family pattern applied to lexical retrieval
+
+BM25_INDEX_BUCKETS = 16
+
+
+def _term_bucket_py(term: str, buckets: int = BM25_INDEX_BUCKETS) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % buckets
+
+
+def _bm25_stats_uri(uri: str) -> str:
+    return uri.rstrip("/") + "/_bm25_stats.json"
+
+
+def _bm25_write_stats(spark, uri: str) -> dict:
+    """(Re)derive the corpus constants FROM the merged postings and
+    persist them in an underscore sidecar stamped with the manifest
+    version — derived state, so a crash before this write self-heals:
+    the read path recomputes on a stamp mismatch."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    idx = read_parquet(spark, uri.rstrip("/"))
+    row = (
+        idx.groupBy("doc_id_key")
+        .agg(F.max("dl").alias("_dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_dl").alias("s"),
+        )
+        .collect()[0]
+    )
+    manifest = layout.read_manifest(uri.rstrip("/"))
+    stats = {
+        "stamp": manifest["version"] if manifest else 0,
+        "n_docs": int(row["n"]),
+        "sum_dl": int(row["s"]),
+    }
+    pgfs.write_bytes_atomic(
+        _bm25_stats_uri(uri), json.dumps(stats, sort_keys=True).encode()
+    )
+    return stats
+
+
+def build_bm25_index(
+    df: DataFrame,
+    uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the persisted BM25 postings index (r13 — the
+    build/search/upsert family pattern the IVF/MinHash/span indexes
+    follow, applied to lexical retrieval): one row per (doc, term) —
+    (doc_id_key, term, dl, tf, bucket) — hive-partitioned on a 16-way
+    crc32 term bucket, so a query's term filter prunes partitions at
+    LISTING time before the pushed ``term IN`` predicate prunes row
+    groups. Corpus constants (n_docs, Σdl) persist in a sidecar
+    derived from the postings (see ``_bm25_write_stats``). The corpus
+    text is never stored and never read again at query time."""
+    from pg_parquet_spark.sources.layout import write_partitioned
+
+    ex = df.withColumn("_toks", tokens(F.col(text_col))).select(
+        F.col(id_col).alias("doc_id_key"),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    postings = (
+        ex.groupBy("doc_id_key", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket",
+            F.crc32(F.encode(F.col("term"), "utf-8"))
+            % F.lit(BM25_INDEX_BUCKETS),
+        )
+    )
+    write_partitioned(postings, uri.rstrip("/"), ["bucket"])
+    _bm25_write_stats(df.sparkSession, uri)
+
+
+def bm25_index_upsert(
+    spark,
+    new_docs: DataFrame,
+    uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance: MERGE the new documents' postings into
+    the index ((doc, term)-keyed — replays re-land identical rows),
+    touching ONLY the term-bucket partitions the batch writes (the
+    merge_upsert copy-on-write granularity), then re-derive the corpus
+    constants from the merged index. Re-ingesting a changed document
+    REPLACES its matching (doc, term) rows but cannot delete postings
+    for terms the new text dropped — delete the doc's rows first if
+    documents mutate (the SCD-1 limitation, documented not hidden)."""
+    from pg_parquet_spark.sources.layout import merge_upsert
+
+    ex = new_docs.withColumn("_toks", tokens(F.col(text_col))).select(
+        F.col(id_col).alias("doc_id_key"),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    postings = (
+        ex.groupBy("doc_id_key", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket",
+            F.crc32(F.encode(F.col("term"), "utf-8"))
+            % F.lit(BM25_INDEX_BUCKETS),
+        )
+    )
+    merge_upsert(
+        spark,
+        uri.rstrip("/"),
+        postings,
+        ["doc_id_key", "term"],
+        partition_col="bucket",
+        check_partition_stability=True,
+        versioned=True,
+    )
+    _bm25_write_stats(spark, uri)
+
+
+def bm25_index_topk(
+    spark,
+    uri: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Search the persisted BM25 index: the query's term buckets are
+    computed DRIVER-SIDE (the probe-cell pattern), so the scan prunes
+    to ≤|q| of the 16 bucket partitions at listing time and the pushed
+    ``term IN`` filter prunes row groups inside them; scoring is
+    ``bm25_scores_from_index`` — identical math and quantization to
+    the direct path, asserted equal in tests. Stats come from the
+    sidecar; a stamp/manifest mismatch (the crash window between merge
+    and stats write) triggers an automatic recompute."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
+    from pg_parquet_spark.sources import layout
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    qset = sorted({t.lower() for t in query_terms})
+    if not qset:
+        raise ValueError("BM25 needs at least one query term")
+    uri = uri.rstrip("/")
+    manifest = layout.read_manifest(uri)
+    want_stamp = manifest["version"] if manifest else 0
+    stats = None
+    if pgfs.exists(_bm25_stats_uri(uri)):
+        stats = json.loads(pgfs.read_bytes(_bm25_stats_uri(uri)))
+        if stats.get("stamp") != want_stamp:
+            stats = None
+    if stats is None:  # crash window between merge and stats write
+        stats = _bm25_write_stats(spark, uri)
+    buckets = sorted({_term_bucket_py(t) for t in qset})
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in qset)
+    idx = read_parquet(
+        spark,
+        uri,
+        where=(
+            f"bucket IN ({', '.join(str(x) for x in buckets)}) "
+            f"AND term IN ({terms_sql})"
+        ),
+    )
+    return bm25_scores_from_index(
+        idx.withColumnRenamed("doc_id_key", id_col),
+        qset,
+        stats["n_docs"],
+        float(stats["sum_dl"]) / float(stats["n_docs"]),
+        id_col=id_col,
+        k1=k1,
+        b=b,
+    )

@@ -795,3 +795,70 @@ def test_charclass_separates_code_from_prose(spark):
     assert out[1].code_like is True
     assert out[2].code_like is False
     assert out[3].code_like is False and out[3].symbol_ppm == 0
+
+
+def test_bm25_persisted_index_lifecycle(spark, tmp_path):
+    """r13: the persisted BM25 index family — build from half the
+    corpus, MERGE the other half in, and the search equals the direct
+    bm25_scores over the FULL corpus bit-for-bit (the incremental-index
+    oracle pattern); replayed upserts are idempotent; the stats sidecar
+    self-heals across its crash window; the term filter PRUNES bucket
+    partitions at listing time."""
+    import os
+
+    import duckdb
+
+    from pg_parquet_spark.operators import text
+
+    terms = ["spark", "vector", "scan"]
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    root = str(tmp_path / "bm25_index")
+    text.build_bm25_index(docs.filter("doc_id % 2 = 0"), root)
+    text.bm25_index_upsert(spark, docs.filter("doc_id % 2 = 1"), root)
+
+    got = text.bm25_index_topk(spark, root, terms).toPandas()
+    direct = text.bm25_scores(docs, terms).toPandas()
+    assert got.values.tolist() == direct.values.tolist()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(text.bm25_oracle_sql(terms)).df()
+    assert len(got) == len(want) > 0
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.score_micro) == list(want.score_micro)
+
+    # replayed upsert: identical rows re-land, result unchanged
+    text.bm25_index_upsert(spark, docs.filter("doc_id % 2 = 1"), root)
+    again = text.bm25_index_topk(spark, root, terms).toPandas()
+    assert again.values.tolist() == got.values.tolist()
+
+    # stats crash window: drop the sidecar — the read path recomputes
+    os.remove(os.path.join(root, "_bm25_stats.json"))
+    healed = text.bm25_index_topk(spark, root, terms).toPandas()
+    assert healed.values.tolist() == got.values.tolist()
+    assert os.path.exists(os.path.join(root, "_bm25_stats.json"))
+
+    # pruning evidence: the versioned resolver re-attaches the bucket
+    # as a typed literal per partition branch, so the bucket filter
+    # constant-folds non-matching branches out of the LOGICAL plan —
+    # inputFiles() therefore lists only the query's buckets (this is
+    # resolver-level branch removal, not Catalyst hive pruning, so
+    # inputFiles IS authoritative here, unlike the plain-hive caveat)
+    import re as _re
+
+    q = text.bm25_index_topk(spark, root, terms)
+    scanned = {
+        int(_re.search(r"bucket=(\d+)", f).group(1))
+        for f in q.inputFiles()
+        if "bucket=" in f
+    }
+    want_buckets = {text._term_bucket_py(t) for t in terms}
+    assert len(want_buckets) < text.BM25_INDEX_BUCKETS  # real pruning
+    assert scanned and scanned <= want_buckets, (scanned, want_buckets)
+
+    # empty query contract
+    with pytest.raises(ValueError, match="query term"):
+        text.bm25_index_topk(spark, root, [])

@@ -1880,3 +1880,35 @@ class TestReciprocalRankFusion:
             similarity.reciprocal_rank_fusion(
                 [bad], k0=0
             )
+
+
+def test_hamming_topk_matches_oracle_and_correlates(spark):
+    """r13: sign-bit binary quantization + Hamming search — exact
+    integer oracle parity at both SFs (Horner word packing, XOR /
+    bit_count fold), and the semantic sanity check: the Hamming
+    nearest neighbor of a vector is itself at distance 0."""
+    import duckdb
+
+    from pg_parquet_spark.session import table as _table
+    from tools.check_oracle import frame_digest
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = _table(spark, sf, "embeddings")
+        got = similarity.hamming_topk(
+            emb, emb.filter(F.col("vec_id") == 0)
+        ).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = con.execute(similarity.hamming_topk_oracle_sql()).df()
+        assert frame_digest(got)[:3] == frame_digest(want)[:3], sf
+        assert got.vec_id.iloc[0] == 0 and got.hamming.iloc[0] == 0
+        assert got.hamming.is_monotonic_increasing
+    # packing shape: 64 dims -> 2 words of 32 bits, every word in
+    # [0, 2^32)
+    sig = similarity.binary_quantize(emb).limit(5).collect()
+    for r in sig:
+        assert len(r.sig) == 2
+        assert all(0 <= w < (1 << 32) for w in r.sig)
