@@ -1433,3 +1433,63 @@ def drain_with_span_dedup(
         raise TimeoutError(
             f"span-dedup drain did not finish within {timeout_sec}s"
         )
+
+
+def drain_with_term_index(
+    sdf: DataFrame,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming ingestion that keeps the persisted BM25 term index
+    CURRENT (r13 — the lexical-retrieval member of the ingest-drain
+    set): each micro-batch publishes its documents through the
+    versioned sink, then MERGEs their postings into the index
+    (``text.bm25_index_upsert`` — (doc, term)-keyed, bucket-partition
+    copy-on-write, corpus constants re-derived from the merged state).
+    Searches (``text.bm25_index_topk``) stay index-only: the corpus
+    text is never read at query time.
+
+    Crash/replay convergence (the family argument): corpus visibility
+    exactly-once by manifest; the postings merge at-least-once but
+    IDEMPOTENT (a replay re-lands identical keyed rows and re-derives
+    identical constants); a crash between corpus publish and index
+    upsert leaves the index behind the corpus by one batch, and the
+    checkpoint replay re-runs the upsert to convergence. The index
+    self-bootstraps: the first batch's upsert on an absent root is the
+    initial build."""
+    from pg_parquet_spark.operators import text as text_ops
+    from pg_parquet_spark.sources import fs as pgfs
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        sink(batch_df, batch_id)
+        if pgfs.exists(index_root.rstrip("/")):
+            text_ops.bm25_index_upsert(
+                spark, batch_df, index_root, id_col=id_col, text_col=text_col
+            )
+        else:  # first batch bootstraps the index
+            text_ops.build_bm25_index(
+                batch_df, index_root, id_col=id_col, text_col=text_col
+            )
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"term-index drain did not finish within {timeout_sec}s"
+        )

@@ -1068,3 +1068,75 @@ def test_streaming_span_dedup_framing_mismatch_raises(spark, tmp_path):
     dedup_ops.check_span_framing(
         index, 1, dedup_ops.span_framing_fingerprint(t2)
     )  # recorded and matching: no raise
+
+
+def test_streaming_term_index_drain_and_crash_drill(spark, tmp_path, monkeypatch):
+    """r13: the BM25 term-index ingest drain — every tranche publishes
+    to the corpus then merges its postings; searches equal direct BM25
+    over the published corpus. Mechanical crash drill (the family
+    rule): crash between corpus publish and index upsert — the replay
+    re-runs the upsert, and the final (corpus, index, search result)
+    equals the no-crash reference."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import text
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_term_index
+
+    terms = ["spark", "vector", "scan"]
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    t1 = docs.filter("doc_id % 2 = 0")
+    t2 = docs.filter("doc_id % 2 = 1")
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "bm25_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_term_index(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, checkpoint=ckpt,
+    )
+    got1 = text.bm25_index_topk(spark, index, terms).toPandas()
+    want1 = text.bm25_scores(
+        read_parquet(spark, corpus).select("doc_id", "text"), terms
+    ).toPandas()
+    assert got1.values.tolist() == want1.values.tolist() and len(got1) > 0
+
+    # crash between corpus publish and index upsert on tranche 2
+    real_upsert = text.bm25_index_upsert
+    calls = {"n": 0}
+
+    def crashing_upsert(*args, **kwargs):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before index upsert")
+
+    monkeypatch.setattr(text, "bm25_index_upsert", crashing_upsert)
+    t2.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="simulated crash"):
+        drain_with_term_index(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, index, checkpoint=ckpt,
+        )
+    assert calls["n"] == 1
+    # the corpus moved but the index is one batch behind — searches
+    # still serve the OLD consistent state (stats stamp still matches
+    # the index's own manifest)
+    monkeypatch.setattr(text, "bm25_index_upsert", real_upsert)
+
+    drain_with_term_index(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, checkpoint=ckpt,
+    )
+    got = text.bm25_index_topk(spark, index, terms).toPandas()
+    want = text.bm25_scores(docs, terms).toPandas()  # full corpus
+    assert got.values.tolist() == want.values.tolist()
+    # replayed drain with nothing new: index result unchanged
+    drain_with_term_index(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, checkpoint=ckpt,
+    )
+    again = text.bm25_index_topk(spark, index, terms).toPandas()
+    assert again.values.tolist() == got.values.tolist()
