@@ -1882,3 +1882,117 @@ def bm25_index_topk(
         k1=k1,
         b=b,
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Vocabulary growth curve (r13 — the Heaps'-law diagnostic that
+    pairs with :func:`vocab_zipf` on a corpus datacard): cumulative
+    distinct terms vs cumulative tokens over ingestion order (id
+    order), at ``n_buckets`` equal-width id buckets. A healthy diverse
+    corpus keeps discovering vocabulary (V ∝ N^β, β ≈ 0.5—0.7);
+    a template/duplicated corpus flattens early — the dedup-
+    effectiveness signal read together with the Zipf slope.
+
+    Exactness: a term's contribution lands in the bucket of its FIRST
+    document (min id) — so the cumulative distinct count needs no
+    quadratic re-scan: one min-aggregate per term, one count per
+    bucket, one cumulative window over ≤ ``n_buckets`` rows (bounded —
+    the benign single-task exception). All integer arithmetic; the
+    oracle replicates bit-for-bit.
+
+    Returns (bucket, docs, cum_tokens, cum_terms) ordered by bucket."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    bounds = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        raise ValueError("vocab_growth on an empty corpus")
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    bucket = ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("long")
+
+    ex = df.withColumn("_toks", tokens(F.col(text_col))).select(
+        F.col(id_col),
+        bucket.alias("_b"),
+        F.size("_toks").alias("_dl"),
+        F.explode("_toks").alias("term"),
+    )
+    per_bucket_tokens = (
+        ex.groupBy(id_col, "_b")
+        .agg(F.first("_dl").alias("_dl"))
+        .groupBy("_b")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("_dl").alias("_tok"),
+        )
+    )
+    first_seen = (
+        ex.groupBy("term")
+        .agg(F.min("_b").alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_new"))
+    )
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket_tokens.join(first_seen, "_b", "left")
+        .select(
+            F.col("_b").alias("bucket"),
+            "docs",
+            F.sum("_tok").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("_new"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_terms"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def vocab_growth_oracle_sql(
+    n_buckets: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replica: identical integer bucket width, first-seen
+    bucket per term, cumulative windows."""
+    return f"""
+WITH bounds AS (
+  SELECT MIN({id_col}) AS lo, MAX({id_col}) AS hi FROM {table}
+), width AS (
+  SELECT lo, GREATEST(1, (hi - lo + {n_buckets}) // {n_buckets}) AS w
+  FROM bounds
+), t AS (
+  SELECT {id_col},
+         CAST(({id_col} - lo) // w AS BIGINT) AS b,
+         string_split(lower({text_col}), ' ') AS toks
+  FROM {table} CROSS JOIN width
+), per_bucket AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS tok
+  FROM t GROUP BY b
+), ex AS (
+  SELECT b, unnest(toks) AS term FROM t
+), first_seen AS (
+  SELECT term, MIN(b) AS b FROM ex GROUP BY term
+), news AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS new FROM first_seen GROUP BY b
+)
+SELECT p.b AS bucket, p.docs,
+       CAST(SUM(p.tok) OVER (ORDER BY p.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(COALESCE(n.new, 0)) OVER (ORDER BY p.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_terms
+FROM per_bucket p LEFT JOIN news n ON p.b = n.b
+ORDER BY bucket
+"""

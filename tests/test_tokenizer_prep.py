@@ -199,3 +199,42 @@ def test_vocab_zipf_degenerate_corpus_oracle_parity(spark):
     )
     want = con.execute(text.vocab_zipf_oracle_sql()).df()
     assert got.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_vocab_growth_matches_oracle(spark, sf):
+    """r13: the Heaps'-law growth curve replicates bit-for-bit —
+    first-seen-bucket accounting (no quadratic re-scan), integer
+    bucket widths, bounded cumulative window."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.check_oracle import frame_digest
+
+    docs = table(spark, sf, "documents")
+    got = text.vocab_growth(docs).toPandas()
+    want = _con(sf).execute(text.vocab_growth_oracle_sql()).df()
+    assert frame_digest(got)[:3] == frame_digest(want)[:3]
+    # curve invariants: cumulative columns are monotone; the templated
+    # synthetic corpus discovers its whole tiny vocabulary early (the
+    # duplication signal this diagnostic exists for)
+    assert got.cum_tokens.is_monotonic_increasing
+    assert got.cum_terms.is_monotonic_increasing
+    mid = got.cum_terms.iloc[len(got) // 2]
+    assert mid == got.cum_terms.iloc[-1]  # flat tail = template corpus
+
+
+def test_vocab_growth_discovers_fresh_vocab(spark):
+    """A corpus that keeps introducing new terms shows a rising tail;
+    empty corpus and bad n_buckets raise."""
+    rows = [(i, f"common w{i:03d}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.vocab_growth(df, n_buckets=10).toPandas()
+    assert got.cum_terms.iloc[-1] == 101  # 'common' + 100 fresh terms
+    assert (got.cum_terms.diff().dropna() > 0).all()  # rising everywhere
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty"):
+        text.vocab_growth(df.filter("doc_id < 0"))
+    with _pt.raises(ValueError, match="n_buckets"):
+        text.vocab_growth(df, n_buckets=0)
