@@ -421,6 +421,12 @@ def x_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_growth(_docs(spark, sf_dir))
 
 
+def x_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import text
+
+    return text.encoding_quality(_docs(spark, sf_dir))
+
+
 def x_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import similarity
 
@@ -488,6 +494,7 @@ EXTENDED_QUERIES = {
     "x_hamming_topk": x_hamming_topk,
     "x_bm25_index": x_bm25_index,
     "x_vocab_growth": x_vocab_growth,
+    "x_encoding_quality": x_encoding_quality,
 }
 
 
@@ -603,6 +610,7 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_hamming_topk": similarity.hamming_topk_oracle_sql(query_id=0),
         "x_vocab_growth": text.vocab_growth_oracle_sql(),
+        "x_encoding_quality": text.encoding_quality_oracle_sql(),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus
         "x_bm25_index": text.bm25_oracle_sql(["spark", "vector", "scan"]),

@@ -1996,3 +1996,83 @@ SELECT p.b AS bucket, p.docs,
 FROM per_bucket p LEFT JOIN news n ON p.b = n.b
 ORDER BY bucket
 """
+
+
+#: Mojibake marker sequences: UTF-8 bytes re-decoded as Latin-1/CP1252
+#: leave these fingerprints (U+00C3 'A-tilde' from double-decoded
+#: accents, U+00E2+U+20AC from curly punctuation, stray U+00C2 before
+#: NBSP), and a lossy decode leaves U+FFFD itself. Escaped codepoints
+#: keep this source ASCII-safe.
+MOJIBAKE_MARKERS = ["\ufffd", "\u00c3", "\u00e2\u20ac", "\u00c2"]
+
+
+def encoding_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ppm: int = 1_000,
+) -> DataFrame:
+    """Encoding-damage detection (r13 -- the CCNet-lineage cleaning
+    signal): count mojibake marker sequences (double-decoded UTF-8
+    fingerprints + U+FFFD) per document via pure replace/length
+    arithmetic -- no regex engine in the path -- and flag documents
+    whose marker density exceeds ``max_ppm``. Returns
+    (id, n_chars, mojibake_hits, mojibake_ppm, clean), ordered.
+
+    Scale shape: one codegen projection, zero shuffle before the
+    ORDER BY; exact integer ppm, oracle bit-for-bit."""
+    n_chars = F.length(F.col(text_col))
+    hits = None
+    for m in MOJIBAKE_MARKERS:
+        h = (
+            (n_chars - F.length(F.replace(F.col(text_col), F.lit(m))))
+            / F.lit(len(m))
+        ).cast("long")
+        hits = h if hits is None else hits + h
+    ppm = F.when(n_chars > 0, (hits * F.lit(1_000_000)) / n_chars).otherwise(
+        F.lit(0)
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col),
+            n_chars.cast("long").alias("n_chars"),
+            hits.alias("mojibake_hits"),
+            ppm.alias("mojibake_ppm"),
+            (ppm <= F.lit(max_ppm)).alias("clean"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def encoding_quality_oracle_sql(
+    max_ppm: int = 1_000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replica: identical replace/length marker counts and
+    integer ppm. Marker literals render via chr() codepoints so the
+    SQL stays ASCII-safe."""
+    terms = []
+    for m in MOJIBAKE_MARKERS:
+        lit = " || ".join(f"chr({ord(c)})" for c in m)
+        terms.append(
+            f"(length({text_col}) - length(replace({text_col}, {lit}, '')))"
+            f" // {len(m)}"
+        )
+    hits = " + ".join(terms)
+    return f"""
+WITH scored AS (
+  SELECT {id_col}, CAST(length({text_col}) AS BIGINT) AS n_chars,
+         CAST({hits} AS BIGINT) AS mojibake_hits
+  FROM {table}
+)
+SELECT {id_col}, n_chars, mojibake_hits,
+       CAST(CASE WHEN n_chars > 0
+                 THEN (mojibake_hits * 1000000) // n_chars
+                 ELSE 0 END AS BIGINT) AS mojibake_ppm,
+       (CASE WHEN n_chars > 0
+             THEN (mojibake_hits * 1000000) // n_chars
+             ELSE 0 END) <= {max_ppm} AS clean
+FROM scored ORDER BY {id_col}
+"""

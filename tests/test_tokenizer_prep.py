@@ -238,3 +238,38 @@ def test_vocab_growth_discovers_fresh_vocab(spark):
         text.vocab_growth(df.filter("doc_id < 0"))
     with _pt.raises(ValueError, match="n_buckets"):
         text.vocab_growth(df, n_buckets=0)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_encoding_quality_matches_oracle(spark, sf):
+    """r13: mojibake detection replicates bit-for-bit (replace/length
+    marker counts, integer ppm); the synthetic corpus is clean."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.check_oracle import frame_digest
+
+    docs = table(spark, sf, "documents")
+    got = text.encoding_quality(docs).toPandas()
+    want = _con(sf).execute(text.encoding_quality_oracle_sql()).df()
+    assert frame_digest(got)[:3] == frame_digest(want)[:3]
+    assert got.clean.all() and got.mojibake_hits.sum() == 0
+
+
+def test_encoding_quality_flags_planted_mojibake(spark):
+    """Double-decoded UTF-8 and U+FFFD both raise the marker count
+    and trip the clean flag; a clean doc stays clean."""
+    damaged = "caf\u00c3\u00a9 bad \u00e2\u20ac\u0153quote\u00e2\u20ac"
+    lossy = "lossy \ufffd\ufffd decode"
+    df = spark.createDataFrame(
+        [(1, "clean text here"), (2, damaged), (3, lossy)],
+        "doc_id long, text string",
+    )
+    got = text.encoding_quality(df).toPandas()
+    assert got.clean.tolist() == [True, False, False]
+    assert got.mojibake_hits.tolist() == [0, 3, 2]
+    # the ppm gate is integer-exact: hits*1e6 div n_chars
+    assert (
+        got.mojibake_ppm
+        == (got.mojibake_hits * 1_000_000) // got.n_chars
+    ).all()
