@@ -2569,3 +2569,150 @@ SELECT s._id AS {id_col},
 FROM sig2 s WHERE s.side = 'batch'
 ORDER BY s._id
 """
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_docs: int = 2,
+    mode: str = "keep_first",
+) -> DataFrame:
+    """Cross-document LINE-level deduplication (r13 — the CCNet /
+    RefinedWeb boilerplate-removal stage the span family doesn't
+    cover): split every document into lines on ``delim``, call a line
+    *boilerplate* when it occurs in >= ``min_docs`` DISTINCT documents
+    (exact string match — navigation bars, cookie banners, license
+    footers), and rewrite the corpus without it. ``mode="keep_first"``
+    retains the occurrence(s) in the single lowest-id document that
+    contains the line (the CCNet keep-one policy); ``mode="drop"``
+    removes every occurrence (the C4 blocklist policy).
+
+    Returns one row per input document, ordered by id:
+    (id, text_clean, n_lines, n_lines_dropped) — ``text_clean``
+    re-joins surviving lines with ``delim`` in original position order
+    (a fully-boilerplate document comes back as '').
+
+    Scale shape (100 TB): the boilerplate verdict rides 16-byte md5
+    line hashes + 8-byte ids — one hash-keyed aggregate with map-side
+    partial combine, uniform keys (no skew). Document text is touched
+    by exactly ONE data-sized exchange: the per-doc rebuild groupBy,
+    whose row width is the document itself (the same honest price
+    :func:`strip_duplicated_spans` pays). The verdict join back onto
+    exploded lines is hash-keyed; at real corpus scale the boilerplate
+    set is a tiny fraction of distinct lines and AQE broadcasts it.
+    """
+    import re as _re
+
+    if mode not in ("keep_first", "drop"):
+        raise ValueError(
+            f"strip_boilerplate_lines: mode must be 'keep_first' or "
+            f"'drop', got {mode!r}"
+        )
+    if min_docs < 2:
+        raise ValueError(
+            f"strip_boilerplate_lines: min_docs must be >= 2, got {min_docs}"
+        )
+    pat = _re.escape(delim)
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_h", F.md5("_line"))
+    boiler = (
+        lines.groupBy("_h")
+        .agg(
+            F.countDistinct("_id").alias("_nd"),
+            F.min("_id").alias("_keeper"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h", "_keeper")
+    )
+    joined = lines.join(boiler, "_h", "left")
+    if mode == "keep_first":
+        kept = joined.filter(
+            F.col("_keeper").isNull() | (F.col("_id") == F.col("_keeper"))
+        )
+    else:
+        kept = joined.filter(F.col("_keeper").isNull())
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("_nkept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), pat, -1))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_nkept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def strip_boilerplate_oracle_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_docs: int = 2,
+    mode: str = "keep_first",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: identical split, distinct-doc threshold,
+    keep-first/drop policy, position-ordered string_agg rebuild.
+    Groups on the raw line where the engine groups on md5(line) —
+    semantically identical (the hash only exists to keep the Spark
+    shuffle narrow)."""
+    if mode not in ("keep_first", "drop"):
+        raise ValueError(f"bad mode {mode!r}")
+    d = delim.replace("'", "''")
+    keep_pred = (
+        "b._line IS NULL OR l._id = b._keeper"
+        if mode == "keep_first"
+        else "b._line IS NULL"
+    )
+    return f"""
+WITH docs_l AS (
+  SELECT {id_col} AS _id, string_split({text_col}, '{d}') AS _l
+  FROM {table}
+), lines AS (
+  SELECT _id, CAST(p AS BIGINT) AS _pos, _l[CAST(p AS BIGINT) + 1] AS _line
+  FROM (SELECT _id, _l, unnest(range(0, len(_l))) AS p FROM docs_l)
+), boiler AS (
+  SELECT _line, MIN(_id) AS _keeper
+  FROM lines GROUP BY _line
+  HAVING COUNT(DISTINCT _id) >= {min_docs}
+), kept AS (
+  SELECT l._id, l._pos, l._line
+  FROM lines l LEFT JOIN boiler b ON l._line = b._line
+  WHERE {keep_pred}
+), rebuilt AS (
+  SELECT _id, string_agg(_line, '{d}' ORDER BY _pos) AS text_clean,
+         CAST(COUNT(*) AS BIGINT) AS _nkept
+  FROM kept GROUP BY _id
+)
+SELECT d._id AS {id_col},
+       COALESCE(r.text_clean, '') AS text_clean,
+       CAST(len(d._l) AS BIGINT) AS n_lines,
+       CAST(len(d._l) - COALESCE(r._nkept, 0) AS BIGINT)
+         AS n_lines_dropped
+FROM docs_l d LEFT JOIN rebuilt r USING (_id)
+ORDER BY {id_col}
+"""

@@ -427,6 +427,14 @@ def x_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.encoding_quality(_docs(spark, sf_dir))
 
 
+def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import dedup
+
+    return dedup.strip_boilerplate_lines(
+        _docs(spark, sf_dir), delim=" line ", mode="keep_first"
+    )
+
+
 def x_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import similarity
 
@@ -495,6 +503,7 @@ EXTENDED_QUERIES = {
     "x_bm25_index": x_bm25_index,
     "x_vocab_growth": x_vocab_growth,
     "x_encoding_quality": x_encoding_quality,
+    "x_line_dedup": x_line_dedup,
 }
 
 
@@ -611,6 +620,9 @@ def extended_oracles() -> dict[str, str]:
         "x_hamming_topk": similarity.hamming_topk_oracle_sql(query_id=0),
         "x_vocab_growth": text.vocab_growth_oracle_sql(),
         "x_encoding_quality": text.encoding_quality_oracle_sql(),
+        "x_line_dedup": dedup.strip_boilerplate_oracle_sql(
+            delim=" line ", mode="keep_first"
+        ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus
         "x_bm25_index": text.bm25_oracle_sql(["spark", "vector", "scan"]),

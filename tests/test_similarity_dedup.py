@@ -1912,3 +1912,77 @@ def test_hamming_topk_matches_oracle_and_correlates(spark):
     for r in sig:
         assert len(r.sig) == 2
         assert all(0 <= w < (1 << 32) for w in r.sig)
+
+
+def test_strip_boilerplate_lines_matches_oracle(spark):
+    """r13: cross-document LINE dedup (the CCNet/RefinedWeb boilerplate
+    stage) replicates the DuckDB chain (split, distinct-doc threshold,
+    keep-first/drop policy, position-order rebuild) bit-for-bit at both
+    SFs and in both modes."""
+    import duckdb
+
+    from pg_parquet_spark.session import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = table(spark, sf, "documents")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        for mode in ("keep_first", "drop"):
+            got = dedup.strip_boilerplate_lines(
+                docs, delim=" line ", mode=mode
+            ).toPandas()
+            want = con.execute(
+                dedup.strip_boilerplate_oracle_sql(delim=" line ", mode=mode)
+            ).df()
+            assert len(got) == len(want) == docs.count(), (sf, mode)
+            for c in got.columns:
+                assert list(got[c]) == list(want[c]), (sf, mode, c)
+        # the synthetic corpus genuinely contains boilerplate segments
+        assert int(got.n_lines_dropped.sum()) > 0
+
+
+def test_strip_boilerplate_lines_semantics(spark):
+    """Planted fixture: the lowest-id document keeps the boilerplate
+    line under keep_first, every other occurrence is excised, drop mode
+    removes all copies, unique lines always survive, an all-boilerplate
+    document returns ''; placement-invariant; bad args raise."""
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, "real content alpha\n" + footer),
+        (2, footer + "\nreal content beta\n" + footer),
+        (3, "wholly unique document"),
+        (4, footer),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.strip_boilerplate_lines(df).collect()
+    }
+    assert out[1].text_clean == rows[0][1]  # keeper keeps its copy
+    assert out[1].n_lines_dropped == 0
+    # doc 2: both footer copies excised (keeper is doc 1)
+    assert out[2].text_clean == "real content beta"
+    assert out[2].n_lines_dropped == 2
+    assert out[3].text_clean == rows[2][1]
+    assert out[4].text_clean == "" and out[4].n_lines_dropped == 1
+
+    dropped = {
+        r.doc_id: r
+        for r in dedup.strip_boilerplate_lines(df, mode="drop").collect()
+    }
+    assert dropped[1].text_clean == "real content alpha"  # keeper too
+    assert dropped[1].n_lines_dropped == 1
+
+    base = dedup.strip_boilerplate_lines(df).toPandas()
+    for n in (1, 4):
+        alt = dedup.strip_boilerplate_lines(df.repartition(n)).toPandas()
+        assert alt.equals(base), n
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        dedup.strip_boilerplate_lines(df, mode="nuke")
+    with _pytest.raises(ValueError, match="min_docs"):
+        dedup.strip_boilerplate_lines(df, min_docs=1)
