@@ -427,6 +427,30 @@ def x_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.encoding_quality(_docs(spark, sf_dir))
 
 
+def x_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain: batch BQ retrieval scored by the IR-metrics
+    tier — qrels are label-match pairs, ONE oracle certifies run +
+    metrics together."""
+    from pg_parquet_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run = similarity.hamming_topk_batch(emb, q, k=10, exclude_self=True)
+    qrels = (
+        emb.filter("vec_id < 4")
+        .alias("a")
+        .join(emb.alias("b"), F.col("a.label") == F.col("b.label"))
+        .filter("a.vec_id != b.vec_id")
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+        )
+    )
+    return similarity.evaluate_retrieval(run, qrels, k=10, doc_col="vec_id")
+
+
 def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import dedup
 
@@ -504,6 +528,7 @@ EXTENDED_QUERIES = {
     "x_vocab_growth": x_vocab_growth,
     "x_encoding_quality": x_encoding_quality,
     "x_line_dedup": x_line_dedup,
+    "x_retrieval_eval": x_retrieval_eval,
 }
 
 
@@ -622,6 +647,17 @@ def extended_oracles() -> dict[str, str]:
         "x_encoding_quality": text.encoding_quality_oracle_sql(),
         "x_line_dedup": dedup.strip_boilerplate_oracle_sql(
             delim=" line ", mode="keep_first"
+        ),
+        "x_retrieval_eval": similarity.evaluate_retrieval_oracle_sql(
+            similarity.hamming_batch_oracle_sql(
+                "vec_id < 4", k=10, exclude_self=True
+            ),
+            "SELECT a.vec_id AS query_id, b.vec_id AS vec_id "
+            "FROM embeddings a JOIN embeddings b "
+            "ON a.label = b.label AND a.vec_id != b.vec_id "
+            "WHERE a.vec_id < 4",
+            k=10,
+            doc_col="vec_id",
         ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus

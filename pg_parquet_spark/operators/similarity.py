@@ -2502,3 +2502,264 @@ WITH q AS (
 SELECT _id AS {id_col}, hamming FROM scored
 ORDER BY hamming ASC, {id_col} LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# batch binary-quantized retrieval + IR evaluation metrics (r13)
+
+def hamming_topk_batch(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch variant of :func:`hamming_topk`: one bounded query frame
+    (<= 1024 rows, the family's batch contract) ranked against the
+    whole corpus in a single pass. Returns
+    (query_id, id, rank, hamming) — rank is 1-based, ties break on id.
+    ``exclude_self=True`` drops the corpus row whose id equals the
+    query id (retrieval-evaluation convention).
+
+    Scale shape (100 TB): corpus signatures project in place and the
+    query signatures broadcast, so the corpus NEVER shuffles for
+    scoring. Top-k is the two-phase merge — per-partition top-k heaps
+    (collect_list bounded at k per (query, partition)) then a
+    #partitions·k-row merge per query — NOT a corpus-sized
+    row_number window: no single task ever sees more than
+    k·#partitions rows per query."""
+    _require_integral_query_ids(query_df, query_id_col, "hamming_topk_batch")
+    counts = query_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(query_id_col).alias("nd"),
+    ).collect()[0]
+    if counts["n"] > 1024:
+        raise ValueError(
+            f"hamming_topk_batch: query frame has {counts['n']} rows — "
+            "the broadcast batch contract is <= 1024; split the frame"
+        )
+    if counts["n"] != counts["nd"]:
+        raise ValueError(
+            "hamming_topk_batch: duplicate query ids in the batch frame"
+        )
+    sigs = binary_quantize(df, id_col, vec_col)
+    qsigs = F.broadcast(
+        binary_quantize(query_df, query_id_col, vec_col, sig_col="_qsig")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("sig"),
+            F.col("_qsig"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = sigs.crossJoin(qsigs).select(
+        F.col(query_id_col), F.col(id_col), ham.alias("hamming")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    entry = F.struct(
+        F.col("hamming").alias("h"), F.col(id_col).alias("i")
+    )
+    local = scored.groupBy(
+        query_id_col, F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("_loc"))
+    merged = local.groupBy(query_id_col).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_loc"))), 1, k
+        ).alias("_top")
+    )
+    return (
+        merged.select(
+            query_id_col, F.posexplode("_top").alias("_pos", "_s")
+        )
+        .select(
+            query_id_col,
+            F.col("_s.i").alias(id_col),
+            (F.col("_pos") + 1).cast("long").alias("rank"),
+            F.col("_s.h").alias("hamming"),
+        )
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def hamming_batch_oracle_sql(
+    query_where: str = "vec_id < 4",
+    k: int = 10,
+    exclude_self: bool = False,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replica of the batch path: identical word packing and
+    XOR/bit_count fold; ROW_NUMBER ordered (hamming, id) reproduces
+    the two-phase merge's deterministic order exactly."""
+    pack = (
+        "list_transform(range(1, CAST(ceil(len({v}) / 32.0) AS BIGINT) + 1), "
+        "w -> list_reduce(list_transform("
+        "list_reverse({v}[CAST((w-1)*32 + 1 AS BIGINT) : CAST(w*32 AS BIGINT)]), "
+        "x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END), "
+        "(a, b) -> a * 2 + b))"
+    )
+    self_pred = f" AND s._id <> q.query_id" if exclude_self else ""
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id, {pack.format(v=vec_col)} AS qsig
+  FROM {table} WHERE {query_where}
+), sigs AS (
+  SELECT {id_col} AS _id, {pack.format(v=vec_col)} AS sig FROM {table}
+), scored AS (
+  SELECT q.query_id, s._id,
+    CAST(list_reduce(list_transform(range(1, len(s.sig) + 1),
+      w -> CAST(bit_count(xor(s.sig[w], q.qsig[w])) AS BIGINT)),
+      (a, b) -> a + b) AS BIGINT) AS hamming
+  FROM sigs s, q
+  WHERE TRUE{self_pred}
+), ranked AS (
+  SELECT query_id, _id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, _id) AS rn
+  FROM scored
+)
+SELECT query_id, _id AS {id_col}, CAST(rn AS BIGINT) AS rank, hamming
+FROM ranked WHERE rn <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def _dcg_discounts_micro(k: int) -> list[int]:
+    """Micro-scaled DCG discount table: disc[r] = round(1e6/log2(r+1))
+    for 1-based rank r — computed ONCE driver-side and baked into BOTH
+    the Spark plan and the oracle SQL as the SAME integer literals, so
+    nDCG stays integer-exact cross-engine (no libm in either path)."""
+    import math
+
+    return [int(round(1_000_000 / math.log2(r + 1))) for r in range(1, k + 1)]
+
+
+def evaluate_retrieval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """IR evaluation over a ranked run (r13 — the measurement tier for
+    the retrieval stack: BM25 / dense / hybrid / BQ all return ranked
+    frames this scores). Per query in ``qrels``:
+    (query, n_rel, hits, recall_ppm, mrr_micro, dcg_micro, idcg_micro,
+    ndcg_ppm), ordered by query.
+
+    Exactness: every metric is integer arithmetic — recall/nDCG in
+    parts-per-million via BIGINT ``div``, MRR as 1e6 div first-hit
+    rank, DCG over the :func:`_dcg_discounts_micro` literal table (the
+    same literals render into the oracle, so log2 never runs at query
+    time in either engine). ``results`` must hold at most one row per
+    (query, doc); ranks are 1-based.
+
+    Scale shape: shuffles carry ids + ranks only (the run and the
+    qrels, never documents); two hash aggregates + one left join,
+    map-side partial combine on both."""
+    disc = _dcg_discounts_micro(k)
+    prefix = []
+    acc = 0
+    for d in disc:
+        acc += d
+        prefix.append(acc)
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    prefix_arr = F.array(*[F.lit(p).cast("long") for p in prefix])
+    rels = qrels.select(query_col, doc_col).distinct()
+    nrel = rels.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    hits = (
+        results.filter(F.col(rank_col) <= k)
+        .join(rels, [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hits"),
+            F.min(rank_col).cast("long").alias("_fr"),
+            F.sum(F.element_at(disc_arr, F.col(rank_col).cast("int")))
+            .cast("long")
+            .alias("dcg_micro"),
+        )
+    )
+    base = (
+        nrel.join(hits, query_col, "left")
+        .withColumn("hits", F.coalesce("hits", F.lit(0).cast("long")))
+        .withColumn(
+            "dcg_micro", F.coalesce("dcg_micro", F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "idcg_micro",
+            F.element_at(prefix_arr, F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+        )
+    )
+    return base.select(
+        query_col,
+        "n_rel",
+        "hits",
+        F.expr("hits * 1000000 div n_rel").alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN _fr IS NULL THEN CAST(0 AS BIGINT) "
+            "ELSE 1000000 div _fr END"
+        ).alias("mrr_micro"),
+        "dcg_micro",
+        "idcg_micro",
+        F.expr("dcg_micro * 1000000 div idcg_micro").alias("ndcg_ppm"),
+    ).orderBy(query_col)
+
+
+def evaluate_retrieval_oracle_sql(
+    results_sql: str,
+    qrels_sql: str,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> str:
+    """DuckDB replica: the same literal discount/prefix tables, BIGINT
+    floor division throughout. ``results_sql``/``qrels_sql`` are full
+    SELECTs (the run under evaluation composes in — e.g.
+    :func:`hamming_batch_oracle_sql`)."""
+    disc = _dcg_discounts_micro(k)
+    prefix = []
+    acc = 0
+    for d in disc:
+        acc += d
+        prefix.append(acc)
+    disc_lit = "[" + ", ".join(str(d) for d in disc) + "]"
+    prefix_lit = "[" + ", ".join(str(p) for p in prefix) + "]"
+    return f"""
+WITH run AS ({results_sql}
+), rels AS (
+  SELECT DISTINCT {query_col}, {doc_col} FROM ({qrels_sql})
+), nrel AS (
+  SELECT {query_col}, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM rels GROUP BY {query_col}
+), h AS (
+  SELECT r.{query_col}, CAST(COUNT(*) AS BIGINT) AS hits,
+         CAST(MIN(r.{rank_col}) AS BIGINT) AS _fr,
+         CAST(SUM(({disc_lit})[r.{rank_col}]) AS BIGINT) AS dcg_micro
+  FROM run r JOIN rels u USING ({query_col}, {doc_col})
+  WHERE r.{rank_col} <= {k}
+  GROUP BY r.{query_col}
+)
+SELECT n.{query_col}, n.n_rel,
+       COALESCE(h.hits, 0) AS hits,
+       COALESCE(h.hits, 0) * 1000000 // n.n_rel AS recall_ppm,
+       CASE WHEN h._fr IS NULL THEN CAST(0 AS BIGINT)
+            ELSE 1000000 // h._fr END AS mrr_micro,
+       COALESCE(h.dcg_micro, 0) AS dcg_micro,
+       CAST(({prefix_lit})[LEAST(n.n_rel, {k})] AS BIGINT) AS idcg_micro,
+       COALESCE(h.dcg_micro, 0) * 1000000
+         // ({prefix_lit})[LEAST(n.n_rel, {k})] AS ndcg_ppm
+FROM nrel n LEFT JOIN h USING ({query_col})
+ORDER BY n.{query_col}
+"""

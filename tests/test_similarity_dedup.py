@@ -1986,3 +1986,99 @@ def test_strip_boilerplate_lines_semantics(spark):
         dedup.strip_boilerplate_lines(df, mode="nuke")
     with _pytest.raises(ValueError, match="min_docs"):
         dedup.strip_boilerplate_lines(df, min_docs=1)
+
+
+def test_hamming_topk_batch_matches_oracle_and_single(spark):
+    """r13: the batch BQ retrieval path — two-phase per-partition
+    top-k merge (never a corpus-sized window) replicates the DuckDB
+    ROW_NUMBER chain bit-for-bit at both SFs, and equals N single
+    hamming_topk calls."""
+    import duckdb
+
+    from pg_parquet_spark.session import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = table(spark, sf, "embeddings")
+        q = emb.filter("vec_id < 4").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = similarity.hamming_topk_batch(emb, q, k=10).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = con.execute(
+            similarity.hamming_batch_oracle_sql("vec_id < 4", k=10)
+        ).df()
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+    # batch == N single calls (same corpus, same tie-breaks)
+    for qid in range(4):
+        single = similarity.hamming_topk(
+            emb, emb.filter(f"vec_id = {qid}"), k=10
+        ).toPandas()
+        batch_q = got[got.query_id == qid]
+        assert list(batch_q.vec_id) == list(single.vec_id), qid
+        assert list(batch_q.hamming) == list(single.hamming), qid
+
+
+def test_hamming_topk_batch_contracts(spark):
+    """Float query ids raise up front; duplicate ids raise; an
+    oversized batch frame raises before any scan."""
+    import pytest as _pytest
+
+    rows = [(0, [1.0, -1.0]), (1, [0.5, 0.5])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(TypeError, match="integral"):
+        similarity.hamming_topk_batch(
+            emb, q.withColumn("query_id", F.col("query_id").cast("double"))
+        )
+    with _pytest.raises(ValueError, match="duplicate"):
+        similarity.hamming_topk_batch(
+            emb, q.withColumn("query_id", F.lit(7))
+        )
+    big = spark.range(1025).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(-1.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="1024"):
+        similarity.hamming_topk_batch(emb, big)
+
+
+def test_evaluate_retrieval_semantics(spark):
+    """Known-answer IR metrics on a hand-built run: integer-exact
+    recall/MRR/DCG/nDCG from the shared literal discount table; a
+    query with no hits scores zeros; placement-invariant."""
+    disc = similarity._dcg_discounts_micro(10)
+    prefix = [sum(disc[: i + 1]) for i in range(10)]
+    run = spark.createDataFrame(
+        [(1, 5, 1), (1, 2, 2), (1, 9, 3), (1, 3, 4), (2, 7, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 99)],
+        "query_id long, doc_id long",
+    )
+    out = {
+        r.query_id: r
+        for r in similarity.evaluate_retrieval(run, qrels, k=10).collect()
+    }
+    q1 = out[1]
+    assert q1.n_rel == 3 and q1.hits == 2
+    assert q1.recall_ppm == 2 * 1_000_000 // 3
+    assert q1.mrr_micro == 1_000_000 // 2
+    assert q1.dcg_micro == disc[1] + disc[3]  # hits at ranks 2 and 4
+    assert q1.idcg_micro == prefix[2]  # min(n_rel=3, k)=3 ideal hits
+    assert q1.ndcg_ppm == (disc[1] + disc[3]) * 1_000_000 // prefix[2]
+    q2 = out[2]
+    assert q2.hits == 0 and q2.mrr_micro == 0 and q2.ndcg_ppm == 0
+    assert q2.idcg_micro == prefix[0]
+    base = similarity.evaluate_retrieval(run, qrels, k=10).toPandas()
+    for n in (1, 3):
+        alt = similarity.evaluate_retrieval(
+            run.repartition(n), qrels.repartition(n), k=10
+        ).toPandas()
+        assert alt.equals(base), n
