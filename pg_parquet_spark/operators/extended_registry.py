@@ -451,6 +451,52 @@ def x_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.evaluate_retrieval(run, qrels, k=10, doc_col="vec_id")
 
 
+def x_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain: BQ shortlist → exact-cosine relevance → MMR
+    diversification — one unrolled-CTE oracle certifies the greedy
+    selection end-to-end."""
+    from pg_parquet_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run = similarity.hamming_topk_batch(emb, q, k=20)
+    qv = q.select("query_id", F.col("embedding").alias("_qv"))
+    cand = (
+        run.select("query_id", "vec_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    rel = similarity._dot(F.col("embedding"), F.col("_qv")) / (
+        F.sqrt(similarity._norm_sq(F.col("embedding")))
+        * F.sqrt(similarity._norm_sq(F.col("_qv")))
+    )
+    cand = cand.select(
+        "query_id", "vec_id", "embedding", rel.alias("rel")
+    )
+    return similarity.mmr_rerank(cand, k=5)
+
+
+def _mmr_candidates_sql() -> str:
+    def fold(a, b):
+        return (
+            f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            "(x, y) -> x + y)"
+        )
+
+    from pg_parquet_spark.operators import similarity
+
+    return f"""SELECT r.query_id, r.vec_id, e.embedding AS embedding,
+  {fold('e.embedding', 'qe.embedding')}
+    / (sqrt({fold('e.embedding', 'e.embedding')})
+       * sqrt({fold('qe.embedding', 'qe.embedding')})) AS rel
+FROM ({similarity.hamming_batch_oracle_sql("vec_id < 2", k=20)}) r
+JOIN embeddings e ON e.vec_id = r.vec_id
+JOIN embeddings qe ON qe.vec_id = r.query_id"""
+
+
 def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import dedup
 
@@ -529,6 +575,7 @@ EXTENDED_QUERIES = {
     "x_encoding_quality": x_encoding_quality,
     "x_line_dedup": x_line_dedup,
     "x_retrieval_eval": x_retrieval_eval,
+    "x_mmr": x_mmr,
 }
 
 
@@ -659,6 +706,7 @@ def extended_oracles() -> dict[str, str]:
             k=10,
             doc_col="vec_id",
         ),
+        "x_mmr": similarity.mmr_oracle_sql(_mmr_candidates_sql(), k=5),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus
         "x_bm25_index": text.bm25_oracle_sql(["spark", "vector", "scan"]),

@@ -2763,3 +2763,176 @@ SELECT n.{query_col}, n.n_rel,
 FROM nrel n LEFT JOIN h USING ({query_col})
 ORDER BY n.{query_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (r13)
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam_ppm: int = 700_000,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) over a per-query candidate shortlist: greedily select k
+    items maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)`` — the
+    diversification pass between retrieval and context assembly (RAG
+    dedups its evidence; hard-negative curricula spread their
+    negatives). λ arrives as ppm so the same double renders into the
+    oracle. Returns (query, id, mmr_rank, mmr_score), rank 1-based in
+    selection order; ties break toward the lower id; step 1 is pure
+    relevance (empty selected set ⇒ no penalty term).
+
+    Exactness: the greedy loop runs as ordered left-fold double
+    arithmetic per group (float32 components widened exactly), the
+    same sequence the unrolled-CTE oracle evaluates — bit-identical
+    scores. Zero-norm vectors score cosine 0 against everything
+    (guarded identically in both engines).
+
+    Scale shape (100 TB): the distributed unit is the QUERY —
+    ``applyInPandas`` over ``groupBy(query)``, Arrow-batched. Per-group
+    cost is O(|shortlist|²·dims) in the worst case, so feed bounded
+    shortlists (the intended composition: a top-N retrieval pass
+    first); group state never exceeds the shortlist. No corpus-sized
+    shuffle — candidates arrive already reduced."""
+    import math
+
+    if k < 1:
+        raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
+    lam = lam_ppm / 1_000_000
+    omlam = 1.0 - lam_ppm / 1_000_000
+
+    def _fold_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def _mmr(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = [int(v) for v in pdf[id_col]]
+        qid = int(pdf[query_col].iloc[0])
+        vecs = [list(v) for v in pdf[vec_col]]
+        rels = [float(v) for v in pdf[rel_col]]
+        norms = [_fold_dot(v, v) for v in vecs]
+        sel: list[int] = []
+        remaining = list(range(len(ids)))
+        rows = []
+        for step in range(1, min(k, len(ids)) + 1):
+            best = None
+            best_score = None
+            for idx in remaining:
+                if not sel:
+                    score = lam * rels[idx]
+                else:
+                    pen = None
+                    for s in sel:
+                        denom = math.sqrt(norms[idx]) * math.sqrt(norms[s])
+                        c = (
+                            0.0
+                            if denom == 0.0
+                            else _fold_dot(vecs[idx], vecs[s]) / denom
+                        )
+                        pen = c if pen is None else max(pen, c)
+                    score = lam * rels[idx] - omlam * pen
+                if best_score is None or score > best_score:
+                    best, best_score = idx, score
+            sel.append(best)
+            remaining.remove(best)
+            rows.append((qid, ids[best], step, best_score))
+        return pd.DataFrame(
+            rows, columns=[query_col, id_col, "mmr_rank", "mmr_score"]
+        )
+
+    out_schema = (
+        f"{query_col} long, {id_col} long, mmr_rank long, mmr_score double"
+    )
+    return (
+        candidates.select(query_col, id_col, vec_col, rel_col)
+        .groupBy(query_col)
+        .applyInPandas(_mmr, out_schema)
+        .orderBy(query_col, "mmr_rank")
+    )
+
+
+def mmr_oracle_sql(
+    candidates_sql: str,
+    k: int = 5,
+    lam_ppm: int = 700_000,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> str:
+    """DuckDB replica: the greedy selection unrolled as k CTE stages —
+    each stage MAX-aggregates the cosine penalty against the selected
+    set (identical ordered folds, identical zero-norm guard) and picks
+    via ROW_NUMBER ordered (score DESC, id). ``candidates_sql`` must
+    yield ({query_col}, {id_col}, {vec_col}, {rel_col} DOUBLE)."""
+    lam = f"({lam_ppm} / 1000000.0)"
+    omlam = f"(1.0 - {lam_ppm} / 1000000.0)"
+
+    def fold(a, b):
+        return (
+            f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            "(x, y) -> x + y)"
+        )
+
+    parts = [
+        f"WITH cand AS ({candidates_sql}\n)",
+        f"""n AS (
+  SELECT {query_col} AS _q, {id_col} AS _id, {vec_col} AS _v,
+         CAST({rel_col} AS DOUBLE) AS _rel,
+         {fold(vec_col, vec_col)} AS _nsq
+  FROM cand
+)""",
+        f"""p1 AS (
+  SELECT _q, _id, _v, _nsq, {lam} * _rel AS score,
+         ROW_NUMBER() OVER (PARTITION BY _q
+                            ORDER BY {lam} * _rel DESC, _id) AS rn
+  FROM n
+)""",
+        "sel1 AS (SELECT _q, _id, _v, _nsq, 1 AS step, score "
+        "FROM p1 WHERE rn = 1)",
+    ]
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        cos = (
+            f"CASE WHEN sqrt(c._nsq) * sqrt(s._nsq) = 0 THEN 0.0 "
+            f"ELSE {fold('c._v', 's._v')} / (sqrt(c._nsq) * sqrt(s._nsq)) "
+            "END"
+        )
+        parts.append(f"""pen{t} AS (
+  SELECT c._q, c._id, MAX({cos}) AS pen
+  FROM n c JOIN {prev} s ON c._q = s._q
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} z
+                    WHERE z._q = c._q AND z._id = c._id)
+  GROUP BY c._q, c._id
+)""")
+        parts.append(f"""p{t} AS (
+  SELECT c._q, c._id, c._v, c._nsq,
+         {lam} * c._rel - {omlam} * p.pen AS score,
+         ROW_NUMBER() OVER (PARTITION BY c._q
+           ORDER BY {lam} * c._rel - {omlam} * p.pen DESC, c._id) AS rn
+  FROM n c JOIN pen{t} p ON c._q = p._q AND c._id = p._id
+)""")
+        parts.append(
+            f"sel{t} AS (SELECT * FROM {prev} UNION ALL "
+            f"SELECT _q, _id, _v, _nsq, {t} AS step, score "
+            f"FROM p{t} WHERE rn = 1)"
+        )
+    body = ",\n".join(parts[:1] + parts[1:]).replace("WITH cand AS", "cand AS")
+    return f"""
+WITH {body}
+SELECT _q AS {query_col}, _id AS {id_col},
+       CAST(step AS BIGINT) AS mmr_rank, score AS mmr_score
+FROM sel{k}
+ORDER BY {query_col}, mmr_rank
+"""

@@ -2082,3 +2082,52 @@ def test_evaluate_retrieval_semantics(spark):
             run.repartition(n), qrels.repartition(n), k=10
         ).toPandas()
         assert alt.equals(base), n
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Planted fixture: with two near-identical high-relevance items,
+    MMR picks one of them first, then prefers the orthogonal
+    lower-relevance item over the redundant twin; λ=1 degenerates to
+    pure relevance order; bad k raises."""
+    rows = [
+        (0, 1, [1.0, 0.0, 0.0], 0.99),   # top relevance
+        (0, 2, [0.999, 0.01, 0.0], 0.98),  # near-twin of 1
+        (0, 3, [0.0, 1.0, 0.0], 0.70),   # orthogonal, diverse
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id long, vec_id long, embedding array<float>, rel double"
+    )
+    got = similarity.mmr_rerank(cand, k=3, lam_ppm=500_000).toPandas()
+    assert list(got.vec_id) == [1, 3, 2]  # diversity beats the twin
+    assert list(got.mmr_rank) == [1, 2, 3]
+    pure = similarity.mmr_rerank(cand, k=3, lam_ppm=1_000_000).toPandas()
+    assert list(pure.vec_id) == [1, 2, 3]  # λ=1: relevance order
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        similarity.mmr_rerank(cand, k=0)
+
+
+def test_mmr_rerank_matches_unrolled_oracle(spark):
+    """r13: the greedy MMR selection over a BQ shortlist with
+    exact-cosine relevance replicates the unrolled-CTE DuckDB chain
+    bit-for-bit (scores included) at both SFs."""
+    import duckdb
+
+    from pg_parquet_spark.operators.extended_registry import (
+        _mmr_candidates_sql,
+        x_mmr,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = x_mmr(spark, sf).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = con.execute(
+            similarity.mmr_oracle_sql(_mmr_candidates_sql(), k=5)
+        ).df()
+        assert len(got) == len(want) == 10, sf
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
