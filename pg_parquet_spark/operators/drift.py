@@ -595,3 +595,156 @@ def embedding_psi_oracle_sql(
     return psi_oracle_sql(
         stage.format(w=ref_where), stage.format(w=new_where), "_c"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space health (r13)
+
+def embedding_health(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    max_dims: int = 1024,
+) -> DataFrame:
+    """One-row embedding-space health report (r13 — the degenerate-
+    encoder detector read before any similarity/dedup pass trusts the
+    vectors): corpus size, dimension consistency, zero-norm count,
+    mean vector norm, and the *mean resultant ratio*
+    ``‖Σv‖ / Σ‖v‖`` — the concentration statistic (→1 when every
+    vector points the same way, the anisotropy collapse that makes
+    cosine retrieval useless; →0 for isotropic spread).
+
+    Returns (n_vectors, min_dims, max_dims, zero_norm_count,
+    avg_norm_micro, resultant_ratio_ppm).
+
+    Determinism contract (the pca_train pattern): components quantize
+    to integer micro-units per row, so every cross-row reduction is an
+    exact integer sum — partitioning-independent; the only float math
+    is per-row sqrt and one driver-side final expression mirrored
+    verbatim in the oracle. Budget enforced in-pass: |component| <= 67
+    and dims <= ``max_dims`` (1024) keep the per-row Σq² inside int64.
+
+    Scale shape: one projection + one count-sized aggregate over the
+    corpus, one dims-sized aggregate (explode to (dim, q) — the narrow
+    n·dims shuffle pca_train already pays), driver fold over <= dims
+    rows (KB-scale, the bounded-model exemption)."""
+    import math
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(
+            F.abs(x.cast("double")) <= F.lit(67.0),
+            F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "embedding_health: |component| > 67 breaks the "
+                    "int64 micro-unit budget"
+                )
+            )
+        ),
+    )
+    dims = F.when(
+        F.size(F.col(vec_col)) <= F.lit(max_dims), F.size(F.col(vec_col))
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"embedding_health: dims > {max_dims} budget")
+        )
+    )
+    rows = df.select(dims.alias("_dims"), q.alias("_q")).withColumn(
+        "_nsq",
+        F.aggregate(
+            "_q", F.lit(0).cast("long"), lambda a, v: a + v * v
+        ),
+    )
+    stats = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_dims").cast("long").alias("mind"),
+        F.max("_dims").cast("long").alias("maxd"),
+        F.sum(F.when(F.col("_nsq") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zeroes"),
+        F.sum(
+            F.floor(F.sqrt(F.col("_nsq").cast("double")) + F.lit(0.5))
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("snm"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        raise ValueError("embedding_health on an empty corpus")
+    dim_sums = (
+        rows.select(F.posexplode("_q").alias("d", "v"))
+        .groupBy("d")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("sd"))
+        .collect()
+    )
+    n, snm = int(stats["n"]), int(stats["snm"])
+    ssq = sum(int(r.sd) * int(r.sd) for r in dim_sums)
+    ratio_ppm = (
+        0
+        if snm == 0
+        else int(
+            math.floor((1000000.0 * math.sqrt(float(ssq))) / float(snm))
+        )
+    )
+    out = [
+        (
+            n,
+            int(stats["mind"]),
+            int(stats["maxd"]),
+            int(stats["zeroes"]),
+            snm // n,
+            ratio_ppm,
+        )
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "n_vectors long, min_dims long, max_dims long, "
+        "zero_norm_count long, avg_norm_micro long, "
+        "resultant_ratio_ppm long",
+    )
+
+
+def embedding_health_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replica: identical micro-unit quantization, integer
+    norm/zero counts, HUGEINT Σ(Σ_d q)² resultant numerator, and the
+    same final double expression."""
+    return f"""
+WITH qv AS (
+  SELECT list_transform({vec_col},
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         AS q,
+         CAST(len({vec_col}) AS BIGINT) AS dims
+  FROM {table}
+), rws AS (
+  SELECT dims, q,
+         list_reduce(list_transform(q, v -> v * v), (a, b) -> a + b)
+           AS nsq
+  FROM qv
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(dims) AS BIGINT) AS mind,
+         CAST(MAX(dims) AS BIGINT) AS maxd,
+         CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zeroes,
+         SUM(CAST(floor(sqrt(CAST(nsq AS DOUBLE)) + 0.5) AS BIGINT))
+           AS snm
+  FROM rws
+), ex AS (
+  SELECT unnest(q) AS v, generate_subscripts(q, 1) AS d FROM rws
+), ds AS (
+  SELECT d, SUM(v) AS sd FROM ex GROUP BY d
+), s2 AS (
+  SELECT SUM(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS ssq FROM ds
+)
+SELECT stats.n AS n_vectors, stats.mind AS min_dims,
+       stats.maxd AS max_dims, stats.zeroes AS zero_norm_count,
+       CAST(stats.snm // stats.n AS BIGINT) AS avg_norm_micro,
+       CAST(CASE WHEN stats.snm = 0 THEN 0
+            ELSE floor((1000000.0 * sqrt(CAST(s2.ssq AS DOUBLE)))
+                       / CAST(stats.snm AS DOUBLE)) END AS BIGINT)
+         AS resultant_ratio_ppm
+FROM stats, s2
+"""

@@ -451,6 +451,12 @@ def x_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.evaluate_retrieval(run, qrels, k=10, doc_col="vec_id")
 
 
+def x_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import drift
+
+    return drift.embedding_health(table(spark, sf_dir, "embeddings"))
+
+
 def x_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed chain: BQ shortlist → exact-cosine relevance → MMR
     diversification — one unrolled-CTE oracle certifies the greedy
@@ -576,6 +582,7 @@ EXTENDED_QUERIES = {
     "x_line_dedup": x_line_dedup,
     "x_retrieval_eval": x_retrieval_eval,
     "x_mmr": x_mmr,
+    "x_embedding_health": x_embedding_health,
 }
 
 
@@ -707,6 +714,7 @@ def extended_oracles() -> dict[str, str]:
             doc_col="vec_id",
         ),
         "x_mmr": similarity.mmr_oracle_sql(_mmr_candidates_sql(), k=5),
+        "x_embedding_health": drift.embedding_health_oracle_sql(),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus
         "x_bm25_index": text.bm25_oracle_sql(["spark", "vector", "scan"]),

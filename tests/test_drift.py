@@ -375,3 +375,56 @@ def test_psi_composed_monitors_keep_caches(spark):
         "two monitors x two sides, no post-eviction re-runs)"
     )
     release_cached()
+
+
+def test_embedding_health_matches_oracle(spark):
+    """r13: the embedding-space health report replicates bit-for-bit
+    at both SFs — micro-unit quantization makes every cross-row
+    reduction an exact integer sum."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = table(spark, sf, "embeddings")
+        got = drift.embedding_health(emb).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = con.execute(drift.embedding_health_oracle_sql()).df()
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+        assert got.resultant_ratio_ppm.iloc[0] < 1_000_000
+
+
+def test_embedding_health_semantics(spark):
+    """Planted fixtures: an anisotropy-collapsed corpus (all vectors
+    identical) scores ratio ~1e6; two opposite vectors cancel to ~0;
+    zero-norm rows are counted; budget violations and empty input
+    raise; partitioning-invariant."""
+    same = spark.createDataFrame(
+        [([1.0, 0.0],), ([1.0, 0.0],), ([1.0, 0.0],)],
+        "embedding array<float>",
+    )
+    r = drift.embedding_health(same).collect()[0]
+    assert r.n_vectors == 3 and r.zero_norm_count == 0
+    assert r.min_dims == r.max_dims == 2
+    assert abs(r.resultant_ratio_ppm - 1_000_000) <= 1
+    assert r.avg_norm_micro == 1_000_000
+
+    opposed = spark.createDataFrame(
+        [([1.0, 0.0],), ([-1.0, 0.0],), ([0.0, 0.0],)],
+        "embedding array<float>",
+    )
+    r2 = drift.embedding_health(opposed).collect()[0]
+    assert r2.zero_norm_count == 1
+    assert r2.resultant_ratio_ppm == 0  # resultant cancels exactly
+
+    base = drift.embedding_health(same).toPandas()
+    alt = drift.embedding_health(same.repartition(3)).toPandas()
+    assert alt.equals(base)
+
+    import pyspark.errors
+
+    big = spark.createDataFrame([([100.0],)], "embedding array<float>")
+    with pytest.raises(Exception, match="budget"):
+        drift.embedding_health(big).collect()
+    with pytest.raises(ValueError, match="empty"):
+        drift.embedding_health(same.filter("size(embedding) = 99"))
