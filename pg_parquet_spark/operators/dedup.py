@@ -2603,8 +2603,6 @@ def strip_boilerplate_lines(
     exploded lines is hash-keyed; at real corpus scale the boilerplate
     set is a tiny fraction of distinct lines and AQE broadcasts it.
     """
-    import re as _re
-
     if mode not in ("keep_first", "drop"):
         raise ValueError(
             f"strip_boilerplate_lines: mode must be 'keep_first' or "
@@ -2614,13 +2612,7 @@ def strip_boilerplate_lines(
         raise ValueError(
             f"strip_boilerplate_lines: min_docs must be >= 2, got {min_docs}"
         )
-    pat = _re.escape(delim)
-    lines = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), pat, -1)).alias(
-            "_pos", "_line"
-        ),
-    ).withColumn("_h", F.md5("_line"))
+    lines, base = _line_frames(df, id_col, text_col, delim)
     boiler = (
         lines.groupBy("_h")
         .agg(
@@ -2637,34 +2629,7 @@ def strip_boilerplate_lines(
         )
     else:
         kept = joined.filter(F.col("_keeper").isNull())
-    rebuilt = kept.groupBy("_id").agg(
-        F.concat_ws(
-            delim,
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
-                lambda s: s["_line"],
-            ),
-        ).alias("text_clean"),
-        F.count(F.lit(1)).cast("long").alias("_nkept"),
-    )
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(F.split(F.col(text_col), pat, -1))
-        .cast("long")
-        .alias("n_lines"),
-    )
-    return (
-        base.join(rebuilt, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("_nkept", F.lit(0)))
-            .cast("long")
-            .alias("n_lines_dropped"),
-        )
-        .orderBy(id_col)
-    )
+    return _rebuild_lines(base, kept, id_col, delim)
 
 
 def strip_boilerplate_oracle_sql(
@@ -2714,5 +2679,239 @@ SELECT d._id AS {id_col},
        CAST(len(d._l) - COALESCE(r._nkept, 0) AS BIGINT)
          AS n_lines_dropped
 FROM docs_l d LEFT JOIN rebuilt r USING (_id)
+ORDER BY {id_col}
+"""
+
+
+def _line_frames(df, id_col, text_col, delim):
+    """(lines, n_lines_per_doc_frame) for the boilerplate-line family:
+    (_id, _pos, _line, _h) plus the per-doc split size."""
+    import re as _re
+
+    pat = _re.escape(delim)
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_h", F.md5("_line"))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), pat, -1))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return lines, base
+
+
+def _rebuild_lines(base, kept, id_col, delim):
+    """Reassemble (id, text_clean, n_lines, n_lines_dropped) from the
+    surviving (_id, _pos, _line) occurrences — the one data-sized
+    exchange the line family pays."""
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("_nkept"),
+    )
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_nkept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def build_line_index(
+    df: DataFrame,
+    uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> None:
+    """Persist the LINE-frequency index (r13 — the incremental
+    counterpart of :func:`strip_boilerplate_lines`, structured like
+    the gram/fingerprint/MinHash indexes): one row per DISTINCT
+    (line hash, doc id) pair, published through the versioned pointer.
+    Distinct-doc counts derive by grouping at read time, so replayed
+    merges stay exactly idempotent (the pair IS the merge key — no
+    counter to double-increment).
+
+    Honest size note: ~one row of (32-char hex, long) per distinct
+    line-per-doc — line-count-of-corpus rows; dictionary encoding
+    compresses the repeated hashes hard. The per-doc text never
+    persists."""
+    from pg_parquet_spark.sources.layout import publish_snapshot
+
+    lines, _ = _line_frames(df, id_col, text_col, delim)
+    pairs = lines.select(
+        F.col("_h").alias("line_h"), F.col("_id").alias("doc_id")
+    ).distinct()
+    publish_snapshot(df.sparkSession, uri.rstrip("/"), pairs)
+
+
+def strip_boilerplate_incremental(
+    spark,
+    new_docs: DataFrame,
+    index_uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Ingest-time boilerplate-line removal against the persisted line
+    index (r13): a batch line is boilerplate when
+    ``index_docs + batch_docs >= min_docs``. If the CORPUS already
+    contains the line, every batch occurrence drops (the corpus's
+    first doc is by definition the keeper); a batch-internal fresh
+    line crossing the threshold keeps its lowest-batch-id copy (the
+    :func:`strip_boilerplate_lines` keep-first rule). Returns
+    (id, text_clean, n_lines, n_lines_dropped), ordered.
+
+    Commit order (the incremental-dedup family rule): publish the
+    stripped text FIRST, then :func:`commit_line_docs` — a crash
+    between the two undercounts future thresholds by one batch but
+    never claims lines the corpus doesn't have.
+
+    Scale shape: batch lines shuffle on the 16-byte hash against the
+    index counts (key-partitioned hash join — the index never
+    broadcasts); the rebuild touches batch rows only; the corpus text
+    is never read. Bootstrap: a missing index is an empty pair set —
+    the first batch strips only against itself."""
+    from pg_parquet_spark.sources import layout
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    if min_docs < 2:
+        raise ValueError(
+            f"strip_boilerplate_incremental: min_docs must be >= 2, "
+            f"got {min_docs}"
+        )
+    lines, base = _line_frames(new_docs, id_col, text_col, delim)
+    if layout.read_manifest(index_uri.rstrip("/")) is None:
+        idx_counts = spark.createDataFrame([], "_h string, _nidx long")
+    else:
+        idx_counts = (
+            read_parquet(spark, index_uri.rstrip("/"))
+            .groupBy(F.col("line_h").alias("_h"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_nidx"))
+        )
+    bd = lines.groupBy("_h").agg(
+        F.countDistinct("_id").alias("_nb"),
+        F.min("_id").alias("_bkeeper"),
+    )
+    verdict = bd.join(idx_counts, "_h", "left").select(
+        "_h",
+        F.coalesce("_nidx", F.lit(0).cast("long")).alias("_nidx"),
+        "_nb",
+        "_bkeeper",
+    )
+    joined = lines.join(verdict, "_h")
+    dropped_pred = (F.col("_nidx") + F.col("_nb") >= F.lit(min_docs)) & (
+        (F.col("_nidx") >= 1) | (F.col("_id") != F.col("_bkeeper"))
+    )
+    kept = joined.filter(~dropped_pred)
+    return _rebuild_lines(base, kept, id_col, delim)
+
+
+def commit_line_docs(
+    spark,
+    published: DataFrame,
+    index_uri: str,
+    id_col: str = "doc_id",
+    text_col: str = "text_clean",
+    delim: str = "\n",
+) -> None:
+    """MERGE the PUBLISHED (post-strip) batch text's distinct
+    (line hash, doc) pairs into the line index — after the corpus
+    publish, the family's commit-order rule. (line_h, doc_id)-keyed
+    MERGE: a replay re-lands identical pair rows, so counts never
+    double-increment."""
+    from pg_parquet_spark.sources import layout
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    index_uri = index_uri.rstrip("/")
+    lines, _ = _line_frames(published, id_col, text_col, delim)
+    pairs = lines.select(
+        F.col("_h").alias("line_h"), F.col("_id").alias("doc_id")
+    ).distinct()
+    if pairs.isEmpty():
+        return
+    if layout.read_manifest(index_uri) is None:
+        layout.publish_snapshot(spark, index_uri, pairs)
+        return
+    fresh = pairs.join(
+        read_parquet(spark, index_uri),
+        ["line_h", "doc_id"],
+        "left_anti",
+    )
+    if fresh.isEmpty():
+        return
+    layout.merge_upsert(
+        spark, index_uri, fresh, ["line_h", "doc_id"], versioned=True
+    )
+
+
+def strip_boilerplate_incremental_oracle_sql(
+    corpus_where: str,
+    batch_where: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_docs: int = 2,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: index = distinct (line, doc) pairs over the
+    corpus predicate; batch lines drop when corpus+batch distinct docs
+    cross the threshold (corpus-known lines drop everywhere,
+    batch-fresh keep the lowest batch id). Groups on the raw line
+    where the engine groups on md5(line)."""
+    d = delim.replace("'", "''")
+    return f"""
+WITH cdocs AS (
+  SELECT {id_col} AS _id, string_split({text_col}, '{d}') AS _l
+  FROM {table} WHERE {corpus_where}
+), clines AS (
+  SELECT DISTINCT _id, unnest(_l) AS _line FROM cdocs
+), icounts AS (
+  SELECT _line, CAST(COUNT(*) AS BIGINT) AS n_idx
+  FROM clines GROUP BY _line
+), bdocs AS (
+  SELECT {id_col} AS _id, string_split({text_col}, '{d}') AS _l
+  FROM {table} WHERE {batch_where}
+), blines AS (
+  SELECT _id, CAST(p AS BIGINT) AS _pos, _l[CAST(p AS BIGINT) + 1] AS _line
+  FROM (SELECT _id, _l, unnest(range(0, len(_l))) AS p FROM bdocs)
+), bd AS (
+  SELECT _line, COUNT(DISTINCT _id) AS nb, MIN(_id) AS bkeeper
+  FROM blines GROUP BY _line
+), verdict AS (
+  SELECT b._line, COALESCE(i.n_idx, 0) AS n_idx, b.nb, b.bkeeper
+  FROM bd b LEFT JOIN icounts i ON b._line = i._line
+), kept AS (
+  SELECT l._id, l._pos, l._line
+  FROM blines l JOIN verdict v ON l._line = v._line
+  WHERE NOT (v.n_idx + v.nb >= {min_docs}
+             AND (v.n_idx >= 1 OR l._id <> v.bkeeper))
+), rebuilt AS (
+  SELECT _id, string_agg(_line, '{d}' ORDER BY _pos) AS text_clean,
+         CAST(COUNT(*) AS BIGINT) AS _nkept
+  FROM kept GROUP BY _id
+)
+SELECT d._id AS {id_col},
+       COALESCE(r.text_clean, '') AS text_clean,
+       CAST(len(d._l) AS BIGINT) AS n_lines,
+       CAST(len(d._l) - COALESCE(r._nkept, 0) AS BIGINT)
+         AS n_lines_dropped
+FROM bdocs d LEFT JOIN rebuilt r USING (_id)
 ORDER BY {id_col}
 """

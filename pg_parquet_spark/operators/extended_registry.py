@@ -305,6 +305,24 @@ def x_strip_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_line_x_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    dedup.build_line_index(
+        docs.filter("doc_id % 2 = 0"), idx, delim=" line "
+    )
+    return dedup.strip_boilerplate_incremental(
+        spark, docs.filter("doc_id % 2 = 1"), idx, delim=" line "
+    )
+
+
 def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import dedup
 
@@ -583,6 +601,7 @@ EXTENDED_QUERIES = {
     "x_retrieval_eval": x_retrieval_eval,
     "x_mmr": x_mmr,
     "x_embedding_health": x_embedding_health,
+    "x_line_dedup_incremental": x_line_dedup_incremental,
 }
 
 
@@ -715,6 +734,11 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_mmr": similarity.mmr_oracle_sql(_mmr_candidates_sql(), k=5),
         "x_embedding_health": drift.embedding_health_oracle_sql(),
+        "x_line_dedup_incremental": (
+            dedup.strip_boilerplate_incremental_oracle_sql(
+                "doc_id % 2 = 0", "doc_id % 2 = 1", delim=" line "
+            )
+        ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus
         "x_bm25_index": text.bm25_oracle_sql(["spark", "vector", "scan"]),

@@ -1493,3 +1493,88 @@ def drain_with_term_index(
         raise TimeoutError(
             f"term-index drain did not finish within {timeout_sec}s"
         )
+
+
+def drain_with_line_dedup(
+    sdf: DataFrame,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_docs: int = 2,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming ingestion with inline BOILERPLATE-LINE removal (r13 —
+    the line-family member of the ingest-drain set): each micro-batch
+    strips every line the persisted line index says the corpus+batch
+    already carries in >= ``min_docs`` distinct documents
+    (``dedup.strip_boilerplate_incremental``; corpus-known lines drop
+    everywhere, batch-fresh boilerplate keeps its lowest-batch-id
+    copy), fully-emptied documents are dropped, survivors publish
+    their REWRITTEN text through the versioned sink, and only then do
+    the published text's (line, doc) pairs merge into the index
+    (``dedup.commit_line_docs`` — pair-keyed, replay-idempotent).
+
+    Crash/replay: the family's convergence argument carries — corpus
+    visibility exactly-once by manifest; the pair commit at-least-once
+    but idempotent; a crash between corpus publish and pair commit
+    undercounts future thresholds by one batch, never corpus truth.
+    Index self-bootstraps on the first batch.
+
+    Framing note: which lines cross the threshold WITHIN a batch
+    depends on micro-batch boundaries, so (like the span drain) the
+    result is framing-dependent; the same mechanical fingerprint
+    (count + id range + id checksum per tranche, persisted next to
+    the index) rejects a replayed batch id carrying different rows
+    before anything strips or publishes."""
+    from pg_parquet_spark.operators import dedup as dedup_ops
+    from pyspark.sql import functions as SF
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(
+        corpus_root, partition_by, writer_id=writer_id
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        framing = dedup_ops.span_framing_fingerprint(batch_df, id_col)
+        dedup_ops.check_span_framing(index_root, batch_id, framing)
+        stripped = dedup_ops.strip_boilerplate_incremental(
+            spark,
+            batch_df,
+            index_root,
+            id_col=id_col,
+            text_col=text_col,
+            delim=delim,
+            min_docs=min_docs,
+        ).filter(SF.col("n_lines_dropped") < SF.col("n_lines"))
+        kept = stripped.select(
+            SF.col(id_col), SF.col("text_clean").alias(text_col)
+        )
+        sink(kept, batch_id)
+        dedup_ops.commit_line_docs(
+            spark,
+            stripped,
+            index_root,
+            id_col=id_col,
+            text_col="text_clean",
+            delim=delim,
+        )
+        dedup_ops.record_span_framing(index_root, batch_id, framing)
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"line-dedup drain did not finish within {timeout_sec}s"
+        )

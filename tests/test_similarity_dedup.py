@@ -2131,3 +2131,89 @@ def test_mmr_rerank_matches_unrolled_oracle(spark):
         assert len(got) == len(want) == 10, sf
         for c in got.columns:
             assert list(got[c]) == list(want[c]), (sf, c)
+
+
+def test_strip_boilerplate_incremental_matches_oracle(spark, tmp_path):
+    """r13: ingest-time boilerplate-line removal against the persisted
+    line index replicates the predicate-split DuckDB chain bit-for-bit
+    at both SFs (corpus-known lines drop everywhere; batch-fresh
+    boilerplate keeps the lowest batch id)."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        idx = str(tmp_path / f"line_idx_{sf[-3:]}")
+        dedup.build_line_index(
+            docs.filter("doc_id % 2 = 0"), idx, delim=" line "
+        )
+        got = dedup.strip_boilerplate_incremental(
+            spark, docs.filter("doc_id % 2 = 1"), idx, delim=" line "
+        ).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            dedup.strip_boilerplate_incremental_oracle_sql(
+                "doc_id % 2 = 0", "doc_id % 2 = 1", delim=" line "
+            )
+        ).df()
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+        assert int(got.n_lines_dropped.sum()) > 0
+
+
+def test_strip_boilerplate_incremental_semantics(spark, tmp_path):
+    """Corpus-known lines drop from every batch doc (keeper is in the
+    corpus); a batch-internal fresh boilerplate line keeps its lowest
+    batch id; a replayed commit is idempotent (no new index version);
+    missing index bootstraps; bad min_docs raises."""
+    from pg_parquet_spark.sources import layout
+
+    footer = "shared corpus footer"
+    corpus = spark.createDataFrame(
+        [(1, "corpus body one\n" + footer)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "inc_idx")
+    dedup.build_line_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [
+            (10, footer + "\nfresh batch alpha"),
+            (11, "twin batch line\nunique beta"),
+            (12, "twin batch line\nunique gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.strip_boilerplate_incremental(
+            spark, batch, idx
+        ).collect()
+    }
+    assert out[10].text_clean == "fresh batch alpha"  # corpus-known drops
+    assert out[11].text_clean == "twin batch line\nunique beta"  # keeper
+    assert out[12].text_clean == "unique gamma"  # later copy drops
+
+    # commit published pairs; replaying the identical commit is a no-op
+    stripped = dedup.strip_boilerplate_incremental(spark, batch, idx)
+    dedup.commit_line_docs(spark, stripped, idx)
+    v = layout.read_manifest(idx)["version"]
+    dedup.commit_line_docs(spark, stripped, idx)
+    assert layout.read_manifest(idx)["version"] == v
+
+    # bootstrap: missing index = empty pair set (batch-internal only)
+    fresh_idx = str(tmp_path / "none_idx")
+    boot = {
+        r.doc_id: r
+        for r in dedup.strip_boilerplate_incremental(
+            spark, batch, fresh_idx
+        ).collect()
+    }
+    assert boot[10].text_clean == batch.collect()[0].text  # footer unknown
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        dedup.strip_boilerplate_incremental(spark, batch, idx, min_docs=1)

@@ -1140,3 +1140,122 @@ def test_streaming_term_index_drain_and_crash_drill(spark, tmp_path, monkeypatch
     )
     again = text.bm25_index_topk(spark, index, terms).toPandas()
     assert again.values.tolist() == got.values.tolist()
+
+
+def test_streaming_line_dedup_drain(spark, tmp_path):
+    """r13: the boilerplate-line ingest drain — a later batch's copy of
+    a published line never lands, batch-internal boilerplate keeps its
+    first copy, fully-emptied docs are dropped, the index
+    self-bootstraps, and idle replays move nothing."""
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_line_dedup
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "line_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    footer = "subscribe banner"
+    t1 = spark.createDataFrame(
+        [(1, "real body one\n" + footer),
+         (2, footer + "\nreal body two")],
+        "doc_id long, text string",
+    )
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_line_dedup(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, checkpoint=ckpt,
+    )
+    landed = {r.doc_id: r.text for r in read_parquet(spark, corpus).collect()}
+    # batch-internal boilerplate: doc 1 (lowest id) keeps the footer
+    assert landed[1] == "real body one\n" + footer
+    assert landed[2] == "real body two"
+
+    t2 = spark.createDataFrame(
+        [(10, footer),                      # corpus-known only -> dropped
+         (11, footer + "\nfresh content")],  # rewritten
+        "doc_id long, text string",
+    )
+    t2.coalesce(1).write.mode("append").parquet(src)
+    drain_with_line_dedup(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, checkpoint=ckpt,
+    )
+    landed = {r.doc_id: r.text for r in read_parquet(spark, corpus).collect()}
+    assert 10 not in landed
+    assert landed[11] == "fresh content"
+
+    vc = layout.read_manifest(corpus)["version"]
+    vi = layout.read_manifest(index)["version"]
+    drain_with_line_dedup(
+        spark.readStream.schema(t1.schema).parquet(src),
+        corpus, index, checkpoint=ckpt,
+    )
+    assert layout.read_manifest(corpus)["version"] == vc
+    assert layout.read_manifest(index)["version"] == vi
+
+
+def test_streaming_line_dedup_crash_mid_publish(spark, tmp_path, monkeypatch):
+    """The line drain's mechanical crash drill (the family pattern):
+    crash inside the second tranche's corpus publish — readers keep
+    seeing tranche 1, the replay re-stages and flips, and the final
+    corpus equals the same two-tranche sequence without a crash."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_line_dedup
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "line_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    t1 = docs.filter("doc_id % 2 = 0")
+    t2 = docs.filter("doc_id % 2 = 1")
+    kw = dict(delim=" line ", checkpoint=ckpt)
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain_with_line_dedup(
+        spark.readStream.schema(t1.schema).parquet(src), corpus, index, **kw
+    )
+    n1 = read_parquet(spark, corpus).count()
+    assert n1 > 0
+
+    real_pub = layout._publish_manifest
+
+    def crashing_pub(root, manifest, **pkw):
+        if root.rstrip("/") == corpus and manifest["version"] > 1:
+            raise RuntimeError("simulated crash mid publish")
+        return real_pub(root, manifest, **pkw)
+
+    monkeypatch.setattr(layout, "_publish_manifest", crashing_pub)
+    t2.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="simulated crash"):
+        drain_with_line_dedup(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, index, **kw,
+        )
+    monkeypatch.setattr(layout, "_publish_manifest", real_pub)
+    assert read_parquet(spark, corpus).count() == n1
+
+    drain_with_line_dedup(
+        spark.readStream.schema(t1.schema).parquet(src), corpus, index, **kw
+    )
+    ref_src = str(tmp_path / "ref_src")
+    ref_corpus = str(tmp_path / "ref_corpus")
+    ref_index = str(tmp_path / "ref_index")
+    for t in (t1, t2):
+        t.coalesce(1).write.mode("append").parquet(ref_src)
+        drain_with_line_dedup(
+            spark.readStream.schema(t1.schema).parquet(ref_src),
+            ref_corpus, ref_index, delim=" line ",
+            checkpoint=str(tmp_path / "ref_ckpt"),
+        )
+    got = sorted(
+        map(tuple, read_parquet(spark, corpus).select("doc_id", "text").collect())
+    )
+    want = sorted(
+        map(tuple, read_parquet(spark, ref_corpus).select("doc_id", "text").collect())
+    )
+    assert got == want and len(got) > 0
