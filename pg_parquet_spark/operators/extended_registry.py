@@ -439,6 +439,19 @@ def x_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_growth(_docs(spark, sf_dir))
 
 
+def x_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir).withColumn("score", F.col("n_chars"))
+    return sampling.rank_normalize_scores(docs)
+
+
+def x_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import text
+
+    return text.oov_rate(_docs(spark, sf_dir), vocab_size=20)
+
+
 def x_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import text
 
@@ -602,6 +615,8 @@ EXTENDED_QUERIES = {
     "x_mmr": x_mmr,
     "x_embedding_health": x_embedding_health,
     "x_line_dedup_incremental": x_line_dedup_incremental,
+    "x_oov_rate": x_oov_rate,
+    "x_score_calibrate": x_score_calibrate,
 }
 
 
@@ -738,6 +753,10 @@ def extended_oracles() -> dict[str, str]:
             dedup.strip_boilerplate_incremental_oracle_sql(
                 "doc_id % 2 = 0", "doc_id % 2 = 1", delim=" line "
             )
+        ),
+        "x_oov_rate": text.oov_rate_oracle_sql(vocab_size=20),
+        "x_score_calibrate": sampling.rank_normalize_oracle_sql(
+            score_expr="n_chars"
         ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus

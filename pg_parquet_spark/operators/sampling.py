@@ -1243,3 +1243,88 @@ FROM ranked r JOIN quota q ON r.grp = q.grp
 WHERE r.rn <= q.cap
 ORDER BY r.{key_col}
 """
+
+
+def rank_normalize_scores(
+    df: DataFrame,
+    group_col: str = "source",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group rank normalization of a score column (r13 — the
+    cross-source CALIBRATION step quality pipelines need before mixing:
+    a logit of 0.8 from one classifier/source is not comparable to 0.8
+    from another, but "the 90th percentile of its own source" is).
+    Each row gets its 1-based rank within its group under
+    (score asc, id asc) and the uniform calibrated score
+    ``rank · 1e6 div group_size`` ∈ (0, 1e6] — equal-sized groups map
+    to identical calibrated distributions regardless of raw scale.
+    Returns (group, id, rank_in_group, calib_ppm), ordered.
+
+    NULL scores fail loudly IN the main projection (the kfold rule) —
+    a NULL would rank differently across engines (Spark sorts NULLs
+    first ascending, DuckDB last); coalesce to a sentinel upstream.
+
+    Scale shape: the global rank is
+    :func:`distrank.distributed_row_number` over (group, score, id) —
+    one range exchange + per-partition windows + a broadcast offsets
+    frame, NEVER a per-group window (a skewed source would funnel its
+    whole group through one task); per-group rank = global rank −
+    group's first global rank + 1, from one group-keyed aggregate."""
+    from pg_parquet_spark.operators.distrank import distributed_row_number
+
+    checked = F.when(
+        F.col(score_col).isNotNull(), F.col(score_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"rank_normalize_scores: NULL {score_col} — NULL order "
+                "differs across engines; coalesce to a sentinel first"
+            )
+        )
+    )
+    base = df.select(
+        F.col(group_col), F.col(id_col), checked.alias("_s")
+    )
+    ranked = distributed_row_number(
+        base, [group_col, "_s", id_col], "_grk"
+    )
+    bounds = ranked.groupBy(group_col).agg(
+        F.min("_grk").alias("_first"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    return (
+        ranked.join(bounds, group_col)
+        .select(
+            group_col,
+            id_col,
+            (F.col("_grk") - F.col("_first") + 1)
+            .cast("long")
+            .alias("rank_in_group"),
+            F.expr("(_grk - _first + 1) * 1000000 div _n").alias(
+                "calib_ppm"
+            ),
+        )
+        .orderBy(group_col, "rank_in_group")
+    )
+
+
+def rank_normalize_oracle_sql(
+    group_col: str = "source",
+    score_expr: str = "score",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: the per-group single-window form — equality
+    against it is the distrank composition proof."""
+    return f"""
+SELECT {group_col}, {id_col},
+       CAST(ROW_NUMBER() OVER (PARTITION BY {group_col}
+            ORDER BY {score_expr}, {id_col}) AS BIGINT) AS rank_in_group,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {group_col}
+            ORDER BY {score_expr}, {id_col}) * 1000000
+            // COUNT(*) OVER (PARTITION BY {group_col}) AS BIGINT)
+         AS calib_ppm
+FROM {table}
+ORDER BY {group_col}, rank_in_group
+"""

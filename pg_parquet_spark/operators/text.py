@@ -2076,3 +2076,100 @@ SELECT {id_col}, n_chars, mojibake_hits,
              ELSE 0 END) <= {max_ppm} AS clean
 FROM scored ORDER BY {id_col}
 """
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ppm: int = 200_000,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    frozen top-``vocab_size`` vocabulary (r13 — the tokenizer-fit
+    signal: a document whose tokens mostly fall outside the vocabulary
+    the tokenizer was fit on fragments into long byte-level sequences
+    and wastes context budget; high-OOV docs are routed to re-training
+    or dropped). Returns
+    (id, n_tokens, oov_tokens, oov_ppm, in_vocab), ordered by id.
+
+    Determinism: the vocabulary is :func:`vocab_top_terms`'s cut
+    (count desc, term asc — engine-invariant) collected ONCE
+    driver-side and baked into the plan as an array literal (the
+    frozen-model pattern), so the per-doc pass is a single codegen
+    projection — zero shuffle, no join. Integer-exact ppm.
+
+    Scale shape: one vocab aggregate (word-keyed count, map-side
+    combine) + one projection over the corpus. ``vocab_size`` is
+    bounded at 10k literals — beyond that, switch the membership test
+    to a broadcast join."""
+    if not 1 <= vocab_size <= 10_000:
+        raise ValueError(
+            f"oov_rate: vocab_size must be in [1, 10000], got {vocab_size}"
+        )
+    vocab = [
+        r.term for r in vocab_top_terms(df, text_col, vocab_size).collect()
+    ]
+    vocab_arr = F.array(*[F.lit(t) for t in sorted(vocab)])
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    oov = F.size(
+        F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))
+    ).cast("long")
+    ppm = (
+        F.when(n_tok > 0, (oov * F.lit(1_000_000)) / n_tok)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            oov.alias("oov_tokens"),
+            ppm.alias("oov_ppm"),
+            (ppm <= F.lit(max_ppm)).alias("in_vocab"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def oov_rate_oracle_sql(
+    vocab_size: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ppm: int = 200_000,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: the same (count desc, term asc) vocabulary cut,
+    unnest + anti-membership count, integer ppm."""
+    return f"""
+WITH vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower({text_col}), ' ')) AS term
+          FROM {table})
+    GROUP BY term ORDER BY n DESC, term LIMIT {vocab_size}
+  )
+), toks AS (
+  SELECT {id_col}, string_split(lower({text_col}), ' ') AS ts
+  FROM {table}
+), ex AS (
+  SELECT {id_col}, unnest(ts) AS t FROM toks
+), oov AS (
+  SELECT e.{id_col},
+         CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS oov_tokens
+  FROM ex e LEFT JOIN vocab v ON e.t = v.term
+  GROUP BY e.{id_col}
+)
+SELECT t.{id_col}, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       COALESCE(o.oov_tokens, 0) AS oov_tokens,
+       CAST(CASE WHEN len(t.ts) > 0
+            THEN (COALESCE(o.oov_tokens, 0) * 1000000) // len(t.ts)
+            ELSE 0 END AS BIGINT) AS oov_ppm,
+       (CASE WHEN len(t.ts) > 0
+            THEN (COALESCE(o.oov_tokens, 0) * 1000000) // len(t.ts)
+            ELSE 0 END) <= {max_ppm} AS in_vocab
+FROM toks t LEFT JOIN oov o USING ({id_col})
+ORDER BY t.{id_col}
+"""

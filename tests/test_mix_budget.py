@@ -4,6 +4,7 @@ exact mix shares, loud contracts, partition invariance."""
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from pg_parquet_spark.operators import sampling
 from pg_parquet_spark.session import table
@@ -403,3 +404,54 @@ def test_temperature_mix_flattens_and_validates(spark):
     )
     with pytest.raises(ValueError, match="NULL in group column"):
         sampling.temperature_mix(null_df, "source", "doc_id", total=1)
+
+
+def test_rank_normalize_scores_matches_oracle(spark):
+    """r13: per-source rank calibration — the distrank composition
+    (range exchange + per-partition windows + broadcast offsets)
+    equals the per-group single-window oracle bit-for-bit at both SFs
+    and at any partitioning."""
+    import duckdb
+
+    from pg_parquet_spark.operators import sampling
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = table(spark, sf, "documents").withColumn(
+            "score", F.col("n_chars")
+        )
+        got = sampling.rank_normalize_scores(docs).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            sampling.rank_normalize_oracle_sql(score_expr="n_chars")
+        ).df()
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+    for n in (1, 4, 32):
+        alt = sampling.rank_normalize_scores(docs.repartition(n)).toPandas()
+        assert alt.equals(got), n
+
+
+def test_rank_normalize_scores_semantics(spark):
+    """Equal-sized groups calibrate to identical distributions
+    regardless of raw scale; the top of every group lands at 1e6 ppm;
+    NULL scores raise loudly."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import sampling
+
+    rows = [("a", i, float(i)) for i in range(1, 5)]
+    rows += [("b", 10 + i, 1000.0 * i) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, score double")
+    out = sampling.rank_normalize_scores(df).toPandas()
+    a = out[out.source == "a"].calib_ppm.tolist()
+    b = out[out.source == "b"].calib_ppm.tolist()
+    assert a == b == [250_000, 500_000, 750_000, 1_000_000]
+
+    bad = df.withColumn(
+        "score", F.when(F.col("doc_id") == 2, None).otherwise(F.col("score"))
+    )
+    with _pytest.raises(Exception, match="NULL score"):
+        sampling.rank_normalize_scores(bad).collect()

@@ -273,3 +273,38 @@ def test_encoding_quality_flags_planted_mojibake(spark):
         got.mojibake_ppm
         == (got.mojibake_hits * 1_000_000) // got.n_chars
     ).all()
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_oov_rate_matches_oracle(spark, sf):
+    """r13: per-doc OOV rate against the frozen top-K vocabulary
+    replicates bit-for-bit — same (count desc, term asc) cut, integer
+    ppm; the vocab-20 cut leaves the synthetic corpus's tail terms
+    genuinely out-of-vocabulary."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.check_oracle import frame_digest
+
+    docs = table(spark, sf, "documents")
+    got = text.oov_rate(docs, vocab_size=20).toPandas()
+    want = _con(sf).execute(text.oov_rate_oracle_sql(vocab_size=20)).df()
+    assert frame_digest(got)[:3] == frame_digest(want)[:3]
+    assert int(got.oov_ppm.mean()) > 0
+
+
+def test_oov_rate_semantics(spark):
+    """Planted fixture: a doc made of vocabulary terms scores 0 ppm, a
+    wholly-novel doc scores 1e6 ppm and flags; vocab_size bounds
+    raise."""
+    rows = [(i, "common words here") for i in range(10)]
+    rows.append((99, "zzz qqq xxx"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.oov_rate(df, vocab_size=3).collect()}
+    assert out[0].oov_ppm == 0 and out[0].in_vocab
+    assert out[99].oov_ppm == 1_000_000 and not out[99].in_vocab
+    assert out[99].oov_tokens == 3
+    with pytest.raises(ValueError, match="vocab_size"):
+        text.oov_rate(df, vocab_size=0)
+    with pytest.raises(ValueError, match="vocab_size"):
+        text.oov_rate(df, vocab_size=10_001)
