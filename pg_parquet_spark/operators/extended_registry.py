@@ -439,6 +439,16 @@ def x_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_growth(_docs(spark, sf_dir))
 
 
+def x_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain: chunk windows → packed chunk key → chunk-corpus
+    BM25 → per-doc argmax — ONE chained oracle."""
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.chunked_search(
+        _docs(spark, sf_dir), ["spark", "vector", "scan"]
+    )
+
+
 def x_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import sampling
 
@@ -617,6 +627,7 @@ EXTENDED_QUERIES = {
     "x_line_dedup_incremental": x_line_dedup_incremental,
     "x_oov_rate": x_oov_rate,
     "x_score_calibrate": x_score_calibrate,
+    "x_chunk_search": x_chunk_search,
 }
 
 
@@ -757,6 +768,9 @@ def extended_oracles() -> dict[str, str]:
         "x_oov_rate": text.oov_rate_oracle_sql(vocab_size=20),
         "x_score_calibrate": sampling.rank_normalize_oracle_sql(
             score_expr="n_chars"
+        ),
+        "x_chunk_search": recipe.chunked_search_oracle_sql(
+            ["spark", "vector", "scan"]
         ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus

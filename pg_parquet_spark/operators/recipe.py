@@ -583,3 +583,153 @@ fused AS (
 SELECT id AS {doc_id_col}, n_lists, rrf_nano FROM fused
 ORDER BY rrf_nano DESC, {doc_id_col} LIMIT {top_k}
 """
+
+
+def chunked_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-granular lexical retrieval with doc-level max-pooling
+    (r13 — the RAG evidence-locating composition: rank fixed-size
+    token windows, return each document at the score of its BEST
+    window, so a long document with one dense passage beats a long
+    document with diffuse mentions). Composes
+    :func:`text.chunk_documents` → :func:`text.bm25_scores` over the
+    chunk table (its own N/avgdl — chunk-corpus statistics) → per-doc
+    argmax. Returns (id, best_chunk_id, n_chunks_matched,
+    score_micro) best-first, ties toward the lower id.
+
+    Chunk identity packs ``doc_id·2²⁰ + chunk_id`` into one long (the
+    duplicated_spans budget: integral ids < 2⁴³, < 2²⁰ chunks per doc
+    — both enforced in-pass), so the BM25 stage needs no composite
+    key.
+
+    Scale shape: chunking is a per-row codegen explode (no shuffle);
+    BM25's shuffles are (chunk, term)-keyed counts; the max-pool is
+    one doc-keyed aggregate over MATCHED chunks only; the final
+    top-k is TakeOrderedAndProject. Text shuffles once (the chunk
+    explode feeding the BM25 count) — the price every lexical scorer
+    pays."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from pg_parquet_spark.operators import text as text_ops
+
+    if not isinstance(
+        docs.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        raise TypeError(
+            f"chunked_search: {id_col} must be an integral column (got "
+            f"{docs.schema[id_col].dataType.simpleString()}) — the chunk "
+            "key packs id*2^20 + chunk_id into one long"
+        )
+    chunks = text_ops.chunk_documents(
+        docs, id_col, text_col, chunk_tokens, overlap
+    )
+    packed = F.when(
+        (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(1 << 43))
+        & (F.col("chunk_id") < F.lit(1 << 20)),
+        F.col(id_col) * F.lit(1 << 20) + F.col("chunk_id"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "chunked_search: id/chunk outside the packed-key "
+                "budget (id < 2^43, chunks < 2^20)"
+            )
+        )
+    )
+    scored = text_ops.bm25_scores(
+        chunks.select(packed.alias("_ck"), "chunk_text"),
+        query_terms,
+        id_col="_ck",
+        text_col="chunk_text",
+    )
+    parts = scored.select(
+        F.expr(f"_ck div {1 << 20}").cast("long").alias(id_col),
+        (F.col("_ck") % F.lit(1 << 20)).cast("long").alias("chunk_id"),
+        "score_micro",
+    )
+    return (
+        parts.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks_matched"),
+            F.max("score_micro").alias("score_micro"),
+            F.min(
+                F.struct(
+                    (-F.col("score_micro")).alias("ns"),
+                    F.col("chunk_id").alias("c"),
+                )
+            ).alias("_b"),
+        )
+        .select(
+            id_col,
+            F.col("_b.c").alias("best_chunk_id"),
+            "n_chunks_matched",
+            "score_micro",
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+        .limit(top_k)
+    )
+
+
+def chunked_search_oracle_sql(
+    query_terms: list[str],
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: identical chunk windows (integer ceil, clamped
+    tail slice), the packed chunk key, the bm25_scores expression over
+    the chunk table, and the per-doc argmax."""
+    from pg_parquet_spark.operators import text as text_ops
+
+    step = chunk_tokens - overlap
+    bm25 = text_ops.bm25_oracle_sql(
+        query_terms, table="chunks", id_col="_ck", text_col="chunk_text"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, string_split(lower({text_col}), ' ') AS toks
+  FROM {table}
+), spans AS (
+  SELECT _id, toks,
+         unnest(range(0, GREATEST(
+           (len(toks) - {overlap} + {step - 1}) // {step}, 1))) AS i
+  FROM base
+), chunks AS (
+  SELECT CAST(_id * {1 << 20} + i AS BIGINT) AS _ck,
+         array_to_string(
+           toks[CAST(i * {step} + 1 AS BIGINT)
+                : CAST(i * {step} + {chunk_tokens} AS BIGINT)], ' ')
+           AS chunk_text
+  FROM spans
+), scored AS (
+  {bm25}
+), parts AS (
+  SELECT CAST(_ck // {1 << 20} AS BIGINT) AS _id,
+         CAST(_ck % {1 << 20} AS BIGINT) AS chunk_id,
+         score_micro
+  FROM scored
+), pooled AS (
+  SELECT _id, chunk_id, score_micro,
+         CAST(COUNT(*) OVER (PARTITION BY _id) AS BIGINT)
+           AS n_chunks_matched,
+         ROW_NUMBER() OVER (PARTITION BY _id
+           ORDER BY score_micro DESC, chunk_id) AS rn
+  FROM parts
+)
+SELECT _id AS {id_col},
+       CAST(chunk_id AS BIGINT) AS best_chunk_id,
+       n_chunks_matched, score_micro
+FROM pooled WHERE rn = 1
+ORDER BY score_micro DESC, {id_col} LIMIT {top_k}
+"""

@@ -233,3 +233,52 @@ def test_hybrid_search_matches_chained_oracle(spark):
         # fusion semantics: every fused doc sits in >=1 list; docs in
         # both lists carry n_lists == 2
         assert set(got.n_lists) <= {1, 2}
+
+
+def test_chunked_search_matches_chained_oracle(spark):
+    """r13: chunk-granular BM25 with doc-level max-pooling — one
+    chained oracle certifies chunking (integer ceil windows, clamped
+    tail), the packed chunk key, chunk-corpus BM25, and the per-doc
+    argmax, bit-for-bit at both SFs."""
+    import duckdb
+
+    from pg_parquet_spark.session import table as _table
+
+    q = ["spark", "vector", "scan"]
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = _table(spark, sf, "documents")
+        got = recipe.chunked_search(docs, q).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(recipe.chunked_search_oracle_sql(q)).df()
+        assert len(got) == len(want) == 20, sf
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+
+
+def test_chunked_search_semantics(spark):
+    """A document whose query terms concentrate in one window outranks
+    a same-length document with the terms spread out (the max-pool
+    property); non-integral ids raise."""
+    from pyspark.sql import functions as SF
+
+    filler = " ".join(f"w{i}" for i in range(28))
+    dense = "alpha beta alpha beta " + filler          # terms in window 1
+    spread = ("alpha " + filler[: len(filler) // 2] + " beta "
+              + filler[len(filler) // 2:] + " alpha beta").replace("  ", " ")
+    df = spark.createDataFrame(
+        [(1, dense), (2, spread)], "doc_id long, text string"
+    )
+    out = recipe.chunked_search(
+        df, ["alpha", "beta"], chunk_tokens=8, overlap=2, top_k=5
+    ).toPandas()
+    assert list(out.doc_id)[0] == 1  # dense window wins
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="integral"):
+        recipe.chunked_search(
+            df.withColumn("doc_id", SF.col("doc_id").cast("string")),
+            ["alpha"],
+        )
