@@ -439,6 +439,14 @@ def x_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_growth(_docs(spark, sf_dir))
 
 
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.funnel_steps(
+        table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 def x_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed chain: chunk windows → packed chunk key → chunk-corpus
     BM25 → per-doc argmax — ONE chained oracle."""
@@ -628,6 +636,7 @@ EXTENDED_QUERIES = {
     "x_oov_rate": x_oov_rate,
     "x_score_calibrate": x_score_calibrate,
     "x_chunk_search": x_chunk_search,
+    "x_funnel": x_funnel,
 }
 
 
@@ -771,6 +780,9 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_chunk_search": recipe.chunked_search_oracle_sql(
             ["spark", "vector", "scan"]
+        ),
+        "x_funnel": timeseries.funnel_oracle_sql(
+            ["view", "click", "purchase"]
         ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus

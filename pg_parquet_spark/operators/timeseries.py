@@ -415,3 +415,103 @@ SELECT {key_col}, day,
   vm IS NULL AS is_gap
 FROM j ORDER BY {key_col}, day
 """
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict ordered funnel analysis (r13 — the product-analytics
+    staple next to cohort retention and Markov transitions): a user
+    reaches step k when a step-k event exists at or after their
+    FIRST completion of step k−1 (each step's completion time is the
+    earliest qualifying event, so progress is deterministic and one
+    pass per step suffices). Returns one row per step:
+    (step, event_type, users, conversion_ppm) — conversion is exact
+    integer ppm against the step-1 population, ordered by step.
+
+    Scale shape: k−1 user-keyed join+aggregate stages, each shuffling
+    only (user, timestamp) pairs; the min-aggregate BEFORE each join
+    keeps the carried frame at one row per user, so a power user
+    never fans out. No windows, no text, no wide rows. k is the
+    funnel length (bounded, typically 3-6)."""
+    if len(steps) < 2:
+        raise ValueError(
+            f"funnel_steps needs at least 2 steps, got {len(steps)}"
+        )
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_steps: duplicate step types")
+    spark = events.sparkSession
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.col(ts_col).alias("_ts"),
+    )
+    reached = (
+        base.filter(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_done"))
+    )
+    counts = [reached.count()]
+    for s in steps[1:]:
+        nxt = base.filter(F.col("_t") == s).select("_u", "_ts")
+        reached = (
+            nxt.join(reached, "_u")
+            .filter(F.col("_ts") >= F.col("_done"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_done"))
+        )
+        counts.append(reached.count())
+    rows = []
+    for i, (s, c) in enumerate(zip(steps, counts), start=1):
+        conv = 0 if counts[0] == 0 else c * 1_000_000 // counts[0]
+        rows.append((i, s, c, conv))
+    return spark.createDataFrame(
+        rows,
+        "step long, event_type string, users long, conversion_ppm long",
+    )
+
+
+def funnel_oracle_sql(
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: the same per-step min-completion chain unrolled
+    as CTEs, integer ppm conversion."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    parts = [
+        f"""s1 AS (
+  SELECT {user_col} AS u, MIN({ts_col}) AS done
+  FROM {table} WHERE {type_col} = {lit(steps[0])} GROUP BY {user_col}
+)"""
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        parts.append(f"""s{i} AS (
+  SELECT e.{user_col} AS u, MIN(e.{ts_col}) AS done
+  FROM {table} e JOIN s{i - 1} p ON e.{user_col} = p.u
+  WHERE e.{type_col} = {lit(s)} AND e.{ts_col} >= p.done
+  GROUP BY e.{user_col}
+)""")
+    selects = []
+    for i, s in enumerate(steps, start=1):
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, {lit(s)} AS event_type, "
+            f"CAST((SELECT COUNT(*) FROM s{i}) AS BIGINT) AS users, "
+            f"CAST(CASE WHEN (SELECT COUNT(*) FROM s1) = 0 THEN 0 "
+            f"ELSE (SELECT COUNT(*) FROM s{i}) * 1000000 "
+            f"// (SELECT COUNT(*) FROM s1) END AS BIGINT) AS conversion_ppm"
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {body}\nSELECT * FROM ({union}) ORDER BY step\n"

@@ -862,3 +862,65 @@ def test_bm25_persisted_index_lifecycle(spark, tmp_path):
     # empty query contract
     with pytest.raises(ValueError, match="query term"):
         text.bm25_index_topk(spark, root, [])
+
+
+def test_funnel_steps_matches_oracle(spark):
+    """r13: the strict ordered funnel (per-step min-completion chain)
+    replicates the unrolled-CTE oracle bit-for-bit at both SFs."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+
+    steps = ["view", "click", "purchase"]
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        got = timeseries.funnel_steps(ev, steps).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = con.execute(timeseries.funnel_oracle_sql(steps)).df()
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+        assert got.users.is_monotonic_decreasing
+        assert got.conversion_ppm.iloc[0] == 1_000_000
+
+
+def test_funnel_steps_semantics(spark):
+    """Planted fixture: order matters — a user who purchases BEFORE
+    ever viewing does not convert; one who follows the order does;
+    same-timestamp progression counts (>= contract); bad steps
+    raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def r(u, t, off):
+        return (u, t, t0 + dt.timedelta(minutes=off))
+
+    rows = [
+        r(1, "view", 0), r(1, "click", 5), r(1, "purchase", 9),  # full
+        r(2, "purchase", 0), r(2, "view", 5),                    # wrong order
+        r(3, "view", 0), r(3, "click", 0),                       # same-ts ok
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r.step: r
+        for r in timeseries.funnel_steps(
+            ev, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out[1].users == 3            # users 1, 2, 3 all viewed
+    assert out[2].users == 2            # users 1 and 3 clicked after view
+    assert out[3].users == 1            # only user 1 purchased in order
+    assert out[3].conversion_ppm == 1_000_000 // 3
+    with _pytest.raises(ValueError, match="2 steps"):
+        timeseries.funnel_steps(ev, ["view"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        timeseries.funnel_steps(ev, ["view", "view"])
