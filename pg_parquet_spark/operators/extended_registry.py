@@ -439,6 +439,13 @@ def x_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_growth(_docs(spark, sf_dir))
 
 
+def x_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_parquet_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.label_agreement(emb, emb.filter("vec_id < 4"))
+
+
 def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import timeseries
 
@@ -637,6 +644,7 @@ EXTENDED_QUERIES = {
     "x_score_calibrate": x_score_calibrate,
     "x_chunk_search": x_chunk_search,
     "x_funnel": x_funnel,
+    "x_label_agreement": x_label_agreement,
 }
 
 
@@ -783,6 +791,9 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_funnel": timeseries.funnel_oracle_sql(
             ["view", "click", "purchase"]
+        ),
+        "x_label_agreement": similarity.label_agreement_oracle_sql(
+            "vec_id < 4"
         ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus

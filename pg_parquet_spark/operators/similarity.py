@@ -2936,3 +2936,108 @@ SELECT _q AS {query_col}, _id AS {id_col},
 FROM sel{k}
 ORDER BY {query_col}, mmr_rank
 """
+
+
+def label_agreement(
+    df: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise screening by neighbor disagreement (r13 — the
+    confident-learning-lite pass over a labeled embedding set: a point
+    whose k nearest neighbors mostly carry a DIFFERENT label is a
+    mislabeling suspect or a boundary case; both get routed to
+    review). Neighbors come from :func:`hamming_topk_batch` (sign-bit
+    BQ — the cheap exact-integer tier; swap in the IVF index for
+    recall-critical sweeps), excluding the anchor itself. Returns per
+    anchor (id, label, n_neighbors, n_agree, agree_ppm, suspect),
+    ordered by id — suspect when agreement < 50%.
+
+    Scale shape: rides the batch contract (anchors <= 1024 per call —
+    screen a corpus in anchor tranches); the only additions over the
+    batch search are one broadcast label join onto k·|anchors| result
+    rows and one id-keyed aggregate. Integer-exact ppm."""
+    run = hamming_topk_batch(
+        df,
+        anchors.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col)
+        ),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=True,
+    )
+    labels = df.select(
+        F.col(id_col).alias("_nid"), F.col(label_col).alias("_nlabel")
+    )
+    anchor_labels = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("_alabel"),
+        )
+    )
+    joined = (
+        run.join(labels, run[id_col] == F.col("_nid"))
+        .join(anchor_labels, "query_id")
+    )
+    agg = joined.groupBy("query_id", "_alabel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.sum(
+            F.when(F.col("_nlabel") == F.col("_alabel"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ppm = F.expr("n_agree * 1000000 div n_neighbors")
+    return (
+        agg.select(
+            F.col("query_id").alias(id_col),
+            F.col("_alabel").alias(label_col),
+            "n_neighbors",
+            "n_agree",
+            ppm.alias("agree_ppm"),
+            (ppm < F.lit(500_000)).alias("suspect"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def label_agreement_oracle_sql(
+    anchor_where: str = "vec_id < 4",
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB replica: the batch-Hamming oracle as the neighbor run,
+    label joins, integer ppm agreement."""
+    run = hamming_batch_oracle_sql(
+        anchor_where,
+        k=k,
+        exclude_self=True,
+        table=table,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return f"""
+WITH run AS ({run}
+), agg AS (
+  SELECT r.query_id, a.{label_col} AS _alabel,
+         CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         CAST(SUM(CASE WHEN n.{label_col} = a.{label_col}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM run r
+  JOIN {table} n ON n.{id_col} = r.{id_col}
+  JOIN {table} a ON a.{id_col} = r.query_id
+  GROUP BY r.query_id, a.{label_col}
+)
+SELECT query_id AS {id_col}, _alabel AS {label_col},
+       n_neighbors, n_agree,
+       n_agree * 1000000 // n_neighbors AS agree_ppm,
+       (n_agree * 1000000 // n_neighbors) < 500000 AS suspect
+FROM agg ORDER BY {id_col}
+"""

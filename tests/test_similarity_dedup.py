@@ -2217,3 +2217,47 @@ def test_strip_boilerplate_incremental_semantics(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="min_docs"):
         dedup.strip_boilerplate_incremental(spark, batch, idx, min_docs=1)
+
+
+def test_label_agreement_matches_oracle(spark):
+    """r13: neighbor-label agreement screening replicates the chained
+    DuckDB oracle (batch-Hamming run + label joins + integer ppm)
+    bit-for-bit at both SFs."""
+    import duckdb
+
+    from pg_parquet_spark.session import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = table(spark, sf, "embeddings")
+        got = similarity.label_agreement(emb, emb.filter("vec_id < 4")).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = con.execute(
+            similarity.label_agreement_oracle_sql("vec_id < 4")
+        ).df()
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+
+
+def test_label_agreement_flags_planted_mislabel(spark):
+    """Planted fixture: a point surrounded by the other class flags as
+    suspect; a point inside its own cluster does not."""
+    rows = []
+    # cluster A around +1, cluster B around -1 (1-D embeddings pad to 2)
+    for i in range(10):
+        rows.append((i, [1.0, 0.1 * i], 0))
+        rows.append((100 + i, [-1.0, -0.1 * i], 1))
+    rows.append((500, [1.0, 0.5], 1))   # mislabeled: sits in cluster A
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.label_agreement(
+            emb, emb.filter("vec_id in (0, 500)"), k=5
+        ).collect()
+    }
+    assert out[500].suspect and out[500].agree_ppm == 0
+    assert not out[0].suspect and out[0].agree_ppm >= 800_000
