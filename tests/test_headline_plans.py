@@ -301,3 +301,54 @@ def test_r10_family_plan_invariants(spark):
     # the raw text is read once per source branch, never re-shuffled:
     # every exchange in the split plan carries only narrow derived cols
     assert plans["split"].count("Exchange") <= 4, plans["split"][:2000]
+
+
+def test_r13_continuation_batch_plan_invariants(spark):
+    """Plan-shape net for the late-r13 continuation batch: no
+    cartesian joins anywhere; the line-dedup verdict join is hash-
+    keyed (never a nested loop); batch-Hamming's only nested-loop is
+    the documented broadcast query frame; rank_normalize's data
+    windows all lead with distrank's _pid (never a global or
+    per-source data-sized window); oov_rate's scoring pass is a pure
+    projection (no join at all)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import dedup, sampling, similarity, text
+    from pg_parquet_spark.session import table
+
+    docs = table(spark, SF, "documents")
+    emb = table(spark, SF, "embeddings")
+    q = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    p_lines = _plan(dedup.strip_boilerplate_lines(docs, delim=" line "))
+    assert "CartesianProduct" not in p_lines
+    assert "BroadcastNestedLoopJoin" not in p_lines
+
+    p_ham = _plan(similarity.hamming_topk_batch(emb, q, k=10))
+    assert "CartesianProduct" not in p_ham
+    # the ONE nested-loop is the bounded broadcast query frame (the
+    # documented <=1024-row batch contract); no data-sized window
+    assert p_ham.count("BroadcastNestedLoopJoin") == 1
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", p_ham):
+        raise AssertionError(f"unexpected window in batch hamming: {spec}")
+
+    p_rank = _plan(
+        sampling.rank_normalize_scores(
+            docs.withColumn("score", F.col("n_chars"))
+        )
+    )
+    assert "CartesianProduct" not in p_rank
+    data_windows = [
+        s
+        for s in re.findall(r"windowspecdefinition\([^)]*\)", p_rank)
+        if "_pid" not in s
+    ]
+    assert not data_windows, data_windows
+
+    p_oov = _plan(text.oov_rate(docs, vocab_size=20))
+    for bad in ("Join", "CartesianProduct", "Window"):
+        assert bad not in p_oov, bad
