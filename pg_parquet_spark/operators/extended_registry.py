@@ -439,6 +439,14 @@ def x_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_growth(_docs(spark, sf_dir))
 
 
+def x_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed chain: eight certified health components folded into
+    one (metric, value) dashboard — ONE chained oracle."""
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.corpus_health(_docs(spark, sf_dir), line_delim=" line ")
+
+
 def x_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import similarity
 
@@ -645,6 +653,7 @@ EXTENDED_QUERIES = {
     "x_chunk_search": x_chunk_search,
     "x_funnel": x_funnel,
     "x_label_agreement": x_label_agreement,
+    "x_corpus_health": x_corpus_health,
 }
 
 
@@ -794,6 +803,9 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_label_agreement": similarity.label_agreement_oracle_sql(
             "vec_id < 4"
+        ),
+        "x_corpus_health": recipe.corpus_health_oracle_sql(
+            line_delim=" line "
         ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus

@@ -733,3 +733,159 @@ SELECT _id AS {id_col},
 FROM pooled WHERE rn = 1
 ORDER BY score_micro DESC, {id_col} LIMIT {top_k}
 """
+
+
+def corpus_health(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_delim: str = "\n",
+    vocab_size: int = 20,
+) -> DataFrame:
+    """One-call corpus-health dashboard (r13 — the diagnostics the
+    r12/r13 health family produces, folded into a single (metric,
+    value) report a datacard or a drift monitor can diff round over
+    round): size, vocabulary shape (Zipf slope + late-discovery
+    share), encoding damage, OOV pressure, and boilerplate share.
+    Every value is an exact integer (micro/ppm units), every
+    component is the already-certified operator — this recipe is the
+    COMPOSITION, certified by one chained oracle.
+
+    Rows (ordered by metric): boilerplate_ppm, distinct_terms,
+    late_vocab_ppm, mojibake_ppm, n_docs, oov_ppm, total_tokens,
+    zipf_slope_micro.
+
+    Scale shape: each component's own shape (see their docstrings);
+    the fold is eight scalar aggregates collected driver-side (1-row
+    frames, the bounded exemption) into an 8-row literal frame."""
+    from pg_parquet_spark.operators import dedup, text as text_ops
+
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    tok_row = docs.agg(
+        F.sum(F.size(text_ops.tokens(F.col(text_col)))).alias("t")
+    ).collect()[0]
+    total_tokens = int(tok_row["t"] or 0)
+    distinct_terms = (
+        docs.select(F.explode(text_ops.tokens(F.col(text_col))).alias("x"))
+        .agg(F.countDistinct("x"))
+        .collect()[0][0]
+    )
+    zipf = text_ops.vocab_zipf(docs, text_col).collect()[0]
+    growth = text_ops.vocab_growth(docs, id_col, text_col, 10).collect()
+    last = int(growth[-1]["cum_terms"])
+    mid = int(growth[len(growth) // 2]["cum_terms"])
+    late_ppm = 0 if last == 0 else (last - mid) * 1_000_000 // last
+    enc = text_ops.encoding_quality(docs, id_col, text_col).agg(
+        F.sum("mojibake_hits").alias("h"), F.sum("n_chars").alias("c")
+    ).collect()[0]
+    moj_ppm = (
+        0
+        if int(enc["c"] or 0) == 0
+        else int(enc["h"]) * 1_000_000 // int(enc["c"])
+    )
+    oov = text_ops.oov_rate(docs, vocab_size, id_col, text_col).agg(
+        F.sum("oov_tokens").alias("o"), F.sum("n_tokens").alias("n")
+    ).collect()[0]
+    oov_ppm = (
+        0
+        if int(oov["n"] or 0) == 0
+        else int(oov["o"]) * 1_000_000 // int(oov["n"])
+    )
+    lines = dedup.strip_boilerplate_lines(
+        docs, id_col, text_col, delim=line_delim
+    ).agg(
+        F.sum("n_lines_dropped").alias("d"), F.sum("n_lines").alias("n")
+    ).collect()[0]
+    boiler_ppm = (
+        0
+        if int(lines["n"] or 0) == 0
+        else int(lines["d"]) * 1_000_000 // int(lines["n"])
+    )
+    rows = sorted(
+        [
+            ("boilerplate_ppm", boiler_ppm),
+            ("distinct_terms", int(distinct_terms)),
+            ("late_vocab_ppm", late_ppm),
+            ("mojibake_ppm", moj_ppm),
+            ("n_docs", int(n_docs)),
+            ("oov_ppm", oov_ppm),
+            ("total_tokens", total_tokens),
+            ("zipf_slope_micro", int(zipf["slope_micro"])),
+        ]
+    )
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
+def corpus_health_oracle_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_delim: str = "\n",
+    vocab_size: int = 20,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: each component's certified oracle embedded as a
+    subquery, folded to the same (metric, value) rows."""
+    from pg_parquet_spark.operators import dedup, text as text_ops
+
+    zipf = text_ops.vocab_zipf_oracle_sql(table=table, text_col=text_col)
+    growth = text_ops.vocab_growth_oracle_sql(
+        10, table=table, id_col=id_col, text_col=text_col
+    )
+    enc = text_ops.encoding_quality_oracle_sql(
+        table=table, id_col=id_col, text_col=text_col
+    )
+    oov = text_ops.oov_rate_oracle_sql(
+        vocab_size, id_col=id_col, text_col=text_col, table=table
+    )
+    lines = dedup.strip_boilerplate_oracle_sql(
+        id_col=id_col,
+        text_col=text_col,
+        delim=line_delim,
+        table=table,
+    )
+    return f"""
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+  FROM {table}
+  UNION ALL
+  SELECT 'total_tokens',
+         CAST(SUM(len(string_split(lower({text_col}), ' '))) AS BIGINT)
+  FROM {table}
+  UNION ALL
+  SELECT 'distinct_terms', CAST(COUNT(DISTINCT x) AS BIGINT)
+  FROM (SELECT unnest(string_split(lower({text_col}), ' ')) AS x
+        FROM {table})
+  UNION ALL
+  SELECT 'zipf_slope_micro', CAST(slope_micro AS BIGINT)
+  FROM ({zipf})
+  UNION ALL
+  SELECT 'late_vocab_ppm',
+         CAST(CASE WHEN MAX(cum_terms) = 0 THEN 0
+              ELSE (MAX(cum_terms)
+                    - MAX(CASE WHEN is_mid THEN cum_terms END))
+                   * 1000000 // MAX(cum_terms) END AS BIGINT)
+  FROM (SELECT cum_terms,
+               ROW_NUMBER() OVER (ORDER BY bucket) - 1
+                 = (COUNT(*) OVER ()) // 2 AS is_mid
+        FROM ({growth}))
+  UNION ALL
+  SELECT 'mojibake_ppm',
+         CAST(CASE WHEN SUM(n_chars) = 0 THEN 0
+              ELSE SUM(mojibake_hits) * 1000000 // SUM(n_chars) END
+              AS BIGINT)
+  FROM ({enc})
+  UNION ALL
+  SELECT 'oov_ppm',
+         CAST(CASE WHEN SUM(n_tokens) = 0 THEN 0
+              ELSE SUM(oov_tokens) * 1000000 // SUM(n_tokens) END
+              AS BIGINT)
+  FROM ({oov})
+  UNION ALL
+  SELECT 'boilerplate_ppm',
+         CAST(CASE WHEN SUM(n_lines) = 0 THEN 0
+              ELSE SUM(n_lines_dropped) * 1000000 // SUM(n_lines) END
+              AS BIGINT)
+  FROM ({lines})
+) ORDER BY metric
+"""

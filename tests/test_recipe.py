@@ -282,3 +282,34 @@ def test_chunked_search_semantics(spark):
             df.withColumn("doc_id", SF.col("doc_id").cast("string")),
             ["alpha"],
         )
+
+
+def test_corpus_health_matches_chained_oracle(spark):
+    """r13: the one-call corpus-health dashboard — eight certified
+    components folded into one (metric, value) report — replicates the
+    chained oracle bit-for-bit at both SFs."""
+    import duckdb
+
+    from pg_parquet_spark.session import table as _table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = _table(spark, sf, "documents")
+        got = recipe.corpus_health(docs, line_delim=" line ").toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            recipe.corpus_health_oracle_sql(line_delim=" line ")
+        ).df()
+        assert len(got) == len(want) == 8, sf
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+    vals = dict(zip(got.metric, got.value))
+    # the templated synthetic corpus: tiny flat-tail vocabulary, clean
+    # encoding, genuine boilerplate and OOV pressure at the 20-term cut
+    assert vals["n_docs"] == 500
+    assert vals["late_vocab_ppm"] == 0
+    assert vals["mojibake_ppm"] == 0
+    assert vals["boilerplate_ppm"] > 0
+    assert vals["oov_ppm"] > 0

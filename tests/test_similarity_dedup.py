@@ -2261,3 +2261,25 @@ def test_label_agreement_flags_planted_mislabel(spark):
     }
     assert out[500].suspect and out[500].agree_ppm == 0
     assert not out[0].suspect and out[0].agree_ppm >= 800_000
+
+
+def test_strip_boilerplate_lines_idempotent(spark):
+    """Property: after one keep_first pass, every surviving boilerplate
+    line lives in exactly one document, so a second pass is a no-op —
+    the fixed-point contract batch curation relies on."""
+    rows = [
+        (1, "a\nshared one\nb"),
+        (2, "shared one\nc\nshared two"),
+        (3, "shared two\nd"),
+        (4, "shared one\nshared two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = dedup.strip_boilerplate_lines(df)
+    again = dedup.strip_boilerplate_lines(
+        once.select(
+            F.col("doc_id"), F.col("text_clean").alias("text")
+        )
+    ).toPandas()
+    base = once.toPandas()
+    assert list(again.text_clean) == list(base.text_clean)
+    assert int(again.n_lines_dropped.sum()) == 0
