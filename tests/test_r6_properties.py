@@ -268,3 +268,88 @@ def test_containment_join_is_token_order_invariant(spark, rng):
     a = [tuple(r) for r in setsim.containment_join(df1, threshold_ppm=600_000).collect()]
     b = [tuple(r) for r in setsim.containment_join(df2, threshold_ppm=600_000).collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# r13 retrieval-metric properties (pure-Python references)
+
+def test_evaluate_retrieval_matches_python_reference(spark):
+    """Seeded-random runs and qrels: the engine's integer metric
+    algebra (recall/MRR/DCG/nDCG over the shared literal discount
+    table) equals a direct pure-Python computation."""
+    import random
+
+    from pg_parquet_spark.operators import similarity
+
+    k = 10
+    disc = similarity._dcg_discounts_micro(k)
+    prefix = [sum(disc[: i + 1]) for i in range(k)]
+    rng = random.Random(13)
+    for trial in range(5):
+        runs, qrels, expected = [], [], {}
+        for q in range(4):
+            docs = rng.sample(range(40), rng.randint(1, 12))
+            rels = set(rng.sample(range(40), rng.randint(1, 15)))
+            runs += [(q, d, r) for r, d in enumerate(docs, start=1)]
+            qrels += [(q, d) for d in sorted(rels)]
+            hits = [r for r, d in enumerate(docs[:k], start=1) if d in rels]
+            n_rel = len(rels)
+            dcg = sum(disc[r - 1] for r in hits)
+            idcg = prefix[min(n_rel, k) - 1]
+            expected[q] = (
+                n_rel,
+                len(hits),
+                len(hits) * 1_000_000 // n_rel,
+                0 if not hits else 1_000_000 // hits[0],
+                dcg,
+                idcg,
+                dcg * 1_000_000 // idcg,
+            )
+        run_df = spark.createDataFrame(
+            runs, "query_id long, doc_id long, rank long"
+        )
+        qrel_df = spark.createDataFrame(qrels, "query_id long, doc_id long")
+        got = {
+            r.query_id: (
+                r.n_rel, r.hits, r.recall_ppm, r.mrr_micro,
+                r.dcg_micro, r.idcg_micro, r.ndcg_ppm,
+            )
+            for r in similarity.evaluate_retrieval(
+                run_df, qrel_df, k=k
+            ).collect()
+        }
+        assert got == expected, trial
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-4.0, max_value=4.0, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=70,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_binary_quantize_word_pack_python_reference(vec):
+    """The 32-bit Horner word packing (sign bits, reversed-slice fold)
+    agrees with a direct bit-shift reference for any float vector —
+    the cross-engine contract both the Spark fold and the DuckDB
+    list_reduce implement."""
+    words_ref = []
+    for w in range(0, len(vec), 32):
+        chunk = vec[w : w + 32]
+        word = 0
+        for i, x in enumerate(chunk):
+            if x > 0:
+                word |= 1 << i
+        words_ref.append(word)
+    # Horner over the REVERSED slice (the engine/oracle form)
+    words_horner = []
+    for w in range(0, len(vec), 32):
+        chunk = vec[w : w + 32]
+        acc = 0
+        for x in reversed(chunk):
+            acc = acc * 2 + (1 if x > 0 else 0)
+        words_horner.append(acc)
+    assert words_ref == words_horner
