@@ -1615,11 +1615,13 @@ def duplicated_spans(
     # enforced IN the packing expression — violations raise in the same
     # pass (ADVICE r9: the old comment claimed an upstream assertion
     # that did not exist)
+    _lid = F.col("_id").cast("long")  # widen BEFORE the multiply — an
+    # IntegerType id >= 2048 would overflow int32 under the int literal
     packed = F.when(
-        (F.col("_id") >= 0)
-        & (F.col("_id") < F.lit(1 << 43))
+        (_lid >= 0)
+        & (_lid < F.lit(1 << 43))
         & (F.col("_pos") < F.lit(1 << 20)),
-        F.col("_id") * F.lit(1 << 20) + F.col("_pos"),
+        _lid * F.lit(1 << 20) + F.col("_pos"),
     ).otherwise(
         F.raise_error(
             F.lit(
@@ -1766,11 +1768,13 @@ def _span_tok_gram_frames(df, id_col, text_col, span_tokens, op_name):
         F.col("_tok"),
         *[F.lead("_tok", j).over(W) for j in range(1, L)],
     )
+    _lid = F.col("_id").cast("long")  # widen BEFORE the multiply — an
+    # IntegerType id >= 2048 would overflow int32 under the int literal
     packed = F.when(
-        (F.col("_id") >= 0)
-        & (F.col("_id") < F.lit(1 << 43))
+        (_lid >= 0)
+        & (_lid < F.lit(1 << 43))
         & (F.col("_pos") < F.lit(1 << 20)),
-        F.col("_id") * F.lit(1 << 20) + F.col("_pos"),
+        _lid * F.lit(1 << 20) + F.col("_pos"),
     ).otherwise(
         F.raise_error(
             F.lit(

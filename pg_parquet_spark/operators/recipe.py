@@ -631,11 +631,13 @@ def chunked_search(
     chunks = text_ops.chunk_documents(
         docs, id_col, text_col, chunk_tokens, overlap
     )
+    lid = F.col(id_col).cast("long")  # widen BEFORE the multiply — an
+    # IntegerType id >= 2048 would overflow int32 under the int literal
     packed = F.when(
-        (F.col(id_col) >= 0)
-        & (F.col(id_col) < F.lit(1 << 43))
+        (lid >= 0)
+        & (lid < F.lit(1 << 43))
         & (F.col("chunk_id") < F.lit(1 << 20)),
-        F.col(id_col) * F.lit(1 << 20) + F.col("chunk_id"),
+        lid * F.lit(1 << 20) + F.col("chunk_id"),
     ).otherwise(
         F.raise_error(
             F.lit(
@@ -792,16 +794,28 @@ def corpus_health(
         if int(oov["n"] or 0) == 0
         else int(oov["o"]) * 1_000_000 // int(oov["n"])
     )
-    lines = dedup.strip_boilerplate_lines(
-        docs, id_col, text_col, delim=line_delim
-    ).agg(
-        F.sum("n_lines_dropped").alias("d"), F.sum("n_lines").alias("n")
-    ).collect()[0]
-    boiler_ppm = (
-        0
-        if int(lines["n"] or 0) == 0
-        else int(lines["d"]) * 1_000_000 // int(lines["n"])
+    # boilerplate share from the hash-keyed verdict join alone — the
+    # per-doc text rebuild strip_boilerplate_lines pays is pure waste
+    # when only the two counts are kept (code-review finding)
+    lines, base = dedup._line_frames(docs, id_col, text_col, line_delim)
+    boiler = (
+        lines.groupBy("_h")
+        .agg(
+            F.countDistinct("_id").alias("_nd"),
+            F.min("_id").alias("_keeper"),
+        )
+        .filter(F.col("_nd") >= 2)
+        .select("_h", "_keeper")
     )
+    n_dropped = (
+        lines.join(boiler, "_h")
+        .filter(F.col("_id") != F.col("_keeper"))
+        .count()
+    )
+    n_total = int(
+        base.agg(F.sum("n_lines").alias("n")).collect()[0]["n"] or 0
+    )
+    boiler_ppm = 0 if n_total == 0 else n_dropped * 1_000_000 // n_total
     rows = sorted(
         [
             ("boilerplate_ppm", boiler_ppm),

@@ -2525,11 +2525,12 @@ def hamming_topk_batch(
 
     Scale shape (100 TB): corpus signatures project in place and the
     query signatures broadcast, so the corpus NEVER shuffles for
-    scoring. Top-k is the two-phase merge — per-partition top-k heaps
-    (collect_list bounded at k per (query, partition)) then a
-    #partitions·k-row merge per query — NOT a corpus-sized
-    row_number window: no single task ever sees more than
-    k·#partitions rows per query."""
+    scoring. Top-k is the two-phase merge — a TRUE bounded heap per
+    (query, partition) streamed over the partition's Arrow batches
+    (``mapInPandas``; task memory is O(k·|queries|) regardless of
+    partition size — a collect_list aggregate would buffer the whole
+    group first), then a #partitions·k-row merge per query. Never a
+    corpus-sized row_number window or group buffer."""
     _require_integral_query_ids(query_df, query_id_col, "hamming_topk_batch")
     counts = query_df.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2562,15 +2563,49 @@ def hamming_topk_batch(
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+
+    def _local_topk(batches):
+        # bounded per-partition top-k: a k-item heap per query,
+        # streamed across the partition's Arrow batches — memory is
+        # O(k·|queries|) per task NO MATTER the partition size (a
+        # collect_list aggregate would buffer the whole group first)
+        import heapq
+
+        import pandas as pd
+
+        heaps: dict = {}
+        for pdf in batches:
+            for q, i, h in zip(
+                pdf[query_id_col].tolist(),
+                pdf[id_col].tolist(),
+                pdf["hamming"].tolist(),
+            ):
+                hp = heaps.setdefault(q, [])
+                cand = (-h, -i)  # min-heap holds negations: root = worst
+                if len(hp) < k:
+                    heapq.heappush(hp, cand)
+                elif cand > hp[0]:
+                    heapq.heapreplace(hp, cand)
+        rows = [
+            (q, -ni, -nh)
+            for q, hp in heaps.items()
+            for (nh, ni) in hp
+        ]
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[query_id_col, id_col, "hamming"]
+            )
+
+    local = scored.mapInPandas(
+        _local_topk,
+        f"{query_id_col} long, {id_col} long, hamming long",
+    )
     entry = F.struct(
         F.col("hamming").alias("h"), F.col(id_col).alias("i")
     )
-    local = scored.groupBy(
-        query_id_col, F.spark_partition_id().alias("_pid")
-    ).agg(F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("_loc"))
     merged = local.groupBy(query_id_col).agg(
         F.slice(
-            F.array_sort(F.flatten(F.collect_list("_loc"))), 1, k
+            F.array_sort(F.collect_list(entry)), 1, k
         ).alias("_top")
     )
     return (
@@ -2886,7 +2921,7 @@ def mmr_oracle_sql(
         )
 
     parts = [
-        f"WITH cand AS ({candidates_sql}\n)",
+        f"cand AS ({candidates_sql}\n)",
         f"""n AS (
   SELECT {query_col} AS _q, {id_col} AS _id, {vec_col} AS _v,
          CAST({rel_col} AS DOUBLE) AS _rel,
@@ -2928,7 +2963,7 @@ def mmr_oracle_sql(
             f"SELECT _q, _id, _v, _nsq, {t} AS step, score "
             f"FROM p{t} WHERE rn = 1)"
         )
-    body = ",\n".join(parts[:1] + parts[1:]).replace("WITH cand AS", "cand AS")
+    body = ",\n".join(parts)
     return f"""
 WITH {body}
 SELECT _q AS {query_col}, _id AS {id_col},

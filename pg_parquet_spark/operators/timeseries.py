@@ -450,21 +450,28 @@ def funnel_steps(
         F.col(type_col).alias("_t"),
         F.col(ts_col).alias("_ts"),
     )
+    # each step both counts AND feeds the next join — persist so step
+    # i's count never re-executes steps 1..i-1's chains from the scan
     reached = (
         base.filter(F.col("_t") == steps[0])
         .groupBy("_u")
         .agg(F.min("_ts").alias("_done"))
+        .persist()
     )
     counts = [reached.count()]
     for s in steps[1:]:
         nxt = base.filter(F.col("_t") == s).select("_u", "_ts")
+        prev = reached
         reached = (
-            nxt.join(reached, "_u")
+            nxt.join(prev, "_u")
             .filter(F.col("_ts") >= F.col("_done"))
             .groupBy("_u")
             .agg(F.min("_ts").alias("_done"))
+            .persist()
         )
         counts.append(reached.count())
+        prev.unpersist()
+    reached.unpersist()
     rows = []
     for i, (s, c) in enumerate(zip(steps, counts), start=1):
         conv = 0 if counts[0] == 0 else c * 1_000_000 // counts[0]

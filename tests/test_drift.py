@@ -421,8 +421,6 @@ def test_embedding_health_semantics(spark):
     alt = drift.embedding_health(same.repartition(3)).toPandas()
     assert alt.equals(base)
 
-    import pyspark.errors
-
     big = spark.createDataFrame([([100.0],)], "embedding array<float>")
     with pytest.raises(Exception, match="budget"):
         drift.embedding_health(big).collect()

@@ -2283,3 +2283,25 @@ def test_strip_boilerplate_lines_idempotent(spark):
     base = once.toPandas()
     assert list(again.text_clean) == list(base.text_clean)
     assert int(again.n_lines_dropped.sum()) == 0
+
+
+def test_packed_keys_accept_integer_type_ids(spark):
+    """Regression (r13 code review): the packed doc·2²⁰ keys widen the
+    id to long BEFORE multiplying — an IntegerType id >= 2048 used to
+    overflow int32 (ANSI raise / silent wrap) despite sitting well
+    inside the documented 2^43 budget."""
+    from pg_parquet_spark.operators import recipe
+
+    df = spark.createDataFrame(
+        [(5000, "a b c d e f g h"), (5001, "a b c d e f g h")],
+        "doc_id int, text string",
+    )
+    spans = dedup.strip_duplicated_spans(df, span_tokens=4).toPandas()
+    assert set(spans.doc_id) == {5000, 5001}
+    assert spans[spans.doc_id == 5001].n_tokens_dropped.iloc[0] == 8
+    rep = dedup.duplicated_spans(df, span_tokens=4).toPandas()
+    assert len(rep) > 0
+    chunk = recipe.chunked_search(
+        df, ["a"], chunk_tokens=4, overlap=1
+    ).toPandas()
+    assert set(chunk.doc_id) == {5000, 5001}
