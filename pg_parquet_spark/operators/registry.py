@@ -259,64 +259,10 @@ PRIORITY_REFRESH = {
 }
 
 #: Generated by tools/rotation.py — edit via the tool, not by hand.
-REGISTRY_AS_OF = 12
+REGISTRY_AS_OF = 13
 
 GATE_ORDER = [
-    # -- never verified ----------------------------------------------
-    "q_curriculum_order",
-    "q_curriculum_perplexity",
-    "q_dedup_soft",
-    "q_kfold_group",
-    "q_setsim_jaccard",
-    "q_strip_incremental",
-    "q_strip_spans",
-    "q_vocab_zipf",
-    # -- green r12 but CODE CHANGED (r13 FIFO cache trim (ADVICE r12: entry-time release-all broke the composed single-pass contract) landed after its r12 green) -
-    "q_setsim_containment",
-    # -- green r12 but CODE CHANGED (r13 integral query-id validation (ADVICE r12: driver-side int() truncated float ids) landed after its r12 green) -
-    "q_sim_ann_ivfpq",
     # -- green r10 ---------------------------------------------------
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q22_prospective_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q_agg_cube",
-    "q_agg_mode",
-    "q_agg_percentile_collect",
-    "q_agg_rollup",
-    "q_data_mixture",
-    "q_dedup_semantic",
-    "q_dsir_select",
-    "q_events_retention",
-    "q_io_bloom_read",
-    "q_join_inner_broadcast",
-    "q_min_max_by",
-    "q_multimodal_metadata",
-    "q_pivot",
-    "q_profile_columns",
-    "q_range_join",
-    "q_rollup_ohlc",
-    "q_sample_stratified",
-    "q_scalar_date_arith",
-    "q_scd2_merge",
-    "q_sim_ann_lsh",
-    "q_sim_cosine_topk",
-    "q_sort_nulls",
-    "q_stream_dedup_within_wm",
-    "q_string_agg",
-    "q_text_bm25",
-    "q_text_fingerprint_rolling",
-    "q_text_unigram_logprob",
-    # ==== window cut at 50: entries below are NOT verified this round ====
     "q_topk_per_group",
     "q_unpivot",
     # -- green r11 ---------------------------------------------------
@@ -368,6 +314,7 @@ GATE_ORDER = [
     "q_text_features",
     "q_text_pii_scrub",
     "q_text_repetition",
+    # ==== window cut at 50: entries below are NOT verified this round ====
     "q_timeseries_gapfill",
     "q_window_rank",
     # -- green r12 ---------------------------------------------------
@@ -419,6 +366,57 @@ GATE_ORDER = [
     "q_window_ntile_dist",
     "q_window_percent_rank",
     "q_window_range_frame",
+    # -- green r13 ---------------------------------------------------
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q22_prospective_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q_agg_cube",
+    "q_agg_mode",
+    "q_agg_percentile_collect",
+    "q_agg_rollup",
+    "q_curriculum_order",
+    "q_curriculum_perplexity",
+    "q_data_mixture",
+    "q_dedup_semantic",
+    "q_dedup_soft",
+    "q_dsir_select",
+    "q_events_retention",
+    "q_io_bloom_read",
+    "q_join_inner_broadcast",
+    "q_kfold_group",
+    "q_min_max_by",
+    "q_multimodal_metadata",
+    "q_pivot",
+    "q_profile_columns",
+    "q_range_join",
+    "q_rollup_ohlc",
+    "q_sample_stratified",
+    "q_scalar_date_arith",
+    "q_scd2_merge",
+    "q_setsim_containment",
+    "q_setsim_jaccard",
+    "q_sim_ann_ivfpq",
+    "q_sim_ann_lsh",
+    "q_sim_cosine_topk",
+    "q_sort_nulls",
+    "q_stream_dedup_within_wm",
+    "q_string_agg",
+    "q_strip_incremental",
+    "q_strip_spans",
+    "q_text_bm25",
+    "q_text_fingerprint_rolling",
+    "q_text_unigram_logprob",
+    "q_vocab_zipf",
 ]
 
 
