@@ -2116,8 +2116,15 @@ def oov_rate(
     oov = F.size(
         F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))
     ).cast("long")
+    # ADVICE r13: integer `div`, not double-divide + truncate — the
+    # docstring promises integer-exact ppm and the oracle uses `//`.
+    # Two-step projection so `div` can name its operands; Catalyst
+    # collapses both selects into one codegen stage.
     ppm = (
-        F.when(n_tok > 0, (oov * F.lit(1_000_000)) / n_tok)
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("oov_tokens * 1000000L div n_tokens"),
+        )
         .otherwise(F.lit(0))
         .cast("long")
     )
@@ -2126,6 +2133,11 @@ def oov_rate(
             F.col(id_col),
             n_tok.alias("n_tokens"),
             oov.alias("oov_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("oov_tokens"),
             ppm.alias("oov_ppm"),
             (ppm <= F.lit(max_ppm)).alias("in_vocab"),
         )

@@ -2305,3 +2305,56 @@ def test_packed_keys_accept_integer_type_ids(spark):
         df, ["a"], chunk_tokens=4, overlap=1
     ).toPandas()
     assert set(chunk.doc_id) == {5000, 5001}
+
+
+def test_advice_r13_hamming_corpus_id_integral(spark):
+    """ADVICE r13: the CORPUS id rides the same long-typed keying as
+    the query id (the mapInPandas schema hard-codes it long) — a
+    string or decimal corpus id must raise a clear TypeError before
+    the plan is built, not an opaque executor cast error."""
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, -1.0]), ("b", [0.5, 0.5])],
+        "vec_id string, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, -1.0])], "query_id long, embedding array<float>"
+    )
+    with _pytest.raises(TypeError, match="vec_id must be an integral"):
+        similarity.hamming_topk_batch(emb, q)
+
+
+def test_advice_r13_retrieval_rank_guard(spark):
+    """ADVICE r13: evaluate_retrieval assumed 1-based ranks but only
+    cut rank <= k — rank 0 raised deep inside element_at and negative
+    ranks silently indexed the discount array from the END (wrong DCG
+    in both engines). Out-of-contract ranks are now excluded by the
+    symmetric rank >= 1 guard: metrics equal the clean run's, in
+    Spark AND the oracle."""
+    import duckdb
+
+    clean_rows = [(1, 5, 1), (1, 2, 2), (2, 7, 1)]
+    dirty_rows = clean_rows + [(1, 3, 0), (2, 99, -1)]
+    qrels_rows = [(1, 2), (1, 3), (2, 99)]
+    schema = "query_id long, doc_id long, rank long"
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(dirty_rows, schema)
+    qrels = spark.createDataFrame(qrels_rows, "query_id long, doc_id long")
+    base = similarity.evaluate_retrieval(clean, qrels, k=10).toPandas()
+    got = similarity.evaluate_retrieval(dirty, qrels, k=10).toPandas()
+    assert got.equals(base)
+    # the 0 / negative rank rows no longer hit element_at at all
+    assert got[got.query_id == 2].hits.iloc[0] == 0
+    con = duckdb.connect()
+    vals = ", ".join(f"({q}, {d}, {r})" for q, d, r in dirty_rows)
+    qv = ", ".join(f"({q}, {d})" for q, d in qrels_rows)
+    want = con.execute(
+        similarity.evaluate_retrieval_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) t(query_id, doc_id, rank)",
+            f"SELECT * FROM (VALUES {qv}) t(query_id, doc_id)",
+            k=10,
+        )
+    ).df()
+    assert list(got.ndcg_ppm) == list(want.ndcg_ppm)
+    assert list(got.dcg_micro) == list(want.dcg_micro)

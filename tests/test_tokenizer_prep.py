@@ -308,3 +308,19 @@ def test_oov_rate_semantics(spark):
         text.oov_rate(df, vocab_size=0)
     with pytest.raises(ValueError, match="vocab_size"):
         text.oov_rate(df, vocab_size=10_001)
+
+
+def test_advice_r13_oov_ppm_integer_div(spark):
+    """ADVICE r13: oov_ppm is integer `div` end-to-end (the docstring
+    contract), not double-divide + cast truncation — the analyzed plan
+    carries the div expression and the known-answer ppm is exact."""
+    df = spark.createDataFrame(
+        [(1, "common common rare"), (2, "common common common")],
+        "doc_id long, text string",
+    )
+    out = text.oov_rate(df, vocab_size=1)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert " div " in plan and "1000000" in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].oov_ppm == 1_000_000 // 3  # 333333 exactly, floor div
+    assert rows[2].oov_ppm == 0
