@@ -2358,3 +2358,30 @@ def test_advice_r13_retrieval_rank_guard(spark):
     ).df()
     assert list(got.ndcg_ppm) == list(want.ndcg_ppm)
     assert list(got.dcg_micro) == list(want.dcg_micro)
+
+
+def test_hamming_topk_batch_payload_cols(spark):
+    """r14: payload columns ride the bounded top-k pipeline out of the
+    SAME corpus pass (the mmr chain's single-scan fold) — ranking is
+    payload-invariant, the payload values match the corpus, and
+    reserved/missing payload names raise."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.session import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plain = similarity.hamming_topk_batch(emb, q, k=5).toPandas()
+    loaded = similarity.hamming_topk_batch(
+        emb, q, k=5, payload_cols=("embedding",)
+    ).toPandas()
+    assert loaded.drop(columns=["embedding"]).equals(plain)
+    src = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    for _, row in loaded.iterrows():
+        assert list(row.embedding) == src[row.vec_id]
+    with _pytest.raises(ValueError, match="collides"):
+        similarity.hamming_topk_batch(emb, q, payload_cols=("hamming",))
+    with _pytest.raises(ValueError, match="not in corpus"):
+        similarity.hamming_topk_batch(emb, q, payload_cols=("nope",))
