@@ -1447,6 +1447,146 @@ def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r14 promoted flagships (r13 extended families x_hamming_topk,
+# x_retrieval_eval, x_hybrid_search, x_bm25_index,
+# x_line_dedup_incremental, x_corpus_health — VERDICT r13 "Next round"
+# #3). Each keeps its extended-tier twin; the q_ gate is the
+# driver-window surface.
+
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit binary-quantized Hamming retrieval (r13 family
+    x_hamming_topk, r14 gate): pure-integer bit_count-over-XOR scoring
+    against 32×-smaller packed signatures; zero corpus shuffle, the
+    query signature broadcasts."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.hamming_topk(emb, emb.filter(F.col("vec_id") == 0))
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR metrics over the batch BQ run (r13 family x_retrieval_eval,
+    r14 gate — composed run + label-qrels + metrics under ONE chained
+    oracle): recall@k / MRR / nDCG, integer-exact via the shared
+    literal discount table; shuffles carry ids + ranks only."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run = similarity.hamming_topk_batch(emb, q, k=10, exclude_self=True)
+    qrels = (
+        emb.filter("vec_id < 4")
+        .alias("a")
+        .join(emb.alias("b"), F.col("a.label") == F.col("b.label"))
+        .filter("a.vec_id != b.vec_id")
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("vec_id"),
+        )
+    )
+    return similarity.evaluate_retrieval(run, qrels, k=10, doc_col="vec_id")
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical ⊕ dense retrieval fused by integer RRF (r13
+    family x_hybrid_search, r14 gate — the RAG retrieval-stack
+    flagship): BM25 shortlist and exact-cosine shortlist fuse in
+    nano-units, shortlist-bounded, ONE chained oracle."""
+    from pg_parquet_spark.operators import recipe
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    return recipe.hybrid_search(
+        docs,
+        emb,
+        ["spark", "vector", "scan"],
+        emb.filter(F.col("vec_id") == 0),
+    )
+
+
+def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BM25 term index: build (even ids) → incremental
+    upsert (odd ids) → bucket-pruned top-k (r13 family x_bm25_index,
+    r14 gate — the q_strip_incremental tmp-index pattern). Postings
+    hive-partition on a 16-way crc32 term bucket so search prunes at
+    LISTING time; the oracle is direct BM25 over the full corpus, so
+    equality proves build + upsert ≡ one-shot scoring bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_bm25_gate_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    text.build_bm25_index(docs.filter("doc_id % 2 = 0"), idx)
+    text.bm25_index_upsert(spark, docs.filter("doc_id % 2 = 1"), idx)
+    return text.bm25_index_topk(spark, idx, ["spark", "vector", "scan"])
+
+
+def q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-document LINE dedup against the persisted
+    line index (r13 family x_line_dedup_incremental, r14 gate): index
+    built from even ids, the odd-id batch stripped against it; the
+    (line-hash, doc) pair IS the merge key so replays are idempotent;
+    batch text never joins corpus text."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_line_gate_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    dedup.build_line_index(docs.filter("doc_id % 2 = 0"), idx, delim=" line ")
+    return dedup.strip_boilerplate_incremental(
+        spark, docs.filter("doc_id % 2 = 1"), idx, delim=" line "
+    )
+
+
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus-health dashboard (r13 family x_corpus_health,
+    r14 gate — the composition-certification flagship): eight
+    certified components (size, vocab shape, Zipf slope, late vocab
+    discovery, mojibake, OOV pressure, boilerplate share) folded into
+    one (metric, value) integer report under ONE chained oracle."""
+    from pg_parquet_spark.operators import recipe
+
+    docs = table(spark, sf_dir, "documents")
+    return recipe.corpus_health(docs, line_delim=" line ")
+
+
+def _retrieval_eval_oracle() -> str:
+    return similarity.evaluate_retrieval_oracle_sql(
+        similarity.hamming_batch_oracle_sql(
+            "vec_id < 4", k=10, exclude_self=True
+        ),
+        "SELECT a.vec_id AS query_id, b.vec_id AS vec_id "
+        "FROM embeddings a JOIN embeddings b "
+        "ON a.label = b.label AND a.vec_id != b.vec_id "
+        "WHERE a.vec_id < 4",
+        k=10,
+        doc_col="vec_id",
+    )
+
+
+def _line_dedup_incremental_oracle() -> str:
+    return dedup.strip_boilerplate_incremental_oracle_sql(
+        "doc_id % 2 = 0", "doc_id % 2 = 1", delim=" line "
+    )
+
+
+def _hybrid_search_oracle() -> str:
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.hybrid_search_oracle_sql(
+        ["spark", "vector", "scan"], query_id=0
+    )
+
+
+def _corpus_health_oracle() -> str:
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.corpus_health_oracle_sql(line_delim=" line ")
+
+
 QUERIES = {
     "q_text_features": q_text_features,
     "q_dedup_semantic": q_dedup_semantic,
@@ -1508,6 +1648,12 @@ QUERIES = {
     "q_strip_spans": q_strip_spans,
     "q_strip_incremental": q_strip_incremental,
     "q_dedup_soft": q_dedup_soft,
+    "q_hamming_topk": q_hamming_topk,
+    "q_retrieval_eval": q_retrieval_eval,
+    "q_hybrid_search": q_hybrid_search,
+    "q_bm25_index": q_bm25_index,
+    "q_line_dedup_incremental": q_line_dedup_incremental,
+    "q_corpus_health": q_corpus_health,
 }
 
 ORACLES = {
@@ -1571,4 +1717,10 @@ ORACLES = {
     "q_strip_spans": dedup.strip_spans_oracle_sql(span_tokens=12),
     "q_strip_incremental": _strip_incremental_oracle(),
     "q_dedup_soft": dedup.soft_dedup_oracle_sql(),
+    "q_hamming_topk": similarity.hamming_topk_oracle_sql(query_id=0),
+    "q_retrieval_eval": _retrieval_eval_oracle(),
+    "q_bm25_index": text.bm25_oracle_sql(["spark", "vector", "scan"]),
+    "q_line_dedup_incremental": _line_dedup_incremental_oracle(),
+    "q_hybrid_search": _hybrid_search_oracle(),
+    "q_corpus_health": _corpus_health_oracle(),
 }
