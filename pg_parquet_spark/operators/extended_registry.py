@@ -581,6 +581,47 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_ivf_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (VERDICT r13 #7): IVF quantizer staleness → re-index
+    trigger — PSI over the persisted index's OWN cell histogram vs the
+    frozen-quantizer assignment of an incoming batch (index built from
+    even ids, odd ids as the batch; tmp-index gate pattern)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.operators import similarity
+    from pg_parquet_spark.operators.ivf_fixture import CENTROIDS
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_ivf_stale_x_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.build_ivf_index(emb.filter("vec_id % 2 = 0"), idx, CENTROIDS)
+    return similarity.ivf_index_staleness(
+        spark, idx, emb.filter("vec_id % 2 = 1"), CENTROIDS
+    )
+
+
+_CE_QUERIES = [(0, "spark vector scan"), (1, "data parquet")]
+
+
+def x_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (VERDICT r13 #7): cross-encoder-shaped rerank — joint
+    (query, doc) interaction scoring over a bounded shortlist; the
+    default deterministic lexical scorer is a pure codegen projection
+    certified against the DuckDB fold."""
+    from pg_parquet_spark.operators import similarity
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        _CE_QUERIES, "query_id long, query_text string"
+    )
+    run = queries.select("query_id").crossJoin(
+        docs.filter("doc_id < 40").select("doc_id")
+    )
+    return similarity.crossencoder_rerank(run, docs, queries, k=10)
+
+
 def x_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import similarity
 
@@ -660,6 +701,8 @@ EXTENDED_QUERIES = {
     "x_funnel": x_funnel,
     "x_label_agreement": x_label_agreement,
     "x_corpus_health": x_corpus_health,
+    "x_ivf_staleness": x_ivf_staleness,
+    "x_crossencoder": x_crossencoder,
 }
 
 
@@ -812,6 +855,18 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_corpus_health": recipe.corpus_health_oracle_sql(
             line_delim=" line "
+        ),
+        "x_ivf_staleness": similarity.ivf_index_staleness_oracle_sql(
+            "vec_id % 2 = 0", "vec_id % 2 = 1", CENTROIDS
+        ),
+        "x_crossencoder": similarity.crossencoder_oracle_sql(
+            "SELECT q.query_id, d.doc_id FROM (VALUES (0), (1)) "
+            "q(query_id), (SELECT doc_id FROM documents "
+            "WHERE doc_id < 40) d",
+            "SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in _CE_QUERIES)
+            + ") t(query_id, query_text)",
+            k=10,
         ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus

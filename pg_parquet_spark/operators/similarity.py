@@ -3129,3 +3129,302 @@ SELECT query_id AS {id_col}, _alabel AS {label_col},
        (n_agree * 1000000 // n_neighbors) < 500000 AS suspect
 FROM agg ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF index staleness → re-index trigger (r14 — VERDICT r13 "Next
+# round" #7: compose the drift monitor over the index's own cell
+# histogram so the ANN layout tells you when its quantizer went stale)
+
+def ivf_index_staleness(
+    spark,
+    root_uri: str,
+    new_df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    psi_pico_threshold: int = 250_000_000_000,
+    growth_ppm_threshold: int = 500_000,
+) -> DataFrame:
+    """Staleness report for a persisted IVF index
+    (:func:`build_ivf_index` / :func:`build_ivfpq_index` layouts):
+    PSI between the index's MATERIALIZED cell histogram and the
+    frozen-quantizer assignment of an incoming batch, plus the batch
+    growth ratio. One row:
+    (n_index, n_new, growth_ppm, psi_pico, worst_cell,
+    worst_term_pico, stale).
+
+    Why this works: the hive ``cell=`` partition values ARE the
+    quantizer's verdict at build time, so the index side needs no
+    vector reads at all — the scan touches only the partition column.
+    New vectors assign through the same literal centroid matrix
+    (:func:`ivf_assign`), so a drifted corpus (new topics, changed
+    encoder, corrupted embeddings) moves the cell histogram even when
+    no coordinate looks anomalous. ``psi_pico`` uses the classic
+    0.25-PSI significance cut by default; ``growth_ppm`` fires when
+    the un-indexed batch grows past half the index (search cost on
+    the side table starts to rival the index's own).
+
+    Re-index path (documented contract): when ``stale`` fires,
+    re-train the quantizer on a fresh sample (offline k-means — the
+    quantizer is a model literal, never fit in-plan), write the new
+    layout with :func:`build_ivf_index` under a NEW root, then flip
+    readers atomically via the versioned-layout publish
+    (sources/layout.py) — never rewrite cells in place.
+
+    Exactness: the per-cell table is ``drift.psi_from_counts``'s
+    integer-quantized output; this fold collects that ≤ n_cells-row
+    frame driver-side (the bounded model-literal pattern) and reduces
+    it with Python int arithmetic mirrored 1:1 by the oracle's BIGINT
+    SQL. Worst cell ties break (term DESC, cell ASC).
+
+    Scale shape (100 TB): index side = partition-column-only count
+    job (no vector bytes move); new side = one literal-matrix codegen
+    projection + (side, cell) count; the PSI join is ≤ 2·n_cells
+    rows. Nothing data-sized shuffles."""
+    from pg_parquet_spark.operators.drift import psi_from_counts
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    idx_counts = (
+        read_parquet(spark, root_uri)
+        .groupBy(F.col("cell").cast("string").alias("category"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    new_counts = (
+        ivf_assign(new_df.select(F.col(vec_col)), centroids, vec_col)
+        .groupBy(F.col("_cell").cast("string").alias("category"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = psi_from_counts(idx_counts, new_counts, "category").collect()
+    n_index = sum(int(r["c_ref"]) for r in rows)
+    n_new = sum(int(r["c_new"]) for r in rows)
+    if n_index == 0:
+        raise ValueError(
+            f"ivf_index_staleness: index at {root_uri!r} is empty"
+        )
+    growth_ppm = n_new * 1_000_000 // n_index
+    psi_pico = sum(int(r["term"]) for r in rows)
+    worst = sorted(rows, key=lambda r: (-int(r["term"]), int(r["category"])))[0]
+    stale = psi_pico > psi_pico_threshold or growth_ppm > growth_ppm_threshold
+    return spark.createDataFrame(
+        [
+            (
+                n_index,
+                n_new,
+                growth_ppm,
+                psi_pico,
+                int(worst["category"]),
+                int(worst["term"]),
+                bool(stale),
+            )
+        ],
+        "n_index long, n_new long, growth_ppm long, psi_pico long, "
+        "worst_cell long, worst_term_pico long, stale boolean",
+    )
+
+
+def ivf_index_staleness_oracle_sql(
+    ref_where: str,
+    new_where: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    dims: int = 64,
+    table: str = "embeddings",
+    psi_pico_threshold: int = 250_000_000_000,
+    growth_ppm_threshold: int = 500_000,
+) -> str:
+    """DuckDB replica: the gate builds its index from ``ref_where``
+    rows of the SAME embeddings table (the tmp-index oracle pattern —
+    q_bm25_index), so the oracle re-derives the index histogram by
+    assigning those rows through the identical literal quantizer
+    (``drift.embedding_psi_oracle_sql`` machinery) and folds the same
+    BIGINT report."""
+    from pg_parquet_spark.operators.drift import embedding_psi_oracle_sql
+
+    psi = embedding_psi_oracle_sql(
+        ref_where, new_where, centroids, vec_col, dims, table
+    )
+    # the unrolled-quantizer CTE is ~hundreds of KB of expression —
+    # MATERIALIZED + exactly two references keeps DuckDB from
+    # re-planning it per scalar subquery (8 references planned for
+    # minutes before this was restructured)
+    return f"""
+WITH t AS MATERIALIZED ({psi}),
+agg AS (
+  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_index,
+         CAST(SUM(c_new) AS BIGINT) AS n_new,
+         CAST(SUM(term) AS BIGINT) AS psi_pico
+  FROM t
+),
+w AS (
+  SELECT CAST(category AS BIGINT) AS worst_cell,
+         CAST(term AS BIGINT) AS worst_term_pico
+  FROM t ORDER BY term DESC, CAST(category AS BIGINT) LIMIT 1
+)
+SELECT a.n_index, a.n_new,
+       a.n_new * 1000000 // a.n_index AS growth_ppm,
+       a.psi_pico, w.worst_cell, w.worst_term_pico,
+       (a.psi_pico > {psi_pico_threshold}
+        OR a.n_new * 1000000 // a.n_index > {growth_ppm_threshold}) AS stale
+FROM agg a, w
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-encoder-shaped rerank tier (r14 — VERDICT r13 "Next round" #7:
+# the mmr machinery generalized to shortlist-bounded pairwise scoring)
+
+def crossencoder_rerank(
+    run: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    scorer=None,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Cross-encoder-SHAPED reranking: score every (query, doc) pair
+    of a bounded shortlist with a JOINT function of both texts — the
+    precision tier that sits after a cheap retrieval pass (BM25 /
+    dense / BQ) in a modern retrieval stack. Returns
+    (query_id, doc_id, ce_rank, ce_score_micro), rank 1-based per
+    query, ties (score DESC, doc_id ASC).
+
+    Two scoring paths:
+
+    - ``scorer=None`` (default): a deterministic lexical interaction
+      score — for each DISTINCT query token, its first-match position
+      in the doc's tokens contributes ``1e6 div pos`` micro-units
+      (position-discounted coverage; a joint q×d function, not a
+      per-doc prior). Runs ENTIRELY as a codegen projection —
+      integer-exact, oracle-certified, zero Python.
+    - ``scorer=callable``: the model hook — ``applyInPandas`` per
+      query group; the callable receives the group's pandas frame
+      (query text + doc text columns) and returns an int64 Series of
+      micro-scores, Arrow-batched (a real cross-encoder forward pass
+      slots in here; this container ships no model runtime, so the
+      hook is the documented seam — the multimodal decode pattern).
+
+    Scale shape (100 TB): the run is shortlist-bounded (k'·|queries|
+    rows) and BROADCASTS into the docs join, so the corpus is read
+    once and never shuffles; query texts broadcast likewise; scoring
+    is per-row projection; ranking is a per-query window over
+    shortlist-sized groups (no global window). Feed this bounded
+    shortlists — scoring a whole corpus pairwise belongs upstream in
+    the retrieval tiers."""
+    from pg_parquet_spark.operators.text import tokens
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"crossencoder_rerank: k must be >= 1, got {k}")
+    pairs = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(F.broadcast(run.select(query_col, id_col)), id_col)
+        .join(
+            F.broadcast(queries.select(query_col, query_text_col)),
+            query_col,
+        )
+    )
+    if scorer is None:
+        qt = F.array_distinct(tokens(F.col(query_text_col)))
+        dt = tokens(F.col(text_col))
+        # integer div inside a lambda: (a - a % pos) / pos is an exact
+        # multiple, so the double division is exact (no F.expr names
+        # reach lambda variables)
+        contrib = F.transform(
+            qt,
+            lambda t: F.when(
+                F.array_position(dt, t) > 0,
+                (
+                    (
+                        F.lit(1_000_000).cast("long")
+                        - F.lit(1_000_000).cast("long")
+                        % F.array_position(dt, t)
+                    )
+                    / F.array_position(dt, t)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        scored = pairs.select(
+            query_col,
+            id_col,
+            F.aggregate(
+                contrib, F.lit(0).cast("long"), lambda a, v: a + v
+            ).alias("ce_score_micro"),
+        )
+    else:
+        out_schema = (
+            f"{query_col} long, {id_col} long, ce_score_micro long"
+        )
+
+        def _score(pdf):
+            import pandas as pd
+
+            s = scorer(pdf)
+            return pd.DataFrame(
+                {
+                    query_col: pdf[query_col].astype("int64"),
+                    id_col: pdf[id_col].astype("int64"),
+                    "ce_score_micro": pd.Series(s).astype("int64"),
+                }
+            )
+
+        scored = (
+            pairs.groupBy(query_col).applyInPandas(_score, out_schema)
+        )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("ce_score_micro").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn(
+            "ce_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("ce_rank") <= k)
+        .select(query_col, id_col, "ce_rank", "ce_score_micro")
+        .orderBy(query_col, "ce_rank")
+    )
+
+
+def crossencoder_oracle_sql(
+    run_sql: str,
+    queries_sql: str,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_text_col: str = "query_text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of the DEFAULT scorer: the same distinct-query-
+    token first-position fold in BIGINT floor division, the same
+    (score DESC, id ASC) ROW_NUMBER cut. ``run_sql``/``queries_sql``
+    are full SELECTs (the upstream shortlist composes in)."""
+    return f"""
+WITH run AS ({run_sql}), q AS ({queries_sql}),
+pairs AS (
+  SELECT r.{query_col}, r.{id_col},
+         string_split(lower(d.{text_col}), ' ') AS dt,
+         list_distinct(string_split(lower(qq.{query_text_col}), ' ')) AS qt
+  FROM run r
+  JOIN {table} d ON d.{id_col} = r.{id_col}
+  JOIN q qq ON qq.{query_col} = r.{query_col}
+), scored AS (
+  SELECT {query_col}, {id_col},
+         CAST(COALESCE(list_reduce(list_transform(qt,
+           t -> CASE WHEN COALESCE(list_position(dt, t), 0) > 0
+                THEN 1000000 // list_position(dt, t)
+                ELSE CAST(0 AS BIGINT) END),
+           (a, b) -> a + b), 0) AS BIGINT) AS ce_score_micro
+  FROM pairs
+), ranked AS (
+  SELECT {query_col}, {id_col}, ce_score_micro,
+         ROW_NUMBER() OVER (PARTITION BY {query_col}
+                            ORDER BY ce_score_micro DESC, {id_col}) AS rn
+  FROM scored
+)
+SELECT {query_col}, {id_col}, CAST(rn AS BIGINT) AS ce_rank,
+       ce_score_micro
+FROM ranked WHERE rn <= {k}
+ORDER BY {query_col}, ce_rank
+"""

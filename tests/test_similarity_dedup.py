@@ -2385,3 +2385,89 @@ def test_hamming_topk_batch_payload_cols(spark):
         similarity.hamming_topk_batch(emb, q, payload_cols=("hamming",))
     with _pytest.raises(ValueError, match="not in corpus"):
         similarity.hamming_topk_batch(emb, q, payload_cols=("nope",))
+
+
+def test_ivf_index_staleness_semantics(spark, tmp_path):
+    """r14 planted fixture: a batch drawn from the index's own cells
+    scores low PSI and only trips on growth; a batch collapsed into
+    one far-away cell trips the PSI cut; an empty index raises."""
+    import pytest as _pytest
+
+    cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+    base = [
+        (i, [float(i % 3 == 1) * 10.0, float(i % 3 == 2) * 10.0])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        base, "vec_id long, embedding array<float>"
+    )
+    idx = str(tmp_path / "ivf_stale_idx")
+    similarity.build_ivf_index(emb, idx, cents)
+    # same-distribution small batch: no drift, no growth
+    same = emb.filter("vec_id < 12")
+    rep = similarity.ivf_index_staleness(spark, idx, same, cents).collect()[0]
+    assert rep.n_index == 60 and rep.n_new == 12
+    assert rep.growth_ppm == 200_000
+    assert not rep.stale
+    # collapsed batch: everything lands in cell 2 -> PSI fires
+    drift = spark.createDataFrame(
+        [(i, [0.0, 10.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    rep2 = similarity.ivf_index_staleness(spark, idx, drift, cents).collect()[0]
+    assert rep2.stale and rep2.psi_pico > 250_000_000_000
+    assert rep2.worst_cell in (0, 1, 2)
+    # growth alone trips even with an in-distribution batch
+    rep3 = similarity.ivf_index_staleness(
+        spark, idx, emb, cents, growth_ppm_threshold=900_000
+    ).collect()[0]
+    assert rep3.growth_ppm == 1_000_000 and rep3.stale
+    # empty index raises
+    empty_idx = str(tmp_path / "ivf_empty_idx")
+    similarity.build_ivf_index(emb.filter("vec_id < 0"), empty_idx, cents)
+    with _pytest.raises(Exception):
+        similarity.ivf_index_staleness(spark, empty_idx, same, cents)
+
+
+def test_crossencoder_rerank_semantics(spark):
+    """r14 planted fixture: the default lexical-interaction scorer is
+    position-discounted first-match coverage (integer-exact); ties
+    break (score DESC, id ASC); k cuts; the pandas scorer hook
+    reproduces the default bit-for-bit; bad k raises."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),   # alpha@1, beta@2 -> 1_500_000
+            (2, "beta alpha"),         # alpha@2, beta@1 -> 1_500_000
+            (3, "gamma alpha"),        # alpha@2 -> 500_000
+            (4, "delta"),              # no hit -> 0
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(7, "alpha beta alpha")], "query_id long, query_text string"
+    )
+    run = queries.select("query_id").crossJoin(docs.select("doc_id"))
+    got = similarity.crossencoder_rerank(run, docs, queries, k=3).toPandas()
+    assert list(got.doc_id) == [1, 2, 3]  # tie 1 vs 2 breaks on id
+    assert list(got.ce_score_micro) == [1_500_000, 1_500_000, 500_000]
+    assert list(got.ce_rank) == [1, 2, 3]
+
+    def pyscorer(pdf):
+        out = []
+        for qtext, dtext in zip(pdf["query_text"], pdf["text"]):
+            dt = dtext.lower().split(" ")
+            s = 0
+            for t in dict.fromkeys(qtext.lower().split(" ")):
+                if t in dt:
+                    s += 1_000_000 // (dt.index(t) + 1)
+            out.append(s)
+        return out
+
+    alt = similarity.crossencoder_rerank(
+        run, docs, queries, k=3, scorer=pyscorer
+    ).toPandas()
+    assert alt.equals(got)
+    with _pytest.raises(ValueError, match="k must be"):
+        similarity.crossencoder_rerank(run, docs, queries, k=0)
