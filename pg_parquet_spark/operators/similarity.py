@@ -3428,3 +3428,214 @@ SELECT {query_col}, {id_col}, CAST(rn AS BIGINT) AS ce_rank,
 FROM ranked WHERE rn <= {k}
 ORDER BY {query_col}, ce_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# managed IVF index generations: drift-triggered auto re-index (r14 —
+# the staleness monitor's documented re-index path made mechanical:
+# re-train → build under a NEW generation dir → atomic pointer flip)
+
+_IVF_CURRENT = "_IVF_CURRENT"
+
+
+def _ivf_manifest_publish(root_uri: str, manifest: dict) -> None:
+    """History file first, pointer flip second — the layout.py
+    ordering, so time travel can never observe a generation the
+    pointer knows about but the history lacks."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    root_uri = root_uri.rstrip("/")
+    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
+    pgfs.write_bytes_atomic(
+        f"{root_uri}/_ivf_manifest-{manifest['generation']}.json", data
+    )
+    pgfs.write_bytes_atomic(root_uri + "/" + _IVF_CURRENT, data)
+
+
+def resolve_ivf_index(root_uri: str) -> dict:
+    """Resolve the managed index's current generation:
+    {generation, path, centroids, id_col, vec_col}. The manifest
+    carries the quantizer, so readers never have to be handed the
+    centroid matrix out of band (the model literal travels WITH the
+    data it partitioned)."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    uri = root_uri.rstrip("/") + "/" + _IVF_CURRENT
+    if not pgfs.exists(uri):
+        raise ValueError(
+            f"no managed IVF index at {root_uri!r} — create one with "
+            "init_ivf_index"
+        )
+    return json.loads(pgfs.read_bytes(uri).decode("utf-8"))
+
+
+def init_ivf_index(
+    spark,
+    root_uri: str,
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Create generation 1 of a managed IVF index: one
+    :func:`build_ivf_index` layout under ``gen_1/`` plus the atomic
+    generation pointer. Returns the generation number (1)."""
+    root_uri = root_uri.rstrip("/")
+    from pg_parquet_spark.sources import fs as pgfs
+
+    if pgfs.exists(root_uri + "/" + _IVF_CURRENT):
+        raise ValueError(
+            f"managed IVF index already exists at {root_uri!r} — ingest "
+            "through reindex_on_drift / ivf_index_upsert"
+        )
+    build_ivf_index(df, f"{root_uri}/gen_1", centroids, id_col, vec_col)
+    _ivf_manifest_publish(
+        root_uri,
+        {
+            "generation": 1,
+            "path": "gen_1",
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
+    return 1
+
+
+def ivf_managed_topk(
+    spark,
+    root_uri: str,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search the managed index's CURRENT generation — resolves the
+    generation path and its quantizer from the manifest and delegates
+    to :func:`ivf_index_topk` (same pruned-scan plan, same batch
+    contract)."""
+    m = resolve_ivf_index(root_uri)
+    return ivf_index_topk(
+        spark,
+        f"{root_uri.rstrip('/')}/{m['path']}",
+        query_df,
+        m["centroids"],
+        k=k,
+        nprobe=nprobe,
+        id_col=m["id_col"],
+        vec_col=m["vec_col"],
+        query_id_col=query_id_col,
+    )
+
+
+def reindex_on_drift(
+    spark,
+    root_uri: str,
+    batch_df: DataFrame,
+    psi_pico_threshold: int = 250_000_000_000,
+    growth_ppm_threshold: int = 500_000,
+    iters: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """Drift-triggered ingest for the managed IVF index
+    (:func:`init_ivf_index` roots): run
+    :func:`ivf_index_staleness` against the CURRENT generation, then
+
+    - **fresh** → :func:`ivf_index_upsert` the batch into the current
+      generation (crash-atomic versioned cell merge; quantizer
+      unchanged), or
+    - **stale** → REBUILD: read the current generation's vectors,
+      union the batch, re-train the quantizer deterministically
+      (:func:`ivf_train` — md5-seeded Lloyd's, engine-invariant),
+      build ``gen_{n+1}`` beside the live one, and flip the pointer
+      ATOMICALLY. Readers resolve the old generation or the new one,
+      never a mix; the superseded generation stays on disk for
+      time travel / rollback until explicitly removed.
+
+    Crash contract (drilled in tests): a crash after ``gen_{n+1}`` is
+    written but BEFORE the pointer flip leaves the index serving the
+    old generation with the old quantizer — consistent, just stale;
+    replaying the same call rebuilds ``gen_{n+1}`` (overwrite) and
+    completes the flip. The manifest history file lands before the
+    pointer, so generation time travel never dangles.
+
+    Returns a 1-row action report: (generation_before,
+    generation_after, action, stale, psi_pico, growth_ppm, n_index,
+    n_new).
+
+    Scale shape: the fresh path touches only the batch's cells (the
+    merge contract); the stale path pays ONE full index read + the
+    retrain sample — the honest price of a quantizer swap, paid only
+    when the monitor fires, never in place."""
+    m = resolve_ivf_index(root_uri)
+    root = root_uri.rstrip("/")
+    gen_path = f"{root}/{m['path']}"
+    id_col, vec_col = m["id_col"], m["vec_col"]
+    rep = ivf_index_staleness(
+        spark,
+        gen_path,
+        batch_df,
+        m["centroids"],
+        vec_col=vec_col,
+        psi_pico_threshold=psi_pico_threshold,
+        growth_ppm_threshold=growth_ppm_threshold,
+    ).collect()[0]
+    if not rep.stale:
+        ivf_index_upsert(
+            spark, gen_path, batch_df, m["centroids"], id_col, vec_col
+        )
+        gen_after, action = m["generation"], "upsert"
+    else:
+        from pg_parquet_spark.sources.reader import read_parquet
+
+        current = read_parquet(spark, gen_path).select(
+            F.col(id_col), F.col(vec_col)
+        )
+        union = current.unionByName(
+            batch_df.select(F.col(id_col), F.col(vec_col))
+        )
+        new_cents = ivf_train(
+            union,
+            id_col,
+            vec_col,
+            n_cells=len(m["centroids"]),
+            iters=iters,
+            dims=dims,
+        )
+        gen_after = m["generation"] + 1
+        new_path = f"gen_{gen_after}"
+        build_ivf_index(
+            union, f"{root}/{new_path}", new_cents, id_col, vec_col
+        )
+        _ivf_manifest_publish(
+            root,
+            {
+                "generation": gen_after,
+                "path": new_path,
+                "centroids": [[float(x) for x in c] for c in new_cents],
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+        )
+        action = "rebuild"
+    return spark.createDataFrame(
+        [
+            (
+                m["generation"],
+                gen_after,
+                action,
+                bool(rep.stale),
+                int(rep.psi_pico),
+                int(rep.growth_ppm),
+                int(rep.n_index),
+                int(rep.n_new),
+            )
+        ],
+        "generation_before long, generation_after long, action string, "
+        "stale boolean, psi_pico long, growth_ppm long, n_index long, "
+        "n_new long",
+    )

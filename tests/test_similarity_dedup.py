@@ -2471,3 +2471,95 @@ def test_crossencoder_rerank_semantics(spark):
     assert alt.equals(got)
     with _pytest.raises(ValueError, match="k must be"):
         similarity.crossencoder_rerank(run, docs, queries, k=0)
+
+
+def test_reindex_on_drift_lifecycle(spark, tmp_path, monkeypatch):
+    """r14 managed-index drill: fresh batch → versioned cell upsert
+    (same generation, same quantizer); drifted batch → deterministic
+    re-train + gen_{n+1} build + ATOMIC pointer flip (old generation
+    retained); a crash between the generation build and the pointer
+    flip leaves the old generation serving consistently and the replay
+    converges."""
+    import pytest as _pytest
+
+    cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+    def vec(i):
+        # non-zero everywhere: the exact-cosine re-rank divides by the
+        # corpus norm (zero vectors are embedding_health's business)
+        return [
+            float(i % 3 == 1) * 10.0 + 0.1,
+            float(i % 3 == 2) * 10.0 + 0.1,
+        ]
+
+    base = [(i, vec(i)) for i in range(60)]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    root = str(tmp_path / "managed_ivf")
+    assert similarity.init_ivf_index(spark, root, emb, cents) == 1
+    with _pytest.raises(ValueError, match="already exists"):
+        similarity.init_ivf_index(spark, root, emb, cents)
+
+    # fresh in-distribution batch -> upsert, generation unchanged
+    fresh = spark.createDataFrame(
+        [(100 + i, vec(i)) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    rep = similarity.reindex_on_drift(spark, root, fresh, dims=2).collect()[0]
+    assert rep.action == "upsert" and not rep.stale
+    assert rep.generation_before == 1 and rep.generation_after == 1
+    q = spark.createDataFrame(
+        [(0, [10.1, 0.1])], "query_id long, embedding array<float>"
+    )
+    hits = similarity.ivf_managed_topk(
+        spark, root, q, k=40, nprobe=3
+    ).toPandas()
+    # upserted rows are searchable (101/104 are the cell-1 batch rows)
+    assert {101, 104} <= set(hits.vec_id)
+
+    # drifted batch (new far-away cluster) -> retrain + rebuild + flip
+    drift = spark.createDataFrame(
+        [(200 + i, [20.0, 20.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    rep2 = similarity.reindex_on_drift(spark, root, drift, dims=2).collect()[0]
+    assert rep2.action == "rebuild" and rep2.stale
+    assert rep2.generation_after == 2
+    m = similarity.resolve_ivf_index(root)
+    assert m["generation"] == 2 and m["path"] == "gen_2"
+    assert m["centroids"] != [[float(x) for x in c] for c in cents]
+    q2 = spark.createDataFrame(
+        [(0, [20.0, 20.0])], "query_id long, embedding array<float>"
+    )
+    hits2 = similarity.ivf_managed_topk(
+        spark, root, q2, k=5, nprobe=3
+    ).toPandas()
+    assert set(hits2.vec_id) <= set(range(200, 240))
+
+    # crash drill: die between generation build and pointer flip
+    real_publish = similarity._ivf_manifest_publish
+
+    def _crash(*a, **k):
+        raise RuntimeError("simulated crash before pointer flip")
+
+    monkeypatch.setattr(similarity, "_ivf_manifest_publish", _crash)
+    more_drift = spark.createDataFrame(
+        [(300 + i, [-20.0, -20.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.reindex_on_drift(
+            spark, root, more_drift, psi_pico_threshold=1, dims=2
+        )
+    # pointer still serves generation 2, consistently, old quantizer
+    m_after_crash = similarity.resolve_ivf_index(root)
+    assert m_after_crash["generation"] == 2
+    assert m_after_crash["centroids"] == m["centroids"]
+    # replay converges: same call completes the flip to generation 3
+    monkeypatch.setattr(similarity, "_ivf_manifest_publish", real_publish)
+    rep3 = similarity.reindex_on_drift(
+        spark, root, more_drift, psi_pico_threshold=1, dims=2
+    ).collect()[0]
+    assert rep3.action == "rebuild" and rep3.generation_after == 3
+    assert similarity.resolve_ivf_index(root)["generation"] == 3
+    # unknown root raises the loud contract
+    with _pytest.raises(ValueError, match="no managed IVF index"):
+        similarity.resolve_ivf_index(str(tmp_path / "nope"))
