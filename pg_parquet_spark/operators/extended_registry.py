@@ -622,6 +622,42 @@ def x_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.crossencoder_rerank(run, docs, queries, k=10)
 
 
+def x_listwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (ROADMAP queue #3): listwise rerank — within-list
+    IDF-discounted coverage; a doc's score depends on the whole
+    per-query candidate list (the LLM-reranker shape)."""
+    from pg_parquet_spark.operators import similarity
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        _CE_QUERIES, "query_id long, query_text string"
+    )
+    run = queries.select("query_id").crossJoin(
+        docs.filter("doc_id < 40").select("doc_id")
+    )
+    return similarity.listwise_rerank(run, docs, queries, k=10)
+
+
+def x_bm25_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (ROADMAP queue #3): BM25 index staleness — df-distribution
+    PSI over the persisted index's frozen top-K vocabulary + <oov>
+    bucket vs an incoming batch (index from even ids, odd ids as the
+    batch; the tmp-index gate pattern)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pg_parquet_spark.operators import text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = os.path.join(tempfile.gettempdir(), "pgpq_bm25_stale_x_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    text.build_bm25_index(docs.filter("doc_id % 2 = 0"), idx)
+    return text.bm25_index_staleness(
+        spark, idx, docs.filter("doc_id % 2 = 1")
+    )
+
+
 def x_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_parquet_spark.operators import similarity
 
@@ -703,6 +739,8 @@ EXTENDED_QUERIES = {
     "x_corpus_health": x_corpus_health,
     "x_ivf_staleness": x_ivf_staleness,
     "x_crossencoder": x_crossencoder,
+    "x_listwise": x_listwise,
+    "x_bm25_staleness": x_bm25_staleness,
 }
 
 
@@ -867,6 +905,18 @@ def extended_oracles() -> dict[str, str]:
             + ", ".join(f"({i}, '{t}')" for i, t in _CE_QUERIES)
             + ") t(query_id, query_text)",
             k=10,
+        ),
+        "x_listwise": similarity.listwise_oracle_sql(
+            "SELECT q.query_id, d.doc_id FROM (VALUES (0), (1)) "
+            "q(query_id), (SELECT doc_id FROM documents "
+            "WHERE doc_id < 40) d",
+            "SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in _CE_QUERIES)
+            + ") t(query_id, query_text)",
+            k=10,
+        ),
+        "x_bm25_staleness": text.bm25_index_staleness_oracle_sql(
+            "doc_id % 2 = 0", "doc_id % 2 = 1"
         ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus

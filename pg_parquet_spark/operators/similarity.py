@@ -3431,6 +3431,159 @@ ORDER BY {query_col}, ce_rank
 
 
 # ---------------------------------------------------------------------------
+# listwise rerank tier (r14 — ROADMAP r15 queue #3: crossencoder_rerank
+# generalized to score the candidate GROUP jointly — the LLM-reranker
+# shape, where a doc's score depends on what else made the shortlist)
+
+def listwise_rerank(
+    run: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Listwise reranking: score every candidate as a JOINT function
+    of the whole per-query candidate LIST — the LLM-reranker shape
+    (RankGPT/listwise LTR), where relevance is judged relative to the
+    other retrieved docs, not in isolation (contrast
+    :func:`crossencoder_rerank`, whose score is pairwise (q, d) only).
+    Returns (query_id, doc_id, lw_rank, lw_score_micro), rank 1-based
+    per query, ties (score DESC, doc_id ASC).
+
+    The deterministic scorer is within-list IDF-discounted coverage:
+    for each DISTINCT query token present in the doc, the contribution
+    is ``1e6 div gdf`` where ``gdf`` = how many docs OF THIS QUERY'S
+    CANDIDATE LIST contain that token. A token every candidate matches
+    (the query's head word) is worth little; a token only this
+    candidate matches dominates — so the ranking surfaces the
+    candidates that distinguish themselves WITHIN the list, which is
+    exactly the information a pointwise/pairwise tier cannot see.
+    Dropping or adding one candidate re-scores the others (the
+    planted-fixture test proves this list-dependence). Integer-exact,
+    oracle-certified; zero Python in the plan.
+
+    Scale shape (100 TB): the run is shortlist-bounded (k'·|queries|
+    rows) and BROADCASTS into the docs join, so the corpus is read
+    ONCE and never shuffles (the crossencoder plan); the matched-token
+    explode is bounded by |run|·|query tokens|; ``gdf`` is a window
+    over (query, token) groups of that bounded frame — two
+    shortlist-sized exchanges total, no corpus-sized state anywhere.
+    Feed this bounded shortlists; whole-corpus scoring belongs
+    upstream in the retrieval tiers.
+
+    Contract: ``run`` pairs are assumed DISTINCT (the retrieval-run
+    shape every upstream tier here emits — one row per (query, doc));
+    a duplicated pair would inflate that doc's tokens' within-list
+    gdf and rank the pair twice, same as in
+    :func:`crossencoder_rerank`."""
+    from pg_parquet_spark.operators.text import tokens
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"listwise_rerank: k must be >= 1, got {k}")
+    pairs = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(F.broadcast(run.select(query_col, id_col)), id_col)
+        .join(
+            F.broadcast(queries.select(query_col, query_text_col)),
+            query_col,
+        )
+    )
+    qt = F.array_distinct(tokens(F.col(query_text_col)))
+    dt = tokens(F.col(text_col))
+    matched = F.filter(qt, lambda t: F.array_position(dt, t) > 0)
+    # explode_outer keeps zero-match candidates in the list (score 0,
+    # still ranked) — the oracle's LEFT JOIN back to pairs
+    m = pairs.select(
+        query_col, id_col, F.explode_outer(matched).alias("_t")
+    )
+    # gdf via a keyed window over the SAME bounded frame — one corpus
+    # scan total (a groupBy+join-back would re-evaluate the docs join)
+    gdf_w = Window.partitionBy(query_col, "_t")
+    scored = (
+        m.withColumn("_gdf", F.count("_t").over(gdf_w))
+        .groupBy(query_col, id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_t").isNotNull(), F.expr("1000000 div _gdf")
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("lw_score_micro")
+        )
+    )
+    rank_w = Window.partitionBy(query_col).orderBy(
+        F.col("lw_score_micro").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn(
+            "lw_rank", F.row_number().over(rank_w).cast("long")
+        )
+        .filter(F.col("lw_rank") <= k)
+        .select(query_col, id_col, "lw_rank", "lw_score_micro")
+        .orderBy(query_col, "lw_rank")
+    )
+
+
+def listwise_oracle_sql(
+    run_sql: str,
+    queries_sql: str,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_text_col: str = "query_text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: the same distinct-matched-token explode, the
+    same within-list gdf count, the same BIGINT floor-division fold
+    and (score DESC, id ASC) ROW_NUMBER cut. ``run_sql`` /
+    ``queries_sql`` are full SELECTs (the upstream shortlist composes
+    in)."""
+    return f"""
+WITH run AS ({run_sql}), q AS ({queries_sql}),
+pairs AS (
+  SELECT r.{query_col}, r.{id_col},
+         string_split(lower(d.{text_col}), ' ') AS dt,
+         list_distinct(string_split(lower(qq.{query_text_col}), ' ')) AS qt
+  FROM run r
+  JOIN {table} d ON d.{id_col} = r.{id_col}
+  JOIN q qq ON qq.{query_col} = r.{query_col}
+), m AS (
+  SELECT {query_col}, {id_col},
+         unnest(list_filter(qt, t -> list_contains(dt, t))) AS t
+  FROM pairs
+), gdf AS (
+  SELECT {query_col}, t, COUNT(*) AS g FROM m GROUP BY 1, 2
+), s0 AS (
+  SELECT m.{query_col}, m.{id_col}, SUM(1000000 // g.g) AS s
+  FROM m JOIN gdf g
+    ON g.{query_col} = m.{query_col} AND g.t = m.t
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.{query_col}, p.{id_col},
+         CAST(COALESCE(s0.s, 0) AS BIGINT) AS lw_score_micro
+  FROM pairs p
+  LEFT JOIN s0 ON s0.{query_col} = p.{query_col}
+              AND s0.{id_col} = p.{id_col}
+), ranked AS (
+  SELECT {query_col}, {id_col}, lw_score_micro,
+         ROW_NUMBER() OVER (PARTITION BY {query_col}
+                            ORDER BY lw_score_micro DESC, {id_col}) AS rn
+  FROM scored
+)
+SELECT {query_col}, {id_col}, CAST(rn AS BIGINT) AS lw_rank,
+       lw_score_micro
+FROM ranked WHERE rn <= {k}
+ORDER BY {query_col}, lw_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # managed IVF index generations: drift-triggered auto re-index (r14 —
 # the staleness monitor's documented re-index path made mechanical:
 # re-train → build under a NEW generation dir → atomic pointer flip)

@@ -1750,6 +1750,28 @@ def _bm25_write_stats(spark, uri: str) -> dict:
     return stats
 
 
+def _bm25_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The shared postings derivation (build / upsert / managed
+    rebuild all route through it): one row per (doc, term) —
+    (doc_id_key, term, dl, tf, bucket)."""
+    ex = df.withColumn("_toks", tokens(F.col(text_col))).select(
+        F.col(id_col).alias("doc_id_key"),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    return (
+        ex.groupBy("doc_id_key", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket",
+            F.crc32(F.encode(F.col("term"), "utf-8"))
+            % F.lit(BM25_INDEX_BUCKETS),
+        )
+    )
+
+
 def build_bm25_index(
     df: DataFrame,
     uri: str,
@@ -1767,21 +1789,9 @@ def build_bm25_index(
     text is never stored and never read again at query time."""
     from pg_parquet_spark.sources.layout import write_partitioned
 
-    ex = df.withColumn("_toks", tokens(F.col(text_col))).select(
-        F.col(id_col).alias("doc_id_key"),
-        F.size("_toks").alias("dl"),
-        F.explode("_toks").alias("term"),
+    write_partitioned(
+        _bm25_postings(df, id_col, text_col), uri.rstrip("/"), ["bucket"]
     )
-    postings = (
-        ex.groupBy("doc_id_key", "term", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "bucket",
-            F.crc32(F.encode(F.col("term"), "utf-8"))
-            % F.lit(BM25_INDEX_BUCKETS),
-        )
-    )
-    write_partitioned(postings, uri.rstrip("/"), ["bucket"])
     _bm25_write_stats(df.sparkSession, uri)
 
 
@@ -1799,23 +1809,12 @@ def bm25_index_upsert(
     constants from the merged index. Re-ingesting a changed document
     REPLACES its matching (doc, term) rows but cannot delete postings
     for terms the new text dropped — delete the doc's rows first if
-    documents mutate (the SCD-1 limitation, documented not hidden)."""
+    documents mutate (the SCD-1 limitation, documented not hidden —
+    or rebuild through :func:`bm25_reindex_on_drift`, whose rebuild
+    path replaces changed docs completely)."""
     from pg_parquet_spark.sources.layout import merge_upsert
 
-    ex = new_docs.withColumn("_toks", tokens(F.col(text_col))).select(
-        F.col(id_col).alias("doc_id_key"),
-        F.size("_toks").alias("dl"),
-        F.explode("_toks").alias("term"),
-    )
-    postings = (
-        ex.groupBy("doc_id_key", "term", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "bucket",
-            F.crc32(F.encode(F.col("term"), "utf-8"))
-            % F.lit(BM25_INDEX_BUCKETS),
-        )
-    )
+    postings = _bm25_postings(new_docs, id_col, text_col)
     merge_upsert(
         spark,
         uri.rstrip("/"),
@@ -1881,6 +1880,375 @@ def bm25_index_topk(
         id_col=id_col,
         k1=k1,
         b=b,
+    )
+
+
+def bm25_index_staleness(
+    spark,
+    uri: str,
+    new_docs: DataFrame,
+    top_k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    psi_pico_threshold: int = 250_000_000_000,
+    growth_ppm_threshold: int = 500_000,
+) -> DataFrame:
+    """Staleness report for a persisted BM25 index
+    (:func:`build_bm25_index` layouts) — the lexical twin of
+    ``similarity.ivf_index_staleness`` (r14): PSI between the index's
+    OWN document-frequency distribution and the incoming batch's,
+    over the index's frozen top-``top_k`` vocabulary plus a single
+    ``<oov>`` bucket, plus the batch growth ratio. One row:
+    (n_index, n_new, growth_ppm, psi_pico, worst_term,
+    worst_term_pico, stale).
+
+    Why this works: the postings ARE the df distribution (one row per
+    (doc, term)), so the index side needs no text at all — one scan of
+    the ``term`` column, counted once; the top-K head of that count
+    frame is the frozen vocabulary (df DESC, term ASC — the bounded
+    model-literal pattern, ≤ top_k strings driver-side), and the
+    histogram re-aggregates the SAME vocabulary-sized count frame (the
+    postings are never scanned twice). A drifted corpus (new domain,
+    changed tokenizer, language mix shift) moves mass between the head
+    terms and ``<oov>`` even when per-doc quality signals look normal.
+    ``psi_pico`` uses the classic 0.25-PSI cut; ``growth_ppm`` fires
+    when the un-merged batch's postings grow past half the index
+    (upsert cost and stats drift start to dominate).
+
+    Re-index path (documented contract): when ``stale`` fires, rebuild
+    with :func:`build_bm25_index` under a NEW root and flip readers
+    atomically via the versioned-layout publish — never rewrite
+    bucket partitions in place (the IVF generation pattern).
+
+    Exactness: the per-category table is ``drift.psi_from_counts``'s
+    integer-quantized output; this fold collects that ≤ (top_k+1)-row
+    frame driver-side and reduces it with Python int arithmetic
+    mirrored 1:1 by the oracle's BIGINT SQL (the oracle re-derives the
+    index's postings from the gate's build rows — the tmp-index oracle
+    pattern). Worst term ties break (term DESC, category ASC).
+
+    Scale shape (100 TB): index side = one term-column count job
+    (postings-sized scan, vocabulary-sized shuffle — no text, no doc
+    ids move); new side = tokenize + distinct-(doc, term) count, one
+    term-keyed exchange; the PSI join is ≤ 2·(top_k+1) rows. Nothing
+    corpus-sized shuffles, nothing quadratic anywhere."""
+    from pg_parquet_spark.operators.drift import psi_from_counts
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    if top_k < 1:
+        raise ValueError(
+            f"bm25_index_staleness: top_k must be >= 1, got {top_k}"
+        )
+    OOV = "<oov>"
+    term_counts = (
+        read_parquet(spark, uri.rstrip("/"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    head = term_counts.orderBy(F.desc("n"), "term").limit(top_k).collect()
+    if not head:
+        raise ValueError(f"bm25_index_staleness: index at {uri!r} is empty")
+    vocab = [r["term"] for r in head]
+    cat = lambda c: (  # noqa: E731 — shared by both sides
+        F.when(c.isin(vocab), c).otherwise(F.lit(OOV)).alias("category")
+    )
+    idx_counts = (
+        term_counts.select(cat(F.col("term")), "n")
+        .groupBy("category")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    new_counts = (
+        new_docs.withColumn("_toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.col("_toks"))).alias("term"),
+        )
+        .groupBy(cat(F.col("term")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = psi_from_counts(idx_counts, new_counts, "category").collect()
+    term_counts.unpersist()
+    n_index = sum(int(r["c_ref"]) for r in rows)
+    n_new = sum(int(r["c_new"]) for r in rows)
+    growth_ppm = n_new * 1_000_000 // n_index
+    psi_pico = sum(int(r["term"]) for r in rows)
+    worst = sorted(rows, key=lambda r: (-int(r["term"]), r["category"]))[0]
+    stale = (
+        psi_pico > psi_pico_threshold or growth_ppm > growth_ppm_threshold
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_index,
+                n_new,
+                growth_ppm,
+                psi_pico,
+                worst["category"],
+                int(worst["term"]),
+                bool(stale),
+            )
+        ],
+        "n_index long, n_new long, growth_ppm long, psi_pico long, "
+        "worst_term string, worst_term_pico long, stale boolean",
+    )
+
+
+def bm25_index_staleness_oracle_sql(
+    ref_where: str,
+    new_where: str,
+    top_k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    psi_pico_threshold: int = 250_000_000_000,
+    growth_ppm_threshold: int = 500_000,
+) -> str:
+    """DuckDB replica: the gate builds its index from ``ref_where``
+    rows of the SAME documents table (the tmp-index oracle pattern),
+    so the oracle re-derives the postings' df distribution by
+    replaying the identical tokenize → distinct-(doc, term) derivation
+    on those rows, freezes the same (df DESC, term ASC) top-K
+    vocabulary, and folds the same BIGINT report."""
+    from pg_parquet_spark.operators.drift import psi_oracle_sql
+
+    def post(where: str) -> str:
+        return (
+            f"SELECT {id_col}, unnest(list_distinct("
+            f"string_split(lower({text_col}), ' '))) AS term "
+            f"FROM {table} WHERE {where}"
+        )
+
+    vocab = (
+        f"SELECT term FROM (SELECT term, COUNT(*) AS df "
+        f"FROM ({post(ref_where)}) GROUP BY term "
+        f"ORDER BY df DESC, term LIMIT {top_k})"
+    )
+    cat = f"CASE WHEN term IN ({vocab}) THEN term ELSE '<oov>' END"
+    psi = psi_oracle_sql(
+        f"SELECT {cat} AS category FROM ({post(ref_where)})",
+        f"SELECT {cat} AS category FROM ({post(new_where)})",
+        "category",
+    )
+    return f"""
+WITH t AS MATERIALIZED ({psi}),
+agg AS (
+  SELECT CAST(SUM(c_ref) AS BIGINT) AS n_index,
+         CAST(SUM(c_new) AS BIGINT) AS n_new,
+         CAST(SUM(term) AS BIGINT) AS psi_pico
+  FROM t
+),
+w AS (
+  SELECT category AS worst_term,
+         CAST(term AS BIGINT) AS worst_term_pico
+  FROM t ORDER BY term DESC, category LIMIT 1
+)
+SELECT a.n_index, a.n_new,
+       a.n_new * 1000000 // a.n_index AS growth_ppm,
+       a.psi_pico, w.worst_term, w.worst_term_pico,
+       (a.psi_pico > {psi_pico_threshold}
+        OR a.n_new * 1000000 // a.n_index > {growth_ppm_threshold}) AS stale
+FROM agg a, w
+"""
+
+
+# ---------------------------------------------------------------------------
+# managed BM25 index generations (r14 — the managed-IVF generation
+# pattern applied to the lexical index: staleness verdict → upsert or
+# text-free rebuild under gen_{n+1} → atomic pointer flip)
+
+_BM25_CURRENT = "_BM25_CURRENT"
+
+
+def _bm25_manifest_publish(root_uri: str, manifest: dict) -> None:
+    """History file first, pointer flip second — the layout.py
+    ordering, so generation time travel can never observe a
+    generation the pointer knows about but the history lacks."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    root_uri = root_uri.rstrip("/")
+    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
+    pgfs.write_bytes_atomic(
+        f"{root_uri}/_bm25_manifest-{manifest['generation']}.json", data
+    )
+    pgfs.write_bytes_atomic(root_uri + "/" + _BM25_CURRENT, data)
+
+
+def resolve_bm25_index(root_uri: str) -> dict:
+    """Resolve the managed lexical index's current generation:
+    {generation, path, id_col}. The manifest travels WITH the data
+    (the managed-IVF convention), so readers never need out-of-band
+    configuration."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    uri = root_uri.rstrip("/") + "/" + _BM25_CURRENT
+    if not pgfs.exists(uri):
+        raise ValueError(
+            f"no managed BM25 index at {root_uri!r} — create one with "
+            "init_bm25_index"
+        )
+    return json.loads(pgfs.read_bytes(uri))
+
+
+def init_bm25_index(
+    spark,
+    root_uri: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Create generation 1 of a managed BM25 index: one
+    :func:`build_bm25_index` layout under ``gen_1/`` plus the atomic
+    generation pointer. Returns the generation number (1)."""
+    from pg_parquet_spark.sources import fs as pgfs
+
+    root_uri = root_uri.rstrip("/")
+    if pgfs.exists(root_uri + "/" + _BM25_CURRENT):
+        raise ValueError(
+            f"managed BM25 index already exists at {root_uri!r} — "
+            "ingest through bm25_reindex_on_drift / bm25_index_upsert"
+        )
+    build_bm25_index(docs, f"{root_uri}/gen_1", id_col, text_col)
+    _bm25_manifest_publish(
+        root_uri, {"generation": 1, "path": "gen_1", "id_col": id_col}
+    )
+    return 1
+
+
+def bm25_managed_topk(
+    spark,
+    root_uri: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Search the managed index's CURRENT generation — resolves the
+    generation path from the manifest and delegates to
+    :func:`bm25_index_topk` (same bucket-pruned scan, same scoring
+    quantization)."""
+    m = resolve_bm25_index(root_uri)
+    return bm25_index_topk(
+        spark,
+        f"{root_uri.rstrip('/')}/{m['path']}",
+        query_terms,
+        id_col=m["id_col"],
+        k1=k1,
+        b=b,
+    )
+
+
+def bm25_reindex_on_drift(
+    spark,
+    root_uri: str,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 32,
+    psi_pico_threshold: int = 250_000_000_000,
+    growth_ppm_threshold: int = 500_000,
+) -> DataFrame:
+    """Drift-triggered ingest for the managed BM25 index
+    (:func:`init_bm25_index` roots) — the lexical
+    ``similarity.reindex_on_drift``: run :func:`bm25_index_staleness`
+    against the CURRENT generation, then
+
+    - **fresh** → :func:`bm25_index_upsert` the batch into the current
+      generation (crash-atomic versioned (doc, term) merge — fast, but
+      it cannot delete postings for terms a changed doc dropped), or
+    - **stale** → REBUILD WITHOUT THE CORPUS TEXT: the postings ARE
+      the index's complete state (doc_id_key, term, dl, tf), so the
+      new generation = batch postings ∪ (current postings anti-joined
+      on the batch's doc ids) — changed documents are REPLACED whole,
+      which repairs exactly the upsert path's documented SCD-1
+      limitation — written under ``gen_{n+1}`` beside the live one,
+      then the pointer flips ATOMICALLY. Readers resolve the old
+      generation or the new one, never a mix; the superseded
+      generation stays on disk for rollback until explicitly removed.
+
+    Crash contract (drilled in tests): a crash after ``gen_{n+1}`` is
+    written but BEFORE the pointer flip leaves the index serving the
+    old generation — consistent, just stale; replaying the same call
+    recomputes the same verdict against the old generation, overwrites
+    ``gen_{n+1}`` and completes the flip. The manifest history file
+    lands before the pointer, so generation time travel never dangles.
+
+    Returns a 1-row action report: (generation_before,
+    generation_after, action, stale, psi_pico, growth_ppm, n_index,
+    n_new) — the managed-IVF report schema.
+
+    Scale shape (100 TB): the fresh path touches only the batch's
+    term-bucket partitions (the merge contract); the stale path pays
+    ONE full postings read + one doc-keyed anti-join — postings-sized,
+    never text-sized, and only when the monitor fires. The corpus text
+    itself is never stored and never re-read."""
+    from pg_parquet_spark.sources.layout import write_partitioned
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    m = resolve_bm25_index(root_uri)
+    root = root_uri.rstrip("/")
+    gen_path = f"{root}/{m['path']}"
+    id_col = m["id_col"]
+    rep = bm25_index_staleness(
+        spark,
+        gen_path,
+        batch_docs,
+        top_k=top_k,
+        id_col=id_col,
+        text_col=text_col,
+        psi_pico_threshold=psi_pico_threshold,
+        growth_ppm_threshold=growth_ppm_threshold,
+    ).collect()[0]
+    if not rep.stale:
+        bm25_index_upsert(spark, batch_docs, gen_path, id_col, text_col)
+        gen_after, action = m["generation"], "upsert"
+    else:
+        batch_post = _bm25_postings(batch_docs, id_col, text_col)
+        kept = read_parquet(spark, gen_path).join(
+            batch_post.select("doc_id_key").distinct(),
+            "doc_id_key",
+            "left_anti",
+        )
+        # recompute the partition key on the union: the hive read
+        # infers bucket as int while the derivation emits long
+        merged = (
+            kept.select("doc_id_key", "term", "dl", "tf")
+            .unionByName(
+                batch_post.select("doc_id_key", "term", "dl", "tf")
+            )
+            .withColumn(
+                "bucket",
+                F.crc32(F.encode(F.col("term"), "utf-8"))
+                % F.lit(BM25_INDEX_BUCKETS),
+            )
+        )
+        gen_after = m["generation"] + 1
+        new_path = f"gen_{gen_after}"
+        write_partitioned(merged, f"{root}/{new_path}", ["bucket"])
+        _bm25_write_stats(spark, f"{root}/{new_path}")
+        _bm25_manifest_publish(
+            root,
+            {"generation": gen_after, "path": new_path, "id_col": id_col},
+        )
+        action = "rebuild"
+    return spark.createDataFrame(
+        [
+            (
+                m["generation"],
+                gen_after,
+                action,
+                bool(rep.stale),
+                int(rep.psi_pico),
+                int(rep.growth_ppm),
+                int(rep.n_index),
+                int(rep.n_new),
+            )
+        ],
+        "generation_before long, generation_after long, action string, "
+        "stale boolean, psi_pico long, growth_ppm long, n_index long, "
+        "n_new long",
     )
 
 

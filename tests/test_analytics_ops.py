@@ -924,3 +924,152 @@ def test_funnel_steps_semantics(spark):
         timeseries.funnel_steps(ev, ["view"])
     with _pytest.raises(ValueError, match="duplicate"):
         timeseries.funnel_steps(ev, ["view", "view"])
+
+
+def test_bm25_index_staleness_semantics(spark, tmp_path):
+    """r14 planted fixture: df-distribution PSI over the persisted
+    BM25 index's frozen top-K vocabulary + <oov> bucket. A
+    same-distribution small batch is NOT stale; an all-new-vocabulary
+    batch fires the PSI cut with <oov> as the worst term; an
+    identically-distributed batch as large as the index fires the
+    growth trigger with psi == 0; empty index and bad top_k raise."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha gamma"),
+            (3, "alpha beta"),
+            (4, "alpha delta"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25_stale_idx")
+    text.build_bm25_index(docs, idx)  # df: alpha 4, beta 2, gamma/delta 1
+
+    # same-shaped small batch: psi under the 0.25 cut, growth 2e6/8 < 0.5
+    same = spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string")
+    rep = text.bm25_index_staleness(spark, idx, same, top_k=2).collect()[0]
+    assert rep.n_index == 8 and rep.n_new == 2
+    assert rep.growth_ppm == 250_000
+    assert rep.psi_pico < 250_000_000_000 and rep.stale is False
+
+    # drifted batch: every token lands in <oov> -> PSI fires even with
+    # the growth trigger disabled; the worst category is <oov>
+    drift = spark.createDataFrame(
+        [(9, "zeta eta"), (10, "zeta eta"), (11, "zeta eta")],
+        "doc_id long, text string",
+    )
+    rep2 = text.bm25_index_staleness(
+        spark, idx, drift, top_k=2, growth_ppm_threshold=10_000_000
+    ).collect()[0]
+    assert rep2.psi_pico > 250_000_000_000 and rep2.stale is True
+    assert rep2.worst_term == "<oov>"
+    assert rep2.psi_pico > rep.psi_pico
+
+    # growth-only trigger: an identically-distributed batch the size
+    # of the index has psi == 0 but growth_ppm == 1e6 > the 0.5 cut
+    rep3 = text.bm25_index_staleness(spark, idx, docs, top_k=2).collect()[0]
+    assert rep3.psi_pico == 0 and rep3.growth_ppm == 1_000_000
+    assert rep3.stale is True
+
+    with _pytest.raises(ValueError, match="top_k must be"):
+        text.bm25_index_staleness(spark, idx, same, top_k=0)
+    # an empty BUILD already fails loudly (the stats derivation reads
+    # zero postings) — there is no silent empty index to go stale on
+    empty_idx = str(tmp_path / "bm25_empty_idx")
+    with _pytest.raises(Exception):
+        text.build_bm25_index(docs.filter("doc_id < 0"), empty_idx)
+
+
+def test_bm25_managed_generations_lifecycle(spark, tmp_path, monkeypatch):
+    """r14 managed-index drill (the lexical reindex_on_drift): fresh
+    batch → versioned (doc, term) upsert, same generation; drifted
+    batch → TEXT-FREE rebuild under gen_{n+1} (postings are complete
+    state) + atomic pointer flip — and the rebuild REPLACES changed
+    docs whole, repairing the upsert path's documented SCD-1
+    limitation; a crash between generation build and pointer flip
+    serves the old generation consistently and the replay converges."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import text
+
+    base = spark.createDataFrame(
+        [
+            (i, "alpha beta " + ("gamma" if i % 2 else "delta"))
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "managed_bm25")
+    assert text.init_bm25_index(spark, root, base) == 1
+    with _pytest.raises(ValueError, match="already exists"):
+        text.init_bm25_index(spark, root, base)
+
+    # fresh in-vocabulary batch -> upsert, generation unchanged, and
+    # the managed search equals the direct scorer over the full corpus
+    fresh = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "beta gamma")],
+        "doc_id long, text string",
+    )
+    rep = text.bm25_reindex_on_drift(spark, root, fresh).collect()[0]
+    assert rep.action == "upsert" and not rep.stale
+    assert rep.generation_before == 1 and rep.generation_after == 1
+    q = ["alpha", "gamma"]
+    got = text.bm25_managed_topk(spark, root, q).toPandas()
+    want = text.bm25_scores(base.unionByName(fresh), q).toPandas()
+    assert len(got) == len(want)
+    for col in want.columns:
+        assert list(got[col]) == list(want[col]), col
+
+    # drifted batch (all-new vocabulary fires the PSI cut) that ALSO
+    # rewrites doc 0 ("alpha beta delta" -> "zeta eta theta")
+    drift = spark.createDataFrame(
+        [(0, "zeta eta theta")] + [(200 + i, "zeta eta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rep2 = text.bm25_reindex_on_drift(spark, root, drift).collect()[0]
+    assert rep2.action == "rebuild" and rep2.stale
+    assert rep2.psi_pico > 250_000_000_000
+    assert rep2.generation_after == 2
+    m = text.resolve_bm25_index(root)
+    assert m["generation"] == 2 and m["path"] == "gen_2"
+    # doc 0's OLD postings are GONE (the thing upsert cannot do):
+    hits = text.bm25_managed_topk(spark, root, ["alpha"]).toPandas()
+    assert 0 not in set(hits.doc_id)
+    # and the whole generation equals the direct scorer over the
+    # corpus WITH doc 0 replaced
+    replaced = (
+        base.filter("doc_id != 0").unionByName(fresh).unionByName(drift)
+    )
+    q2 = ["alpha", "gamma", "zeta"]
+    got2 = text.bm25_managed_topk(spark, root, q2).toPandas()
+    want2 = text.bm25_scores(replaced, q2).toPandas()
+    assert len(got2) == len(want2)
+    for col in want2.columns:
+        assert list(got2[col]) == list(want2[col]), col
+
+    # crash drill: die between generation build and pointer flip
+    real_publish = text._bm25_manifest_publish
+
+    def _crash(*a, **k):
+        raise RuntimeError("simulated crash before pointer flip")
+
+    monkeypatch.setattr(text, "_bm25_manifest_publish", _crash)
+    more_drift = spark.createDataFrame(
+        [(300 + i, "omega psi") for i in range(4)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        text.bm25_reindex_on_drift(spark, root, more_drift)
+    # pointer still serves generation 2, consistently
+    assert text.resolve_bm25_index(root)["generation"] == 2
+    # replay converges: the same call completes the flip to gen 3
+    monkeypatch.setattr(text, "_bm25_manifest_publish", real_publish)
+    rep3 = text.bm25_reindex_on_drift(spark, root, more_drift).collect()[0]
+    assert rep3.action == "rebuild" and rep3.generation_after == 3
+    assert text.resolve_bm25_index(root)["generation"] == 3
+    with _pytest.raises(ValueError, match="no managed BM25 index"):
+        text.resolve_bm25_index(str(tmp_path / "nope"))

@@ -2563,3 +2563,45 @@ def test_reindex_on_drift_lifecycle(spark, tmp_path, monkeypatch):
     # unknown root raises the loud contract
     with _pytest.raises(ValueError, match="no managed IVF index"):
         similarity.resolve_ivf_index(str(tmp_path / "nope"))
+
+
+def test_listwise_rerank_semantics(spark):
+    """r14 planted fixture: the listwise scorer is within-list
+    IDF-discounted coverage — 1e6 div gdf per distinct matched query
+    token, gdf counted over THIS query's candidate list. Removing a
+    candidate re-scores the others (the property no pointwise/pairwise
+    tier has); ties break (score DESC, id ASC); zero-match candidates
+    stay (score 0); k cuts; bad k raises."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha"),          # alpha (gdf 2) -> 500_000
+            (2, "alpha beta"),     # alpha + beta (gdf 2 each) -> 1_000_000
+            (3, "beta zzz"),       # beta -> 500_000
+            (4, "qqq"),            # no hit -> 0
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(7, "alpha beta alpha")], "query_id long, query_text string"
+    )
+    run = queries.select("query_id").crossJoin(docs.select("doc_id"))
+    got = similarity.listwise_rerank(run, docs, queries, k=10).toPandas()
+    assert list(got.doc_id) == [2, 1, 3, 4]
+    assert list(got.lw_score_micro) == [1_000_000, 500_000, 500_000, 0]
+    assert list(got.lw_rank) == [1, 2, 3, 4]
+
+    # LIST-dependence: drop doc 3 from the candidate list and beta's
+    # within-list gdf falls 2 -> 1, so doc 2's score RISES — the same
+    # (query, doc) pair scores differently under a different list
+    run2 = run.filter("doc_id != 3")
+    got2 = similarity.listwise_rerank(run2, docs, queries, k=10).toPandas()
+    assert list(got2.doc_id) == [2, 1, 4]
+    assert list(got2.lw_score_micro) == [1_500_000, 500_000, 0]
+
+    # k cuts after the joint scoring
+    cut = similarity.listwise_rerank(run, docs, queries, k=2).toPandas()
+    assert list(cut.doc_id) == [2, 1]
+    with _pytest.raises(ValueError, match="k must be"):
+        similarity.listwise_rerank(run, docs, queries, k=0)
