@@ -622,6 +622,21 @@ def x_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.crossencoder_rerank(run, docs, queries, k=10)
 
 
+def x_rerank_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the two-tier RAG pipeline — hybrid retrieve (BM25 ⊕ dense
+    RRF) feeding the cross-encoder rerank, BOTH tiers under ONE
+    chained oracle (the corpus-health composition convention)."""
+    from pg_parquet_spark.operators import recipe
+
+    emb = table(spark, sf_dir, "embeddings")
+    return recipe.rerank_pipeline(
+        _docs(spark, sf_dir),
+        emb,
+        ["spark", "vector", "scan"],
+        emb.filter(F.col("vec_id") == 0),
+    )
+
+
 def x_listwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 (ROADMAP queue #3): listwise rerank — within-list
     IDF-discounted coverage; a doc's score depends on the whole
@@ -741,6 +756,7 @@ EXTENDED_QUERIES = {
     "x_crossencoder": x_crossencoder,
     "x_listwise": x_listwise,
     "x_bm25_staleness": x_bm25_staleness,
+    "x_rerank_stack": x_rerank_stack,
 }
 
 
@@ -917,6 +933,9 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_bm25_staleness": text.bm25_index_staleness_oracle_sql(
             "doc_id % 2 = 0", "doc_id % 2 = 1"
+        ),
+        "x_rerank_stack": recipe.rerank_pipeline_oracle_sql(
+            ["spark", "vector", "scan"], query_id=0
         ),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus

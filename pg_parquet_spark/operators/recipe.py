@@ -903,3 +903,116 @@ SELECT metric, value FROM (
   FROM ({lines})
 ) ORDER BY metric
 """
+
+
+def rerank_pipeline(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_df: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    shortlist: int = 50,
+    candidates: int = 20,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The canonical two-tier RAG retrieval pipeline as ONE Spark plan
+    (r14 — the composed-recipe pattern on the whole retrieval stack):
+    tier 1 = :func:`hybrid_search` (BM25 ⊕ exact cosine fused by
+    integer RRF) produces the ``candidates``-deep fused candidate
+    list; tier 2 = ``similarity.crossencoder_rerank`` re-scores
+    exactly that list with the joint (query, doc) interaction scorer
+    and cuts to ``k``. Returns (doc_id, rrf_nano, ce_rank,
+    ce_score_micro) best-first — each row carries BOTH tiers' verdicts
+    so a calibration layer can compare them.
+
+    The pipeline property the composition certifies (and the planted
+    test pins): tier 2 sees ONLY tier 1's list — a perfectly matching
+    document that tier 1 missed can never surface, and a fused
+    candidate with poor query-token positions is demoted regardless of
+    its retrieval rank. That boundary is what makes the stack scale:
+    the expensive joint scorer touches ``candidates`` rows per query,
+    never the corpus.
+
+    Scale shape (100 TB): tier 1 is hybrid_search's shape (both
+    rankers end in bounded top-``shortlist``, fusion over ≤2·shortlist
+    rows); tier 2 broadcasts the ≤``candidates``-row run into ONE
+    corpus scan (the crossencoder plan). The corpus text is read
+    exactly twice end-to-end (once per tier), the vectors once, and
+    nothing data-sized ever shuffles."""
+    from pg_parquet_spark.operators import similarity
+
+    fused = hybrid_search(
+        docs,
+        emb,
+        query_terms,
+        query_df,
+        doc_id_col=doc_id_col,
+        vec_id_col=vec_id_col,
+        k0=k0,
+        shortlist=shortlist,
+        top_k=candidates,
+    )
+    queries = docs.sparkSession.createDataFrame(
+        [(0, " ".join(query_terms))], "query_id long, query_text string"
+    )
+    run = fused.select(
+        F.lit(0).cast("long").alias("query_id"), F.col(doc_id_col)
+    )
+    reranked = similarity.crossencoder_rerank(
+        run,
+        docs,
+        queries,
+        k=k,
+        id_col=doc_id_col,
+        text_col=text_col,
+    )
+    return (
+        reranked.join(
+            F.broadcast(fused.select(doc_id_col, "rrf_nano")), doc_id_col
+        )
+        .select(doc_id_col, "rrf_nano", "ce_rank", "ce_score_micro")
+        .orderBy("ce_rank")
+    )
+
+
+def rerank_pipeline_oracle_sql(
+    query_terms: list[str],
+    query_id: int = 0,
+    k: int = 10,
+    k0: int = 60,
+    shortlist: int = 50,
+    candidates: int = 20,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> str:
+    """ONE chained DuckDB replica of the whole two-tier stack: the
+    certified hybrid-search SQL feeds the certified cross-encoder SQL
+    as its run, and the final join carries both tiers' scores — the
+    corpus-health composition convention applied to retrieval."""
+    from pg_parquet_spark.operators import similarity
+
+    hybrid = hybrid_search_oracle_sql(
+        query_terms,
+        query_id=query_id,
+        k0=k0,
+        shortlist=shortlist,
+        top_k=candidates,
+        doc_id_col=doc_id_col,
+        vec_id_col=vec_id_col,
+    )
+    qtext = " ".join(query_terms).replace("'", "''")
+    ce = similarity.crossencoder_oracle_sql(
+        f"SELECT 0 AS query_id, {doc_id_col} AS doc_id FROM ({hybrid})",
+        f"SELECT 0 AS query_id, '{qtext}' AS query_text",
+        k=k,
+        id_col=doc_id_col,
+    )
+    return f"""
+SELECT c.{doc_id_col}, h.rrf_nano, c.ce_rank, c.ce_score_micro
+FROM ({ce}) c
+JOIN ({hybrid}) h ON h.{doc_id_col} = c.{doc_id_col}
+ORDER BY c.ce_rank
+"""

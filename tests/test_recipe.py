@@ -313,3 +313,41 @@ def test_corpus_health_matches_chained_oracle(spark):
     assert vals["mojibake_ppm"] == 0
     assert vals["boilerplate_ppm"] > 0
     assert vals["oov_ppm"] > 0
+
+
+def test_rerank_pipeline_boundary_and_demotion(spark):
+    """r14 planted fixture for the two-tier stack: tier 2 sees ONLY
+    tier 1's candidate list (a perfect-CE doc cut by `candidates`
+    never surfaces), and within the list the joint scorer overrules
+    the retrieval order (the tier-1 winner is demoted when its query
+    token sits later); both tiers' verdicts ride the output row."""
+    docs = spark.createDataFrame(
+        [
+            # CE 1_000_000 (spark@1) but tier-1 runner-up (dl 3, dim emb)
+            (1, "spark zzz qqq"),
+            # tier-1 winner (shortest dl, perfect cosine) but CE 500_000
+            (2, "data spark"),
+            # would be CE 1_000_000 — but ranked 3rd by BOTH rankers, so
+            # the candidates=2 cut excludes it from tier 2 entirely
+            (3, "spark aaa bbb ccc ddd eee fff ggg"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = recipe.rerank_pipeline(
+        docs, emb, ["spark"], q, candidates=2
+    ).toPandas()
+    assert list(out.doc_id) == [1, 2]       # CE order, not retrieval order
+    assert 3 not in set(out.doc_id)          # the tier boundary
+    assert list(out.ce_score_micro) == [1_000_000, 500_000]
+    assert list(out.ce_rank) == [1, 2]
+    rrf = dict(zip(out.doc_id, out.rrf_nano))
+    assert rrf[2] > rrf[1]                   # tier-1 preferred doc 2 ...
+    # ... and tier 2 demoted it — the carried verdicts disagree, which
+    # is exactly the signal a calibration layer reads
