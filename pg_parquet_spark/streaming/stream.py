@@ -1495,6 +1495,85 @@ def drain_with_term_index(
         )
 
 
+def drain_with_managed_bm25(
+    sdf: DataFrame,
+    corpus_root: str,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+    top_k: int = 32,
+    psi_pico_threshold: int = 250_000_000_000,
+    growth_ppm_threshold: int = 500_000,
+) -> None:
+    """Drift-AWARE lexical ingestion (r14 — ``drain_with_term_index``
+    upgraded to the managed-generation index): each micro-batch
+    publishes its documents through the versioned sink, then routes
+    through ``text.bm25_reindex_on_drift`` against the MANAGED index
+    root — a fresh tranche MERGEs into the current generation (the
+    plain drain's behavior), a drifted tranche (df-distribution PSI
+    past the 0.25 cut, or growth past the upsert-pressure cut)
+    triggers the TEXT-FREE generation rebuild + atomic pointer flip —
+    so retrieval survives a mid-stream domain shift without an offline
+    maintenance window. The first batch bootstraps generation 1.
+
+    Crash/replay convergence (the family argument): corpus visibility
+    exactly-once by manifest; managed ingest at-least-once —
+    - upsert branch: replays re-land identical (doc, term) keyed rows;
+    - rebuild that crashed BEFORE the pointer flip: the replay
+      recomputes the identical verdict against the still-current old
+      generation and overwrites ``gen_{n+1}``;
+    - rebuild whose pointer flipped but whose checkpoint didn't
+      commit: the replayed batch scores against the NEW generation
+      (which already contains its rows) — a fresh verdict upserts
+      idempotently; a still-stale verdict (a batch bigger than half
+      the rebuilt index trips growth) rebuilds ``gen_{n+2}`` with
+      IDENTICAL content (batch postings ∪ everything else = the same
+      postings), a redundant generation but the same search state.
+    Either way the final (corpus, index, search) equals the no-crash
+    reference — drilled in tests."""
+    from pg_parquet_spark.operators import text as text_ops
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        sink(batch_df, batch_id)
+        try:
+            text_ops.resolve_bm25_index(index_root)
+        except ValueError:  # first batch bootstraps generation 1
+            text_ops.init_bm25_index(
+                spark, index_root, batch_df, id_col=id_col, text_col=text_col
+            )
+            return
+        text_ops.bm25_reindex_on_drift(
+            spark,
+            index_root,
+            batch_df,
+            text_col=text_col,
+            top_k=top_k,
+            psi_pico_threshold=psi_pico_threshold,
+            growth_ppm_threshold=growth_ppm_threshold,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"managed-bm25 drain did not finish within {timeout_sec}s"
+        )
+
+
 def drain_with_line_dedup(
     sdf: DataFrame,
     corpus_root: str,

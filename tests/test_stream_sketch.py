@@ -1259,3 +1259,96 @@ def test_streaming_line_dedup_crash_mid_publish(spark, tmp_path, monkeypatch):
         map(tuple, read_parquet(spark, ref_corpus).select("doc_id", "text").collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_managed_bm25_drain_drift_and_crash(spark, tmp_path, monkeypatch):
+    """r14: the drift-aware lexical ingest drain — tranche 1 bootstraps
+    generation 1, an in-vocabulary tranche MERGEs (generation
+    unchanged), a drifted tranche triggers the text-free generation
+    rebuild + pointer flip mid-stream, and the managed search equals
+    direct BM25 over the published corpus throughout. Crash drill:
+    die inside the managed ingest after the corpus publish — the index
+    serves the old consistent state, the replay converges."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import text
+    from pg_parquet_spark.sources import read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_managed_bm25
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "managed_bm25")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def drain():
+        drain_with_managed_bm25(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, index, checkpoint=ckpt,
+        )
+
+    # tranche 1 bootstraps generation 1
+    t1 = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma" if i % 2 else "delta"))
+         for i in range(8)],
+        schema,
+    )
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert text.resolve_bm25_index(index)["generation"] == 1
+    q1 = ["alpha", "gamma"]
+    got1 = text.bm25_managed_topk(spark, index, q1).toPandas()
+    want1 = text.bm25_scores(
+        read_parquet(spark, corpus).select("doc_id", "text"), q1
+    ).toPandas()
+    assert got1.values.tolist() == want1.values.tolist() and len(got1) > 0
+
+    # in-vocabulary tranche: merge, generation unchanged
+    t2 = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "beta gamma")], schema
+    )
+    t2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert text.resolve_bm25_index(index)["generation"] == 1
+
+    # drifted tranche (all-new vocabulary): rebuild + flip mid-stream
+    t3 = spark.createDataFrame(
+        [(200 + i, "zeta eta") for i in range(4)], schema
+    )
+    t3.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert text.resolve_bm25_index(index)["generation"] == 2
+    q2 = ["alpha", "gamma", "zeta"]
+    got2 = text.bm25_managed_topk(spark, index, q2).toPandas()
+    want2 = text.bm25_scores(
+        read_parquet(spark, corpus).select("doc_id", "text"), q2
+    ).toPandas()
+    assert got2.values.tolist() == want2.values.tolist()
+
+    # crash drill: die inside the managed ingest after corpus publish
+    real = text.bm25_reindex_on_drift
+
+    def crashing(*a, **k):
+        raise RuntimeError("simulated crash inside managed ingest")
+
+    monkeypatch.setattr(text, "bm25_reindex_on_drift", crashing)
+    t4 = spark.createDataFrame(
+        [(300 + i, "omega psi") for i in range(4)], schema
+    )
+    t4.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="simulated crash"):
+        drain()
+    # index still serves generation 2, consistently
+    assert text.resolve_bm25_index(index)["generation"] == 2
+    monkeypatch.setattr(text, "bm25_reindex_on_drift", real)
+    drain()  # replay converges (t4 is all-new vocab -> generation 3)
+    assert text.resolve_bm25_index(index)["generation"] == 3
+    q3 = ["alpha", "zeta", "omega"]
+    got3 = text.bm25_managed_topk(spark, index, q3).toPandas()
+    want3 = text.bm25_scores(
+        read_parquet(spark, corpus).select("doc_id", "text"), q3
+    ).toPandas()
+    assert got3.values.tolist() == want3.values.tolist()
+    # idle replay moves nothing
+    drain()
+    assert text.resolve_bm25_index(index)["generation"] == 3
