@@ -1574,6 +1574,96 @@ def drain_with_managed_bm25(
         )
 
 
+def drain_with_managed_ivf(
+    sdf: DataFrame,
+    corpus_root: str,
+    index_root: str,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+    psi_pico_threshold: int = 250_000_000_000,
+    growth_ppm_threshold: int = 500_000,
+    iters: int = 2,
+    dims: int = 64,
+) -> None:
+    """Drift-aware DENSE-retrieval ingestion (r14 — the vector twin of
+    :func:`drain_with_managed_bm25`, completing the streaming symmetry:
+    both retrieval indexes now maintain themselves FROM the stream):
+    each micro-batch publishes its vectors through the versioned sink,
+    then routes through ``similarity.reindex_on_drift`` against the
+    managed IVF root — a fresh tranche MERGEs into the current
+    generation's cells (quantizer unchanged), a drifted tranche (cell-
+    histogram PSI past the 0.25 cut, or growth past the cut) triggers
+    the deterministic re-train + ``gen_{n+1}`` rebuild + atomic
+    pointer flip mid-stream.
+
+    Bootstrap: the first batch initializes generation 1 — with the
+    given ``centroids`` (the offline-trained model-literal convention)
+    or, when ``centroids=None``, a quantizer trained ON that first
+    batch by ``similarity.ivf_train`` (md5-seeded Lloyd's —
+    deterministic, so a checkpoint replay of the bootstrap batch
+    trains the identical quantizer and converges).
+
+    Crash/replay convergence: the same per-branch argument as the
+    lexical drain — upserts are id-keyed cell merges (idempotent);
+    a pre-flip crash replays the identical verdict and overwrites
+    ``gen_{n+1}``; a post-flip replay scores against the new
+    generation (its rows already in) and upserts idempotently or
+    rebuilds identical content. Drilled in tests."""
+    from pg_parquet_spark.operators import similarity
+
+    ckpt, writer_id = _sink_checkpoint_identity(corpus_root, checkpoint)
+    sink = versioned_batch_writer(corpus_root, partition_by, writer_id=writer_id)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        sink(batch_df, batch_id)
+        try:
+            similarity.resolve_ivf_index(index_root)
+        except ValueError:  # first batch bootstraps generation 1
+            cents = centroids
+            if cents is None:
+                cents = similarity.ivf_train(
+                    batch_df.select(F.col(id_col), F.col(vec_col)),
+                    id_col,
+                    vec_col,
+                    n_cells=n_cells,
+                    iters=iters,
+                    dims=dims,
+                )
+            similarity.init_ivf_index(
+                spark, index_root, batch_df, cents, id_col, vec_col
+            )
+            return
+        similarity.reindex_on_drift(
+            spark,
+            index_root,
+            batch_df,
+            psi_pico_threshold=psi_pico_threshold,
+            growth_ppm_threshold=growth_ppm_threshold,
+            iters=iters,
+            dims=dims,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"managed-ivf drain did not finish within {timeout_sec}s"
+        )
+
+
 def drain_with_line_dedup(
     sdf: DataFrame,
     corpus_root: str,

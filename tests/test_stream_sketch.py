@@ -1352,3 +1352,94 @@ def test_streaming_managed_bm25_drain_drift_and_crash(spark, tmp_path, monkeypat
     # idle replay moves nothing
     drain()
     assert text.resolve_bm25_index(index)["generation"] == 3
+
+
+def test_streaming_managed_ivf_drain_drift_and_crash(spark, tmp_path, monkeypatch):
+    """r14: the drift-aware dense ingest drain (the vector twin of the
+    managed-bm25 drill) — tranche 1 bootstraps generation 1 by
+    TRAINING the quantizer on itself (deterministic, replay-safe), an
+    in-distribution tranche MERGEs (generation unchanged), a far-away
+    cluster triggers re-train + rebuild + flip mid-stream, and the
+    crash drill converges on replay."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import similarity
+    from pg_parquet_spark.streaming.stream import drain_with_managed_ivf
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "managed_ivf")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+
+    def vec(i):
+        return [
+            float(i % 3 == 1) * 10.0 + 0.1,
+            float(i % 3 == 2) * 10.0 + 0.1,
+        ]
+
+    def drain():
+        drain_with_managed_ivf(
+            spark.readStream.schema(t1.schema).parquet(src),
+            corpus, index, n_cells=3, dims=2, checkpoint=ckpt,
+        )
+
+    # tranche 1 bootstraps generation 1 (quantizer trained on itself)
+    t1 = spark.createDataFrame([(i, vec(i)) for i in range(60)], schema)
+    t1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    m = similarity.resolve_ivf_index(index)
+    assert m["generation"] == 1 and len(m["centroids"]) == 3
+
+    # in-distribution tranche: cell merge, generation unchanged
+    t2 = spark.createDataFrame(
+        [(100 + i, vec(i)) for i in range(6)], schema
+    )
+    t2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert similarity.resolve_ivf_index(index)["generation"] == 1
+    q = spark.createDataFrame([(0, [10.1, 0.1])], schema).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    hits = similarity.ivf_managed_topk(
+        spark, index, q, k=40, nprobe=3
+    ).toPandas()
+    assert {101, 104} <= set(hits.vec_id)  # merged rows searchable
+
+    # drifted tranche (new far-away cluster): re-train + flip
+    t3 = spark.createDataFrame(
+        [(200 + i, [20.0, 20.0]) for i in range(40)], schema
+    )
+    t3.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    m2 = similarity.resolve_ivf_index(index)
+    assert m2["generation"] == 2
+    assert m2["centroids"] != m["centroids"]  # the quantizer moved
+    q2 = spark.createDataFrame([(0, [20.0, 20.0])], schema).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    hits2 = similarity.ivf_managed_topk(
+        spark, index, q2, k=5, nprobe=3
+    ).toPandas()
+    assert set(hits2.vec_id) <= set(range(200, 240))
+
+    # crash drill: die inside the managed ingest after corpus publish
+    real = similarity.reindex_on_drift
+
+    def crashing(*a, **k):
+        raise RuntimeError("simulated crash inside managed ingest")
+
+    monkeypatch.setattr(similarity, "reindex_on_drift", crashing)
+    t4 = spark.createDataFrame(
+        [(300 + i, [-20.0, -20.0]) for i in range(40)], schema
+    )
+    t4.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(Exception, match="simulated crash"):
+        drain()
+    assert similarity.resolve_ivf_index(index)["generation"] == 2
+    monkeypatch.setattr(similarity, "reindex_on_drift", real)
+    drain()  # replay converges: far cluster -> generation 3
+    assert similarity.resolve_ivf_index(index)["generation"] == 3
+    # idle replay moves nothing
+    drain()
+    assert similarity.resolve_ivf_index(index)["generation"] == 3
