@@ -938,13 +938,21 @@ def rerank_pipeline(
 
     Scale shape (100 TB): tier 1 is hybrid_search's shape (both
     rankers end in bounded top-``shortlist``, fusion over ≤2·shortlist
-    rows); tier 2 broadcasts the ≤``candidates``-row run into ONE
-    corpus scan (the crossencoder plan). The corpus text is read
-    exactly twice end-to-end (once per tier), the vectors once, and
-    nothing data-sized ever shuffles."""
+    rows) and executes ONCE, eagerly — its ≤``candidates``-row result
+    becomes a driver-side literal (the bounded model-literal pattern),
+    so the hybrid subplan can never re-evaluate under tier 2's two
+    references; tier 2 broadcasts that literal run into ONE corpus
+    scan (the crossencoder plan). The corpus text is read exactly
+    twice end-to-end (once per tier), the vectors once, and nothing
+    data-sized ever shuffles."""
     from pg_parquet_spark.operators import similarity
 
-    fused = hybrid_search(
+    spark = docs.sparkSession
+    # tier 1 executes ONCE here and its ≤candidates-row result becomes
+    # a driver-side literal (the bounded model-literal pattern) —
+    # referencing the lazy fused frame from both tier-2 branches would
+    # re-evaluate the whole hybrid subplan (BM25 scan + cosine top-k)
+    fused_rows = hybrid_search(
         docs,
         emb,
         query_terms,
@@ -954,12 +962,13 @@ def rerank_pipeline(
         k0=k0,
         shortlist=shortlist,
         top_k=candidates,
-    )
-    queries = docs.sparkSession.createDataFrame(
+    ).collect()
+    queries = spark.createDataFrame(
         [(0, " ".join(query_terms))], "query_id long, query_text string"
     )
-    run = fused.select(
-        F.lit(0).cast("long").alias("query_id"), F.col(doc_id_col)
+    run = spark.createDataFrame(
+        [(0, int(r[doc_id_col])) for r in fused_rows],
+        f"query_id long, {doc_id_col} long",
     )
     reranked = similarity.crossencoder_rerank(
         run,
@@ -969,10 +978,12 @@ def rerank_pipeline(
         id_col=doc_id_col,
         text_col=text_col,
     )
+    rrf = spark.createDataFrame(
+        [(int(r[doc_id_col]), int(r["rrf_nano"])) for r in fused_rows],
+        f"{doc_id_col} long, rrf_nano long",
+    )
     return (
-        reranked.join(
-            F.broadcast(fused.select(doc_id_col, "rrf_nano")), doc_id_col
-        )
+        reranked.join(F.broadcast(rrf), doc_id_col)
         .select(doc_id_col, "rrf_nano", "ce_rank", "ce_score_micro")
         .orderBy("ce_rank")
     )
@@ -1005,7 +1016,8 @@ def rerank_pipeline_oracle_sql(
     )
     qtext = " ".join(query_terms).replace("'", "''")
     ce = similarity.crossencoder_oracle_sql(
-        f"SELECT 0 AS query_id, {doc_id_col} AS doc_id FROM ({hybrid})",
+        f"SELECT 0 AS query_id, {doc_id_col} AS {doc_id_col} "
+        f"FROM ({hybrid})",
         f"SELECT 0 AS query_id, '{qtext}' AS query_text",
         k=k,
         id_col=doc_id_col,

@@ -3592,19 +3592,24 @@ _IVF_CURRENT = "_IVF_CURRENT"
 
 
 def _ivf_manifest_publish(root_uri: str, manifest: dict) -> None:
-    """History file first, pointer flip second — the layout.py
-    ordering, so time travel can never observe a generation the
-    pointer knows about but the history lacks."""
-    import json
+    """History file first, pointer flip second — the shared
+    managed-generation publish (sources/layout.py), so time travel can
+    never observe a generation the pointer knows about but the history
+    lacks."""
+    from pg_parquet_spark.sources.layout import managed_manifest_publish
 
-    from pg_parquet_spark.sources import fs as pgfs
-
-    root_uri = root_uri.rstrip("/")
-    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
-    pgfs.write_bytes_atomic(
-        f"{root_uri}/_ivf_manifest-{manifest['generation']}.json", data
+    managed_manifest_publish(
+        root_uri, _IVF_CURRENT, "_ivf_manifest", manifest
     )
-    pgfs.write_bytes_atomic(root_uri + "/" + _IVF_CURRENT, data)
+
+
+def ivf_index_exists(root_uri: str) -> bool:
+    """True when a managed IVF index's generation pointer exists —
+    the bootstrap probe (an explicit existence check; a corrupt
+    pointer still surfaces loudly from :func:`resolve_ivf_index`)."""
+    from pg_parquet_spark.sources.layout import managed_manifest_exists
+
+    return managed_manifest_exists(root_uri, _IVF_CURRENT)
 
 
 def resolve_ivf_index(root_uri: str) -> dict:
@@ -3613,17 +3618,14 @@ def resolve_ivf_index(root_uri: str) -> dict:
     carries the quantizer, so readers never have to be handed the
     centroid matrix out of band (the model literal travels WITH the
     data it partitioned)."""
-    import json
+    from pg_parquet_spark.sources.layout import managed_manifest_resolve
 
-    from pg_parquet_spark.sources import fs as pgfs
-
-    uri = root_uri.rstrip("/") + "/" + _IVF_CURRENT
-    if not pgfs.exists(uri):
-        raise ValueError(
-            f"no managed IVF index at {root_uri!r} — create one with "
-            "init_ivf_index"
-        )
-    return json.loads(pgfs.read_bytes(uri).decode("utf-8"))
+    return managed_manifest_resolve(
+        root_uri,
+        _IVF_CURRENT,
+        f"no managed IVF index at {root_uri!r} — create one with "
+        "init_ivf_index",
+    )
 
 
 def init_ivf_index(
@@ -3638,9 +3640,7 @@ def init_ivf_index(
     :func:`build_ivf_index` layout under ``gen_1/`` plus the atomic
     generation pointer. Returns the generation number (1)."""
     root_uri = root_uri.rstrip("/")
-    from pg_parquet_spark.sources import fs as pgfs
-
-    if pgfs.exists(root_uri + "/" + _IVF_CURRENT):
+    if ivf_index_exists(root_uri):
         raise ValueError(
             f"managed IVF index already exists at {root_uri!r} — ingest "
             "through reindex_on_drift / ivf_index_upsert"
@@ -3702,7 +3702,10 @@ def reindex_on_drift(
       generation (crash-atomic versioned cell merge; quantizer
       unchanged), or
     - **stale** → REBUILD: read the current generation's vectors,
-      union the batch, re-train the quantizer deterministically
+      union the batch (batch ids REPLACE their existing rows via an
+      anti-join, so a replayed or re-shipped batch converges instead
+      of duplicating — the bm25_reindex_on_drift convention),
+      re-train the quantizer deterministically
       (:func:`ivf_train` — md5-seeded Lloyd's, engine-invariant),
       build ``gen_{n+1}`` beside the live one, and flip the pointer
       ATOMICALLY. Readers resolve the old generation or the new one,
@@ -3745,8 +3748,19 @@ def reindex_on_drift(
     else:
         from pg_parquet_spark.sources.reader import read_parquet
 
-        current = read_parquet(spark, gen_path).select(
-            F.col(id_col), F.col(vec_col)
+        # anti-join before the union (the bm25_reindex_on_drift
+        # convention): a replayed batch whose rows already landed —
+        # post-flip crash replay, or a batch re-shipping changed
+        # vectors — REPLACES its ids instead of duplicating them, so
+        # the rebuild replay converges on identical content
+        current = (
+            read_parquet(spark, gen_path)
+            .select(F.col(id_col), F.col(vec_col))
+            .join(
+                batch_df.select(F.col(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
         )
         union = current.unionByName(
             batch_df.select(F.col(id_col), F.col(vec_col))

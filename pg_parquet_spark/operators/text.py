@@ -1946,29 +1946,35 @@ def bm25_index_staleness(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .persist()
     )
-    head = term_counts.orderBy(F.desc("n"), "term").limit(top_k).collect()
-    if not head:
-        raise ValueError(f"bm25_index_staleness: index at {uri!r} is empty")
-    vocab = [r["term"] for r in head]
-    cat = lambda c: (  # noqa: E731 — shared by both sides
-        F.when(c.isin(vocab), c).otherwise(F.lit(OOV)).alias("category")
-    )
-    idx_counts = (
-        term_counts.select(cat(F.col("term")), "n")
-        .groupBy("category")
-        .agg(F.sum("n").cast("long").alias("n"))
-    )
-    new_counts = (
-        new_docs.withColumn("_toks", tokens(F.col(text_col)))
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(F.col("_toks"))).alias("term"),
+    try:
+        head = (
+            term_counts.orderBy(F.desc("n"), "term").limit(top_k).collect()
         )
-        .groupBy(cat(F.col("term")))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    rows = psi_from_counts(idx_counts, new_counts, "category").collect()
-    term_counts.unpersist()
+        if not head:
+            raise ValueError(
+                f"bm25_index_staleness: index at {uri!r} is empty"
+            )
+        vocab = [r["term"] for r in head]
+        cat = lambda c: (  # noqa: E731 — shared by both sides
+            F.when(c.isin(vocab), c).otherwise(F.lit(OOV)).alias("category")
+        )
+        idx_counts = (
+            term_counts.select(cat(F.col("term")), "n")
+            .groupBy("category")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        new_counts = (
+            new_docs.withColumn("_toks", tokens(F.col(text_col)))
+            .select(
+                F.col(id_col),
+                F.explode(F.array_distinct(F.col("_toks"))).alias("term"),
+            )
+            .groupBy(cat(F.col("term")))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        rows = psi_from_counts(idx_counts, new_counts, "category").collect()
+    finally:  # error paths must not leak the cached count frame
+        term_counts.unpersist()
     n_index = sum(int(r["c_ref"]) for r in rows)
     n_new = sum(int(r["c_new"]) for r in rows)
     growth_ppm = n_new * 1_000_000 // n_index
@@ -2061,19 +2067,24 @@ _BM25_CURRENT = "_BM25_CURRENT"
 
 
 def _bm25_manifest_publish(root_uri: str, manifest: dict) -> None:
-    """History file first, pointer flip second — the layout.py
-    ordering, so generation time travel can never observe a
-    generation the pointer knows about but the history lacks."""
-    import json
+    """History file first, pointer flip second — the shared
+    managed-generation publish (sources/layout.py), so generation time
+    travel can never observe a generation the pointer knows about but
+    the history lacks."""
+    from pg_parquet_spark.sources.layout import managed_manifest_publish
 
-    from pg_parquet_spark.sources import fs as pgfs
-
-    root_uri = root_uri.rstrip("/")
-    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
-    pgfs.write_bytes_atomic(
-        f"{root_uri}/_bm25_manifest-{manifest['generation']}.json", data
+    managed_manifest_publish(
+        root_uri, _BM25_CURRENT, "_bm25_manifest", manifest
     )
-    pgfs.write_bytes_atomic(root_uri + "/" + _BM25_CURRENT, data)
+
+
+def bm25_index_exists(root_uri: str) -> bool:
+    """True when a managed BM25 index's generation pointer exists —
+    the bootstrap probe (an explicit existence check; a corrupt
+    pointer still surfaces loudly from :func:`resolve_bm25_index`)."""
+    from pg_parquet_spark.sources.layout import managed_manifest_exists
+
+    return managed_manifest_exists(root_uri, _BM25_CURRENT)
 
 
 def resolve_bm25_index(root_uri: str) -> dict:
@@ -2081,17 +2092,14 @@ def resolve_bm25_index(root_uri: str) -> dict:
     {generation, path, id_col}. The manifest travels WITH the data
     (the managed-IVF convention), so readers never need out-of-band
     configuration."""
-    import json
+    from pg_parquet_spark.sources.layout import managed_manifest_resolve
 
-    from pg_parquet_spark.sources import fs as pgfs
-
-    uri = root_uri.rstrip("/") + "/" + _BM25_CURRENT
-    if not pgfs.exists(uri):
-        raise ValueError(
-            f"no managed BM25 index at {root_uri!r} — create one with "
-            "init_bm25_index"
-        )
-    return json.loads(pgfs.read_bytes(uri))
+    return managed_manifest_resolve(
+        root_uri,
+        _BM25_CURRENT,
+        f"no managed BM25 index at {root_uri!r} — create one with "
+        "init_bm25_index",
+    )
 
 
 def init_bm25_index(
@@ -2104,10 +2112,8 @@ def init_bm25_index(
     """Create generation 1 of a managed BM25 index: one
     :func:`build_bm25_index` layout under ``gen_1/`` plus the atomic
     generation pointer. Returns the generation number (1)."""
-    from pg_parquet_spark.sources import fs as pgfs
-
     root_uri = root_uri.rstrip("/")
-    if pgfs.exists(root_uri + "/" + _BM25_CURRENT):
+    if bm25_index_exists(root_uri):
         raise ValueError(
             f"managed BM25 index already exists at {root_uri!r} — "
             "ingest through bm25_reindex_on_drift / bm25_index_upsert"

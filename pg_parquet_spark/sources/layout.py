@@ -1681,3 +1681,60 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .orderBy(*key_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# managed-index generation pointers (r14): the ONE shared
+# publish/resolve pair behind the managed IVF and managed BM25 index
+# families — the crash-ordering invariant (history file lands BEFORE
+# the pointer flips, so generation time travel never dangles) and the
+# missing-pointer contract live here exactly once.
+
+
+def managed_manifest_publish(
+    root_uri: str, pointer_name: str, history_prefix: str, manifest: dict
+) -> None:
+    """Publish a managed-index generation manifest: the immutable
+    ``{history_prefix}-<generation>.json`` history file first, then
+    the ``pointer_name`` pointer rewritten atomically — the versioned
+    layout's ordering, so a crash between the two writes leaves the
+    pointer on the old generation while the history already knows the
+    new one (harmless), never the reverse."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    root_uri = root_uri.rstrip("/")
+    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
+    pgfs.write_bytes_atomic(
+        f"{root_uri}/{history_prefix}-{manifest['generation']}.json", data
+    )
+    pgfs.write_bytes_atomic(root_uri + "/" + pointer_name, data)
+
+
+def managed_manifest_exists(root_uri: str, pointer_name: str) -> bool:
+    """True when the managed index's generation pointer exists — the
+    bootstrap test the streaming drains use (an explicit existence
+    probe, NOT except-ValueError around resolve, which would misroute
+    a CORRUPT pointer's JSONDecodeError to the bootstrap path)."""
+    from pg_parquet_spark.sources import fs as pgfs
+
+    return pgfs.exists(root_uri.rstrip("/") + "/" + pointer_name)
+
+
+def managed_manifest_resolve(
+    root_uri: str, pointer_name: str, missing_msg: str
+) -> dict:
+    """Resolve the managed index's current generation manifest, or
+    raise ``ValueError(missing_msg)`` when no pointer exists. A
+    present-but-corrupt pointer raises ``json.JSONDecodeError`` —
+    deliberately NOT folded into the missing case, so corruption
+    surfaces instead of re-initializing over a damaged index."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    uri = root_uri.rstrip("/") + "/" + pointer_name
+    if not pgfs.exists(uri):
+        raise ValueError(missing_msg)
+    return json.loads(pgfs.read_bytes(uri))

@@ -1544,9 +1544,10 @@ def drain_with_managed_bm25(
         if batch_df.isEmpty():
             return
         sink(batch_df, batch_id)
-        try:
-            text_ops.resolve_bm25_index(index_root)
-        except ValueError:  # first batch bootstraps generation 1
+        # explicit existence probe — except-ValueError around resolve
+        # would misroute a CORRUPT pointer's JSONDecodeError (a
+        # ValueError subclass) into re-initialization over the damage
+        if not text_ops.bm25_index_exists(index_root):
             text_ops.init_bm25_index(
                 spark, index_root, batch_df, id_col=id_col, text_col=text_col
             )
@@ -1624,9 +1625,9 @@ def drain_with_managed_ivf(
         if batch_df.isEmpty():
             return
         sink(batch_df, batch_id)
-        try:
-            similarity.resolve_ivf_index(index_root)
-        except ValueError:  # first batch bootstraps generation 1
+        # explicit existence probe (see drain_with_managed_bm25: a
+        # corrupt pointer must surface, not re-initialize)
+        if not similarity.ivf_index_exists(index_root):
             cents = centroids
             if cents is None:
                 cents = similarity.ivf_train(

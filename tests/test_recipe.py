@@ -351,3 +351,12 @@ def test_rerank_pipeline_boundary_and_demotion(spark):
     assert rrf[2] > rrf[1]                   # tier-1 preferred doc 2 ...
     # ... and tier 2 demoted it — the carried verdicts disagree, which
     # is exactly the signal a calibration layer reads
+
+
+def test_rerank_pipeline_oracle_sql_honors_doc_id_col():
+    """r14 review fix: the CE run subquery must alias the fused id to
+    doc_id_col (it hardcoded AS doc_id, breaking any non-default id
+    column in the oracle)."""
+    sql = recipe.rerank_pipeline_oracle_sql(["spark"], doc_id_col="item_id")
+    assert "AS item_id" in sql
+    assert "AS doc_id" not in sql

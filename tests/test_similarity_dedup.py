@@ -2605,3 +2605,37 @@ def test_listwise_rerank_semantics(spark):
     assert list(cut.doc_id) == [2, 1]
     with _pytest.raises(ValueError, match="k must be"):
         similarity.listwise_rerank(run, docs, queries, k=0)
+
+
+def test_reindex_rebuild_replay_does_not_duplicate_ids(spark, tmp_path):
+    """r14 review fix: the rebuild path anti-joins the batch's ids out
+    of the current generation before the union, so a batch whose rows
+    already landed (post-flip crash replay, or a changed-vector
+    re-ship) REPLACES them — gen_{n+1} holds each id exactly once and
+    searches return no duplicate hits."""
+    from pg_parquet_spark.sources.reader import read_parquet
+
+    cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i % 3 == 1) * 10.0 + 0.1,
+                 float(i % 3 == 2) * 10.0 + 0.1])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    root = str(tmp_path / "managed_ivf_replay")
+    similarity.init_ivf_index(spark, root, emb, cents)
+    # the whole index re-shipped as a batch: growth_ppm == 1e6 fires
+    # stale -> rebuild; before the fix gen_2 held every id twice
+    rep = similarity.reindex_on_drift(spark, root, emb, dims=2).collect()[0]
+    assert rep.action == "rebuild" and rep.generation_after == 2
+    gen2 = read_parquet(spark, root + "/gen_2")
+    assert gen2.count() == 60
+    assert gen2.select("vec_id").distinct().count() == 60
+    q = spark.createDataFrame(
+        [(0, [10.1, 0.1])], "query_id long, embedding array<float>"
+    )
+    hits = similarity.ivf_managed_topk(spark, root, q, k=60, nprobe=3)
+    hp = hits.toPandas()
+    assert hp.vec_id.is_unique
