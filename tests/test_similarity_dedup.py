@@ -2639,3 +2639,31 @@ def test_reindex_rebuild_replay_does_not_duplicate_ids(spark, tmp_path):
     hits = similarity.ivf_managed_topk(spark, root, q, k=60, nprobe=3)
     hp = hits.toPandas()
     assert hp.vec_id.is_unique
+
+
+def test_listwise_rerank_is_doc_token_order_invariant(spark):
+    """r14 semantics pin: the listwise scorer reads MEMBERSHIP only
+    (matched distinct query tokens, within-list gdf) — permuting the
+    token order inside every doc changes nothing, unlike
+    crossencoder_rerank whose first-match-position discount is
+    order-SENSITIVE (the two tiers measure different things)."""
+    queries = spark.createDataFrame(
+        [(7, "alpha beta")], "query_id long, query_text string"
+    )
+    a = spark.createDataFrame(
+        [(1, "alpha beta zzz"), (2, "beta qqq"), (3, "rrr")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "zzz beta alpha"), (2, "qqq beta"), (3, "rrr")],
+        "doc_id long, text string",
+    )
+    run = queries.select("query_id").crossJoin(a.select("doc_id"))
+    la = similarity.listwise_rerank(run, a, queries, k=10).toPandas()
+    lb = similarity.listwise_rerank(run, b, queries, k=10).toPandas()
+    assert la.values.tolist() == lb.values.tolist()
+    ca = similarity.crossencoder_rerank(run, a, queries, k=10).toPandas()
+    cb = similarity.crossencoder_rerank(run, b, queries, k=10).toPandas()
+    # the crossencoder DOES see the permutation (doc 1: alpha@1+beta@2
+    # vs beta@2+alpha@3)
+    assert ca.values.tolist() != cb.values.tolist()
