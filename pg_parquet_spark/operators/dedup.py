@@ -1118,6 +1118,7 @@ def soft_dedup_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Soft deduplication (r12): DOWN-WEIGHT near-duplicates instead of
     dropping them — the loss-reweighting alternative the hard tiers
@@ -1137,10 +1138,13 @@ def soft_dedup_weights(
     Scale shape: rides the capped MinHash pairs + min-label clusters
     (ids only); the weight is one cluster-keyed count + a left join
     back of (id → size) — text never moves past the signature
-    projection."""
-    clusters = near_dup_clusters(
-        df.select(F.col(id_col), F.col(text_col)), id_col, pairs=pairs
-    )
+    projection. Pass ``clusters=`` to share one labeling across
+    composed monitors (the canonical_per_cluster convention — the
+    dedup_funnel recipe derives the clusters once for both tiers)."""
+    if clusters is None:
+        clusters = near_dup_clusters(
+            df.select(F.col(id_col), F.col(text_col)), id_col, pairs=pairs
+        )
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("_csz")
     )

@@ -637,6 +637,15 @@ def x_rerank_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: dedup survivorship funnel — raw → exact → near-canonical →
+    soft-effective mass, each tier's certified SQL chained under ONE
+    oracle; the monotone 4-row report a curation review reads."""
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.dedup_funnel(_docs(spark, sf_dir))
+
+
 def x_listwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 (ROADMAP queue #3): listwise rerank — within-list
     IDF-discounted coverage; a doc's score depends on the whole
@@ -757,6 +766,7 @@ EXTENDED_QUERIES = {
     "x_listwise": x_listwise,
     "x_bm25_staleness": x_bm25_staleness,
     "x_rerank_stack": x_rerank_stack,
+    "x_dedup_funnel": x_dedup_funnel,
 }
 
 
@@ -937,6 +947,7 @@ def extended_oracles() -> dict[str, str]:
         "x_rerank_stack": recipe.rerank_pipeline_oracle_sql(
             ["spark", "vector", "scan"], query_id=0
         ),
+        "x_dedup_funnel": recipe.dedup_funnel_oracle_sql(),
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus
         "x_bm25_index": text.bm25_oracle_sql(["spark", "vector", "scan"]),

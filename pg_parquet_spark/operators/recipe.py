@@ -1028,3 +1028,123 @@ FROM ({ce}) c
 JOIN ({hybrid}) h ON h.{doc_id_col} = c.{doc_id_col}
 ORDER BY c.ce_rank
 """
+
+
+def dedup_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Dedup SURVIVORSHIP funnel (r14 — the composed-recipe pattern on
+    the dedup tiers): how much corpus survives each deduplication
+    posture, as one 4-row report a curation review reads top-down —
+
+    - ``raw``            — document count as ingested
+    - ``exact``          — distinct content fingerprints
+      (``dedup.dedup_exact``: one survivor per md5 of lowered text)
+    - ``near_canonical`` — keep-one-per-near-dup-cluster survivors
+      (``dedup.canonical_per_cluster`` over the MinHash clusters;
+      exact copies always co-cluster — identical signatures — so this
+      tier subsumes the exact one and the funnel is monotone)
+    - ``soft_effective`` — the EFFECTIVE document mass under soft
+      dedup (``dedup.soft_dedup_weights``: Σ weight_ppm div 10⁶ — each
+      cluster carries one document's worth of gradient mass, so this
+      row ≈ near_canonical minus integer-floor deficit; reading the
+      two together shows drop-vs-reweight would train on the same
+      effective mass)
+
+    Returns (stage_idx, stage, docs, attrition_ppm) ordered, where
+    attrition_ppm is the loss vs the PREVIOUS stage. The composition
+    is certified by ONE chained oracle embedding each tier's certified
+    SQL (the corpus_health convention).
+
+    Scale shape (100 TB): the MinHash clustering — the only expensive
+    tier — is derived ONCE and shared by the near and soft stages
+    (clusters persist for the four bounded count folds, then release);
+    every stage folds to one driver-side integer (counts only — no
+    text, no rows leave the executors), and the report itself is a
+    4-row literal."""
+    from pg_parquet_spark.operators import dedup
+
+    spark = docs.sparkSession
+    d = docs.select(F.col(id_col), F.col(text_col))
+    clusters = dedup.near_dup_clusters(d, id_col).persist()
+    try:
+        n_raw = d.count()
+        if n_raw == 0:
+            raise ValueError("dedup_funnel on an empty corpus")
+        n_exact = dedup.dedup_exact(d, id_col, text_col).count()
+        n_near = (
+            dedup.canonical_per_cluster(
+                docs, id_col, quality_col=quality_col, clusters=clusters
+            )
+            .filter("keep")
+            .count()
+        )
+        mass = (
+            dedup.soft_dedup_weights(d, id_col, text_col, clusters=clusters)
+            .agg(F.sum("weight_ppm"))
+            .first()[0]
+        )
+    finally:
+        clusters.unpersist()
+    stages = [
+        ("raw", int(n_raw)),
+        ("exact", int(n_exact)),
+        ("near_canonical", int(n_near)),
+        ("soft_effective", int(mass) // 1_000_000),
+    ]
+    rows, prev = [], None
+    for i, (name, n) in enumerate(stages):
+        att = 0 if prev is None else (prev - n) * 1_000_000 // prev
+        rows.append((i, name, n, att))
+        prev = n
+    return spark.createDataFrame(
+        rows, "stage_idx long, stage string, docs long, attrition_ppm long"
+    )
+
+
+def dedup_funnel_oracle_sql(
+    quality_col: str = "n_chars",
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """ONE chained DuckDB replica: the exact tier as the fingerprint
+    distinct-count, the near tier as the certified
+    canonical_per_cluster SQL, the soft tier as the certified
+    soft_dedup SQL, folded through the same LAG attrition."""
+    from pg_parquet_spark.operators import dedup
+
+    canonical = dedup.canonical_per_cluster_oracle_sql(
+        quality_col=quality_col, table=table
+    )
+    soft = dedup.soft_dedup_oracle_sql(table=table)
+    return f"""
+WITH s0 AS (
+  SELECT 0 AS stage_idx, 'raw' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS docs FROM {table}
+), s1 AS (
+  SELECT 1, 'exact',
+         CAST(COUNT(DISTINCT md5(lower({text_col}))) AS BIGINT)
+  FROM {table}
+), s2 AS (
+  SELECT 2, 'near_canonical', CAST(COUNT(*) AS BIGINT)
+  FROM ({canonical}) WHERE keep
+), s3 AS (
+  SELECT 3, 'soft_effective',
+         CAST(CAST(SUM(weight_ppm) AS BIGINT) // 1000000 AS BIGINT)
+  FROM ({soft})
+), u AS (
+  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+), l AS (
+  SELECT stage_idx, stage, docs,
+         LAG(docs) OVER (ORDER BY stage_idx) AS prev
+  FROM u
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, docs,
+       CAST(COALESCE((prev - docs) * 1000000 // prev, 0) AS BIGINT)
+         AS attrition_ppm
+FROM l ORDER BY stage_idx
+"""

@@ -360,3 +360,32 @@ def test_rerank_pipeline_oracle_sql_honors_doc_id_col():
     sql = recipe.rerank_pipeline_oracle_sql(["spark"], doc_id_col="item_id")
     assert "AS item_id" in sql
     assert "AS doc_id" not in sql
+
+
+def test_dedup_funnel_semantics(spark):
+    """r14 planted fixture: three exact copies collapse to one
+    fingerprint (and co-cluster, so near subsumes exact); three
+    mutually-alien docs survive every tier; the soft tier reports the
+    cluster's one-doc-worth of mass minus the integer-floor deficit
+    (3 x (1e6 div 3) = 999_999 -> the cluster contributes 0 whole
+    effective docs); attrition is vs the PREVIOUS stage; empty corpus
+    raises."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa bbb", 7),
+            (2, "aaa bbb", 7),
+            (3, "aaa bbb", 7),
+            (4, "ccc ddd eee", 11),
+            (5, "fff ggg hhh", 11),
+            (6, "iii jjj kkk", 11),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = recipe.dedup_funnel(docs).toPandas()
+    assert list(out.stage) == ["raw", "exact", "near_canonical", "soft_effective"]
+    assert list(out.docs) == [6, 4, 4, 3]
+    assert list(out.attrition_ppm) == [0, 333_333, 0, 250_000]
+    with _pytest.raises(ValueError, match="empty corpus"):
+        recipe.dedup_funnel(docs.filter("doc_id < 0"))
