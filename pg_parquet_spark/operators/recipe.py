@@ -1033,7 +1033,6 @@ ORDER BY c.ce_rank
 def dedup_funnel(
     docs: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
     quality_col: str = "n_chars",
 ) -> DataFrame:
     """Dedup SURVIVORSHIP funnel (r14 — the composed-recipe pattern on
@@ -1044,9 +1043,7 @@ def dedup_funnel(
     - ``exact``          — distinct content fingerprints
       (``dedup.dedup_exact``: one survivor per md5 of lowered text)
     - ``near_canonical`` — keep-one-per-near-dup-cluster survivors
-      (``dedup.canonical_per_cluster`` over the MinHash clusters;
-      exact copies always co-cluster — identical signatures — so this
-      tier subsumes the exact one and the funnel is monotone)
+      (``dedup.canonical_per_cluster`` over the MinHash clusters)
     - ``soft_effective`` — the EFFECTIVE document mass under soft
       dedup (``dedup.soft_dedup_weights``: Σ weight_ppm div 10⁶ — each
       cluster carries one document's worth of gradient mass, so this
@@ -1054,10 +1051,24 @@ def dedup_funnel(
       two together shows drop-vs-reweight would train on the same
       effective mass)
 
+    The text column is ``text`` — the near tier's MinHash machinery is
+    column-fixed (the near_dup_clusters contract), so this recipe does
+    not pretend otherwise.
+
     Returns (stage_idx, stage, docs, attrition_ppm) ordered, where
-    attrition_ppm is the loss vs the PREVIOUS stage. The composition
-    is certified by ONE chained oracle embedding each tier's certified
-    SQL (the corpus_health convention).
+    attrition_ppm is the change vs the PREVIOUS stage. attrition can
+    go NEGATIVE: an exact-duplicate class larger than the LSH band cap
+    (``dedup.MAX_DOCS_PER_BAND``) has its hot buckets dropped and
+    never co-clusters, so the near tier can keep MORE than the exact
+    tier — exactly the situation ``dedup.lsh_hot_bucket_audit`` is for
+    (a negative row says: run the audit, raise the cap). Negative
+    division is quantized by TRUNCATION toward zero in BOTH engines
+    (Python ``//`` floors, DuckDB ``//`` truncates — sign × floored
+    magnitude keeps them identical). The composition is certified by
+    ONE chained oracle embedding each tier's certified SQL (the
+    corpus_health convention); the empty-corpus raise below is a
+    Spark-side contract the oracle does not model (the
+    ivf_index_staleness precedent).
 
     Scale shape (100 TB): the MinHash clustering — the only expensive
     tier — is derived ONCE and shared by the near and soft stages
@@ -1068,13 +1079,13 @@ def dedup_funnel(
     from pg_parquet_spark.operators import dedup
 
     spark = docs.sparkSession
-    d = docs.select(F.col(id_col), F.col(text_col))
+    d = docs.select(F.col(id_col), F.col("text"))
     clusters = dedup.near_dup_clusters(d, id_col).persist()
     try:
         n_raw = d.count()
         if n_raw == 0:
             raise ValueError("dedup_funnel on an empty corpus")
-        n_exact = dedup.dedup_exact(d, id_col, text_col).count()
+        n_exact = dedup.dedup_exact(d, id_col, "text").count()
         n_near = (
             dedup.canonical_per_cluster(
                 docs, id_col, quality_col=quality_col, clusters=clusters
@@ -1083,7 +1094,7 @@ def dedup_funnel(
             .count()
         )
         mass = (
-            dedup.soft_dedup_weights(d, id_col, text_col, clusters=clusters)
+            dedup.soft_dedup_weights(d, id_col, "text", clusters=clusters)
             .agg(F.sum("weight_ppm"))
             .first()[0]
         )
@@ -1095,9 +1106,15 @@ def dedup_funnel(
         ("near_canonical", int(n_near)),
         ("soft_effective", int(mass) // 1_000_000),
     ]
+
+    def trunc_div_ppm(delta: int, denom: int) -> int:
+        # truncation toward zero = DuckDB's BIGINT // on negatives
+        q = abs(delta) * 1_000_000 // denom
+        return q if delta >= 0 else -q
+
     rows, prev = [], None
     for i, (name, n) in enumerate(stages):
-        att = 0 if prev is None else (prev - n) * 1_000_000 // prev
+        att = 0 if prev is None else trunc_div_ppm(prev - n, prev)
         rows.append((i, name, n, att))
         prev = n
     return spark.createDataFrame(
@@ -1105,29 +1122,29 @@ def dedup_funnel(
     )
 
 
-def dedup_funnel_oracle_sql(
-    quality_col: str = "n_chars",
-    table: str = "documents",
-    text_col: str = "text",
-) -> str:
+def dedup_funnel_oracle_sql(quality_col: str = "n_chars") -> str:
     """ONE chained DuckDB replica: the exact tier as the fingerprint
-    distinct-count, the near tier as the certified
-    canonical_per_cluster SQL, the soft tier as the certified
-    soft_dedup SQL, folded through the same LAG attrition."""
+    GROUP-count (a NULL text is a real group, matching Spark's
+    groupBy — COUNT(DISTINCT ...) would skip it), the near tier as
+    the certified canonical_per_cluster SQL, the soft tier as the
+    certified soft_dedup SQL, folded through the same LAG attrition
+    (DuckDB ``//`` truncates toward zero on negatives — the Spark side
+    quantizes identically). Table and text column are fixed to
+    ``documents.text`` because the embedded cluster machinery is
+    (see dedup_funnel's contract note)."""
     from pg_parquet_spark.operators import dedup
 
     canonical = dedup.canonical_per_cluster_oracle_sql(
-        quality_col=quality_col, table=table
+        quality_col=quality_col
     )
-    soft = dedup.soft_dedup_oracle_sql(table=table)
+    soft = dedup.soft_dedup_oracle_sql()
     return f"""
 WITH s0 AS (
   SELECT 0 AS stage_idx, 'raw' AS stage,
-         CAST(COUNT(*) AS BIGINT) AS docs FROM {table}
+         CAST(COUNT(*) AS BIGINT) AS docs FROM documents
 ), s1 AS (
-  SELECT 1, 'exact',
-         CAST(COUNT(DISTINCT md5(lower({text_col}))) AS BIGINT)
-  FROM {table}
+  SELECT 1, 'exact', CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT 1 FROM documents GROUP BY md5(lower(text)))
 ), s2 AS (
   SELECT 2, 'near_canonical', CAST(COUNT(*) AS BIGINT)
   FROM ({canonical}) WHERE keep

@@ -370,8 +370,6 @@ def test_dedup_funnel_semantics(spark):
     (3 x (1e6 div 3) = 999_999 -> the cluster contributes 0 whole
     effective docs); attrition is vs the PREVIOUS stage; empty corpus
     raises."""
-    import pytest as _pytest
-
     docs = spark.createDataFrame(
         [
             (1, "aaa bbb", 7),
@@ -387,5 +385,26 @@ def test_dedup_funnel_semantics(spark):
     assert list(out.stage) == ["raw", "exact", "near_canonical", "soft_effective"]
     assert list(out.docs) == [6, 4, 4, 3]
     assert list(out.attrition_ppm) == [0, 333_333, 0, 250_000]
-    with _pytest.raises(ValueError, match="empty corpus"):
+    with pytest.raises(ValueError, match="empty corpus"):
         recipe.dedup_funnel(docs.filter("doc_id < 0"))
+
+
+def test_dedup_funnel_negative_attrition_truncates_like_duckdb(spark):
+    """r14 review fix: an exact-duplicate class LARGER than the LSH
+    band cap has its hot buckets dropped and never co-clusters, so the
+    near tier keeps MORE than the exact tier — attrition goes
+    NEGATIVE, and the quantization must TRUNCATE toward zero (DuckDB's
+    BIGINT //), not floor (Python's //): 51 copies + 2 distinct docs
+    gives exact=3, near=53, (3-53)*1e6 per 3 = -16_666_666 (trunc),
+    where floor would say -16_666_667."""
+    from pg_parquet_spark.operators import dedup as dedup_ops
+
+    assert dedup_ops.MAX_DOCS_PER_BAND < 51
+    docs = spark.createDataFrame(
+        [(i, "ppp qqq rrr", 11) for i in range(51)]
+        + [(100, "sss ttt uuu", 11), (101, "vvv www xxx", 11)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = recipe.dedup_funnel(docs).toPandas()
+    assert list(out.docs) == [53, 3, 53, 53]
+    assert out.attrition_ppm.tolist()[2] == -16_666_666  # trunc, not floor
