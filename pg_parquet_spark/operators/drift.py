@@ -748,3 +748,142 @@ SELECT stats.n AS n_vectors, stats.mind AS min_dims,
          AS resultant_ratio_ppm
 FROM stats, s2
 """
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str = "value",
+    label_col: str = "label",
+    n_bins: int = 10,
+    unit: int = 1000,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature screening (r14 —
+    the supervised twin of :func:`psi_from_counts`: "does this feature
+    separate the binary label?"). The feature folds to integer millis
+    and equal-width integer bins from the global (min, max); per bin,
+    WOE contrasts the good (label=1) and bad (label=0) shares and the
+    IV term weighs the contrast by the share gap. Returns one row per
+    OBSERVED bin: (bin, n_good, n_bad, g_ppm, b_ppm, woe_micro,
+    iv_term), ordered — Σ iv_term / 1e12 is the feature's IV in nats
+    (rule of thumb: < 0.02 useless, > 0.3 strong).
+
+    Determinism is the PSI recipe verbatim: +1 Laplace smoothing with
+    the CONFIGURED ``n_bins`` as the smoothing mass (a plan literal —
+    no driver action needed, unlike PSI's observed-category count),
+    integer ppm shares, the single float log-ratio quantized to
+    integer micro-nats per bin, then exact (g_ppm − b_ppm) ×
+    woe_micro products. Labels outside {0, 1} FAIL FAST in-pass (the
+    okey-guard stance); NULL feature/label rows are dropped in BOTH
+    engines.
+
+    Scale shape: one 1-row bounds frame (crossJoin broadcast — the
+    bounds-frame house pattern), one (bin)-keyed counts aggregate with
+    map-side partials (shuffle volume = bin count), and window totals
+    over that ≤ n_bins-row frame. Two data scans total (bounds +
+    counts), both pushed projections."""
+    from pyspark.sql import Window
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    lab = F.when(F.col(label_col).isin(0, 1), F.col(label_col).cast("long")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"woe_iv: {label_col} must be a binary 0/1 label — "
+                "map or filter other classes upstream"
+            )
+        ).cast("long")
+    )
+    base = df.filter(
+        F.col(feature_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.floor(F.col(feature_col).cast("double") * unit + F.lit(0.5))
+        .cast("long")
+        .alias("_v"),
+        lab.alias("_l"),
+    )
+    bounds = base.agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    counts = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"((_v - _lo) * {int(n_bins)}) div (_hi - _lo + 1)"),
+            ).alias("bin"),
+            "_l",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("_l").alias("n_good"),
+            (F.count(F.lit(1)) - F.sum("_l")).alias("n_bad"),
+        )
+    )
+    w = Window.partitionBy()
+    k = int(n_bins)
+    tot = counts.withColumn("_g", F.sum("n_good").over(w)).withColumn(
+        "_b", F.sum("n_bad").over(w)
+    )
+    lr = (
+        F.log(F.col("n_good") + 1)
+        - F.log(F.col("_g") + k)
+        - F.log(F.col("n_bad") + 1)
+        + F.log(F.col("_b") + k)
+    )
+    return (
+        tot.withColumn(
+            "g_ppm", F.expr(f"((n_good + 1) * {_PPM}) div (_g + {k})")
+        )
+        .withColumn("b_ppm", F.expr(f"((n_bad + 1) * {_PPM}) div (_b + {k})"))
+        .withColumn("woe_micro", F.floor(lr * _PPM + F.lit(0.5)).cast("long"))
+        .withColumn(
+            "iv_term", (F.col("g_ppm") - F.col("b_ppm")) * F.col("woe_micro")
+        )
+        .select(
+            "bin", "n_good", "n_bad", "g_ppm", "b_ppm", "woe_micro", "iv_term"
+        )
+        .orderBy("bin")
+    )
+
+
+def woe_iv_oracle_sql(
+    feature_expr: str = "value",
+    label_expr: str = "label",
+    n_bins: int = 10,
+    unit: int = 1000,
+    table: str = "events",
+) -> str:
+    """DuckDB replica: same integer-milli fold, equal-width integer
+    bins, +n_bins Laplace mass, micro-nat WOE quantization and exact
+    integer IV terms."""
+    k = int(n_bins)
+    return f"""
+WITH base AS (
+  SELECT CAST(FLOOR(({feature_expr}) * {unit} + 0.5) AS BIGINT) AS v,
+         CAST(({label_expr}) AS BIGINT) AS l
+  FROM {table}
+  WHERE ({feature_expr}) IS NOT NULL AND ({label_expr}) IS NOT NULL
+), bounds AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM base
+), counts AS (
+  SELECT LEAST({k} - 1, ((v - lo) * {k}) // (hi - lo + 1)) AS bin,
+         CAST(SUM(l) AS BIGINT) AS n_good,
+         CAST(COUNT(*) - SUM(l) AS BIGINT) AS n_bad
+  FROM base, bounds GROUP BY 1
+), tot AS (
+  SELECT bin, n_good, n_bad,
+         CAST(SUM(n_good) OVER () AS BIGINT) AS g,
+         CAST(SUM(n_bad) OVER () AS BIGINT) AS b
+  FROM counts
+)
+SELECT bin, n_good, n_bad,
+  CAST(((n_good + 1) * {_PPM}) // (g + {k}) AS BIGINT) AS g_ppm,
+  CAST(((n_bad + 1) * {_PPM}) // (b + {k}) AS BIGINT) AS b_ppm,
+  CAST(FLOOR((ln(n_good + 1) - ln(g + {k}) - ln(n_bad + 1) + ln(b + {k}))
+             * {_PPM} + 0.5) AS BIGINT) AS woe_micro,
+  CAST((((n_good + 1) * {_PPM}) // (g + {k})
+        - ((n_bad + 1) * {_PPM}) // (b + {k}))
+       * FLOOR((ln(n_good + 1) - ln(g + {k}) - ln(n_bad + 1) + ln(b + {k}))
+               * {_PPM} + 0.5) AS BIGINT) AS iv_term
+FROM tot ORDER BY bin
+"""

@@ -704,6 +704,55 @@ def x_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_index_topk(spark, idx, ["spark", "vector", "scan"])
 
 
+def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream (r14)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.retention_cohorts(table(spark, sf_dir, "events"))
+
+
+def x_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event transition matrix (r14)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.event_transitions(table(spark, sf_dir, "events"))
+
+
+def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution over the events stream
+    (r14); the first-touch mode is parity-tested in
+    tests/test_analytics_ops.py."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.attribution_report(table(spark, sf_dir, "events"))
+
+
+def x_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation over the events stream (r14)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.rfm_segments(table(spark, sf_dir, "events"))
+
+
+def x_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided moving-sum level-shift scan per event type (r14)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.mean_shift_changepoints(table(spark, sf_dir, "events"))
+
+
+def x_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE/IV feature screening: does the event value separate the
+    purchase label (r14)?"""
+    from pg_parquet_spark.operators import drift
+
+    return drift.woe_iv(
+        table(spark, sf_dir, "events").selectExpr(
+            "value", "CAST(event_type = 'purchase' AS INT) AS label"
+        )
+    )
+
+
 EXTENDED_QUERIES = {
     "x_sketch_kmv": x_sketch_kmv,
     "x_sketch_cms": x_sketch_cms,
@@ -767,6 +816,12 @@ EXTENDED_QUERIES = {
     "x_bm25_staleness": x_bm25_staleness,
     "x_rerank_stack": x_rerank_stack,
     "x_dedup_funnel": x_dedup_funnel,
+    "x_retention": x_retention,
+    "x_transitions": x_transitions,
+    "x_attribution": x_attribution,
+    "x_rfm": x_rfm,
+    "x_changepoints": x_changepoints,
+    "x_woe_iv": x_woe_iv,
 }
 
 
@@ -951,4 +1006,12 @@ def extended_oracles() -> dict[str, str]:
         # the incremental-index oracle pattern: build evens + upsert
         # odds must equal direct BM25 over the FULL corpus
         "x_bm25_index": text.bm25_oracle_sql(["spark", "vector", "scan"]),
+        "x_retention": timeseries.retention_oracle_sql(),
+        "x_transitions": timeseries.transitions_oracle_sql(),
+        "x_attribution": timeseries.attribution_oracle_sql(),
+        "x_rfm": timeseries.rfm_oracle_sql(),
+        "x_changepoints": timeseries.changepoint_oracle_sql(),
+        "x_woe_iv": drift.woe_iv_oracle_sql(
+            label_expr="CAST(event_type = 'purchase' AS INT)"
+        ),
     }

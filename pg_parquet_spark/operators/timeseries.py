@@ -417,6 +417,285 @@ FROM j ORDER BY {key_col}, day
 """
 
 
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    unit: int = 1000,
+) -> DataFrame:
+    """RFM customer segmentation (r14 — recency / frequency / monetary,
+    the classic CRM cut): each user gets three 1-4 quartile scores —
+    recency in whole days since their last event (LOWER is better),
+    event count, and exact integer-milli spend — scored against the
+    population quartiles, then the segments are aggregated. Returns
+    (r_score, f_score, m_score, users, monetary_milli) ordered — at
+    most 64 rows regardless of input size.
+
+    Determinism: monetary folds through integer millis (floor·unit+0.5
+    per value, NULL-safe to 0); quartiles ride the winsorize-proven
+    ``percentile`` ≡ ``quantile_cont`` pairing ×4 (quartiles of
+    integers land on exact .25 binary fractions, so ``q×4`` is an
+    exact BIGINT in both engines — the robust-fence med×2/MAD×4 rule
+    one notch finer); scores compare ``metric×4 > q×4`` in pure
+    integers. Recency inverts the comparison (strictly below a
+    quartile earns the point), so ties sit in the same band as the
+    high-is-good metrics.
+
+    Scale shape: one user-keyed aggregate (map-side partial), ONE
+    1-row global frame carrying the anchor timestamp AND the nine
+    quartile literals (crossJoin broadcast — the bounds-frame house
+    pattern), and a ≤4³-group aggregate. No windows, no global sort."""
+    anchor = events.filter(F.col(ts_col).isNotNull()).agg(
+        F.max(F.col(ts_col).cast("timestamp").cast("long")).alias("_a")
+    )
+    per_user = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(
+            F.max(F.col(ts_col).cast("timestamp").cast("long")).alias("_last"),
+            F.count(F.lit(1)).alias("_f"),
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col(val_col).cast("double") * unit + F.lit(0.5))
+                    .cast("long")
+                ),
+                F.lit(0),
+            ).alias("_m"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "_u",
+            F.expr("(_a - _last) div 86400").alias("_r"),
+            "_f",
+            "_m",
+        )
+    )
+    qs = per_user.agg(
+        *[
+            (F.percentile(m, F.lit(q)) * 4).cast("long").alias(f"{m}q{int(q * 100)}")
+            for m in ("_r", "_f", "_m")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    scored = per_user.crossJoin(F.broadcast(qs))
+
+    def hi(m: str):
+        return (
+            F.lit(1)
+            + (F.col(m) * 4 > F.col(f"{m}q25")).cast("int")
+            + (F.col(m) * 4 > F.col(f"{m}q50")).cast("int")
+            + (F.col(m) * 4 > F.col(f"{m}q75")).cast("int")
+        )
+
+    r_score = (
+        F.lit(1)
+        + (F.col("_r") * 4 < F.col("_rq75")).cast("int")
+        + (F.col("_r") * 4 < F.col("_rq50")).cast("int")
+        + (F.col("_r") * 4 < F.col("_rq25")).cast("int")
+    )
+    return (
+        scored.select(
+            r_score.alias("r_score"),
+            hi("_f").alias("f_score"),
+            hi("_m").alias("m_score"),
+            F.col("_m"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.sum("_m").alias("monetary_milli"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def rfm_oracle_sql(
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    unit: int = 1000,
+    table: str = "events",
+) -> str:
+    """DuckDB replica: same integer-milli monetary fold, quantile_cont
+    ×4 quartiles, inverted-recency scoring, segment aggregate."""
+    return f"""
+WITH per_user AS (
+  SELECT {user_col} AS u,
+         (SELECT CAST(FLOOR(epoch(MAX({ts_col}))) AS BIGINT) FROM {table})
+           - CAST(FLOOR(epoch(MAX({ts_col}))) AS BIGINT) AS rec_s,
+         COUNT(*) AS f,
+         COALESCE(SUM(CAST(FLOOR({val_col} * {unit} + 0.5) AS BIGINT)), 0)
+           AS m
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY u
+), metrics AS (
+  SELECT u, rec_s // 86400 AS r, f, m FROM per_user
+), qs AS (
+  SELECT
+    CAST(quantile_cont(r, 0.25) * 4 AS BIGINT) AS rq25,
+    CAST(quantile_cont(r, 0.50) * 4 AS BIGINT) AS rq50,
+    CAST(quantile_cont(r, 0.75) * 4 AS BIGINT) AS rq75,
+    CAST(quantile_cont(f, 0.25) * 4 AS BIGINT) AS fq25,
+    CAST(quantile_cont(f, 0.50) * 4 AS BIGINT) AS fq50,
+    CAST(quantile_cont(f, 0.75) * 4 AS BIGINT) AS fq75,
+    CAST(quantile_cont(m, 0.25) * 4 AS BIGINT) AS mq25,
+    CAST(quantile_cont(m, 0.50) * 4 AS BIGINT) AS mq50,
+    CAST(quantile_cont(m, 0.75) * 4 AS BIGINT) AS mq75
+  FROM metrics
+), scored AS (
+  SELECT
+    1 + CAST(r * 4 < rq75 AS INT) + CAST(r * 4 < rq50 AS INT)
+      + CAST(r * 4 < rq25 AS INT) AS r_score,
+    1 + CAST(f * 4 > fq25 AS INT) + CAST(f * 4 > fq50 AS INT)
+      + CAST(f * 4 > fq75 AS INT) AS f_score,
+    1 + CAST(m * 4 > mq25 AS INT) + CAST(m * 4 > mq50 AS INT)
+      + CAST(m * 4 > mq75 AS INT) AS m_score,
+    m
+  FROM metrics, qs
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS users,
+       CAST(SUM(m) AS BIGINT) AS monetary_milli
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def mean_shift_changepoints(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    window_days: int = 3,
+    top_k: int = 5,
+    unit: int = 1000,
+) -> DataFrame:
+    """Level-shift changepoint scan (r14 — "when did this series
+    change?"): per key, the daily integer-milli total series is
+    zero-filled on its own min-max day spine (a missing day IS zero
+    activity, unlike the gap-filling resamplers), and every day ``d``
+    with a full ``window_days`` history on both sides is scored
+    ``delta = sum(days [d, d+w-1]) − sum(days [d−w, d−1])`` — the
+    two-sided moving-sum contrast whose peaks mark mean shifts.
+    Returns the top ``top_k`` days per key by |delta| (ties broken on
+    the earlier day): (key, day, delta_milli, rank) ordered.
+
+    Exactness: window counts gate full frames only, sums are integer
+    millis end-to-end, and ranking is over the exact integer |delta|
+    with a deterministic day tiebreak — engine-identical.
+
+    Scale shape: one shuffle into the (key, day) aggregate; the spine
+    explodes map-side from per-key bounds; two moving-sum windows and
+    the rank window all ride the SAME key partitioning over a
+    keys×days-bounded frame — never the event count."""
+    from pyspark.sql import Window
+
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    daily = (
+        events.filter(
+            F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("_k"),
+            F.to_date(ts_col).alias("day"),
+            F.floor(F.col(val_col).cast("double") * unit + F.lit(0.5))
+            .cast("long")
+            .alias("_vm"),
+        )
+        .groupBy("_k", "day")
+        .agg(F.coalesce(F.sum("_vm"), F.lit(0)).alias("vm"))
+    )
+    spine = (
+        daily.groupBy("_k")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "_k",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    grid = spine.join(daily, ["_k", "day"], "left").select(
+        "_k", "day", F.coalesce("vm", F.lit(0)).alias("vm")
+    )
+    w = int(window_days)
+    wp = Window.partitionBy("_k").orderBy("day").rowsBetween(-w, -1)
+    wn = Window.partitionBy("_k").orderBy("day").rowsBetween(0, w - 1)
+    scored = grid.select(
+        "_k",
+        "day",
+        (F.sum("vm").over(wn) - F.sum("vm").over(wp)).alias("delta_milli"),
+        (F.count("vm").over(wp) == w).alias("_full_p"),
+        (F.count("vm").over(wn) == w).alias("_full_n"),
+    ).filter(F.col("_full_p") & F.col("_full_n"))
+    wr = Window.partitionBy("_k").orderBy(
+        F.abs(F.col("delta_milli")).desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("_k").alias(key_col), "day", "delta_milli", "rank")
+        .orderBy(key_col, "rank")
+    )
+
+
+def changepoint_oracle_sql(
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    window_days: int = 3,
+    top_k: int = 5,
+    unit: int = 1000,
+    table: str = "events",
+) -> str:
+    """DuckDB replica: generate_series spine, zero-filled daily millis,
+    identical ROWS frames and |delta| ranking."""
+    w = int(window_days)
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS k, CAST({ts_col} AS DATE) AS day,
+         COALESCE(SUM(CAST(FLOOR({val_col} * {unit} + 0.5) AS BIGINT)), 0)
+           AS vm
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT k, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT k,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), grid AS (
+  SELECT s.k, s.day, COALESCE(d.vm, 0) AS vm
+  FROM spine s LEFT JOIN daily d ON s.k = d.k AND s.day = d.day
+), scored AS (
+  SELECT k, day,
+    SUM(vm) OVER (PARTITION BY k ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+    - SUM(vm) OVER (PARTITION BY k ORDER BY day
+                    ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING)
+      AS delta_milli,
+    COUNT(*) OVER (PARTITION BY k ORDER BY day
+                   ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING) AS np,
+    COUNT(*) OVER (PARTITION BY k ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS nn
+  FROM grid
+), ranked AS (
+  SELECT k AS {key_col}, day, CAST(delta_milli AS BIGINT) AS delta_milli,
+         ROW_NUMBER() OVER (PARTITION BY k
+                            ORDER BY ABS(delta_milli) DESC, day ASC) AS rank
+  FROM scored WHERE np = {w} AND nn = {w}
+)
+SELECT * FROM ranked WHERE rank <= {int(top_k)}
+ORDER BY {key_col}, rank
+"""
+
+
 def funnel_steps(
     events: DataFrame,
     steps: list[str],
@@ -480,6 +759,304 @@ def funnel_steps(
         rows,
         "step long, event_type string, users long, conversion_ppm long",
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_sec: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention analysis (r14 — the second product-analytics
+    staple next to :func:`funnel_steps`): users are cohorted by the
+    period of their FIRST event (``period_sec``-wide epoch buckets,
+    integer floor division — timezone-free identities like the rollup's
+    ``bucket_epoch``), and each (cohort, age) cell counts the distinct
+    users active ``age`` periods after their cohort period. Returns
+    (cohort_epoch, age, users, retention_ppm) ordered — retention is
+    exact integer ppm against the cohort's size (its age-0 row, which
+    is the full cohort by construction: the first event is always in
+    the cohort period, so retention_ppm starts at 1_000_000).
+
+    Scale shape: one user-keyed shuffle to the per-user first-event
+    period (map-side partial MIN), one (user, period) distinct over
+    the activity pairs (the shuffle carries two longs per active
+    user-period, never events), a user-keyed join of the two (both
+    sides already user-clustered), and a counts-sized (cohort, age)
+    aggregate joined to the broadcast-sized cohort totals. Rows with
+    NULL user/ts are dropped in BOTH engines (a NULL user is not a
+    cohort member)."""
+    if period_sec <= 0:
+        raise ValueError(f"period_sec must be positive, got {period_sec}")
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        # NTZ → TIMESTAMP (session tz pinned UTC) → truncating epoch
+        # seconds, then pure-integer period buckets (the rollup rule)
+        F.expr(
+            f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) div {int(period_sec)}"
+        ).alias("_p"),
+    )
+    acts = base.distinct()
+    cohorts = base.groupBy("_u").agg(F.min("_p").alias("_c"))
+    sizes = cohorts.groupBy("_c").agg(F.count(F.lit(1)).alias("_n0"))
+    cells = (
+        acts.join(cohorts, "_u")
+        .groupBy("_c", (F.col("_p") - F.col("_c")).alias("age"))
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "_c")
+        .select(
+            (F.col("_c") * period_sec).alias("cohort_epoch"),
+            F.col("age"),
+            F.col("users"),
+            F.expr("users * 1000000 div _n0").alias("retention_ppm"),
+        )
+        .orderBy("cohort_epoch", "age")
+    )
+
+
+def retention_oracle_sql(
+    period_sec: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: same integer period buckets (``//`` ≡ Spark's
+    truncating ``div`` on post-1970 epochs), same distinct-activity /
+    first-period join, integer ppm against the age-0 cohort size."""
+    return f"""
+WITH base AS (
+  SELECT {user_col} AS u,
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) // {period_sec} AS p
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+), cohorts AS (
+  SELECT u, MIN(p) AS c FROM base GROUP BY u
+), sizes AS (
+  SELECT c, COUNT(*) AS n0 FROM cohorts GROUP BY c
+), acts AS (
+  SELECT DISTINCT u, p FROM base
+), cells AS (
+  SELECT cohorts.c, acts.p - cohorts.c AS age, COUNT(*) AS users
+  FROM acts JOIN cohorts USING (u) GROUP BY 1, 2
+)
+SELECT c * {period_sec} AS cohort_epoch, age, users,
+       users * 1000000 // n0 AS retention_ppm
+FROM cells JOIN sizes USING (c)
+ORDER BY cohort_epoch, age
+"""
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    sequence (r14 — "what do users do next?"): for every consecutive
+    pair in a user's timeline (ordered by the composite (ts, id) key,
+    so same-timestamp events have a deterministic order), count the
+    (from_type, to_type) transition and its probability among all
+    transitions leaving from_type. Returns
+    (from_type, to_type, transitions, prob_ppm) ordered — prob is
+    exact integer ppm, summing to ≤ 1_000_000 per from_type (the
+    remainder is truncation, never a lost transition).
+
+    Scale shape: ONE user-keyed window shuffle carrying four narrow
+    columns (user, ts, id, type); the LEAD is per-user sequential; the
+    transition counts are a types²-bounded aggregate and the per-from
+    totals ride a window over that counts-sized frame. Rows with NULL
+    user/ts/id/type are dropped in BOTH engines (a NULL link would
+    make lead() order-ambiguous)."""
+    from pyspark.sql import Window
+
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    pairs = base.select(
+        F.col("_t").alias("from_type"),
+        F.lead("_t").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("_tot", F.sum("transitions").over(wt))
+        .select(
+            "from_type",
+            "to_type",
+            "transitions",
+            F.expr("transitions * 1000000 div _tot").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def transitions_oracle_sql(
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: LEAD over the identical (user / ts, id) window,
+    same counts and integer ppm shares."""
+    return f"""
+WITH seq AS (
+  SELECT {type_col} AS from_type,
+         LEAD({type_col}) OVER (
+           PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}
+         ) AS to_type
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {id_col} IS NOT NULL AND {type_col} IS NOT NULL
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, transitions,
+       CAST(transitions * 1000000
+            // SUM(transitions) OVER (PARTITION BY from_type) AS BIGINT)
+         AS prob_ppm
+FROM counts ORDER BY from_type, to_type
+"""
+
+
+def attribution_report(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: list[str] | None = None,
+    mode: str = "last",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Single-touch conversion attribution (r14 — the marketing-
+    analytics staple): every ``conversion_type`` event is credited to
+    the user's last (or first, ``mode='first'``) ``touch_types`` event
+    STRICTLY before it in the composite (ts, id) order; conversions
+    with no preceding touch credit the literal ``direct`` channel.
+    Returns (channel, conversions, share_ppm) ordered — share is exact
+    integer ppm of all conversions.
+
+    Scale shape: ONE user-keyed window shuffle (narrow columns only);
+    the carried-touch scan is a running FIRST/LAST over the user
+    partition, so a user's cost is their event count; the report is a
+    channels-sized aggregate against a 1-row total frame. NULL
+    user/ts/id rows are dropped in BOTH engines; NULL types can never
+    match a step literal so they flow through as non-touch filler."""
+    touches = touch_types if touch_types is not None else ["view", "click"]
+    if not touches:
+        raise ValueError("attribution_report: touch_types must be non-empty")
+    if conversion_type in touches:
+        raise ValueError(
+            "attribution_report: conversion_type cannot also be a touch type"
+        )
+    if mode not in ("first", "last"):
+        raise ValueError(f"mode must be 'first' or 'last', got {mode!r}")
+    from pyspark.sql import Window
+
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    w = (
+        Window.partitionBy("_u")
+        .orderBy("_ts", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("_t").isin(list(touches)), F.col("_t"))
+    carried = (
+        F.first(touch, ignorenulls=True).over(w)
+        if mode == "first"
+        else F.last(touch, ignorenulls=True).over(w)
+    )
+    conv = base.withColumn("_ch", carried).filter(
+        F.col("_t") == conversion_type
+    )
+    counts = conv.groupBy(
+        F.coalesce(F.col("_ch"), F.lit("direct")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("conversions"))
+    wt = Window.partitionBy()
+    return (
+        counts.withColumn("_tot", F.sum("conversions").over(wt))
+        .select(
+            "channel",
+            "conversions",
+            F.expr("conversions * 1000000 div _tot").alias("share_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+def attribution_oracle_sql(
+    conversion_type: str = "purchase",
+    touch_types: list[str] | None = None,
+    mode: str = "last",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: first_value/last_value IGNORE NULLS over the
+    identical (user / ts, id) window with the same 1-PRECEDING frame,
+    same integer ppm shares."""
+    touches = touch_types if touch_types is not None else ["view", "click"]
+    if not touches:
+        raise ValueError("attribution: touch_types must be non-empty")
+    if mode not in ("first", "last"):
+        raise ValueError(f"mode must be 'first' or 'last', got {mode!r}")
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    in_list = ", ".join(lit(t) for t in touches)
+    fn = "first_value" if mode == "first" else "last_value"
+    return f"""
+WITH base AS (
+  SELECT {user_col} AS u, {type_col} AS t, {ts_col} AS ts0, {id_col} AS rid
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {id_col} IS NOT NULL
+), marked AS (
+  SELECT t,
+    {fn}(CASE WHEN t IN ({in_list}) THEN t END IGNORE NULLS) OVER (
+      PARTITION BY u ORDER BY ts0, rid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS ch
+  FROM base
+), counts AS (
+  SELECT COALESCE(ch, 'direct') AS channel, COUNT(*) AS conversions
+  FROM marked WHERE t = {lit(conversion_type)} GROUP BY 1
+)
+SELECT channel, conversions,
+       CAST(conversions * 1000000 // SUM(conversions) OVER () AS BIGINT)
+         AS share_ppm
+FROM counts ORDER BY channel
+"""
 
 
 def funnel_oracle_sql(

@@ -1073,3 +1073,274 @@ def test_bm25_managed_generations_lifecycle(spark, tmp_path, monkeypatch):
     assert text.resolve_bm25_index(root)["generation"] == 3
     with _pytest.raises(ValueError, match="no managed BM25 index"):
         text.resolve_bm25_index(str(tmp_path / "nope"))
+
+
+def test_product_analytics_trio_matches_oracle(spark):
+    """r14 continuation: cohort retention, Markov transitions, and
+    touch attribution (both modes) replicate their DuckDB oracles
+    bit-for-bit at both SFs."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        cases = [
+            (timeseries.retention_cohorts(ev), timeseries.retention_oracle_sql()),
+            (
+                timeseries.retention_cohorts(ev, period_sec=86400),
+                timeseries.retention_oracle_sql(period_sec=86400),
+            ),
+            (timeseries.event_transitions(ev), timeseries.transitions_oracle_sql()),
+            (timeseries.attribution_report(ev), timeseries.attribution_oracle_sql()),
+            (
+                timeseries.attribution_report(ev, mode="first"),
+                timeseries.attribution_oracle_sql(mode="first"),
+            ),
+        ]
+        for i, (q, sql) in enumerate(cases):
+            got = q.toPandas()
+            want = con.execute(sql).df()
+            assert len(got) == len(want) > 0, (sf, i)
+            for c in got.columns:
+                assert list(got[c]) == list(want[c]), (sf, i, c)
+
+
+def test_retention_cohorts_semantics(spark):
+    """Planted fixture: cohorting is by FIRST event; age-0 retention is
+    exactly 1e6; a user active in a later period lands in their own
+    cohort's age cell, not the later cohort; NULL users drop."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 5)  # period math is epoch-based
+    week = dt.timedelta(days=7)
+    rows = [
+        (1, t0), (1, t0 + week), (1, t0 + 2 * week),  # cohort w0, ages 0-2
+        (2, t0), (2, t0 + 2 * week),                   # cohort w0, skips w1
+        (3, t0 + week),                                # cohort w1 only
+        (None, t0),                                    # dropped
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_epoch, r.age): r
+        for r in timeseries.retention_cohorts(ev).collect()
+    }
+    es0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    c0 = es0 - es0 % (7 * 86400)
+    c1 = c0 + 7 * 86400
+    assert out[(c0, 0)].users == 2
+    assert out[(c0, 0)].retention_ppm == 1_000_000
+    assert out[(c0, 1)].users == 1          # only user 1 active in w1
+    assert out[(c0, 1)].retention_ppm == 500_000
+    assert out[(c0, 2)].users == 2          # users 1 and 2
+    assert out[(c1, 0)].users == 1          # user 3's own cohort
+    assert (c1, 1) not in out
+    with pytest.raises(ValueError, match="positive"):
+        timeseries.retention_cohorts(ev, period_sec=0)
+
+
+def test_event_transitions_semantics(spark):
+    """Planted fixture: transitions follow the composite (ts, id)
+    order (same-timestamp pairs are id-ordered), sequences never cross
+    users, the last event has no outgoing edge, and prob_ppm is the
+    integer share among edges leaving from_type."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def r(i, u, t, off):
+        return (i, u, t, t0 + dt.timedelta(minutes=off))
+
+    rows = [
+        r(1, 1, "a", 0), r(2, 1, "b", 5),     # a->b
+        r(3, 1, "c", 10),                     # b->c
+        r(4, 2, "a", 0), r(5, 2, "c", 1),     # a->c (user 2)
+        # same timestamp: id order decides a->b, not b->a
+        r(6, 3, "a", 0), r(7, 3, "b", 0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        (x.from_type, x.to_type): x
+        for x in timeseries.event_transitions(ev).collect()
+    }
+    assert out[("a", "b")].transitions == 2
+    assert out[("a", "c")].transitions == 1
+    assert out[("b", "c")].transitions == 1
+    assert ("c", "a") not in out  # sequences don't wrap or cross users
+    assert out[("a", "b")].prob_ppm == 2 * 1_000_000 // 3
+    assert out[("b", "c")].prob_ppm == 1_000_000
+
+
+def test_attribution_report_semantics(spark):
+    """Planted fixture: last-touch credits the most recent touch
+    strictly before the conversion, first-touch the earliest; a
+    conversion with no prior touch is 'direct'; a touch AFTER the
+    conversion never counts; bad configs raise."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def r(i, u, t, off):
+        return (i, u, t, t0 + dt.timedelta(minutes=off))
+
+    rows = [
+        # user 1: view -> click -> purchase  (last=click, first=view)
+        r(1, 1, "view", 0), r(2, 1, "click", 5), r(3, 1, "purchase", 9),
+        # user 2: purchase first (direct), view afterwards is ignored
+        r(4, 2, "purchase", 0), r(5, 2, "view", 5),
+        # user 3: click then purchase at the SAME ts: id order => before
+        r(6, 3, "click", 0), r(7, 3, "purchase", 0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    last = {
+        x.channel: x for x in timeseries.attribution_report(ev).collect()
+    }
+    assert last["click"].conversions == 2      # users 1 and 3
+    assert last["direct"].conversions == 1     # user 2
+    assert "view" not in last
+    assert last["click"].share_ppm == 2 * 1_000_000 // 3
+    first = {
+        x.channel: x
+        for x in timeseries.attribution_report(ev, mode="first").collect()
+    }
+    assert first["view"].conversions == 1      # user 1's first touch
+    assert first["click"].conversions == 1     # user 3
+    assert first["direct"].conversions == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        timeseries.attribution_report(ev, touch_types=[])
+    with pytest.raises(ValueError, match="cannot also"):
+        timeseries.attribution_report(
+            ev, conversion_type="view", touch_types=["view"]
+        )
+    with pytest.raises(ValueError, match="first"):
+        timeseries.attribution_report(ev, mode="bogus")
+
+
+def test_rfm_and_changepoints_match_oracle(spark):
+    """r14 continuation: RFM quartile segmentation and the two-sided
+    moving-sum changepoint scan replicate their DuckDB oracles
+    bit-for-bit at both SFs (changepoints at two window widths)."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        cases = [
+            (timeseries.rfm_segments(ev), timeseries.rfm_oracle_sql()),
+            (
+                timeseries.mean_shift_changepoints(ev),
+                timeseries.changepoint_oracle_sql(),
+            ),
+            (
+                timeseries.mean_shift_changepoints(ev, window_days=7, top_k=3),
+                timeseries.changepoint_oracle_sql(window_days=7, top_k=3),
+            ),
+        ]
+        for i, (q, sql) in enumerate(cases):
+            got = q.toPandas()
+            want = con.execute(sql).df()
+            assert len(got) == len(want) > 0, (sf, i)
+            for c in got.columns:
+                g, w = list(got[c]), list(want[c])
+                if c == "day":
+                    g = [str(x)[:10] for x in g]
+                    w = [str(x)[:10] for x in w]
+                assert g == w, (sf, i, c)
+
+
+def test_rfm_segments_semantics(spark):
+    """Planted fixture: quartile scoring is exact — with users at
+    metric values 1..4 each dimension splits into four bands; recency
+    is inverted (the most RECENT user earns r_score 4); monetary is
+    NULL-safe; the segment table aggregates users."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 10)
+    rows = []
+    # user u has u events, each value u; last event u-1 days before t0
+    for u in (1, 2, 3, 4):
+        for i in range(u):
+            rows.append((u, t0 - dt.timedelta(days=u - 1, minutes=i + 1), float(u)))
+    # user 5: NULL values only -> monetary 0
+    rows.append((5, t0 - dt.timedelta(days=10), None))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    segs = timeseries.rfm_segments(ev).collect()
+    by_seg = {(r.r_score, r.f_score, r.m_score): r for r in segs}
+    assert sum(r.users for r in segs) == 5
+    # user 4: most events, highest spend, 3 days stale; user 1: 1 event,
+    # most recent. Quartiles over {0,1,2,3,10} recency and {1,2,3,4,0}
+    # frequency/monetary place the extremes in opposite bands.
+    top_m = max(r.m_score for r in segs)
+    low_m = min(r.m_score for r in segs)
+    assert top_m == 4 and low_m == 1
+    # monetary: user 4 contributed 4 events x 4.0 = 16_000 millis
+    assert any(r.monetary_milli == 16_000 for r in segs)
+    # the NULL-value user lands with monetary 0, not NULL
+    assert all(r.monetary_milli is not None for r in segs)
+    assert by_seg  # table non-degenerate
+
+
+def test_mean_shift_changepoints_semantics(spark):
+    """Planted fixture: a step series (w days at level a, then level b)
+    peaks exactly at the step day with delta = w*(b-a) millis; edge
+    days without a full two-sided window are never scored; zero-filled
+    missing days count as genuine zeros; bad params raise."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # key "s": 6 days at 1.0, then 6 days at 5.0 (one event per day)
+    for i in range(12):
+        v = 1.0 if i < 6 else 5.0
+        rows.append((i, "s", t0 + dt.timedelta(days=i), v))
+    # key "z": day 0 and day 8 only -> days 1-7 are zero-filled
+    rows.append((100, "z", t0, 9.0))
+    rows.append((101, "z", t0 + dt.timedelta(days=8), 9.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    out = timeseries.mean_shift_changepoints(
+        ev, window_days=3, top_k=2
+    ).collect()
+    s_rows = [r for r in out if r.event_type == "s"]
+    # peak at the first high day (2026-01-07): next = 3*5000, prev = 3*1000
+    assert s_rows[0].rank == 1
+    assert str(s_rows[0].day) == "2026-01-07"
+    assert s_rows[0].delta_milli == 3 * 5000 - 3 * 1000
+    # all scored days have full windows: days 0-2 and 10-11 excluded
+    days = {str(r.day) for r in out if r.event_type == "s"}
+    assert "2026-01-01" not in days and "2026-01-12" not in days
+    # zero-filled key: the boundary spikes score against true zeros —
+    # day 3 sees 9000 leaving the prev window (delta −9000); without
+    # zero-fill the key would have no full windows at all
+    z_rows = [r for r in out if r.event_type == "z"]
+    assert z_rows and abs(z_rows[0].delta_milli) == 9000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_days"):
+        timeseries.mean_shift_changepoints(ev, window_days=0)
+    with _pytest.raises(ValueError, match="top_k"):
+        timeseries.mean_shift_changepoints(ev, top_k=0)

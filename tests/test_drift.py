@@ -426,3 +426,63 @@ def test_embedding_health_semantics(spark):
         drift.embedding_health(big).collect()
     with pytest.raises(ValueError, match="empty"):
         drift.embedding_health(same.filter("size(embedding) = 99"))
+
+
+def test_woe_iv_matches_oracle(spark):
+    """r14: WOE/IV feature screening replicates the DuckDB oracle
+    bit-for-bit at both SFs and at two bin widths."""
+    import duckdb
+
+    from pg_parquet_spark.session import table
+
+    lab = "CAST(event_type = 'purchase' AS INT)"
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events").selectExpr(
+            "value", f"{lab} AS label"
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        for bins in (5, 10):
+            got = drift.woe_iv(ev, n_bins=bins).toPandas()
+            want = con.execute(
+                drift.woe_iv_oracle_sql(label_expr=lab, n_bins=bins)
+            ).df()
+            assert len(got) == len(want) > 0, (sf, bins)
+            for c in got.columns:
+                assert list(got[c]) == list(want[c]), (sf, bins, c)
+
+
+def test_woe_iv_semantics(spark):
+    """Planted fixture: a perfectly separating feature yields strongly
+    positive WOE in the all-good bin and negative in the all-bad bin
+    (IV terms positive for both); a useless constant-rate feature
+    yields zero WOE everywhere; non-binary labels fail fast; NULLs
+    drop."""
+    import pytest as _pytest
+
+    # 40 rows: feature < 0 -> label 0, feature >= 0 -> label 1
+    rows = [(float(i - 20), 1 if i >= 20 else 0) for i in range(40)]
+    rows.append((None, 1))
+    rows.append((5.0, None))
+    df = spark.createDataFrame(rows, "value double, label int")
+    out = drift.woe_iv(df, n_bins=2).collect()
+    assert len(out) == 2
+    lo, hi = out[0], out[1]
+    assert lo.n_good == 0 and lo.n_bad == 20
+    assert hi.n_good == 20 and hi.n_bad == 0
+    assert lo.woe_micro < 0 < hi.woe_micro
+    assert lo.iv_term > 0 and hi.iv_term > 0
+    # useless feature: labels split 50/50 inside every bin
+    flat = spark.createDataFrame(
+        [(float((i // 2) % 4), i % 2) for i in range(40)],
+        "value double, label int",
+    )
+    for r in drift.woe_iv(flat, n_bins=4).collect():
+        assert r.woe_micro == 0 and r.iv_term == 0
+    bad = spark.createDataFrame([(1.0, 2)], "value double, label int")
+    with _pytest.raises(Exception, match="binary 0/1"):
+        drift.woe_iv(bad).collect()
+    with _pytest.raises(ValueError, match="n_bins"):
+        drift.woe_iv(flat, n_bins=1)
