@@ -711,13 +711,6 @@ def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.retention_cohorts(table(spark, sf_dir, "events"))
 
 
-def x_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov next-event transition matrix (r14)."""
-    from pg_parquet_spark.operators import timeseries
-
-    return timeseries.event_transitions(table(spark, sf_dir, "events"))
-
-
 def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch conversion attribution over the events stream
     (r14); the first-touch mode is parity-tested in
@@ -750,6 +743,26 @@ def x_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events").selectExpr(
             "value", "CAST(event_type = 'purchase' AS INT) AS label"
         )
+    )
+
+
+def x_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized integer-dot top-k — the 4x tier between
+    BQ hamming and raw float (r14)."""
+    from pg_parquet_spark.operators import similarity
+
+    return similarity.sq8_topk(
+        table(spark, sf_dir, "embeddings"), query_id=0, k=10
+    )
+
+
+def x_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users via the interval-delta decomposition;
+    the oracle is the brute-force day-range COUNT(DISTINCT) (r14)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.active_users(
+        table(spark, sf_dir, "events"), window_days=7
     )
 
 
@@ -817,11 +830,12 @@ EXTENDED_QUERIES = {
     "x_rerank_stack": x_rerank_stack,
     "x_dedup_funnel": x_dedup_funnel,
     "x_retention": x_retention,
-    "x_transitions": x_transitions,
     "x_attribution": x_attribution,
     "x_rfm": x_rfm,
     "x_changepoints": x_changepoints,
     "x_woe_iv": x_woe_iv,
+    "x_sq8": x_sq8,
+    "x_active_users": x_active_users,
 }
 
 
@@ -1007,11 +1021,12 @@ def extended_oracles() -> dict[str, str]:
         # odds must equal direct BM25 over the FULL corpus
         "x_bm25_index": text.bm25_oracle_sql(["spark", "vector", "scan"]),
         "x_retention": timeseries.retention_oracle_sql(),
-        "x_transitions": timeseries.transitions_oracle_sql(),
         "x_attribution": timeseries.attribution_oracle_sql(),
         "x_rfm": timeseries.rfm_oracle_sql(),
         "x_changepoints": timeseries.changepoint_oracle_sql(),
         "x_woe_iv": drift.woe_iv_oracle_sql(
             label_expr="CAST(event_type = 'purchase' AS INT)"
         ),
+        "x_sq8": similarity.sq8_topk_oracle_sql(query_id=0, k=10),
+        "x_active_users": timeseries.active_users_oracle_sql(window_days=7),
     }

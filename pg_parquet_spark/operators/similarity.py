@@ -3806,3 +3806,131 @@ def reindex_on_drift(
         "stale boolean, psi_pico long, growth_ppm long, n_index long, "
         "n_new long",
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (r14) — the 4x tier between BQ (32x, 1 bit/dim)
+# and raw float32, completing the quantized-retrieval family
+# (BQ hamming / SQ8 / PQ-ADC / IVF).
+
+def sq8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+    scale_bits: int = 7,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Symmetric 8-bit scalar quantization: each component maps to the
+    integer code ``clamp(-128, 127, floor(x·2^scale_bits + 0.5))`` —
+    4× smaller than float32 at rest (``array<tinyint>``), and the
+    integer code dot product is EXACTLY proportional to the
+    dequantized dot product (x̂ = code / 2^scale_bits), so ranking by
+    it is ranking by the dequantized similarity, bit-for-bit
+    reproducible on any engine.
+
+    The scale is a power of two ON PURPOSE: multiplying a float by
+    2^b is exact in binary floating point, so the pre-floor product
+    carries NO rounding-parity risk between JVM and C doubles — the
+    one float step in the pipeline is provably engine-identical
+    (stronger than the micro-nat quantizations elsewhere, which
+    tolerate ±1 ulp inside the 1e-6 grid). Default ``scale_bits=7``
+    covers inputs in (−1, 1) with saturation clamps at ±1.0.
+
+    Scale shape: a pure projection — materialize once and the scoring
+    pass reads dims bytes per vector instead of 4·dims."""
+    if not (0 <= int(scale_bits) <= 20):
+        raise ValueError(f"scale_bits must be in [0, 20], got {scale_bits}")
+    mult = 1 << int(scale_bits)
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.greatest(
+            F.lit(-128),
+            F.least(F.lit(127), F.floor(x * mult + F.lit(0.5))),
+        ).cast("tinyint"),
+    )
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], codes.alias(code_col)
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 7,
+) -> DataFrame:
+    """SQ8 integer-dot-product top-k: quantize the corpus and the
+    query (a corpus row, by id) with :func:`sq8_quantize`'s exact
+    power-of-two grid, score every vector by the BIGINT code dot
+    product, return the ``k`` best (ties on id ascending). Returns
+    (id, score) where ``score / 4^scale_bits`` is the dequantized
+    dot product.
+
+    Scale shape: the 1-row query codes broadcast into a single corpus
+    scan (crossJoin — the bounds-frame pattern); the fold is a pure
+    codegen higher-order aggregate over the code arrays; TakeOrdered
+    ends the plan, no global sort. Run it over materialized
+    ``sq8_quantize`` output to scan 1 byte/dim instead of 4."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = sq8_quantize(
+        df.filter(F.col(id_col) == query_id),
+        id_col=id_col,
+        vec_col=vec_col,
+        code_col="_qc",
+        scale_bits=scale_bits,
+    ).select("_qc")
+    c = sq8_quantize(
+        df, id_col=id_col, vec_col=vec_col, code_col="_dc",
+        scale_bits=scale_bits,
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("_qc"),
+            F.col("_dc"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def sq8_topk_oracle_sql(
+    query_id: int = 0,
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 7,
+) -> str:
+    """DuckDB replica: same exact power-of-two quantization grid
+    (float·2^b is exact in IEEE doubles on both engines), same BIGINT
+    code dot product and (score DESC, id ASC) order."""
+    mult = 1 << int(scale_bits)
+    qt = (
+        "list_transform({v}, x -> GREATEST(-128, LEAST(127, "
+        f"CAST(FLOOR(x * {mult} + 0.5) AS BIGINT))))"
+    )
+    return f"""
+WITH q AS (
+  SELECT {qt.format(v=vec_col)} AS qc FROM {table}
+  WHERE {id_col} = {int(query_id)}
+), scored AS (
+  SELECT {id_col} AS _id,
+    CAST(list_reduce(list_transform(range(1, len({vec_col}) + 1),
+      i -> ({qt.format(v=vec_col)})[i] * q.qc[i]),
+      (a, b) -> a + b) AS BIGINT) AS score
+  FROM {table}, q
+)
+SELECT _id AS {id_col}, score FROM scored
+ORDER BY score DESC, {id_col} ASC LIMIT {int(k)}
+"""

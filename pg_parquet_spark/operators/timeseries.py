@@ -417,6 +417,129 @@ FROM j ORDER BY {key_col}, day
 """
 
 
+def active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling active users (r14 — the DAU/WAU/MAU dashboard series):
+    for every day on the activity spine, the EXACT count of distinct
+    users with at least one event in the trailing ``window_days``-day
+    window. Returns (day, active_users) for every day between the
+    corpus's first and last activity, zero-filled, ordered.
+
+    Sliding COUNT(DISTINCT) doesn't window-fold, so this uses the
+    interval-delta decomposition instead of the quadratic day×user
+    join the oracle runs: each user's activity day ``a`` (next
+    activity ``a'``) covers exactly the report days
+    ``[a, min(a+w−1, a'−1, last_day)]`` — the days where ``a`` is the
+    user's latest in-window activity — so the union over activities
+    counts every (user, day) cell exactly once. Each interval emits
+    +1/−1 boundary deltas and a running sum over the day spine
+    reconstructs the counts.
+
+    Scale shape: one (user, day) distinct (the only event-volume
+    shuffle, two narrow columns), one user-keyed LEAD window, then
+    2 deltas per user-day into a days-sized aggregate; the final
+    running sum is a single ordered window over the DAYS-sized frame
+    (thousands of rows for years of history — counts-sized, never
+    event-sized). NULL user/ts rows drop in BOTH engines."""
+    from pyspark.sql import Window
+
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    w = int(window_days)
+    ud = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("_u"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("_d"),
+        )
+        .distinct()
+    )
+    bounds = ud.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+    nxt = F.lead("_d").over(Window.partitionBy("_u").orderBy("_d"))
+    ivals = (
+        ud.withColumn("_nx", nxt)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("_d").alias("_s"),
+            F.least(
+                F.col("_d") + (w - 1),
+                F.coalesce(F.col("_nx") - 1, F.col("_d1")),
+                F.col("_d1"),
+            ).alias("_e"),
+        )
+    )
+    deltas = (
+        ivals.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("_s").alias("_day"), F.lit(1).alias("_dl")),
+                    F.struct(
+                        (F.col("_e") + 1).alias("_day"), F.lit(-1).alias("_dl")
+                    ),
+                )
+            ).alias("_x")
+        )
+        .select("_x._day", "_x._dl")
+        .groupBy("_day")
+        .agg(F.sum("_dl").alias("_delta"))
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(_d0, _d1)")).alias("_day")
+    )
+    wc = Window.orderBy("_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(deltas, "_day", "left")
+        .select("_day", F.coalesce("_delta", F.lit(0)).alias("_delta"))
+        .withColumn("active_users", F.sum("_delta").over(wc))
+        .select(
+            F.date_add(F.lit("1970-01-01"), F.col("_day").cast("int")).alias(
+                "day"
+            ),
+            F.col("active_users").cast("long").alias("active_users"),
+        )
+        .orderBy("day")
+    )
+
+
+def active_users_oracle_sql(
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    table: str = "events",
+) -> str:
+    """DuckDB replica — deliberately the BRUTE-FORCE day×activity
+    range join with COUNT(DISTINCT): oracle equality against it IS the
+    proof that the interval-delta decomposition counts each (user,
+    day) cell exactly once."""
+    w = int(window_days)
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT {user_col} AS u, CAST({ts_col} AS DATE) AS d
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+), bounds AS (
+  SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.day, CAST(COUNT(DISTINCT ud.u) AS BIGINT) AS active_users
+FROM spine s LEFT JOIN ud
+  ON ud.d <= s.day AND ud.d >= s.day - INTERVAL {w - 1} DAY
+GROUP BY s.day ORDER BY s.day
+"""
+
+
 def rfm_segments(
     events: DataFrame,
     user_col: str = "user_id",
@@ -847,93 +970,6 @@ SELECT c * {period_sec} AS cohort_epoch, age, users,
        users * 1000000 // n0 AS retention_ppm
 FROM cells JOIN sizes USING (c)
 ORDER BY cohort_epoch, age
-"""
-
-
-def event_transitions(
-    events: DataFrame,
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-    id_col: str = "event_id",
-) -> DataFrame:
-    """First-order Markov transition matrix over the per-user event
-    sequence (r14 — "what do users do next?"): for every consecutive
-    pair in a user's timeline (ordered by the composite (ts, id) key,
-    so same-timestamp events have a deterministic order), count the
-    (from_type, to_type) transition and its probability among all
-    transitions leaving from_type. Returns
-    (from_type, to_type, transitions, prob_ppm) ordered — prob is
-    exact integer ppm, summing to ≤ 1_000_000 per from_type (the
-    remainder is truncation, never a lost transition).
-
-    Scale shape: ONE user-keyed window shuffle carrying four narrow
-    columns (user, ts, id, type); the LEAD is per-user sequential; the
-    transition counts are a types²-bounded aggregate and the per-from
-    totals ride a window over that counts-sized frame. Rows with NULL
-    user/ts/id/type are dropped in BOTH engines (a NULL link would
-    make lead() order-ambiguous)."""
-    from pyspark.sql import Window
-
-    base = events.filter(
-        F.col(user_col).isNotNull()
-        & F.col(ts_col).isNotNull()
-        & F.col(id_col).isNotNull()
-        & F.col(type_col).isNotNull()
-    ).select(
-        F.col(user_col).alias("_u"),
-        F.col(type_col).alias("_t"),
-        F.col(ts_col).alias("_ts"),
-        F.col(id_col).alias("_id"),
-    )
-    w = Window.partitionBy("_u").orderBy("_ts", "_id")
-    pairs = base.select(
-        F.col("_t").alias("from_type"),
-        F.lead("_t").over(w).alias("to_type"),
-    ).filter(F.col("to_type").isNotNull())
-    counts = pairs.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).alias("transitions")
-    )
-    wt = Window.partitionBy("from_type")
-    return (
-        counts.withColumn("_tot", F.sum("transitions").over(wt))
-        .select(
-            "from_type",
-            "to_type",
-            "transitions",
-            F.expr("transitions * 1000000 div _tot").alias("prob_ppm"),
-        )
-        .orderBy("from_type", "to_type")
-    )
-
-
-def transitions_oracle_sql(
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-    id_col: str = "event_id",
-    table: str = "events",
-) -> str:
-    """DuckDB replica: LEAD over the identical (user / ts, id) window,
-    same counts and integer ppm shares."""
-    return f"""
-WITH seq AS (
-  SELECT {type_col} AS from_type,
-         LEAD({type_col}) OVER (
-           PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}
-         ) AS to_type
-  FROM {table}
-  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
-    AND {id_col} IS NOT NULL AND {type_col} IS NOT NULL
-), counts AS (
-  SELECT from_type, to_type, COUNT(*) AS transitions
-  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
-)
-SELECT from_type, to_type, transitions,
-       CAST(transitions * 1000000
-            // SUM(transitions) OVER (PARTITION BY from_type) AS BIGINT)
-         AS prob_ppm
-FROM counts ORDER BY from_type, to_type
 """
 
 

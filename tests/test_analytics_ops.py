@@ -1076,8 +1076,8 @@ def test_bm25_managed_generations_lifecycle(spark, tmp_path, monkeypatch):
 
 
 def test_product_analytics_trio_matches_oracle(spark):
-    """r14 continuation: cohort retention, Markov transitions, and
-    touch attribution (both modes) replicate their DuckDB oracles
+    """r14 continuation: cohort retention and touch attribution
+    (both modes) replicate their DuckDB oracles
     bit-for-bit at both SFs."""
     import duckdb
 
@@ -1095,7 +1095,6 @@ def test_product_analytics_trio_matches_oracle(spark):
                 timeseries.retention_cohorts(ev, period_sec=86400),
                 timeseries.retention_oracle_sql(period_sec=86400),
             ),
-            (timeseries.event_transitions(ev), timeseries.transitions_oracle_sql()),
             (timeseries.attribution_report(ev), timeseries.attribution_oracle_sql()),
             (
                 timeseries.attribution_report(ev, mode="first"),
@@ -1143,42 +1142,6 @@ def test_retention_cohorts_semantics(spark):
     assert (c1, 1) not in out
     with pytest.raises(ValueError, match="positive"):
         timeseries.retention_cohorts(ev, period_sec=0)
-
-
-def test_event_transitions_semantics(spark):
-    """Planted fixture: transitions follow the composite (ts, id)
-    order (same-timestamp pairs are id-ordered), sequences never cross
-    users, the last event has no outgoing edge, and prob_ppm is the
-    integer share among edges leaving from_type."""
-    import datetime as dt
-
-    from pg_parquet_spark.operators import timeseries
-
-    t0 = dt.datetime(2026, 1, 1)
-
-    def r(i, u, t, off):
-        return (i, u, t, t0 + dt.timedelta(minutes=off))
-
-    rows = [
-        r(1, 1, "a", 0), r(2, 1, "b", 5),     # a->b
-        r(3, 1, "c", 10),                     # b->c
-        r(4, 2, "a", 0), r(5, 2, "c", 1),     # a->c (user 2)
-        # same timestamp: id order decides a->b, not b->a
-        r(6, 3, "a", 0), r(7, 3, "b", 0),
-    ]
-    ev = spark.createDataFrame(
-        rows, "event_id long, user_id long, event_type string, ts timestamp"
-    )
-    out = {
-        (x.from_type, x.to_type): x
-        for x in timeseries.event_transitions(ev).collect()
-    }
-    assert out[("a", "b")].transitions == 2
-    assert out[("a", "c")].transitions == 1
-    assert out[("b", "c")].transitions == 1
-    assert ("c", "a") not in out  # sequences don't wrap or cross users
-    assert out[("a", "b")].prob_ppm == 2 * 1_000_000 // 3
-    assert out[("b", "c")].prob_ppm == 1_000_000
 
 
 def test_attribution_report_semantics(spark):
@@ -1344,3 +1307,69 @@ def test_mean_shift_changepoints_semantics(spark):
         timeseries.mean_shift_changepoints(ev, window_days=0)
     with _pytest.raises(ValueError, match="top_k"):
         timeseries.mean_shift_changepoints(ev, top_k=0)
+
+
+def test_active_users_matches_bruteforce_oracle(spark):
+    """r14: the interval-delta rolling-active-users decomposition
+    equals the quadratic day-range COUNT(DISTINCT) oracle at both SFs
+    and three window widths — the completeness proof for the
+    counted-exactly-once claim."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        for w in (1, 7, 28):
+            got = timeseries.active_users(ev, window_days=w).toPandas()
+            want = con.execute(
+                timeseries.active_users_oracle_sql(window_days=w)
+            ).df()
+            assert len(got) == len(want) > 0, (sf, w)
+            assert [str(d)[:10] for d in got.day] == [
+                str(d)[:10] for d in want.day
+            ], (sf, w)
+            assert list(got.active_users) == list(want.active_users), (sf, w)
+
+
+def test_active_users_semantics(spark):
+    """Planted fixture: a user active on days 0 and 10 with w=7 counts
+    on days 0-6 and 10 only (the gap closes the interval); two events
+    on the SAME day count once; zero-activity days report 0; DAU (w=1)
+    equals the per-day distinct count."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 1, 12)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(hours=3)),      # same day, once
+        (1, t0 + dt.timedelta(days=10)),
+        (2, t0 + dt.timedelta(days=2)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        str(r.day)[:10]: r.active_users
+        for r in timeseries.active_users(ev, window_days=7).collect()
+    }
+    assert len(out) == 11                      # full spine, days 0..10
+    assert out["2026-01-01"] == 1              # user 1
+    assert out["2026-01-03"] == 2              # users 1 and 2
+    assert out["2026-01-07"] == 2              # user 1 day-0 still in [1..7]
+    assert out["2026-01-08"] == 1              # user 1 aged out; user 2 in
+    assert out["2026-01-09"] == 1              # user 2's Jan 3 still in [3..9]
+    assert out["2026-01-10"] == 0              # gap: nobody active in window
+    assert out["2026-01-11"] == 1              # user 1 returns
+    dau = {
+        str(r.day)[:10]: r.active_users
+        for r in timeseries.active_users(ev, window_days=1).collect()
+    }
+    assert dau["2026-01-01"] == 1 and dau["2026-01-02"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_days"):
+        timeseries.active_users(ev, window_days=0)

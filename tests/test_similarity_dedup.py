@@ -2667,3 +2667,101 @@ def test_listwise_rerank_is_doc_token_order_invariant(spark):
     # the crossencoder DOES see the permutation (doc 1: alpha@1+beta@2
     # vs beta@2+alpha@3)
     assert ca.values.tolist() != cb.values.tolist()
+
+
+def test_sq8_topk_matches_oracle(spark):
+    """r14: SQ8 integer-dot top-k replicates the DuckDB oracle
+    bit-for-bit at both SFs and at two scale widths."""
+    import duckdb
+
+    from pg_parquet_spark.operators import similarity as sim
+    from pg_parquet_spark.session import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = table(spark, sf, "embeddings")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        for bits in (7, 9):
+            got = sim.sq8_topk(emb, query_id=3, k=15, scale_bits=bits).toPandas()
+            want = con.execute(
+                sim.sq8_topk_oracle_sql(query_id=3, k=15, scale_bits=bits)
+            ).df()
+            assert len(got) == len(want) == 15, (sf, bits)
+            for c in got.columns:
+                assert list(got[c]) == list(want[c]), (sf, bits, c)
+
+
+def test_sq8_quantize_semantics(spark):
+    """Planted fixture: the power-of-two grid is exact — components
+    that are exact multiples of 1/128 round-trip losslessly, so the
+    SQ8 score is EXACTLY dot * 128^2; out-of-range components saturate
+    to -128/127; codes materialize as 1-byte tinyints; bad params
+    raise."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import similarity as sim
+
+    rows = [
+        (0, [64 / 128.0, -32 / 128.0, 0.0, 127 / 128.0]),
+        (1, [1 / 128.0, 2 / 128.0, -3 / 128.0, 4 / 128.0]),
+        (2, [9.0, -9.0, 0.0, 0.5]),  # saturates to 127 / -128
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in sim.sq8_quantize(df).collect()
+    }
+    assert codes[0] == [64, -32, 0, 127]
+    assert codes[1] == [1, 2, -3, 4]
+    assert codes[2][0] == 127 and codes[2][1] == -128
+    # dtype is genuinely 1-byte
+    field = dict(sim.sq8_quantize(df).dtypes)["codes"]
+    assert field == "array<tinyint>"
+    # exact proportionality on on-grid vectors: score(0,1) = dot*128^2
+    got = {r.vec_id: r.score for r in sim.sq8_topk(df, query_id=0, k=3).collect()}
+    dot01 = 64 * 1 + (-32) * 2 + 0 + 127 * 4
+    assert got[1] == dot01
+    assert got[0] == 64 * 64 + 32 * 32 + 127 * 127
+    with _pytest.raises(ValueError, match="scale_bits"):
+        sim.sq8_quantize(df, scale_bits=99)
+    with _pytest.raises(ValueError, match="k must"):
+        sim.sq8_topk(df, query_id=0, k=0)
+
+
+def test_sq8_scoring_from_materialized_codes(spark, tmp_path):
+    """The storage contract: scoring pre-quantized codes (the 1 byte/
+    dim at-rest layout) gives the same ranking as inline quantization
+    — write codes, read back, fold the same integer dot product."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import similarity as sim
+    from pg_parquet_spark.session import table
+    from pg_parquet_spark.sources import read_parquet, write_parquet
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    root = str(tmp_path / "sq8_codes")
+    write_parquet(sim.sq8_quantize(emb), root)
+    codes = read_parquet(spark, root)
+    q = codes.filter("vec_id = 0").select(F.col("codes").alias("_qc"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("_qc"), F.col("codes"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    got = (
+        codes.crossJoin(F.broadcast(q))
+        .select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    want = sim.sq8_topk(emb, query_id=0, k=10).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
