@@ -408,3 +408,72 @@ def parquet_list(spark: SparkSession, uri_pattern: str) -> DataFrame:
         matches = _fs.glob(uri_pattern)  # single file (or nothing)
     rows = list(_fs.file_sizes(list(matches)))
     return spark.createDataFrame(rows, _LIST_COLS)
+
+
+def schema_drift(spark: SparkSession, uri_a: str, uri_b: str) -> DataFrame:
+    """Schema-drift report between two parquet snapshots (r14 — the
+    data-ops composition of the `parquet.schema`/`parquet.metadata`
+    surface: "did the producer change the schema under me?"). One row
+    per LEAF column path present in either file:
+    (path, type_a, type_b, change) with change ∈ added / removed /
+    retyped / unchanged — ``added`` means the column exists only in
+    ``uri_b`` (the newer snapshot), ``removed`` only in ``uri_a``.
+
+    Types compare at the parquet PHYSICAL level (INT64, BYTE_ARRAY,
+    FLOAT, …) — format-defined identities, so the comparison is
+    byte-for-byte the one DuckDB's ``parquet_metadata()`` sees (the
+    oracle normalizes its ``a, list, element`` path spelling to the
+    dotted form).
+
+    Scale shape: two footer fetches on the driver (KB-scale, the
+    metadata family's contract — src/parquet_udfs/schema.rs reads the
+    same thrift structures); no executor work."""
+    def leaves(uri: str) -> dict[str, str]:
+        pf = _parquet_file(uri)
+        s = pf.metadata.schema
+        return {s.column(i).path: s.column(i).physical_type for i in range(len(s))}
+
+    a, b = leaves(uri_a), leaves(uri_b)
+    rows = []
+    for path in sorted(set(a) | set(b)):
+        ta, tb = a.get(path), b.get(path)
+        change = (
+            "added"
+            if ta is None
+            else "removed"
+            if tb is None
+            else "retyped"
+            if ta != tb
+            else "unchanged"
+        )
+        rows.append((path, ta, tb, change))
+    return spark.createDataFrame(
+        rows, "path string, type_a string, type_b string, change string"
+    )
+
+
+def schema_drift_oracle_sql(uri_a: str, uri_b: str) -> str:
+    """DuckDB replica over ``parquet_metadata()``: distinct
+    (path, physical type) per side, FULL OUTER JOIN, identical change
+    classification; DuckDB spells nested paths ``a, list, element`` —
+    normalized to the dotted form pyarrow uses."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return f"""
+WITH a AS (
+  SELECT DISTINCT replace(path_in_schema, ', ', '.') AS p, type AS t
+  FROM parquet_metadata({lit(uri_a)})
+), b AS (
+  SELECT DISTINCT replace(path_in_schema, ', ', '.') AS p, type AS t
+  FROM parquet_metadata({lit(uri_b)})
+)
+SELECT COALESCE(a.p, b.p) AS path, a.t AS type_a, b.t AS type_b,
+  CASE WHEN a.p IS NULL THEN 'added'
+       WHEN b.p IS NULL THEN 'removed'
+       WHEN a.t != b.t THEN 'retyped'
+       ELSE 'unchanged' END AS change
+FROM a FULL JOIN b ON a.p = b.p
+ORDER BY path
+"""

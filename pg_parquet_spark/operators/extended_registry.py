@@ -766,6 +766,53 @@ def x_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: schema_drift is a footer-level op — pinned to the sf0.001 fixtures on
+#: BOTH sides (query and oracle) because the extended sweep renders each
+#: oracle string once but runs it at every SF; the table schemas are
+#: sf-invariant so the pin loses nothing, and query≡oracle stays strict.
+_SCHEMA_DRIFT_SF = "/root/testdata/sf0.001"
+
+
+def x_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median step / total latency per funnel stage (r14 — the timing
+    companion to x_funnel)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.funnel_latency(
+        table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def x_product_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call product-health dashboard: seven certified
+    product-analytics components under ONE chained oracle (r14 — the
+    corpus_health composition pattern on the events surface)."""
+    from pg_parquet_spark.operators import recipe
+
+    return recipe.product_health(table(spark, sf_dir, "events"))
+
+
+def _schema_drift_oracle() -> str:
+    from pg_parquet_spark.functions import metadata
+
+    return metadata.schema_drift_oracle_sql(
+        f"{_SCHEMA_DRIFT_SF}/events.parquet",
+        f"{_SCHEMA_DRIFT_SF}/embeddings.parquet",
+    )
+
+
+def x_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema-drift report (events vs embeddings footprints):
+    the data-ops composition of the parquet.schema surface (r14)."""
+    from pg_parquet_spark.functions import metadata
+
+    return metadata.schema_drift(
+        spark,
+        f"{_SCHEMA_DRIFT_SF}/events.parquet",
+        f"{_SCHEMA_DRIFT_SF}/embeddings.parquet",
+    )
+
+
 EXTENDED_QUERIES = {
     "x_sketch_kmv": x_sketch_kmv,
     "x_sketch_cms": x_sketch_cms,
@@ -836,6 +883,9 @@ EXTENDED_QUERIES = {
     "x_woe_iv": x_woe_iv,
     "x_sq8": x_sq8,
     "x_active_users": x_active_users,
+    "x_schema_drift": x_schema_drift,
+    "x_funnel_latency": x_funnel_latency,
+    "x_product_health": x_product_health,
 }
 
 
@@ -1029,4 +1079,9 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_sq8": similarity.sq8_topk_oracle_sql(query_id=0, k=10),
         "x_active_users": timeseries.active_users_oracle_sql(window_days=7),
+        "x_schema_drift": _schema_drift_oracle(),
+        "x_funnel_latency": timeseries.funnel_latency_oracle_sql(
+            ["view", "click", "purchase"]
+        ),
+        "x_product_health": recipe.product_health_oracle_sql(),
     }

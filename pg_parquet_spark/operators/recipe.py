@@ -1165,3 +1165,170 @@ SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, docs,
          AS attrition_ppm
 FROM l ORDER BY stage_idx
 """
+
+
+def product_health(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """One-call product-health dashboard (r14 — the product-analytics
+    twin of :func:`corpus_health`): volume, audience, rolling
+    engagement, cohort stickiness, funnel efficiency and channel
+    concentration folded into a single (metric, value) report. Every
+    value is an exact integer (counts / ppm / sec×2), every component
+    is the already-certified operator — the recipe is the COMPOSITION,
+    certified by one chained oracle that embeds each component's SQL.
+
+    Rows (ordered by metric):
+    - funnel_conversion_ppm — last-step conversion (funnel_steps)
+    - median_total_latency_sec2 — entry→last-step median seconds ×2
+      (funnel_latency; 0 when nobody converts)
+    - n_events / n_users — rows and distinct users with non-NULL
+      (user, ts) — the same basis every component filters to
+    - retention_age1_ppm — Σ age-1 users ·1e6 // Σ age-0 users across
+      ALL cohorts (the youngest cohort can't have an age-1 row yet —
+      the ratio is the honest blended number, mirrored in the oracle)
+    - top_channel_share_ppm — MAX last-touch share (attribution_report)
+    - wau_last / wau_peak — trailing-window active users on the final
+      spine day, and the all-time peak (active_users)
+
+    Scale shape: each component's own shape (see their docstrings);
+    the fold is six bounded driver-side collects (1-row or
+    counts-sized frames — the bounded exemption) into an 8-row
+    literal frame."""
+    from pg_parquet_spark.operators import timeseries
+
+    fsteps = steps if steps is not None else ["view", "click", "purchase"]
+    spark = events.sparkSession
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    vol = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(user_col).alias("u"),
+    ).collect()[0]
+    au = timeseries.active_users(
+        events, window_days=window_days, user_col=user_col, ts_col=ts_col
+    ).collect()
+    wau_last = int(au[-1]["active_users"]) if au else 0
+    wau_peak = max((int(r["active_users"]) for r in au), default=0)
+    ret = timeseries.retention_cohorts(
+        events, user_col=user_col, ts_col=ts_col
+    ).collect()
+    a0 = sum(int(r["users"]) for r in ret if r["age"] == 0)
+    a1 = sum(int(r["users"]) for r in ret if r["age"] == 1)
+    ret1_ppm = 0 if a0 == 0 else a1 * 1_000_000 // a0
+    fun = timeseries.funnel_steps(
+        events, fsteps, user_col=user_col, type_col=type_col, ts_col=ts_col
+    ).collect()
+    conv_ppm = int(fun[-1]["conversion_ppm"])
+    lat = timeseries.funnel_latency(
+        events, fsteps, user_col=user_col, type_col=type_col, ts_col=ts_col
+    ).collect()
+    med_total = lat[-1]["med_total_sec2"]
+    med_total = 0 if med_total is None else int(med_total)
+    timeseries.release_cached()
+    att = timeseries.attribution_report(
+        events,
+        conversion_type=fsteps[-1],
+        touch_types=fsteps[:-1],
+        user_col=user_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        id_col=id_col,
+    ).collect()
+    top_share = max((int(r["share_ppm"]) for r in att), default=0)
+    rows = sorted(
+        [
+            ("funnel_conversion_ppm", conv_ppm),
+            ("median_total_latency_sec2", med_total),
+            ("n_events", int(vol["n"])),
+            ("n_users", int(vol["u"])),
+            ("retention_age1_ppm", ret1_ppm),
+            ("top_channel_share_ppm", top_share),
+            ("wau_last", wau_last),
+            ("wau_peak", wau_peak),
+        ]
+    )
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
+def product_health_oracle_sql(
+    steps: list[str] | None = None,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: each component's certified oracle embedded as a
+    subquery, folded to the same (metric, value) rows."""
+    from pg_parquet_spark.operators import timeseries
+
+    fsteps = steps if steps is not None else ["view", "click", "purchase"]
+    last = len(fsteps)
+    au = timeseries.active_users_oracle_sql(
+        window_days=window_days, user_col=user_col, ts_col=ts_col, table=table
+    )
+    ret = timeseries.retention_oracle_sql(
+        user_col=user_col, ts_col=ts_col, table=table
+    )
+    fun = timeseries.funnel_oracle_sql(
+        fsteps, user_col=user_col, type_col=type_col, ts_col=ts_col,
+        table=table,
+    )
+    lat = timeseries.funnel_latency_oracle_sql(
+        fsteps, user_col=user_col, type_col=type_col, ts_col=ts_col,
+        table=table,
+    )
+    att = timeseries.attribution_oracle_sql(
+        conversion_type=fsteps[-1],
+        touch_types=fsteps[:-1],
+        user_col=user_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        id_col=id_col,
+        table=table,
+    )
+    return f"""
+SELECT metric, value FROM (
+  SELECT 'n_events' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  UNION ALL
+  SELECT 'n_users', CAST(COUNT(DISTINCT {user_col}) AS BIGINT)
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  UNION ALL
+  SELECT 'wau_last',
+         (SELECT active_users FROM ({au}) ORDER BY day DESC LIMIT 1)
+  UNION ALL
+  SELECT 'wau_peak',
+         (SELECT CAST(COALESCE(MAX(active_users), 0) AS BIGINT) FROM ({au}))
+  UNION ALL
+  SELECT 'retention_age1_ppm',
+         (SELECT CAST(CASE WHEN SUM(CASE WHEN age = 0 THEN users END) IS NULL
+                           THEN 0
+                      ELSE COALESCE(SUM(CASE WHEN age = 1 THEN users END), 0)
+                           * 1000000
+                           // SUM(CASE WHEN age = 0 THEN users END)
+                      END AS BIGINT)
+          FROM ({ret}))
+  UNION ALL
+  SELECT 'funnel_conversion_ppm',
+         (SELECT conversion_ppm FROM ({fun}) WHERE step = {last})
+  UNION ALL
+  SELECT 'median_total_latency_sec2',
+         (SELECT CAST(COALESCE(med_total_sec2, 0) AS BIGINT) FROM ({lat})
+          WHERE step = {last})
+  UNION ALL
+  SELECT 'top_channel_share_ppm',
+         (SELECT CAST(COALESCE(MAX(share_ppm), 0) AS BIGINT) FROM ({att}))
+) ORDER BY metric
+"""

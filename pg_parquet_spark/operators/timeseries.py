@@ -445,21 +445,52 @@ def active_users(
     running sum is a single ordered window over the DAYS-sized frame
     (thousands of rows for years of history — counts-sized, never
     event-sized). NULL user/ts rows drop in BOTH engines."""
+    return active_users_from_index(
+        user_day_index(events, user_col, ts_col), window_days
+    )
+
+
+def user_day_index(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The (user_id, day) distinct-activity index :func:`active_users`
+    computes over — exposed because it is a MERGEABLE summary
+    (set-union ≡ unionByName + distinct, idempotent), so a streaming
+    drain can maintain it continuously
+    (:func:`pg_parquet_spark.streaming.stream.drain_with_active_users`)
+    and the dashboard reads it via :func:`active_users_from_index`
+    without rescanning history. ``day`` is the integer epoch day
+    (engine-neutral, ~12 bytes/row with the user id)."""
+    return (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("day"),
+        )
+        .distinct()
+    )
+
+
+def active_users_from_index(
+    index: DataFrame,
+    window_days: int = 7,
+) -> DataFrame:
+    """:func:`active_users` from a materialized
+    :func:`user_day_index` frame (columns ``user_id``, ``day`` as
+    integer epoch days) — the read path of the streaming drain. Same
+    output contract and interval-delta shape as active_users."""
     from pyspark.sql import Window
 
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
     w = int(window_days)
-    ud = (
-        events.filter(
-            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-        )
-        .select(
-            F.col(user_col).alias("_u"),
-            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("_d"),
-        )
-        .distinct()
-    )
+    ud = index.select(
+        F.col("user_id").alias("_u"), F.col("day").cast("int").alias("_d")
+    ).distinct()
     bounds = ud.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
     nxt = F.lead("_d").over(Window.partitionBy("_u").orderBy("_d"))
     ivals = (
@@ -1093,6 +1124,156 @@ SELECT channel, conversions,
          AS share_ppm
 FROM counts ORDER BY channel
 """
+
+
+#: persisted funnel-chain frames (funnel_latency): each step's per-user
+#: frame feeds BOTH its latency aggregate and the next step's join, so
+#: they stay cached until the caller's action — registered here and
+#: FIFO-trimmed (the drift/dedup self-cleaning-cache convention).
+_CACHED_FRAMES: list[DataFrame] = []
+_CACHE_KEEP = 16
+
+
+def release_cached() -> None:
+    while _CACHED_FRAMES:
+        _CACHED_FRAMES.pop().unpersist()
+
+
+def _trim_cache() -> None:
+    while len(_CACHED_FRAMES) > _CACHE_KEEP:
+        _CACHED_FRAMES.pop(0).unpersist()
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel step-latency report (r14 — "how long does each step
+    take?", the timing companion to :func:`funnel_steps`): for every
+    step k ≥ 2, over the users who reached it under the same strict
+    min-completion semantics, the user count plus the MEDIAN seconds
+    from the previous step and from funnel entry. Returns
+    (step, event_type, users, med_step_sec2, med_total_sec2) ordered —
+    medians ride the robust-fence med×2 integer trick (exact
+    percentile of integer epoch-second diffs ×2 is an exact BIGINT on
+    both engines); a step nobody reached reports (0, NULL, NULL).
+    The whole chain runs at WHOLE-SECOND granularity (timestamps
+    truncate to epoch seconds before comparing — the latency unit), so
+    same-second progressions count just as in funnel_steps, but an
+    event earlier within the same second also counts; counts can
+    differ from funnel_steps only at sub-second resolution.
+
+    Scale shape: the funnel chain's k−1 user-keyed join+min stages
+    (one row per user carried, the funnel_steps contract) with the
+    entry timestamp riding along; each step's frame feeds its 1-row
+    latency aggregate AND the next join, persisted so the chain
+    evaluates once per step (the funnel O(k²) lesson), registered in
+    the module cache for FIFO cleanup."""
+    if len(steps) < 2:
+        raise ValueError(
+            f"funnel_latency needs at least 2 steps, got {len(steps)}"
+        )
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_latency: duplicate step types")
+    _trim_cache()
+    es = F.col(ts_col).cast("timestamp").cast("long")
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        es.alias("_es"),
+    )
+    prev = (
+        base.filter(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_es").alias("_done"))
+        .select("_u", "_done", F.col("_done").alias("_d1"))
+        .persist()
+    )
+    _CACHED_FRAMES.append(prev)
+    med2 = lambda c: (F.percentile(c, F.lit(0.5)) * 2).cast("long")  # noqa: E731
+    out = None
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = base.filter(F.col("_t") == s).select("_u", "_es")
+        cur = (
+            nxt.join(prev, "_u")
+            .filter(F.col("_es") >= F.col("_done"))
+            .groupBy("_u")
+            .agg(
+                F.min("_es").alias("_new"),
+                F.min("_done").alias("_prev"),
+                F.min("_d1").alias("_d1x"),
+            )
+            .persist()
+        )
+        _CACHED_FRAMES.append(cur)
+        agg = cur.agg(
+            F.count(F.lit(1)).alias("users"),
+            med2(F.col("_new") - F.col("_prev")).alias("med_step_sec2"),
+            med2(F.col("_new") - F.col("_d1x")).alias("med_total_sec2"),
+        ).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(s).alias("event_type"),
+            "users",
+            "med_step_sec2",
+            "med_total_sec2",
+        )
+        out = agg if out is None else out.unionByName(agg)
+        prev = cur.select(
+            "_u", F.col("_new").alias("_done"), F.col("_d1x").alias("_d1")
+        )
+    return out.orderBy("step")
+
+
+def funnel_latency_oracle_sql(
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: the min-completion chain unrolled as CTEs with
+    the entry and previous-step timestamps carried per user,
+    quantile_cont ×2 medians over the same integer second diffs."""
+    if len(steps) < 2:
+        raise ValueError("funnel_latency needs >= 2 steps")
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    parts = [
+        f"""s1 AS (
+  SELECT {user_col} AS u,
+         MIN(CAST(FLOOR(epoch({ts_col})) AS BIGINT)) AS done,
+         MIN(CAST(FLOOR(epoch({ts_col})) AS BIGINT)) AS d1
+  FROM {table} WHERE {type_col} = {lit(steps[0])} GROUP BY {user_col}
+)"""
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        parts.append(f"""s{i} AS (
+  SELECT e.{user_col} AS u,
+         MIN(CAST(FLOOR(epoch(e.{ts_col})) AS BIGINT)) AS done,
+         MIN(p.done) AS prevdone, MIN(p.d1) AS d1
+  FROM {table} e JOIN s{i - 1} p ON e.{user_col} = p.u
+  WHERE e.{type_col} = {lit(s)}
+    AND CAST(FLOOR(epoch(e.{ts_col})) AS BIGINT) >= p.done
+  GROUP BY e.{user_col}
+)""")
+    selects = []
+    for i, s in enumerate(steps[1:], start=2):
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, {lit(s)} AS event_type, "
+            f"CAST((SELECT COUNT(*) FROM s{i}) AS BIGINT) AS users, "
+            f"(SELECT CAST(quantile_cont(done - prevdone, 0.5) * 2 AS BIGINT) "
+            f"FROM s{i}) AS med_step_sec2, "
+            f"(SELECT CAST(quantile_cont(done - d1, 0.5) * 2 AS BIGINT) "
+            f"FROM s{i}) AS med_total_sec2"
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {body}\nSELECT * FROM ({union}) ORDER BY step\n"
 
 
 def funnel_oracle_sql(

@@ -1748,3 +1748,44 @@ def drain_with_line_dedup(
         raise TimeoutError(
             f"line-dedup drain did not finish within {timeout_sec}s"
         )
+
+
+def drain_with_active_users(
+    sdf: DataFrame,
+    corpus_root: str,
+    index_root: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming ACTIVE-USERS dashboard (r14 — the product-analytics
+    instance of :func:`drain_with_mergeable_refresh`): each micro-batch
+    lands in the versioned corpus, then the (user, day)
+    distinct-activity index at ``index_root`` set-union-merges the
+    batch's pairs and republishes. The merge is idempotent (distinct
+    pairs — a replayed batch re-merges the same pairs and changes
+    nothing), so crash replays converge unconditionally, like the KMV
+    instance.
+
+    Read the DAU/WAU/MAU series with
+    ``timeseries.active_users_from_index(
+        layout.read_versioned(spark, index_root), window_days)`` —
+    bit-equal to batch ``active_users`` over the full drained corpus
+    (asserted in tests/test_stream_sketch.py). The index is
+    ~12 bytes per active user-day — summary-sized, maintained without
+    rescanning history."""
+    from pg_parquet_spark.operators.timeseries import user_day_index
+
+    drain_with_mergeable_refresh(
+        sdf,
+        corpus_root,
+        index_root,
+        build_fn=lambda b: user_day_index(b, user_col, ts_col),
+        merge_fn=lambda cur, new: cur.unionByName(new).distinct(),
+        idempotent_merge=True,
+        partition_by=partition_by,
+        timeout_sec=timeout_sec,
+        checkpoint=checkpoint,
+    )

@@ -1373,3 +1373,72 @@ def test_active_users_semantics(spark):
 
     with _pytest.raises(ValueError, match="window_days"):
         timeseries.active_users(ev, window_days=0)
+
+
+def test_funnel_latency_matches_oracle(spark):
+    """r14: the funnel step-latency report (median seconds from the
+    previous step and from entry, med x2 integers) replicates the
+    unrolled-CTE oracle bit-for-bit at both SFs."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+
+    steps = ["view", "click", "purchase"]
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        got = timeseries.funnel_latency(ev, steps).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = con.execute(timeseries.funnel_latency_oracle_sql(steps)).df()
+        assert len(got) == len(want) == 2, sf
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+    timeseries.release_cached()
+
+
+def test_funnel_latency_semantics(spark):
+    """Planted fixture: known step gaps produce exact medians (x2
+    integers, odd/even user counts both exercised); a step nobody
+    reaches reports (0, NULL, NULL); validation raises."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def r(u, t, off_min):
+        return (u, t, t0 + dt.timedelta(minutes=off_min))
+
+    rows = [
+        # user 1: view@0 -> click@10 -> purchase@30  (step 600s, total 1800s)
+        r(1, "view", 0), r(1, "click", 10), r(1, "purchase", 30),
+        # user 2: view@0 -> click@20              (step 1200s)
+        r(2, "view", 0), r(2, "click", 20),
+        # user 3: view@0 only
+        r(3, "view", 0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r.step: r
+        for r in timeseries.funnel_latency(
+            ev, ["view", "click", "purchase", "signup"]
+        ).collect()
+    }
+    assert out[2].users == 2
+    # median of {600, 1200} = 900 -> x2 = 1800
+    assert out[2].med_step_sec2 == 1800
+    assert out[2].med_total_sec2 == 1800
+    assert out[3].users == 1
+    assert out[3].med_step_sec2 == 2 * 1200   # 30m - 10m
+    assert out[3].med_total_sec2 == 2 * 1800  # 30m - 0
+    assert out[4].users == 0
+    assert out[4].med_step_sec2 is None and out[4].med_total_sec2 is None
+    timeseries.release_cached()
+    with pytest.raises(ValueError, match="2 steps"):
+        timeseries.funnel_latency(ev, ["view"])
+    with pytest.raises(ValueError, match="duplicate"):
+        timeseries.funnel_latency(ev, ["view", "view"])

@@ -352,3 +352,53 @@ def test_r13_continuation_batch_plan_invariants(spark):
     p_oov = _plan(text.oov_rate(docs, vocab_size=20))
     for bad in ("Join", "CartesianProduct", "Window"):
         assert bad not in p_oov, bad
+
+
+def test_r14_product_analytics_batch_plan_invariants(spark):
+    """Plan net for the r14 continuation batch (retention, attribution,
+    RFM, changepoints, active users, WOE/IV, SQ8, funnel latency): no
+    cartesian anywhere; the only nested-loop joins are the documented
+    1-row bounds/quartile/query frames (broadcast crossJoins); the
+    counts-sized sides (cohort sizes, deltas, quartiles) stay
+    broadcast; the corpus-sized frames shuffle only for keyed
+    aggregates/windows."""
+    from pg_parquet_spark.operators import drift, similarity, timeseries
+    from pg_parquet_spark.session import table
+
+    ev = table(spark, SF, "events")
+    emb = table(spark, SF, "embeddings")
+    plans = {
+        "retention": _plan(timeseries.retention_cohorts(ev)),
+        "attribution": _plan(timeseries.attribution_report(ev)),
+        "rfm": _plan(timeseries.rfm_segments(ev)),
+        "changepoints": _plan(timeseries.mean_shift_changepoints(ev)),
+        "active_users": _plan(timeseries.active_users(ev)),
+        "woe_iv": _plan(
+            drift.woe_iv(
+                ev.selectExpr(
+                    "value", "CAST(event_type = 'purchase' AS INT) AS label"
+                )
+            )
+        ),
+        "sq8": _plan(similarity.sq8_topk(emb, query_id=0, k=10)),
+        "funnel_latency": _plan(
+            timeseries.funnel_latency(ev, ["view", "click", "purchase"])
+        ),
+    }
+    timeseries.release_cached()
+    # ops whose crossJoins are 1-row bounds/quartile/query frames — the
+    # house-benign BroadcastNestedLoopJoin shape
+    one_row_cross = {"rfm", "woe_iv", "sq8", "active_users"}
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        if name not in one_row_cross:
+            assert "BroadcastNestedLoopJoin" not in p, (name, p)
+    # retention's cohort-size join and attribution's nothing-to-join
+    # report sides stay broadcast, never sort-merge on the tiny side
+    assert "BroadcastHashJoin" in plans["retention"]
+    # changepoints/active_users join the zero-fill spine broadcast- or
+    # shuffle-hash keyed — but never via nested loops (asserted above);
+    # the SQ8 scan folds the score in codegen (no python udf)
+    assert "pythonUDF" not in plans["sq8"].lower()
+    # funnel_latency's chain joins are user-keyed equi-joins
+    assert "BroadcastNestedLoopJoin" not in plans["funnel_latency"]

@@ -199,3 +199,66 @@ def test_kv_metadata_cross_validated_against_duckdb(spark, tmp_path):
     assert b"geo" in ours and b"geo" in theirs
     for k in ours.keys() & theirs.keys():
         assert ours[k] == theirs[k], k
+
+
+def test_schema_drift_matches_duckdb_oracle(spark):
+    """r14: the footer-level schema-drift report replicates DuckDB's
+    parquet_metadata() FULL JOIN bit-for-bit, including the nested-path
+    spelling normalization (embedding.list.element)."""
+    import duckdb
+
+    from pg_parquet_spark.functions import schema_drift
+    from pg_parquet_spark.functions.metadata import schema_drift_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    a, b = f"{sf}/events.parquet", f"{sf}/embeddings.parquet"
+    got = schema_drift(spark, a, b).toPandas()
+    want = duckdb.connect().execute(schema_drift_oracle_sql(a, b)).df()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert [x if x == x else None for x in got[c]] == [
+            x if x == x else None for x in want[c]
+        ], c
+    # nested path present and dotted
+    assert "embedding.list.element" in set(got.path)
+
+
+def test_schema_drift_semantics(spark, tmp_path):
+    """Planted snapshots: a column dropped, one added, one retyped
+    (INT64 -> BYTE_ARRAY), one unchanged — each classified; identical
+    snapshots report all-unchanged."""
+    from pg_parquet_spark.functions import schema_drift
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10, 1.5)], "id long, kept string, retyped long, gone double"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", "s", True)], "id long, kept string, retyped string, fresh boolean"
+    )
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    write_parquet(v1, p1)
+    write_parquet(v2, p2)
+    import os
+
+    f1 = os.path.join(p1, os.listdir(p1)[0] if os.path.isdir(p1) else "")
+    # write_parquet writes a directory; point at the single data file
+    def one_file(d):
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    return os.path.join(root, f)
+        raise AssertionError(f"no parquet under {d}")
+
+    f1, f2 = one_file(p1), one_file(p2)
+    out = {r.path: r for r in schema_drift(spark, f1, f2).collect()}
+    assert out["gone"].change == "removed" and out["gone"].type_b is None
+    assert out["fresh"].change == "added" and out["fresh"].type_a is None
+    assert out["retyped"].change == "retyped"
+    assert (out["retyped"].type_a, out["retyped"].type_b) == (
+        "INT64",
+        "BYTE_ARRAY",
+    )
+    assert out["kept"].change == "unchanged"
+    assert out["id"].change == "unchanged"
+    same = schema_drift(spark, f1, f1).collect()
+    assert all(r.change == "unchanged" for r in same)

@@ -408,3 +408,65 @@ def test_dedup_funnel_negative_attrition_truncates_like_duckdb(spark):
     out = recipe.dedup_funnel(docs).toPandas()
     assert list(out.docs) == [53, 3, 53, 53]
     assert out.attrition_ppm.tolist()[2] == -16_666_666  # trunc, not floor
+
+
+def test_product_health_matches_chained_oracle(spark):
+    """r14: the product-health dashboard (seven certified components
+    folded to an 8-row (metric, value) report) replicates the chained
+    oracle bit-for-bit at both SFs."""
+    from pg_parquet_spark.operators import timeseries
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        got = recipe.product_health(ev).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = con.execute(recipe.product_health_oracle_sql()).df()
+        assert len(got) == len(want) == 8, sf
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+    timeseries.release_cached()
+
+
+def test_product_health_semantics(spark):
+    """Planted fixture: the composed metrics agree with hand-computed
+    values — two users, one converting funnel, a known WAU peak and a
+    50% age-1 retention; a no-converter corpus reports zeroed funnel
+    latency instead of NULL."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 5)
+    wk = dt.timedelta(days=7)
+
+    def r(i, u, t, off_min, base=t0):
+        return (i, u, t, base + dt.timedelta(minutes=off_min))
+
+    rows = [
+        # user 1: full funnel in week 0, returns week 1 (age-1 retained)
+        r(1, 1, "view", 0), r(2, 1, "click", 10), r(3, 1, "purchase", 30),
+        r(4, 1, "view", 0, t0 + wk),
+        # user 2: views week 0 only
+        r(5, 2, "view", 5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r.metric: r.value for r in recipe.product_health(ev).collect()}
+    timeseries.release_cached()
+    assert out["n_events"] == 5 and out["n_users"] == 2
+    assert out["funnel_conversion_ppm"] == 500_000        # 1 of 2 viewers
+    assert out["median_total_latency_sec2"] == 2 * 1800   # 30 min x2
+    assert out["retention_age1_ppm"] == 500_000           # 1 of 2 returned
+    assert out["top_channel_share_ppm"] == 1_000_000      # all via click
+    assert out["wau_peak"] == 2
+    # no-converter corpus: funnel latency degrades to 0, not NULL
+    ev2 = ev.filter("event_type != 'purchase'")
+    out2 = {r.metric: r.value for r in recipe.product_health(ev2).collect()}
+    timeseries.release_cached()
+    assert out2["funnel_conversion_ppm"] == 0
+    assert out2["median_total_latency_sec2"] == 0
+    assert out2["top_channel_share_ppm"] == 0

@@ -1443,3 +1443,61 @@ def test_streaming_managed_ivf_drain_drift_and_crash(spark, tmp_path, monkeypatc
     # idle replay moves nothing
     drain()
     assert similarity.resolve_ivf_index(index)["generation"] == 3
+
+
+def test_streaming_active_users_drain(spark, tmp_path):
+    """r14: the active-users drain maintains the (user, day) distinct
+    index from the stream; after each tranche the dashboard read
+    (active_users_from_index) is BIT-IDENTICAL to batch active_users
+    over the full drained corpus; a replayed merge is a set-union
+    no-op; an idle re-drain flips no pointers."""
+    from pg_parquet_spark.operators import timeseries
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_active_users
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "events_corpus")
+    idx = str(tmp_path / "au_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    t1 = events.filter("event_id % 2 = 0")
+    t2 = events.filter("event_id % 2 = 1")
+
+    def check_consistent():
+        got = timeseries.active_users_from_index(
+            layout.read_versioned(spark, idx), window_days=7
+        ).collect()
+        want = timeseries.active_users(
+            read_parquet(spark, corpus), window_days=7
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert len(got) > 0
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_active_users(sdf, corpus, idx, checkpoint=ckpt)
+    check_consistent()
+
+    t2.coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_active_users(sdf2, corpus, idx, checkpoint=ckpt)
+    check_consistent()
+    assert read_parquet(spark, corpus).count() == events.count()
+
+    # replay convergence: re-merging tranche 2's pairs changes nothing
+    current = layout.read_versioned(spark, idx)
+    replayed = current.unionByName(
+        timeseries.user_day_index(t2)
+    ).distinct()
+    assert replayed.count() == current.count()
+
+    # idle re-drain: no new files -> no pointer movement on either root
+    vc = layout.read_manifest(corpus)["version"]
+    vs = layout.read_manifest(idx)["version"]
+    sdf3 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_active_users(sdf3, corpus, idx, checkpoint=ckpt)
+    assert layout.read_manifest(corpus)["version"] == vc
+    assert layout.read_manifest(idx)["version"] == vs
