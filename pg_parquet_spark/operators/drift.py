@@ -887,3 +887,94 @@ SELECT bin, n_good, n_bad,
                * {_PPM} + 0.5) AS BIGINT) AS iv_term
 FROM tot ORDER BY bin
 """
+
+
+def ab_test_report(
+    df: DataFrame,
+    treat_expr: str = "user_id % 2 = 0",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sample A/B experiment readout (r14 — the experimentation
+    staple next to the drift monitors): Welch's z over the treatment
+    flag, from EXACT decimal moments (the q_outlier_zscore contract —
+    cross-row double summation is partitioning-order-dependent, so
+    Σv/Σv² fold in DECIMAL and the handful of derived float ops are
+    mirrored op-for-op in the oracle). Returns ONE row:
+    (n_treat, n_ctrl, mean_treat_micro, mean_ctrl_micro, diff_micro,
+    z_micro) — micro values floor-quantized (never ROUND — the
+    half-even boundary rule), z NULL when either arm has n < 2 or a
+    degenerate variance.
+
+    Scale shape: a single map-side-combinable aggregate over one
+    pushed scan — six conditional folds, one output row. Rows with a
+    NULL flag or value drop in BOTH engines."""
+    flag = F.expr(treat_expr)
+    v = F.col(value_col).cast("decimal(18,6)")
+    base = df.filter(flag.isNotNull() & F.col(value_col).isNotNull())
+    agg = base.agg(
+        F.sum(F.when(flag, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(~flag, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(flag, v)).alias("s1_t"),
+        F.sum(F.when(~flag, v)).alias("s1_c"),
+        F.sum(F.when(flag, v * v)).alias("s2_t"),
+        F.sum(F.when(~flag, v * v)).alias("s2_c"),
+    )
+    ntd, ncd = F.col("n_t").cast("double"), F.col("n_c").cast("double")
+    s1td, s1cd = F.col("s1_t").cast("double"), F.col("s1_c").cast("double")
+    s2td, s2cd = F.col("s2_t").cast("double"), F.col("s2_c").cast("double")
+    mean_t, mean_c = s1td / ntd, s1cd / ncd
+    var_t = (s2td - s1td * s1td / ntd) / (ntd - F.lit(1.0))
+    var_c = (s2cd - s1cd * s1cd / ncd) / (ncd - F.lit(1.0))
+    se2 = var_t / ntd + var_c / ncd
+    z = F.when(
+        (F.col("n_t") >= 2) & (F.col("n_c") >= 2) & (se2 > 0),
+        (mean_t - mean_c) / F.sqrt(se2),
+    )
+    micro = lambda c: F.floor(c * _PPM + F.lit(0.5)).cast("long")  # noqa: E731
+    return agg.select(
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        micro(mean_t).alias("mean_treat_micro"),
+        micro(mean_c).alias("mean_ctrl_micro"),
+        micro(mean_t - mean_c).alias("diff_micro"),
+        micro(z).alias("z_micro"),
+    )
+
+
+def ab_test_oracle_sql(
+    treat_expr: str = "user_id % 2 = 0",
+    value_col: str = "value",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: same conditional DECIMAL moments, the same
+    derived float ops in the same order, same floor quantization."""
+    return f"""
+WITH base AS (
+  SELECT ({treat_expr}) AS f, CAST({value_col} AS DECIMAL(18,6)) AS v
+  FROM {table}
+  WHERE ({treat_expr}) IS NOT NULL AND {value_col} IS NOT NULL
+), m AS (
+  SELECT CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN f THEN v END) AS DOUBLE) AS s1_t,
+         CAST(SUM(CASE WHEN NOT f THEN v END) AS DOUBLE) AS s1_c,
+         CAST(SUM(CASE WHEN f THEN v * v END) AS DOUBLE) AS s2_t,
+         CAST(SUM(CASE WHEN NOT f THEN v * v END) AS DOUBLE) AS s2_c
+  FROM base
+), d AS (
+  SELECT n_t, n_c,
+         s1_t / n_t AS mean_t, s1_c / n_c AS mean_c,
+         (s2_t - s1_t * s1_t / n_t) / (n_t - 1.0) AS var_t,
+         (s2_c - s1_c * s1_c / n_c) / (n_c - 1.0) AS var_c
+  FROM m
+)
+SELECT n_t AS n_treat, n_c AS n_ctrl,
+  CAST(FLOOR(mean_t * {_PPM} + 0.5) AS BIGINT) AS mean_treat_micro,
+  CAST(FLOOR(mean_c * {_PPM} + 0.5) AS BIGINT) AS mean_ctrl_micro,
+  CAST(FLOOR((mean_t - mean_c) * {_PPM} + 0.5) AS BIGINT) AS diff_micro,
+  CAST(CASE WHEN n_t >= 2 AND n_c >= 2 AND var_t / n_t + var_c / n_c > 0
+       THEN FLOOR((mean_t - mean_c) / sqrt(var_t / n_t + var_c / n_c)
+                  * {_PPM} + 0.5)
+       END AS BIGINT) AS z_micro
+FROM d
+"""

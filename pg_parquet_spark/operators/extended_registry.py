@@ -792,6 +792,36 @@ def x_product_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recipe.product_health(table(spark, sf_dir, "events"))
 
 
+def x_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch z A/B readout over exact decimal moments (r14)."""
+    from pg_parquet_spark.operators import drift
+
+    return drift.ab_test_report(table(spark, sf_dir, "events"))
+
+
+def x_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key daily OLS trend slopes from exact regression moments
+    (r14)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.trend_slopes(table(spark, sf_dir, "events"))
+
+
+def x_entry_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 first-3-event onboarding paths (r14)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.entry_paths(table(spark, sf_dir, "events"))
+
+
+def x_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-concentration Gini over per-user event counts —
+    pure-BIGINT rank identity (r14)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.engagement_gini(table(spark, sf_dir, "events"))
+
+
 def _schema_drift_oracle() -> str:
     from pg_parquet_spark.functions import metadata
 
@@ -886,6 +916,10 @@ EXTENDED_QUERIES = {
     "x_schema_drift": x_schema_drift,
     "x_funnel_latency": x_funnel_latency,
     "x_product_health": x_product_health,
+    "x_ab_test": x_ab_test,
+    "x_trend_slopes": x_trend_slopes,
+    "x_entry_paths": x_entry_paths,
+    "x_gini": x_gini,
 }
 
 
@@ -1084,4 +1118,8 @@ def extended_oracles() -> dict[str, str]:
             ["view", "click", "purchase"]
         ),
         "x_product_health": recipe.product_health_oracle_sql(),
+        "x_ab_test": drift.ab_test_oracle_sql(),
+        "x_trend_slopes": timeseries.trend_slopes_oracle_sql(),
+        "x_entry_paths": timeseries.entry_paths_oracle_sql(),
+        "x_gini": timeseries.engagement_gini_oracle_sql(),
     }

@@ -1316,3 +1316,288 @@ def funnel_oracle_sql(
     body = ",\n".join(parts)
     union = "\nUNION ALL\n".join(selects)
     return f"WITH {body}\nSELECT * FROM ({union}) ORDER BY step\n"
+
+
+def trend_slopes(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    unit: int = 1000,
+) -> DataFrame:
+    """Per-key daily trend estimation (r14 — "is this series growing?"):
+    OLS slope of the daily integer-milli totals against the day index
+    (days since the key's own first active day; only OBSERVED days
+    regress — a silent day is absence of evidence here, unlike the
+    changepoint scan's zero-fill, and the docstring is the contract).
+    Returns (key, n_days, slope_milli_per_day_micro) ordered — the
+    slope in milli-units/day, floor-quantized to micro precision.
+
+    Determinism: the five regression moments (n, Σx, Σy, Σxy, Σx²)
+    fold as exact integers/decimals (x = small day index, y = exact
+    milli totals); the closed-form slope
+    (n·Σxy − Σx·Σy) / (n·Σx² − Σx²) evaluates in doubles mirrored
+    op-for-op (each input cast is correctly rounded, the op sequence
+    identical — the q_outlier_zscore contract). Keys with < 2 active
+    days report NULL.
+
+    Scale shape: one shuffle into the (key, day) aggregate, a per-key
+    min-day broadcast join, then a key-keyed 5-moment aggregate —
+    counts-sized everywhere after the daily fold."""
+    daily = (
+        events.filter(
+            F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("_k"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("_d"),
+            F.floor(F.col(val_col).cast("double") * unit + F.lit(0.5))
+            .cast("long")
+            .alias("_vm"),
+        )
+        .groupBy("_k", "_d")
+        .agg(F.coalesce(F.sum("_vm"), F.lit(0)).alias("y"))
+    )
+    mins = daily.groupBy("_k").agg(F.min("_d").alias("_d0"))
+    xy = daily.join(F.broadcast(mins), "_k").select(
+        "_k",
+        (F.col("_d") - F.col("_d0")).cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("yv"),
+    )
+    m = xy.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("x") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = nd * sxxd - sxd * sxd
+    slope = F.when(
+        (F.col("n") >= 2) & (den > 0), (nd * sxyd - sxd * syd) / den
+    )
+    return m.select(
+        F.col("_k").alias(key_col),
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(slope * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("slope_milli_per_day_micro"),
+    ).orderBy(key_col)
+
+
+def trend_slopes_oracle_sql(
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    unit: int = 1000,
+    table: str = "events",
+) -> str:
+    """DuckDB replica: same integer daily totals and day indexes, the
+    same five exact moments, the same double op order and floor
+    quantization."""
+    return f"""
+WITH daily AS (
+  SELECT {key_col} AS k, CAST({ts_col} AS DATE) AS d,
+         COALESCE(SUM(CAST(FLOOR({val_col} * {unit} + 0.5) AS BIGINT)), 0)
+           AS y
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1, 2
+), mins AS (
+  SELECT k, MIN(d) AS d0 FROM daily GROUP BY 1
+), xy AS (
+  SELECT daily.k, CAST(daily.d - mins.d0 AS HUGEINT) AS x,
+         CAST(y AS HUGEINT) AS yv
+  FROM daily JOIN mins ON daily.k = mins.k
+), m AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(yv) AS DOUBLE) AS sy,
+         CAST(SUM(x * yv) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT k AS {key_col}, n AS n_days,
+  CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+       THEN FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  * 1000000 + 0.5) END AS BIGINT)
+    AS slope_milli_per_day_micro
+FROM m ORDER BY {key_col}
+"""
+
+
+def entry_paths(
+    events: DataFrame,
+    depth: int = 3,
+    top_k: int = 10,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Entry-path analysis (r14 — "how do users start?"): each user's
+    first ``depth`` events (composite (ts, id) order) join into a
+    ``a>b>c`` path string; paths rank by user count. Returns the top
+    ``top_k`` rows (path, users, share_ppm) — share against ALL users
+    with ≥1 qualifying event; ties rank alphabetically on the path.
+    Users with fewer than ``depth`` events contribute their shorter
+    prefix (real onboarding truncates — dropping them would hide
+    bounce paths).
+
+    Scale shape: one user-keyed window keeps only rank ≤ depth rows
+    (narrow columns — a power user contributes ``depth`` rows, never
+    their history), one user-keyed sorted-collect over those ≤ depth
+    rows, and a paths-sized count aggregate; the final rank rides the
+    counts frame. NULL user/ts/id/type rows drop in BOTH engines."""
+    from pyspark.sql import Window
+
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    firsts = base.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= depth
+    )
+    paths = (
+        firsts.groupBy("_u")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_r", "_t"))
+            ).alias("_seq")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform(F.col("_seq"), lambda s: s["_t"])
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("users"))
+    wt = Window.partitionBy()
+    wr = Window.orderBy(F.col("users").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("_tot", F.sum("users").over(wt))
+        .withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= top_k)
+        .select(
+            "path",
+            "users",
+            F.expr("users * 1000000 div _tot").alias("share_ppm"),
+        )
+        .orderBy(F.col("users").desc(), F.col("path").asc())
+    )
+
+
+def entry_paths_oracle_sql(
+    depth: int = 3,
+    top_k: int = 10,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: ROW_NUMBER over the identical (user / ts, id)
+    window, ordered string_agg, same counts and tie-breaks."""
+    return f"""
+WITH base AS (
+  SELECT {user_col} AS u, {type_col} AS t, {ts_col} AS ts0, {id_col} AS rid,
+         ROW_NUMBER() OVER (
+           PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}
+         ) AS r
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {id_col} IS NOT NULL AND {type_col} IS NOT NULL
+), paths AS (
+  SELECT u, string_agg(t, '>' ORDER BY r) AS path
+  FROM base WHERE r <= {int(depth)} GROUP BY u
+), counts AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS users FROM paths GROUP BY path
+), ranked AS (
+  SELECT path, users,
+         CAST(users * 1000000 // SUM(users) OVER () AS BIGINT) AS share_ppm,
+         ROW_NUMBER() OVER (ORDER BY users DESC, path ASC) AS rk
+  FROM counts
+)
+SELECT path, users, share_ppm FROM ranked
+WHERE rk <= {int(top_k)} ORDER BY users DESC, path ASC
+"""
+
+
+def engagement_gini(
+    events: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Engagement-concentration report (r14 — the whale-analysis
+    stat): the Gini coefficient of per-user event counts, exact via
+    the rank identity G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over counts
+    sorted ascending (ties on user id — any total order over equal
+    values yields the same sum). Returns ONE row
+    (n_users, n_events, gini_ppm) — gini in exact integer ppm:
+    ppm = (2·Σ i·xᵢ·10⁶ − (n+1)·Σx·10⁶) div (n·Σx), pure BIGINT
+    arithmetic end-to-end (no float at all).
+
+    Scale shape: one user-keyed count aggregate (map-side partials),
+    then the rank over the USERS-sized counts frame (a single ordered
+    window over counts, not events) and a 1-row fold. NULL users drop
+    in BOTH engines."""
+    from pyspark.sql import Window
+
+    per = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    w = Window.orderBy(F.col("_x").asc(), F.col("_u").asc())
+    ranked = per.withColumn("_i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_i") * F.col("_x")).alias("six"),
+    ).select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("sx").cast("long").alias("n_events"),
+        F.expr(
+            "CASE WHEN n = 0 OR sx = 0 THEN NULL "
+            "ELSE (2 * six * 1000000 - (n + 1) * sx * 1000000) div (n * sx) "
+            "END"
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+def engagement_gini_oracle_sql(
+    user_col: str = "user_id",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: identical rank identity in pure BIGINTs."""
+    return f"""
+WITH per AS (
+  SELECT {user_col} AS u, CAST(COUNT(*) AS BIGINT) AS x
+  FROM {table} WHERE {user_col} IS NOT NULL GROUP BY 1
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, u ASC) AS i FROM per
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(i * x) AS BIGINT) AS six
+  FROM ranked
+)
+SELECT n AS n_users, sx AS n_events,
+  CAST(CASE WHEN n = 0 OR sx = 0 THEN NULL
+       ELSE (2 * six * 1000000 - (n + 1) * sx * 1000000) // (n * sx)
+       END AS BIGINT) AS gini_ppm
+FROM m
+"""

@@ -1442,3 +1442,140 @@ def test_funnel_latency_semantics(spark):
         timeseries.funnel_latency(ev, ["view"])
     with pytest.raises(ValueError, match="duplicate"):
         timeseries.funnel_latency(ev, ["view", "view"])
+
+
+def test_trend_slopes_matches_oracle(spark):
+    """r14: per-key OLS trend slopes replicate the DuckDB oracle
+    bit-for-bit at both SFs."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        got = timeseries.trend_slopes(ev).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = con.execute(timeseries.trend_slopes_oracle_sql()).df()
+        assert len(got) == len(want) > 0, sf
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+
+
+def test_trend_slopes_semantics(spark):
+    """Planted fixture: a perfectly linear daily series recovers its
+    exact slope; a flat series reports 0; a single-day key reports
+    NULL; multiple same-day events fold into one daily total."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # key "up": daily total = 2.0 * day_index  (slope 2000 milli/day)
+    for i in range(5):
+        rows.append(("up", t0 + dt.timedelta(days=i), 2.0 * i))
+    # key "flat": constant 3.0/day, two events of 1.5 each
+    for i in range(4):
+        rows.append(("flat", t0 + dt.timedelta(days=i), 1.5))
+        rows.append(("flat", t0 + dt.timedelta(days=i, hours=2), 1.5))
+    rows.append(("one", t0, 9.0))
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {r.event_type: r for r in timeseries.trend_slopes(ev).collect()}
+    assert out["up"].n_days == 5
+    assert out["up"].slope_milli_per_day_micro == 2000 * 1_000_000
+    assert out["flat"].slope_milli_per_day_micro == 0
+    assert out["one"].n_days == 1
+    assert out["one"].slope_milli_per_day_micro is None
+
+
+def test_entry_paths_and_gini_match_oracle(spark):
+    """r14: onboarding entry paths (two depths) and the engagement
+    Gini replicate their DuckDB oracles bit-for-bit at both SFs."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        cases = [
+            (timeseries.entry_paths(ev), timeseries.entry_paths_oracle_sql()),
+            (
+                timeseries.entry_paths(ev, depth=2, top_k=5),
+                timeseries.entry_paths_oracle_sql(depth=2, top_k=5),
+            ),
+            (
+                timeseries.engagement_gini(ev),
+                timeseries.engagement_gini_oracle_sql(),
+            ),
+        ]
+        for i, (q, sql) in enumerate(cases):
+            got = q.toPandas()
+            want = con.execute(sql).df()
+            assert len(got) == len(want) > 0, (sf, i)
+            for c in got.columns:
+                assert list(got[c]) == list(want[c]), (sf, i, c)
+
+
+def test_entry_paths_semantics(spark):
+    """Planted fixture: paths follow the composite (ts, id) order,
+    short histories contribute their prefix, ties rank alphabetically,
+    share is against all path-holders."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def r(i, u, t, off):
+        return (i, u, t, t0 + dt.timedelta(minutes=off))
+
+    rows = [
+        r(1, 1, "view", 0), r(2, 1, "click", 1), r(3, 1, "purchase", 2),
+        r(4, 1, "error", 3),                       # 4th event ignored
+        r(5, 2, "view", 0), r(6, 2, "click", 1), r(7, 2, "purchase", 2),
+        r(8, 3, "view", 0),                        # bounce: prefix path
+        # user 4: same ts, id order decides view>click
+        r(9, 4, "view", 0), r(10, 4, "click", 0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = timeseries.entry_paths(ev, depth=3, top_k=10).collect()
+    by_path = {r.path: r for r in out}
+    assert by_path["view>click>purchase"].users == 2
+    assert by_path["view"].users == 1
+    assert by_path["view>click"].users == 1
+    assert out[0].path == "view>click>purchase"   # highest count first
+    assert by_path["view>click>purchase"].share_ppm == 500_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth"):
+        timeseries.entry_paths(ev, depth=0)
+
+
+def test_engagement_gini_semantics(spark):
+    """Planted fixture: perfectly equal activity gives Gini 0; extreme
+    concentration approaches (n-1)/n; the stat is pure-integer (a
+    known small case hand-computes exactly)."""
+    from pg_parquet_spark.operators import timeseries
+
+    equal = spark.createDataFrame(
+        [(u, i) for u in range(1, 5) for i in range(3)],
+        "user_id long, event_id long",
+    )
+    g = timeseries.engagement_gini(equal).collect()[0]
+    assert g.n_users == 4 and g.n_events == 12 and g.gini_ppm == 0
+    # counts {1, 1, 1, 9}: G = 2*(1*1+2*1+3*1+4*9)/(4*12) - 5/4 = 1/2
+    skew_rows = [(1, 0)] + [(2, 1)] + [(3, 2)] + [(4, 10 + i) for i in range(9)]
+    skew = spark.createDataFrame(skew_rows, "user_id long, event_id long")
+    g2 = timeseries.engagement_gini(skew).collect()[0]
+    assert g2.gini_ppm == 500_000

@@ -486,3 +486,51 @@ def test_woe_iv_semantics(spark):
         drift.woe_iv(bad).collect()
     with _pytest.raises(ValueError, match="n_bins"):
         drift.woe_iv(flat, n_bins=1)
+
+
+def test_ab_test_report_matches_oracle(spark):
+    """r14: the Welch-z A/B readout replicates the DuckDB oracle
+    bit-for-bit at both SFs and under two assignment expressions."""
+    import duckdb
+
+    from pg_parquet_spark.session import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        for expr in ("user_id % 2 = 0", "event_id % 3 = 0"):
+            got = drift.ab_test_report(ev, expr).toPandas()
+            want = con.execute(drift.ab_test_oracle_sql(expr)).df()
+            assert len(got) == len(want) == 1, (sf, expr)
+            for c in got.columns:
+                g = got[c].iloc[0]
+                w = want[c].iloc[0]
+                assert (g == w) or (g != g and w != w), (sf, expr, c)
+
+
+def test_ab_test_report_semantics(spark):
+    """Planted fixture: a known lift produces the hand-computed z;
+    a single-row arm degrades to NULL z; NULL flags/values drop."""
+    # treatment {10,12,14}, control {1,3,5}: means 12 and 3,
+    # var 4 each, se = sqrt(4/3+4/3), z = 9/sqrt(8/3)
+    rows = [(1, 10.0), (1, 12.0), (1, 14.0), (0, 1.0), (0, 3.0), (0, 5.0),
+            (None, 99.0), (1, None)]
+    df = spark.createDataFrame(rows, "grp int, value double")
+    out = drift.ab_test_report(df, "grp = 1").collect()[0]
+    assert (out.n_treat, out.n_ctrl) == (3, 3)
+    assert out.mean_treat_micro == 12_000_000
+    assert out.mean_ctrl_micro == 3_000_000
+    assert out.diff_micro == 9_000_000
+    import math
+
+    z = 9.0 / math.sqrt(4 / 3 + 4 / 3)
+    assert out.z_micro == math.floor(z * 1_000_000 + 0.5)
+    # one-row arm: z degrades to NULL, counts stay honest
+    small = spark.createDataFrame(
+        [(1, 10.0), (0, 1.0), (0, 2.0)], "grp int, value double"
+    )
+    out2 = drift.ab_test_report(small, "grp = 1").collect()[0]
+    assert out2.n_treat == 1 and out2.z_micro is None
