@@ -477,3 +477,80 @@ SELECT COALESCE(a.p, b.p) AS path, a.t AS type_a, b.t AS type_b,
 FROM a FULL JOIN b ON a.p = b.p
 ORDER BY path
 """
+
+
+def scan_planning_report(
+    spark: SparkSession, uri: str, column: str, lo: int, hi: int
+) -> DataFrame:
+    """Row-group pruning explain (r14 — "how much of this file would a
+    predicate actually scan?"): per row group, the footer min/max
+    statistics of ``column`` and whether a ``lo <= column <= hi``
+    predicate could match it — the exact skipping decision a
+    stats-aware reader (Spark's parquet filter pushdown, DuckDB zone
+    maps, the reference's read path) makes from the same thrift
+    structures. Row groups with ABSENT stats report NULL bounds and
+    ``would_scan = true`` (no evidence ⇒ must scan). Integer-typed
+    columns only — fractional/byte-array stats don't compare
+    engine-identically as strings.
+
+    Returns (row_group, n_rows, rg_min, rg_max, would_scan) ordered.
+    Scale shape: one KB-scale driver-side footer fetch, no executor
+    work (the metadata family's contract)."""
+    pf = _parquet_file(uri)
+    meta = pf.metadata
+    s = meta.schema
+    idx = None
+    for i in range(len(s)):
+        if s.column(i).path == column:
+            idx = i
+            break
+    if idx is None:
+        raise ValueError(
+            f"scan_planning_report: column {column!r} not found in {uri} "
+            f"(leaves: {[s.column(i).path for i in range(len(s))]})"
+        )
+    if s.column(idx).physical_type not in ("INT32", "INT64"):
+        raise ValueError(
+            "scan_planning_report: only INT32/INT64 columns compare "
+            f"engine-identically; {column!r} is "
+            f"{s.column(idx).physical_type}"
+        )
+    rows = []
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        st = g.column(idx).statistics
+        if st is None or not st.has_min_max:
+            rows.append((rg, g.num_rows, None, None, True))
+        else:
+            mn, mx = int(st.min), int(st.max)
+            rows.append(
+                (rg, g.num_rows, mn, mx, not (mx < lo or mn > hi))
+            )
+    return spark.createDataFrame(
+        rows,
+        "row_group long, n_rows long, rg_min long, rg_max long, "
+        "would_scan boolean",
+    )
+
+
+def scan_planning_oracle_sql(uri: str, column: str, lo: int, hi: int) -> str:
+    """DuckDB replica over ``parquet_metadata()``: same per-row-group
+    stats and the same overlap rule (NULL stats ⇒ scan)."""
+
+    def lit(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    return f"""
+SELECT row_group_id AS row_group,
+       CAST(row_group_num_rows AS BIGINT) AS n_rows,
+       CAST(stats_min_value AS BIGINT) AS rg_min,
+       CAST(stats_max_value AS BIGINT) AS rg_max,
+       CASE WHEN stats_min_value IS NULL OR stats_max_value IS NULL
+            THEN TRUE
+            ELSE NOT (CAST(stats_max_value AS BIGINT) < {int(lo)}
+                      OR CAST(stats_min_value AS BIGINT) > {int(hi)})
+       END AS would_scan
+FROM parquet_metadata({lit(uri)})
+WHERE replace(path_in_schema, ', ', '.') = {lit(column)}
+ORDER BY row_group_id
+"""

@@ -978,3 +978,115 @@ SELECT n_t AS n_treat, n_c AS n_ctrl,
        END AS BIGINT) AS z_micro
 FROM d
 """
+
+
+def srm_check(
+    df: DataFrame,
+    treat_expr: str = "user_id % 2 = 0",
+    expected_treat_ppm: int = 500_000,
+    unit_col: str | None = "user_id",
+    threshold_chi2_micro: int = 3_841_459,
+) -> DataFrame:
+    """Sample-ratio-mismatch guard (r14 — the assignment-integrity
+    check every A/B readout should gate on: if the realized traffic
+    split doesn't match the configured ratio, the experiment is broken
+    upstream and :func:`ab_test_report`'s z is meaningless). One-dof
+    χ² against the expected treatment share, over assignment UNITS
+    (distinct ``unit_col``, default users — events per user must not
+    multiply-count an assignment; pass ``unit_col=None`` for row-level
+    assignment). Returns ONE row: (n_treat, n_ctrl,
+    expected_treat_ppm, chi2_micro, mismatch).
+
+    Determinism: the counts are exact integers; χ² evaluates in
+    doubles mirrored op-for-op (the q_outlier_zscore contract) from
+    those exact inputs — ``d = n_t·10⁶ − N·p_ppm`` stays
+    float-exact below 2⁵³ (N < ~9·10⁹ assignment units; beyond that
+    the ±1-micro boundary caveat applies), then floor-quantized to
+    integer micro-units. ``mismatch`` fires above the 1-dof χ² 95th
+    percentile by default (3.841459).
+
+    Scale shape: one distinct on the unit column (the only
+    data-volume shuffle, one narrow column) + a 1-row conditional
+    aggregate."""
+    if not (0 < expected_treat_ppm < 1_000_000):
+        raise ValueError(
+            "expected_treat_ppm must be in (0, 1000000) exclusive, got "
+            f"{expected_treat_ppm}"
+        )
+    flag = F.expr(treat_expr)
+    base = df.filter(flag.isNotNull())
+    if unit_col is not None:
+        base = (
+            base.filter(F.col(unit_col).isNotNull())
+            .select(F.col(unit_col).alias("_unit"), flag.alias("_f"))
+            .distinct()
+        )
+    else:
+        base = base.select(flag.alias("_f"))
+    p, q = int(expected_treat_ppm), 1_000_000 - int(expected_treat_ppm)
+    agg = base.agg(
+        F.sum(F.when(F.col("_f"), 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~F.col("_f"), 1).otherwise(0)).cast("long").alias("n_c"),
+    )
+    n = (F.col("n_t") + F.col("n_c")).cast("double")
+    d = F.col("n_t").cast("double") * 1_000_000.0 - n * float(p)
+    chi2 = d * d / (n * float(p)) + d * d / (n * float(q))
+    chi2_micro = F.when(
+        F.col("n_t") + F.col("n_c") > 0,
+        F.floor(chi2 + F.lit(0.5)).cast("long"),
+    )
+    return agg.select(
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        F.lit(p).cast("long").alias("expected_treat_ppm"),
+        chi2_micro.alias("chi2_micro"),
+        F.coalesce(
+            chi2_micro > F.lit(int(threshold_chi2_micro)), F.lit(False)
+        ).alias("mismatch"),
+    )
+
+
+def srm_oracle_sql(
+    treat_expr: str = "user_id % 2 = 0",
+    expected_treat_ppm: int = 500_000,
+    unit_col: str | None = "user_id",
+    threshold_chi2_micro: int = 3_841_459,
+    table: str = "events",
+) -> str:
+    """DuckDB replica: same distinct-unit counts, the same mirrored
+    double expression and floor quantization."""
+    p, q = int(expected_treat_ppm), 1_000_000 - int(expected_treat_ppm)
+    if unit_col is not None:
+        units = (
+            f"SELECT DISTINCT {unit_col} AS u, ({treat_expr}) AS f "
+            f"FROM {table} WHERE ({treat_expr}) IS NOT NULL "
+            f"AND {unit_col} IS NOT NULL"
+        )
+    else:
+        units = (
+            f"SELECT ({treat_expr}) AS f FROM {table} "
+            f"WHERE ({treat_expr}) IS NOT NULL"
+        )
+    return f"""
+WITH units AS ({units}), m AS (
+  SELECT CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+  FROM units
+), s AS (
+  SELECT n_t, n_c,
+         CAST(n_t AS DOUBLE) * 1000000.0
+           - CAST(n_t + n_c AS DOUBLE) * {float(p)} AS d,
+         CAST(n_t + n_c AS DOUBLE) AS n
+  FROM m
+)
+SELECT n_t AS n_treat, n_c AS n_ctrl,
+  CAST({p} AS BIGINT) AS expected_treat_ppm,
+  CAST(CASE WHEN n_t + n_c > 0
+       THEN FLOOR(d * d / (n * {float(p)}) + d * d / (n * {float(q)}) + 0.5)
+       END AS BIGINT) AS chi2_micro,
+  COALESCE(CASE WHEN n_t + n_c > 0
+           THEN FLOOR(d * d / (n * {float(p)}) + d * d / (n * {float(q)})
+                      + 0.5) > {int(threshold_chi2_micro)}
+           END, FALSE) AS mismatch
+FROM s
+"""

@@ -822,6 +822,55 @@ def x_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.engagement_gini(table(spark, sf_dir, "events"))
 
 
+def x_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard over distinct assignment units
+    (r14 — the integrity gate in front of x_ab_test)."""
+    from pg_parquet_spark.operators import drift
+
+    return drift.srm_check(table(spark, sf_dir, "events"))
+
+
+def x_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — the revenue dimension of x_retention
+    (r14)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.cohort_ltv(table(spark, sf_dir, "events"))
+
+
+#: scan-planning gate: the fixture tables land in ONE row group, so the
+#: gate writes its own multi-row-group file (row-exact batching via the
+#: A9 single-file pyarrow path) to a deterministic path the oracle also
+#: reads; run_one executes the Spark side first, so the file exists
+#: when the oracle runs.
+def _scanplan_path() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "pgpq_scanplan_x.parquet")
+
+
+def x_scan_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group pruning explain over a 300-row-group copy of events:
+    which groups would an event_id range predicate scan (r14)?"""
+    from pg_parquet_spark.functions import metadata
+    from pg_parquet_spark.sources import write_parquet
+
+    ev = table(spark, sf_dir, "events").orderBy("event_id").coalesce(1)
+    write_parquet(ev, _scanplan_path(), row_group_size=300)
+    return metadata.scan_planning_report(
+        spark, _scanplan_path(), "event_id", 100, 500
+    )
+
+
+def _scan_planning_oracle() -> str:
+    from pg_parquet_spark.functions import metadata
+
+    return metadata.scan_planning_oracle_sql(
+        _scanplan_path(), "event_id", 100, 500
+    )
+
+
 def _schema_drift_oracle() -> str:
     from pg_parquet_spark.functions import metadata
 
@@ -920,6 +969,9 @@ EXTENDED_QUERIES = {
     "x_trend_slopes": x_trend_slopes,
     "x_entry_paths": x_entry_paths,
     "x_gini": x_gini,
+    "x_srm": x_srm,
+    "x_cohort_ltv": x_cohort_ltv,
+    "x_scan_planning": x_scan_planning,
 }
 
 
@@ -1122,4 +1174,7 @@ def extended_oracles() -> dict[str, str]:
         "x_trend_slopes": timeseries.trend_slopes_oracle_sql(),
         "x_entry_paths": timeseries.entry_paths_oracle_sql(),
         "x_gini": timeseries.engagement_gini_oracle_sql(),
+        "x_srm": drift.srm_oracle_sql(),
+        "x_cohort_ltv": timeseries.cohort_ltv_oracle_sql(),
+        "x_scan_planning": _scan_planning_oracle(),
     }

@@ -1601,3 +1601,109 @@ SELECT n AS n_users, sx AS n_events,
        END AS BIGINT) AS gini_ppm
 FROM m
 """
+
+
+def cohort_ltv(
+    events: DataFrame,
+    period_sec: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    unit: int = 1000,
+) -> DataFrame:
+    """Cohort LTV curves (r14 — the revenue dimension
+    :func:`retention_cohorts` lacks): per (cohort, age) cell, the
+    period's exact integer-milli revenue, its running cumulative, and
+    the cumulative PER COHORT USER (the curve growth teams plot).
+    Returns (cohort_epoch, age, period_milli, cum_milli,
+    cum_per_user_milli) ordered — all exact integers; the per-user
+    division is integer ``div`` against the FULL cohort size (not the
+    period's active users — lapsed users dilute LTV, which is the
+    point of the metric). Ages with activity but all-NULL values
+    report 0 revenue; silent (cohort, age) cells don't emit rows
+    (join the retention grid if a dense matrix is needed).
+
+    Scale shape: one per-user MIN shuffle for the cohort key, one
+    user-keyed equi-join carrying (user, period, value_milli), a
+    (cohort, age) counts-sized aggregate, a cohort-partitioned cumsum
+    window over that counts frame, and a broadcast cohort-size join."""
+    if period_sec <= 0:
+        raise ValueError(f"period_sec must be positive, got {period_sec}")
+    from pyspark.sql import Window
+
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.expr(
+            f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) div {int(period_sec)}"
+        ).alias("_p"),
+        F.coalesce(
+            F.floor(F.col(val_col).cast("double") * unit + F.lit(0.5))
+            .cast("long"),
+            F.lit(0),
+        ).alias("_vm"),
+    )
+    cohorts = base.groupBy("_u").agg(F.min("_p").alias("_c"))
+    sizes = cohorts.groupBy("_c").agg(F.count(F.lit(1)).alias("_n0"))
+    cells = (
+        base.join(cohorts, "_u")
+        .groupBy("_c", (F.col("_p") - F.col("_c")).alias("age"))
+        .agg(F.sum("_vm").alias("period_milli"))
+    )
+    wc = (
+        Window.partitionBy("_c")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_milli", F.sum("period_milli").over(wc))
+        .join(F.broadcast(sizes), "_c")
+        .select(
+            (F.col("_c") * period_sec).alias("cohort_epoch"),
+            "age",
+            "period_milli",
+            "cum_milli",
+            F.expr("cum_milli div _n0").alias("cum_per_user_milli"),
+        )
+        .orderBy("cohort_epoch", "age")
+    )
+
+
+def cohort_ltv_oracle_sql(
+    period_sec: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    unit: int = 1000,
+    table: str = "events",
+) -> str:
+    """DuckDB replica: same integer periods/millis, same cohort join,
+    running-sum window and integer per-user division."""
+    return f"""
+WITH base AS (
+  SELECT {user_col} AS u,
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) // {int(period_sec)} AS p,
+         COALESCE(CAST(FLOOR({val_col} * {unit} + 0.5) AS BIGINT), 0) AS vm
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+), cohorts AS (
+  SELECT u, MIN(p) AS c FROM base GROUP BY u
+), sizes AS (
+  SELECT c, COUNT(*) AS n0 FROM cohorts GROUP BY c
+), cells AS (
+  SELECT cohorts.c, base.p - cohorts.c AS age,
+         CAST(SUM(vm) AS BIGINT) AS period_milli
+  FROM base JOIN cohorts USING (u) GROUP BY 1, 2
+), cum AS (
+  SELECT c, age, period_milli,
+         CAST(SUM(period_milli) OVER (
+           PARTITION BY c ORDER BY age
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_milli
+  FROM cells
+)
+SELECT c * {int(period_sec)} AS cohort_epoch, age, period_milli, cum_milli,
+       cum_milli // n0 AS cum_per_user_milli
+FROM cum JOIN sizes USING (c)
+ORDER BY cohort_epoch, age
+"""

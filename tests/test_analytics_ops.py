@@ -1579,3 +1579,57 @@ def test_engagement_gini_semantics(spark):
     skew = spark.createDataFrame(skew_rows, "user_id long, event_id long")
     g2 = timeseries.engagement_gini(skew).collect()[0]
     assert g2.gini_ppm == 500_000
+
+
+def test_cohort_ltv_matches_oracle(spark):
+    """r14: cohort LTV curves (period / cumulative / per-user milli)
+    replicate the DuckDB oracle bit-for-bit at both SFs and two
+    period widths."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        for period in (7 * 86400, 86400):
+            got = timeseries.cohort_ltv(ev, period_sec=period).toPandas()
+            want = con.execute(
+                timeseries.cohort_ltv_oracle_sql(period_sec=period)
+            ).df()
+            assert len(got) == len(want) > 0, (sf, period)
+            for c in got.columns:
+                assert list(got[c]) == list(want[c]), (sf, period, c)
+
+
+def test_cohort_ltv_semantics(spark):
+    """Planted fixture: known per-period spends produce exact
+    period/cumulative values; the per-user division uses the FULL
+    cohort size even after users lapse; NULL values count as 0
+    revenue (activity without spend)."""
+    import datetime as dt
+
+    from pg_parquet_spark.operators import timeseries
+
+    t0 = dt.datetime(2026, 1, 5)
+    wk = dt.timedelta(days=7)
+    rows = [
+        # cohort w0: users 1, 2 spend 10 and 20 in week 0
+        (1, t0, 10.0), (2, t0, 20.0),
+        # week 1: only user 1 returns, spends 5
+        (1, t0 + wk, 5.0),
+        # week 2: user 2 returns with a NULL-value event (no spend)
+        (2, t0 + 2 * wk, None),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.age: r for r in timeseries.cohort_ltv(ev).collect()}
+    assert out[0].period_milli == 30_000
+    assert out[1].period_milli == 5_000
+    assert out[2].period_milli == 0            # activity, no revenue
+    assert out[2].cum_milli == 35_000
+    # per-user divides by cohort size 2 at EVERY age (lapsed users dilute)
+    assert out[1].cum_per_user_milli == 17_500
+    assert out[2].cum_per_user_milli == 17_500

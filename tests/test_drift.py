@@ -534,3 +534,57 @@ def test_ab_test_report_semantics(spark):
     )
     out2 = drift.ab_test_report(small, "grp = 1").collect()[0]
     assert out2.n_treat == 1 and out2.z_micro is None
+
+
+def test_srm_check_matches_oracle(spark):
+    """r14: the SRM guard replicates the DuckDB oracle bit-for-bit at
+    both SFs under three (assignment, expected-share) configs."""
+    import duckdb
+
+    from pg_parquet_spark.session import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = table(spark, sf, "events")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        for expr, ppm in (
+            ("user_id % 2 = 0", 500_000),
+            ("user_id % 10 = 0", 100_000),
+            ("user_id % 10 = 0", 500_000),   # wrong config -> must fire
+        ):
+            got = drift.srm_check(ev, expr, ppm).toPandas()
+            want = con.execute(drift.srm_oracle_sql(expr, ppm)).df()
+            assert len(got) == len(want) == 1, (sf, expr, ppm)
+            for c in got.columns:
+                assert got[c].iloc[0] == want[c].iloc[0], (sf, expr, ppm, c)
+
+
+def test_srm_check_semantics(spark):
+    """Planted fixture: a perfect 50/50 unit split reports chi2 0 and
+    no mismatch even when EVENTS are lopsided (units, not rows, are
+    the assignment); a genuinely broken split fires; row-level mode
+    counts rows; config validation raises."""
+    rows = []
+    # users 0..9: even users get 10 events each, odd users 1 each
+    for u in range(10):
+        for i in range(10 if u % 2 == 0 else 1):
+            rows.append((u, u * 100 + i))
+    df = spark.createDataFrame(rows, "user_id long, event_id long")
+    ok = drift.srm_check(df, "user_id % 2 = 0", 500_000).collect()[0]
+    assert (ok.n_treat, ok.n_ctrl) == (5, 5)
+    assert ok.chi2_micro == 0 and not ok.mismatch
+    # same data judged row-level: 50 vs 5 rows -> massive mismatch
+    rowlvl = drift.srm_check(
+        df, "user_id % 2 = 0", 500_000, unit_col=None
+    ).collect()[0]
+    assert (rowlvl.n_treat, rowlvl.n_ctrl) == (50, 5)
+    assert rowlvl.mismatch
+    # broken assignment: 9 of 10 users treated against a 50% config
+    broken = drift.srm_check(df, "user_id != 9", 500_000).collect()[0]
+    assert broken.n_treat == 9 and broken.mismatch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expected_treat_ppm"):
+        drift.srm_check(df, "user_id % 2 = 0", 0)

@@ -385,6 +385,15 @@ def test_r14_product_analytics_batch_plan_invariants(spark):
             timeseries.funnel_latency(ev, ["view", "click", "purchase"])
         ),
     }
+    plans.update(
+        {
+            "ab_test": _plan(drift.ab_test_report(ev)),
+            "srm": _plan(drift.srm_check(ev)),
+            "trend": _plan(timeseries.trend_slopes(ev)),
+            "entry_paths": _plan(timeseries.entry_paths(ev)),
+            "gini": _plan(timeseries.engagement_gini(ev)),
+        }
+    )
     timeseries.release_cached()
     # ops whose crossJoins are 1-row bounds/quartile/query frames — the
     # house-benign BroadcastNestedLoopJoin shape

@@ -262,3 +262,55 @@ def test_schema_drift_semantics(spark, tmp_path):
     assert out["id"].change == "unchanged"
     same = schema_drift(spark, f1, f1).collect()
     assert all(r.change == "unchanged" for r in same)
+
+
+def test_scan_planning_report_matches_duckdb(spark, tmp_path):
+    """r14: the row-group pruning explain replicates DuckDB's
+    parquet_metadata() stats view over a multi-row-group file, and the
+    would_scan verdicts match a hand check of the sorted layout."""
+    import duckdb
+
+    from pg_parquet_spark.functions.metadata import (
+        scan_planning_oracle_sql,
+        scan_planning_report,
+    )
+    from pg_parquet_spark.session import table as _table
+
+    ev = _table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "rg.parquet")
+    write_parquet(ev.orderBy("event_id").coalesce(1), path, row_group_size=300)
+    got = scan_planning_report(spark, path, "event_id", 100, 500).toPandas()
+    want = (
+        duckdb.connect()
+        .execute(scan_planning_oracle_sql(path, "event_id", 100, 500))
+        .df()
+    )
+    assert len(got) == len(want) >= 3  # 1000 rows / 300 per group
+    for c in got.columns:
+        assert [x if x == x else None for x in got[c]] == [
+            x if x == x else None for x in want[c]
+        ], c
+    # sorted layout: exactly the groups overlapping [100, 500] scan
+    for r in got.itertuples():
+        assert r.would_scan == (not (r.rg_max < 100 or r.rg_min > 500)), r
+    assert got.would_scan.sum() < len(got)  # pruning actually happens
+    # validation: unknown column and non-integer column raise
+    with pytest.raises(ValueError, match="not found"):
+        scan_planning_report(spark, path, "nope", 0, 1)
+    with pytest.raises(ValueError, match="INT32/INT64"):
+        scan_planning_report(spark, path, "event_type", 0, 1)
+
+
+def test_row_group_size_requires_single_file_target(spark, tmp_path):
+    """Late-r14 writer guard: a directory target used to silently
+    IGNORE row-exact batching (only partition_by raised) — now it
+    raises like the partitioned branch, pointing at the bytes cap."""
+    df = spark.range(10).selectExpr("id AS a")
+    with pytest.raises(ValueError, match="single parquet file uri"):
+        write_parquet(df, str(tmp_path / "plain_dir"), row_group_size=5)
+    # the single-file path still honors row-exact batching
+    import pyarrow.parquet as pq_
+
+    f = str(tmp_path / "one.parquet")
+    write_parquet(df.coalesce(1), f, row_group_size=4)
+    assert pq_.ParquetFile(f).metadata.num_row_groups == 3
