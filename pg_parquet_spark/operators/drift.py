@@ -919,16 +919,19 @@ def ab_test_report(
         F.sum(F.when(flag, v * v)).alias("s2_t"),
         F.sum(F.when(~flag, v * v)).alias("s2_c"),
     )
+    # NULL-guarded denominators (the cuped_report CSE lesson — codegen
+    # may hoist shared subexpressions above their when() guards)
+    pos = lambda c: F.when(c > 0, c)  # noqa: E731
     ntd, ncd = F.col("n_t").cast("double"), F.col("n_c").cast("double")
     s1td, s1cd = F.col("s1_t").cast("double"), F.col("s1_c").cast("double")
     s2td, s2cd = F.col("s2_t").cast("double"), F.col("s2_c").cast("double")
-    mean_t, mean_c = s1td / ntd, s1cd / ncd
-    var_t = (s2td - s1td * s1td / ntd) / (ntd - F.lit(1.0))
-    var_c = (s2cd - s1cd * s1cd / ncd) / (ncd - F.lit(1.0))
-    se2 = var_t / ntd + var_c / ncd
+    mean_t, mean_c = s1td / pos(ntd), s1cd / pos(ncd)
+    var_t = (s2td - s1td * s1td / pos(ntd)) / pos(ntd - F.lit(1.0))
+    var_c = (s2cd - s1cd * s1cd / pos(ncd)) / pos(ncd - F.lit(1.0))
+    se2 = var_t / pos(ntd) + var_c / pos(ncd)
     z = F.when(
         (F.col("n_t") >= 2) & (F.col("n_c") >= 2) & (se2 > 0),
-        (mean_t - mean_c) / F.sqrt(se2),
+        (mean_t - mean_c) / F.sqrt(pos(se2)),
     )
     micro = lambda c: F.floor(c * _PPM + F.lit(0.5)).cast("long")  # noqa: E731
     return agg.select(
@@ -1029,8 +1032,9 @@ def srm_check(
         F.sum(F.when(~F.col("_f"), 1).otherwise(0)).cast("long").alias("n_c"),
     )
     n = (F.col("n_t") + F.col("n_c")).cast("double")
+    nz = F.when(n > 0, n)  # NULL-guarded denominator (the CSE lesson)
     d = F.col("n_t").cast("double") * 1_000_000.0 - n * float(p)
-    chi2 = d * d / (n * float(p)) + d * d / (n * float(q))
+    chi2 = d * d / (nz * float(p)) + d * d / (nz * float(q))
     chi2_micro = F.when(
         F.col("n_t") + F.col("n_c") > 0,
         F.floor(chi2 + F.lit(0.5)).cast("long"),
@@ -1089,4 +1093,252 @@ SELECT n_t AS n_treat, n_c AS n_ctrl,
                       + 0.5) > {int(threshold_chi2_micro)}
            END, FALSE) AS mismatch
 FROM s
+"""
+
+
+def cuped_report(
+    events: DataFrame,
+    cutover_ts: str,
+    treat_expr: str = "user_id % 2 = 0",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: int = 1000,
+) -> DataFrame:
+    """CUPED-adjusted experiment readout (r14 — the variance-reduction
+    technique production A/B platforms run: regress the outcome on the
+    user's PRE-experiment activity and test the residual). Per user:
+    covariate x = exact milli spend strictly BEFORE ``cutover_ts``,
+    outcome y = milli spend at/after it; θ = cov(x, y)/var(x) is
+    estimated POOLED across both arms (the standard, assignment-
+    independent estimator), y_adj = y − θ·(x − x̄), and Welch's z runs
+    on y_adj per arm. Returns ONE row: (n_treat, n_ctrl, theta_micro,
+    var_reduction_ppm, z_plain_micro, z_cuped_micro) — the variance
+    reduction is 1 − var(y_adj)/var(y) pooled, the number the
+    technique is bought for.
+
+    Determinism: per-user sums are exact integers; ALL moment folds
+    (Σx, Σy, Σxy, Σx², Σy², per arm and pooled) are exact
+    DECIMAL/BIGINT aggregates of those integers; θ, the adjusted
+    moments and both z's evaluate in doubles mirrored op-for-op (the
+    q_outlier_zscore contract) and quantize floor-to-micro. Degenerate
+    cases (var(x) = 0, an arm with n < 2) yield NULL for the affected
+    stats on BOTH engines. Note var(y_adj) uses the identity
+    var(y) − 2θ·cov(x,y) + θ²·var(x) over the SAME exact moments —
+    no second data pass.
+
+    Scale shape: one user-keyed conditional aggregate (map-side
+    partials) over one pushed scan, then a 1-row moment fold over the
+    users frame. Users with no pre-period activity carry x = 0 (the
+    standard imputation — they form their own covariate mass)."""
+    flag = F.expr(treat_expr)
+    vm = F.floor(F.col(value_col).cast("double") * unit + F.lit(0.5)).cast(
+        "long"
+    )
+    pre = F.when(F.col(ts_col) < F.lit(cutover_ts).cast("timestamp"), vm)
+    post = F.when(F.col(ts_col) >= F.lit(cutover_ts).cast("timestamp"), vm)
+    per = (
+        events.filter(
+            flag.isNotNull()
+            & F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(
+            F.max(flag).alias("_f"),
+            F.coalesce(F.sum(pre), F.lit(0)).alias("_x"),
+            F.coalesce(F.sum(post), F.lit(0)).alias("_y"),
+        )
+    )
+    x, y = F.col("_x").cast("decimal(38,0)"), F.col("_y").cast("decimal(38,0)")
+    m = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_f"), 1).otherwise(0)).alias("n_t"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(F.when(F.col("_f"), y)).alias("sy_t"),
+        F.sum(F.when(~F.col("_f"), y)).alias("sy_c"),
+        F.sum(F.when(F.col("_f"), x)).alias("sx_t"),
+        F.sum(F.when(~F.col("_f"), x)).alias("sx_c"),
+        F.sum(F.when(F.col("_f"), y * y)).alias("syy_t"),
+        F.sum(F.when(~F.col("_f"), y * y)).alias("syy_c"),
+        F.sum(F.when(F.col("_f"), x * y)).alias("sxy_t"),
+        F.sum(F.when(~F.col("_f"), x * y)).alias("sxy_c"),
+        F.sum(F.when(F.col("_f"), x * x)).alias("sxx_t"),
+        F.sum(F.when(~F.col("_f"), x * x)).alias("sxx_c"),
+    )
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    # every potentially-zero denominator is NULL-guarded AT THE DIVISION
+    # (late-r14): when() around the whole expression is NOT enough —
+    # whole-stage codegen's common-subexpression elimination hoists a
+    # shared subexpression (theta here) above its CaseWhen guards, so a
+    # degenerate denominator raised DIVIDE_BY_ZERO under ANSI even
+    # though every OUTPUT was guarded. A NULL divisor yields NULL on
+    # both engines instead, and the output-level guards still decide
+    # what the caller sees.
+    pos = lambda c: F.when(c > 0, c)  # noqa: E731
+    n, nt = D("n"), D("n_t")
+    nc = n - nt
+    varx = D("sxx") - D("sx") * D("sx") / pos(n)
+    covxy = D("sxy") - D("sx") * D("sy") / pos(n)
+    vary = D("syy") - D("sy") * D("sy") / pos(n)
+    theta = covxy / pos(varx)
+    xbar = D("sx") / pos(n)
+    # per-arm mean/var of y and of y_adj = y - theta*(x - xbar), all
+    # from the same exact sums (no second pass)
+    mean_y_t, mean_y_c = D("sy_t") / pos(nt), D("sy_c") / pos(nc)
+    var_y_t = (D("syy_t") - D("sy_t") * D("sy_t") / pos(nt)) / pos(
+        nt - F.lit(1.0)
+    )
+    var_y_c = (D("syy_c") - D("sy_c") * D("sy_c") / pos(nc)) / pos(
+        nc - F.lit(1.0)
+    )
+    mean_a_t = mean_y_t - theta * (D("sx_t") / pos(nt) - xbar)
+    mean_a_c = mean_y_c - theta * (D("sx_c") / pos(nc) - xbar)
+    ssa_t = (
+        D("syy_t")
+        - 2.0 * theta * D("sxy_t")
+        + theta * theta * D("sxx_t")
+        + 2.0 * theta * xbar * D("sy_t")
+        - 2.0 * theta * theta * xbar * D("sx_t")
+        + nt * theta * theta * xbar * xbar
+    )
+    ssa_c = (
+        D("syy_c")
+        - 2.0 * theta * D("sxy_c")
+        + theta * theta * D("sxx_c")
+        + 2.0 * theta * xbar * D("sy_c")
+        - 2.0 * theta * theta * xbar * D("sx_c")
+        + nc * theta * theta * xbar * xbar
+    )
+    var_a_t = (ssa_t - nt * mean_a_t * mean_a_t) / pos(nt - F.lit(1.0))
+    var_a_c = (ssa_c - nc * mean_a_c * mean_a_c) / pos(nc - F.lit(1.0))
+    var_adj_pooled = vary - 2.0 * theta * covxy + theta * theta * varx
+    micro = lambda c: F.floor(c * _PPM + F.lit(0.5)).cast("long")  # noqa: E731
+    ok_var = varx > 0
+    ok_arms = (F.col("n_t") >= 2) & (F.col("n") - F.col("n_t") >= 2)
+    se2_p = var_y_t / pos(nt) + var_y_c / pos(nc)
+    se2_a = var_a_t / pos(nt) + var_a_c / pos(nc)
+    z_plain = F.when(
+        ok_arms & (se2_p > 0), (mean_y_t - mean_y_c) / F.sqrt(pos(se2_p))
+    )
+    z_cuped = F.when(
+        ok_arms & ok_var & (se2_a > 0),
+        (mean_a_t - mean_a_c) / F.sqrt(pos(se2_a)),
+    )
+    return m.select(
+        F.col("n_t").cast("long").alias("n_treat"),
+        (F.col("n") - F.col("n_t")).cast("long").alias("n_ctrl"),
+        F.when(ok_var, micro(theta)).alias("theta_micro"),
+        F.when(
+            ok_var & (vary > 0),
+            F.floor(
+                (F.lit(1.0) - var_adj_pooled / pos(vary)) * _PPM + F.lit(0.5)
+            ).cast("long"),
+        ).alias("var_reduction_ppm"),
+        micro(z_plain).alias("z_plain_micro"),
+        micro(z_cuped).alias("z_cuped_micro"),
+    )
+
+
+def cuped_oracle_sql(
+    cutover_ts: str,
+    treat_expr: str = "user_id % 2 = 0",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: int = 1000,
+    table: str = "events",
+) -> str:
+    """DuckDB replica: identical per-user integer sums, identical
+    exact moment folds, the same mirrored double expressions."""
+    return f"""
+WITH per AS (
+  SELECT {user_col} AS u, MAX({treat_expr}) AS f,
+    COALESCE(SUM(CASE WHEN {ts_col} < TIMESTAMP '{cutover_ts}'
+      THEN CAST(FLOOR({value_col} * {unit} + 0.5) AS BIGINT) END), 0) AS x,
+    COALESCE(SUM(CASE WHEN {ts_col} >= TIMESTAMP '{cutover_ts}'
+      THEN CAST(FLOOR({value_col} * {unit} + 0.5) AS BIGINT) END), 0) AS y
+  FROM {table}
+  WHERE ({treat_expr}) IS NOT NULL AND {user_col} IS NOT NULL
+    AND {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+  GROUP BY u
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy,
+    CAST(SUM(CASE WHEN f THEN CAST(y AS HUGEINT) END) AS DOUBLE) AS sy_t,
+    CAST(SUM(CASE WHEN NOT f THEN CAST(y AS HUGEINT) END) AS DOUBLE) AS sy_c,
+    CAST(SUM(CASE WHEN f THEN CAST(x AS HUGEINT) END) AS DOUBLE) AS sx_t,
+    CAST(SUM(CASE WHEN NOT f THEN CAST(x AS HUGEINT) END) AS DOUBLE) AS sx_c,
+    CAST(SUM(CASE WHEN f THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT) END)
+      AS DOUBLE) AS syy_t,
+    CAST(SUM(CASE WHEN NOT f THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT) END)
+      AS DOUBLE) AS syy_c,
+    CAST(SUM(CASE WHEN f THEN CAST(x AS HUGEINT) * CAST(y AS HUGEINT) END)
+      AS DOUBLE) AS sxy_t,
+    CAST(SUM(CASE WHEN NOT f THEN CAST(x AS HUGEINT) * CAST(y AS HUGEINT) END)
+      AS DOUBLE) AS sxy_c,
+    CAST(SUM(CASE WHEN f THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) END)
+      AS DOUBLE) AS sxx_t,
+    CAST(SUM(CASE WHEN NOT f THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) END)
+      AS DOUBLE) AS sxx_c
+  FROM per
+), d AS (
+  SELECT *,
+    CAST(n AS DOUBLE) AS nd, CAST(n_t AS DOUBLE) AS ntd,
+    CAST(n AS DOUBLE) - CAST(n_t AS DOUBLE) AS ncd,
+    sxx - sx * sx / CAST(n AS DOUBLE) AS varx,
+    sxy - sx * sy / CAST(n AS DOUBLE) AS covxy,
+    syy - sy * sy / CAST(n AS DOUBLE) AS vary,
+    (sxy - sx * sy / CAST(n AS DOUBLE))
+      / (sxx - sx * sx / CAST(n AS DOUBLE)) AS theta,
+    sx / CAST(n AS DOUBLE) AS xbar
+  FROM m
+), e AS (
+  SELECT *,
+    sy_t / ntd AS mean_y_t, sy_c / ncd AS mean_y_c,
+    (syy_t - sy_t * sy_t / ntd) / (ntd - 1.0) AS var_y_t,
+    (syy_c - sy_c * sy_c / ncd) / (ncd - 1.0) AS var_y_c,
+    sy_t / ntd - theta * (sx_t / ntd - xbar) AS mean_a_t,
+    sy_c / ncd - theta * (sx_c / ncd - xbar) AS mean_a_c,
+    (syy_t - 2.0 * theta * sxy_t + theta * theta * sxx_t
+     + 2.0 * theta * xbar * sy_t - 2.0 * theta * theta * xbar * sx_t
+     + ntd * theta * theta * xbar * xbar) AS ssa_t,
+    (syy_c - 2.0 * theta * sxy_c + theta * theta * sxx_c
+     + 2.0 * theta * xbar * sy_c - 2.0 * theta * theta * xbar * sx_c
+     + ncd * theta * theta * xbar * xbar) AS ssa_c
+  FROM d
+), g AS (
+  SELECT *,
+    (ssa_t - ntd * mean_a_t * mean_a_t) / (ntd - 1.0) AS var_a_t,
+    (ssa_c - ncd * mean_a_c * mean_a_c) / (ncd - 1.0) AS var_a_c,
+    vary - 2.0 * theta * covxy + theta * theta * varx AS var_adj
+  FROM e
+)
+SELECT n_t AS n_treat, CAST(n - n_t AS BIGINT) AS n_ctrl,
+  CAST(CASE WHEN varx > 0 THEN FLOOR(theta * {_PPM} + 0.5) END AS BIGINT)
+    AS theta_micro,
+  CAST(CASE WHEN varx > 0 AND vary > 0
+       THEN FLOOR((1.0 - var_adj / vary) * {_PPM} + 0.5) END AS BIGINT)
+    AS var_reduction_ppm,
+  CAST(CASE WHEN n_t >= 2 AND n - n_t >= 2
+            AND var_y_t / ntd + var_y_c / ncd > 0
+       THEN FLOOR((mean_y_t - mean_y_c)
+                  / sqrt(var_y_t / ntd + var_y_c / ncd) * {_PPM} + 0.5)
+       END AS BIGINT) AS z_plain_micro,
+  CAST(CASE WHEN n_t >= 2 AND n - n_t >= 2 AND varx > 0
+            AND var_a_t / ntd + var_a_c / ncd > 0
+       THEN FLOOR((mean_a_t - mean_a_c)
+                  / sqrt(var_a_t / ntd + var_a_c / ncd) * {_PPM} + 0.5)
+       END AS BIGINT) AS z_cuped_micro
+FROM g
 """

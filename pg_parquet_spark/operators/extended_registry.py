@@ -838,6 +838,36 @@ def x_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.cohort_ltv(table(spark, sf_dir, "events"))
 
 
+#: CUPED cutover: mid-January of the fixture's event month
+_CUPED_CUT = "2024-01-15 00:00:00"
+
+
+def x_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (r14 — the
+    pre-period-covariate adjustment next to x_ab_test/x_srm)."""
+    from pg_parquet_spark.operators import drift
+
+    return drift.cuped_report(table(spark, sf_dir, "events"), _CUPED_CUT)
+
+
+#: connected-components gate: a bipartite order—part graph (every 7th
+#: order) — components = co-purchase groups
+_CC_EDGES_SQL = (
+    "SELECT l_orderkey AS src, 1000000 + l_partkey AS dst "
+    "FROM lineitem WHERE l_orderkey % 7 = 0"
+)
+
+
+def x_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label-propagation connected components over the bipartite
+    order—part graph (r14)."""
+    from pg_parquet_spark.operators import graph
+
+    li = table(spark, sf_dir, "lineitem").filter("l_orderkey % 7 = 0")
+    e = li.selectExpr("l_orderkey AS src", "1000000 + l_partkey AS dst")
+    return graph.connected_components(e, iterations=8)
+
+
 #: scan-planning gate: the fixture tables land in ONE row group, so the
 #: gate writes its own multi-row-group file (row-exact batching via the
 #: A9 single-file pyarrow path) to a deterministic path the oracle also
@@ -972,6 +1002,8 @@ EXTENDED_QUERIES = {
     "x_srm": x_srm,
     "x_cohort_ltv": x_cohort_ltv,
     "x_scan_planning": x_scan_planning,
+    "x_connected_components": x_connected_components,
+    "x_cuped": x_cuped,
 }
 
 
@@ -1177,4 +1209,8 @@ def extended_oracles() -> dict[str, str]:
         "x_srm": drift.srm_oracle_sql(),
         "x_cohort_ltv": timeseries.cohort_ltv_oracle_sql(),
         "x_scan_planning": _scan_planning_oracle(),
+        "x_connected_components": graph.connected_components_oracle_sql(
+            _CC_EDGES_SQL, 8
+        ),
+        "x_cuped": drift.cuped_oracle_sql(_CUPED_CUT),
     }

@@ -440,3 +440,130 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rank) AS n_nodes,
        CAST(n_triangles AS BIGINT) AS n_triangles
 FROM tri
 """
+
+
+# --------------------------------------------------------------------------
+# Connected components (min-label propagation)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    iterations: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Connected components by fixed-round MIN-label propagation (r14 —
+    the cluster primitive under every dedup graph: near-dup edge sets,
+    entity-resolution matches, co-occurrence networks). Each node's
+    label starts as itself and each round takes the min over its
+    neighborhood; after enough rounds every node carries its
+    component's minimum node id. Returns (node, component) for every
+    edge ENDPOINT (isolated nodes never appear in an edge list —
+    callers union them back as their own components), ordered.
+
+    ``iterations`` must be ≥ the graph DIAMETER for exact components —
+    a fixed unrolled count, like :func:`page_rank`, so the oracle can
+    replicate round-for-round (and under-iteration diverges
+    IDENTICALLY on both engines). For web-scale graphs with unknown
+    diameter, loop :func:`cc_converged` externally or switch to the
+    log-round large-star/small-star contraction — documented,
+    deliberately not implicit (a hidden driver-side convergence loop
+    would make the gate's plan depend on data).
+
+    Scale shape: one symmetric edge normalization (distinct), then per
+    round ONE edge-keyed join + node-keyed min-aggregate — edges
+    shuffle once per round, labels stay node-sized; the node frame
+    localCheckpoints each round (page_rank's lineage-truncation
+    precedent)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.filter(
+            F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+        )
+        .select(
+            F.col(src_col).cast("string").alias("a"),
+            F.col(dst_col).cast("string").alias("b"),
+        )
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(int(iterations)):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("_nbr"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_nbr", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "node", F.col("label").alias("component")
+    ).orderBy("node")
+
+
+def cc_converged(edges: DataFrame, labels: DataFrame) -> bool:
+    """True iff one more propagation round would change nothing — the
+    external convergence check for unknown-diameter graphs (run
+    :func:`connected_components` with rising ``iterations`` until this
+    holds; each check is one edge-keyed join)."""
+    e = edges.select(
+        F.col(edges.columns[0]).cast("string").alias("a"),
+        F.col(edges.columns[1]).cast("string").alias("b"),
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    lab = labels.select(
+        F.col("node"), F.col("component").alias("label")
+    )
+    joined = (
+        sym.join(lab.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("label", "la")
+        .join(
+            lab.withColumnRenamed("node", "b").withColumnRenamed(
+                "label", "lb"
+            ),
+            "b",
+        )
+    )
+    return joined.filter(F.col("la") != F.col("lb")).limit(1).count() == 0
+
+
+def connected_components_oracle_sql(
+    edges_sql: str, iterations: int = 8
+) -> str:
+    """DuckDB replica: the propagation unrolled into chained CTEs —
+    identical symmetric normalization, identical min-label rounds.
+    ``edges_sql`` produces (src, dst)."""
+    ctes = [
+        f"raw AS (SELECT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b "
+        f"FROM ({edges_sql}) WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        "sym AS (SELECT DISTINCT a, b FROM "
+        "(SELECT a, b FROM raw UNION ALL SELECT b AS a, a AS b FROM raw))",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)",
+    ]
+    for i in range(int(iterations)):
+        prev, cur = f"l{i}", f"l{i + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT p.node, "
+            f"LEAST(p.label, COALESCE(n.nbr, p.label)) AS label "
+            f"FROM {prev} p LEFT JOIN (SELECT sym.a AS node, "
+            f"MIN(q.label) AS nbr FROM sym JOIN {prev} q ON sym.b = q.node "
+            f"GROUP BY sym.a) n ON p.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label AS component FROM l{iterations} ORDER BY node"
+    )

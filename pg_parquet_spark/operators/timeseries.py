@@ -1375,8 +1375,10 @@ def trend_slopes(
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
     den = nd * sxxd - sxd * sxd
+    # NULL-guarded denominator (the cuped_report CSE lesson)
     slope = F.when(
-        (F.col("n") >= 2) & (den > 0), (nd * sxyd - sxd * syd) / den
+        (F.col("n") >= 2) & (den > 0),
+        (nd * sxyd - sxd * syd) / F.when(den > 0, den),
     )
     return m.select(
         F.col("_k").alias(key_col),

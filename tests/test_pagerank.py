@@ -90,3 +90,58 @@ def test_copurchase_edges_guard_is_loud(spark):
     li = table(spark, SFS[1], "lineitem")
     with pytest.raises(ValueError, match="distinct parts"):
         graph.copurchase_edges(li, max_order_items=12)
+
+
+def test_connected_components_matches_oracle(spark):
+    """r14: min-label propagation replicates the unrolled-CTE oracle
+    bit-for-bit at both SFs over the bipartite order-part graph."""
+    import duckdb
+
+    from pg_parquet_spark.operators import graph
+    from pg_parquet_spark.session import table
+
+    edges_sql = (
+        "SELECT l_orderkey AS src, 1000000 + l_partkey AS dst "
+        "FROM lineitem WHERE l_orderkey % 7 = 0"
+    )
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        li = table(spark, sf, "lineitem").filter("l_orderkey % 7 = 0")
+        e = li.selectExpr("l_orderkey AS src", "1000000 + l_partkey AS dst")
+        got = graph.connected_components(e, iterations=8).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+        )
+        want = con.execute(
+            graph.connected_components_oracle_sql(edges_sql, 8)
+        ).df()
+        assert len(got) == len(want) > 0, sf
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (sf, c)
+
+
+def test_connected_components_semantics(spark):
+    """Planted fixture: a 6-node chain (diameter 5) resolves to one
+    component at sufficient rounds and cc_converged certifies it;
+    under-iteration is detectably unconverged; disjoint components
+    keep distinct min labels; direction doesn't matter."""
+    from pg_parquet_spark.operators import graph
+
+    # chain 1-2-3-4-5-6 (edges deliberately reversed in places) and a
+    # separate pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (6, 5), (10, 11)],
+        "src long, dst long",
+    )
+    done = graph.connected_components(edges, iterations=6)
+    labels = {r.node: r.component for r in done.collect()}
+    assert {labels[str(n)] for n in (1, 2, 3, 4, 5, 6)} == {"1"}
+    assert labels["10"] == labels["11"] == "10"
+    assert graph.cc_converged(edges, done)
+    # 1 round cannot traverse the diameter-5 chain
+    partial = graph.connected_components(edges, iterations=1)
+    assert not graph.cc_converged(edges, partial)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        graph.connected_components(edges, iterations=0)
