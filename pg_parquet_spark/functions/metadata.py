@@ -430,6 +430,18 @@ def schema_drift(spark: SparkSession, uri_a: str, uri_b: str) -> DataFrame:
     same thrift structures); no executor work."""
     def leaves(uri: str) -> dict[str, str]:
         pf = _parquet_file(uri)
+        if pf.metadata.num_row_groups == 0:
+            # the oracle reads parquet_metadata() (per-column-chunk
+            # rows), which is EMPTY for a zero-row-group snapshot while
+            # the footer schema still lists every leaf — the certified
+            # equality would silently diverge, so refuse loudly
+            # (review, late-r14); diff empty snapshots via
+            # parquet_schema instead
+            raise ValueError(
+                f"schema_drift: {uri} has no row groups — no column "
+                "chunks exist for stats-level parity; compare footers "
+                "with parquet_schema for empty snapshots"
+            )
         s = pf.metadata.schema
         return {s.column(i).path: s.column(i).physical_type for i in range(len(s))}
 
@@ -522,9 +534,24 @@ def scan_planning_report(
         if st is None or not st.has_min_max:
             rows.append((rg, g.num_rows, None, None, True))
         else:
-            mn, mx = int(st.min), int(st.max)
+            mn, mx = st.min, st.max
+            # the physical check alone lets logically-annotated
+            # columns through (DATE is physically INT32, DECIMAL(p≤18)
+            # is INT64) whose stats decode to date/Decimal — int()
+            # would crash or silently truncate while the oracle's
+            # string-CAST errors (review, late-r14)
+            if not all(
+                isinstance(v, int) and not isinstance(v, bool)
+                for v in (mn, mx)
+            ):
+                raise ValueError(
+                    "scan_planning_report: only PLAIN integer columns "
+                    f"compare engine-identically; {column!r} carries a "
+                    "logical annotation (stats decode to "
+                    f"{type(mn).__name__})"
+                )
             rows.append(
-                (rg, g.num_rows, mn, mx, not (mx < lo or mn > hi))
+                (rg, g.num_rows, int(mn), int(mx), not (mx < lo or mn > hi))
             )
     return spark.createDataFrame(
         rows,

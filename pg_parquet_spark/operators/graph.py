@@ -515,14 +515,23 @@ def connected_components(
     ).orderBy("node")
 
 
-def cc_converged(edges: DataFrame, labels: DataFrame) -> bool:
+def cc_converged(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> bool:
     """True iff one more propagation round would change nothing — the
     external convergence check for unknown-diameter graphs (run
     :func:`connected_components` with rising ``iterations`` until this
-    holds; each check is one edge-keyed join)."""
+    holds; each check is one edge-keyed join). ``src_col``/``dst_col``
+    name the edge columns exactly like connected_components — NOT
+    positional (review, late-r14: a leading weight/id column would
+    have silently joined on the wrong keys and returned a wrong
+    verdict)."""
     e = edges.select(
-        F.col(edges.columns[0]).cast("string").alias("a"),
-        F.col(edges.columns[1]).cast("string").alias("b"),
+        F.col(src_col).cast("string").alias("a"),
+        F.col(dst_col).cast("string").alias("b"),
     )
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     lab = labels.select(

@@ -1307,7 +1307,8 @@ SELECT metric, value FROM (
   WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
   UNION ALL
   SELECT 'wau_last',
-         (SELECT active_users FROM ({au}) ORDER BY day DESC LIMIT 1)
+         COALESCE((SELECT active_users FROM ({au})
+                   ORDER BY day DESC LIMIT 1), 0)
   UNION ALL
   SELECT 'wau_peak',
          (SELECT CAST(COALESCE(MAX(active_users), 0) AS BIGINT) FROM ({au}))

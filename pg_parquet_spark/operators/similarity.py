@@ -3842,12 +3842,29 @@ def sq8_quantize(
     if not (0 <= int(scale_bits) <= 20):
         raise ValueError(f"scale_bits must be in [0, 20], got {scale_bits}")
     mult = 1 << int(scale_bits)
+    # NULL components FAIL FAST in-pass (review, late-r14): least/
+    # greatest SKIP NULLs, so an unguarded NULL would silently encode
+    # as +127 — the strongest positive signal — and poison every
+    # ranking that touches the vector
     codes = F.transform(
         F.col(vec_col),
-        lambda x: F.greatest(
-            F.lit(-128),
-            F.least(F.lit(127), F.floor(x * mult + F.lit(0.5))),
-        ).cast("tinyint"),
+        lambda x: F.when(
+            x.isNotNull(),
+            F.greatest(
+                F.lit(-128),
+                F.least(F.lit(127), F.floor(x * mult + F.lit(0.5))),
+            ),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "sq8_quantize: NULL embedding component — impute or "
+                    "drop upstream (least/greatest would silently "
+                    "saturate it to +127)"
+                )
+            ).cast("long")
+        )
+        .cast("tinyint"),
     )
     return df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols], codes.alias(code_col)
@@ -3887,7 +3904,7 @@ def sq8_topk(
         df, id_col=id_col, vec_col=vec_col, code_col="_dc",
         scale_bits=scale_bits,
     )
-    score = F.aggregate(
+    raw_score = F.aggregate(
         F.zip_with(
             F.col("_qc"),
             F.col("_dc"),
@@ -3895,6 +3912,21 @@ def sq8_topk(
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
+    )
+    # dims FAIL FAST in-pass (review, late-r14): zip_with pads the
+    # short side with NULLs (Spark would NULL-score and sort the row
+    # last) while the oracle's range(len) fold returns a real number —
+    # a silent engine divergence; empty vectors additionally error in
+    # DuckDB's list_reduce
+    score = F.when(
+        (F.size("_dc") == F.size("_qc")) & (F.size("_dc") >= 1), raw_score
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "sq8_topk: corpus vector dims differ from the query's "
+                "(or are empty) — fix the embedding column upstream"
+            )
+        ).cast("long")
     )
     return (
         c.crossJoin(F.broadcast(q))

@@ -1564,16 +1564,20 @@ def engagement_gini(
     )
     w = Window.orderBy(F.col("_x").asc(), F.col("_u").asc())
     ranked = per.withColumn("_i", F.row_number().over(w))
+    # DECIMAL(38,0) moment folds (review, late-r14): pure-BIGINT
+    # 2·Σi·xᵢ·10⁶ overflows int64 near ~3M users (Σi·x ≈ n²/2) — the
+    # whale-analysis stat must survive whale-scale input. The identity
+    # is unchanged; only the carrier widens (the cuped/trend rule).
     return ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("_x").alias("sx"),
-        F.sum(F.col("_i") * F.col("_x")).alias("six"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("_i").cast("decimal(38,0)") * F.col("_x")).alias("six"),
     ).select(
         F.col("n").cast("long").alias("n_users"),
         F.col("sx").cast("long").alias("n_events"),
         F.expr(
             "CASE WHEN n = 0 OR sx = 0 THEN NULL "
-            "ELSE (2 * six * 1000000 - (n + 1) * sx * 1000000) div (n * sx) "
+            "ELSE (2 * six - (n + 1) * sx) * 1000000 div (n * sx) "
             "END"
         )
         .cast("long")
@@ -1593,13 +1597,13 @@ WITH per AS (
 ), ranked AS (
   SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, u ASC) AS i FROM per
 ), m AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-         CAST(SUM(i * x) AS BIGINT) AS six
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
   FROM ranked
 )
-SELECT n AS n_users, sx AS n_events,
+SELECT CAST(n AS BIGINT) AS n_users, CAST(sx AS BIGINT) AS n_events,
   CAST(CASE WHEN n = 0 OR sx = 0 THEN NULL
-       ELSE (2 * six * 1000000 - (n + 1) * sx * 1000000) // (n * sx)
+       ELSE (2 * six - (n + 1) * sx) * 1000000 // (n * sx)
        END AS BIGINT) AS gini_ppm
 FROM m
 """

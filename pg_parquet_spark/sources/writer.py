@@ -178,20 +178,23 @@ def write_parquet(
                 "options (row_group_size, kv_metadata, uuid_columns, json_columns)"
             )
 
+    # row-exact group batching needs the single-file pyarrow path — the
+    # distributed writers (directory AND file_size_bytes split) only
+    # take the bytes cap (parquet.block.size). Raising matches the
+    # partition_by branch; silently ignoring the option hid a wrong
+    # layout (late-r14; the split-path gap came out of review).
+    if row_group_size is not None and not single_file and not partition_by:
+        raise ValueError(
+            "row_group_size (row-exact batching) requires a single "
+            "parquet file uri; directory and file_size_bytes-split "
+            "targets size row groups by row_group_size_bytes "
+            "(parquet.block.size)"
+        )
+
     if opts.file_size_bytes is not None:
         return _write_split(df, path, opts, raw_field_ids)
 
     if not single_file:
-        # row-exact group batching needs the single-file pyarrow path —
-        # the distributed writer only takes the bytes cap
-        # (parquet.block.size). Raising matches the partition_by branch;
-        # silently ignoring the option hid a wrong layout (late-r14).
-        if row_group_size is not None and not partition_by:
-            raise ValueError(
-                "row_group_size (row-exact batching) requires a single "
-                "parquet file uri; directory targets size row groups by "
-                "row_group_size_bytes (parquet.block.size)"
-            )
         # scale path: distributed directory write
         schema = spark_schema_with_field_ids(df.schema, raw_field_ids)
         out = _restamp(df, schema) if schema is not df.schema else df

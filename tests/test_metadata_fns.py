@@ -236,11 +236,13 @@ def test_schema_drift_semantics(spark, tmp_path):
         [(1, "a", "s", True)], "id long, kept string, retyped string, fresh boolean"
     )
     p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
-    write_parquet(v1, p1)
-    write_parquet(v2, p2)
+    # coalesce(1): a multi-partition 1-row write also emits EMPTY part
+    # files, and one_file() might pick one — which schema_drift now
+    # refuses (zero-row-group guard)
+    write_parquet(v1.coalesce(1), p1)
+    write_parquet(v2.coalesce(1), p2)
     import os
 
-    f1 = os.path.join(p1, os.listdir(p1)[0] if os.path.isdir(p1) else "")
     # write_parquet writes a directory; point at the single data file
     def one_file(d):
         for root, _, files in os.walk(d):
@@ -314,3 +316,39 @@ def test_row_group_size_requires_single_file_target(spark, tmp_path):
     f = str(tmp_path / "one.parquet")
     write_parquet(df.coalesce(1), f, row_group_size=4)
     assert pq_.ParquetFile(f).metadata.num_row_groups == 3
+
+
+def test_r14_review_regressions_metadata_and_writer(spark, tmp_path):
+    """Late-r14 review closures: (1) the file_size_bytes split path now
+    raises on row_group_size instead of silently ignoring it; (2)
+    scan_planning rejects logically-annotated int columns (DATE is
+    physically INT32 but its stats decode to dates); (3) schema_drift
+    refuses zero-row-group snapshots whose column chunks the oracle
+    cannot see."""
+    import pyspark.sql.functions as F
+
+    from pg_parquet_spark.functions import schema_drift
+    from pg_parquet_spark.functions.metadata import scan_planning_report
+
+    df = spark.range(100).select(
+        F.col("id"), F.to_date(F.lit("2026-01-01")).alias("d")
+    )
+    # (1) split path: row-exact batching cannot ride maxRecordsPerFile
+    with pytest.raises(ValueError, match="single parquet file uri"):
+        write_parquet(
+            df, str(tmp_path / "split"), file_size_bytes="1MB",
+            row_group_size=10,
+        )
+    # (2) DATE passes the physical INT32 check but must still raise
+    f = str(tmp_path / "dated.parquet")
+    write_parquet(df.coalesce(1), f)
+    with pytest.raises(ValueError, match="logical annotation"):
+        scan_planning_report(spark, f, "d", 0, 10)
+    # (3) zero-row-group snapshot: footer says columns, stats say none
+    empty = str(tmp_path / "empty.parquet")
+    write_parquet(df.filter("id < 0").coalesce(1), empty)
+    import pyarrow.parquet as pq_
+
+    if pq_.ParquetFile(empty).metadata.num_row_groups == 0:
+        with pytest.raises(ValueError, match="no row groups"):
+            schema_drift(spark, f, empty)

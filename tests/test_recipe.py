@@ -470,3 +470,34 @@ def test_product_health_semantics(spark):
     assert out2["funnel_conversion_ppm"] == 0
     assert out2["median_total_latency_sec2"] == 0
     assert out2["top_channel_share_ppm"] == 0
+
+
+def test_product_health_empty_basis_parity(spark):
+    """Late-r14 review closure: a corpus whose rows ALL have NULL
+    user/ts yields an all-zero dashboard on BOTH engines — the oracle's
+    wau_last scalar subquery now COALESCEs to 0 like every other
+    component (it was the one missed)."""
+    import pandas as pd
+
+    from pg_parquet_spark.operators import timeseries
+
+    rows = [(None, None, "view", 1.0, i) for i in range(5)]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_type string, value double, "
+        "event_id long",
+    )
+    got = recipe.product_health(ev).toPandas()
+    timeseries.release_cached()
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows,
+        columns=["user_id", "ts", "event_type", "value", "event_id"],
+    ).astype({"ts": "datetime64[us]"})
+    con.register("events", pdf)
+    want = con.execute(recipe.product_health_oracle_sql()).df()
+    assert len(got) == len(want) == 8
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+    byname = dict(zip(got.metric, got.value))
+    assert byname["n_users"] == 0 and byname["wau_last"] == 0

@@ -2765,3 +2765,30 @@ def test_sq8_scoring_from_materialized_codes(spark, tmp_path):
     assert [(r.vec_id, r.score) for r in got] == [
         (r.vec_id, r.score) for r in want
     ]
+
+
+def test_sq8_null_and_dims_guards(spark):
+    """Late-r14 review closures: a NULL embedding component fails fast
+    (least/greatest would silently saturate it to +127); a corpus
+    vector with mismatched or empty dims fails fast (zip_with would
+    NULL-pad on Spark while the oracle folds a real number)."""
+    import pytest as _pytest
+
+    from pg_parquet_spark.operators import similarity as sim
+
+    nullv = spark.createDataFrame(
+        [(0, [0.1, None, 0.2])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="NULL embedding component"):
+        sim.sq8_quantize(nullv).collect()
+    mixed = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3]), (1, [0.1, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="dims differ"):
+        sim.sq8_topk(mixed, query_id=0, k=2).collect()
+    emptyv = spark.createDataFrame(
+        [(0, []), (1, [])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="dims differ"):
+        sim.sq8_topk(emptyv, query_id=0, k=2).collect()
