@@ -922,6 +922,21 @@ def x_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked point-in-rectangle containment join (r14 — the
+    spatial blocking pattern): hash-derived customer points vs
+    supplier rectangles through the cell equi-join; the oracle is the
+    brute-force all-pairs cross join, so equality IS the completeness
+    proof that the blocking loses no pair."""
+    from pg_parquet_spark.operators import spatial
+
+    pts = spatial.hash_points(table(spark, sf_dir, "customer"), "c_custkey")
+    rcs = spatial.hash_rects(table(spark, sf_dir, "supplier"), "s_suppkey")
+    return spatial.grid_containment_join(pts, rcs).orderBy(
+        "rect_id", "point_id"
+    )
+
+
 EXTENDED_QUERIES = {
     "x_sketch_kmv": x_sketch_kmv,
     "x_sketch_cms": x_sketch_cms,
@@ -1004,6 +1019,7 @@ EXTENDED_QUERIES = {
     "x_scan_planning": x_scan_planning,
     "x_connected_components": x_connected_components,
     "x_cuped": x_cuped,
+    "x_spatial_join": x_spatial_join,
 }
 
 
@@ -1022,6 +1038,7 @@ def extended_oracles() -> dict[str, str]:
         setsim,
         similarity,
         sketch,
+        spatial,
         text,
         timeseries,
     )
@@ -1213,4 +1230,5 @@ def extended_oracles() -> dict[str, str]:
             _CC_EDGES_SQL, 8
         ),
         "x_cuped": drift.cuped_oracle_sql(_CUPED_CUT),
+        "x_spatial_join": spatial.spatial_join_oracle_sql(),
     }
