@@ -922,6 +922,17 @@ def x_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control band over 6-hour event-count buckets (r14 — the
+    exact-integer smoothing/alerting primitive; α=1/2 truncated at 8
+    lags makes the forecast pure BIGINT)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.ewma_anomaly(
+        table(spark, sf_dir, "events"), period_sec=21600
+    )
+
+
 def x_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-blocked point-in-rectangle containment join (r14 — the
     spatial blocking pattern): hash-derived customer points vs
@@ -1020,6 +1031,7 @@ EXTENDED_QUERIES = {
     "x_connected_components": x_connected_components,
     "x_cuped": x_cuped,
     "x_spatial_join": x_spatial_join,
+    "x_ewma": x_ewma,
 }
 
 
@@ -1231,4 +1243,5 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_cuped": drift.cuped_oracle_sql(_CUPED_CUT),
         "x_spatial_join": spatial.spatial_join_oracle_sql(),
+        "x_ewma": timeseries.ewma_anomaly_oracle_sql(period_sec=21600),
     }

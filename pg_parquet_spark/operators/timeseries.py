@@ -1713,3 +1713,152 @@ SELECT c * {int(period_sec)} AS cohort_epoch, age, period_milli, cum_milli,
 FROM cum JOIN sizes USING (c)
 ORDER BY cohort_epoch, age
 """
+
+
+def ewma_anomaly(
+    events: DataFrame,
+    period_sec: int = 86400,
+    k_lags: int = 8,
+    band_mult: int = 3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EWMA control band over per-(key, period) event counts (r14 —
+    the smoothing/alerting primitive the monitors in :mod:`drift`
+    lack): each period's count is compared against the exponentially
+    weighted moving average of the ``k_lags`` PRIOR periods, and
+    flagged when it exceeds ``band_mult``× the forecast (or falls
+    under 1/``band_mult`` of it) — the ops-dashboard "traffic spiked /
+    collapsed" alert.
+
+    Exact integer arithmetic end-to-end: the truncated α=1/2 EWMA over
+    lags 1..K is  Σⱼ 2^(K−j)·x_{t−j} / (2^K − 1), so
+    ewma_milli = 1000·Σ div (2^K−1) — pure BIGINT, no float (the
+    geometric weights are exact powers of two; truncating the series
+    at K lags is what makes the normalizer a closed integer). Gaps are
+    zero-filled on the dense per-key period grid first (an absent
+    period IS zero traffic — skipping it would both shift the lag
+    window and hide the collapse the band exists to catch). The first
+    K grid periods per key have no full window and report NULL ewma /
+    false flags in BOTH engines.
+
+    Returns (key, period_epoch, n_events, ewma_milli, anomaly_high,
+    anomaly_low) ordered. NULL key/ts rows drop.
+
+    Scale shape: one (key, period) count aggregate (map-side
+    partials), a per-key span fold, the grid explode (periods are
+    wall-clock-bounded — the time axis does not grow with data
+    volume), and ONE key-partitioned window for row_number + the K
+    lags. Nothing corpus-sized crosses a single task; K is a literal,
+    so the lag fan-in is a fixed column list in codegen, not an
+    iteration."""
+    if period_sec <= 0:
+        raise ValueError(f"period_sec must be positive, got {period_sec}")
+    if not (1 <= k_lags <= 30):
+        raise ValueError(f"k_lags must be in [1, 30], got {k_lags}")
+    if band_mult < 2:
+        raise ValueError(f"band_mult must be >= 2, got {band_mult}")
+    from pyspark.sql import Window
+
+    per = (
+        events.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(
+                f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) div {int(period_sec)}"
+            ).alias("_p"),
+        )
+        .groupBy("key", "_p")
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    grid = (
+        per.groupBy("key")
+        .agg(F.min("_p").alias("_lo"), F.max("_p").alias("_hi"))
+        .select("key", F.explode(F.expr("sequence(_lo, _hi)")).alias("_p"))
+    )
+    filled = grid.join(per, ["key", "_p"], "left").select(
+        "key", "_p", F.coalesce("_x", F.lit(0)).alias("_x")
+    )
+    w = Window.partitionBy("key").orderBy("_p")
+    den = (1 << k_lags) - 1
+    num = None
+    for j in range(1, k_lags + 1):
+        term = F.lag("_x", j).over(w) * F.lit(1 << (k_lags - j))
+        num = term if num is None else num + term
+    out = (
+        filled.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_num", num)
+        .select(
+            "key",
+            (F.col("_p") * period_sec).alias("period_epoch"),
+            F.col("_x").alias("n_events"),
+            F.when(
+                F.col("_rn") > k_lags,
+                F.expr(f"(1000 * _num) div {den}"),
+            ).alias("ewma_milli"),
+            "_rn",
+        )
+    )
+    return out.select(
+        "key",
+        "period_epoch",
+        "n_events",
+        "ewma_milli",
+        (
+            F.col("ewma_milli").isNotNull()
+            & (F.col("n_events") * 1000 > F.col("ewma_milli") * band_mult)
+        ).alias("anomaly_high"),
+        (
+            F.col("ewma_milli").isNotNull()
+            & (F.col("n_events") * 1000 * band_mult < F.col("ewma_milli"))
+        ).alias("anomaly_low"),
+    ).orderBy("key", "period_epoch")
+
+
+def ewma_anomaly_oracle_sql(
+    period_sec: int = 86400,
+    k_lags: int = 8,
+    band_mult: int = 3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: identical zero-filled grid, identical
+    power-of-two lag fold and integer division."""
+    den = (1 << k_lags) - 1
+    terms = " + ".join(
+        f"({1 << (k_lags - j)} * LAG(x, {j}) OVER w)"
+        for j in range(1, k_lags + 1)
+    )
+    return f"""
+WITH per AS (
+  SELECT {key_col} AS key,
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) // {int(period_sec)} AS p,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1, 2
+), spans AS (
+  SELECT key, MIN(p) AS lo, MAX(p) AS hi FROM per GROUP BY key
+), grid AS (
+  SELECT key, UNNEST(generate_series(lo, hi)) AS p FROM spans
+), filled AS (
+  SELECT grid.key, grid.p, COALESCE(per.x, 0) AS x
+  FROM grid LEFT JOIN per ON grid.key = per.key AND grid.p = per.p
+), scored AS (
+  SELECT key, p, x,
+         ROW_NUMBER() OVER w AS rn,
+         ({terms}) AS num
+  FROM filled
+  WINDOW w AS (PARTITION BY key ORDER BY p)
+)
+SELECT key, p * {int(period_sec)} AS period_epoch, x AS n_events,
+       CASE WHEN rn > {int(k_lags)}
+            THEN (1000 * num) // {den} END AS ewma_milli,
+       (rn > {int(k_lags)} AND x * 1000 >
+          ((1000 * num) // {den}) * {int(band_mult)}) AS anomaly_high,
+       (rn > {int(k_lags)} AND x * 1000 * {int(band_mult)} <
+          ((1000 * num) // {den})) AS anomaly_low
+FROM scored
+ORDER BY key, period_epoch
+"""

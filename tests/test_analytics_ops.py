@@ -1633,3 +1633,77 @@ def test_cohort_ltv_semantics(spark):
     # per-user divides by cohort size 2 at EVERY age (lapsed users dilute)
     assert out[1].cum_per_user_milli == 17_500
     assert out[2].cum_per_user_milli == 17_500
+
+
+def test_ewma_anomaly_hand_computed_band(spark):
+    """EWMA control band (r14): K=2/α=1/2 hand case — warmup NULLs,
+    the exact integer forecast, a spike flags high, a zero-traffic
+    period flags low (the zero-filled grid is what catches it)."""
+    from pg_parquet_spark.operators import timeseries
+
+    rows = []
+    # period 4 is an INTERIOR gap — zero-filled by the dense grid
+    # (the grid spans observed min..max, so a trailing silence is
+    # out of frame by construction: there is no "after the data")
+    counts = {0: 3, 1: 3, 2: 3, 3: 30, 5: 3}  # period -> events
+    eid = 0
+    for p, n in counts.items():
+        for _ in range(n):
+            rows.append((eid, p * 100 + 1, "a"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, sec long, event_type string").selectExpr(
+        "event_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type"
+    )
+    got = timeseries.ewma_anomaly(
+        df, period_sec=100, k_lags=2, band_mult=3
+    ).toPandas()
+    # period 4 exists ONLY via the dense grid (zero events)
+    assert list(got["n_events"]) == [3, 3, 3, 30, 0, 3]
+    assert list(got["ewma_milli"].isna()) == [
+        True, True, False, False, False, False,
+    ]
+    # (2*3+3)*1000//3 = 3000 ; (2*30+3)*1000//3 = 21000 ;
+    # (2*0+30)*1000//3 = 10000 — the zero period drags the forecast
+    assert list(got["ewma_milli"].dropna()) == [3000, 3000, 21000, 10000]
+    assert list(got["anomaly_high"]) == [
+        False, False, False, True, False, False,
+    ]
+    # p4: 0 under the 21000 band; p5: 3 events still under 1/3 of the
+    # zero-dragged 10000 forecast — recovery takes a window
+    assert list(got["anomaly_low"]) == [
+        False, False, False, False, True, True,
+    ]
+
+
+def test_ewma_anomaly_matches_oracle_and_validates(spark):
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    got = timeseries.ewma_anomaly(
+        table(spark, sf, "events"), period_sec=21600
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(
+        timeseries.ewma_anomaly_oracle_sql(period_sec=21600)
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert list(got[col].fillna(-1)) == list(want[col].fillna(-1)), col
+    # the band actually fires somewhere at this sparsity
+    assert got["anomaly_high"].any() or got["anomaly_low"].any()
+
+    import pytest as _pytest
+
+    df = table(spark, sf, "events")
+    with _pytest.raises(ValueError, match="period_sec"):
+        timeseries.ewma_anomaly(df, period_sec=0)
+    with _pytest.raises(ValueError, match="k_lags"):
+        timeseries.ewma_anomaly(df, k_lags=0)
+    with _pytest.raises(ValueError, match="band_mult"):
+        timeseries.ewma_anomaly(df, band_mult=1)
