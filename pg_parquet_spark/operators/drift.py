@@ -1342,3 +1342,154 @@ SELECT n_t AS n_treat, CAST(n - n_t AS BIGINT) AS n_ctrl,
        END AS BIGINT) AS z_cuped_micro
 FROM g
 """
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: str,
+    k: int = 5,
+    l_diversity: int = 2,
+) -> DataFrame:
+    """Privacy risk report (r14 — the governance gate next to
+    :func:`text.pii_scrub`'s redaction): every quasi-identifier
+    equivalence class that violates k-anonymity (fewer than ``k``
+    rows share the QI combination — an attacker joining on those
+    attributes singles members out) or l-diversity (fewer than
+    ``l_diversity`` DISTINCT sensitive values inside the class — the
+    class may be large yet still reveal everyone's sensitive value).
+
+    Returns one row per RISKY class: (*qi_cols, group_n, n_sensitive,
+    k_risky, l_risky), ordered by the QI columns. NULL is a QI VALUE
+    (an attacker observes "missing" like any other value — both
+    engines group NULLs together); a NULL sensitive value contributes
+    no diversity (COUNT DISTINCT skips it in both engines).
+
+    Scale shape: one exact two-key aggregate — Spark expands
+    count_distinct into a (QI, sensitive) pre-aggregate then a QI
+    fold, both map-side-partial hash shuffles on keys, never rows.
+    The output is bounded by the number of risky CLASSES, not data
+    size."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if l_diversity < 1:
+        raise ValueError(f"l_diversity must be >= 1, got {l_diversity}")
+    if not qi_cols:
+        raise ValueError("qi_cols must name at least one column")
+    for c in list(qi_cols) + [sensitive_col]:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    grouped = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"),
+    )
+    return (
+        grouped.select(
+            *qi_cols,
+            "group_n",
+            "n_sensitive",
+            (F.col("group_n") < k).alias("k_risky"),
+            (F.col("n_sensitive") < l_diversity).alias("l_risky"),
+        )
+        .filter(F.col("k_risky") | F.col("l_risky"))
+        .orderBy(*qi_cols)
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: str,
+    k: int = 5,
+    l_diversity: int = 2,
+) -> DataFrame:
+    """One-row rollup of :func:`k_anonymity_report`: (n_rows,
+    n_groups, n_risky_groups, n_risky_rows, suppression_ppm) —
+    suppression_ppm is the integer-ppm share of rows that would have
+    to be suppressed (or generalized upward) to publish the table at
+    the requested (k, l): the single number a release review asks
+    for."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if l_diversity < 1:
+        raise ValueError(f"l_diversity must be >= 1, got {l_diversity}")
+    grouped = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(F.col(sensitive_col)).alias("_s"),
+    )
+    risky = (F.col("_n") < k) | (F.col("_s") < l_diversity)
+    return grouped.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(risky.cast("long")).alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("_n")).otherwise(0)).alias("n_risky_rows"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "n_risky_groups",
+        "n_risky_rows",
+        F.expr(
+            "CASE WHEN n_rows = 0 THEN NULL "
+            "ELSE n_risky_rows * 1000000 div n_rows END"
+        ).alias("suppression_ppm"),
+    )
+
+
+def k_anonymity_oracle_sql(
+    qi_sql: list,
+    sensitive_col: str,
+    k: int = 5,
+    l_diversity: int = 2,
+    table: str = "orders",
+) -> str:
+    """DuckDB replica of the risky-class listing. ``qi_sql`` is a list
+    of (expr, alias) pairs so the caller buckets exactly like the
+    Spark side."""
+    sel = ", ".join(f"{e} AS {a}" for e, a in qi_sql)
+    names = ", ".join(a for _, a in qi_sql)
+    return f"""
+WITH base AS (
+  SELECT {sel}, {sensitive_col} AS s FROM {table}
+), grouped AS (
+  SELECT {names}, CAST(COUNT(*) AS BIGINT) AS group_n,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_sensitive
+  FROM base GROUP BY {names}
+)
+SELECT {names}, group_n, n_sensitive,
+       group_n < {int(k)} AS k_risky,
+       n_sensitive < {int(l_diversity)} AS l_risky
+FROM grouped
+WHERE group_n < {int(k)} OR n_sensitive < {int(l_diversity)}
+ORDER BY {names}
+"""
+
+
+def k_anonymity_summary_oracle_sql(
+    qi_sql: list,
+    sensitive_col: str,
+    k: int = 5,
+    l_diversity: int = 2,
+    table: str = "orders",
+) -> str:
+    sel = ", ".join(f"{e} AS {a}" for e, a in qi_sql)
+    names = ", ".join(a for _, a in qi_sql)
+    return f"""
+WITH base AS (
+  SELECT {sel}, {sensitive_col} AS s FROM {table}
+), grouped AS (
+  SELECT {names}, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS sd
+  FROM base GROUP BY {names}
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < {int(k)} OR sd < {int(l_diversity)}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+       CAST(SUM(CASE WHEN n < {int(k)} OR sd < {int(l_diversity)}
+                THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+       CAST(CASE WHEN SUM(n) = 0 THEN NULL
+            ELSE SUM(CASE WHEN n < {int(k)} OR sd < {int(l_diversity)}
+                     THEN n ELSE 0 END) * 1000000 // SUM(n)
+            END AS BIGINT) AS suppression_ppm
+FROM grouped
+"""

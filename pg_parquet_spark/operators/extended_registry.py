@@ -933,6 +933,37 @@ def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k-anonymity gate: 30-day order periods × priority × status as the
+#: quasi-identifier, the customer key as the sensitive attribute
+_KANON_PERIOD = 2_592_000
+_KANON_QI_SQL = [
+    ("o_orderpriority", "priority"),
+    ("o_orderstatus", "status"),
+    (
+        f"CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // {_KANON_PERIOD}",
+        "period",
+    ),
+]
+
+
+def x_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity risky-class listing over order
+    metadata (r14 — the privacy-governance report next to
+    pii_scrub)."""
+    from pg_parquet_spark.operators import drift
+
+    o = table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS priority",
+        "o_orderstatus AS status",
+        f"CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div {_KANON_PERIOD}"
+        " AS period",
+        "o_custkey",
+    )
+    return drift.k_anonymity_report(
+        o, ["priority", "status", "period"], "o_custkey", k=10, l_diversity=5
+    )
+
+
 def x_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-blocked point-in-rectangle containment join (r14 — the
     spatial blocking pattern): hash-derived customer points vs
@@ -1032,6 +1063,7 @@ EXTENDED_QUERIES = {
     "x_cuped": x_cuped,
     "x_spatial_join": x_spatial_join,
     "x_ewma": x_ewma,
+    "x_k_anonymity": x_k_anonymity,
 }
 
 
@@ -1244,4 +1276,7 @@ def extended_oracles() -> dict[str, str]:
         "x_cuped": drift.cuped_oracle_sql(_CUPED_CUT),
         "x_spatial_join": spatial.spatial_join_oracle_sql(),
         "x_ewma": timeseries.ewma_anomaly_oracle_sql(period_sec=21600),
+        "x_k_anonymity": drift.k_anonymity_oracle_sql(
+            _KANON_QI_SQL, "o_custkey", k=10, l_diversity=5
+        ),
     }

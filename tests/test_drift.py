@@ -644,3 +644,97 @@ def test_cuped_variance_reduction_semantics(spark):
     d = drift.cuped_report(post_only, "2024-01-15 00:00:00").collect()[0]
     assert d.theta_micro is None and d.var_reduction_ppm is None
     assert d.z_plain_micro is not None                   # plain z still runs
+
+
+def test_k_anonymity_flags_k_and_l_independently(spark):
+    """Planted classes (r14): a large-but-homogeneous class is
+    l_risky only, a small-but-diverse class k_risky only, a safe
+    class absent; NULL is a QI value and a NULL sensitive value adds
+    no diversity."""
+    from pg_parquet_spark.operators import drift
+
+    rows = (
+        # qi=('a',1): 6 rows, 1 distinct sensitive -> l_risky only
+        [("a", 1, 100)] * 6
+        # qi=('b',2): 2 rows, 2 sensitive -> k_risky only
+        + [("b", 2, 201), ("b", 2, 202)]
+        # qi=('c',3): 5 rows, 3 sensitive -> safe (k=3, l=2)
+        + [("c", 3, 301), ("c", 3, 302), ("c", 3, 303),
+           ("c", 3, 301), ("c", 3, 302)]
+        # qi=(NULL,4): 1 row, sensitive NULL -> both flags
+        + [(None, 4, None)]
+    )
+    df = spark.createDataFrame(rows, "seg string, grp int, cust int")
+    got = drift.k_anonymity_report(
+        df, ["seg", "grp"], "cust", k=3, l_diversity=2
+    ).toPandas()
+    by = {(r["seg"], r["grp"]): r for _, r in got.iterrows()}
+    assert set(by) == {("a", 1), ("b", 2), (None, 4)}
+    assert (by[("a", 1)]["k_risky"], by[("a", 1)]["l_risky"]) == (False, True)
+    assert (by[("b", 2)]["k_risky"], by[("b", 2)]["l_risky"]) == (True, False)
+    assert (by[(None, 4)]["k_risky"], by[(None, 4)]["l_risky"]) == (True, True)
+    assert by[(None, 4)]["n_sensitive"] == 0  # NULL adds no diversity
+
+    summ = drift.k_anonymity_summary(
+        df, ["seg", "grp"], "cust", k=3, l_diversity=2
+    ).collect()[0]
+    assert summ.n_rows == 14 and summ.n_groups == 4
+    assert summ.n_risky_groups == 3 and summ.n_risky_rows == 9
+    assert summ.suppression_ppm == 9 * 1_000_000 // 14
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        drift.k_anonymity_report(df, ["seg"], "cust", k=1)
+    with _pytest.raises(ValueError, match="l_diversity"):
+        drift.k_anonymity_report(df, ["seg"], "cust", l_diversity=0)
+    with _pytest.raises(ValueError, match="qi_cols"):
+        drift.k_anonymity_report(df, [], "cust")
+    with _pytest.raises(ValueError, match="not in frame"):
+        drift.k_anonymity_report(df, ["seg", "missing"], "cust")
+
+
+def test_k_anonymity_matches_oracle(spark):
+    import duckdb
+
+    from pg_parquet_spark.operators import drift
+    from pg_parquet_spark.session import table
+
+    P = 2_592_000
+    qi_sql = [
+        ("o_orderpriority", "priority"),
+        ("o_orderstatus", "status"),
+        (f"CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // {P}", "period"),
+    ]
+    sf = "/root/testdata/sf0.01"
+    o = table(spark, sf, "orders").selectExpr(
+        "o_orderpriority AS priority",
+        "o_orderstatus AS status",
+        f"CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div {P} AS period",
+        "o_custkey",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    got = drift.k_anonymity_report(
+        o, ["priority", "status", "period"], "o_custkey", k=10, l_diversity=5
+    ).toPandas()
+    want = con.execute(
+        drift.k_anonymity_oracle_sql(qi_sql, "o_custkey", k=10, l_diversity=5)
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert list(got[col]) == list(want[col]), col
+    # the gate distinguishes: some groups are safe at sf0.01
+    gs = drift.k_anonymity_summary(
+        o, ["priority", "status", "period"], "o_custkey", k=10, l_diversity=5
+    ).collect()[0]
+    ws = con.execute(
+        drift.k_anonymity_summary_oracle_sql(
+            qi_sql, "o_custkey", k=10, l_diversity=5
+        )
+    ).df().iloc[0]
+    assert (gs.n_rows, gs.n_groups, gs.n_risky_groups, gs.n_risky_rows,
+            gs.suppression_ppm) == tuple(ws)
+    assert 0 < gs.suppression_ppm < 1_000_000
