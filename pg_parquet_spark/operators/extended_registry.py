@@ -946,6 +946,26 @@ _KANON_QI_SQL = [
 ]
 
 
+#: k-core gate: the co-purchase graph (x_triangles' edges), k=3,
+#: 6 peel rounds — kcore_converged(True) is pinned in tests at both SFs
+_KCORE_EDGES_SQL = """SELECT a.part AS src, b.part AS dst FROM
+ (SELECT DISTINCT l_orderkey okey, l_partkey part FROM lineitem) a
+ JOIN (SELECT DISTINCT l_orderkey okey, l_partkey part FROM lineitem) b
+ USING (okey)
+ WHERE a.part < b.part"""
+
+
+def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the co-purchase graph by fixed-round peeling (r14 —
+    the density filter next to connected components)."""
+    from pg_parquet_spark.operators import graph
+
+    e = graph.copurchase_edges(
+        table(spark, sf_dir, "lineitem"), max_order_items=20
+    ).selectExpr("u AS src", "v AS dst")
+    return graph.kcore(e, k=3, rounds=6)
+
+
 def x_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity risky-class listing over order
     metadata (r14 — the privacy-governance report next to
@@ -1064,6 +1084,7 @@ EXTENDED_QUERIES = {
     "x_spatial_join": x_spatial_join,
     "x_ewma": x_ewma,
     "x_k_anonymity": x_k_anonymity,
+    "x_kcore": x_kcore,
 }
 
 
@@ -1279,4 +1300,5 @@ def extended_oracles() -> dict[str, str]:
         "x_k_anonymity": drift.k_anonymity_oracle_sql(
             _KANON_QI_SQL, "o_custkey", k=10, l_diversity=5
         ),
+        "x_kcore": graph.kcore_oracle_sql(_KCORE_EDGES_SQL, k=3, rounds=6),
     }

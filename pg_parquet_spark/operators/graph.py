@@ -576,3 +576,153 @@ def connected_components_oracle_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, label AS component FROM l{iterations} ORDER BY node"
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by fixed-round peeling (r14 — the density
+    filter next to :func:`connected_components`: the k-core is the
+    maximal subgraph where every node keeps degree ≥ k, the standard
+    way to carve the dense heart out of a co-occurrence or near-dup
+    graph before expensive downstream work). Each round recomputes
+    degrees in the CURRENTLY induced subgraph and drops nodes under
+    ``k``; peeling is monotone (node sets only shrink), so once a
+    round removes nothing the result is exact.
+
+    Like :func:`connected_components`, ``rounds`` is a FIXED unrolled
+    count so the DuckDB oracle replicates round-for-round and
+    under-iteration diverges identically on both engines — exactness
+    for unknown peel depth is the caller's loop over
+    :func:`kcore_converged` (the external-convergence contract;
+    a hidden driver-side loop would make the gate's plan depend on
+    data). Returns the surviving nodes as (node, degree) — degree in
+    the FINAL induced subgraph — ordered; self-loops and NULL
+    endpoints drop, direction and duplicate edges collapse.
+
+    Scale shape: per round TWO semi-joins of the (symmetric) edge
+    frame against the shrinking node set plus one node-keyed count —
+    all key-partitioned hash shuffles; labels stay node-sized and the
+    node frame localCheckpoints per round (page_rank's
+    lineage-truncation precedent). Peel depth on real graphs is small
+    (each round removes a full degeneracy layer)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.filter(
+        F.col(src_col).isNotNull()
+        & F.col(dst_col).isNotNull()
+        & (F.col(src_col).cast("string") != F.col(dst_col).cast("string"))
+    ).select(
+        F.col(src_col).cast("string").alias("a"),
+        F.col(dst_col).cast("string").alias("b"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    for _ in range(int(rounds)):
+        alive = sym.join(
+            nodes.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+        nodes = (
+            alive.groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    final = sym.join(
+        nodes.withColumnRenamed("node", "a"), "a", "left_semi"
+    ).join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+    deg = final.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    # isolated survivors cannot exist (survival requires degree >= k
+    # in the previous round's subgraph, and the last peel re-checks),
+    # but a not-yet-converged run can leave degree < k — visible, by
+    # design, identically in both engines
+    return nodes.join(deg, "node", "left").select(
+        "node", F.coalesce("degree", F.lit(0)).alias("degree")
+    ).orderBy("node")
+
+
+def kcore_converged(
+    edges: DataFrame,
+    core_nodes: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> bool:
+    """True iff one more peel round would remove nothing — every node
+    in ``core_nodes`` keeps degree ≥ k inside the induced subgraph.
+    Column-named like :func:`kcore` (the cc_converged contract: never
+    positional)."""
+    e = edges.filter(
+        F.col(src_col).isNotNull()
+        & F.col(dst_col).isNotNull()
+        & (F.col(src_col).cast("string") != F.col(dst_col).cast("string"))
+    ).select(
+        F.col(src_col).cast("string").alias("a"),
+        F.col(dst_col).cast("string").alias("b"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    nodes = core_nodes.select("node")
+    alive = sym.join(
+        nodes.withColumnRenamed("node", "a"), "a", "left_semi"
+    ).join(nodes.withColumnRenamed("node", "b"), "b", "left_semi")
+    deg = alive.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    under = (
+        nodes.join(deg, "node", "left")
+        .filter(F.coalesce("_d", F.lit(0)) < k)
+        .limit(1)
+        .count()
+    )
+    return under == 0
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 3, rounds: int = 8) -> str:
+    """DuckDB replica: the peel unrolled into chained CTEs — identical
+    symmetric normalization, identical induced-degree rounds.
+    ``edges_sql`` produces (src, dst)."""
+    ctes = [
+        f"raw AS (SELECT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b "
+        f"FROM ({edges_sql}) WHERE src IS NOT NULL AND dst IS NOT NULL "
+        f"AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR))",
+        "sym AS (SELECT DISTINCT a, b FROM "
+        "(SELECT a, b FROM raw UNION ALL SELECT b AS a, a AS b FROM raw))",
+        "n0 AS (SELECT DISTINCT a AS node FROM sym)",
+    ]
+    for i in range(int(rounds)):
+        prev, cur = f"n{i}", f"n{i + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT e.a AS node FROM sym e "
+            f"JOIN {prev} x ON e.a = x.node "
+            f"JOIN {prev} y ON e.b = y.node "
+            f"GROUP BY e.a HAVING COUNT(*) >= {int(k)})"
+        )
+    last = f"n{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+final_deg AS (
+  SELECT e.a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM sym e
+  JOIN {last} x ON e.a = x.node
+  JOIN {last} y ON e.b = y.node
+  GROUP BY e.a
+)
+SELECT n.node, COALESCE(d.degree, 0) AS degree
+FROM {last} n LEFT JOIN final_deg d ON n.node = d.node
+ORDER BY n.node"""
+    )

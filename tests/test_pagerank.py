@@ -145,3 +145,101 @@ def test_connected_components_semantics(spark):
 
     with _pytest.raises(ValueError, match="iterations"):
         graph.connected_components(edges, iterations=0)
+
+
+def test_kcore_planted_triangle_with_tail(spark):
+    """k-core peeling (r14): a triangle with a pendant tail — the
+    2-core is exactly the triangle (the tail peels), degrees are the
+    induced-subgraph degrees, self-loops and duplicate/reversed edges
+    collapse."""
+    from pg_parquet_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),          # triangle
+            (1, 4),                          # pendant tail
+            (2, 1),                          # reversed duplicate
+            (4, 4),                          # self-loop drops
+            (None, 1), (5, None),            # NULL endpoints drop
+        ],
+        "src int, dst int",
+    )
+    got = graph.kcore(edges, k=2, rounds=4).collect()
+    assert [(r.node, r.degree) for r in got] == [
+        ("1", 2), ("2", 2), ("3", 2),
+    ]
+    core = spark.createDataFrame(
+        [("1",), ("2",), ("3",)], "node string"
+    )
+    assert graph.kcore_converged(edges, core, k=2)
+    # the full node set is NOT converged at k=2 (node 4 has degree 1)
+    all_nodes = spark.createDataFrame(
+        [("1",), ("2",), ("3",), ("4",)], "node string"
+    )
+    assert not graph.kcore_converged(edges, all_nodes, k=2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        graph.kcore(edges, k=0)
+    with _pytest.raises(ValueError, match="rounds"):
+        graph.kcore(edges, rounds=0)
+
+
+def test_kcore_under_iteration_diverges_identically(spark):
+    """The fixed-round contract: a 5-node path at k=2 peels one layer
+    per round from each end; at rounds=1 BOTH engines report the same
+    partial (not-yet-converged) node set, and convergence flips the
+    external check, never the gate's plan."""
+    import duckdb
+
+    from pg_parquet_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    got1 = graph.kcore(edges, k=2, rounds=1)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW path_edges AS SELECT * FROM (VALUES "
+        "(1, 2), (2, 3), (3, 4), (4, 5)) t(src, dst)"
+    )
+    want1 = con.execute(
+        graph.kcore_oracle_sql("SELECT src, dst FROM path_edges",
+                               k=2, rounds=1)
+    ).df()
+    rows1 = [(r.node, r.degree) for r in got1.collect()]
+    assert rows1 == list(map(tuple, want1.itertuples(index=False)))
+    assert rows1 == [("2", 1), ("3", 2), ("4", 1)]  # ends peeled once
+    assert not graph.kcore_converged(edges, got1.select("node"), k=2)
+    # fully converged: the path has NO 2-core
+    assert graph.kcore(edges, k=2, rounds=3).count() == 0
+
+
+def test_kcore_matches_oracle_on_copurchase(spark):
+    """Gate replica at sf0.001: k=3 core of the co-purchase graph
+    equals the unrolled-CTE oracle and is converged at 6 rounds."""
+    import duckdb
+
+    from pg_parquet_spark.operators import graph
+    from pg_parquet_spark.operators.extended_registry import _KCORE_EDGES_SQL
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    e = graph.copurchase_edges(
+        table(spark, sf, "lineitem"), max_order_items=20
+    ).selectExpr("u AS src", "v AS dst")
+    core = graph.kcore(e, k=3, rounds=6)
+    got = [(r.node, r.degree) for r in core.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    )
+    want = con.execute(
+        graph.kcore_oracle_sql(_KCORE_EDGES_SQL, k=3, rounds=6)
+    ).df()
+    assert got == list(map(tuple, want.itertuples(index=False)))
+    assert len(got) > 0
+    assert all(d >= 3 for _, d in got)
+    assert graph.kcore_converged(e, core.select("node"), k=3)
