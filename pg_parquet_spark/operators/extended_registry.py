@@ -946,6 +946,17 @@ _KANON_QI_SQL = [
 ]
 
 
+def x_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths (r14 —
+    the feature-alignment op; two distrank passes, no single-task
+    window)."""
+    from pg_parquet_spark.operators import sampling
+
+    return sampling.quantile_normalize(
+        _docs(spark, sf_dir), "n_chars", "source", "doc_id"
+    )
+
+
 #: k-core gate: the co-purchase graph (x_triangles' edges), k=3,
 #: 6 peel rounds — kcore_converged(True) is pinned in tests at both SFs
 _KCORE_EDGES_SQL = """SELECT a.part AS src, b.part AS dst FROM
@@ -1085,6 +1096,7 @@ EXTENDED_QUERIES = {
     "x_ewma": x_ewma,
     "x_k_anonymity": x_k_anonymity,
     "x_kcore": x_kcore,
+    "x_quantile_norm": x_quantile_norm,
 }
 
 
@@ -1301,4 +1313,7 @@ def extended_oracles() -> dict[str, str]:
             _KANON_QI_SQL, "o_custkey", k=10, l_diversity=5
         ),
         "x_kcore": graph.kcore_oracle_sql(_KCORE_EDGES_SQL, k=3, rounds=6),
+        "x_quantile_norm": sampling.quantile_normalize_oracle_sql(
+            "n_chars", "source", "doc_id"
+        ),
     }

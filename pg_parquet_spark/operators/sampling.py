@@ -1328,3 +1328,132 @@ SELECT {group_col}, {id_col},
 FROM {table}
 ORDER BY {group_col}, rank_in_group
 """
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-source quantile normalization (r14 — the
+    feature-alignment op next to :func:`feature_winsorize` /
+    :func:`score_calibrate`): map every row's value onto the POOLED
+    distribution at the same within-group quantile, so sources whose
+    raw scales disagree (one crawl measures long documents, another
+    short) become comparable before mixing. The classic midpoint
+    mapping: a row at within-group rank r of n_g lands at pooled
+    position ((2r−1)·N) div (2·n_g) + 1 — pure integer, identity when
+    the pool IS the group, never out of [1, N].
+
+    Returns (id, group, value, norm_value) ordered by id, where
+    norm_value is the pooled value at the mapped position (same type
+    as ``value_col``). Rows with NULL id/group/value drop in both
+    engines. Ties order by (value, group, id) pooled and (value, id)
+    in-group — deterministic, and consistent because the pooled order
+    restricted to one group IS the in-group order.
+
+    Scale shape: NO single-task global window — two
+    :func:`distrank.distributed_row_number` passes (range exchange +
+    per-partition window + broadcast offsets each): value-major for
+    the pooled positions, group-major so the in-group rank falls out
+    by subtracting each group's minimum rank (contiguous ONLY under
+    the group-major order — a counts-sized broadcast join), then one
+    hash join on the mapped position. The DuckDB oracle keeps the
+    textbook single-window SQL: equality IS the decomposition
+    proof."""
+    for c in (value_col, group_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    from pg_parquet_spark.operators import distrank
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_v"),
+    )
+    pooled = distrank.distributed_row_number(
+        base, ["_v", "_g", "_id"], "_rk"
+    )
+    # group-major pass: ranks of one group ARE contiguous under
+    # (g, v, id), so rank-in-group = rk − min(rk of g) + 1; under the
+    # value-major pooled order they interleave and the subtraction
+    # would be wrong (caught by the oracle on first contact)
+    grouped = distrank.distributed_row_number(
+        base, ["_g", "_v", "_id"], "_gk"
+    )
+    grp = grouped.groupBy("_g").agg(
+        F.min("_gk").alias("_off"), F.count(F.lit(1)).alias("_ng")
+    )
+    total = pooled.agg(F.max("_rk").alias("_n"))
+    lookup = pooled.select(
+        F.col("_rk").alias("_pos"), F.col("_v").alias("norm_value")
+    )
+    mapped = (
+        grouped.join(F.broadcast(grp), "_g")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_id",
+            "_g",
+            "_v",
+            (
+                ((2 * (F.col("_gk") - F.col("_off") + 1) - 1) * F.col("_n"))
+                .cast("long")
+            ).alias("_num"),
+            (2 * F.col("_ng")).cast("long").alias("_den"),
+        )
+        .select(
+            "_id",
+            "_g",
+            "_v",
+            (F.expr("_num div _den") + 1).alias("_pos"),
+        )
+    )
+    return (
+        mapped.join(lookup, "_pos")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias(group_col),
+            F.col("_v").alias(value_col),
+            "norm_value",
+        )
+        .orderBy(id_col)
+    )
+
+
+def quantile_normalize_oracle_sql(
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: the single-window textbook formulation of the
+    same midpoint mapping — equality proves the distributed ranks and
+    the broadcast-offset in-group derivation compose exactly."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {group_col} AS g, {value_col} AS v
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+    AND {id_col} IS NOT NULL
+), pooled AS (
+  SELECT id, g, v,
+         ROW_NUMBER() OVER (ORDER BY v, g, id) AS rk,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS ng,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM base
+), mapped AS (
+  SELECT id, g, v,
+         ((2 * r - 1) * n) // (2 * ng) + 1 AS pos
+  FROM pooled
+)
+SELECT m.id AS {id_col}, m.g AS {group_col}, m.v AS {value_col},
+       p.v AS norm_value
+FROM mapped m JOIN pooled p ON m.pos = p.rk
+ORDER BY m.id
+"""

@@ -455,3 +455,58 @@ def test_rank_normalize_scores_semantics(spark):
     )
     with _pytest.raises(Exception, match="NULL score"):
         sampling.rank_normalize_scores(bad).collect()
+
+
+def test_quantile_normalize_aligns_two_scales(spark):
+    """Quantile normalization (r14): two sources on different scales
+    map onto the SAME pooled positions — rank structure is all that
+    survives; a single-group pool is the identity map; NULLs drop;
+    missing columns fail fast."""
+    from pg_parquet_spark.operators import sampling
+
+    rows = [(i, "a", v) for i, v in enumerate([1, 2, 3, 4])] + [
+        (10 + i, "b", v) for i, v in enumerate([101, 102, 103, 104])
+    ] + [(99, None, 5), (98, "a", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    got = sampling.quantile_normalize(df, "n", "source", "doc_id").toPandas()
+    assert len(got) == 8  # NULL group / NULL value dropped
+    by = dict(zip(got["doc_id"], got["norm_value"]))
+    # midpoint mapping with N=8, n_g=4: ranks 1..4 -> pos 2,4,6,8 ->
+    # pooled values 2,4,102,104 — identical for BOTH sources
+    assert [by[i] for i in (0, 1, 2, 3)] == [2, 4, 102, 104]
+    assert [by[i] for i in (10, 11, 12, 13)] == [2, 4, 102, 104]
+
+    one = spark.createDataFrame(
+        [(i, "only", v) for i, v in enumerate([7, 3, 9, 1])],
+        "doc_id long, source string, n long",
+    )
+    ident = sampling.quantile_normalize(one, "n", "source", "doc_id").toPandas()
+    assert list(ident["norm_value"]) == list(ident["n"])  # identity
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in frame"):
+        sampling.quantile_normalize(df, "missing", "source", "doc_id")
+
+
+def test_quantile_normalize_matches_oracle(spark):
+    import duckdb
+
+    from pg_parquet_spark.operators import sampling
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.01"
+    got = sampling.quantile_normalize(
+        table(spark, sf, "documents"), "n_chars", "source", "doc_id"
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        sampling.quantile_normalize_oracle_sql("n_chars", "source", "doc_id")
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert list(got[col]) == list(want[col]), col
