@@ -946,6 +946,17 @@ _KANON_QI_SQL = [
 ]
 
 
+def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention survival over 6-hour periods (r14 — the
+    censoring-aware lifetime curve; truncation-exact packed-integer
+    fold in both engines)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.kaplan_meier_retention(
+        table(spark, sf_dir, "events"), period_sec=21600
+    )
+
+
 def x_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization of document lengths (r14 —
     the feature-alignment op; two distrank passes, no single-task
@@ -1097,6 +1108,7 @@ EXTENDED_QUERIES = {
     "x_k_anonymity": x_k_anonymity,
     "x_kcore": x_kcore,
     "x_quantile_norm": x_quantile_norm,
+    "x_kaplan_meier": x_kaplan_meier,
 }
 
 
@@ -1316,4 +1328,5 @@ def extended_oracles() -> dict[str, str]:
         "x_quantile_norm": sampling.quantile_normalize_oracle_sql(
             "n_chars", "source", "doc_id"
         ),
+        "x_kaplan_meier": timeseries.kaplan_meier_oracle_sql(period_sec=21600),
     }

@@ -1862,3 +1862,154 @@ SELECT key, p * {int(period_sec)} AS period_epoch, x AS n_events,
 FROM scored
 ORDER BY key, period_epoch
 """
+
+
+def kaplan_meier_retention(
+    events: DataFrame,
+    period_sec: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier retention survival by tenure (r14 — the censoring-
+    aware completion of the retention arc: :func:`retention_cohorts`
+    counts who came back, this estimates how long users LIVE when the
+    youngest cohorts are still alive and must not be counted as
+    churned). Users enter at their first active period; a user whose
+    last activity predates the study end (the global max period) dies
+    at age last−first+1; users active in the final period are
+    right-CENSORED at age T−first — they leave the risk set without
+    a death.
+
+    Returns one row per death age: (age, n_risk, n_deaths,
+    survival_ppm) ascending, where survival_ppm is the KM product
+    Π (n_risk−d)/n_risk in integer ppm with TRUNCATION AT EVERY STEP —
+    the recurrence S_i = (S_{i−1}·(n_i−d_i)) div n_i is evaluated by
+    the identical packed-integer left fold in both engines
+    (aggregate() in Spark, list_reduce() in DuckDB), so there is no
+    float anywhere and no libm to disagree. All-censored data (single
+    observed period) yields zero rows in both engines.
+
+    Scale shape: one user-keyed (first, last) aggregate, a 1-row
+    bounds frame for T, an ages-sized aggregate + ordered window
+    (ages are wall-clock-bounded — the time axis does not grow with
+    data volume), and the per-row prefix fold over the broadcast
+    death-age array (O(k²) on k = death ages, bounded by the axis).
+    Packing guards raise loudly past 2^21 users at risk or 2^21
+    periods rather than corrupting the fold."""
+    if period_sec <= 0:
+        raise ValueError(f"period_sec must be positive, got {period_sec}")
+    from pyspark.sql import Window
+
+    B = 1 << 21
+    per_user = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("_u"),
+            F.expr(
+                f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) div {int(period_sec)}"
+            ).alias("_p"),
+        )
+        .groupBy("_u")
+        .agg(F.min("_p").alias("_f"), F.max("_p").alias("_l"))
+    )
+    bounds = per_user.agg(F.max("_l").alias("_t"))
+    lifes = per_user.crossJoin(F.broadcast(bounds)).select(
+        (F.col("_l") < F.col("_t")).alias("_dead"),
+        F.when(
+            F.col("_l") < F.col("_t"), F.col("_l") - F.col("_f") + 1
+        ).otherwise(F.col("_t") - F.col("_f")).alias("_risk_age"),
+    )
+    # risk ages and deaths per age (ages-sized frames)
+    deaths = (
+        lifes.filter("_dead")
+        .groupBy(F.col("_risk_age").alias("age"))
+        .agg(F.count(F.lit(1)).alias("n_deaths"))
+    )
+    risk_counts = lifes.groupBy(F.col("_risk_age").alias("age")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_rev = (
+        Window.orderBy(F.col("age").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = risk_counts.withColumn("n_risk", F.sum("_c").over(w_rev)).select(
+        "age", "n_risk"
+    )
+    rows = deaths.join(at_risk, "age").select("age", "n_risk", "n_deaths")
+    packed = rows.select(
+        F.expr(
+            f"IF(age >= 0 AND age < {B} AND n_risk < {B}, "
+            f"age * {1 << 42} + n_risk * {B} + (n_risk - n_deaths), "
+            "raise_error('kaplan_meier_retention: age or risk set "
+            f"exceeds 2^21 — the packed fold would corrupt'))"
+        ).alias("_e")
+    )
+    arr = packed.agg(F.sort_array(F.collect_list("_e")).alias("_arr"))
+    w_asc = Window.orderBy("age")
+    return (
+        rows.withColumn("_idx", F.row_number().over(w_asc))
+        .crossJoin(F.broadcast(arr))
+        .select(
+            "age",
+            "n_risk",
+            "n_deaths",
+            F.expr(
+                f"aggregate(slice(_arr, 1, _idx), CAST(1000000 AS BIGINT), "
+                f"(acc, e) -> (acc * (e % {B})) div ((e div {B}) % {B}))"
+            ).alias("survival_ppm"),
+        )
+        .orderBy("age")
+    )
+
+
+def kaplan_meier_oracle_sql(
+    period_sec: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: identical per-user lifetimes, censoring rule,
+    reverse-cumulative risk sets, and the SAME packed-integer
+    truncating fold (list_reduce with a prepended ppm seed)."""
+    B = 1 << 21
+    return f"""
+WITH per_user AS (
+  SELECT {user_col} AS u,
+         MIN(CAST(FLOOR(epoch({ts_col})) AS BIGINT) // {int(period_sec)}) AS f,
+         MAX(CAST(FLOOR(epoch({ts_col})) AS BIGINT) // {int(period_sec)}) AS l
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1
+), bounds AS (
+  SELECT MAX(l) AS t FROM per_user
+), lifes AS (
+  SELECT l < t AS dead,
+         CASE WHEN l < t THEN l - f + 1 ELSE t - f END AS risk_age
+  FROM per_user, bounds
+), deaths AS (
+  SELECT risk_age AS age, CAST(COUNT(*) AS BIGINT) AS n_deaths
+  FROM lifes WHERE dead GROUP BY 1
+), at_risk AS (
+  SELECT age, CAST(SUM(c) OVER (ORDER BY age DESC
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+  FROM (SELECT risk_age AS age, COUNT(*) AS c FROM lifes GROUP BY 1)
+), rows_ AS (
+  SELECT d.age, r.n_risk, d.n_deaths,
+         ROW_NUMBER() OVER (ORDER BY d.age) AS idx
+  FROM deaths d JOIN at_risk r USING (age)
+), arr AS (
+  SELECT list_sort(list(
+           age * {1 << 42} + n_risk * {B} + (n_risk - n_deaths)
+         )) AS a
+  FROM rows_
+)
+SELECT age, n_risk, n_deaths,
+       list_reduce(
+         list_prepend(CAST(1000000 AS BIGINT), a[1:idx]),
+         (acc, e) -> (acc * (e % {B})) // ((e // {B}) % {B})
+       ) AS survival_ppm
+FROM rows_, arr
+ORDER BY age
+"""

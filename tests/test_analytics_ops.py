@@ -1707,3 +1707,68 @@ def test_ewma_anomaly_matches_oracle_and_validates(spark):
         timeseries.ewma_anomaly(df, k_lags=0)
     with _pytest.raises(ValueError, match="band_mult"):
         timeseries.ewma_anomaly(df, band_mult=1)
+
+
+def test_kaplan_meier_hand_computed_curve(spark):
+    """KM retention (r14): five planted users with known lifetimes —
+    censoring keeps final-period users out of the death counts but in
+    the risk sets, and the ppm product truncates at every step."""
+    from pg_parquet_spark.operators import timeseries
+
+    # period = 10s; study ends at p9
+    activity = {
+        1: [5, 95],    # censored (active in final period), risk age 9
+        2: [0, 45],    # dead at age 5
+        3: [25, 49],   # dead at age 3
+        4: [3],        # dead at age 1
+        5: [55, 99],   # censored, risk age 4
+    }
+    rows = [(u, s) for u, secs in activity.items() for s in secs]
+    df = spark.createDataFrame(rows, "user_id long, sec long").selectExpr(
+        "user_id", "CAST(sec AS TIMESTAMP) AS ts"
+    )
+    got = timeseries.kaplan_meier_retention(df, period_sec=10).collect()
+    assert [(r.age, r.n_risk, r.n_deaths, r.survival_ppm) for r in got] == [
+        (1, 5, 1, 800_000),   # 1e6 * 4 div 5
+        (3, 4, 1, 600_000),   # 800000 * 3 div 4
+        (5, 2, 1, 300_000),   # 600000 * 1 div 2
+    ]
+
+    # single observed period: everyone censored, empty curve
+    one = spark.createDataFrame([(1, 1), (2, 2)], "user_id long, sec long"
+                                ).selectExpr("user_id",
+                                             "CAST(sec AS TIMESTAMP) AS ts")
+    assert timeseries.kaplan_meier_retention(one, period_sec=10).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period_sec"):
+        timeseries.kaplan_meier_retention(df, period_sec=0)
+
+
+def test_kaplan_meier_matches_oracle(spark):
+    """Gate replica at sf0.001: the packed-integer fold replicates
+    bit-for-bit (aggregate() vs list_reduce()) and survival is
+    monotone nonincreasing."""
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    got = timeseries.kaplan_meier_retention(
+        table(spark, sf, "events"), period_sec=21600
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(
+        timeseries.kaplan_meier_oracle_sql(period_sec=21600)
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert list(got[col]) == list(want[col]), col
+    assert got["survival_ppm"].is_monotonic_decreasing
+    assert (got["n_deaths"] > 0).all()
+    assert (got["n_risk"] >= got["n_deaths"]).all()
