@@ -411,3 +411,62 @@ def test_r14_product_analytics_batch_plan_invariants(spark):
     assert "pythonUDF" not in plans["sq8"].lower()
     # funnel_latency's chain joins are user-keyed equi-joins
     assert "BroadcastNestedLoopJoin" not in plans["funnel_latency"]
+
+
+def test_r14_third_wave_batch_plan_invariants(spark):
+    """Plan net for the r14 third-wave batch (spatial grid join, EWMA
+    band, k-anonymity, k-core, quantile normalization, Kaplan-Meier):
+    no cartesian anywhere; nested-loop joins only as the documented
+    1-row bounds frames; the spatial join is a cell-keyed hash join;
+    everything stays JVM-side (no python UDFs)."""
+    from pg_parquet_spark.operators import (
+        drift,
+        graph,
+        sampling,
+        spatial,
+        timeseries,
+    )
+    from pg_parquet_spark.session import table
+
+    ev = table(spark, SF, "events")
+    docs = table(spark, SF, "documents")
+    pts = spatial.hash_points(table(spark, SF, "customer"), "c_custkey")
+    rcs = spatial.hash_rects(table(spark, SF, "supplier"), "s_suppkey")
+    kanon = table(spark, SF, "orders").selectExpr(
+        "o_orderpriority AS priority",
+        "o_orderstatus AS status",
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 2592000 AS period",
+        "o_custkey",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src int, dst int"
+    )
+    plans = {
+        "spatial": _plan(spatial.grid_containment_join(pts, rcs)),
+        "ewma": _plan(timeseries.ewma_anomaly(ev, period_sec=21600)),
+        "k_anonymity": _plan(
+            drift.k_anonymity_report(
+                kanon, ["priority", "status", "period"], "o_custkey",
+                k=10, l_diversity=5,
+            )
+        ),
+        "kcore": _plan(graph.kcore(edges, k=2, rounds=2)),
+        "quantile_norm": _plan(
+            sampling.quantile_normalize(docs, "n_chars", "source", "doc_id")
+        ),
+        "kaplan_meier": _plan(
+            timeseries.kaplan_meier_retention(ev, period_sec=21600)
+        ),
+    }
+    # 1-row bounds/array frames ride broadcast crossJoins by design
+    one_row_cross = {"kaplan_meier", "quantile_norm"}
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "pythonUDF" not in p.lower(), name
+        if name not in one_row_cross:
+            assert "BroadcastNestedLoopJoin" not in p, (name, p)
+    # the spatial join must be the cell equi-join, never a pure
+    # containment nested loop
+    assert "HashJoin" in plans["spatial"]
+    # ewma's grid join keeps the counts-sized spine out of sort-merge
+    assert "CartesianProduct" not in plans["ewma"]
