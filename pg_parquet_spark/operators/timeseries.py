@@ -1754,22 +1754,55 @@ def ewma_anomaly(
     iteration."""
     if period_sec <= 0:
         raise ValueError(f"period_sec must be positive, got {period_sec}")
+    per = key_period_counts(events, period_sec, key_col, ts_col)
+    return ewma_from_counts(per, period_sec, k_lags, band_mult)
+
+
+def key_period_counts(
+    events: DataFrame,
+    period_sec: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(key, period, n) count index — :func:`ewma_anomaly`'s entire
+    sufficient statistic (and a streaming-maintainable one: counts
+    merge by SUM, see ``stream.drain_with_ewma_alerts``). NULL key/ts
+    rows drop."""
+    if period_sec <= 0:
+        raise ValueError(f"period_sec must be positive, got {period_sec}")
+    return (
+        events.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.expr(
+                f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) div {int(period_sec)}"
+            ).alias("period"),
+        )
+        .groupBy("key", "period")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ewma_from_counts(
+    counts: DataFrame,
+    period_sec: int,
+    k_lags: int = 8,
+    band_mult: int = 3,
+) -> DataFrame:
+    """The EWMA band computed from a (key, period, n) count index —
+    the read side of the streaming drain; ``ewma_anomaly(df) ≡
+    ewma_from_counts(key_period_counts(df))`` bit-for-bit (asserted in
+    tests). Everything here is counts-sized."""
+    if period_sec <= 0:
+        raise ValueError(f"period_sec must be positive, got {period_sec}")
     if not (1 <= k_lags <= 30):
         raise ValueError(f"k_lags must be in [1, 30], got {k_lags}")
     if band_mult < 2:
         raise ValueError(f"band_mult must be >= 2, got {band_mult}")
     from pyspark.sql import Window
 
-    per = (
-        events.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
-        .select(
-            F.col(key_col).alias("key"),
-            F.expr(
-                f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) div {int(period_sec)}"
-            ).alias("_p"),
-        )
-        .groupBy("key", "_p")
-        .agg(F.count(F.lit(1)).alias("_x"))
+    per = counts.select(
+        "key", F.col("period").alias("_p"), F.col("n").alias("_x")
     )
     grid = (
         per.groupBy("key")

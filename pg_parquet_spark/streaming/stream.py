@@ -1789,3 +1789,49 @@ def drain_with_active_users(
         timeout_sec=timeout_sec,
         checkpoint=checkpoint,
     )
+
+
+def drain_with_ewma_alerts(
+    sdf: DataFrame,
+    corpus_root: str,
+    counts_root: str,
+    period_sec: int = 21600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    partition_by: list[str] | None = None,
+    timeout_sec: int = 180,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming EWMA alerting state (r14 — the ops-dashboard twin of
+    :func:`drain_with_count_refresh`): maintain the (key, period, n)
+    count index — :func:`timeseries.ewma_anomaly`'s entire sufficient
+    statistic — continuously over the versioned sink. Counts merge by
+    SUM (non-idempotent → folded_batch_id replay gate, like the drift
+    counts). Read the live control band with
+
+        timeseries.ewma_from_counts(
+            layout.read_versioned(spark, counts_root), period_sec)
+
+    — bit-equal to batch ``ewma_anomaly`` over the full drained corpus
+    (asserted in tests), so the alert page never rescans history: a
+    100 TB event stream maintains a keys×periods-sized table."""
+    from pg_parquet_spark.operators.timeseries import key_period_counts
+
+    def merge(cur: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            cur.unionByName(new)
+            .groupBy("key", "period")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    drain_with_mergeable_refresh(
+        sdf,
+        corpus_root,
+        counts_root,
+        build_fn=lambda b: key_period_counts(b, period_sec, key_col, ts_col),
+        merge_fn=merge,
+        idempotent_merge=False,
+        partition_by=partition_by,
+        timeout_sec=timeout_sec,
+        checkpoint=checkpoint,
+    )

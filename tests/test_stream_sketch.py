@@ -1501,3 +1501,83 @@ def test_streaming_active_users_drain(spark, tmp_path):
     drain_with_active_users(sdf3, corpus, idx, checkpoint=ckpt)
     assert layout.read_manifest(corpus)["version"] == vc
     assert layout.read_manifest(idx)["version"] == vs
+
+
+def test_streaming_ewma_alerts_drain(spark, tmp_path):
+    """r14: the EWMA drain maintains the (key, period, n) count index
+    from the stream; after each tranche the live control band
+    (ewma_from_counts over the index) is BIT-IDENTICAL to batch
+    ewma_anomaly over the full drained corpus; a replayed SUM-merge
+    would double counts, so the folded_batch_id gate carries
+    convergence; an idle re-drain flips no pointers."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import timeseries
+    from pg_parquet_spark.sources import layout, read_parquet
+    from pg_parquet_spark.streaming.stream import drain_with_ewma_alerts
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "events_corpus")
+    idx = str(tmp_path / "ewma_counts")
+    ckpt = str(tmp_path / "ckpt")
+    period = 21600
+
+    events = table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    t1 = events.filter("event_id % 2 = 0")
+    t2 = events.filter("event_id % 2 = 1")
+
+    def check_consistent():
+        got = timeseries.ewma_from_counts(
+            layout.read_versioned(spark, idx), period
+        ).collect()
+        want = timeseries.ewma_anomaly(
+            read_parquet(spark, corpus), period_sec=period
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert len(got) > 0
+
+    t1.coalesce(1).write.mode("append").parquet(src)
+    sdf = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_ewma_alerts(sdf, corpus, idx, period_sec=period,
+                           checkpoint=ckpt)
+    check_consistent()
+
+    t2.coalesce(1).write.mode("append").parquet(src)
+    sdf2 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_ewma_alerts(sdf2, corpus, idx, period_sec=period,
+                           checkpoint=ckpt)
+    check_consistent()
+    assert read_parquet(spark, corpus).count() == events.count()
+    # the maintained index equals a from-scratch count of the corpus
+    got_counts = sorted(
+        map(tuple, layout.read_versioned(spark, idx).collect())
+    )
+    want_counts = sorted(
+        map(
+            tuple,
+            timeseries.key_period_counts(
+                read_parquet(spark, corpus), period
+            ).collect(),
+        )
+    )
+    assert got_counts == want_counts
+    # a naive re-merge of tranche 2 WOULD drift (SUM is non-idempotent)
+    # — which is exactly why the replay gate exists
+    doubled = (
+        layout.read_versioned(spark, idx)
+        .unionByName(timeseries.key_period_counts(t2, period))
+        .groupBy("key", "period")
+        .agg(F.sum("n").alias("n"))
+    )
+    assert sorted(map(tuple, doubled.collect())) != got_counts
+
+    # idle re-drain: no new files -> no pointer movement on either root
+    vc = layout.read_manifest(corpus)["version"]
+    vs = layout.read_manifest(idx)["version"]
+    sdf3 = spark.readStream.schema(events.schema).parquet(src)
+    drain_with_ewma_alerts(sdf3, corpus, idx, period_sec=period,
+                           checkpoint=ckpt)
+    assert layout.read_manifest(corpus)["version"] == vc
+    assert layout.read_manifest(idx)["version"] == vs
