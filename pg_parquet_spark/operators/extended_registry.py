@@ -946,6 +946,26 @@ _KANON_QI_SQL = [
 ]
 
 
+_IV_SQL = (
+    "SELECT user_id AS key, CAST(FLOOR(epoch(ts)) AS BIGINT) AS start_sec, "
+    "CAST(FLOOR(epoch(ts)) AS BIGINT) + 900 AS end_sec FROM events"
+)
+
+
+def x_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval-union coverage of 15-minute attention windows
+    (r14 — interval algebra: overlapping windows must not
+    double-count)."""
+    from pg_parquet_spark.operators import timeseries
+
+    iv = table(spark, sf_dir, "events").selectExpr(
+        "user_id AS key",
+        "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS start_sec",
+        "CAST(CAST(ts AS TIMESTAMP) AS LONG) + 900 AS end_sec",
+    )
+    return timeseries.interval_union_seconds(iv, "key", "start_sec", "end_sec")
+
+
 def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention survival over 6-hour periods (r14 — the
     censoring-aware lifetime curve; truncation-exact packed-integer
@@ -1109,6 +1129,7 @@ EXTENDED_QUERIES = {
     "x_kcore": x_kcore,
     "x_quantile_norm": x_quantile_norm,
     "x_kaplan_meier": x_kaplan_meier,
+    "x_interval_union": x_interval_union,
 }
 
 
@@ -1329,4 +1350,5 @@ def extended_oracles() -> dict[str, str]:
             "n_chars", "source", "doc_id"
         ),
         "x_kaplan_meier": timeseries.kaplan_meier_oracle_sql(period_sec=21600),
+        "x_interval_union": timeseries.interval_union_oracle_sql(_IV_SQL),
     }

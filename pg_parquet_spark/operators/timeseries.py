@@ -2046,3 +2046,95 @@ SELECT age, n_risk, n_deaths,
 FROM rows_, arr
 ORDER BY age
 """
+
+
+def interval_union_seconds(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_sec",
+    end_col: str = "end_sec",
+) -> DataFrame:
+    """Exact per-key interval-UNION length (r14 — interval algebra,
+    the machinery behind "time actually spent": overlapping sessions,
+    incident windows, ad exposures must not double-count). For each
+    key, the total length of the union of its [start, end) intervals,
+    plus how many merged spans the union collapses to.
+
+    The classic sweep without a sweep: order each key's intervals by
+    (start, end) and let runmax = the running MAX of previous ends;
+    an interval contributes max(0, end − max(start, runmax)) seconds
+    and opens a new span iff start > runmax (NULL runmax = first
+    interval opens the first span). One key-partitioned window + one
+    key aggregate — both shuffles on the key, state bounded per key
+    partition, all integer seconds.
+
+    Zero/negative-length intervals (end ≤ start) contribute nothing
+    but still count in n_intervals; NULL key/start/end rows drop.
+    Returns (key, n_intervals, n_spans, covered_sec) ordered by key."""
+    from pyspark.sql import Window
+
+    for c in (key_col, start_col, end_col):
+        if c not in intervals.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    base = intervals.filter(
+        F.col(key_col).isNotNull()
+        & F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = base.withColumn("_rm", F.max("_e").over(w)).select(
+        "key",
+        F.greatest(
+            F.lit(0),
+            F.col("_e") - F.greatest("_s", F.coalesce("_rm", F.col("_s"))),
+        ).alias("_add"),
+        (
+            (F.col("_rm").isNull() | (F.col("_s") > F.col("_rm")))
+            & (F.col("_e") > F.col("_s"))
+        ).cast("long").alias("_open"),
+    )
+    return (
+        marked.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("_open").alias("n_spans"),
+            F.sum("_add").alias("covered_sec"),
+        )
+        .orderBy("key")
+    )
+
+
+def interval_union_oracle_sql(
+    intervals_sql: str,
+) -> str:
+    """DuckDB replica of the running-max sweep; ``intervals_sql``
+    produces (key, start_sec, end_sec)."""
+    return f"""
+WITH base AS (
+  SELECT key, CAST(start_sec AS BIGINT) AS s, CAST(end_sec AS BIGINT) AS e
+  FROM ({intervals_sql})
+  WHERE key IS NOT NULL AND start_sec IS NOT NULL AND end_sec IS NOT NULL
+), marked AS (
+  SELECT key,
+         GREATEST(0, e - GREATEST(s, COALESCE(rm, s))) AS add_,
+         CAST(((rm IS NULL OR s > rm) AND e > s) AS BIGINT) AS open_
+  FROM (
+    SELECT key, s, e,
+           MAX(e) OVER (PARTITION BY key ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+    FROM base
+  )
+)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(open_) AS BIGINT) AS n_spans,
+       CAST(SUM(add_) AS BIGINT) AS covered_sec
+FROM marked GROUP BY key ORDER BY key
+"""

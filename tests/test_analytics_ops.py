@@ -1772,3 +1772,70 @@ def test_kaplan_meier_matches_oracle(spark):
     assert got["survival_ppm"].is_monotonic_decreasing
     assert (got["n_deaths"] > 0).all()
     assert (got["n_risk"] >= got["n_deaths"]).all()
+
+
+def test_interval_union_planted_overlaps(spark):
+    """Interval union (r14): overlap merging, containment, adjacency,
+    zero/negative-length and NULL handling — all hand-checked."""
+    from pg_parquet_spark.operators import timeseries
+
+    rows = [
+        # key 1: [0,10)+[5,15) merge -> 15; [20,25) separate -> +5
+        (1, 0, 10), (1, 5, 15), (1, 20, 25),
+        # key 2: containment -> one 100s span
+        (2, 0, 100), (2, 10, 20),
+        # key 3: adjacency [0,10)+[10,20) merges into ONE span (end is
+        # exclusive; touching intervals have no gap)
+        (3, 0, 10), (3, 10, 20),
+        # key 4: zero- and negative-length contribute nothing
+        (4, 30, 30), (4, 50, 40), (4, 60, 61),
+        # NULLs drop
+        (None, 0, 5), (5, None, 5), (5, 0, None),
+    ]
+    df = spark.createDataFrame(rows, "u long, s long, e long")
+    got = {
+        r.key: (r.n_intervals, r.n_spans, r.covered_sec)
+        for r in timeseries.interval_union_seconds(df, "u", "s", "e").collect()
+    }
+    assert got == {
+        1: (3, 2, 20),
+        2: (2, 1, 100),
+        3: (2, 1, 20),
+        4: (3, 1, 1),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in frame"):
+        timeseries.interval_union_seconds(df, "u", "s", "missing")
+
+
+def test_interval_union_matches_oracle(spark):
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    iv = table(spark, sf, "events").selectExpr(
+        "user_id AS key",
+        "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS start_sec",
+        "CAST(CAST(ts AS TIMESTAMP) AS LONG) + 900 AS end_sec",
+    )
+    got = timeseries.interval_union_seconds(
+        iv, "key", "start_sec", "end_sec"
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(timeseries.interval_union_oracle_sql(
+        "SELECT user_id AS key, CAST(FLOOR(epoch(ts)) AS BIGINT) AS start_sec, "
+        "CAST(FLOOR(epoch(ts)) AS BIGINT) + 900 AS end_sec FROM events"
+    )).df()
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert list(got[col]) == list(want[col]), col
+    # unions never exceed the naive sum and spans never exceed intervals
+    assert (got["covered_sec"] <= got["n_intervals"] * 900).all()
+    assert (got["n_spans"] <= got["n_intervals"]).all()
