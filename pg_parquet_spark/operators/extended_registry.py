@@ -966,6 +966,16 @@ def x_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.interval_union_seconds(iv, "key", "start_sec", "end_sec")
 
 
+def x_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast over 6-hour buckets (r14 — the
+    level+trend companion of x_ewma; truncation-exact packed fold)."""
+    from pg_parquet_spark.operators import timeseries
+
+    return timeseries.holt_forecast(
+        table(spark, sf_dir, "events"), period_sec=21600
+    )
+
+
 def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention survival over 6-hour periods (r14 — the
     censoring-aware lifetime curve; truncation-exact packed-integer
@@ -1130,6 +1140,7 @@ EXTENDED_QUERIES = {
     "x_quantile_norm": x_quantile_norm,
     "x_kaplan_meier": x_kaplan_meier,
     "x_interval_union": x_interval_union,
+    "x_holt": x_holt,
 }
 
 
@@ -1351,4 +1362,5 @@ def extended_oracles() -> dict[str, str]:
         ),
         "x_kaplan_meier": timeseries.kaplan_meier_oracle_sql(period_sec=21600),
         "x_interval_union": timeseries.interval_union_oracle_sql(_IV_SQL),
+        "x_holt": timeseries.holt_forecast_oracle_sql(period_sec=21600),
     }

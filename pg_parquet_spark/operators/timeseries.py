@@ -2138,3 +2138,174 @@ SELECT key, CAST(COUNT(*) AS BIGINT) AS n_intervals,
        CAST(SUM(add_) AS BIGINT) AS covered_sec
 FROM marked GROUP BY key ORDER BY key
 """
+
+
+def holt_forecast(
+    events: DataFrame,
+    period_sec: int = 21600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Holt linear-trend smoothing over per-(key, period) counts (r14
+    — the forecasting step :func:`ewma_anomaly` stops short of: EWMA
+    tracks LEVEL only, so a steady ramp is forever "anomalous"; Holt
+    carries an explicit trend term and the one-step-ahead forecast
+    level+trend). Fixed α=β=1/2 keeps every update a halving:
+
+        l_t = (1000·x_t + l_{t−1} + t_{t−1}) div 2
+        t_t = ((l_t − l_{t−1}) + t_{t−1}) div 2,  l_1 = 1000·x_1, t_1 = 0
+
+    in integer MILLI with truncation at every step — both engines
+    evaluate the IDENTICAL packed-integer fold (aggregate() /
+    list_reduce(); trends go negative, and Spark ``div`` and DuckDB
+    ``//`` both truncate toward zero, so even that agrees). Gaps are
+    zero-filled on the dense per-key grid first (a silent period IS
+    zero traffic and must pull the trend down).
+
+    Returns (key, period_epoch, n_events, level_milli, trend_milli,
+    forecast_next_milli) ordered — forecast_next is the t+1
+    prediction made AT t. Counts above 2^30/1000 per period raise
+    (packed-lane guard) rather than corrupt.
+
+    Scale shape: the counts aggregate is the only data-sized shuffle;
+    the per-key series array is wall-clock-bounded, broadcast back,
+    and each row folds its own prefix (O(k²) on k = periods — the
+    Kaplan-Meier precedent)."""
+    if period_sec <= 0:
+        raise ValueError(f"period_sec must be positive, got {period_sec}")
+    from pyspark.sql import Window
+
+    OFF = 1 << 30
+    LANE = 1 << 31
+    per = key_period_counts(events, period_sec, key_col, ts_col)
+    grid = (
+        per.groupBy("key")
+        .agg(F.min("period").alias("_lo"), F.max("period").alias("_hi"))
+        .select(
+            "key",
+            F.col("_lo"),
+            F.explode(F.expr("sequence(_lo, _hi)")).alias("_p"),
+        )
+    )
+    filled = grid.join(
+        per.withColumnRenamed("period", "_p"), ["key", "_p"], "left"
+    ).select(
+        "key",
+        "_lo",
+        "_p",
+        F.coalesce("n", F.lit(0)).alias("_x"),
+    )
+    # packed per-key series: (relative period) in the high lane so
+    # sort_array orders by time, the count in the low lane
+    packed = filled.select(
+        "key",
+        "_p",
+        "_x",
+        F.expr(
+            f"IF(_x >= 0 AND _x * 1000 < {OFF} AND _p - _lo < {LANE}, "
+            f"(_p - _lo) * {LANE} + _x, "
+            "raise_error('holt_forecast: more than 2^30/1000 events in "
+            "one period — the packed fold lane would overflow'))"
+        ).alias("_e"),
+    )
+    arr = packed.groupBy("key").agg(
+        F.sort_array(F.collect_list("_e")).alias("_arr")
+    )
+    w = Window.partitionBy("key").orderBy("_p")
+    # the fold: acc = (l + OFF)*LANE + (t + OFF); element count = e % LANE
+    L = f"(acc div {LANE} - {OFF})"
+    T = f"(acc % {LANE} - {OFF})"
+    NL = f"(((e % {LANE}) * 1000 + {L} + {T}) div 2)"
+    step = (
+        f"(acc, e) -> (({NL} + {OFF}) * {LANE} + "
+        f"((({NL} - {L}) + {T}) div 2 + {OFF}))"
+    )
+    init = (
+        f"((element_at(_arr, 1) % {LANE}) * 1000 + {OFF}) * {LANE} + {OFF}"
+    )
+    return (
+        packed.withColumn("_idx", F.row_number().over(w))
+        .join(arr, "key")
+        .select(
+            "key",
+            (F.col("_p") * period_sec).alias("period_epoch"),
+            F.col("_x").alias("n_events"),
+            F.expr(
+                f"aggregate(slice(_arr, 2, _idx - 1), "
+                f"CAST(({init}) AS BIGINT), {step})"
+            ).alias("_acc"),
+        )
+        .select(
+            "key",
+            "period_epoch",
+            "n_events",
+            F.expr(f"_acc div {LANE} - {OFF}").alias("level_milli"),
+            F.expr(f"_acc % {LANE} - {OFF}").alias("trend_milli"),
+            F.expr(
+                f"(_acc div {LANE} - {OFF}) + (_acc % {LANE} - {OFF})"
+            ).alias("forecast_next_milli"),
+        )
+        .orderBy("key", "period_epoch")
+    )
+
+
+def holt_forecast_oracle_sql(
+    period_sec: int = 21600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    table: str = "events",
+) -> str:
+    """DuckDB replica: identical zero-filled grid, identical packed
+    lanes, identical truncating fold via list_reduce."""
+    OFF = 1 << 30
+    LANE = 1 << 31
+    L = f"(acc // {LANE} - {OFF})"
+    T = f"(acc % {LANE} - {OFF})"
+    NL = f"(((e % {LANE}) * 1000 + {L} + {T}) // 2)"
+    step = (
+        f"(acc, e) -> (({NL} + {OFF}) * {LANE} + "
+        f"((({NL} - {L}) + {T}) // 2 + {OFF}))"
+    )
+    return f"""
+WITH per AS (
+  SELECT {key_col} AS key,
+         CAST(FLOOR(epoch({ts_col})) AS BIGINT) // {int(period_sec)} AS p,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1, 2
+), spans AS (
+  SELECT key, MIN(p) AS lo, MAX(p) AS hi FROM per GROUP BY key
+), grid AS (
+  SELECT key, lo, UNNEST(generate_series(lo, hi)) AS p FROM spans
+), filled AS (
+  SELECT grid.key, grid.lo, grid.p, COALESCE(per.x, 0) AS x
+  FROM grid LEFT JOIN per ON grid.key = per.key AND grid.p = per.p
+), packed AS (
+  SELECT key, p, x,
+         CASE WHEN x >= 0 AND x * 1000 < {OFF} AND p - lo < {LANE}
+              THEN (p - lo) * {LANE} + x
+              ELSE CAST(error('holt oracle: lane overflow') AS BIGINT)
+         END AS e,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY p) AS idx
+  FROM filled
+), arrs AS (
+  SELECT key, list_sort(list(e)) AS arr FROM packed GROUP BY key
+), folded AS (
+  SELECT p.key, p.p, p.x,
+         list_reduce(
+           list_prepend(
+             CAST(((arr[1] % {LANE}) * 1000 + {OFF}) * {LANE} + {OFF}
+                  AS BIGINT),
+             arr[2:p.idx]),
+           {step}) AS acc
+  FROM packed p JOIN arrs a USING (key)
+)
+SELECT key, p * {int(period_sec)} AS period_epoch, x AS n_events,
+       acc // {LANE} - {OFF} AS level_milli,
+       acc % {LANE} - {OFF} AS trend_milli,
+       (acc // {LANE} - {OFF}) + (acc % {LANE} - {OFF})
+         AS forecast_next_milli
+FROM folded
+ORDER BY key, period_epoch
+"""

@@ -1839,3 +1839,79 @@ def test_interval_union_matches_oracle(spark):
     # unions never exceed the naive sum and spans never exceed intervals
     assert (got["covered_sec"] <= got["n_intervals"] * 900).all()
     assert (got["n_spans"] <= got["n_intervals"]).all()
+
+
+def test_holt_forecast_hand_computed_and_ramp(spark):
+    """Holt (r14): hand-checked level/trend halvings on a tiny series,
+    a perfect linear ramp converges to its slope (forecast tracks,
+    EWMA would lag forever), and a zero-filled interior gap pulls the
+    trend negative."""
+    from pg_parquet_spark.operators import timeseries
+
+    # series 1, 1, 2, 2 at periods 0..3 of 10s
+    rows = []
+    eid = 0
+    for p, n in [(0, 1), (1, 1), (2, 2), (3, 2)]:
+        for _ in range(n):
+            rows.append((eid, p * 10 + 1, "a")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, event_type string"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type")
+    got = timeseries.holt_forecast(df, period_sec=10).collect()
+    assert [(r.level_milli, r.trend_milli, r.forecast_next_milli)
+            for r in got] == [
+        (1000, 0, 1000),
+        (1000, 0, 1000),        # (2000+1000+0)/2? no: x=1 -> stays
+        (1500, 250, 1750),
+        (1875, 312, 2187),
+    ]
+
+    # linear ramp 1..12: trend approaches 1000 milli/period and the
+    # forecast error shrinks to < one event
+    ramp = []
+    eid = 0
+    for p in range(12):
+        for _ in range(p + 1):
+            ramp.append((eid, p * 10 + 1, "a")); eid += 1
+    rdf = spark.createDataFrame(
+        ramp, "event_id long, sec long, event_type string"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type")
+    rows2 = timeseries.holt_forecast(rdf, period_sec=10).collect()
+    last = rows2[-1]
+    assert abs(last.trend_milli - 1000) <= 120
+    assert abs(last.forecast_next_milli - 13000) <= 250
+
+    # interior silence drags trend negative
+    gap = [(0, 1, "a"), (1, 2, "a"), (2, 11, "a"), (3, 31, "a")]
+    gdf = spark.createDataFrame(
+        gap, "event_id long, sec long, event_type string"
+    ).selectExpr("event_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type")
+    rows3 = timeseries.holt_forecast(gdf, period_sec=10).collect()
+    assert rows3[2].n_events == 0 and rows3[2].trend_milli < 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period_sec"):
+        timeseries.holt_forecast(df, period_sec=0)
+
+
+def test_holt_forecast_matches_oracle(spark):
+    import duckdb
+
+    from pg_parquet_spark.operators import timeseries
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.001"
+    got = timeseries.holt_forecast(
+        table(spark, sf, "events"), period_sec=21600
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(
+        timeseries.holt_forecast_oracle_sql(period_sec=21600)
+    ).df()
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert list(got[col]) == list(want[col]), col
