@@ -457,6 +457,17 @@ def test_r14_third_wave_batch_plan_invariants(spark):
         "kaplan_meier": _plan(
             timeseries.kaplan_meier_retention(ev, period_sec=21600)
         ),
+        "interval_union": _plan(
+            timeseries.interval_union_seconds(
+                ev.selectExpr(
+                    "user_id AS key",
+                    "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS start_sec",
+                    "CAST(CAST(ts AS TIMESTAMP) AS LONG) + 900 AS end_sec",
+                ),
+                "key", "start_sec", "end_sec",
+            )
+        ),
+        "holt": _plan(timeseries.holt_forecast(ev, period_sec=21600)),
     }
     # 1-row bounds/array frames ride broadcast crossJoins by design
     one_row_cross = {"kaplan_meier", "quantile_norm"}
