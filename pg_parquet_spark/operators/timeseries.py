@@ -2060,17 +2060,23 @@ def interval_union_seconds(
     key, the total length of the union of its [start, end) intervals,
     plus how many merged spans the union collapses to.
 
-    The classic sweep without a sweep: order each key's intervals by
-    (start, end) and let runmax = the running MAX of previous ends;
-    an interval contributes max(0, end − max(start, runmax)) seconds
-    and opens a new span iff start > runmax (NULL runmax = first
-    interval opens the first span). One key-partitioned window + one
-    key aggregate — both shuffles on the key, state bounded per key
-    partition, all integer seconds.
+    The classic sweep without a sweep: order each key's POSITIVE
+    intervals by (start, end) and let runmax = the running MAX of
+    previous ends; an interval contributes
+    max(0, end − max(start, runmax)) seconds and opens a new span iff
+    start > runmax (NULL runmax = first interval opens the first
+    span). One key-partitioned window + one key aggregate — both
+    shuffles on the key, state bounded per key partition, all integer
+    seconds.
 
-    Zero/negative-length intervals (end ≤ start) contribute nothing
-    but still count in n_intervals; NULL key/start/end rows drop.
-    Returns (key, n_intervals, n_spans, covered_sec) ordered by key."""
+    Zero/negative-length intervals (end ≤ start) count in
+    n_intervals but are EXCLUDED from the sweep entirely — they add
+    no coverage, and letting them into the running max would let a
+    degenerate [8,8) "bridge" a real gap or suppress a span-open flag
+    (found in review, r14: coverage stayed exact but n_spans
+    undercounted). A key with only degenerate intervals reports
+    (n, 0, 0). NULL key/start/end rows drop. Returns (key,
+    n_intervals, n_spans, covered_sec) ordered by key."""
     from pyspark.sql import Window
 
     for c in (key_col, start_col, end_col):
@@ -2085,28 +2091,39 @@ def interval_union_seconds(
         F.col(start_col).cast("long").alias("_s"),
         F.col(end_col).cast("long").alias("_e"),
     )
+    counts = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_intervals")
+    )
+    pos = base.filter(F.col("_e") > F.col("_s"))
     w = (
         Window.partitionBy("key")
         .orderBy("_s", "_e")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    marked = base.withColumn("_rm", F.max("_e").over(w)).select(
+    marked = pos.withColumn("_rm", F.max("_e").over(w)).select(
         "key",
-        F.greatest(
-            F.lit(0),
-            F.col("_e") - F.greatest("_s", F.coalesce("_rm", F.col("_s"))),
-        ).alias("_add"),
         (
-            (F.col("_rm").isNull() | (F.col("_s") > F.col("_rm")))
-            & (F.col("_e") > F.col("_s"))
-        ).cast("long").alias("_open"),
+            F.col("_e") - F.greatest("_s", F.coalesce("_rm", F.col("_s")))
+        ).alias("_raw"),
+        (F.col("_rm").isNull() | (F.col("_s") > F.col("_rm")))
+        .cast("long")
+        .alias("_open"),
+    ).select(
+        "key",
+        F.greatest(F.lit(0), F.col("_raw")).alias("_add"),
+        "_open",
+    )
+    swept = marked.groupBy("key").agg(
+        F.sum("_open").alias("n_spans"),
+        F.sum("_add").alias("covered_sec"),
     )
     return (
-        marked.groupBy("key")
-        .agg(
-            F.count(F.lit(1)).alias("n_intervals"),
-            F.sum("_open").alias("n_spans"),
-            F.sum("_add").alias("covered_sec"),
+        counts.join(swept, "key", "left")
+        .select(
+            "key",
+            "n_intervals",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("covered_sec", F.lit(0)).alias("covered_sec"),
         )
         .orderBy("key")
     )
@@ -2122,21 +2139,29 @@ WITH base AS (
   SELECT key, CAST(start_sec AS BIGINT) AS s, CAST(end_sec AS BIGINT) AS e
   FROM ({intervals_sql})
   WHERE key IS NOT NULL AND start_sec IS NOT NULL AND end_sec IS NOT NULL
+), counts AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM base GROUP BY key
 ), marked AS (
   SELECT key,
          GREATEST(0, e - GREATEST(s, COALESCE(rm, s))) AS add_,
-         CAST(((rm IS NULL OR s > rm) AND e > s) AS BIGINT) AS open_
+         CAST((rm IS NULL OR s > rm) AS BIGINT) AS open_
   FROM (
     SELECT key, s, e,
            MAX(e) OVER (PARTITION BY key ORDER BY s, e
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
-    FROM base
+    FROM base WHERE e > s
   )
+), swept AS (
+  SELECT key, CAST(SUM(open_) AS BIGINT) AS n_spans,
+         CAST(SUM(add_) AS BIGINT) AS covered_sec
+  FROM marked GROUP BY key
 )
-SELECT key, CAST(COUNT(*) AS BIGINT) AS n_intervals,
-       CAST(SUM(open_) AS BIGINT) AS n_spans,
-       CAST(SUM(add_) AS BIGINT) AS covered_sec
-FROM marked GROUP BY key ORDER BY key
+SELECT c.key, c.n_intervals,
+       COALESCE(s.n_spans, 0) AS n_spans,
+       COALESCE(s.covered_sec, 0) AS covered_sec
+FROM counts c LEFT JOIN swept s ON c.key = s.key
+ORDER BY c.key
 """
 
 

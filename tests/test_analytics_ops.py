@@ -1789,6 +1789,14 @@ def test_interval_union_planted_overlaps(spark):
         (3, 0, 10), (3, 10, 20),
         # key 4: zero- and negative-length contribute nothing
         (4, 30, 30), (4, 50, 40), (4, 60, 61),
+        # key 6: a zero-length interval at the same start must NOT
+        # suppress the real interval's span-open (review, r14)
+        (6, 0, 0), (6, 0, 5),
+        # key 7: a degenerate [8,8) must NOT bridge the [0,5)..[8,9)
+        # gap (review, r14) — two spans, not one
+        (7, 0, 5), (7, 8, 8), (7, 8, 9),
+        # key 8: only degenerate intervals -> counted, zero coverage
+        (8, 1, 1),
         # NULLs drop
         (None, 0, 5), (5, None, 5), (5, 0, None),
     ]
@@ -1802,6 +1810,9 @@ def test_interval_union_planted_overlaps(spark):
         2: (2, 1, 100),
         3: (2, 1, 20),
         4: (3, 1, 1),
+        6: (2, 1, 5),
+        7: (3, 2, 6),
+        8: (1, 0, 0),
     }
 
     import pytest as _pytest
