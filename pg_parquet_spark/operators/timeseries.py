@@ -1917,23 +1917,26 @@ def kaplan_meier_retention(
     survival_ppm) ascending, where survival_ppm is the KM product
     Π (n_risk−d)/n_risk in integer ppm with TRUNCATION AT EVERY STEP —
     the recurrence S_i = (S_{i−1}·(n_i−d_i)) div n_i is evaluated by
-    the identical packed-integer left fold in both engines
-    (aggregate() in Spark, list_reduce() in DuckDB), so there is no
-    float anywhere and no libm to disagree. All-censored data (single
-    observed period) yields zero rows in both engines.
+    the identical struct-array index fold in both engines
+    (aggregate() over sequence() in Spark, list_reduce() over range()
+    in DuckDB — both sort the (age, n, s) struct array by its first
+    field), so there is no float anywhere and no libm to disagree.
+    All-censored data (single observed period) yields zero rows in
+    both engines.
 
     Scale shape: one user-keyed (first, last) aggregate, a 1-row
     bounds frame for T, an ages-sized aggregate + ordered window
     (ages are wall-clock-bounded — the time axis does not grow with
     data volume), and the per-row prefix fold over the broadcast
     death-age array (O(k²) on k = death ages, bounded by the axis).
-    Packing guards raise loudly past 2^21 users at risk or 2^21
-    periods rather than corrupting the fold."""
+    Risk sets are plain BIGINTs in the struct lanes (review, r14: the
+    first cut packed (age, n, s) into one int64, capping n_risk at
+    2^21 ≈ 2M users — far under real fleets); the only bound left is
+    ppm·n_risk < 2^63, guarded loudly at n_risk ≥ 2^43."""
     if period_sec <= 0:
         raise ValueError(f"period_sec must be positive, got {period_sec}")
     from pyspark.sql import Window
 
-    B = 1 << 21
     per_user = (
         events.filter(
             F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
@@ -1971,15 +1974,18 @@ def kaplan_meier_retention(
         "age", "n_risk"
     )
     rows = deaths.join(at_risk, "age").select("age", "n_risk", "n_deaths")
-    packed = rows.select(
+    guarded_n = (
+        f"IF(n_risk < {1 << 43}, n_risk, "
+        "raise_error('kaplan_meier_retention: risk set >= 2^43 — "
+        "ppm * n_risk would overflow the fold'))"
+    )
+    structs = rows.select(
         F.expr(
-            f"IF(age >= 0 AND age < {B} AND n_risk < {B}, "
-            f"age * {1 << 42} + n_risk * {B} + (n_risk - n_deaths), "
-            "raise_error('kaplan_meier_retention: age or risk set "
-            f"exceeds 2^21 — the packed fold would corrupt'))"
+            f"named_struct('age', age, 'n', CAST({guarded_n} AS BIGINT), "
+            "'s', CAST(n_risk - n_deaths AS BIGINT))"
         ).alias("_e")
     )
-    arr = packed.agg(F.sort_array(F.collect_list("_e")).alias("_arr"))
+    arr = structs.agg(F.sort_array(F.collect_list("_e")).alias("_arr"))
     w_asc = Window.orderBy("age")
     return (
         rows.withColumn("_idx", F.row_number().over(w_asc))
@@ -1989,8 +1995,10 @@ def kaplan_meier_retention(
             "n_risk",
             "n_deaths",
             F.expr(
-                f"aggregate(slice(_arr, 1, _idx), CAST(1000000 AS BIGINT), "
-                f"(acc, e) -> (acc * (e % {B})) div ((e div {B}) % {B}))"
+                "aggregate(sequence(1L, CAST(_idx AS LONG)), "
+                "CAST(1000000 AS BIGINT), "
+                "(acc, i) -> (acc * element_at(_arr, CAST(i AS INT)).s) "
+                "div element_at(_arr, CAST(i AS INT)).n)"
             ).alias("survival_ppm"),
         )
         .orderBy("age")
@@ -2004,9 +2012,8 @@ def kaplan_meier_oracle_sql(
     table: str = "events",
 ) -> str:
     """DuckDB replica: identical per-user lifetimes, censoring rule,
-    reverse-cumulative risk sets, and the SAME packed-integer
-    truncating fold (list_reduce with a prepended ppm seed)."""
-    B = 1 << 21
+    reverse-cumulative risk sets, and the SAME struct-array index
+    fold (list_reduce over range() with a prepended ppm seed)."""
     return f"""
 WITH per_user AS (
   SELECT {user_col} AS u,
@@ -2034,14 +2041,18 @@ WITH per_user AS (
   FROM deaths d JOIN at_risk r USING (age)
 ), arr AS (
   SELECT list_sort(list(
-           age * {1 << 42} + n_risk * {B} + (n_risk - n_deaths)
+           {{'age': age,
+             'n': CASE WHEN n_risk < {1 << 43} THEN n_risk
+                  ELSE CAST(error('kaplan_meier oracle: risk set >= 2^43')
+                       AS BIGINT) END,
+             's': n_risk - n_deaths}}
          )) AS a
   FROM rows_
 )
 SELECT age, n_risk, n_deaths,
        list_reduce(
-         list_prepend(CAST(1000000 AS BIGINT), a[1:idx]),
-         (acc, e) -> (acc * (e % {B})) // ((e // {B}) % {B})
+         list_prepend(CAST(1000000 AS BIGINT), range(1, idx + 1)),
+         (acc, i) -> (acc * a[i].s) // a[i].n
        ) AS survival_ppm
 FROM rows_, arr
 ORDER BY age
