@@ -1400,17 +1400,22 @@ def quantile_normalize(
             "_id",
             "_g",
             "_v",
+            # DECIMAL(38,0) carrier: (2r−1)·N tops int64 near N ≈ 2·10⁹
+            # rows — a pool size a 100 TB corpus exceeds (the gini/cuped
+            # widening rule); the midpoint identity is unchanged
             (
-                ((2 * (F.col("_gk") - F.col("_off") + 1) - 1) * F.col("_n"))
-                .cast("long")
+                (2 * (F.col("_gk") - F.col("_off") + 1) - 1).cast(
+                    "decimal(38,0)"
+                )
+                * F.col("_n")
             ).alias("_num"),
-            (2 * F.col("_ng")).cast("long").alias("_den"),
+            (2 * F.col("_ng")).cast("decimal(38,0)").alias("_den"),
         )
         .select(
             "_id",
             "_g",
             "_v",
-            (F.expr("_num div _den") + 1).alias("_pos"),
+            (F.expr("_num div _den").cast("long") + 1).alias("_pos"),
         )
     )
     return (
@@ -1444,12 +1449,13 @@ WITH base AS (
   SELECT id, g, v,
          ROW_NUMBER() OVER (ORDER BY v, g, id) AS rk,
          ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) AS r,
-         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS ng,
-         CAST(COUNT(*) OVER () AS BIGINT) AS n
+         CAST(COUNT(*) OVER (PARTITION BY g) AS HUGEINT) AS ng,
+         CAST(COUNT(*) OVER () AS HUGEINT) AS n
   FROM base
 ), mapped AS (
   SELECT id, g, v,
-         ((2 * r - 1) * n) // (2 * ng) + 1 AS pos
+         CAST(((2 * CAST(r AS HUGEINT) - 1) * n) // (2 * ng)
+              AS BIGINT) + 1 AS pos
   FROM pooled
 )
 SELECT m.id AS {id_col}, m.g AS {group_col}, m.v AS {value_col},
