@@ -151,8 +151,10 @@ def grid_containment_join(
         "point_id",
         F.col("px").cast("long").alias("px"),
         F.col("py").cast("long").alias("py"),
-        F.expr(f"CAST(FLOOR(px / {cell}) AS LONG)").alias("_cx"),
-        F.expr(f"CAST(FLOOR(py / {cell}) AS LONG)").alias("_cy"),
+        # exact integer floor-div — a double FLOOR(x/cell) silently
+        # loses precision past 2^52 and would misplace cells (review)
+        F.expr(f"(px - pmod(px, {cell})) div {cell}").alias("_cx"),
+        F.expr(f"(py - pmod(py, {cell})) div {cell}").alias("_cy"),
     )
 
     r = rects.filter(
@@ -167,10 +169,11 @@ def grid_containment_join(
         F.col("xmax").cast("long").alias("xmax"),
         F.col("ymax").cast("long").alias("ymax"),
     )
+    fd = "(({0} - pmod({0}, " + str(cell) + ")) div " + str(cell) + ")"
     guard = (
         f"IF(GREATEST("
-        f"  FLOOR(xmax / {cell}) - FLOOR(xmin / {cell}),"
-        f"  FLOOR(ymax / {cell}) - FLOOR(ymin / {cell})"
+        f"  {fd.format('xmax')} - {fd.format('xmin')},"
+        f"  {fd.format('ymax')} - {fd.format('ymin')}"
         f") < {int(max_cells_per_axis)},"
         " 1L,"
         " raise_error(CONCAT('grid_containment_join: rectangle ', "
@@ -184,8 +187,8 @@ def grid_containment_join(
             "_cx",
             F.explode(
                 F.sequence(
-                    F.expr(f"CAST(FLOOR(xmin / {cell}) AS LONG) * _g"),
-                    F.expr(f"CAST(FLOOR(xmax / {cell}) AS LONG)"),
+                    F.expr(f"{fd.format('xmin')} * _g"),
+                    F.expr(fd.format("xmax")),
                 )
             ),
         )
@@ -193,8 +196,8 @@ def grid_containment_join(
             "_cy",
             F.explode(
                 F.sequence(
-                    F.expr(f"CAST(FLOOR(ymin / {cell}) AS LONG)"),
-                    F.expr(f"CAST(FLOOR(ymax / {cell}) AS LONG)"),
+                    F.expr(fd.format("ymin")),
+                    F.expr(fd.format("ymax")),
                 )
             ),
         )
