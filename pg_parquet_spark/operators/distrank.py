@@ -113,3 +113,57 @@ def distributed_running_max(
         .withColumn(out_col, F.greatest("_local_prev", "_prev_pmax"))
         .drop("_pid", "_local_prev", "_prev_pmax")
     )
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[OrderCol],
+    value_col: str,
+    out_col: str = "_cum",
+) -> DataFrame:
+    """``df`` + ``out_col`` = INCLUSIVE running sum of ``value_col``
+    over ``order_cols`` order (``rows between unbounded preceding and
+    current row``), without a single-task window — the prefix-sum twin
+    of :func:`distributed_running_max` (r14, built for the exact KS
+    statistic's cumulative counts).
+
+    ``order_cols`` must be a unique key per row for a deterministic
+    result. The per-partition totals fold exactly like
+    :func:`distributed_row_number`'s offsets, so sums must be
+    order-independent — integers/DECIMALs, the house arithmetic.
+    NULL values count as 0 (COALESCE on both the local window and the
+    partition totals)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = df.repartitionByRange(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = parts.withColumn(
+        "_lcum",
+        F.sum(F.coalesce(F.col(value_col), F.lit(0))).over(w_local),
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(
+            F.sum(F.coalesce(F.col(value_col), F.lit(0))).alias("_ptot")
+        )
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_ptot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_lcum"))
+        .drop("_pid", "_lcum", "_offset")
+    )

@@ -1493,3 +1493,135 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
             END AS BIGINT) AS suppression_ppm
 FROM grouped
 """
+
+
+def ks_test(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "value",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic (r14 — the
+    distribution-free drift test next to :func:`psi_table` (binned)
+    and :func:`chi2_stat` (categorical): KS needs NO binning choice,
+    so it catches shape drift PSI's ten quantile bins smear out).
+    Values are quantized to ``unit`` micro-steps first (exactness
+    contract: D is then a ratio of integers, identical on every
+    engine — and two samples differing only below the quantum
+    honestly report D = 0).
+
+    D = max over values v of |F_a(v) − F_b(v)| evaluated at distinct
+    quantized values with inclusive CDFs; reported as
+    (n_a, n_b, d_ppm, at_value_micro) — one row; d_ppm =
+    (max |cum_a·n_b − cum_b·n_a| · 10⁶) div (n_a·n_b) in
+    DECIMAL(38,0), and at_value_micro is the SMALLEST value attaining
+    the max (a deterministic tie rule, not an arbitrary argmax).
+    Empty inputs yield NULL d_ppm. NULL values drop.
+
+    Scale shape: per-value counts (one hash shuffle on the quantized
+    value), then :func:`distrank.distributed_running_sum` for BOTH
+    inclusive CDFs (range exchange + per-partition windows + broadcast
+    offsets — no single-task window over the distinct-values frame),
+    a 1-row max fold, and one broadcast-back filter for the argmin
+    value. The DuckDB oracle keeps the textbook single-window SQL:
+    equality IS the decomposition proof."""
+    if unit <= 0:
+        raise ValueError(f"unit must be positive, got {unit}")
+    from pg_parquet_spark.operators import distrank
+
+    def q(df, side):
+        return df.filter(F.col(value_col).isNotNull()).select(
+            F.floor(F.col(value_col).cast("double") * unit + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            F.lit(side).alias("_side"),
+        )
+
+    pooled = q(a, 1).unionByName(q(b, 0))
+    per_v = pooled.groupBy("v").agg(
+        F.sum("_side").alias("_ca"),
+        F.sum(1 - F.col("_side")).alias("_cb"),
+    )
+    cum = distrank.distributed_running_sum(per_v, ["v"], "_ca", "_cuma")
+    cum = distrank.distributed_running_sum(cum, ["v"], "_cb", "_cumb")
+    totals = per_v.agg(
+        F.sum("_ca").cast("decimal(38,0)").alias("_na"),
+        F.sum("_cb").cast("decimal(38,0)").alias("_nb"),
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "_na",
+        "_nb",
+        F.abs(
+            F.col("_cuma").cast("decimal(38,0)") * F.col("_nb")
+            - F.col("_cumb").cast("decimal(38,0)") * F.col("_na")
+        ).alias("_score"),
+    )
+    best = scored.agg(F.max("_score").alias("_ms"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .filter(F.col("_score") == F.col("_ms"))
+        .agg(
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
+            F.first("_ms").alias("_ms"),
+            F.min("v").alias("at_value_micro"),
+        )
+        .select(
+            F.col("_na").cast("long").alias("n_a"),
+            F.col("_nb").cast("long").alias("n_b"),
+            F.expr(
+                "CASE WHEN _na = 0 OR _nb = 0 THEN NULL "
+                "ELSE CAST((_ms * 1000000) div (_na * _nb) AS BIGINT) END"
+            ).alias("d_ppm"),
+            "at_value_micro",
+        )
+    )
+
+
+def ks_test_oracle_sql(
+    a_sql: str,
+    b_sql: str,
+    value_col: str = "value",
+    unit: int = 1_000_000,
+) -> str:
+    """DuckDB replica: single-window cumulative counts over the
+    distinct quantized values, identical integer score and tie rule.
+    ``a_sql``/``b_sql`` are SELECTs producing ``value_col``."""
+    return f"""
+WITH pooled AS (
+  SELECT CAST(FLOOR({value_col} * {unit} + 0.5) AS BIGINT) AS v,
+         1 AS side
+  FROM ({a_sql}) WHERE {value_col} IS NOT NULL
+  UNION ALL
+  SELECT CAST(FLOOR({value_col} * {unit} + 0.5) AS BIGINT) AS v,
+         0 AS side
+  FROM ({b_sql}) WHERE {value_col} IS NOT NULL
+), per_v AS (
+  SELECT v, CAST(SUM(side) AS BIGINT) AS ca,
+         CAST(SUM(1 - side) AS BIGINT) AS cb
+  FROM pooled GROUP BY v
+), cum AS (
+  SELECT v,
+         CAST(SUM(ca) OVER w AS HUGEINT) AS cuma,
+         CAST(SUM(cb) OVER w AS HUGEINT) AS cumb
+  FROM per_v
+  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+), totals AS (
+  SELECT CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb
+  FROM per_v
+), scored AS (
+  SELECT v, na, nb, ABS(cuma * nb - cumb * na) AS score
+  FROM cum, totals
+), best AS (
+  SELECT MAX(score) AS ms FROM scored
+)
+SELECT CAST(MIN(na) AS BIGINT) AS n_a,
+       CAST(MIN(nb) AS BIGINT) AS n_b,
+       CAST(CASE WHEN MIN(na) = 0 OR MIN(nb) = 0 THEN NULL
+            ELSE (MIN(ms) * 1000000) // (MIN(na) * MIN(nb)) END
+            AS BIGINT) AS d_ppm,
+       CAST(MIN(v) AS BIGINT) AS at_value_micro
+FROM scored, best
+WHERE score = ms
+"""

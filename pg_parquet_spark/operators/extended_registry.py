@@ -976,6 +976,19 @@ def x_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between view and purchase value
+    distributions (r14 — the binning-free drift test; CDFs via
+    distributed running sums)."""
+    from pg_parquet_spark.operators import drift
+
+    ev = table(spark, sf_dir, "events")
+    return drift.ks_test(
+        ev.filter("event_type = 'view'"),
+        ev.filter("event_type = 'purchase'"),
+    )
+
+
 def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention survival over 6-hour periods (r14 — the
     censoring-aware lifetime curve; truncation-exact packed-integer
@@ -1141,6 +1154,7 @@ EXTENDED_QUERIES = {
     "x_kaplan_meier": x_kaplan_meier,
     "x_interval_union": x_interval_union,
     "x_holt": x_holt,
+    "x_ks": x_ks,
 }
 
 
@@ -1363,4 +1377,8 @@ def extended_oracles() -> dict[str, str]:
         "x_kaplan_meier": timeseries.kaplan_meier_oracle_sql(period_sec=21600),
         "x_interval_union": timeseries.interval_union_oracle_sql(_IV_SQL),
         "x_holt": timeseries.holt_forecast_oracle_sql(period_sec=21600),
+        "x_ks": drift.ks_test_oracle_sql(
+            "SELECT value FROM events WHERE event_type = 'view'",
+            "SELECT value FROM events WHERE event_type = 'purchase'",
+        ),
     }

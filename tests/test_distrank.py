@@ -153,3 +153,34 @@ def test_flagged_operators_have_no_single_task_windows(spark, docs):
         _assert_no_single_task_window(p)
         assert "Exchange rangepartitioning" in p, name
         assert "CartesianProduct" not in p, name
+
+
+@pytest.mark.parametrize("parts", [1, 4, 32])
+def test_distributed_running_sum_partition_invariant(spark, parts):
+    """r14: the prefix-sum twin — bit-identical to the single-window
+    cumulative sum at any input partitioning; NULL values count 0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import distrank
+
+    rows = [(i, (i * 37) % 11 if i % 7 else None) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(parts)
+    got = (
+        distrank.distributed_running_sum(df, ["k"], "v", "cum")
+        .orderBy("k")
+        .collect()
+    )
+    want = (
+        df.withColumn(
+            "cum",
+            F.sum(F.coalesce("v", F.lit(0))).over(
+                Window.orderBy("k").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r.k, r.cum) for r in got] == [(r.k, r.cum) for r in want]

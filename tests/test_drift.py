@@ -738,3 +738,51 @@ def test_k_anonymity_matches_oracle(spark):
     assert (gs.n_rows, gs.n_groups, gs.n_risky_groups, gs.n_risky_rows,
             gs.suppression_ppm) == tuple(ws)
     assert 0 < gs.suppression_ppm < 1_000_000
+
+
+def test_ks_test_planted_and_ties(spark):
+    """KS (r14): hand-computed D on a 3v3 fixture, the smallest-value
+    tie rule, identical-sample zero, and the empty-input NULL row."""
+    from pg_parquet_spark.operators import drift
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "value double")
+    b = spark.createDataFrame([(3.0,), (4.0,), (5.0,)], "value double")
+    r = drift.ks_test(a, b, unit=1).collect()[0]
+    # D = 2/3 attained at v=2 and v=3; the rule picks the smallest
+    assert tuple(r) == (3, 3, 666666, 2)
+
+    same = drift.ks_test(a, a, unit=1).collect()[0]
+    assert same.d_ppm == 0
+
+    empty = a.filter("value > 100")
+    nul = drift.ks_test(empty, b, unit=1).collect()[0]
+    assert nul.d_ppm is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unit"):
+        drift.ks_test(a, b, unit=0)
+
+
+def test_ks_test_matches_oracle(spark):
+    import duckdb
+
+    from pg_parquet_spark.operators import drift
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.01"
+    ev = table(spark, sf, "events")
+    got = drift.ks_test(
+        ev.filter("event_type = 'view'"),
+        ev.filter("event_type = 'purchase'"),
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(drift.ks_test_oracle_sql(
+        "SELECT value FROM events WHERE event_type = 'view'",
+        "SELECT value FROM events WHERE event_type = 'purchase'",
+    )).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert 0 < got["d_ppm"][0] < 1_000_000
