@@ -1625,3 +1625,95 @@ SELECT CAST(MIN(na) AS BIGINT) AS n_a,
 FROM scored, best
 WHERE score = ms
 """
+
+
+def auc_report(
+    df: DataFrame,
+    score_col: str,
+    label_expr: str,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Exact ROC-AUC via the Mann-Whitney U rank identity (r14 — the
+    classifier-eval companion of :func:`ks_test`, sharing its
+    quantization contract and its distributed prefix-sum CDF): with
+    midranks for ties, 2·Σ(positive midranks) is the pure integer
+    Σ_s p_s·(2·cum_before_s + c_s + 1) over per-score counts, so
+    auc_ppm = (S₂ − n₊(n₊+1))·10⁶ div (2·n₊·n₋) — no float anywhere.
+    Scores quantize to ``unit`` micro-steps first (ties below the
+    quantum honestly become ties). Returns one row
+    (n_pos, n_neg, auc_ppm); degenerate label sets (no positives or
+    no negatives) report NULL auc_ppm. NULL scores/labels drop.
+
+    Scale shape: one hash shuffle into per-score (count, positives),
+    ONE :func:`distrank.distributed_running_sum` pass for the
+    cumulative, and a 1-row DECIMAL fold."""
+    if unit <= 0:
+        raise ValueError(f"unit must be positive, got {unit}")
+    from pg_parquet_spark.operators import distrank
+
+    base = df.select(
+        F.floor(F.col(score_col).cast("double") * unit + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        F.expr(label_expr).cast("boolean").alias("_y"),
+    ).filter(F.col("v").isNotNull() & F.col("_y").isNotNull())
+    per = base.groupBy("v").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.col("_y").cast("long")).alias("_p"),
+    )
+    cum = distrank.distributed_running_sum(per, ["v"], "_c", "_cum")
+    return cum.agg(
+        F.sum("_p").cast("decimal(38,0)").alias("_np"),
+        F.sum(F.col("_c") - F.col("_p")).cast("decimal(38,0)").alias("_nn"),
+        F.sum(
+            F.col("_p").cast("decimal(38,0)")
+            * (2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1)
+        ).alias("_s2"),
+    ).select(
+        F.col("_np").cast("long").alias("n_pos"),
+        F.col("_nn").cast("long").alias("n_neg"),
+        F.expr(
+            "CASE WHEN _np = 0 OR _nn = 0 THEN NULL "
+            "ELSE CAST(((_s2 - _np * (_np + 1)) * 1000000) "
+            "div (2 * _np * _nn) AS BIGINT) END"
+        ).alias("auc_ppm"),
+    )
+
+
+def auc_oracle_sql(
+    source_sql: str,
+    score_col: str,
+    label_sql: str,
+    unit: int = 1_000_000,
+) -> str:
+    """DuckDB replica: identical per-score counts, single-window
+    cumulative, identical integer U identity. ``label_sql`` is a
+    boolean expression over ``source_sql``'s columns."""
+    return f"""
+WITH base AS (
+  SELECT CAST(FLOOR({score_col} * {unit} + 0.5) AS BIGINT) AS v,
+         CAST(({label_sql}) AS BOOLEAN) AS y
+  FROM ({source_sql})
+  WHERE {score_col} IS NOT NULL AND ({label_sql}) IS NOT NULL
+), per AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS p
+  FROM base GROUP BY v
+), cum AS (
+  SELECT v, c, p,
+         CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS HUGEINT) AS cum
+  FROM per
+), m AS (
+  SELECT CAST(SUM(p) AS HUGEINT) AS np,
+         CAST(SUM(c - p) AS HUGEINT) AS nn,
+         CAST(SUM(CAST(p AS HUGEINT) * (2 * (cum - c) + c + 1))
+              AS HUGEINT) AS s2
+  FROM cum
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(CASE WHEN np = 0 OR nn = 0 THEN NULL
+            ELSE ((s2 - np * (np + 1)) * 1000000) // (2 * np * nn) END
+            AS BIGINT) AS auc_ppm
+FROM m
+"""

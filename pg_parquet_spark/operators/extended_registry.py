@@ -989,6 +989,15 @@ def x_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of doc length predicting English (r14 — the
+    Mann-Whitney rank identity over the same prefix-sum CDF as
+    x_ks)."""
+    from pg_parquet_spark.operators import drift
+
+    return drift.auc_report(_docs(spark, sf_dir), "n_chars", "lang = 'en'")
+
+
 def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention survival over 6-hour periods (r14 — the
     censoring-aware lifetime curve; truncation-exact packed-integer
@@ -1155,6 +1164,7 @@ EXTENDED_QUERIES = {
     "x_interval_union": x_interval_union,
     "x_holt": x_holt,
     "x_ks": x_ks,
+    "x_auc": x_auc,
 }
 
 
@@ -1380,5 +1390,8 @@ def extended_oracles() -> dict[str, str]:
         "x_ks": drift.ks_test_oracle_sql(
             "SELECT value FROM events WHERE event_type = 'view'",
             "SELECT value FROM events WHERE event_type = 'purchase'",
+        ),
+        "x_auc": drift.auc_oracle_sql(
+            "SELECT * FROM documents", "n_chars", "lang = 'en'"
         ),
     }

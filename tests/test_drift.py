@@ -786,3 +786,57 @@ def test_ks_test_matches_oracle(spark):
     )).df()
     assert got.values.tolist() == want.values.tolist()
     assert 0 < got["d_ppm"][0] < 1_000_000
+
+
+def test_auc_hand_computed_with_ties(spark):
+    """AUC (r14): the 2v2 fixture with one tied pair gives
+    U = 3.5 -> 875000 ppm; perfect separation 1e6; reversed 0;
+    degenerate labels NULL."""
+    from pg_parquet_spark.operators import drift
+
+    df = spark.createDataFrame(
+        [(2.0, True), (3.0, True), (1.0, False), (2.0, False)],
+        "s double, y boolean",
+    )
+    assert tuple(drift.auc_report(df, "s", "y", unit=1).collect()[0]) == (
+        2, 2, 875_000,
+    )
+    perfect = spark.createDataFrame(
+        [(5.0, True), (6.0, True), (1.0, False)], "s double, y boolean"
+    )
+    assert drift.auc_report(perfect, "s", "y").collect()[0].auc_ppm == 1_000_000
+    reverse = spark.createDataFrame(
+        [(0.0, True), (9.0, False)], "s double, y boolean"
+    )
+    assert drift.auc_report(reverse, "s", "y").collect()[0].auc_ppm == 0
+    onesided = spark.createDataFrame(
+        [(1.0, True), (2.0, True)], "s double, y boolean"
+    )
+    assert drift.auc_report(onesided, "s", "y").collect()[0].auc_ppm is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unit"):
+        drift.auc_report(df, "s", "y", unit=0)
+
+
+def test_auc_matches_oracle(spark):
+    import duckdb
+
+    from pg_parquet_spark.operators import drift
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.01"
+    got = drift.auc_report(
+        table(spark, sf, "documents"), "n_chars", "lang = 'en'"
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        drift.auc_oracle_sql("SELECT * FROM documents", "n_chars",
+                             "lang = 'en'")
+    ).df()
+    assert got.values.tolist() == want.values.tolist()
