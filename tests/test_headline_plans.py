@@ -468,9 +468,16 @@ def test_r14_third_wave_batch_plan_invariants(spark):
             )
         ),
         "holt": _plan(timeseries.holt_forecast(ev, period_sec=21600)),
+        "ks": _plan(
+            drift.ks_test(
+                ev.filter("event_type = 'view'"),
+                ev.filter("event_type = 'purchase'"),
+            )
+        ),
+        "auc": _plan(drift.auc_report(docs, "n_chars", "lang = 'en'")),
     }
     # 1-row bounds/array frames ride broadcast crossJoins by design
-    one_row_cross = {"kaplan_meier", "quantile_norm"}
+    one_row_cross = {"kaplan_meier", "quantile_norm", "ks", "auc"}
     for name, p in plans.items():
         assert "CartesianProduct" not in p, name
         assert "pythonUDF" not in p.lower(), name
