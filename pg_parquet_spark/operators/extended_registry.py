@@ -998,6 +998,15 @@ def x_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.auc_report(_docs(spark, sf_dir), "n_chars", "lang = 'en'")
 
 
+def x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + reading ease per document (r14 —
+    integer-exact, termwise-truncated; three regex counts in one
+    codegen projection)."""
+    from pg_parquet_spark.operators import text
+
+    return text.readability_scores(_docs(spark, sf_dir))
+
+
 def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention survival over 6-hour periods (r14 — the
     censoring-aware lifetime curve; truncation-exact packed-integer
@@ -1165,6 +1174,7 @@ EXTENDED_QUERIES = {
     "x_holt": x_holt,
     "x_ks": x_ks,
     "x_auc": x_auc,
+    "x_readability": x_readability,
 }
 
 
@@ -1394,4 +1404,5 @@ def extended_oracles() -> dict[str, str]:
         "x_auc": drift.auc_oracle_sql(
             "SELECT * FROM documents", "n_chars", "lang = 'en'"
         ),
+        "x_readability": text.readability_oracle_sql(),
     }

@@ -324,3 +324,55 @@ def test_advice_r13_oov_ppm_integer_div(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[1].oov_ppm == 1_000_000 // 3  # 333333 exactly, floor div
     assert rows[2].oov_ppm == 0
+
+
+def test_readability_hand_counts_and_edges(spark):
+    """Readability (r14): hand-counted words/sentences/vowel-groups on
+    planted texts, the one-sentence floor, the zero-word NULL rule,
+    and NULL-text drops."""
+    from pg_parquet_spark.operators import text as T
+
+    rows = [
+        (1, "Hello world! Two sents... ok?"),
+        (2, "no punctuation here"),
+        (3, "12345 !!!"),          # zero words -> NULL scores
+        (4, None),                  # drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.readability_scores(df).collect()}
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    # vowel groups: he-llo(2) world(1) two(1) sents(1) ok(1) = 6
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (5, 3, 6)
+    # termwise: (390*5)//3 + (11800*6)//5 - 15590 = 650+14160-15590
+    assert r1.fk_grade_milli == -780
+    assert r1.flesch_ease_milli == 206835 - (1015 * 5) // 3 - (84600 * 6) // 5
+    r2 = got[2]
+    assert r2.n_sentences == 0  # floor applies inside the formula
+    assert r2.fk_grade_milli == (390 * 3) // 1 + (11800 * 6) // 3 - 15590
+    assert got[3].fk_grade_milli is None
+    assert got[3].flesch_ease_milli is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in frame"):
+        T.readability_scores(df, text_col="missing")
+
+
+def test_readability_matches_oracle(spark):
+    import duckdb
+
+    from pg_parquet_spark.operators import text as T
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.01"
+    got = T.readability_scores(table(spark, sf, "documents")).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(T.readability_oracle_sql()).df()
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert list(got[col].fillna(-9)) == list(want[col].fillna(-9)), col
