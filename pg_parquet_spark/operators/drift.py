@@ -1717,3 +1717,135 @@ SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
             AS BIGINT) AS auc_ppm
 FROM m
 """
+
+
+def mutual_information(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Mutual information + normalized MI between two categorical
+    expressions (r14 — the effect-SIZE companion of
+    :func:`chi2_stat`: χ² tells you dependence is nonzero, MI tells
+    you how many nats of label you get per feature read, comparable
+    across features like :func:`woe_iv`'s IV but symmetric and
+    multi-class).
+
+    Per OBSERVED cell, (o/n)·ln(o·n/(r·c)) quantizes to integer
+    micro-nats BEFORE the fold (the PSI/PMI rule — in-engine ln on
+    both sides at this quantization is the house float discipline);
+    empty cells contribute exactly 0 and are never materialized — no
+    |x|×|y| grid. Marginal entropies quantize the same way, and
+    nmi_ppm = (2·mi·10⁶) div (h_x + h_y) (NULL when both entropies
+    are zero — a constant feature against a constant label has no
+    normalizable dependence).
+
+    Returns ONE row: (n, n_x, n_y, mi_micro, h_x_micro, h_y_micro,
+    nmi_ppm). NULL categories are categories (cast to string, like
+    chi2). Scale shape: three map-side-combinable counts, two
+    broadcast margin joins, a 1-row fold."""
+    base = df.select(x.cast("string").alias("x"), y.cast("string").alias("y"))
+    cells = base.groupBy("x", "y").agg(F.count("*").cast("long").alias("o"))
+    rx = base.groupBy("x").agg(F.count("*").cast("long").alias("r"))
+    cy = base.groupBy("y").agg(F.count("*").cast("long").alias("c"))
+    n1 = base.agg(F.count("*").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n1))
+        .withColumn(
+            "term_micro",
+            F.floor(
+                (F.col("o").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("o").cast("double") * F.col("n")
+                    / (F.col("r").cast("double") * F.col("c"))
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    hx = rx.crossJoin(F.broadcast(n1)).select(
+        F.floor(
+            -(F.col("r").cast("double") / F.col("n"))
+            * F.log(F.col("r").cast("double") / F.col("n"))
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long").alias("_h")
+    ).agg(F.sum("_h").cast("long").alias("h_x_micro"))
+    hy = cy.crossJoin(F.broadcast(n1)).select(
+        F.floor(
+            -(F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("c").cast("double") / F.col("n"))
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long").alias("_h")
+    ).agg(F.sum("_h").cast("long").alias("h_y_micro"))
+    agg = terms.agg(
+        F.first("n").alias("n"),
+        F.countDistinct("x").cast("long").alias("n_x"),
+        F.countDistinct("y").cast("long").alias("n_y"),
+        F.sum("term_micro").cast("long").alias("mi_micro"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n",
+            "n_x",
+            "n_y",
+            "mi_micro",
+            "h_x_micro",
+            "h_y_micro",
+            F.expr(
+                "CASE WHEN h_x_micro + h_y_micro = 0 THEN NULL "
+                "ELSE (2 * mi_micro * 1000000) div (h_x_micro + h_y_micro) "
+                "END"
+            ).cast("long").alias("nmi_ppm"),
+        )
+    )
+
+
+def mutual_information_oracle_sql(
+    x_expr: str, y_expr: str, table: str = "events"
+) -> str:
+    """DuckDB replica: identical per-cell/per-margin micro-nat
+    quantization before every fold."""
+    return f"""
+WITH base AS (
+  SELECT CAST({x_expr} AS VARCHAR) AS x, CAST({y_expr} AS VARCHAR) AS y
+  FROM {table}
+), n1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+), cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY x, y
+), rx AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS r FROM base GROUP BY x
+), cy AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY y
+), terms AS (
+  SELECT CAST(FLOOR((CAST(o AS DOUBLE) / n) *
+           ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c)) * 1000000
+           + 0.5) AS BIGINT) AS term_micro,
+         o, cells.x, cells.y
+  FROM cells JOIN rx USING (x) JOIN cy USING (y), n1
+), hx AS (
+  SELECT CAST(SUM(CAST(FLOOR(-(CAST(r AS DOUBLE) / n) *
+           ln(CAST(r AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT))
+         AS BIGINT) AS h_x_micro
+  FROM rx, n1
+), hy AS (
+  SELECT CAST(SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / n) *
+           ln(CAST(c AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT))
+         AS BIGINT) AS h_y_micro
+  FROM cy, n1
+), agg AS (
+  SELECT (SELECT n FROM n1) AS n,
+         CAST(COUNT(DISTINCT x) AS BIGINT) AS n_x,
+         CAST(COUNT(DISTINCT y) AS BIGINT) AS n_y,
+         CAST(SUM(term_micro) AS BIGINT) AS mi_micro
+  FROM terms
+)
+SELECT n, n_x, n_y, mi_micro, h_x_micro, h_y_micro,
+       CAST(CASE WHEN h_x_micro + h_y_micro = 0 THEN NULL
+            ELSE (2 * mi_micro * 1000000) // (h_x_micro + h_y_micro) END
+            AS BIGINT) AS nmi_ppm
+FROM agg, hx, hy
+"""

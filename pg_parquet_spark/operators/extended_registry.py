@@ -1007,6 +1007,17 @@ def x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.readability_scores(_docs(spark, sf_dir))
 
 
+def x_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information / NMI between event type and weekday (r14 —
+    the effect-size companion of x_chi2 on the same pair; MI is
+    invariant to category relabeling, so the engines' differing
+    weekday numberings cancel exactly like chi2's)."""
+    from pg_parquet_spark.operators import drift
+
+    ev = table(spark, sf_dir, "events")
+    return drift.mutual_information(ev, F.col("event_type"), F.dayofweek("ts"))
+
+
 def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention survival over 6-hour periods (r14 — the
     censoring-aware lifetime curve; truncation-exact packed-integer
@@ -1175,6 +1186,7 @@ EXTENDED_QUERIES = {
     "x_ks": x_ks,
     "x_auc": x_auc,
     "x_readability": x_readability,
+    "x_mi": x_mi,
 }
 
 
@@ -1405,4 +1417,7 @@ def extended_oracles() -> dict[str, str]:
             "SELECT * FROM documents", "n_chars", "lang = 'en'"
         ),
         "x_readability": text.readability_oracle_sql(),
+        "x_mi": drift.mutual_information_oracle_sql(
+            "event_type", "dayofweek(ts)"
+        ),
     }

@@ -840,3 +840,65 @@ def test_auc_matches_oracle(spark):
                              "lang = 'en'")
     ).df()
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_mutual_information_planted_and_invariance(spark):
+    """MI (r14): independent planted pair gives ~0 nats; a determined
+    pair gives MI = H(X) = H(Y) and NMI = 1e6; relabeling categories
+    changes nothing (the invariance the cross-engine weekday
+    numbering relies on); constant-vs-constant reports NULL NMI."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import drift
+
+    # perfectly dependent: y = x, two equiprobable categories
+    dep = spark.createDataFrame(
+        [("a", "p")] * 4 + [("b", "q")] * 4, "x string, y string"
+    )
+    r = drift.mutual_information(dep, F.col("x"), F.col("y")).collect()[0]
+    # per-cell quantization: 2 cells of floor(0.5*ln2*1e6 + 0.5) =
+    # 2 * 346574 = 693148 micro-nats (vs ln2 = 693147.18 — the
+    # documented round-before-fold contract)
+    assert r.mi_micro == 693148
+    assert r.h_x_micro == r.h_y_micro
+    assert abs(r.nmi_ppm - 1_000_000) <= 3
+
+    # independent uniform pair -> MI exactly 0 after quantization
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "pq" for _ in range(3)],
+        "x string, y string",
+    )
+    r0 = drift.mutual_information(ind, F.col("x"), F.col("y")).collect()[0]
+    assert r0.mi_micro == 0
+
+    # relabel invariance
+    relab = dep.select(
+        F.concat(F.lit("zz_"), F.col("x")).alias("x"), "y"
+    )
+    r2 = drift.mutual_information(relab, F.col("x"), F.col("y")).collect()[0]
+    assert (r2.mi_micro, r2.nmi_ppm) == (r.mi_micro, r.nmi_ppm)
+
+    const = spark.createDataFrame([("k", "k")] * 5, "x string, y string")
+    rc = drift.mutual_information(const, F.col("x"), F.col("y")).collect()[0]
+    assert rc.nmi_ppm is None and rc.mi_micro == 0
+
+
+def test_mutual_information_matches_oracle(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import drift
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.01"
+    got = drift.mutual_information(
+        table(spark, sf, "events"), F.col("event_type"), F.dayofweek("ts")
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(
+        drift.mutual_information_oracle_sql("event_type", "dayofweek(ts)")
+    ).df()
+    assert got.values.tolist() == want.values.tolist()
