@@ -1018,6 +1018,15 @@ def x_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.mutual_information(ev, F.col("event_type"), F.dayofweek("ts"))
 
 
+def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-way deterministic shard assignment + balance audit (r14 —
+    the manifest a training run consumes; empty shards surface via
+    the literal spine)."""
+    from pg_parquet_spark.operators import sampling
+
+    return sampling.shard_manifest(_docs(spark, sf_dir), n_shards=16)
+
+
 def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention survival over 6-hour periods (r14 — the
     censoring-aware lifetime curve; truncation-exact packed-integer
@@ -1187,6 +1196,7 @@ EXTENDED_QUERIES = {
     "x_auc": x_auc,
     "x_readability": x_readability,
     "x_mi": x_mi,
+    "x_shard_manifest": x_shard_manifest,
 }
 
 
@@ -1420,4 +1430,5 @@ def extended_oracles() -> dict[str, str]:
         "x_mi": drift.mutual_information_oracle_sql(
             "event_type", "dayofweek(ts)"
         ),
+        "x_shard_manifest": sampling.shard_manifest_oracle_sql(n_shards=16),
     }

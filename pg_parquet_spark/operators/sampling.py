@@ -1463,3 +1463,125 @@ SELECT m.id AS {id_col}, m.g AS {group_col}, m.v AS {value_col},
 FROM mapped m JOIN pooled p ON m.pos = p.rk
 ORDER BY m.id
 """
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic training-shard assignment manifest (r14 — the
+    artifact a distributed training run actually consumes: WHICH shard
+    each document belongs to, decided by content hash so the split is
+    stable across reruns/engines/cluster sizes, plus the balance audit
+    that tells you whether hash sharding left any worker starved).
+
+    Shard = md5-bucket(id) mod ``n_shards`` (the :func:`hash_fraction`
+    space). Returns one row per shard: (shard, n_docs, total_weight,
+    share_ppm, skew_ppm) ordered — share_ppm is the shard's integer-ppm
+    slice of the total weight, skew_ppm = share_ppm·n_shards − 10⁶
+    (0 = perfectly balanced, +x = overloaded by x ppm of a fair
+    share). Empty shards still report (hash gaps are the thing the
+    audit must surface) — the dense shard spine comes from a literal
+    sequence, not the data. NULL ids drop; NULL weights count 0.
+
+    Scale shape: one hash shuffle into the shards-sized aggregate, a
+    broadcast join onto the literal spine, a 1-row total frame."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    for c in (id_col, weight_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    spark = df.sparkSession
+    per = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col(id_col).cast("string")), 1, 6
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_shards
+            ).alias("shard"),
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("_w"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("total_weight"),
+        )
+    )
+    spine = spark.range(n_shards).select(F.col("id").alias("shard"))
+    filled = spine.join(per, "shard", "left").select(
+        "shard",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("total_weight", F.lit(0)).alias("total_weight"),
+    )
+    total = filled.agg(
+        F.sum("total_weight").cast("decimal(38,0)").alias("_tot")
+    )
+    return (
+        filled.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "total_weight",
+            F.expr(
+                "CASE WHEN _tot = 0 THEN NULL ELSE CAST("
+                "(CAST(total_weight AS DECIMAL(38,0)) * 1000000) div _tot "
+                "AS BIGINT) END"
+            ).alias("share_ppm"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_weight",
+            "share_ppm",
+            (F.col("share_ppm") * n_shards - 1_000_000).alias("skew_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_manifest_oracle_sql(
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica: identical md5-bucket assignment, dense literal
+    spine, integer-ppm shares."""
+    return f"""
+WITH per AS (
+  SELECT CAST(CONCAT('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 6))
+              AS BIGINT) % {int(n_shards)} AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(COALESCE(CAST({weight_col} AS BIGINT), 0)) AS BIGINT)
+           AS total_weight
+  FROM {table} WHERE {id_col} IS NOT NULL
+  GROUP BY 1
+), spine AS (
+  SELECT UNNEST(generate_series(0, {int(n_shards) - 1})) AS shard
+), filled AS (
+  SELECT spine.shard,
+         COALESCE(per.n_docs, 0) AS n_docs,
+         COALESCE(per.total_weight, 0) AS total_weight
+  FROM spine LEFT JOIN per USING (shard)
+), tot AS (
+  SELECT CAST(SUM(total_weight) AS HUGEINT) AS t FROM filled
+)
+SELECT shard, n_docs, total_weight,
+       CAST(CASE WHEN t = 0 THEN NULL
+            ELSE (CAST(total_weight AS HUGEINT) * 1000000) // t END
+            AS BIGINT) AS share_ppm,
+       CAST(CASE WHEN t = 0 THEN NULL
+            ELSE (CAST(total_weight AS HUGEINT) * 1000000) // t
+                 * {int(n_shards)} - 1000000 END
+            AS BIGINT) AS skew_ppm
+FROM filled, tot
+ORDER BY shard
+"""

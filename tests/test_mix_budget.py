@@ -510,3 +510,56 @@ def test_quantile_normalize_matches_oracle(spark):
     assert len(got) == len(want) > 0
     for col in got.columns:
         assert list(got[col]) == list(want[col]), col
+
+
+def test_shard_manifest_balance_identities(spark):
+    """Shard manifest (r14): deterministic reassignment, empty shards
+    surfaced by the spine, NULL weights count zero, share/skew
+    identities hold, zero-weight corpus reports NULL shares."""
+    from pg_parquet_spark.operators import sampling
+
+    rows = [(i, 10) for i in range(40)] + [(100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = sampling.shard_manifest(df, n_shards=8).toPandas()
+    assert list(got["shard"]) == list(range(8))
+    assert got["n_docs"].sum() == 41
+    assert got["total_weight"].sum() == 400
+    # identities: share sums to ~1e6 (truncation deficit < n_shards),
+    # skew = share*n - 1e6
+    assert 1_000_000 - 8 <= got["share_ppm"].sum() <= 1_000_000
+    assert (got["skew_ppm"] == got["share_ppm"] * 8 - 1_000_000).all()
+    # deterministic
+    again = sampling.shard_manifest(df, n_shards=8).toPandas()
+    assert got.values.tolist() == again.values.tolist()
+
+    zero = sampling.shard_manifest(
+        spark.createDataFrame([(1, 0)], "doc_id long, n_chars long"),
+        n_shards=4,
+    ).toPandas()
+    assert zero["share_ppm"].isna().all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        sampling.shard_manifest(df, n_shards=0)
+
+
+def test_shard_manifest_matches_oracle(spark):
+    import duckdb
+
+    from pg_parquet_spark.operators import sampling
+    from pg_parquet_spark.session import table
+
+    sf = "/root/testdata/sf0.01"
+    got = sampling.shard_manifest(
+        table(spark, sf, "documents"), n_shards=16
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        sampling.shard_manifest_oracle_sql(n_shards=16)
+    ).df()
+    assert got.values.tolist() == want.values.tolist()
