@@ -419,11 +419,14 @@ def test_r14_third_wave_batch_plan_invariants(spark):
     no cartesian anywhere; nested-loop joins only as the documented
     1-row bounds frames; the spatial join is a cell-keyed hash join;
     everything stays JVM-side (no python UDFs)."""
+    from pyspark.sql import functions as F
+
     from pg_parquet_spark.operators import (
         drift,
         graph,
         sampling,
         spatial,
+        text,
         timeseries,
     )
     from pg_parquet_spark.session import table
@@ -475,9 +478,17 @@ def test_r14_third_wave_batch_plan_invariants(spark):
             )
         ),
         "auc": _plan(drift.auc_report(docs, "n_chars", "lang = 'en'")),
+        "readability": _plan(text.readability_scores(docs)),
+        "mi": _plan(
+            drift.mutual_information(
+                ev, F.col("event_type"), F.dayofweek("ts")
+            )
+        ),
+        "shard_manifest": _plan(sampling.shard_manifest(docs, n_shards=16)),
     }
     # 1-row bounds/array frames ride broadcast crossJoins by design
-    one_row_cross = {"kaplan_meier", "quantile_norm", "ks", "auc"}
+    one_row_cross = {"kaplan_meier", "quantile_norm", "ks", "auc",
+                     "mi", "shard_manifest"}
     for name, p in plans.items():
         assert "CartesianProduct" not in p, name
         assert "pythonUDF" not in p.lower(), name
