@@ -1027,6 +1027,17 @@ def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.shard_manifest(_docs(spark, sf_dir), n_shards=16)
 
 
+def x_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius nearest supplier per customer point (r14 — the
+    3x3 cell-block NN join; the all-pairs oracle proves completeness
+    AND the (dist2, id) tie rule)."""
+    from pg_parquet_spark.operators import spatial
+
+    pa = spatial.hash_points(table(spark, sf_dir, "customer"), "c_custkey")
+    pb = spatial.hash_points(table(spark, sf_dir, "supplier"), "s_suppkey")
+    return spatial.nearest_neighbor_join(pa, pb, d_max=16384)
+
+
 def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention survival over 6-hour periods (r14 — the
     censoring-aware lifetime curve; truncation-exact packed-integer
@@ -1197,6 +1208,7 @@ EXTENDED_QUERIES = {
     "x_readability": x_readability,
     "x_mi": x_mi,
     "x_shard_manifest": x_shard_manifest,
+    "x_spatial_nn": x_spatial_nn,
 }
 
 
@@ -1431,4 +1443,5 @@ def extended_oracles() -> dict[str, str]:
             "event_type", "dayofweek(ts)"
         ),
         "x_shard_manifest": sampling.shard_manifest_oracle_sql(n_shards=16),
+        "x_spatial_nn": spatial.nn_join_oracle_sql(d_max=16384),
     }

@@ -253,3 +253,137 @@ FROM rcs, pts
 WHERE px BETWEEN xmin AND xmax AND py BETWEEN ymin AND ymax
 ORDER BY rect_id, point_id
 """
+
+
+def nearest_neighbor_join(
+    a: DataFrame,
+    b: DataFrame,
+    d_max: int,
+    cell: int | None = None,
+) -> DataFrame:
+    """Bounded-radius nearest neighbor (r14 — the second spatial
+    primitive): for every point in ``a``, the closest point of ``b``
+    within Euclidean distance ``d_max`` (NULL columns when none) —
+    geocoding's "nearest store within 10 km" join.
+
+    Completeness by geometry, not enumeration: with ``cell ≥ d_max``
+    (enforced), ANY b within d_max of a lies in one of the 3×3 cells
+    around a's cell — so the plan is a 9-way replicate of the A side
+    (a bounded literal explode; B is never replicated), one cell-keyed
+    equi-join, the exact distance² filter (pure integer — no sqrt,
+    d_max² compares exactly), and a per-a MIN over a (dist², b_id)
+    struct — the deterministic smallest-id tie rule. Equality against
+    the brute-force all-pairs oracle (x_spatial_nn) proves both
+    completeness and the tie rule.
+
+    ``a`` and ``b`` both carry (point_id, px, py); NULL coordinates
+    drop (an unlocatable point matches nothing and finds nothing).
+    Returns (point_id, nn_id, dist2) for EVERY a point, ordered.
+
+    Scale shape: two hash shuffles on the cell key + one a-keyed MIN
+    aggregate; hot cells are AQE skew keys. 9× replication of the
+    smaller/probe side is the classic fixed-radius trade — for
+    multi-resolution radii, re-run with a coarser cell."""
+    if d_max <= 0:
+        raise ValueError(f"d_max must be positive, got {d_max}")
+    cell = int(cell) if cell is not None else int(d_max)
+    if cell < d_max:
+        raise ValueError(
+            f"cell ({cell}) must be >= d_max ({d_max}) — the 3x3 "
+            "neighborhood would miss in-radius points"
+        )
+    for frame, name in ((a, "a"), (b, "b")):
+        for col in ("point_id", "px", "py"):
+            if col not in frame.columns:
+                raise ValueError(f"{name} is missing required column {col!r}")
+
+    def with_cell(df, prefix):
+        return df.filter(
+            F.col("px").isNotNull() & F.col("py").isNotNull()
+        ).select(
+            F.col("point_id").alias(f"{prefix}_id"),
+            F.col("px").cast("long").alias(f"{prefix}x"),
+            F.col("py").cast("long").alias(f"{prefix}y"),
+            F.expr(f"(px - pmod(px, {cell})) div {cell}").alias("_cx"),
+            F.expr(f"(py - pmod(py, {cell})) div {cell}").alias("_cy"),
+        )
+
+    aa = with_cell(a, "a")
+    bb = with_cell(b, "b")
+    probes = aa.select(
+        "a_id",
+        "ax",
+        "ay",
+        F.explode(F.expr("array(-1L, 0L, 1L)")).alias("_dx"),
+        "_cx",
+        "_cy",
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.col("_cx") + F.col("_dx")).alias("_cx"),
+        F.explode(F.expr("array(_cy - 1L, _cy, _cy + 1L)")).alias("_cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    found = (
+        probes.join(bb, ["_cx", "_cy"])
+        .select("a_id", d2.alias("_d2"), "b_id")
+        .filter(F.col("_d2") <= F.lit(int(d_max) * int(d_max)))
+        .groupBy("a_id")
+        .agg(F.min(F.struct("_d2", "b_id")).alias("_best"))
+        .select(
+            "a_id",
+            F.col("_best.b_id").alias("nn_id"),
+            F.col("_best._d2").alias("dist2"),
+        )
+    )
+    return (
+        aa.select("a_id")
+        .join(found, "a_id", "left")
+        .select(F.col("a_id").alias("point_id"), "nn_id", "dist2")
+        .orderBy("point_id")
+    )
+
+
+def nn_join_oracle_sql(
+    a_table: str = "customer",
+    a_id: str = "c_custkey",
+    b_table: str = "supplier",
+    b_id: str = "s_suppkey",
+    d_max: int = 16384,
+) -> str:
+    """DuckDB replica — brute-force all-pairs min with the identical
+    (dist², id) tie rule: equality proves the 3×3 blocking complete."""
+    def hx(tag: str, col: str) -> str:
+        return (
+            f"CAST(CONCAT('0x', substr(md5('{tag}' || "
+            f"CAST({col} AS VARCHAR)), 1, 6)) AS BIGINT) % {SPAN}"
+        )
+
+    return f"""
+WITH pa AS (
+  SELECT CAST({a_id} AS BIGINT) AS point_id,
+         {hx("ptx:", a_id)} AS ax, {hx("pty:", a_id)} AS ay
+  FROM {a_table} WHERE {a_id} IS NOT NULL
+), pb AS (
+  SELECT CAST({b_id} AS BIGINT) AS b_id,
+         {hx("ptx:", b_id)} AS bx, {hx("pty:", b_id)} AS by
+  FROM {b_table} WHERE {b_id} IS NOT NULL
+), pairs AS (
+  SELECT pa.point_id, pb.b_id,
+         (ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS d2
+  FROM pa, pb
+  WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+        <= {int(d_max)} * {int(d_max)}
+), best AS (
+  SELECT point_id, b_id AS nn_id, d2 AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY point_id
+                            ORDER BY d2, b_id) AS rn
+  FROM pairs
+)
+SELECT pa.point_id, best.nn_id, best.dist2
+FROM pa LEFT JOIN best ON pa.point_id = best.point_id AND best.rn = 1
+ORDER BY pa.point_id
+"""

@@ -148,3 +148,65 @@ def test_plan_is_cell_equi_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan
+
+
+def test_nn_join_planted_geometry(spark):
+    """NN join (r14): nearest-by-distance wins, ties break on the
+    smaller id, out-of-radius points report NULL, NULL coords drop,
+    and a b-point in a DIAGONAL neighbor cell is still found (the
+    3x3 completeness the cell >= d_max contract buys)."""
+    a = _points(spark, [
+        (1, 100, 100),
+        (2, 500, 500),    # nothing within 50
+        (3, 105, 100),    # equidistant from b-ids 10 and 11
+        (4, None, 5),
+    ])
+    b = _points(spark, [
+        (10, 110, 100),   # 10 from a1, 5 from a3
+        (11, 100, 100),   # 0 from a1, 5 from a3  -> tie at a3
+        (12, 149, 149),   # diagonal-cell neighbor of (100,100) at cell=50
+    ])
+    got = {r.point_id: (r.nn_id, r.dist2) for r in
+           spatial.nearest_neighbor_join(a, b, d_max=50, cell=50).collect()}
+    assert got[1] == (11, 0)
+    assert got[2] == (None, None)
+    # tie: both at dist2=25 -> smaller b_id
+    assert got[3] == (10, 25)
+    assert 4 not in got  # NULL coords drop entirely
+
+    # diagonal completeness: a in cell (2,2) at its far corner, b in
+    # the diagonal neighbor cell (3,3) — only the 3x3 probe finds it
+    a2 = _points(spark, [(7, 149, 149)])
+    b2 = _points(spark, [(20, 151, 151)])  # next diagonal cell (3,3)
+    got2 = spatial.nearest_neighbor_join(a2, b2, d_max=50, cell=50).collect()
+    assert (got2[0].nn_id, got2[0].dist2) == (20, 8)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="d_max"):
+        spatial.nearest_neighbor_join(a, b, d_max=0)
+    with _pytest.raises(ValueError, match="cell"):
+        spatial.nearest_neighbor_join(a, b, d_max=100, cell=50)
+
+
+def test_nn_join_matches_brute_force_oracle(spark):
+    """Gate replica at sf0.01: equality against the all-pairs oracle
+    proves the 3x3 blocking loses no in-radius neighbor and the tie
+    rule matches."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    pa = spatial.hash_points(table(spark, sf, "customer"), "c_custkey")
+    pb = spatial.hash_points(table(spark, sf, "supplier"), "s_suppkey")
+    got = spatial.nearest_neighbor_join(pa, pb, d_max=16384).toPandas()
+    con = duckdb.connect()
+    for t in ("customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = con.execute(spatial.nn_join_oracle_sql(d_max=16384)).df()
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert list(got[col].fillna(-1)) == list(want[col].fillna(-1)), col
+    assert got["nn_id"].notna().sum() > 0
+    assert got["nn_id"].isna().sum() > 0  # both outcomes exercised
