@@ -446,6 +446,9 @@ def test_r14_third_wave_batch_plan_invariants(spark):
     )
     plans = {
         "spatial": _plan(spatial.grid_containment_join(pts, rcs)),
+        "spatial_nn": _plan(
+            spatial.nearest_neighbor_join(pts, pts, d_max=16384)
+        ),
         "ewma": _plan(timeseries.ewma_anomaly(ev, period_sec=21600)),
         "k_anonymity": _plan(
             drift.k_anonymity_report(
@@ -494,8 +497,9 @@ def test_r14_third_wave_batch_plan_invariants(spark):
         assert "pythonUDF" not in p.lower(), name
         if name not in one_row_cross:
             assert "BroadcastNestedLoopJoin" not in p, (name, p)
-    # the spatial join must be the cell equi-join, never a pure
-    # containment nested loop
+    # the spatial joins must be cell equi-joins, never pure
+    # containment/distance nested loops
     assert "HashJoin" in plans["spatial"]
+    assert "HashJoin" in plans["spatial_nn"]
     # ewma's grid join keeps the counts-sized spine out of sort-merge
     assert "CartesianProduct" not in plans["ewma"]
