@@ -125,7 +125,21 @@ def distributed_running_sum(
     over ``order_cols`` order (``rows between unbounded preceding and
     current row``), without a single-task window — the prefix-sum twin
     of :func:`distributed_running_max` (r14, built for the exact KS
-    statistic's cumulative counts).
+    statistic's cumulative counts). Single-column convenience wrapper
+    over :func:`distributed_running_sums`."""
+    return distributed_running_sums(df, order_cols, {out_col: value_col})
+
+
+def distributed_running_sums(
+    df: DataFrame,
+    order_cols: Sequence[OrderCol],
+    sums: dict,
+) -> DataFrame:
+    """``df`` + one inclusive running-sum column per ``sums`` entry
+    ({out_col: value_col}) — ALL prefix sums ride ONE range exchange,
+    one per-partition window, one offsets frame (review, r14: KS paid
+    two back-to-back range exchanges for its two CDFs; N columns
+    should never cost N shuffles).
 
     ``order_cols`` must be a unique key per row for a deterministic
     result. The per-partition totals fold exactly like
@@ -133,6 +147,8 @@ def distributed_running_sum(
     order-independent — integers/DECIMALs, the house arithmetic.
     NULL values count as 0 (COALESCE on both the local window and the
     partition totals)."""
+    if not sums:
+        raise ValueError("sums must map at least one out_col to a value_col")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parts = df.repartitionByRange(*cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -140,30 +156,38 @@ def distributed_running_sum(
     w_local = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    local = parts.withColumn(
-        "_lcum",
-        F.sum(F.coalesce(F.col(value_col), F.lit(0))).over(w_local),
-    )
-    offsets = (
-        parts.groupBy("_pid")
-        .agg(
-            F.sum(F.coalesce(F.col(value_col), F.lit(0))).alias("_ptot")
+    local = parts
+    for out_col, value_col in sums.items():
+        local = local.withColumn(
+            f"_l{out_col}",
+            F.sum(F.coalesce(F.col(value_col), F.lit(0))).over(w_local),
         )
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_ptot").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_offset")
+    w_prev = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_offset") + F.col("_lcum"))
-        .drop("_pid", "_lcum", "_offset")
+    offsets = parts.groupBy("_pid").agg(
+        *[
+            F.sum(F.coalesce(F.col(value_col), F.lit(0))).alias(
+                f"_pt{out_col}"
+            )
+            for out_col, value_col in sums.items()
+        ]
+    )
+    for out_col in sums:
+        offsets = offsets.withColumn(
+            f"_o{out_col}",
+            F.coalesce(F.sum(f"_pt{out_col}").over(w_prev), F.lit(0)),
+        )
+    offsets = offsets.select(
+        "_pid", *[f"_o{out_col}" for out_col in sums]
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for out_col in sums:
+        out = out.withColumn(
+            out_col, F.col(f"_o{out_col}") + F.col(f"_l{out_col}")
+        )
+    return out.drop(
+        "_pid",
+        *[f"_l{c}" for c in sums],
+        *[f"_o{c}" for c in sums],
     )

@@ -1413,6 +1413,11 @@ def k_anonymity_summary(
         raise ValueError(f"k must be >= 2, got {k}")
     if l_diversity < 1:
         raise ValueError(f"l_diversity must be >= 1, got {l_diversity}")
+    if not qi_cols:
+        raise ValueError("qi_cols must name at least one column")
+    for c in list(qi_cols) + [sensitive_col]:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in frame")
     grouped = df.groupBy(*qi_cols).agg(
         F.count(F.lit(1)).alias("_n"),
         F.countDistinct(F.col(sensitive_col)).alias("_s"),
@@ -1447,6 +1452,9 @@ def k_anonymity_oracle_sql(
     Spark side."""
     sel = ", ".join(f"{e} AS {a}" for e, a in qi_sql)
     names = ", ".join(a for _, a in qi_sql)
+    # Spark orderBy puts NULLs first; DuckDB defaults them last — the
+    # documented NULL-QI case must sort identically (review, r14)
+    nulls_first = ", ".join(f"{a} NULLS FIRST" for _, a in qi_sql)
     return f"""
 WITH base AS (
   SELECT {sel}, {sensitive_col} AS s FROM {table}
@@ -1460,7 +1468,7 @@ SELECT {names}, group_n, n_sensitive,
        n_sensitive < {int(l_diversity)} AS l_risky
 FROM grouped
 WHERE group_n < {int(k)} OR n_sensitive < {int(l_diversity)}
-ORDER BY {names}
+ORDER BY {nulls_first}
 """
 
 
@@ -1542,8 +1550,9 @@ def ks_test(
         F.sum("_side").alias("_ca"),
         F.sum(1 - F.col("_side")).alias("_cb"),
     )
-    cum = distrank.distributed_running_sum(per_v, ["v"], "_ca", "_cuma")
-    cum = distrank.distributed_running_sum(cum, ["v"], "_cb", "_cumb")
+    cum = distrank.distributed_running_sums(
+        per_v, ["v"], {"_cuma": "_ca", "_cumb": "_cb"}
+    )
     totals = per_v.agg(
         F.sum("_ca").cast("decimal(38,0)").alias("_na"),
         F.sum("_cb").cast("decimal(38,0)").alias("_nb"),
@@ -1745,9 +1754,21 @@ def mutual_information(df: DataFrame, x: Column, y: Column) -> DataFrame:
     rx = base.groupBy("x").agg(F.count("*").cast("long").alias("r"))
     cy = base.groupBy("y").agg(F.count("*").cast("long").alias("c"))
     n1 = base.agg(F.count("*").cast("long").alias("n"))
+    # NULL-safe margin joins (review, r14): a plain equi-join drops
+    # NULL-category cells from the MI sum while n and the marginal
+    # entropies still count them — "NULL is a category" must hold in
+    # the JOINS too, in both engines
     terms = (
-        cells.join(F.broadcast(rx), "x")
-        .join(F.broadcast(cy), "y")
+        cells.join(
+            F.broadcast(rx.withColumnRenamed("x", "_rx")),
+            cells["x"].eqNullSafe(F.col("_rx")),
+        )
+        .drop("_rx")
+        .join(
+            F.broadcast(cy.withColumnRenamed("y", "_cy")),
+            cells["y"].eqNullSafe(F.col("_cy")),
+        )
+        .drop("_cy")
         .crossJoin(F.broadcast(n1))
         .withColumn(
             "term_micro",
@@ -1825,7 +1846,9 @@ WITH base AS (
            ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c)) * 1000000
            + 0.5) AS BIGINT) AS term_micro,
          o, cells.x, cells.y
-  FROM cells JOIN rx USING (x) JOIN cy USING (y), n1
+  FROM cells
+  JOIN rx ON cells.x IS NOT DISTINCT FROM rx.x
+  JOIN cy ON cells.y IS NOT DISTINCT FROM cy.y, n1
 ), hx AS (
   SELECT CAST(SUM(CAST(FLOOR(-(CAST(r AS DOUBLE) / n) *
            ln(CAST(r AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT))

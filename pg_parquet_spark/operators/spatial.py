@@ -157,11 +157,19 @@ def grid_containment_join(
         F.expr(f"(py - pmod(py, {cell})) div {cell}").alias("_cy"),
     )
 
+    # inverted rectangles must emit NOTHING (the oracle's BETWEEN
+    # matches nothing) — and must be dropped BEFORE the explode:
+    # F.sequence(start, stop) defaults to step -1 when start > stop,
+    # so an inverted rect would generate a huge DESCENDING cell list
+    # that also slips past the span guard (negative span < max)
+    # (review, r14)
     r = rects.filter(
         F.col("xmin").isNotNull()
         & F.col("ymin").isNotNull()
         & F.col("xmax").isNotNull()
         & F.col("ymax").isNotNull()
+        & (F.col("xmax") >= F.col("xmin"))
+        & (F.col("ymax") >= F.col("ymin"))
     ).select(
         "rect_id",
         F.col("xmin").cast("long").alias("xmin"),

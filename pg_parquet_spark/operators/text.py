@@ -2608,7 +2608,6 @@ def readability_scores(
             F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
         ).cast("long").alias("n_syllables"),
     )
-    s_eff = F.greatest(F.col("n_sentences"), F.lit(1))
     return base.select(
         id_col,
         "n_words",

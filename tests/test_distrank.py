@@ -184,3 +184,68 @@ def test_distributed_running_sum_partition_invariant(spark, parts):
         .collect()
     )
     assert [(r.k, r.cum) for r in got] == [(r.k, r.cum) for r in want]
+
+
+def test_distributed_running_sums_multi_equals_single_passes(spark):
+    """Review (r14): N prefix sums ride ONE range exchange; the fused
+    form is bit-identical to two single-column passes and the plan
+    contains exactly one rangepartitioning exchange."""
+    from pg_parquet_spark.operators import distrank
+
+    rows = [(i, i % 5, (i * 3) % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    fused = distrank.distributed_running_sums(
+        df, ["k"], {"ca": "a", "cb": "b"}
+    ).orderBy("k")
+    one = distrank.distributed_running_sum(df, ["k"], "a", "ca")
+    two = distrank.distributed_running_sum(one, ["k"], "b", "cb").orderBy("k")
+    assert [
+        (r.k, r.ca, r.cb) for r in fused.collect()
+    ] == [(r.k, r.ca, r.cb) for r in two.collect()]
+    # one data range-exchange in the fused form vs two in the chained
+    # form — compare the pre-sort frames (AQE's toString repeats
+    # initial+final plans, so assert the RATIO, not a raw count)
+    fused_plan = _plan(
+        distrank.distributed_running_sums(df, ["k"], {"ca": "a", "cb": "b"})
+    )
+    two_plan = _plan(
+        distrank.distributed_running_sum(
+            distrank.distributed_running_sum(df, ["k"], "a", "ca"),
+            ["k"], "b", "cb",
+        )
+    )
+    assert (
+        fused_plan.count("Exchange rangepartitioning")
+        < two_plan.count("Exchange rangepartitioning")
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sums"):
+        distrank.distributed_running_sums(df, ["k"], {})
+
+
+def test_new_prefix_sum_operators_have_no_single_task_windows(spark):
+    """Review (r14): ks_test, auc_report, and quantile_normalize all
+    advertise the no-single-task-window contract — pin it in their
+    executed plans like the r11 flagged set."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import drift, sampling
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plans = {
+        "ks": _plan(drift.ks_test(
+            ev.filter("event_type = 'view'"),
+            ev.filter("event_type = 'purchase'"),
+        )),
+        "auc": _plan(drift.auc_report(docs, "n_chars", "lang = 'en'")),
+        "qnorm": _plan(
+            sampling.quantile_normalize(docs, "n_chars", "source", "doc_id")
+        ),
+    }
+    for name, p in plans.items():
+        _assert_no_single_task_window(p)
+        assert "Exchange rangepartitioning" in p, name
+        assert "CartesianProduct" not in p, name

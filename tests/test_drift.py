@@ -902,3 +902,72 @@ def test_mutual_information_matches_oracle(spark):
         drift.mutual_information_oracle_sql("event_type", "dayofweek(ts)")
     ).df()
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_mutual_information_null_is_a_category(spark):
+    """Review (r14): NULL-category cells must ride the MI sum like any
+    other cell (null-safe margin joins in BOTH engines) — a perfectly
+    dependent pair where one category IS NULL reports full NMI, and
+    relabeling NULL to 'missing' changes nothing."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import drift
+
+    dep = spark.createDataFrame(
+        [("a", "p")] * 4 + [(None, None)] * 4, "x string, y string"
+    )
+    r = drift.mutual_information(dep, F.col("x"), F.col("y")).collect()[0]
+    assert r.mi_micro == 693148           # 2 cells of 0.5*ln2
+    assert r.nmi_ppm == 1_000_000
+    relab = dep.select(F.coalesce("x", F.lit("missing")).alias("x"),
+                       F.coalesce("y", F.lit("missing")).alias("y"))
+    r2 = drift.mutual_information(relab, F.col("x"), F.col("y")).collect()[0]
+    assert (r2.mi_micro, r2.nmi_ppm) == (r.mi_micro, r.nmi_ppm)
+
+    # and the oracle agrees on the NULL-bearing table
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES ('a', 'p'), ('a', 'p'), "
+        "('a', 'p'), ('a', 'p'), (NULL, NULL), (NULL, NULL), "
+        "(NULL, NULL), (NULL, NULL)) v(x, y)"
+    )
+    want = con.execute(
+        drift.mutual_information_oracle_sql("x", "y", table="t")
+    ).df()
+    assert (want["mi_micro"][0], want["nmi_ppm"][0]) == (693148, 1_000_000)
+
+
+def test_k_anonymity_null_qi_orders_identically(spark):
+    """Review (r14): Spark sorts NULLS FIRST, DuckDB defaults last —
+    the oracle pins NULLS FIRST so a NULL QI class lands in the same
+    row position on both engines."""
+    import duckdb
+
+    from pg_parquet_spark.operators import drift
+
+    rows = [(None, 1, 1), ("a", 1, 2), ("z", 1, 3)]
+    df = spark.createDataFrame(rows, "seg string, grp int, cust int")
+    got = drift.k_anonymity_report(
+        df, ["seg", "grp"], "cust", k=2, l_diversity=2
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES (NULL, 1, 1), ('a', 1, 2), "
+        "('z', 1, 3)) v(seg, grp, cust)"
+    )
+    want = con.execute(
+        drift.k_anonymity_oracle_sql(
+            [("seg", "seg"), ("grp", "grp")], "cust",
+            k=2, l_diversity=2, table="t",
+        )
+    ).df()
+    assert list(got["seg"].fillna("~")) == list(want["seg"].fillna("~"))
+    assert got["seg"].isna().iloc[0]  # NULL class first on BOTH engines
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="qi_cols"):
+        drift.k_anonymity_summary(df, [], "cust")
+    with _pytest.raises(ValueError, match="not in frame"):
+        drift.k_anonymity_summary(df, ["missing"], "cust")

@@ -210,3 +210,19 @@ def test_nn_join_matches_brute_force_oracle(spark):
         assert list(got[col].fillna(-1)) == list(want[col].fillna(-1)), col
     assert got["nn_id"].notna().sum() > 0
     assert got["nn_id"].isna().sum() > 0  # both outcomes exercised
+
+
+def test_inverted_rect_emits_nothing_and_cannot_explode(spark):
+    """Review (r14): an inverted rectangle (xmax < xmin) must produce
+    ZERO rows — and must be filtered BEFORE the explode, because
+    F.sequence defaults to step -1 when start > stop, so a wildly
+    inverted rect would otherwise generate millions of descending
+    cells AND slip past the span guard (negative span < max)."""
+    rects = _rects(spark, [
+        (1, 10**9, 0, 0, 5),        # x-inverted, 10^7-cell span if exploded
+        (2, 0, 10**9, 5, 0),        # y-inverted
+        (3, 0, 0, 50, 50),          # sane control
+    ])
+    pts = _points(spark, [(1, 5, 5)])
+    rows = spatial.grid_containment_join(pts, rects, cell=100).collect()
+    assert [(r.rect_id, r.point_id) for r in rows] == [(3, 1)]
