@@ -435,11 +435,21 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash-LSH, verified by exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    Plan shape: project signatures (no shuffle) → explode bands →
-    shuffle on band key (buckets BOUNDED by ``max_docs_per_band`` — an
-    over-cap bucket is an exact-duplicate class and is routed to the
-    linear exact/normalized tier, see MAX_DOCS_PER_BAND) → pair join →
-    exact verify.
+    Plan shape (r14 rewrite — optimization guide §2.4 "remove shuffles
+    outright"): project signatures (no shuffle) → explode bands → ONE
+    shuffle on the band key → cap window → in-stage bucket fold →
+    in-bucket pair enumeration → exact verify. The pre-r14 shape
+    self-joined the exploded band table on (band_idx, key), which
+    planned the whole banding pipeline TWICE (alias-renamed join sides
+    defeat exchange reuse): 2 exchanges + 2 sorts + a ShuffledHashJoin.
+    Enumerating pairs inside each bucket instead needs no join at all,
+    and the fold is memory-bounded because it runs AFTER the cap
+    filter in the SAME partitioned stage (``collect_list`` over ≤
+    ``max_docs_per_band`` ids per bucket — never an unbounded group
+    buffer; the over-cap classes are dropped by the spill-safe window
+    count first, see MAX_DOCS_PER_BAND). Candidate-pair set is
+    IDENTICAL to the self-join by construction: both enumerate
+    {(a, b) : a < b, same (band_idx, key) bucket, bucket ≤ cap}.
     """
     rows_per_band = num_hashes // bands
     # signature computation is CPU-bound (num_hashes × shingles md5 calls
@@ -484,27 +494,28 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
-    # no persist: sh_df's cache already stops the md5 pipeline
-    # re-running per join side, and caching the exploded band table
-    # measured slower than recomputing it from that cache
     exploded = _cap_band_buckets(exploded, max_docs_per_band)
 
-    right = exploded.select(
-        F.col("band_idx").alias("band_idx_r"),
-        F.col("key").alias("key_r"),
-        F.col("_id").alias("id_b"),
+    # bucket fold + in-bucket pair enumeration (r14): the groupBy keys
+    # equal the cap window's partition keys, so the aggregate runs in
+    # the SAME stage as the window — no new exchange — and the list is
+    # bounded by the cap the window filter just enforced (≤ 50 ids).
+    # Worst-case fan-out per bucket stays cap²/2, as before.
+    bucket_ids = exploded.groupBy("band_idx", "key").agg(
+        F.collect_list("_id").alias("_ids")
     )
-    # shuffle_hash: band keys are md5-derived with a frequency cap, so
-    # buckets are bounded — no reason to pay the SMJ sort (winnow's hint)
-    pairs = (
-        exploded.hint("shuffle_hash")
-        .join(
-            right,
-            (F.col("band_idx") == F.col("band_idx_r"))
-            & (F.col("key") == F.col("key_r"))
-            & (F.col("_id") < F.col("id_b")),
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x: F.transform(
+                F.filter(F.col("_ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("_id").alias("id_a"), "id_b")
+    )
+    pairs = (
+        bucket_ids.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     # verify candidates against the persisted shingle table
@@ -646,12 +657,27 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Candidate pairs whose SimHashes agree on at least one of 4
     15-bit chunks (pigeonhole: catches all pairs with Hamming ≤ 3 and
-    most up to max_hamming), verified by exact Hamming distance."""
+    most up to max_hamming), verified by exact Hamming distance.
+
+    The signature table is persisted (r14 — optimization guide §1.2
+    "don't compute things twice"): both sides of the chunk self-join
+    read it, and without the materialization the md5-per-token hash +
+    60 bit-vote folds — the expensive part — are planned twice
+    (alias-renamed join sides defeat exchange reuse). ~16 B/doc cached;
+    at cluster scale this materialization point is a checkpoint."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sig = with_simhash(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col)).repartition(parallelism),
-        text_col,
-    ).select("_id", "_sim")
+    release_cached()  # self-cleaning: drop the previous call's cache
+    sig = (
+        with_simhash(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col)).repartition(
+                parallelism
+            ),
+            text_col,
+        )
+        .select("_id", "_sim")
+        .persist()
+    )
+    _CACHED_FRAMES.append(sig)
     chunks = [
         (F.shiftright(F.col("_sim"), 15 * c).bitwiseAND(F.lit((1 << 15) - 1))).alias(
             f"chunk{c}"
@@ -827,29 +853,45 @@ def winnow_shared_pairs(
     """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
     substring-duplicate candidates. Fingerprints appearing in more than
     ``max_docs_per_fp`` documents are dropped before pairing (they are
-    boilerplate by definition, and the cap bounds every join bucket:
+    boilerplate by definition, and the cap bounds every bucket:
     worst-case fan-out per fingerprint is max_docs_per_fp², independent
-    of corpus size — the same skew-bounding posture as the LSH tiers)."""
-    # materialized once (localCheckpoint): feeds the cap aggregate +
-    # both join sides — without it the tokenize/md5/window pipeline runs
-    # three times. At cluster scale this materialization point is a
-    # checkpoint to storage.
+    of corpus size — the same skew-bounding posture as the LSH tiers).
+
+    Plan shape (r14 rewrite — the minhash_lsh_pairs bucket-fold): ONE
+    shuffle on fp → spill-safe window count → cap filter → in-stage
+    bounded ``collect_list`` (≤ cap ids per fp) → in-bucket pair
+    enumeration → count shared fps. The pre-r14 shape joined the
+    fp table against a cap aggregate and then self-joined on fp —
+    three exchanges and a ShuffledHashJoin for the same pair set."""
+    from pyspark.sql.window import Window
+
+    # materialized once (localCheckpoint): the tokenize/md5/window
+    # fingerprint pipeline is expensive; at cluster scale this
+    # materialization point is a checkpoint to storage.
     fps = winnow_fingerprint_rows(df, id_col, text_col, k, w).localCheckpoint()
-    capped = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # window count, not groupBy+join (the _cap_band_buckets rationale):
+    # the cap rides the SAME fp exchange the bucket fold needs, and the
+    # sort-based window spills gracefully on a hot fingerprint where an
+    # unfiltered collect_list would buffer the whole class.
+    fn = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    bucket_ids = (
+        fps.withColumn("_n", fn)
         .filter(F.col("_n") <= max_docs_per_fp)
-        .select("fp")
+        .groupBy("fp")
+        .agg(F.collect_list(id_col).alias("_ids"))
     )
-    fps = fps.join(capped, "fp")
-    right = fps.select(F.col(id_col).alias("_id_b"), F.col("fp"))
-    # shuffle_hash: the fp key is an md5-derived hash with a frequency
-    # cap, so buckets are bounded — no reason to pay the SMJ sort
-    pairs = fps.hint("shuffle_hash").join(
-        right, (fps.fp == right.fp) & (fps[id_col] < right._id_b)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x: F.transform(
+                F.filter(F.col("_ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     return (
-        pairs.groupBy(F.col(id_col).alias("id_a"), F.col("_id_b").alias("id_b"))
+        bucket_ids.select(F.explode(pair_arr).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("id_a", "id_b")

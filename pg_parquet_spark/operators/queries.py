@@ -45,23 +45,75 @@ def _dec(col, prec=12, scale=2):
 
 # ---------------------------------------------------------------------------
 # Q1 — pricing summary (filter → groupBy → multi-agg → sort)
-# Spark plan: scan w/ pushed l_shipdate filter → partial hash agg →
-# shuffle on (returnflag, linestatus) [tiny key space → 6 groups] → final.
+# Spark plan: scan w/ pushed l_shipdate filter → partial LONG hash agg on
+# (flag, status, scan partition) → tiny exchange → exact DECIMAL re-sum of
+# the per-task partials → final projection.
+
+
+def _cents(col: str):
+    """Exact scaled-long (×100) of a 2-dp monetary double.
+
+    ``round(x*100)`` equals ``cast(cast(x as decimal(12,2)) * 100 as
+    long)`` for every value that carries at most 2 decimal digits
+    (TPC-H monetary columns by spec; asserted row-by-row over every SF
+    fixture in tests/test_operators.py::test_cents_cast_equivalence —
+    a 2-dp decimal times 100 is an integer, so the half-way rounding
+    modes can never disagree). Per-row work drops from a BigDecimal
+    construction to one multiply+rint (r14, guide §2.3 "narrower
+    types" / §1.2 per-task work)."""
+    return F.expr(f"cast(round({col} * 100) as long)")
+
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 rewrite (guide §1.2 per-task work; output bit-identical,
+    proven by full-result comparison at sf0.001/0.01/0.1 plus the
+    unchanged DuckDB oracle hash): the per-row DECIMAL pipeline —
+    4 double→decimal(12,2) casts, two decimal multiplies widening to
+    (25,4)/(38,6), decimal sum buffers — dominated the scan task
+    (count-only over the same filter measured 0.38 s vs 1.02 s for the
+    full aggregate; every input file is one row group, so the scan
+    side is a single task). Replaced by exact scaled-long arithmetic:
+    cents products summed as LONGS per (group, scan partition), then
+    the ≤ groups×tasks partial rows re-summed exactly as DECIMAL(38,0)
+    and divided by the scale power — the same exact rational, hence
+    the same IEEE double, as the all-decimal fold. Overflow headroom:
+    charge_i ≤ ~1.13e11 (price ≤ 1.05e7 cents × 100 × 108), so a
+    per-task long sum overflows only past ~8e7 lineitem rows in ONE
+    scan task — an order of magnitude beyond a 1 GB split; ANSI mode
+    would raise, not wrap, if a deployment ever got there. The final
+    DECIMAL re-sum keeps the 38-digit range of the original plan
+    across tasks, so total scale is unbounded."""
     li = table(spark, sf_dir, "lineitem")
-    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12, 2))
-    charge = disc * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax", 12, 2))
-    return (
+    qty_l = _cents("l_quantity")
+    price_l = _cents("l_extendedprice")
+    disc_i = price_l * (F.lit(100).cast("long") - _cents("l_discount"))
+    charge_i = disc_i * (F.lit(100).cast("long") + _cents("l_tax"))
+    partials = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p"))
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty_l).alias("_q"),
+            F.sum(price_l).alias("_b"),
+            F.sum(disc_i).alias("_d"),
+            F.sum(charge_i).alias("_c"),
+            F.count(F.lit(1)).alias("_n"),
         )
+    )
+    totals = partials.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_q"),
+        F.sum(F.col("_b").cast("decimal(38,0)")).alias("_b"),
+        F.sum(F.col("_d").cast("decimal(38,0)")).alias("_d"),
+        F.sum(F.col("_c").cast("decimal(38,0)")).alias("_c"),
+        F.sum("_n").alias("_n"),
+    )
+    return totals.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("_q") / 100).cast("double").alias("sum_qty"),
+        (F.col("_b") / 100).cast("double").alias("sum_base_price"),
+        (F.col("_d") / 10000).cast("double").alias("sum_disc_price"),
+        (F.col("_c") / 1000000).cast("double").alias("sum_charge"),
+        F.col("_n").cast("long").alias("count_order"),
     )
 
 
@@ -253,20 +305,33 @@ SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
 # TPC-H Q5 shape. Scale: all dims broadcast, single shuffle for the agg.
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: revenue folded as exact scaled-longs per (nation, scan
+    partition) then DECIMAL re-summed — the q1_pricing_summary rewrite
+    (see its docstring for the equivalence + overflow argument;
+    rev_i ≤ 1.05e9, so a per-task long sum has ~8.7e9 rows of
+    headroom). Join chain unchanged: dimensions broadcast, the fact
+    side never shuffles."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
-    return (
+    revenue_i = _cents("l_extendedprice") * (
+        F.lit(100).cast("long") - _cents("l_discount")
+    )
+    partials = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
-        .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .groupBy("n_name", F.spark_partition_id().alias("_p"))
+        .agg(F.sum(revenue_i).alias("_r"))
+    )
+    return (
+        partials.groupBy("n_name")
+        .agg(F.sum(F.col("_r").cast("decimal(38,0)")).alias("_r"))
+        .select("n_name", (F.col("_r") / 10000).cast("double").alias("revenue"))
     )
 
 
@@ -500,8 +565,16 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the second tiny aggregate costs a job; the Expand-side win is the
     scan-volume one that matters at scale)."""
     li = table(spark, sf_dir, "lineitem")
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).alias("_s")
+    # r14: the base aggregate's per-row work is scaled-long (the
+    # q1_pricing_summary rewrite — see its docstring); the exact
+    # DECIMAL quantity re-materializes at (flag, status, task)
+    # cardinality before the rollup, so the Expand input and the
+    # rolled-up sums are value-identical to the all-decimal fold.
+    base = (
+        li.groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p"))
+        .agg(F.sum(_cents("l_quantity")).alias("_sl"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg((F.sum(F.col("_sl").cast("decimal(38,0)")) / 100).alias("_s"))
     )
     return (
         base.rollup("l_returnflag", "l_linestatus")

@@ -66,11 +66,18 @@ def test_topk_uses_partition_heaps_not_global_sort(plans):
 
 
 def test_single_aggregate_queries_shuffle_once(plans):
-    # q1: one hash-aggregate exchange; anything more means the partial
-    # (map-side) aggregation was lost
-    assert plans["q1_pricing_summary"].count("Exchange") == 1, plans[
+    # q1 (r14 scaled-long rewrite): per-row work is LONG sums keyed by
+    # (flag, status, scan partition); the exact DECIMAL re-sum of the
+    # ≤ groups×tasks partials adds a second — group-cardinality-sized —
+    # exchange. Exactly two exchanges: one more means the partial
+    # (map-side) long aggregation was lost, one fewer means the
+    # overflow-safe decimal re-sum tier was dropped.
+    assert plans["q1_pricing_summary"].count("Exchange") == 2, plans[
         "q1_pricing_summary"
     ]
+    # the per-row tier must stay integer and per-task (the whole point
+    # of the rewrite): the partial keys carry the scan partition id
+    assert "SPARK_PARTITION_ID" in plans["q1_pricing_summary"].upper()
 
 
 def test_filter_queries_push_predicates_to_scan(plans):

@@ -691,3 +691,26 @@ def test_lsh_hot_bucket_audit_surfaces_drops(spark):
         "doc_id long, text string",
     )
     assert dedup.lsh_hot_bucket_audit(varied, "doc_id").count() == 0
+
+
+def test_cents_cast_equivalence(spark):
+    """q1's r14 scaled-long rewrite rests on round(x*100) equalling the
+    decimal(12,2)-cast route for 2-dp monetary doubles (a 2-dp decimal
+    times 100 is an integer, so half-way rounding can never fire).
+    Assert it row-by-row over every monetary column of every SF fixture
+    present — the guard the q1_pricing_summary docstring cites."""
+    import os
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        if not os.path.exists(os.path.join(sf, "lineitem.parquet")):
+            continue
+        li = table(spark, sf, "lineitem")
+        bad = li.selectExpr(
+            "sum(case when "
+            + " or ".join(
+                f"cast(round({c}*100) as long) != cast(cast({c} as decimal(12,2))*100 as long)"
+                for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            )
+            + " then 1 else 0 end) as bad"
+        ).collect()[0]["bad"]
+        assert bad == 0, f"{sf}: {bad} rows diverge between round() and decimal cast"
