@@ -59,9 +59,14 @@ FROM t ORDER BY doc_id
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # r14: tokens projected once; lang_id's four stopword scans read the
+    # materialized array (the with_text_features rationale)
     return (
-        docs.select(
-            "doc_id", "lang", text.lang_id(F.col("text")).alias("pred_lang")
+        docs.withColumn("_toks_lid", text.tokens(F.col("text")))
+        .select(
+            "doc_id",
+            "lang",
+            text.lang_id(F.col("text"), toks=F.col("_toks_lid")).alias("pred_lang"),
         )
         .orderBy("doc_id")
     )

@@ -40,36 +40,46 @@ def char_count(col: Column) -> Column:
     return F.length(col).cast("bigint")
 
 
-def avg_token_len(col: Column) -> Column:
+def avg_token_len(col: Column, toks: Column | None = None) -> Column:
     """Mean token length in characters (double division — deterministic
     IEEE op, identical cross-engine)."""
-    n = F.size(tokens(col)).cast("double")
+    n = F.size(tokens(col) if toks is None else toks).cast("double")
     total = (F.length(col).cast("double") - (n - F.lit(1.0)))
     return total / n
 
 
-def stopword_hits(col: Column, words: list[str]) -> Column:
-    toks = tokens(col)
+def stopword_hits(
+    col: Column, words: list[str], toks: Column | None = None
+) -> Column:
+    """``toks`` (r14): pass an already-projected tokens column so a
+    multi-feature projection tokenizes once (see with_text_features) —
+    physical-plan subexpression elimination does NOT collapse the
+    repeated split/filter trees (measured −30% on q_text_features)."""
+    toks = tokens(col) if toks is None else toks
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
 
 
-def stopword_ratio(col: Column, words: list[str] | None = None) -> Column:
+def stopword_ratio(
+    col: Column, words: list[str] | None = None, toks: Column | None = None
+) -> Column:
     words = words or LANG_STOPWORDS["en"]
-    return stopword_hits(col, words).cast("double") / F.size(tokens(col)).cast(
+    toks = tokens(col) if toks is None else toks
+    return stopword_hits(col, words, toks).cast("double") / F.size(toks).cast(
         "double"
     )
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, toks: Column | None = None) -> Column:
     """Heuristic quality score in [0,1]: length saturation + stopword
     presence + token-length sanity. Deterministic double arithmetic."""
-    n_tok = F.size(tokens(col)).cast("double")
+    toks = tokens(col) if toks is None else toks
+    n_tok = F.size(toks).cast("double")
     len_component = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     stop_component = F.least(
-        stopword_ratio(col) * F.lit(5.0), F.lit(1.0)
+        stopword_ratio(col, toks=toks) * F.lit(5.0), F.lit(1.0)
     )
-    atl = avg_token_len(col)
+    atl = avg_token_len(col, toks=toks)
     shape_component = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(
         F.lit(0.0)
     )
@@ -80,10 +90,14 @@ def quality_score(col: Column) -> Column:
     )
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(col: Column, toks: Column | None = None) -> Column:
     """Stopword-hit language id over LANG_STOPWORDS with a fixed
     tie-break order (en > de > es > fr)."""
-    cnt = {lang: stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()}
+    toks = tokens(col) if toks is None else toks
+    cnt = {
+        lang: stopword_hits(col, words, toks)
+        for lang, words in LANG_STOPWORDS.items()
+    }
     return (
         F.when(
             (cnt["en"] >= cnt["de"]) & (cnt["en"] >= cnt["es"]) & (cnt["en"] >= cnt["fr"]),
@@ -110,16 +124,26 @@ def normalized_fingerprint(col: Column) -> Column:
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the full feature set as columns (single projection — one
-    pass over the data, no shuffle)."""
+    pass over the data, no shuffle).
+
+    r14 (guide §1.2 per-task work): the tokens array is projected ONCE
+    and every feature reads the materialized column. The previous shape
+    inlined ``split(lower(text))`` ~12× across the feature expressions;
+    whole-stage-codegen subexpression elimination does not collapse the
+    repeated split/filter subtrees (interleaved A/B on the
+    q_text_features projection: 0.597 → 0.417 s min, −30%). Output
+    columns, values and ordering are unchanged."""
     c = F.col(text_col)
-    return df.select(
-        "*",
-        token_count(c).alias("n_tokens"),
+    t = F.col("_toks_feat")
+    staged = df.withColumn("_toks_feat", tokens(c))
+    return staged.select(
+        *[F.col(x) for x in df.columns],
+        F.size(t).cast("bigint").alias("n_tokens"),
         char_count(c).alias("n_chars_computed"),
-        avg_token_len(c).alias("avg_token_len"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        quality_score(c).alias("quality_score"),
-        lang_id(c).alias("pred_lang"),
+        avg_token_len(c, toks=t).alias("avg_token_len"),
+        stopword_ratio(c, toks=t).alias("stopword_ratio"),
+        quality_score(c, toks=t).alias("quality_score"),
+        lang_id(c, toks=t).alias("pred_lang"),
         fingerprint(c).alias("fingerprint"),
     )
 
@@ -841,13 +865,17 @@ def bpe_pair_counts(
     contributes its n−1 adjacent pairs map-side, then one pair-keyed
     count with partial aggregation. Single-token rows contribute
     nothing (slice of length 0)."""
-    t = tokens(F.col(text_col))
+    # tokens projected once (r14): the pair expression reads t four
+    # times (two slices + two sizes) — inline, that is four splits/row
+    t = F.col("_bpe_toks")
     pairs = F.zip_with(
         F.slice(t, 1, F.size(t) - 1),
         F.slice(t, 2, F.size(t) - 1),
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
-    ex = df.select(F.explode(pairs).alias("pair"))
+    ex = df.withColumn("_bpe_toks", tokens(F.col(text_col))).select(
+        F.explode(pairs).alias("pair")
+    )
     return (
         ex.groupBy("pair")
         .agg(F.count("*").cast("long").alias("n"))
@@ -1040,7 +1068,8 @@ def bigram_logprob(
     shuffles. No broadcast of the bigram vocabulary (it is corpus-
     sized); the joins are plain hash-partitioned equi-joins on the gram
     key, which is exactly what scales."""
-    toks = tokens(F.col(text_col))
+    # tokens projected once (r14): grams reads the array four times
+    toks = F.col("_bg_toks")
     sz = F.size(toks)
     grams = F.zip_with(
         F.slice(toks, 1, sz - 1),
@@ -1048,7 +1077,8 @@ def bigram_logprob(
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     doc_bg = (
-        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        df.withColumn("_bg_toks", tokens(F.col(text_col)))
+        .select(F.col(id_col), F.explode(grams).alias("g"))
         .groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1262,7 +1292,8 @@ def pmi_collocations(
     bigram counts; margins are two narrow re-aggregations of that same
     table; the margin joins are key-equi over counts; top-k is a heap
     (TakeOrderedAndProject), never a full sort."""
-    toks = tokens(F.col(text_col))
+    # tokens projected once (r14): grams reads the array four times
+    toks = F.col("_pmi_toks")
     sz = F.size(toks)
     grams = F.zip_with(
         F.slice(toks, 1, sz - 1),
@@ -1270,7 +1301,8 @@ def pmi_collocations(
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     bg = (
-        df.select(F.explode(grams).alias("g"))
+        df.withColumn("_pmi_toks", tokens(F.col(text_col)))
+        .select(F.explode(grams).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1417,7 +1449,9 @@ def ngram_novelty(
     the novelty check is one gram-keyed left join of the document grams
     against the reference vocabulary (narrow md5-able keys, no text);
     per-doc fold is a count aggregate."""
-    toks = tokens(F.col(text_col))
+    # tokens projected once per frame (r14): grams reads the array
+    # four times — inline, that is four splits per row on both corpora
+    toks = F.col("_nv_toks")
     sz = F.size(toks)
     grams = F.array_distinct(
         F.zip_with(
@@ -1426,9 +1460,12 @@ def ngram_novelty(
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     )
-    doc_g = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    doc_g = df.withColumn("_nv_toks", tokens(F.col(text_col))).select(
+        F.col(id_col), F.explode(grams).alias("g")
+    )
     ref_g = (
-        reference.select(F.explode(grams).alias("g"))
+        reference.withColumn("_nv_toks", tokens(F.col(text_col)))
+        .select(F.explode(grams).alias("g"))
         .distinct()
         .withColumn("_seen", F.lit(True))
     )
@@ -2485,7 +2522,8 @@ def oov_rate(
         r.term for r in vocab_top_terms(df, text_col, vocab_size).collect()
     ]
     vocab_arr = F.array(*[F.lit(t) for t in sorted(vocab)])
-    toks = tokens(F.col(text_col))
+    # tokens projected once (r14): size + OOV filter share the array
+    toks = F.col("_oov_toks")
     n_tok = F.size(toks).cast("long")
     oov = F.size(
         F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))
@@ -2503,7 +2541,8 @@ def oov_rate(
         .cast("long")
     )
     return (
-        df.select(
+        df.withColumn("_oov_toks", tokens(F.col(text_col)))
+        .select(
             F.col(id_col),
             n_tok.alias("n_tokens"),
             oov.alias("oov_tokens"),
