@@ -411,14 +411,22 @@ def curriculum_from_perplexity(
     global_pos. Documents with no bigram (single-token) drop out of
     the scored set — the bigram_logprob contract, mirrored by the
     oracle."""
+    from pg_parquet_spark.operators import text as text_mod
     from pg_parquet_spark.operators.sampling import curriculum_order
-    from pg_parquet_spark.operators.text import bigram_logprob
 
     if n_bins < 2 or (n_bins & (n_bins - 1)) != 0:
         raise ValueError(
             f"n_bins must be a power of two ≥ 2, got {n_bins}"
         )
-    scored = bigram_logprob(df, id_col, text_col)
+    # persist the doc-level scored table (r14): this plan references
+    # scored twice (edges + binning) and binned twice (the curriculum
+    # rank + the final payload join) — unpersisted, the expensive
+    # bigram pipeline re-ran up to 4× in one plan (37 exchanges; the
+    # worst gate plan in PLANS.md). Registered in text's self-cleaning
+    # cache (the dedup.py convention, one registry per family).
+    text_mod.release_cached()
+    scored = text_mod._bigram_scored(df, id_col, text_col).persist()
+    text_mod._CACHED_FRAMES.append(scored)
     fr = [i / n_bins for i in range(1, n_bins)]
     edges = scored.agg(
         F.expr(
@@ -437,7 +445,9 @@ def curriculum_from_perplexity(
             ).cast("long"),
         )
         .select(id_col, "bin", "mean_nll_micro")
+        .persist()
     )
+    text_mod._CACHED_FRAMES.append(binned)
     ordered = curriculum_order(binned, id_col, "bin", salt=salt)
     return (
         ordered.join(binned.select(id_col, "mean_nll_micro"), id_col)

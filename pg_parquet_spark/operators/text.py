@@ -26,6 +26,30 @@ LANG_STOPWORDS = {
 }
 
 
+#: Doc-level bigram-scored frames persisted by the perplexity
+#: compositions (perplexity_datamap here, recipe.curriculum_from_
+#: perplexity). The scored table is tiny (id + 3 longs per doc) but
+#: its producing pipeline — tokenize, bigram explode, three gram-keyed
+#: aggregates, scoring join — is the most expensive text stage, and
+#: each composition references the frame 2–4× in one plan; without a
+#: persist Spark re-plans (and re-runs) the whole pipeline per
+#: reference (r14, guide §1.2 "don't compute things twice").
+#: Self-cleaning (the dedup.py convention): each composition releases
+#: the previous call's frames at entry, so at most one composition's
+#: cache is ever resident.
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist frames cached by the perplexity compositions."""
+    while _CACHED_FRAMES:
+        df = _CACHED_FRAMES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokens, lowercased. Single-space split keeps the
     expression identical across engines."""
@@ -1035,12 +1059,18 @@ ORDER BY {id_col}
 # unigram LM)
 
 
-def bigram_logprob(
+def _bigram_scored(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Bigram language-model scoring — the next rung of the KenLM-style
+    """Bigram language-model scoring, UNORDERED — the composition-
+    facing core of :func:`bigram_logprob` (r14): the perplexity
+    compositions aggregate or re-rank the scored set, so the public
+    gate's per-doc ORDER BY would be planned and immediately
+    destroyed; they persist THIS frame (see ``_CACHED_FRAMES``) and
+    the sort stays exclusive to the ordered wrapper. The next rung of
+    the KenLM-style
     perplexity-filter ladder above ``q_text_unigram_logprob``: fit
     corpus conditional probabilities P(w_i | w_{i-1}) with add-one
     smoothing over the unigram vocabulary, score every document by its
@@ -1122,8 +1152,17 @@ def bigram_logprob(
             "mean_nll_micro",
             F.expr("nll_micro div n_bigrams").cast("long"),
         )
-        .orderBy(id_col)
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram-LM scores ordered by id — the public gate
+    surface over :func:`_bigram_scored` (full contract there)."""
+    return _bigram_scored(df, id_col, text_col).orderBy(id_col)
 
 
 def bigram_oracle_sql(
@@ -1199,7 +1238,13 @@ def perplexity_datamap(
             f"percentile positions are the engine-exactness contract), "
             f"got {n_bins}"
         )
-    scored = bigram_logprob(df, id_col, text_col)
+    # persist the doc-level scored table (r14): this plan references
+    # it twice (percentile edges + the binning pass) and the producing
+    # bigram pipeline is the expensive part — without the persist both
+    # references re-run it end to end. Self-cleaning registry above.
+    release_cached()
+    scored = _bigram_scored(df, id_col, text_col).persist()
+    _CACHED_FRAMES.append(scored)
     fr = [i / n_bins for i in range(1, n_bins)]
     edges = scored.agg(
         F.expr(

@@ -509,11 +509,14 @@ def test_winnow_join_is_hash_not_sort_merge(spark):
     docs = table(spark, SF, "documents")
     pairs = dedup.winnow_shared_pairs(docs, "doc_id")
     plan = _plan(pairs)
-    # the fp self-join carries an explicit shuffle_hash hint (bounded
-    # buckets via max_docs_per_fp) — if Catalyst drops the hint the plan
-    # pays an SMJ sort on every fingerprint
-    assert "ShuffledHashJoin" in plan
+    # r14 bucket-fold rewrite: pairs enumerate INSIDE each capped fp
+    # bucket (window cap -> bounded collect_list -> in-bucket pair
+    # transform), so the plan has NO join at all — a reappearing
+    # SMJ/SHJ means the fold regressed to the pre-r14 self-join
     assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "collect_list" in plan
 
 
 def test_minhash_plan_has_no_cartesian(spark):
