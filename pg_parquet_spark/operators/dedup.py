@@ -1770,6 +1770,13 @@ def strip_duplicated_spans(
     toks, grams = _span_tok_gram_frames(
         df, id_col, text_col, span_tokens, "strip_duplicated_spans"
     )
+    # persisted (r14): both the duplicate aggregate and the drop join
+    # read the gram table, and its producing pipeline (posexplode +
+    # L-1 window leads + md5 per position) is the dominant cost —
+    # unpersisted it ran twice per plan. Self-cleaning registry.
+    release_cached()
+    grams = grams.persist()
+    _CACHED_FRAMES.append(grams)
     dups = (
         grams.groupBy("gram_h")
         .agg(
@@ -2026,8 +2033,23 @@ def strip_incremental(
         idx = spark.createDataFrame([], "gram_h long")
     else:
         idx = read_parquet(spark, index_uri.rstrip("/")).select("gram_h")
-    known = grams.join(idx, "gram_h", "left_semi")
-    fresh = grams.join(idx, "gram_h", "left_anti")
+    # ONE gram_h-keyed pass (r14, guide §1.2/§2.4): the pre-r14 shape
+    # ran a left_semi (known) AND a left_anti (fresh) — two full
+    # shuffles of the gram table and two replays of its producing
+    # pipeline (explode + L-1 leads + md5 per position, the expensive
+    # part). The index has one row per DISTINCT gram_h by
+    # construction, so a plain left join cannot fan out and
+    # filter(matched) / filter(unmatched) ARE the semi/anti sets.
+    # Persisted (self-cleaning registry); batch_dups' groupBy and
+    # batch_dropped's join then ride the SAME gram_h partitioning —
+    # no further exchange of the gram table.
+    release_cached()
+    marked = grams.join(
+        idx.withColumn("_in_idx", F.lit(True)), "gram_h", "left"
+    ).persist()
+    _CACHED_FRAMES.append(marked)
+    known = marked.filter(F.col("_in_idx").isNotNull())
+    fresh = marked.filter(F.col("_in_idx").isNull())
     batch_dups = (
         fresh.groupBy("gram_h")
         .agg(
@@ -2386,8 +2408,14 @@ def dedup_incremental_near(
     sigb = _sig_band_frame(new_docs, id_col, text_col, num_hashes, bands).persist()
     _CACHED_FRAMES.append(sigb)
     # batch-side hot-bucket cap (VERDICT r10 #1): bounds both the index
-    # candidate join and the within-batch join
-    eb = _cap_band_buckets(_explode_bands(sigb, bands), max_docs_per_band)
+    # candidate join and the within-batch join. Persisted (r14): the
+    # capped frame is referenced three times (index candidates + both
+    # sides of the within-batch self-join) and each reference would
+    # otherwise replay the explode + band-key exchange + window cap.
+    eb = _cap_band_buckets(
+        _explode_bands(sigb, bands), max_docs_per_band
+    ).persist()
+    _CACHED_FRAMES.append(eb)
     a_side = sigb.select(
         F.col("_id").alias("_aid"),
         *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(num_hashes)],
