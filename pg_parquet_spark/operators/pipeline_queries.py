@@ -421,12 +421,18 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     0, natural prose ~4-4.5 bits/char). Sorted distinct set fixes the
     float summation order so Spark and DuckDB sum identically."""
     docs = table(spark, sf_dir, "documents")
+    # r14: run-length staging (sorted chars → run starts) replaces the
+    # O(|distinct|·n) filter-per-distinct-char scan; identical float
+    # summation order (run order == sorted distinct order), same output.
     return (
         docs.withColumn("_cs", F.split(F.col("text"), ""))
-        .withColumn("_ds", F.array_sort(F.array_distinct(F.col("_cs"))))
+        .withColumn("_ss", F.array_sort(F.col("_cs")))
+        .withColumn(
+            "_st", text.char_run_starts(F.col("_cs"), F.col("_ss"))
+        )
         .select(
             "doc_id",
-            F.round(text.char_entropy(F.col("_cs"), F.col("_ds")), 6).alias(
+            F.round(text.char_entropy(F.col("_cs"), F.col("_st")), 6).alias(
                 "char_entropy"
             ),
         )

@@ -448,12 +448,15 @@ def curriculum_from_perplexity(
         .persist()
     )
     text_mod._CACHED_FRAMES.append(binned)
-    ordered = curriculum_order(binned, id_col, "bin", salt=salt)
-    return (
-        ordered.join(binned.select(id_col, "mean_nll_micro"), id_col)
-        .select(id_col, "bin", "mean_nll_micro", "global_pos")
-        .orderBy("global_pos")
+    # r14 optimization: mean_nll_micro rides THROUGH the curriculum
+    # rank (curriculum_order keep_cols) instead of being re-attached
+    # by an id-keyed join-back — one shuffle fewer, same rows/order.
+    ordered = curriculum_order(
+        binned, id_col, "bin", salt=salt, keep_cols=("mean_nll_micro",)
     )
+    return ordered.select(
+        id_col, "bin", "mean_nll_micro", "global_pos"
+    ).orderBy("global_pos")
 
 
 def curriculum_perplexity_oracle_sql(

@@ -977,6 +977,7 @@ def curriculum_order(
     id_col: str,
     bin_col: str,
     salt: str = "",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Deterministic GLOBAL training order (r12): every row gets its
     exact position in the epoch's sample stream — curriculum bins
@@ -1000,11 +1001,19 @@ def curriculum_order(
     ``bin_col`` must be NON-NULL (the windows-order-NULLs lesson:
     Spark sorts NULLS FIRST, DuckDB NULLS LAST — a NULL bin would
     diverge from the oracle); coalesce unbinned rows to a sentinel
-    bin first."""
+    bin first.
+
+    ``keep_cols`` (r14 optimization): payload columns carried THROUGH
+    the rank — the range exchange already moves every row, so a few
+    extra bytes per row here are strictly cheaper than the id-keyed
+    join-back a caller would otherwise pay to re-attach them
+    (guide §2.4: remove shuffles outright)."""
     from pg_parquet_spark.operators.distrank import distributed_row_number
 
     keyed = df.select(
-        F.col(id_col).alias("_cid"), F.col(bin_col).alias("bin")
+        F.col(id_col).alias("_cid"),
+        F.col(bin_col).alias("bin"),
+        *keep_cols,
     ).withColumn(
         "_shuf", F.md5(F.concat(F.lit(salt), F.col("_cid").cast("string")))
     )
@@ -1015,6 +1024,7 @@ def curriculum_order(
         .select(
             F.col("_cid").alias(id_col),
             "bin",
+            *keep_cols,
             F.col("global_pos").cast("long"),
         )
         .orderBy("global_pos")

@@ -111,7 +111,17 @@ def jaccard_join(
     p = F.col("n") - F.expr(
         f"(n * {threshold_ppm} + {_PPM - 1}) div {_PPM}"
     ) + F.lit(1)
-    pref = arrs.select(
+    # r14 optimization (guide §2.5): spread the probe side over the
+    # cluster BY DOC ID before exploding prefixes. Candidate-pair
+    # duplicates (one per shared prefix token) all originate from the
+    # same probe doc, so keying the candidate stage by id makes the
+    # partial (map-side) distinct actually remove them before the
+    # exchange — and the pair-generation + partial-distinct stage runs
+    # at defaultParallelism instead of inheriting the narrow scan/agg
+    # partitioning. The repartition itself moves only the per-doc rank
+    # arrays (~|tokens| ints/doc), never raw text.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pref = arrs.repartition(par, "id").select(
         "id", "n", F.explode(F.slice("rks", F.lit(1), p)).alias("prk")
     )
     cand = (
@@ -202,11 +212,14 @@ def containment_join(
     Prefix-filter correctness for containment: if the SMALLER set A
     reaches overlap t = ⌈θ·|A|⌉ with B, then A's first
     |A| − t + 1 rarest tokens cannot all miss B — so candidates are
-    every doc's own-θ prefix probed against the FULL posting lists.
-    Probing from both sides is a superset (we don't know which side is
-    smaller), and exact verification prunes it. Prefix tokens are the
-    corpus-rarest by construction, so the probed postings are the
-    short ones — hot boilerplate tokens never enter a prefix.
+    the SMALLER side's own-θ prefix probed against the other side's
+    FULL posting list (r14: probing only from the canonical smaller
+    side — lexicographic (n, id), so |A| = min(|A|,|B|) and ties
+    break deterministically — generates every qualifying pair exactly
+    per the theorem and halves the candidate stream the old
+    both-sides probe paid). Prefix tokens are the corpus-rarest by
+    construction, so the probed postings are the short ones — hot
+    boilerplate tokens never enter a prefix.
 
     Output: (id_a, id_b, inter_n, min_n, containment_ppm), ordered;
     ppm via positive integer division (engine-exact)."""
@@ -219,24 +232,40 @@ def containment_join(
     rank = distributed_row_number(
         dt.groupBy("tok").agg(F.count("*").alias("_df")), ["_df", "tok"]
     ).select("tok", "rk")
-    ranked = dt.join(rank, "tok").select("id", "rk").persist()
     arrs = (
-        ranked.groupBy("id")
+        dt.join(rank, "tok")
+        .groupBy("id")
         .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
         .withColumn("n", F.size("rks").cast("long"))
         .persist()
     )
-    _CACHED_FRAMES.extend([ranked, arrs])
+    _CACHED_FRAMES.append(arrs)
     _trim_cache()
     p = F.col("n") - F.expr(
         f"(n * {threshold_ppm} + {_PPM - 1}) div {_PPM}"
     ) + F.lit(1)
-    pref = arrs.select("id", F.explode(F.slice("rks", F.lit(1), p)).alias("rk"))
+    # r14 (guide §2.5, same rationale as jaccard_join): key the probe
+    # side by doc id at defaultParallelism so pair-generation + the
+    # partial distinct parallelize and dedup map-side; the probed full
+    # posting list now derives from the SAME persisted array table
+    # (explode), dropping the separate persisted postings frame.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pref = arrs.repartition(par, "id").select(
+        "id", "n", F.explode(F.slice("rks", F.lit(1), p)).alias("rk")
+    )
+    full = arrs.select(
+        F.col("id").alias("id2"),
+        F.col("n").alias("n2"),
+        F.explode("rks").alias("rk"),
+    )
     cand = (
-        pref.join(
-            ranked.select(F.col("id").alias("id2"), "rk"), "rk"
+        pref.join(full, "rk")
+        # canonical smaller-side probe: keep only probes from the
+        # lexicographically-smaller (n, id) side — the theorem's A
+        .filter(
+            (F.col("n") < F.col("n2"))
+            | ((F.col("n") == F.col("n2")) & (F.col("id") < F.col("id2")))
         )
-        .filter(F.col("id") != F.col("id2"))
         .select(
             F.least("id", "id2").alias("id_a"),
             F.greatest("id", "id2").alias("id_b"),

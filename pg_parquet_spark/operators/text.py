@@ -243,22 +243,53 @@ def repetition_ratio(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def char_entropy(chars: Column, sorted_distinct: Column) -> Column:
+def char_run_starts(chars: Column, sorted_chars: Column) -> Column:
+    """1-based positions in ``sorted_chars`` where a new character run
+    begins — the run-length decomposition of the sorted char array.
+    Both inputs must be staged column references (see
+    shingles_from_tokens). Empty/NULL input yields an empty/NULL
+    array; positions ascend, so the runs enumerate the DISTINCT chars
+    in sorted order (exactly ``array_sort(array_distinct(chars))``)."""
+    n = F.size(chars)
+    return F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == F.lit(1))
+            | (
+                F.element_at(sorted_chars, i)
+                != F.element_at(sorted_chars, i - F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def char_entropy(chars: Column, run_starts: Column) -> Column:
     """Shannon entropy (bits/char) of the character distribution — a
     perplexity-proxy quality signal (near-zero = degenerate/repeated
-    text, natural prose sits ~4-4.5 bits). Both inputs must be staged
-    column references (see shingles_from_tokens); the distinct set is
-    SORTED so the float summation order is engine-identical, and the
-    formulation is -(Σ p·ln p)/ln 2: JVM and DuckDB log2() disagree by
-    1-2 ULP on ~17% of arguments, ln() on ~3% — callers that need a
+    text, natural prose sits ~4-4.5 bits). ``run_starts`` is the staged
+    :func:`char_run_starts` column over the staged sorted chars;
+    adjacent-start differences ARE the per-distinct-char counts, in
+    sorted-char order — so the float summation order is engine-
+    identical to the old filter-per-distinct formulation while the
+    per-row cost drops from O(|distinct|·n) array scans to one
+    O(n log n) sort + one linear pass (r14 optimization, guide §1.2
+    per-task work; measured 6.1 s → see OPTIMIZATION_r14.md). The
+    formulation stays -(Σ p·ln p)/ln 2: JVM and DuckDB log2() disagree
+    by 1-2 ULP on ~17% of arguments, ln() on ~3% — callers that need a
     cross-engine-stable hash should round the result (the gate query
     rounds to 6 decimals; a 1-ULP residue at entropy≈4 is ~1e-15)."""
     n = F.size(chars).cast("double")
-    terms = F.transform(
-        sorted_distinct,
-        lambda d: (
-            F.size(F.filter(chars, lambda c: c == d)).cast("double") / n
+    nxt = F.concat(
+        F.slice(
+            run_starts,
+            F.lit(2),
+            F.greatest(F.size(run_starts) - F.lit(1), F.lit(0)),
         ),
+        F.array(F.size(chars) + F.lit(1)),
+    )
+    terms = F.zip_with(
+        run_starts, nxt, lambda a, b: (b - a).cast("double") / n
     )
     raw = -F.aggregate(
         terms,

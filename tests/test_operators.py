@@ -714,3 +714,51 @@ def test_cents_cast_equivalence(spark):
             + " then 1 else 0 end) as bad"
         ).collect()[0]["bad"]
         assert bad == 0, f"{sf}: {bad} rows diverge between round() and decimal cast"
+
+
+def test_char_entropy_rle_equivalence(spark):
+    """The r14 run-length char_entropy must be BIT-identical to the old
+    filter-per-distinct-char formulation (same p values summed in the
+    same sorted-char order), including the degenerate inputs: empty
+    string, single char, single repeated char, NULL text."""
+    from pyspark.sql import functions as F
+
+    from pg_parquet_spark.operators import text as text_mod
+
+    def entropy_reference(chars, sorted_distinct):
+        n = F.size(chars).cast("double")
+        terms = F.transform(
+            sorted_distinct,
+            lambda d: (
+                F.size(F.filter(chars, lambda c: c == d)).cast("double") / n
+            ),
+        )
+        raw = -F.aggregate(
+            terms, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+        ) / F.log(F.lit(2.0))
+        return F.when(n > 0, raw + F.lit(0.0)).otherwise(F.lit(0.0))
+
+    rows = [
+        (1, "abcabc banana!"),
+        (2, ""),
+        (3, "x"),
+        (4, "aaaaaaa"),
+        (5, None),
+        (6, "the quick brown fox jumps over the lazy dog 0123456789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = df.withColumn("_cs", F.split(F.col("text"), "")).withColumn(
+        "_ss", F.array_sort(F.col("_cs"))
+    )
+    out = staged.withColumn(
+        "_st", text_mod.char_run_starts(F.col("_cs"), F.col("_ss"))
+    ).select(
+        "doc_id",
+        text_mod.char_entropy(F.col("_cs"), F.col("_st")).alias("new"),
+        entropy_reference(
+            F.col("_cs"), F.array_sort(F.array_distinct(F.col("_cs")))
+        ).alias("old"),
+    )
+    for r in out.collect():
+        # bit-identical, not approx: the sum runs the same float ops
+        assert r["new"] == r["old"], (r["doc_id"], r["new"], r["old"])
