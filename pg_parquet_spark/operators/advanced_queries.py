@@ -1048,9 +1048,22 @@ def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound row stays a broadcast."""
     li = table(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice")
-    bounds = li.agg(
-        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    # r14 (guide §1.2 per-task work): ONE array-percentile buffer for
+    # both bounds (two scalar percentile() calls each built their own
+    # 600k-entry value→count map), and spread the partial aggregation
+    # when the scan is narrower than the cluster (single-file local
+    # scans ran the whole buffer build in one task — the write_zordered
+    # convention; exact percentile merge is count-sum + sort, so the
+    # result is partition-invariant). A/B: 6.5 → 3.3 s min; bounds
+    # bit-identical.
+    xs = li.select("l_extendedprice")
+    par = spark.sparkContext.defaultParallelism
+    if xs.rdd.getNumPartitions() < par:
+        xs = xs.repartition(par)
+    bounds = xs.agg(
+        F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("_pp")
+    ).select(
+        F.col("_pp")[0].alias("p01"), F.col("_pp")[1].alias("p99")
     )
     clipped = F.least(F.greatest(x, F.col("p01")), F.col("p99"))
     return (

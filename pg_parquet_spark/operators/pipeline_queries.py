@@ -197,14 +197,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (sh.min_sh == right.min_sh_b)
         & (sh.doc_id < right.doc_id_b),
     )
-    jac = F.size(F.array_intersect(F.col("sh"), F.col("sh_b"))).cast("double") / F.size(
-        F.array_union(F.col("sh"), F.col("sh_b"))
-    ).cast("double")
+    # r14 (guide §1.2 per-task work): both sides are array_distinct, so
+    # |A∪B| = |A| + |B| − |A∩B| exactly — the per-pair array_union
+    # (a second O(n) hash-set build) is redundant; the staged intersect
+    # size feeds both numerator and denominator. Same integers → the
+    # same IEEE division → identical jaccard doubles.
+    scored = pairs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("doc_id_b").alias("id_b"),
+        F.size(F.array_intersect(F.col("sh"), F.col("sh_b"))).alias("_ni"),
+        (F.size("sh") + F.size("sh_b")).alias("_ns"),
+    )
     return (
-        pairs.select(
-            F.col("doc_id").alias("id_a"),
-            F.col("doc_id_b").alias("id_b"),
-            jac.alias("jaccard"),
+        scored.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_ni").cast("double")
+                / (F.col("_ns") - F.col("_ni")).cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("id_a", "id_b")

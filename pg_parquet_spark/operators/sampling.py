@@ -913,12 +913,14 @@ def apply_quality_classifier(
         F.col(id_col), _feature_bucket(F.col("_w"), n_buckets).alias("f")
     )
     if w:
-        pairs = []
-        for b in sorted(w):
-            pairs.append(F.lit(int(b)))
-            pairs.append(F.lit(int(w[b])))
+        # r14: ONE parsed map literal instead of 2×|w| py4j F.lit calls
+        # (256 weights cost ~2 s of driver time per score call); SQL
+        # int literals build the same map<int,int> create_map did.
+        entries = ", ".join(
+            f"{int(b)}, {int(w[b])}" for b in sorted(w)
+        )
         wexpr = F.coalesce(
-            F.element_at(F.create_map(*pairs), F.col("f").cast("int")),
+            F.element_at(F.expr(f"map({entries})"), F.col("f").cast("int")),
             F.lit(0),
         )
     else:

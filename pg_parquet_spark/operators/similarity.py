@@ -150,16 +150,24 @@ def hyperplane_signature(
     planes embedded as literal ±1 arrays (pure codegen arithmetic, no
     hashing in the hot path). The dot is an ordered left fold, so the
     DuckDB rendering (hyperplane_signature_sql) is bit-identical."""
-    sig = F.lit(0).cast("long")
-    for b, plane in enumerate(hyperplane_planes(dims, bits, seed)):
-        plane_lit = F.array(*[F.lit(v) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, plane_lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return sig
+    # r14: one plane-matrix literal + a fold over (dot, 2^b) pairs
+    # instead of bits× per-element literal arrays (the _lit_matrix
+    # py4j-construction fix); per-plane dots are the identical ordered
+    # folds, and the bit sum is integer addition (order-exact).
+    planes = hyperplane_planes(dims, bits, seed)
+    dots = _cell_dots(vec_col, planes)
+    pows = F.expr(
+        "array(" + ", ".join(str(1 << b) + "L" for b in range(bits)) + ")"
+    )
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            pows,
+            lambda d, p: F.when(d > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
 
 
 def hyperplane_signature_sql(
@@ -275,34 +283,72 @@ def _exact_cosine(va: Column, vb: Column) -> Column:
 # ---------------------------------------------------------------------------
 # IVF — the second ANN tier (coarse quantizer + cell-pruned search)
 
+def _double_lit_sql(v: float) -> str:
+    """Exact Spark-SQL double literal: repr() round-trips the IEEE
+    value through Python and Double.parseDouble (both correctly-rounded
+    shortest-form parsing), and the CAST constant-folds at analysis to
+    the identical Literal(double) F.lit() would build."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _lit_matrix(mat: list[list[float]]) -> Column:
+    """A list-of-lists model as ONE array<array<double>> literal, built
+    with a single F.expr parse (r14 optimization, guide §1.2: the
+    per-element F.lit() route costs cells×dims py4j round-trips —
+    measured ~5.7 s of DRIVER time per _nearest_cell construction at
+    16×64; this form builds in ~0.1 s and the values are identical)."""
+    rows = ", ".join(
+        "array(" + ", ".join(_double_lit_sql(v) for v in row) + ")"
+        for row in mat
+    )
+    return F.expr(f"array({rows})")
+
+
+def _lit_vector(vals: list[float]) -> Column:
+    """1-D double-array literal via one F.expr parse (see _lit_matrix)."""
+    return F.expr(
+        "array(" + ", ".join(_double_lit_sql(float(v)) for v in vals) + ")"
+    )
+
+
 def _cell_distances(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """Array of squared-L2 distances to each centroid (literal arrays,
+    """Array of squared-L2 distances to each centroid (literal matrix,
     ordered fold — deterministic and codegen-only, like the hyperplanes).
     Deliberately the HOF form: an experiment flattening this to explicit
     per-element arithmetic (r6) produced janino codegen units large
     enough to OOM the driver at m=8/ks=16 (and IVF's 64-dim cells are 8×
-    bigger) — the HOF keeps the generated code size constant in dims."""
-    dists = []
-    for c in centroids:
-        lit = F.array(*[F.lit(v) for v in c])
-        diff2 = F.zip_with(
-            vec_col, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        )
-        dists.append(F.aggregate(diff2, F.lit(0.0), lambda a, v: a + v))
-    return F.array(*dists)
+    bigger) — the HOF keeps the generated code size constant in dims.
+    r14: one transform over a single matrix literal instead of a
+    per-cell fold list — same per-element IEEE sequence (digest-equal
+    over the full embeddings fixture), ~50× cheaper to construct and a
+    smaller codegen unit (exec 0.75 → 0.45 s at sf0.1)."""
+    return F.transform(
+        _lit_matrix(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(
+                vec_col,
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
 
 
 def _cell_dots(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """Array of inner products with each centroid (literal arrays,
+    """Array of inner products with each centroid (literal matrix,
     ordered fold — same determinism/codegen posture as
     _cell_distances). Used by the PQ ADC shortlist, whose metric must
     be cosine-consistent (see pq_topk)."""
-    dots = []
-    for c in centroids:
-        lit = F.array(*[F.lit(v) for v in c])
-        prod = F.zip_with(vec_col, lit, lambda x, y: x.cast("double") * y)
-        dots.append(F.aggregate(prod, F.lit(0.0), lambda a, v: a + v))
-    return F.array(*dots)
+    return F.transform(
+        _lit_matrix(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec_col, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
 
 
 def _nearest_cell(vec_col: Column, centroids: list[list[float]]) -> Column:
@@ -1142,7 +1188,7 @@ def pq_topk(
     adc_ip = None
     for mi in range(m):
         qs = qvec[mi * dsub : (mi + 1) * dsub]
-        table = F.array(*[F.lit(_dot_py(qs, c)) for c in codebooks[mi]])
+        table = _lit_vector([_dot_py(qs, c) for c in codebooks[mi]])
         term = F.element_at(table, F.col(f"_c{mi}") + 1)
         adc_ip = term if adc_ip is None else adc_ip + term
     code_cols = [f"_c{mi}" for mi in range(m)]
@@ -1172,7 +1218,7 @@ def pq_topk(
     # too — no query-side join anywhere in the plan (the r7 shape paid a
     # BroadcastNestedLoopJoin against the whole corpus)
     members = scored.join(F.broadcast(top_cells), on=code_cols).withColumn(
-        "_qvec", F.array(*[F.lit(v) for v in qvec])
+        "_qvec", _lit_vector(qvec)
     )
     qnorm = F.sqrt(_norm_sq(F.col("_qvec")))
     cos = F.when(xnorm * qnorm > 0, _dot(F.col("_v"), F.col("_qvec")) / (xnorm * qnorm))
@@ -1447,7 +1493,7 @@ def ivf_index_topk(
         corpus = read_parquet(
             spark, root_uri, where=f"cell IN ({', '.join(str(c) for c in cells)})"
         )
-        qlit = F.array(*[F.lit(x) for x in qvec])
+        qlit = _lit_vector(qvec)
         cos = _exact_cosine(F.col(vec_col), qlit)
         return (
             corpus.select(F.col(id_col), cos.alias("cosine_sim"))
@@ -1664,23 +1710,51 @@ def pca_project(
     micro-unit components, the sum an explicit left-associated chain
     (the engine-exact fold shared with the DuckDB oracle rendering),
     quantized back to integer micro-units. Pure projection — zero
-    joins, zero shuffles; the model rides the plan as literals."""
+    joins, zero shuffles; the model rides the plan as literals.
+
+    r14: the mean vector and component matrix ride as TWO array
+    literals (_lit_matrix — one F.expr parse instead of k×dims py4j
+    literal calls, which dominated the gate's wall as DRIVER time),
+    the quantized-diff vector is staged once per row, and each
+    component is the same ordered q·w fold (0.0-init ≡ the old
+    first-term-init chain because 0.0+t ≡ t; digest-equal over the
+    full fixture)."""
     dims = model["dims"]
-    cols = [F.col(id_col)]
-    for c, w in enumerate(model["components"]):
-        expr = None
-        for d in range(dims):
-            qd = F.floor(
-                F.col(vec_col)[d].cast("double") * 1e6 + F.lit(0.5)
-            ).cast("double")
-            term = (qd - F.lit(float(model["mean_micro"][d]))) * F.lit(
-                float(w[d])
-            )
-            expr = term if expr is None else expr + term
-        cols.append(
-            F.floor(expr + F.lit(0.5)).cast("long").alias(f"pc{c}_micro")
+    mean = F.expr(
+        "array("
+        + ", ".join(
+            _double_lit_sql(float(m)) for m in model["mean_micro"][:dims]
         )
-    return df.select(*cols).orderBy(id_col)
+        + ")"
+    )
+    wmat = _lit_matrix([[float(v) for v in w[:dims]] for w in model["components"]])
+    qdiff = F.zip_with(
+        F.col(vec_col),
+        mean,
+        lambda x, m: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast(
+            "double"
+        )
+        - m,
+    )
+    pcs = F.transform(
+        wmat,
+        lambda w: F.floor(
+            F.aggregate(
+                F.zip_with(F.col("_qdiff"), w, lambda q, c: q * c),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    staged = df.withColumn("_qdiff", qdiff).withColumn("_pcs", pcs)
+    return staged.select(
+        F.col(id_col),
+        *[
+            F.col("_pcs")[c].alias(f"pc{c}_micro")
+            for c in range(len(model["components"]))
+        ],
+    ).orderBy(id_col)
 
 
 def pca_oracle_sql(
@@ -1989,7 +2063,7 @@ def ivfpq_index_topk(
         adc_ip = None
         for mi in range(m):
             qs = qvec[mi * dsub : (mi + 1) * dsub]
-            table = F.array(*[F.lit(_dot_py(qs, c)) for c in codebooks[mi]])
+            table = _lit_vector([_dot_py(qs, c) for c in codebooks[mi]])
             term = F.element_at(table, F.col(f"_c{mi}") + 1)
             adc_ip = term if adc_ip is None else adc_ip + term
         row_score = F.when(F.col("_xnorm") > 0, adc_ip / F.col("_xnorm"))
@@ -2003,7 +2077,7 @@ def ivfpq_index_topk(
         )
         members = scored.join(
             F.broadcast(top_cells), on=code_cols
-        ).withColumn("_qvec", F.array(*[F.lit(v) for v in qvec]))
+        ).withColumn("_qvec", _lit_vector(qvec))
         qnorm = F.sqrt(_norm_sq(F.col("_qvec")))
         cos = F.when(
             F.col("_xnorm") * qnorm > 0,
