@@ -772,63 +772,116 @@ def corpus_health(
 
     Scale shape: each component's own shape (see their docstrings);
     the fold is eight scalar aggregates collected driver-side (1-row
-    frames, the bounded exemption) into an 8-row literal frame."""
+    frames, the bounded exemption) into an 8-row literal frame. The
+    independent component jobs run OVERLAPPED from a small driver
+    thread pool (r14, guide §2.6: Spark schedules concurrent jobs
+    FIFO so each job's tail back-fills the next one's tasks — the
+    dashboard wall drops from the SUM of ~10 sequential small jobs
+    toward the max); every component computes exactly what it did
+    sequentially, and the report assembly is deterministic."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pg_parquet_spark.operators import dedup, text as text_ops
 
     spark = docs.sparkSession
-    n_docs = docs.count()
-    tok_row = docs.agg(
-        F.sum(F.size(text_ops.tokens(F.col(text_col)))).alias("t")
-    ).collect()[0]
-    total_tokens = int(tok_row["t"] or 0)
-    distinct_terms = (
-        docs.select(F.explode(text_ops.tokens(F.col(text_col))).alias("x"))
-        .agg(F.countDistinct("x"))
-        .collect()[0][0]
-    )
-    zipf = text_ops.vocab_zipf(docs, text_col).collect()[0]
-    growth = text_ops.vocab_growth(docs, id_col, text_col, 10).collect()
-    last = int(growth[-1]["cum_terms"])
-    mid = int(growth[len(growth) // 2]["cum_terms"])
-    late_ppm = 0 if last == 0 else (last - mid) * 1_000_000 // last
-    enc = text_ops.encoding_quality(docs, id_col, text_col).agg(
-        F.sum("mojibake_hits").alias("h"), F.sum("n_chars").alias("c")
-    ).collect()[0]
-    moj_ppm = (
-        0
-        if int(enc["c"] or 0) == 0
-        else int(enc["h"]) * 1_000_000 // int(enc["c"])
-    )
-    oov = text_ops.oov_rate(docs, vocab_size, id_col, text_col).agg(
-        F.sum("oov_tokens").alias("o"), F.sum("n_tokens").alias("n")
-    ).collect()[0]
-    oov_ppm = (
-        0
-        if int(oov["n"] or 0) == 0
-        else int(oov["o"]) * 1_000_000 // int(oov["n"])
-    )
-    # boilerplate share from the hash-keyed verdict join alone — the
-    # per-doc text rebuild strip_boilerplate_lines pays is pure waste
-    # when only the two counts are kept (code-review finding)
-    lines, base = dedup._line_frames(docs, id_col, text_col, line_delim)
-    boiler = (
-        lines.groupBy("_h")
-        .agg(
-            F.countDistinct("_id").alias("_nd"),
-            F.min("_id").alias("_keeper"),
+
+    def _counts():
+        r = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(text_ops.tokens(F.col(text_col)))).alias("t"),
+        ).collect()[0]
+        return int(r["n"]), int(r["t"] or 0)
+
+    def _distinct():
+        return int(
+            docs.select(
+                F.explode(text_ops.tokens(F.col(text_col))).alias("x")
+            )
+            .agg(F.countDistinct("x"))
+            .collect()[0][0]
         )
-        .filter(F.col("_nd") >= 2)
-        .select("_h", "_keeper")
-    )
-    n_dropped = (
-        lines.join(boiler, "_h")
-        .filter(F.col("_id") != F.col("_keeper"))
-        .count()
-    )
-    n_total = int(
-        base.agg(F.sum("n_lines").alias("n")).collect()[0]["n"] or 0
-    )
-    boiler_ppm = 0 if n_total == 0 else n_dropped * 1_000_000 // n_total
+
+    def _zipf():
+        return int(
+            text_ops.vocab_zipf(docs, text_col).collect()[0]["slope_micro"]
+        )
+
+    def _late():
+        growth = text_ops.vocab_growth(docs, id_col, text_col, 10).collect()
+        last = int(growth[-1]["cum_terms"])
+        mid = int(growth[len(growth) // 2]["cum_terms"])
+        return 0 if last == 0 else (last - mid) * 1_000_000 // last
+
+    def _moj():
+        enc = (
+            text_ops.encoding_quality(docs, id_col, text_col)
+            .agg(
+                F.sum("mojibake_hits").alias("h"),
+                F.sum("n_chars").alias("c"),
+            )
+            .collect()[0]
+        )
+        if int(enc["c"] or 0) == 0:
+            return 0
+        return int(enc["h"]) * 1_000_000 // int(enc["c"])
+
+    def _oov():
+        oov = (
+            text_ops.oov_rate(docs, vocab_size, id_col, text_col)
+            .agg(
+                F.sum("oov_tokens").alias("o"),
+                F.sum("n_tokens").alias("n"),
+            )
+            .collect()[0]
+        )
+        if int(oov["n"] or 0) == 0:
+            return 0
+        return int(oov["o"]) * 1_000_000 // int(oov["n"])
+
+    def _boiler():
+        # boilerplate share from the hash-keyed verdict join alone —
+        # the per-doc text rebuild strip_boilerplate_lines pays is pure
+        # waste when only the two counts are kept (code-review finding)
+        lines, base = dedup._line_frames(docs, id_col, text_col, line_delim)
+        boiler = (
+            lines.groupBy("_h")
+            .agg(
+                F.countDistinct("_id").alias("_nd"),
+                F.min("_id").alias("_keeper"),
+            )
+            .filter(F.col("_nd") >= 2)
+            .select("_h", "_keeper")
+        )
+        n_dropped = (
+            lines.join(boiler, "_h")
+            .filter(F.col("_id") != F.col("_keeper"))
+            .count()
+        )
+        n_total = int(
+            base.agg(F.sum("n_lines").alias("n")).collect()[0]["n"] or 0
+        )
+        return 0 if n_total == 0 else n_dropped * 1_000_000 // n_total
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            name: pool.submit(fn)
+            for name, fn in [
+                ("counts", _counts),
+                ("distinct", _distinct),
+                ("zipf", _zipf),
+                ("late", _late),
+                ("moj", _moj),
+                ("oov", _oov),
+                ("boiler", _boiler),
+            ]
+        }
+        n_docs, total_tokens = futs["counts"].result()
+        distinct_terms = futs["distinct"].result()
+        zipf_micro = futs["zipf"].result()
+        late_ppm = futs["late"].result()
+        moj_ppm = futs["moj"].result()
+        oov_ppm = futs["oov"].result()
+        boiler_ppm = futs["boiler"].result()
     rows = sorted(
         [
             ("boilerplate_ppm", boiler_ppm),
@@ -838,7 +891,7 @@ def corpus_health(
             ("n_docs", int(n_docs)),
             ("oov_ppm", oov_ppm),
             ("total_tokens", total_tokens),
-            ("zipf_slope_micro", int(zipf["slope_micro"])),
+            ("zipf_slope_micro", zipf_micro),
         ]
     )
     return spark.createDataFrame(rows, "metric string, value long")

@@ -139,13 +139,12 @@ def jaccard_join(
         )
         .select(F.col("a.id").alias("id_a"), "id_b")
         .distinct()
-        # r14: spread the verified-pair stage over the cluster — the
-        # distinct's reduce side inherits the (small-tuned) shuffle
-        # partition count, which serializes the array_intersect
-        # verification; the candidate rows are 16-byte id pairs, so
-        # this exchange is cheap relative to the verify it parallelizes
-        # (A/B: containment 20.0 → 13.1 s min).
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # r14: a verify-side repartition (see containment_join) was
+        # A/B'd here too and REJECTED — interleaved trials measured
+        # 17.7 s (none) vs 21.9 s (round-robin; its sort-before-
+        # repartition pass costs more than the parallelism wins) and a
+        # wash for hash-by-id_a. The jaccard verify stage already
+        # spreads enough through the prefix-join partitioning.
     )
     va = arrs.select(
         F.col("id").alias("id_a"), F.col("rks").alias("rks_a"), F.col("n").alias("na")
