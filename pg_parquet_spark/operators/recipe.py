@@ -143,19 +143,39 @@ def classifier_canonical(
 
     Scale shape = the parts': signatures and scoring are projections
     (weights in the plan, zero joins for scoring); clusters touch only
-    paired docs; the final decision join moves ids + one long."""
+    paired docs; the final decision join moves ids + one long.
+
+    r14 optimization (guide §1.2 "don't compute things twice"): the
+    pre-r14 plan joined the classifier scores onto (id, text) and fed
+    that JOINED frame to the minhash pipeline and to BOTH joins inside
+    ``canonical_per_cluster`` — the word-explode + md5-bucket + per-doc
+    aggregate scoring pipeline executed three times, once inside every
+    consumer's lineage. Now the scores frame (id + one long, ~16 B/row)
+    is computed once and persisted (dedup module's self-cleaning
+    registry), the cluster machinery reads the raw (id, text) frame,
+    and ``canonical_per_cluster`` takes the persisted scores AS its
+    corpus frame. Row-set equivalence: scores has exactly one row per
+    document the old inner join kept (the per-doc groupBy after the
+    token explode), and the verified-pair set is unchanged because the
+    minhash verify filter drops any pair whose shingle arrays the old
+    join would have excluded — oracle hash-identical at both SFs."""
     from pg_parquet_spark.operators import dedup
     from pg_parquet_spark.operators.sampling import apply_quality_classifier
 
-    scores = apply_quality_classifier(
-        df, model, id_col=id_col, text_col=text_col
-    ).select(id_col, "logit_micro")
-    scored = df.select(id_col, text_col).join(scores, id_col)
-    clusters = dedup.near_dup_clusters(
-        scored, id_col, pairs=dedup.minhash_lsh_pairs(scored, id_col, text_col)
+    base = df.select(id_col, text_col)
+    pairs = dedup.minhash_lsh_pairs(base, id_col, text_col)
+    scores = (
+        apply_quality_classifier(df, model, id_col=id_col, text_col=text_col)
+        .select(id_col, "logit_micro")
+        .persist()
     )
+    # appended AFTER minhash_lsh_pairs: that call release_cached()s the
+    # previous minhash invocation's frames at entry, which would drop
+    # this handle too if it were registered first.
+    dedup._CACHED_FRAMES.append(scores)
+    clusters = dedup.near_dup_clusters(base, id_col, pairs=pairs)
     return dedup.canonical_per_cluster(
-        scored, id_col, quality_col="logit_micro", clusters=clusters
+        scores, id_col, quality_col="logit_micro", clusters=clusters
     )
 
 
