@@ -976,21 +976,38 @@ def near_dup_clusters(
     # materializes each round and cuts the plan at that point; a
     # cluster deployment would use a reliable checkpoint dir instead of
     # executor-local blocks, same call shape.
+    #
+    # r14 (guide §1.2 "don't compute things twice"): both edge
+    # directions come from ONE pass over ``pairs`` via an in-row
+    # explode — the pre-r14 ``pairs.select(a,b) UNION pairs.select(b,a)``
+    # planned the whole upstream pair pipeline (banding + cap window +
+    # bucket fold + exact-Jaccard verify for the default MinHash edges)
+    # TWICE, because alias-renamed union branches defeat exchange
+    # reuse. Checkpoints are lazy (eager=False): each round's
+    # convergence-checksum action materializes that round's frame, so
+    # the loop runs ONE job per round instead of two.
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
@@ -1010,7 +1027,7 @@ def near_dup_clusters(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
@@ -1257,6 +1274,40 @@ FROM reach GROUP BY node ORDER BY doc_id
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap against an eval set)
 
+def _contamination_hits(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+) -> DataFrame:
+    """Exact-tier hit counts only — (id, _dc_n) for corpus documents
+    sharing ≥1 distinct gram with the benchmark (r14: factored out of
+    :func:`contamination_flags` so composed consumers —
+    ``recipe.contamination_report`` — can left-join the hits directly
+    instead of paying the flags' full-corpus back-join twice)."""
+    from pg_parquet_spark.operators.text import word_ngrams
+
+    def grams_of(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("_dc_toks", tokens(F.col(text_col)))
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col("_dc_toks"), ngram))
+                ).alias("g"),
+            )
+        )
+
+    bench_grams = grams_of(benchmark).select("g").distinct()
+    return (
+        grams_of(df)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_dc_n"))
+    )
+
+
 def contamination_flags(
     df: DataFrame,
     benchmark: DataFrame,
@@ -1279,26 +1330,7 @@ def contamination_flags(
     combinable on (doc_id). Returns every input row with
     ``n_shared_grams`` and ``contaminated``.
     """
-    from pg_parquet_spark.operators.text import word_ngrams
-
-    def grams_of(frame: DataFrame) -> DataFrame:
-        return (
-            frame.withColumn("_dc_toks", tokens(F.col(text_col)))
-            .select(
-                F.col(id_col),
-                F.explode(
-                    F.array_distinct(word_ngrams(F.col("_dc_toks"), ngram))
-                ).alias("g"),
-            )
-        )
-
-    bench_grams = grams_of(benchmark).select("g").distinct()
-    hits = (
-        grams_of(df)
-        .join(F.broadcast(bench_grams), "g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_dc_n"))
-    )
+    hits = _contamination_hits(df, benchmark, id_col, text_col, ngram)
     return (
         df.select(id_col)
         .join(hits, id_col, "left")
@@ -1424,33 +1456,20 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def near_contamination_flags(
+def _near_contaminated_ids(
     df: DataFrame,
     benchmark: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    min_matches: int = 12,
+    id_col: str,
+    text_col: str,
+    min_matches: int,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     max_docs_per_band: int = MAX_DOCS_PER_BAND,
 ) -> DataFrame:
-    """NEAR-duplicate benchmark decontamination (r11) — the MinHash
-    tier above :func:`contamination_flags`: flag corpus documents whose
-    signature shares a band bucket with any evaluation document AND
-    agrees on ≥ ``min_matches`` of ``num_hashes`` components (12/16 ≈
-    J ≥ 0.75). The exact n-gram tier catches verbatim test leakage;
-    this tier catches PARAPHRASED/reformatted copies (the fuzzy
-    decontamination public LLM data reports describe for exactly the
-    cases n-gram overlap misses). Returns (id, near_contaminated),
-    ordered.
-
-    Scale shape: both corpora reduce to ~100 B/doc signatures before
-    anything joins (text never shuffles); the benchmark side is tiny
-    (megabytes — AQE broadcasts it); band buckets are capped per side
-    (MAX_DOCS_PER_BAND), so the candidate join is bounded at cap² per
-    bucket regardless of corpus size. Verification compares 16 ints
-    per candidate. This is the cross-corpus rendition of
-    :func:`dedup_incremental_near`'s index join."""
+    """Near-tier flagged ids only — distinct (id, _nc=True) rows (r14:
+    factored out of :func:`near_contamination_flags` so composed
+    consumers can left-join the flagged set directly instead of paying
+    the full-corpus back-join + ORDER BY twice)."""
     release_cached()
     sig_c = _sig_band_frame(
         df.select(id_col, text_col), id_col, text_col, num_hashes, bands
@@ -1478,7 +1497,7 @@ def near_contamination_flags(
         F.col("_id").alias("_bid"),
         *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(num_hashes)],
     )
-    near = (
+    return (
         cand.join(a_side, "_cid")
         .join(b_side, "_bid")
         .withColumn("_m", _sig_matches(num_hashes))
@@ -1486,6 +1505,39 @@ def near_contamination_flags(
         .select(F.col("_cid").alias(id_col))
         .distinct()
         .withColumn("_nc", F.lit(True))
+    )
+
+
+def near_contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_matches: int = 12,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    max_docs_per_band: int = MAX_DOCS_PER_BAND,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination (r11) — the MinHash
+    tier above :func:`contamination_flags`: flag corpus documents whose
+    signature shares a band bucket with any evaluation document AND
+    agrees on ≥ ``min_matches`` of ``num_hashes`` components (12/16 ≈
+    J ≥ 0.75). The exact n-gram tier catches verbatim test leakage;
+    this tier catches PARAPHRASED/reformatted copies (the fuzzy
+    decontamination public LLM data reports describe for exactly the
+    cases n-gram overlap misses). Returns (id, near_contaminated),
+    ordered.
+
+    Scale shape: both corpora reduce to ~100 B/doc signatures before
+    anything joins (text never shuffles); the benchmark side is tiny
+    (megabytes — AQE broadcasts it); band buckets are capped per side
+    (MAX_DOCS_PER_BAND), so the candidate join is bounded at cap² per
+    bucket regardless of corpus size. Verification compares 16 ints
+    per candidate. This is the cross-corpus rendition of
+    :func:`dedup_incremental_near`'s index join."""
+    near = _near_contaminated_ids(
+        df, benchmark, id_col, text_col, min_matches, num_hashes, bands,
+        max_docs_per_band,
     )
     return (
         df.select(id_col)

@@ -247,24 +247,45 @@ def contamination_report(
     ordered. Integer ppm via positive integer division, so the report
     replicates bit-for-bit in the chained oracle. This is the
     "which supplier leaked the benchmark" table a data release ships
-    next to the corpus_datacard."""
+    next to the corpus_datacard.
+
+    r14 (guide §2.4 "remove shuffles outright"): both tiers feed their
+    HITS frames (exact: (id, gram-hit count); near: distinct flagged
+    ids) straight into TWO left joins on (id, source) — the pre-r14
+    shape routed each tier through its public full-corpus flags frame
+    (a left back-join per tier, plus the near tier's ORDER BY) and then
+    inner-joined both onto the corpus AGAIN: four id-keyed exchanges of
+    the full corpus id set + one sort, where two joins suffice. Flag
+    semantics are computed inline from the coalesced hit columns —
+    identical by construction (both tiers' flags frames are total maps
+    over the corpus ids: left-joining the underlying hits and applying
+    the same coalesce/threshold yields the same flag per id, and the
+    pre-r14 inner joins kept every corpus row because the maps are
+    total)."""
     from pg_parquet_spark.operators import dedup
 
-    exact = dedup.contamination_flags(
-        df, benchmark, id_col, text_col, ngram=ngram, min_shared=min_shared
-    ).select(id_col, "contaminated")
-    near = dedup.near_contamination_flags(
-        df, benchmark, id_col, text_col, min_matches=min_matches
+    # near first: _near_contaminated_ids release_cached()s at entry
+    # (it persists both signature frames), which must not drop frames
+    # a later helper registers.
+    near = dedup._near_contaminated_ids(
+        df, benchmark, id_col, text_col, min_matches
     )
+    exact = dedup._contamination_hits(df, benchmark, id_col, text_col, ngram)
     return (
         df.select(id_col, source_col)
-        .join(exact, id_col)
-        .join(near, id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
         .groupBy(source_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.col("contaminated").cast("long")).cast("long").alias("n_exact"),
-            F.sum(F.col("near_contaminated").cast("long"))
+            F.sum(
+                (F.coalesce(F.col("_dc_n"), F.lit(0)) >= min_shared).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_exact"),
+            F.sum(F.coalesce(F.col("_nc"), F.lit(False)).cast("long"))
             .cast("long")
             .alias("n_near"),
         )
