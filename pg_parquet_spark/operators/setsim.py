@@ -23,7 +23,10 @@ before verification.
 Scale shape: documents shuffle as integer rank arrays (tokens never
 move as strings past the ranking join); the verify step touches
 candidate pairs only, computing the exact intersection with
-array_intersect on sorted distinct int arrays. The frequency rank is
+array_intersect on sorted distinct int arrays — or, when the corpus
+vocabulary fits 64 ranked tokens (read as one scalar off the persisted
+array table), as ``bit_count`` over 64-bit membership masks: the same
+set arithmetic with an 8-byte verify payload (``_MASK_VOCAB_MAX``). The frequency rank is
 :func:`distrank.distributed_row_number` over (_df, tok) — a range
 exchange plus per-partition windows, NEVER a single-task global
 window, so a web-scale vocabulary (billions of distinct tokens) ranks
@@ -78,6 +81,29 @@ def _trim_cache() -> None:
             df.unpersist()
         except Exception:  # pragma: no cover - session already stopped
             pass
+
+
+#: Verify-representation cutoff (r14, guide §2.3 "narrower types"):
+#: when the corpus vocabulary has ≤ 64 distinct ranked tokens, a
+#: document's token-rank SET is exactly one 64-bit mask and the verify
+#: stage's |A∩B| is ``bit_count(mask_a & mask_b)`` — identical set
+#: arithmetic, but the verify joins carry 8 bytes/doc instead of the
+#: full rank array (~8·|tokens| B), and the final range-sort's
+#: sampling pass no longer re-executes a hash-set intersect per pair.
+#: Beyond 64 the array path runs unchanged (the 100 TB shape — a web
+#: vocabulary never fits a mask). The branch reads ONE scalar
+#: (max rank) off the already-persisted per-doc array table — the
+#: same bounded 1-row driver fold the module's bounds frames use.
+_MASK_VOCAB_MAX = 64
+
+_MASK_EXPR = (
+    "aggregate(rks, 0L, (acc, r) -> acc | shiftleft(1L, cast(r - 1 as int)))"
+)
+
+
+def _max_rank(arrs: DataFrame):
+    """Max token rank over the persisted rank-array table (1-row fold)."""
+    return arrs.agg(F.max(F.array_max("rks"))).first()[0]
 
 
 def jaccard_join(
@@ -146,13 +172,24 @@ def jaccard_join(
         # wash for hash-by-id_a. The jaccard verify stage already
         # spreads enough through the prefix-join partitioning.
     )
-    va = arrs.select(
-        F.col("id").alias("id_a"), F.col("rks").alias("rks_a"), F.col("n").alias("na")
-    )
-    vb = arrs.select(
-        F.col("id").alias("id_b"), F.col("rks").alias("rks_b"), F.col("n").alias("nb")
-    )
-    inter = F.size(F.array_intersect("rks_a", "rks_b")).cast("long")
+    vmax = _max_rank(arrs)
+    if vmax is not None and vmax <= _MASK_VOCAB_MAX:
+        sets = arrs.select("id", F.expr(_MASK_EXPR).alias("_mask"), "n")
+        va = sets.select(
+            F.col("id").alias("id_a"), F.col("_mask").alias("_ma"), F.col("n").alias("na")
+        )
+        vb = sets.select(
+            F.col("id").alias("id_b"), F.col("_mask").alias("_mb"), F.col("n").alias("nb")
+        )
+        inter = F.expr("bit_count(_ma & _mb)").cast("long")
+    else:
+        va = arrs.select(
+            F.col("id").alias("id_a"), F.col("rks").alias("rks_a"), F.col("n").alias("na")
+        )
+        vb = arrs.select(
+            F.col("id").alias("id_b"), F.col("rks").alias("rks_b"), F.col("n").alias("nb")
+        )
+        inter = F.size(F.array_intersect("rks_a", "rks_b")).cast("long")
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -280,13 +317,24 @@ def containment_join(
         # r14: parallelize the verify stage (see jaccard_join)
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
-    va = arrs.select(
-        F.col("id").alias("id_a"), F.col("rks").alias("rks_a"), F.col("n").alias("na")
-    )
-    vb = arrs.select(
-        F.col("id").alias("id_b"), F.col("rks").alias("rks_b"), F.col("n").alias("nb")
-    )
-    inter = F.size(F.array_intersect("rks_a", "rks_b")).cast("long")
+    vmax = _max_rank(arrs)
+    if vmax is not None and vmax <= _MASK_VOCAB_MAX:
+        sets = arrs.select("id", F.expr(_MASK_EXPR).alias("_mask"), "n")
+        va = sets.select(
+            F.col("id").alias("id_a"), F.col("_mask").alias("_ma"), F.col("n").alias("na")
+        )
+        vb = sets.select(
+            F.col("id").alias("id_b"), F.col("_mask").alias("_mb"), F.col("n").alias("nb")
+        )
+        inter = F.expr("bit_count(_ma & _mb)").cast("long")
+    else:
+        va = arrs.select(
+            F.col("id").alias("id_a"), F.col("rks").alias("rks_a"), F.col("n").alias("na")
+        )
+        vb = arrs.select(
+            F.col("id").alias("id_b"), F.col("rks").alias("rks_b"), F.col("n").alias("nb")
+        )
+        inter = F.size(F.array_intersect("rks_a", "rks_b")).cast("long")
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -88,6 +88,23 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert jac == []  # jaccard ~ 8/208, blind to the quote
 
 
+@pytest.mark.parametrize("join_fn,theta", [
+    (setsim.jaccard_join, 500_000),
+    (setsim.containment_join, 800_000),
+])
+def test_mask_verify_equals_array_verify(spark, monkeypatch, join_fn, theta):
+    """r14 optimization: a ≤64-token vocabulary swaps the verify stage
+    to 64-bit membership masks (bit_count over AND). The mask and
+    array representations must produce IDENTICAL pair sets and ppm
+    values — forced by running the same small-vocab corpus through
+    both paths (the array path forced via _MASK_VOCAB_MAX=0)."""
+    docs = table(spark, SFS[0], "documents").select("doc_id", "text")
+    got_mask = sorted(map(tuple, join_fn(docs, threshold_ppm=theta).collect()))
+    monkeypatch.setattr(setsim, "_MASK_VOCAB_MAX", 0)
+    got_arr = sorted(map(tuple, join_fn(docs, threshold_ppm=theta).collect()))
+    assert got_mask == got_arr and len(got_mask) > 0
+
+
 def test_composed_joins_keep_caches_single_pass(spark):
     """ADVICE r12: building a SECOND setsim join before collecting the
     first must not unpersist the first's still-lazy ranked/arrs frames
