@@ -31,11 +31,21 @@ def write_partitioned(
 
     Partition columns should be low-cardinality (date buckets, region,
     lang); high-cardinality keys create a small-files problem — bucket
-    those instead."""
+    those instead.
+
+    r14 (optimization guide §6 "coalesce on write"): the frame is
+    REBALANCE-hinted on the partition columns before the write.
+    Without it every write task emits one file into every partition
+    value it holds (tasks × values tiny files — measured 130 ~8 KB
+    files for the 16-bucket BM25 index); with it AQE routes each
+    partition value to one task (one file), still splitting skewed
+    values across several tasks so a hot partition does not serialize
+    the write."""
     from pg_parquet_spark.sources import fs as pgfs
 
     (
-        df.write.mode(mode)
+        df.hint("rebalance", *partition_by)
+        .write.mode(mode)
         .option("compression", compression)
         .partitionBy(*partition_by)
         .parquet(pgfs.spark_uri(uri))
@@ -930,7 +940,9 @@ def merge_upsert(
                 dtype = base.schema[partition_col].dataType.simpleString()
                 n = _next_version(base_uri, manifest)
                 vdir = f"_v{n}"
-                merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+                merged.hint("rebalance", partition_col).write.mode(
+                    "overwrite"
+                ).partitionBy(partition_col).parquet(
                     pgfs.spark_uri(f"{base_uri}/{vdir}")
                 )
                 if manifest is not None:
@@ -961,7 +973,9 @@ def merge_upsert(
                     },
                 )
                 return
-            merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            merged.hint("rebalance", partition_col).write.mode(
+                "overwrite"
+            ).partitionBy(partition_col).parquet(
                 pgfs.spark_uri(staging)
             )
             # publish only the touched key=value directories; everything
@@ -1102,7 +1116,9 @@ def delete_where(
         ).filter(~dies)
         n = _next_version(base_uri, manifest)
         vdir = f"_v{n}"
-        scoped_kept.write.mode("overwrite").partitionBy(partition_col).parquet(
+        scoped_kept.hint("rebalance", partition_col).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(
             pgfs.spark_uri(f"{base_uri}/{vdir}")
         )
         partitions = dict(manifest["partitions"])

@@ -184,7 +184,7 @@ def test_compact_dataset_flat_and_partitioned(spark, tmp_path):
     import glob
     import os
 
-    from pg_parquet_spark.sources.layout import compact_dataset, write_partitioned
+    from pg_parquet_spark.sources.layout import compact_dataset
 
     docs = table(spark, SF, "documents")
     n_rows = docs.count()
@@ -200,8 +200,13 @@ def test_compact_dataset_flat_and_partitioned(spark, tmp_path):
     assert spark.read.parquet(flat).count() == n_rows
 
     part = str(tmp_path / "part")
-    write_partitioned(docs.repartition(16), part, ["lang"])
+    # fragment deliberately with a raw partitioned write (r14:
+    # write_partitioned now REBALANCEs to ~one file per partition
+    # value, which would leave this compaction nothing to do — the
+    # test's subject is compact_dataset over a fragmented layout)
+    docs.repartition(16).write.partitionBy("lang").parquet(part)
     before_files = len(glob.glob(os.path.join(part, "lang=*", "*.parquet")))
+    assert before_files > 5, "fixture must start fragmented"
     compact_dataset(
         spark, part, target_file_bytes=1 << 30, partition_by=["lang"]
     )
