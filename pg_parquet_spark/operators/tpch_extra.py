@@ -401,8 +401,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_parts = part.filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
     ).select("p_partkey", "p_name")
+    # r14 (guide §3.2 "reduce the big side before shuffling it"): both
+    # dimension filters restrict the partsupp GROUP KEYS (part, supp),
+    # so pushing them below the aggregate as broadcast semi-joins is
+    # exactly equivalent (every row of a group shares the keys) and the
+    # grouping exchange carries only target-part × EUROPE-supplier
+    # lineitems instead of the whole fact table.
+    li_f = li.join(
+        F.broadcast(target_parts.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(europe_supp.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
     eligible = (
-        _partsupp(li)
+        _partsupp(li_f)
         .join(F.broadcast(europe_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(target_parts), F.col("ps_partkey") == F.col("p_partkey"))
     )
@@ -664,11 +679,18 @@ ORDER BY s_name
 # "late" adapted to shipped >60 days after order date)
 
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS → left_semi, NOT EXISTS → left_anti, both on the order key
-    with a supplier-inequality residual. All three fact legs shuffle on
-    the SAME key (l_orderkey), so they co-partition; the waiting-supplier
-    leg is pre-filtered to one nation's suppliers (broadcast) before the
-    self-joins."""
+    """EXISTS/NOT EXISTS folded into ONE per-order profile aggregate
+    (r14, guide §2.3 "aggregate before you shuffle"): for a late l1 row
+    with supplier s, EXISTS(other supplier in the order) ⟺ the order
+    has ≥ 2 distinct suppliers, and NOT EXISTS(other LATE supplier) ⟺
+    the order's distinct-late-supplier set is exactly {s} — and since
+    l1 itself is late, that set contains s, so the condition is
+    count = 1. The pre-r14 shape planned the lineitem⋈orders leg THREE
+    times and ran residual-inequality semi+anti joins whose big legs
+    each shuffled the full fact table; now ONE narrow aggregate
+    (orderkey, suppkey, late) profiles every order and broadcast-joins
+    the (small) qualifying-order set onto the waiting-supplier rows —
+    the fact table never shuffles."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     supplier = table(spark, sf_dir, "supplier")
@@ -687,22 +709,21 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = lo.filter(late).join(
         F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey")
     )
-    others = lo.select(F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"))
-    late_others = lo.filter(late).select(
-        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
-    )
-    waited = (
-        l1.join(
-            others,
-            (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
-            "left_semi",
+    # collect_set instead of two countDistincts: one exchange with NO
+    # Expand doubling (an order has ≤ 7 lineitems, so the in-group sets
+    # are bounded); NULLs (non-late rows) never enter the late set
+    ord_prof = (
+        lo.groupBy("l_orderkey")
+        .agg(
+            F.size(F.collect_set("l_suppkey")).alias("_ns"),
+            F.size(
+                F.collect_set(F.when(late, F.col("l_suppkey")))
+            ).alias("_nls"),
         )
-        .join(
-            late_others,
-            (F.col("l_orderkey") == F.col("_ok2")) & (F.col("l_suppkey") != F.col("_sk2")),
-            "left_anti",
-        )
+        .filter((F.col("_ns") >= 2) & (F.col("_nls") == 1))
+        .select(F.col("l_orderkey").alias("_ok"))
     )
+    waited = l1.join(ord_prof, F.col("l_orderkey") == F.col("_ok"), "left_semi")
     return (
         waited.groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
