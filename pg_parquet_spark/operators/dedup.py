@@ -659,12 +659,18 @@ def simhash_near_pairs(
     15-bit chunks (pigeonhole: catches all pairs with Hamming ≤ 3 and
     most up to max_hamming), verified by exact Hamming distance.
 
-    The signature table is persisted (r14 — optimization guide §1.2
-    "don't compute things twice"): both sides of the chunk self-join
-    read it, and without the materialization the md5-per-token hash +
-    60 bit-vote folds — the expensive part — are planned twice
-    (alias-renamed join sides defeat exchange reuse). ~16 B/doc cached;
-    at cluster scale this materialization point is a checkpoint."""
+    The signature table is materialized ONCE (r14 — optimization guide
+    §1.2 "don't compute things twice"): both sides of the chunk
+    self-join read it, and without the materialization the
+    md5-per-token hash + 60 bit-vote folds — the expensive part — are
+    planned twice (alias-renamed join sides defeat exchange reuse).
+    Via ``localCheckpoint(eager=False)``, not ``persist`` (r14 second
+    pass): when a cached frame's FIRST consumers are the two racing
+    sides of one join, the AQE-planned InMemoryRelation re-evaluated
+    erratically (the q_dedup_ngram_jaccard A/B measured persist
+    4.27 s min with 4–7 s trials vs checkpoint 1.15 s stable); the
+    checkpoint's blocks free on GC, no cache registry needed. ~16 B/doc
+    either way; at cluster scale this point is a reliable checkpoint."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     release_cached()  # self-cleaning: drop the previous call's cache
     sig = (
@@ -675,9 +681,8 @@ def simhash_near_pairs(
             text_col,
         )
         .select("_id", "_sim")
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    _CACHED_FRAMES.append(sig)
     chunks = [
         (F.shiftright(F.col("_sim"), 15 * c).bitwiseAND(F.lit((1 << 15) - 1))).alias(
             f"chunk{c}"

@@ -175,14 +175,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the quadratic verify work spreads across all cores (the shuffled
         # bytes are small; the post-join compute is what must parallelize)
         .repartition(par, "lang", "size_bucket", "min_sh")
-        # persisted (r14 — guide §1.2): both self-join sides read this
-        # frame; without the materialization the tokenize + md5-shingle
-        # pipeline is planned twice (alias-renamed sides defeat reuse).
-        # Same self-cleaning cache convention as minhash_lsh_pairs.
-        .persist()
+        # materialized ONCE for both self-join sides (guide §1.2) via
+        # localCheckpoint, not persist (r14): under AQE the cached
+        # InMemoryRelation re-planned erratically (interleaved A/B:
+        # persist 4.27 s min with 4–7 s trials vs checkpoint 1.15 s min,
+        # stable); the checkpoint truncates lineage identically and its
+        # blocks free on GC, so no cache-registry entry is needed.
+        .localCheckpoint(eager=False)
     )
-    dedup.release_cached()
-    dedup._CACHED_FRAMES.append(sh)
     right = sh.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("lang").alias("lang_b"),
