@@ -2457,22 +2457,24 @@ def dedup_incremental_near(
     from pg_parquet_spark.sources import layout
 
     index_uri = index_uri.rstrip("/")
-    # self-cleaning cache (the minhash_lsh_pairs convention): the
-    # signature frame feeds the candidate join, the within-batch join,
-    # and the flagged projection — cache it once, release the previous
-    # call's cache on entry
+    # the signature frame feeds the candidate join, the within-batch
+    # join, and the flagged projection — materialize it once. Lazy
+    # localCheckpoint, not persist (r14 second pass): both frames'
+    # first consumers are racing join sides, the pattern where the
+    # AQE-planned InMemoryRelation re-evaluated erratically (see
+    # simhash_near_pairs); checkpoint blocks free on GC, no registry.
     release_cached()
-    sigb = _sig_band_frame(new_docs, id_col, text_col, num_hashes, bands).persist()
-    _CACHED_FRAMES.append(sigb)
+    sigb = _sig_band_frame(
+        new_docs, id_col, text_col, num_hashes, bands
+    ).localCheckpoint(eager=False)
     # batch-side hot-bucket cap (VERDICT r10 #1): bounds both the index
-    # candidate join and the within-batch join. Persisted (r14): the
+    # candidate join and the within-batch join. Materialized (r14): the
     # capped frame is referenced three times (index candidates + both
     # sides of the within-batch self-join) and each reference would
     # otherwise replay the explode + band-key exchange + window cap.
     eb = _cap_band_buckets(
         _explode_bands(sigb, bands), max_docs_per_band
-    ).persist()
-    _CACHED_FRAMES.append(eb)
+    ).localCheckpoint(eager=False)
     a_side = sigb.select(
         F.col("_id").alias("_aid"),
         *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(num_hashes)],
