@@ -1059,7 +1059,11 @@ def q_feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = li.select("l_extendedprice")
     par = spark.sparkContext.defaultParallelism
     if xs.rdd.getNumPartitions() < par:
-        xs = xs.repartition(par)
+        # hash on the value, not round-robin (r14): keyless
+        # repartition(n) pays a local input sort per SPARK-23207; the
+        # percentile merge is partition-invariant, so any spread works
+        # (A/B: 2.40 → 1.97 s min)
+        xs = xs.repartition(par, "l_extendedprice")
     bounds = xs.agg(
         F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("_pp")
     ).select(

@@ -463,7 +463,10 @@ def minhash_lsh_pairs(
     sh_df = (
         with_shingles(df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col)
         .select("_id", "_sh")
-        .repartition(parallelism)
+        # hash on the id, not round-robin (r14): keyless repartition(n)
+        # pays a local input sort per SPARK-23207, and the verify joins
+        # key by id anyway
+        .repartition(parallelism, "_id")
         .select("_id", "_sh", base_hash_col(F.col("_sh")).alias("_h"))
         .persist()
     )
@@ -675,8 +678,10 @@ def simhash_near_pairs(
     release_cached()  # self-cleaning: drop the previous call's cache
     sig = (
         with_simhash(
+            # hash on the id, not round-robin (r14): keyless
+            # repartition(n) pays a local input sort per SPARK-23207
             df.select(F.col(id_col).alias("_id"), F.col(text_col)).repartition(
-                parallelism
+                parallelism, "_id"
             ),
             text_col,
         )

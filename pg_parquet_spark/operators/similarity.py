@@ -967,7 +967,10 @@ def pq_train(
     # groups — spread it across all cores (r6; the 10× soak ran the
     # Lloyd jobs on 2 partitions with 30 idle cores)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(parallelism)
+    # hash on the id, not round-robin (r14): keyless repartition(n)
+    # pays a local input sort per SPARK-23207; the Lloyd sums are
+    # partition-invariant exact decimals, so any spread works
+    df = df.repartition(parallelism, id_col)
     seeds = (
         df.select(
             F.col(vec_col).alias("_v"),
