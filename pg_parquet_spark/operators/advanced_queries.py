@@ -570,8 +570,20 @@ def q_agg_percentile_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_cont) + deterministic array aggregation (sorted
     collect_set ≡ list_sort(list DISTINCT))."""
     li = table(spark, sf_dir, "lineitem")
+    src = li.select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_linestatus",
+        "l_orderkey",
+    )
+    # r14 (the q_feature_winsorize lever): the percentile buffers build
+    # in the scan's few tasks otherwise (single-row-group local files =
+    # one task); hash-spread the partial aggregation — the percentile
+    # merge is a counts-map fold and the interpolation deterministic,
+    # so the result is partition-invariant (A/B: 1.61 → 1.42 s min)
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, "l_orderkey")
     return (
-        li.groupBy("l_returnflag")
+        src.groupBy("l_returnflag")
         .agg(
             F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
                 "median_qty"
