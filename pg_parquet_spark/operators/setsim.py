@@ -165,12 +165,21 @@ def jaccard_join(
         )
         .select(F.col("a.id").alias("id_a"), "id_b")
         .distinct()
-        # r14: a verify-side repartition (see containment_join) was
-        # A/B'd here too and REJECTED — interleaved trials measured
-        # 17.7 s (none) vs 21.9 s (round-robin; its sort-before-
-        # repartition pass costs more than the parallelism wins) and a
-        # wash for hash-by-id_a. The jaccard verify stage already
-        # spreads enough through the prefix-join partitioning.
+        # r14 second pass (guide §2.4 "remove shuffles outright"): the
+        # contract's final ORDER BY otherwise plans its own range
+        # exchange + sort over the full verified pair stream — a second
+        # full-stream shuffle. RANGE-partitioning the candidate stream
+        # on the output sort key here (plus an in-partition sort) means
+        # the verify projections/joins preserve both the distribution
+        # and the ordering, so the trailing orderBy's exchange AND sort
+        # are elided by the planner (EnsureRequirements: the
+        # RangePartitioning satisfies OrderedDistribution). Interleaved
+        # A/B at sf0.1 (4 trials, idle host): 4.344 → 3.947 s min.
+        # (A plain round-robin/hash repartition was A/B'd in the first
+        # pass and REJECTED — it adds an exchange without paying for
+        # the sort it could have replaced.)
+        .repartitionByRange(par, "id_a", "id_b")
+        .sortWithinPartitions("id_a", "id_b")
     )
     vmax = _max_rank(arrs)
     if vmax is not None and vmax <= _MASK_VOCAB_MAX:
@@ -314,8 +323,16 @@ def containment_join(
             F.greatest("id", "id2").alias("id_b"),
         )
         .distinct()
-        # r14: parallelize the verify stage (see jaccard_join)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # r14 second pass (guide §2.4): RANGE-partition + in-partition
+        # sort on the output key instead of the first pass's round-robin
+        # repartition — same verify-stage parallelism, but the trailing
+        # ORDER BY's range exchange and sort are now elided (the verify
+        # joins preserve the streamed side's partitioning and ordering).
+        # Round-robin additionally paid a sort-before-repartition pass
+        # of its input (SPARK-23207). Interleaved A/B at sf0.1 (4
+        # trials, idle host): 8.228 → 5.247 s min (−36%).
+        .repartitionByRange(par, "id_a", "id_b")
+        .sortWithinPartitions("id_a", "id_b")
     )
     vmax = _max_rank(arrs)
     if vmax is not None and vmax <= _MASK_VOCAB_MAX:
