@@ -1934,7 +1934,15 @@ def bm25_index_upsert(
         postings,
         ["doc_id_key", "term"],
         partition_col="bucket",
-        check_partition_stability=True,
+        # r14 (guide §1.2): the partition is DERIVED from the merge key
+        # (bucket = crc32(term) % BM25_INDEX_BUCKETS, and term is a key
+        # column), so a key can never move partitions — exactly the
+        # "skip when structurally guaranteed" case merge_upsert's
+        # stability contract names. The check was one broadcast
+        # semi-join over the untouched-partition complement per upsert
+        # (~0.25 s at sf0.1; a base-sized scan at 100 TB) that could
+        # never fire.
+        check_partition_stability=False,
         versioned=True,
     )
     _bm25_write_stats(spark, uri)

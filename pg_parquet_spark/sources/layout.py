@@ -136,31 +136,47 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 8):
     )
 
 
+def _double_lit_sql(v: float) -> str:
+    """Exact Spark-SQL double literal (the similarity.py helper):
+    repr() round-trips the IEEE value through Python and
+    Double.parseDouble, and the CAST constant-folds at analysis to the
+    identical Literal(double) F.lit() would build."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
 def _bucket_expr(c: str, bounds: list[float]):
     """Quantile-bucket index (count of boundaries ≤ value) as a
-    binary-search ``when`` tree: log2(2^bits) codegen'd comparisons per
-    row. The earlier literal-array-HOF formulation (count via
+    binary-search nested-IF tree: log2(2^bits) codegen'd comparisons
+    per row. The earlier literal-array-HOF formulation (count via
     F.filter) was 2^bits interpreted lambda calls per evaluation —
     and Catalyst's projection collapse inlines the bucket into every
     consumer, so the HOF ran once per interleave read (measured: 17.6 s
     vs 9.4 s total for a 600k-row 2-dim write; the z projection itself
-    dropped to ~1.2 s warm)."""
+    dropped to ~1.2 s warm).
+
+    Rendered as ONE SQL string parsed JVM-side (r14 second pass — the
+    similarity.py literal-matrix lesson applied to the tree: the
+    F.when() route built 2·2^bits nested Column nodes through py4j,
+    ~2.2 s of pure DRIVER time per 2-column zorder_expr; one expr()
+    parse of the same depth-log2 tree builds in milliseconds and
+    analyzes to the identical plan). IF(cond, a, b) evaluates b on
+    NULL exactly as when().otherwise() did — NULLs land in bucket 0,
+    matching the HOF-count semantics."""
     from pyspark.sql import functions as F
 
-    val = F.col(c).cast("double")
+    val = f"CAST(`{c}` AS DOUBLE)"
 
-    def build(lo: int, hi: int):
+    def build(lo: int, hi: int) -> str:
         # bucket index ∈ [lo, hi]; compare against bounds[mid]
         if lo == hi:
-            return F.lit(lo)
+            return str(lo)
         mid = (lo + hi) // 2
-        return F.when(val >= bounds[mid], build(mid + 1, hi)).otherwise(
-            build(lo, mid)
+        return (
+            f"IF({val} >= {_double_lit_sql(bounds[mid])}, "
+            f"{build(mid + 1, hi)}, {build(lo, mid)})"
         )
 
-    # NULL values fall through every >= to the lo branch → bucket 0,
-    # matching the HOF-count semantics
-    return build(0, len(bounds)).cast("long")
+    return F.expr(f"CAST({build(0, len(bounds))} AS BIGINT)")
 
 
 def _spread_table(bits: int, d: int) -> list[int]:
@@ -187,7 +203,11 @@ def _interleave(bucket_cols: list, bits: int):
     from pyspark.sql import functions as F
 
     d = len(bucket_cols)
-    spread = F.array(*[F.lit(s).cast("long") for s in _spread_table(bits, d)])
+    # one parsed SQL literal, not 2^bits F.lit() py4j calls (r14 —
+    # the same single-parse construction as _bucket_expr)
+    spread = F.expr(
+        "array(" + ", ".join(f"{s}L" for s in _spread_table(bits, d)) + ")"
+    )
     z = F.lit(0).cast("long")
     for i, bucket in enumerate(bucket_cols):
         z = z + F.shiftleft(
