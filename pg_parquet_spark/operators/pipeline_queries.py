@@ -17,6 +17,22 @@ from pg_parquet_spark.operators import dedup, multimodal, similarity, text
 from pg_parquet_spark.session import table
 
 
+def _spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
+    """Hash-spread a CPU-dense projection's input over the cluster when
+    (and only when) the scan is narrower than the cluster (r14 second
+    pass, guide §2.2): the local one-row-group fixtures scan as 1 task,
+    so a heavy per-row projection ran on 1 of 32 cores; a many-file
+    100 TB input is already parallel and takes no extra exchange. Hash
+    on the id, never round-robin (SPARK-23207: keyless repartition(n)
+    pays a local input sort). Only worth it where the per-row work
+    dominates the exchange — measured per gate (q_text_features stays
+    unspread: its projection is too light to pay for the shuffle)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, key)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -395,8 +411,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signal in LLM corpus curation (Gopher/C4-style rep filters).
     Pure JVM higher-order functions per row; no shuffle, no Python."""
     docs = table(spark, sf_dir, "documents")
+    # r14 second pass: n-gram build + distinct per row is CPU-dense —
+    # spread when the scan is narrow (A/B: 0.969 → 0.389 s min)
+    d = _spread_if_narrow(docs.select("doc_id", "text"), "doc_id")
     return (
-        docs.withColumn("_toks", text.tokens(F.col("text")))
+        d.withColumn("_toks", text.tokens(F.col("text")))
         .select(
             "doc_id",
             F.size(text.word_ngrams(F.col("_toks"), 3)).alias("n_ngrams"),
@@ -435,8 +454,19 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: run-length staging (sorted chars → run starts) replaces the
     # O(|distinct|·n) filter-per-distinct-char scan; identical float
     # summation order (run order == sorted distinct order), same output.
+    # r14 second pass (guide §2.2): the per-row cost (per-CHAR array
+    # sort + two HOF passes) is the heaviest projection in the text
+    # family and ran entirely in the scan's single task (one-row-group
+    # local fixture) — hash-spread it first (id-keyed, not round-robin:
+    # SPARK-23207), but ONLY when the scan is narrower than the
+    # cluster, so a many-file 100 TB input pays no extra exchange.
+    # Interleaved A/B at sf0.1: 2.324 → 0.531 s min (−77%; the
+    # q_text_features spread was a wash because its per-row work is
+    # 10× lighter — this one pays for the exchange 4× over).
+    d = docs.select("doc_id", "text")
+    d = _spread_if_narrow(d, "doc_id")
     return (
-        docs.withColumn("_cs", F.split(F.col("text"), ""))
+        d.withColumn("_cs", F.split(F.col("text"), ""))
         .withColumn("_ss", F.array_sort(F.col("_cs")))
         .withColumn(
             "_st", text.char_run_starts(F.col("_cs"), F.col("_ss"))
@@ -639,8 +669,11 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 256).cast("string"),
         F.lit(".7 id 123-45-6789"),
     )
+    # r14 second pass: the triple-regexp scrub is CPU-dense — spread
+    # when the scan is narrow (A/B: 0.568 → 0.240 s min)
+    d = _spread_if_narrow(docs.select("doc_id", "text"), "doc_id")
     return (
-        docs.select(
+        d.select(
             "doc_id", text.scrub_pii(pii).alias("scrubbed")
         )
         .orderBy("doc_id")
@@ -828,8 +861,11 @@ def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions, alphabetic-word fraction, required-stopword presence.
     Single JVM-HOF projection per row, zero shuffle."""
     docs = table(spark, sf_dir, "documents")
+    # r14 second pass: the rule set is ~10 HOF passes per row — spread
+    # when the scan is narrow (A/B: 0.735 → 0.465 s min)
+    d = _spread_if_narrow(docs.select("doc_id", "text"), "doc_id")
     return (
-        text.with_gopher_flags(docs)
+        text.with_gopher_flags(d)
         .select(
             "doc_id",
             "n_words",
