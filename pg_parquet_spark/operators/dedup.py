@@ -278,30 +278,51 @@ MINHASH_COEFFS = [
 ]
 
 
-def base_hash_col(shingle_col: Column) -> Column:
+def _band_key_cols(num_hashes: int, bands: int) -> list:
+    """band_b = md5(mh concat) — one parsed SQL expression per band
+    (see base_hash_col; concat_ws casts the longs exactly as the
+    F.concat_ws form did)."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + "))"
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+
+
+def base_hash_col(shingle_col: str = "_sh") -> Column:
     """One md5-derived base hash per shingle, reduced mod the family
     prime (single md5 call; the num_hashes family is synthesized by
-    universal hashing)."""
-    return F.transform(
-        shingle_col,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        % F.lit(MINHASH_PRIME),
+    universal hashing). Takes the STAGED COLUMN NAME and renders as one
+    parsed SQL expression (r14 second pass — the literal-matrix lesson
+    applied to the signature pipeline: the F.transform/F.lit route cost
+    ~0.7 s of driver py4j time per _sig_band_frame construction; the
+    parsed form analyzes to the identical expression tree)."""
+    return F.expr(
+        f"transform(`{shingle_col}`, s -> "
+        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) "
+        f"% {MINHASH_PRIME})"
     )
 
 
 def minhash_signature_from_base(
-    h_col: Column, num_hashes: int = NUM_HASHES
+    h_col: str = "_h", num_hashes: int = NUM_HASHES
 ) -> list[Column]:
-    """mh_j = min over shingles of (a_j·h + b_j) mod p. ``h_col`` must be
-    a projected column (HOF lambdas re-evaluate inline expressions per
-    element). a·h < 2^62 — no ANSI overflow."""
-
-    def _perm(j: int):
-        a, b = MINHASH_COEFFS[j]
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-
+    """mh_j = min over shingles of (a_j·h + b_j) mod p. ``h_col`` is the
+    NAME of a projected column (HOF lambdas re-evaluate inline
+    expressions per element). a·h < 2^62 — no ANSI overflow. Rendered
+    as one parsed SQL expression per component (see base_hash_col)."""
     return [
-        F.array_min(F.transform(h_col, _perm(j))).alias(f"mh{j}")
+        F.expr(
+            f"array_min(transform(`{h_col}`, h -> "
+            f"({MINHASH_COEFFS[j][0]}L * h + {MINHASH_COEFFS[j][1]}L) "
+            f"% {MINHASH_PRIME}L))"
+        ).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
 
@@ -366,29 +387,17 @@ def lsh_hot_bucket_audit(
     n_members desc. Bounded by n_docs·bands/cap rows; members are
     NEVER collected (min/max, not collect_list — a million-doc
     boilerplate class stays an aggregate)."""
-    rows_per_band = num_hashes // bands
     sig = (
         with_shingles(
             df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col
         )
         .select("_id", "_sh")
-        .select("_id", base_hash_col(F.col("_sh")).alias("_h"))
+        .select("_id", base_hash_col("_sh").alias("_h"))
         .select(
-            "_id", *minhash_signature_from_base(F.col("_h"), num_hashes)
+            "_id", *minhash_signature_from_base("_h", num_hashes)
         )
     )
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"mh{b * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    band_keys = _band_key_cols(num_hashes, bands)
     exploded = (
         sig.select("_id", *band_keys)
         .select(
@@ -451,7 +460,6 @@ def minhash_lsh_pairs(
     IDENTICAL to the self-join by construction: both enumerate
     {(a, b) : a < b, same (band_idx, key) bucket, bucket ≤ cap}.
     """
-    rows_per_band = num_hashes // bands
     # signature computation is CPU-bound (num_hashes × shingles md5 calls
     # per doc); spread it across all cores even when the source is a
     # single row group. An explicit numPartitions survives AQE coalescing.
@@ -467,22 +475,15 @@ def minhash_lsh_pairs(
         # pays a local input sort per SPARK-23207, and the verify joins
         # key by id anyway
         .repartition(parallelism, "_id")
-        .select("_id", "_sh", base_hash_col(F.col("_sh")).alias("_h"))
+        .select("_id", "_sh", base_hash_col("_sh").alias("_h"))
         .persist()
     )
     _CACHED_FRAMES.append(sh_df)
     sig = sh_df.select(
-        "_id", *minhash_signature_from_base(F.col("_h"), num_hashes)
+        "_id", *minhash_signature_from_base("_h", num_hashes)
     )
 
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    band_keys = _band_key_cols(num_hashes, bands)
     # the band table is NARROW (id + band key) — the self-join shuffles
     # kilobytes per doc instead of the shingle arrays
     banded = sig.select("_id", *band_keys)
@@ -1499,13 +1500,11 @@ def _near_contaminated_ids(
         .select(F.col("_id").alias("_cid"), "_bid")
         .dropDuplicates(["_cid", "_bid"])
     )
-    a_side = sig_c.select(
-        F.col("_id").alias("_cid"),
-        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(num_hashes)],
+    a_side = sig_c.selectExpr(
+        "_id AS _cid", *[f"mh{j} AS a_mh{j}" for j in range(num_hashes)]
     )
-    b_side = sig_b.select(
-        F.col("_id").alias("_bid"),
-        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(num_hashes)],
+    b_side = sig_b.selectExpr(
+        "_id AS _bid", *[f"mh{j} AS b_mh{j}" for j in range(num_hashes)]
     )
     return (
         cand.join(a_side, "_cid")
@@ -2346,41 +2345,25 @@ def _sig_band_frame(
     """(_id, mh0..mh{n-1}, band0..band{b-1}) — the per-doc MinHash
     state the near-dup index persists (the minhash_lsh_pairs signature
     stage, factored for reuse). One projection pipeline, no shuffle."""
-    rows_per_band = num_hashes // bands
     sh = with_shingles(
         df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col
     ).select("_id", "_sh")
     sig = sh.select(
-        "_id", base_hash_col(F.col("_sh")).alias("_h")
-    ).select("_id", *minhash_signature_from_base(F.col("_h"), num_hashes))
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"mh{b * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
+        "_id", base_hash_col("_sh").alias("_h")
+    ).select("_id", *minhash_signature_from_base("_h", num_hashes))
+    band_keys = _band_key_cols(num_hashes, bands)
     return sig.select("_id", *[F.col(f"mh{j}") for j in range(num_hashes)], *band_keys)
 
 
 def _explode_bands(sig: DataFrame, bands: int) -> DataFrame:
+    # one parsed inline-table expression (see base_hash_col): the
+    # F.explode(F.array(F.struct(...))) route built ~10 py4j Column
+    # nodes per band
+    arr = ", ".join(
+        f"named_struct('band_idx', {b}, 'key', band{b})" for b in range(bands)
+    )
     return sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "_id", F.expr(f"explode(array({arr}))").alias("bk")
     ).select("_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
 
 
@@ -2388,11 +2371,11 @@ def _sig_matches(num_hashes: int) -> F.Column:
     """Count of agreeing minhash components between an ``a.``- and
     ``b.``-aliased signature pair — the integer MinHash Jaccard
     estimator (matches/num_hashes ≈ J; the threshold compares the
-    integer count, no float anywhere)."""
-    m = F.lit(0)
-    for j in range(num_hashes):
-        m = m + F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
-    return m
+    integer count, no float anywhere). One parsed SQL expression
+    (IF ≡ the when/otherwise CASE it replaces — see base_hash_col)."""
+    return F.expr(
+        " + ".join(f"IF(a_mh{j} = b_mh{j}, 1, 0)" for j in range(num_hashes))
+    )
 
 
 def build_minhash_index(
@@ -2480,9 +2463,8 @@ def dedup_incremental_near(
     eb = _cap_band_buckets(
         _explode_bands(sigb, bands), max_docs_per_band
     ).localCheckpoint(eager=False)
-    a_side = sigb.select(
-        F.col("_id").alias("_aid"),
-        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(num_hashes)],
+    a_side = sigb.selectExpr(
+        "_id AS _aid", *[f"mh{j} AS a_mh{j}" for j in range(num_hashes)]
     )
 
     if layout.read_manifest(index_uri) is None:
@@ -2501,9 +2483,8 @@ def dedup_incremental_near(
         ei = _cap_band_buckets(
             _explode_bands(idx_sig, bands), max_docs_per_band
         ).select(F.col("band_idx"), F.col("key"), F.col("_id").alias("_oid"))
-        b_side = idx_sig.select(
-            F.col("_id").alias("_oid"),
-            *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(num_hashes)],
+        b_side = idx_sig.selectExpr(
+            "_id AS _oid", *[f"mh{j} AS b_mh{j}" for j in range(num_hashes)]
         )
         cand = (
             eb.join(ei, ["band_idx", "key"])
@@ -2531,9 +2512,8 @@ def dedup_incremental_near(
         .select(F.col("_id").alias("_aid"), F.col("_bid"))
         .dropDuplicates(["_aid", "_bid"])
     )
-    b_batch = sigb.select(
-        F.col("_id").alias("_bid"),
-        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(num_hashes)],
+    b_batch = sigb.selectExpr(
+        "_id AS _bid", *[f"mh{j} AS b_mh{j}" for j in range(num_hashes)]
     )
     batch_dropped = (
         bcand.join(a_side, "_aid")

@@ -757,8 +757,18 @@ def semantic_dedup(
     # join (the HOF-fold lesson — _exact_cosine inside the join ran 3
     # interpreted folds per pair; this runs 1, measured ~2.5x faster at
     # sf0.1 with bit-identical results, norms being the same fold over
-    # the same vector wherever evaluated)
-    normed = assigned.withColumn("_n", F.sqrt(_norm_sq(F.col(vec_col))))
+    # the same vector wherever evaluated).
+    # r14 second pass (guide §1.2): materialize the assigned+normed
+    # frame ONCE — its three consumers (both racing sides of the
+    # within-cell self-join + the final corpus projection) each
+    # replayed the literal-matrix cell-distance projection otherwise.
+    # Lazy localCheckpoint, not persist (the simhash_near_pairs
+    # lesson: racing join sides over an AQE-planned InMemoryRelation
+    # re-evaluated erratically). Interleaved A/B at sf0.1: 2.690 →
+    # 1.696 s min (−37%), ckpt won all 4 pairs.
+    normed = assigned.withColumn(
+        "_n", F.sqrt(_norm_sq(F.col(vec_col)))
+    ).localCheckpoint(eager=False)
     a = normed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
@@ -781,7 +791,7 @@ def semantic_dedup(
         .withColumn("_dup", F.lit(True))
     )
     return (
-        assigned.select(id_col, F.col("_cell").alias("cell"))
+        normed.select(id_col, F.col("_cell").alias("cell"))
         .join(dropped, id_col, "left")
         .select(
             id_col,
@@ -827,7 +837,12 @@ def semantic_dedup_arrow(
     block), enforced by the same fail-fast guard."""
     import pandas as pd
 
-    assigned = ivf_assign(df.select(id_col, vec_col), centroids)
+    # materialized once (r14 second pass — see semantic_dedup): the
+    # assignment projection feeds the hot-cell guard, the applyInPandas
+    # group shuffle, and the final corpus projection
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids).localCheckpoint(
+        eager=False
+    )
     if max_cell_rows is not None:
         hot = (
             assigned.groupBy("_cell")
