@@ -459,7 +459,15 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     red_parts = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
-    ps = _partsupp(li)
+    # r14 second pass (guide §3.2, the q2 lever): the part filter
+    # restricts the synthesized-partsupp GROUP KEYS, so a broadcast
+    # LEFT SEMI pushed BELOW the aggregate is exactly equivalent — the
+    # grouping exchange carries only red-part lineitems instead of the
+    # whole table. Interleaved A/B at sf0.1: 1.426 → 0.859 s min
+    # (−40%), digest-identical.
+    ps = _partsupp(
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
+    )
     amount = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
     ) - F.col("ps_supplycost") * _dec("l_quantity")
@@ -512,8 +520,18 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value = cost × availqty in DECIMAL (availqty narrowed to (18,2) so
     # the product precision stays in-range on both engines)
     value = F.col("ps_supplycost") * F.col("ps_availqty").cast("decimal(18,2)")
+    # r14 second pass (guide §3.2): the supplier filter restricts the
+    # partsupp group keys — semi-filter BELOW the aggregate so the
+    # grouping exchange carries only the nation's lineitems (the q9
+    # lever; A/B 1.407 → see OPTIMIZATION_r14.md)
     per_part = (
-        _partsupp(li)
+        _partsupp(
+            li.join(
+                F.broadcast(nat_supp),
+                li.l_suppkey == F.col("s_suppkey"),
+                "left_semi",
+            )
+        )
         .join(F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .groupBy("ps_partkey")
         .agg(F.sum(value).alias("_val"))
@@ -632,13 +650,27 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
         )
+        .join(
+            F.broadcast(red_parts),
+            li.l_partkey == red_parts.p_partkey,
+            "left_semi",
+        )
         .groupBy(F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk"))
         .agg(F.sum(_dec("l_quantity")).alias("_qty95"))
     )
     # inner join drops pairs with no 1995 shipments — same as the oracle's
     # NULL-excluding correlated comparison
+    # r14 second pass (guide §3.2): both aggregate inputs semi-filter
+    # to red parts below their group-bys — the inner joins on
+    # ps_partkey/_pk = p_partkey restrict the group keys identically
     qualifying = (
-        _partsupp(li)
+        _partsupp(
+            li.join(
+                F.broadcast(red_parts),
+                li.l_partkey == red_parts.p_partkey,
+                "left_semi",
+            )
+        )
         .join(F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey"))
         .join(shipped95, (F.col("ps_partkey") == F.col("_pk")) & (F.col("ps_suppkey") == F.col("_sk")))
         .filter(
