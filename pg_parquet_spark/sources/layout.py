@@ -837,19 +837,38 @@ def merge_upsert(
         raise ValueError(
             f"partition_col {partition_col!r} not present in updates"
         )
-    # the updates lineage feeds four actions (dup check, partition
-    # collect, stability semi-join, the merged write) — persist it so
-    # an expensive upstream isn't recomputed per action (review r8)
+    # the updates lineage feeds three actions (validity stats, optional
+    # stability semi-join, the merged write) — persist it so an
+    # expensive upstream isn't recomputed per action (review r8)
     updates = updates.persist()
     try:
-        dup = (
-            updates.groupBy(*key_cols)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
+        # r14 second pass (guide §1.2): ONE aggregate job carries the
+        # dup check (row count vs null-safe distinct key count — struct
+        # equality groups NULL key fields exactly as the groupBy did),
+        # the affected-partition set (bounded by partition count), and
+        # the NULL-partition probe — previously three separate passes
+        # over the updates. The exact duplicate key is re-derived with
+        # the original groupBy ONLY on the error path.
+        stat_cols = [
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct(F.struct(*key_cols)).alias("_nk"),
+        ]
+        if partition_col is not None:
+            stat_cols += [
+                F.collect_set(partition_col).alias("_parts"),
+                F.max(
+                    F.col(partition_col).isNull().cast("int")
+                ).alias("_null_part"),
+            ]
+        stats = updates.agg(*stat_cols).collect()[0]
+        if stats["_n"] != stats["_nk"]:
+            dup = (
+                updates.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
             raise ValueError(
                 f"updates contains multiple rows for key {dup[0][:-1]}; "
                 "MERGE requires at most one update row per key — dedupe "
@@ -857,10 +876,7 @@ def merge_upsert(
             )
 
         if partition_col is not None:
-            affected = [
-                r[0] for r in updates.select(partition_col).distinct().collect()
-            ]
-            if any(v is None for v in affected):
+            if stats["_null_part"]:
                 # a NULL partition value would silently escape the isin()
                 # scoping below (SQL NULL semantics) and land in the
                 # __HIVE_DEFAULT_PARTITION__ dir without the anti-join
@@ -869,6 +885,7 @@ def merge_upsert(
                     f"updates contain NULL {partition_col!r} values; "
                     "partitioned MERGE requires a concrete partition per row"
                 )
+            affected = list(stats["_parts"])
             if versioned and manifest is not None:
                 # manifest-compatibility checks BEFORE any shuffle or write
                 # (review r8: they used to run after the full snapshot write,
