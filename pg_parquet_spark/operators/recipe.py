@@ -55,7 +55,14 @@ def curate_corpus(
     from pg_parquet_spark.operators.sampling import split_by_group
     from pg_parquet_spark.operators.text import normalized_fingerprint
 
-    clean = df.select(
+    # r14 second pass (guide §2.2): the strip_html + fingerprint
+    # projection is regex-dense per row — spread it when the scan is
+    # narrower than the cluster (many-file 100 TB inputs skip this)
+    src = df.select(id_col, text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, id_col)
+    clean = src.select(
         F.col(id_col), strip_html(F.col(text_col)).alias("_ctext")
     )
     tok = clean.select(
@@ -72,8 +79,17 @@ def curate_corpus(
         "n_tokens",
         normalized_fingerprint(F.col("_ctext")).alias("_fp"),
     )
-    canon = fp.groupBy("_fp").agg(F.min(id_col).alias("group_id"))
-    joined = fp.join(canon, "_fp").select(
+    # r14 second pass (guide §2.4): window-min over the fingerprint
+    # replaces the groupBy + join-back — ONE exchange on _fp instead of
+    # an aggregate exchange plus a join that re-planned the whole
+    # strip_html+fingerprint pipeline for its second consumer.
+    # Interleaved A/B at sf0.1: 1.870 → 0.638 s min (−66%) with the
+    # spread; digest-identical.
+    from pyspark.sql.window import Window
+
+    joined = fp.withColumn(
+        "group_id", F.min(id_col).over(Window.partitionBy("_fp"))
+    ).select(
         id_col,
         "n_tokens",
         "group_id",

@@ -615,7 +615,16 @@ def embedding_near_dup_pairs(
         )
         for g in range(bands)
     ]
-    sigs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), *sig_cols)
+    sigs = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), *sig_cols
+    ).localCheckpoint(eager=False)
+    # ^ materialized ONCE (r14 second pass, guide §1.2): the signature
+    # projection (bands × bits × dims literal-plane dot products — the
+    # expensive part) feeds FOUR consumers (both racing sides of the
+    # band self-join + both verify sides); unmaterialized it was
+    # planned four times. Lazy checkpoint per the racing-join-sides
+    # lesson (simhash_near_pairs). Interleaved A/B at sf0.1: 1.568 →
+    # 1.364 s min, ckpt won all 4 pairs.
     exploded = sigs.select(
         "_id",
         F.explode(
