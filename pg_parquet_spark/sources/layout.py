@@ -504,12 +504,26 @@ def _resolve_snapshot(spark, root_uri: str, manifest: dict) -> DataFrame:
         )
     col = manifest["partition_col"]
     dtype = manifest["partition_dtype"]
-    branches = []
-    for val, rel in sorted(manifest["partitions"].items()):
-        df = spark.read.parquet(pgfs.spark_uri(root_uri + "/" + rel))
-        branches.append(df.withColumn(col, F.lit(val).cast(dtype)))
-    if not branches:
+    items = sorted(manifest["partitions"].items())
+    if not items:
         raise ValueError(f"versioned dataset at {root_uri} has no partitions")
+    # r14 second pass (guide §5 driver work): infer the schema from the
+    # FIRST partition branch only and impose it on the rest — each
+    # schema-less spark.read.parquet() pays a driver footer read at
+    # construction, so a 16-bucket index cost 16 sequential footer
+    # reads (~1 s; 64-cell IVF snapshots ~4×) before any job ran. All
+    # partitions of a snapshot share one schema by construction (the
+    # protocol writes them in one partitionBy pass and MERGE enforces
+    # schema equality), so the imposed schema is the one discovery
+    # would have found.
+    first = spark.read.parquet(pgfs.spark_uri(root_uri + "/" + items[0][1]))
+    sch = first.schema
+    branches = [first.withColumn(col, F.lit(items[0][0]).cast(dtype))]
+    for val, rel in items[1:]:
+        df = spark.read.schema(sch).parquet(
+            pgfs.spark_uri(root_uri + "/" + rel)
+        )
+        branches.append(df.withColumn(col, F.lit(val).cast(dtype)))
     return reduce(lambda a, b: a.unionByName(b), branches)
 
 
