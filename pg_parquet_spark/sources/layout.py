@@ -507,24 +507,78 @@ def _resolve_snapshot(spark, root_uri: str, manifest: dict) -> DataFrame:
     items = sorted(manifest["partitions"].items())
     if not items:
         raise ValueError(f"versioned dataset at {root_uri} has no partitions")
-    # r14 second pass (guide §5 driver work): infer the schema from the
-    # FIRST partition branch only and impose it on the rest — each
-    # schema-less spark.read.parquet() pays a driver footer read at
-    # construction, so a 16-bucket index cost 16 sequential footer
-    # reads (~1 s; 64-cell IVF snapshots ~4×) before any job ran. All
-    # partitions of a snapshot share one schema by construction (the
-    # protocol writes them in one partitionBy pass and MERGE enforces
-    # schema equality), so the imposed schema is the one discovery
-    # would have found.
-    first = spark.read.parquet(pgfs.spark_uri(root_uri + "/" + items[0][1]))
-    sch = first.schema
-    branches = [first.withColumn(col, F.lit(items[0][0]).cast(dtype))]
-    for val, rel in items[1:]:
-        df = spark.read.schema(sch).parquet(
-            pgfs.spark_uri(root_uri + "/" + rel)
+    # r14 second pass (guide §5 driver work): when every partition
+    # branch carries the IDENTICAL parquet schema, infer the Spark
+    # schema from the FIRST branch only and impose it on the rest —
+    # each schema-less spark.read.parquet() pays a py4j driver footer
+    # read at construction (~60 ms), so a 16-bucket index cost ~1 s
+    # (64-cell IVF snapshots ~4×) before any job ran. Uniformity is
+    # PROVEN first with one cheap pyarrow footer probe per branch
+    # (parquet-schema string equality ⇒ identical Spark inference);
+    # branches written at different times MAY legally differ in
+    # physical type (MERGE enforces column names, and the union then
+    # coerces per branch — e.g. a float index upserted from a double
+    # frame, regression-tested in test_similarity_dedup's incremental
+    # IVF maintenance), and any non-uniform or unprobeable dataset
+    # takes the original per-branch inference path unchanged.
+    sch = None
+    if _uniform_branch_parquet_schema(
+        [root_uri + "/" + rel for _val, rel in items]
+    ):
+        first = spark.read.parquet(
+            pgfs.spark_uri(root_uri + "/" + items[0][1])
         )
+        sch = first.schema
+        branches = [first.withColumn(col, F.lit(items[0][0]).cast(dtype))]
+        for val, rel in items[1:]:
+            df = spark.read.schema(sch).parquet(
+                pgfs.spark_uri(root_uri + "/" + rel)
+            )
+            branches.append(df.withColumn(col, F.lit(val).cast(dtype)))
+        return reduce(lambda a, b: a.unionByName(b), branches)
+    branches = []
+    for val, rel in items:
+        df = spark.read.parquet(pgfs.spark_uri(root_uri + "/" + rel))
         branches.append(df.withColumn(col, F.lit(val).cast(dtype)))
     return reduce(lambda a, b: a.unionByName(b), branches)
+
+
+def _uniform_branch_parquet_schema(branch_uris: list[str]) -> bool:
+    """True iff every branch dir's first data file carries the SAME
+    parquet schema (physical+logical, compared as the footer schema
+    string). One pyarrow footer read per branch (~1 ms local, one GET
+    on object stores) — the probe that licenses the imposed-schema
+    fast path in _resolve_snapshot. A dir holds files from exactly one
+    snapshot write, so its first file is representative; anything
+    unreadable or empty returns False (→ the safe per-branch path)."""
+    import pyarrow.parquet as pq
+
+    from pg_parquet_spark.sources import fs as pgfs
+
+    try:
+        ref = None
+        for uri in branch_uris:
+            files = [
+                c
+                for c, is_dir in pgfs.list_dir(uri)
+                if not is_dir and c.endswith(".parquet")
+            ]
+            if not files:
+                return False
+            fs, path, _ = pgfs.resolve(files[0])
+            # drop str()'s first line — it embeds the wrapper object's
+            # memory address; the remainder is the full physical+logical
+            # schema listing
+            s = str(pq.ParquetFile(path, filesystem=fs).schema).split(
+                "\n", 1
+            )[1]
+            if ref is None:
+                ref = s
+            elif s != ref:
+                return False
+        return True
+    except Exception:  # noqa: BLE001 — unprobeable ⇒ take the safe path
+        return False
 
 
 def _manifest_refs(manifest: dict) -> set[str]:
