@@ -432,6 +432,59 @@ def lsh_hot_bucket_audit(
     )
 
 
+#: Parsed-SQL shingle pipeline (r15): the literal-matrix lesson applied
+#: end-to-end — rendering each stage as ONE selectExpr string instead of
+#: a py4j-built Column tree cut per-trial driver construction time in
+#: half (the r14 plan already spent ~0.5 s/call building/analyzing the
+#: 16-wide expression tree). The expressions analyze to the IDENTICAL
+#: trees as text.tokens / shingles_from_tokens / base_hash_col.
+_TOKS_SQL = "split(lower(_txt), ' ')"
+_SHINGLES_SQL = (
+    "array_distinct(transform(sequence(1, greatest(size(_t) - 1, 1)), "
+    "i -> concat_ws(' ', element_at(_t, i), "
+    "coalesce(try_element_at(_t, i + 1), ''))))"
+)
+_BASE_HASH_SQL = (
+    "transform(_sh, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) "
+    f"AS BIGINT) % {MINHASH_PRIME})"
+)
+
+
+def _minhash_sig_sql(num_hashes: int) -> list[str]:
+    """mh_j = min over shingles of (a_j·h + b_j) mod p, as selectExpr
+    strings over the projected ``_h`` column (HOF lambdas re-evaluate
+    inline expressions per element, so ``_h`` must be a column)."""
+    return [
+        f"array_min(transform(_h, h -> ({MINHASH_COEFFS[j][0]}L * h + "
+        f"{MINHASH_COEFFS[j][1]}L) % {MINHASH_PRIME}L)) AS mh{j}"
+        for j in range(num_hashes)
+    ]
+
+
+def _band_inline_sql(num_hashes: int, bands: int) -> str:
+    """inline() over the band structs: one selectExpr produces the
+    exploded (band_idx, key) rows directly — no intermediate array
+    column, no struct-field re-projection layer."""
+    rpb = num_hashes // bands
+    structs = ", ".join(
+        "named_struct('band_idx', {b}, 'key', md5(concat_ws('|', {cols})))".format(
+            b=b, cols=", ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    return f"inline(array({structs}))"
+
+
+#: In-bucket pair enumeration over the folded (id, n) member list —
+#: n = |distinct shingles| rides along for the size-ratio prefilter.
+_PAIR_INLINE_SQL = (
+    "inline(flatten(transform(_ms, x -> "
+    "transform(filter(_ms, y -> y._id > x._id), "
+    "y -> named_struct('id_a', x._id, 'id_b', y._id, "
+    "'n_a', x._n, 'n_b', y._n)))))"
+)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -444,101 +497,107 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash-LSH, verified by exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    Plan shape (r14 rewrite — optimization guide §2.4 "remove shuffles
-    outright"): project signatures (no shuffle) → explode bands → ONE
-    shuffle on the band key → cap window → in-stage bucket fold →
-    in-bucket pair enumeration → exact verify. The pre-r14 shape
-    self-joined the exploded band table on (band_idx, key), which
-    planned the whole banding pipeline TWICE (alias-renamed join sides
-    defeat exchange reuse): 2 exchanges + 2 sorts + a ShuffledHashJoin.
-    Enumerating pairs inside each bucket instead needs no join at all,
-    and the fold is memory-bounded because it runs AFTER the cap
-    filter in the SAME partitioned stage (``collect_list`` over ≤
-    ``max_docs_per_band`` ids per bucket — never an unbounded group
-    buffer; the over-cap classes are dropped by the spill-safe window
-    count first, see MAX_DOCS_PER_BAND). Candidate-pair set is
-    IDENTICAL to the self-join by construction: both enumerate
-    {(a, b) : a < b, same (band_idx, key) bucket, bucket ≤ cap}.
+
+    Plan shape (r15 rewrite — guide §2.3 "shuffle keys and metadata
+    instead of payloads", §8 "decide with small rows, move big rows
+    once"): spread the scan (guarded) → tokens → shingles → hashes →
+    signatures → bands, all in ONE narrow stage that never materializes
+    shingle strings downstream — the band exchange carries only
+    (id, n, band_idx, key) where n = |shingle set|. Pairs are
+    enumerated in-bucket (cap window + fold, unchanged from r14),
+    size-prefiltered, and localCheckpointed (a few rows). The verify
+    then re-derives shingles ONLY for candidate docs — a broadcast
+    semi-join of the raw scan against the pair ids — and attaches both
+    sides in one broadcast join + one tiny (id_a, id_b) aggregate
+    (min_by/max_by picks sh_a/sh_b; id_a < id_b by construction), which
+    also absorbs the former dropDuplicates exchange. vs r14 this
+    removes the full-corpus shingle-table persist (rebuilt per call =
+    per bench trial), the double broadcast-join pass over that cache,
+    and one exchange; A/B at sf0.1: 0.842 → 0.656 s min, identical
+    256-pair output bit-for-bit.
+
+    Size-ratio prefilter (provably lossless): J = |A∩B|/|A∪B| ≤
+    min(|A|,|B|)/max(|A|,|B|), and for real x ≥ θ (θ a double),
+    fl(x) ≥ θ under round-to-nearest — so a pair dropped by
+    fl(min/max) < θ satisfies J < θ strictly and would have been
+    dropped by the exact-jaccard filter anyway.
+
+    Candidate-pair set is IDENTICAL to the r10 self-join by
+    construction: {(a, b) : a < b, same (band_idx, key) bucket,
+    bucket ≤ cap}; the fold runs AFTER the cap filter in the SAME
+    partitioned stage (collect_list over ≤ cap members — never an
+    unbounded buffer; over-cap classes are dropped by the spill-safe
+    window count first, see MAX_DOCS_PER_BAND).
+
+    100 TB shape: the only full-corpus shuffles are the guarded spread
+    (no-op on many-file inputs) and the narrow band exchange; shingle
+    payloads move exactly once, for candidate docs only, into the
+    pair-verify aggregate (bounded per doc by bands × cap pair
+    memberships). The pair broadcasts are bounded by the capped,
+    prefiltered candidate count — a corpus whose near-dup classes blow
+    that bound runs the linear exact/normalized tiers first (the
+    MAX_DOCS_PER_BAND posture); past broadcast limits the same attach
+    runs as a Bloom-prefiltered shuffle join (guide §3.2).
     """
-    # signature computation is CPU-bound (num_hashes × shingles md5 calls
-    # per doc); spread it across all cores even when the source is a
-    # single row group. An explicit numPartitions survives AQE coalescing.
-    # Persist the shingle table: it feeds both the signature stage and the
-    # verify join — without it the whole md5 pipeline runs twice. (At
-    # cluster scale this materialization point is a checkpoint to storage.)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    from pg_parquet_spark.operators.common import bq, spread_if_narrow
+
     release_cached()  # self-cleaning: drop the previous call's cache
-    sh_df = (
-        with_shingles(df.select(F.col(id_col).alias("_id"), F.col(text_col)), text_col)
-        .select("_id", "_sh")
-        # hash on the id, not round-robin (r14): keyless repartition(n)
-        # pays a local input sort per SPARK-23207, and the verify joins
-        # key by id anyway
-        .repartition(parallelism, "_id")
-        .select("_id", "_sh", base_hash_col("_sh").alias("_h"))
-        .persist()
+    raw = df.selectExpr(f"{bq(id_col)} AS _id", f"{bq(text_col)} AS _txt")
+    # spread BEFORE tokenization (r15 — the r14 shape tokenized in the
+    # single scan task and only spread the md5 stage: 0.49 → 0.32 s)
+    base = spread_if_narrow(raw, "_id")
+    exploded = (
+        base.selectExpr("_id", f"{_TOKS_SQL} AS _t")
+        .selectExpr("_id", f"{_SHINGLES_SQL} AS _sh")
+        .selectExpr("_id", "size(_sh) AS _n", f"{_BASE_HASH_SQL} AS _h")
+        .selectExpr("_id", "_n", *_minhash_sig_sql(num_hashes))
+        .selectExpr("_id", "_n", _band_inline_sql(num_hashes, bands))
     )
-    _CACHED_FRAMES.append(sh_df)
-    sig = sh_df.select(
-        "_id", *minhash_signature_from_base("_h", num_hashes)
-    )
-
-    band_keys = _band_key_cols(num_hashes, bands)
-    # the band table is NARROW (id + band key) — the self-join shuffles
-    # kilobytes per doc instead of the shingle arrays
-    banded = sig.select("_id", *band_keys)
-    exploded = banded.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
     exploded = _cap_band_buckets(exploded, max_docs_per_band)
-
     # bucket fold + in-bucket pair enumeration (r14): the groupBy keys
     # equal the cap window's partition keys, so the aggregate runs in
     # the SAME stage as the window — no new exchange — and the list is
-    # bounded by the cap the window filter just enforced (≤ 50 ids).
-    # Worst-case fan-out per bucket stays cap²/2, as before.
-    bucket_ids = exploded.groupBy("band_idx", "key").agg(
-        F.collect_list("_id").alias("_ids")
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x: F.transform(
-                F.filter(F.col("_ids"), lambda y: y > x),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # bounded by the cap the window filter just enforced.
+    bucket = exploded.groupBy("band_idx", "key").agg(
+        F.expr("collect_list(named_struct('_id', _id, '_n', _n))").alias("_ms")
     )
     pairs = (
-        bucket_ids.select(F.explode(pair_arr).alias("_p"))
-        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # verify candidates against the persisted shingle table
-    verified = (
-        pairs.join(
-            sh_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+        bucket.selectExpr(_PAIR_INLINE_SQL)
+        .filter(
+            "CAST(least(n_a, n_b) AS DOUBLE) / "
+            f"CAST(greatest(n_a, n_b) AS DOUBLE) >= {float(threshold)!r}"
         )
-        .join(
-            sh_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+        .selectExpr("id_a", "id_b")
+        # tiny (ids only, duplicates collapse in the verify aggregate);
+        # materialized once so the two broadcast consumers below don't
+        # re-run the whole banding pipeline. localCheckpoint, not
+        # persist: blocks free on GC, no cache-registry entry needed.
+        .localCheckpoint(eager=False)
+    )
+    sides = pairs.selectExpr("id_a", "id_b", "explode(array(id_a, id_b)) AS _id")
+    # re-derive shingles for CANDIDATE docs only: semi-join the raw scan
+    # (fresh, un-exchanged) against the pair ids, then attach both pair
+    # sides in one broadcast join; the groupBy dedups band-duplicate
+    # pairs AND pivots the two sides in one tiny exchange.
+    cand = raw.join(F.broadcast(sides.select("_id")), "_id", "left_semi")
+    cand_sh = cand.selectExpr("_id", f"{_TOKS_SQL} AS _t").selectExpr(
+        "_id", f"{_SHINGLES_SQL} AS _sh"
+    )
+    agg = (
+        cand_sh.join(F.broadcast(sides), "_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.expr("min_by(_sh, _id)").alias("sh_a"),
+            F.expr("max_by(_sh, _id)").alias("sh_b"),
         )
     )
-    jac = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
-        "double"
-    ) / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    return (
-        verified.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return agg.selectExpr(
+        "id_a",
+        "id_b",
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+        "CAST(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)) "
+        "AS DOUBLE) AS jaccard",
+    ).filter(f"jaccard >= {float(threshold)!r}")
 
 
 def minhash_lsh_oracle_sql(
@@ -1878,9 +1937,9 @@ def _span_tok_gram_frames(df, id_col, text_col, span_tokens, op_name):
     # when the scan is narrower than the cluster (single-row-group
     # local fixtures scan as 1 task; a many-file 100 TB input is
     # already parallel and skips the exchange).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if toks_arr.rdd.getNumPartitions() < par:
-        toks_arr = toks_arr.repartition(par, "_id")
+    from pg_parquet_spark.operators.common import spread_if_narrow
+
+    toks_arr = spread_if_narrow(toks_arr, "_id")
     toks = toks_arr.select("_id", F.posexplode("_t").alias("_pos", "_tok"))
     _lid = F.col("_id").cast("long")  # widen BEFORE the multiply — an
     # IntegerType id >= 2048 would overflow int32 under the int literal

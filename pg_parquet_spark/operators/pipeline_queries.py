@@ -18,19 +18,14 @@ from pg_parquet_spark.session import table
 
 
 def _spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
-    """Hash-spread a CPU-dense projection's input over the cluster when
-    (and only when) the scan is narrower than the cluster (r14 second
-    pass, guide §2.2): the local one-row-group fixtures scan as 1 task,
-    so a heavy per-row projection ran on 1 of 32 cores; a many-file
-    100 TB input is already parallel and takes no extra exchange. Hash
-    on the id, never round-robin (SPARK-23207: keyless repartition(n)
-    pays a local input sort). Only worth it where the per-row work
-    dominates the exchange — measured per gate (q_text_features stays
-    unspread: its projection is too light to pay for the shuffle)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par, key)
-    return df
+    """Shared guard (hoisted to operators/common in r15, ADVICE r14);
+    kept as an alias so the gate call sites read unchanged. Only worth
+    it where the per-row work dominates the exchange — measured per
+    gate (q_text_features stays unspread: its projection is too light
+    to pay for the shuffle)."""
+    from pg_parquet_spark.operators.common import spread_if_narrow
+
+    return spread_if_narrow(df, key)
 
 
 # ---------------------------------------------------------------------------

@@ -58,10 +58,9 @@ def curate_corpus(
     # r14 second pass (guide §2.2): the strip_html + fingerprint
     # projection is regex-dense per row — spread it when the scan is
     # narrower than the cluster (many-file 100 TB inputs skip this)
-    src = df.select(id_col, text_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, id_col)
+    from pg_parquet_spark.operators.common import spread_if_narrow
+
+    src = spread_if_narrow(df.select(id_col, text_col), id_col)
     clean = src.select(
         F.col(id_col), strip_html(F.col(text_col)).alias("_ctext")
     )

@@ -321,65 +321,32 @@ PRIORITY_REFRESH = {
     },
 }
 
+#: Bench-only aliases (r15 — VERDICT r14 #3): the r14 optimization
+#: round's largest wins landed on pipeline gates the frozen 17-query
+#: headline bench never times, so the driver's own numbers could not
+#: see them. bench.py already times any registry entry named
+#: ``bench_*`` (additions-only per the driver contract; the bench
+#: TOTAL stops being comparable to r14 — the common-17 per-query
+#: numbers remain the round metric, see OPTIMIZATION_r15.md). Each
+#: alias resolves to an already-registered gate's query/oracle, and
+#: the aliases exist ONLY in the include_retired (extended) view that
+#: bench.py reads — the driver's 50-gate rotation window, GATE_ORDER
+#: generation and the retired-gate test matrix are untouched.
+BENCH_ALIASES = {
+    "bench_setsim_containment": "q_setsim_containment",
+    "bench_setsim_jaccard": "q_setsim_jaccard",
+    "bench_strip_incremental": "q_strip_incremental",
+    "bench_bm25_index": "q_bm25_index",
+    "bench_io_zorder_read": "q_io_zorder_read",
+    "bench_dedup_semantic": "q_dedup_semantic",
+    "bench_curriculum_perplexity": "q_curriculum_perplexity",
+}
+
 #: Generated by tools/rotation.py — edit via the tool, not by hand.
-REGISTRY_AS_OF = 13
+REGISTRY_AS_OF = 14
 
 GATE_ORDER = [
-    # -- never verified ----------------------------------------------
-    "q_bm25_index",
-    "q_corpus_health",
-    "q_hamming_topk",
-    "q_hybrid_search",
-    "q_line_dedup_incremental",
-    "q_retrieval_eval",
-    # -- green r10 ---------------------------------------------------
-    "q_topk_per_group",
-    "q_unpivot",
-    # -- green r11 ---------------------------------------------------
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q_agg_distinct",
-    "q_agg_filtered",
-    "q_curate_corpus",
-    "q_dedup_canonical",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_incremental_near",
-    "q_dedup_minhash_lsh",
-    "q_except",
-    "q_funnel",
-    "q_io_column_stats",
-    "q_io_copy_from_table",
-    "q_io_file_metadata",
-    "q_io_glob_read",
-    "q_io_http_read",
-    "q_io_list",
-    "q_io_schema",
-    "q_io_versioned_maintenance",
-    "q_io_where_filter",
-    "q_join_anti",
-    "q_join_full",
-    "q_leakage_split",
-    "q_multimodal_decode",
-    "q_near_decontaminate",
-    "q_pack_sequences",
-    "q_quality_classifier",
-    "q_scalar_misc",
-    "q_stream_session",
-    "q_stream_window",
-    "q_text_bigram_logprob",
-    "q_text_chunk",
-    "q_text_entropy",
-    "q_text_features",
-    "q_text_pii_scrub",
-    "q_text_repetition",
-    "q_timeseries_gapfill",
-    "q_window_rank",
     # -- green r12 ---------------------------------------------------
-    # ==== window cut at 50: entries below are NOT verified this round ====
     "q_asof_join",
     "q_classifier_canonical",
     "q_contamination_report",
@@ -431,6 +398,7 @@ GATE_ORDER = [
     # -- green r13 ---------------------------------------------------
     "q10_returned_items",
     "q11_important_stock",
+    # ==== window cut at 50: entries below are NOT verified this round ====
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_parts_supplier",
@@ -479,6 +447,57 @@ GATE_ORDER = [
     "q_text_fingerprint_rolling",
     "q_text_unigram_logprob",
     "q_vocab_zipf",
+    # -- green r14 ---------------------------------------------------
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q_agg_distinct",
+    "q_agg_filtered",
+    "q_bm25_index",
+    "q_corpus_health",
+    "q_curate_corpus",
+    "q_dedup_canonical",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_incremental_near",
+    "q_dedup_minhash_lsh",
+    "q_except",
+    "q_funnel",
+    "q_hamming_topk",
+    "q_hybrid_search",
+    "q_io_column_stats",
+    "q_io_copy_from_table",
+    "q_io_file_metadata",
+    "q_io_glob_read",
+    "q_io_http_read",
+    "q_io_list",
+    "q_io_schema",
+    "q_io_versioned_maintenance",
+    "q_io_where_filter",
+    "q_join_anti",
+    "q_join_full",
+    "q_leakage_split",
+    "q_line_dedup_incremental",
+    "q_multimodal_decode",
+    "q_near_decontaminate",
+    "q_pack_sequences",
+    "q_quality_classifier",
+    "q_retrieval_eval",
+    "q_scalar_misc",
+    "q_stream_session",
+    "q_stream_window",
+    "q_text_bigram_logprob",
+    "q_text_chunk",
+    "q_text_entropy",
+    "q_text_features",
+    "q_text_pii_scrub",
+    "q_text_repetition",
+    "q_timeseries_gapfill",
+    "q_topk_per_group",
+    "q_unpivot",
+    "q_window_rank",
 ]
 
 
@@ -504,6 +523,10 @@ def all_queries(include_retired: bool = False) -> dict[str, QueryFn]:
     if not include_retired:
         for name in RETIRED:
             out.pop(name, None)
+    else:
+        for alias, target in BENCH_ALIASES.items():
+            if target in out:
+                out[alias] = out[target]
     return _ordered(out)
 
 
@@ -521,6 +544,10 @@ def all_oracles(include_retired: bool = False) -> dict[str, str]:
     if not include_retired:
         for name in RETIRED:
             out.pop(name, None)
+    else:
+        for alias, target in BENCH_ALIASES.items():
+            if target in out:
+                out[alias] = out[target]
     return _ordered(out)
 
 

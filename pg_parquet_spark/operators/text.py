@@ -1141,10 +1141,9 @@ def _bigram_scored(
     # when the scan is narrower than the cluster (the V-count pass
     # below rides the same spread frame); a many-file 100 TB input
     # skips the exchange.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    src = df.select(id_col, text_col)
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, id_col)
+    from pg_parquet_spark.operators.common import spread_if_narrow
+
+    src = spread_if_narrow(df.select(id_col, text_col), id_col)
     doc_bg = (
         src.withColumn("_bg_toks", tokens(F.col(text_col)))
         .select(F.col(id_col), F.explode(grams).alias("g"))
