@@ -912,13 +912,17 @@ def _schema_drift_oracle() -> str:
 
 def x_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet schema-drift report (events vs embeddings footprints):
-    the data-ops composition of the parquet.schema surface (r14)."""
+    the data-ops composition of the parquet.schema surface (r14).
+    r15 (VERDICT r14 minor): the QUERY threads ``sf_dir`` like every
+    other gate — table schemas are sf-invariant, so the report equals
+    the oracle's sf0.001-pinned rendering at any SF (the pin remains
+    only in the once-rendered oracle string, see _SCHEMA_DRIFT_SF)."""
     from pg_parquet_spark.functions import metadata
 
     return metadata.schema_drift(
         spark,
-        f"{_SCHEMA_DRIFT_SF}/events.parquet",
-        f"{_SCHEMA_DRIFT_SF}/embeddings.parquet",
+        f"{sf_dir.rstrip('/')}/events.parquet",
+        f"{sf_dir.rstrip('/')}/embeddings.parquet",
     )
 
 

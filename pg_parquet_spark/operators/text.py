@@ -628,8 +628,6 @@ def tfidf_top_terms(
     passed or counted once (a scalar job, not a data collect)."""
     from pyspark.sql import Window
 
-    if n_docs is None:
-        n_docs = df.count()
     ex = (
         df.withColumn("_tf_toks", tokens(F.col(text_col)))
         .select(
@@ -642,12 +640,23 @@ def tfidf_top_terms(
         F.count(F.lit(1)).alias("_c")
     )
     dfreq = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    scored = tfc.join(F.broadcast(dfreq), "term").select(
+    scored = tfc.join(F.broadcast(dfreq), "term")
+    if n_docs is None:
+        # r15 (guide §5): N rides the plan as a broadcast 1-row frame
+        # instead of a synchronous .count() at construction time; same
+        # exact long → identical idf double.
+        scored = scored.crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias("_tfidf_n")))
+        )
+        nd = F.col("_tfidf_n").cast("double")
+    else:
+        nd = F.lit(float(n_docs))
+    scored = scored.select(
         F.col(id_col),
         "term",
         F.round(
             (F.col("_c").cast("double") / F.col("_n_toks").cast("double"))
-            * F.log(F.lit(float(n_docs)) / F.col("_df").cast("double")),
+            * F.log(nd / F.col("_df").cast("double")),
             6,
         ).alias("score"),
     )
@@ -700,13 +709,21 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
     dfreq = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    # exact-integer corpus constants, one scalar job each
-    n_docs = df.count()
-    sum_dl = df.select(F.sum(token_count(F.col(text_col)))).collect()[0][0]
-    avgdl = float(sum_dl) / float(n_docs)
+    # exact-integer corpus constants as a broadcast 1-row frame (r15,
+    # guide §5 driver work: the r14 form ran TWO synchronous full-scan
+    # jobs — a count and a tokenize+sum — on the driver's clock at
+    # construction time, once per call; in-plan they fold into the one
+    # real job. Same exact longs → ``avgdl`` is the identical double
+    # (cast-long division ≡ Python float(sum_dl)/float(n_docs)).
+    consts = df.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("_sum_dl"),
+    )
+    n_docs_d = F.col("_n_docs").cast("double")
+    avgdl = F.col("_sum_dl").cast("double") / n_docs_d
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("_df").cast("double") + F.lit(0.5))
+        + (n_docs_d - F.col("_df").cast("double") + F.lit(0.5))
         / (F.col("_df").cast("double") + F.lit(0.5))
     )
     tf = F.col("_tf").cast("double")
@@ -714,10 +731,11 @@ def bm25_scores(
     contrib = idf * (
         tf
         * F.lit(k1 + 1.0)
-        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl)))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
     )
     return (
         tfc.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(consts))
         .select(
             F.col(id_col),
             F.floor(contrib * 1e6 + F.lit(0.5)).cast("long").alias("_cm"),
@@ -752,8 +770,12 @@ def build_term_index(
     index = ex.groupBy(id_col, "term", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    n_docs = df.count()
-    sum_dl = df.select(F.sum(token_count(F.col(text_col)))).collect()[0][0]
+    # one scalar job for both corpus constants (r15 — was two full
+    # scans: a count and a tokenize+sum); the API still returns Python
+    # scalars (they are persisted next to the index).
+    n_docs, sum_dl = df.agg(
+        F.count(F.lit(1)), F.sum(token_count(F.col(text_col)))
+    ).first()
     return index, n_docs, float(sum_dl) / float(n_docs)
 
 
@@ -1141,42 +1163,57 @@ def _bigram_scored(
     # when the scan is narrower than the cluster (the V-count pass
     # below rides the same spread frame); a many-file 100 TB input
     # skips the exchange.
+    from pyspark.sql.window import Window
+
     from pg_parquet_spark.operators.common import spread_if_narrow
 
     src = spread_if_narrow(df.select(id_col, text_col), id_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
     doc_bg = (
         src.withColumn("_bg_toks", tokens(F.col(text_col)))
         .select(F.col(id_col), F.explode(grams).alias("g"))
+        # r15 (guide §2.4 "two operations keyed the same way share one
+        # exchange"): ONE explicit gram-key exchange, threaded through
+        # everything downstream — hashpartitioning(g) satisfies the
+        # (id, g) clustering of the per-doc count (subset rule), the
+        # corpus bg_cnt aggregate, AND the scoring join's g-side, so
+        # the r14 plan's three full gram-table exchanges collapse to
+        # this ONE (plan: 21 → 14 exchanges on q_perplexity_datamap).
+        .repartition(par, "g")
         .groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).alias("c"))
         # materialized ONCE (lazy checkpoint — the racing-consumers
         # persist lesson): the corpus gram-count table feeds bg_cnt
         # AND the scoring join; unmaterialized, the tokenize+explode+
-        # count pipeline planned twice. Interleaved A/B at sf0.1:
-        # 1.509 → 1.193 s min with the spread (−21%), digest-equal.
+        # count pipeline planned twice. The checkpoint preserves the
+        # g-partitioning (LogicalRDD captures outputPartitioning —
+        # pinned in tests/test_headline_plans.py).
         .localCheckpoint(eager=False)
     )
     bg_cnt = doc_bg.groupBy("g").agg(F.sum("c").alias("cbg"))
-    pre_cnt = (
-        bg_cnt.withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
-        .groupBy("w1")
-        .agg(F.sum("cbg").alias("c1"))
-    )
-    n_vocab = (
-        src.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .select("w")
-        .distinct()
-        .count()
+    # r15: prefix margin as a window sum over w1 instead of the r14
+    # groupBy+join-back (same integer c1 per w1 — one w1 exchange and
+    # no join, where the join planned two).
+    w1 = F.split_part(F.col("g"), F.lit(" "), F.lit(1))
+    # r15: V rides the plan as a broadcast 1-row frame (the oracle's
+    # own CROSS JOIN v shape) instead of a SYNCHRONOUS .count() at
+    # construction time — the r14 form ran a full tokenize+explode+
+    # distinct job on the driver's clock before the real job even
+    # started, once per call (= once per bench trial). Same exact
+    # integer → identical q micro-nats.
+    v_frame = src.select(F.explode(tokens(F.col(text_col))).alias("w")).agg(
+        F.count_distinct("w").alias("_nv")
     )
     q_table = (
-        bg_cnt.withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
-        .join(pre_cnt, "w1")
+        bg_cnt.withColumn("w1", w1)
+        .withColumn("c1", F.sum("cbg").over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(v_frame))
         .select(
             "g",
             F.floor(
                 -F.log(
                     (F.col("cbg") + F.lit(1)).cast("double")
-                    / (F.col("c1") + F.lit(n_vocab)).cast("double")
+                    / (F.col("c1") + F.col("_nv")).cast("double")
                 )
                 * 1e6
                 + F.lit(0.5)
@@ -1400,12 +1437,17 @@ def pmi_collocations(
         F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
         "c",
     )
-    n_total = bg.agg(F.sum("c")).collect()[0][0] or 0
+    # r15 (guide §5): n_total as a broadcast 1-row frame instead of a
+    # synchronous collect — the r14 form ran the WHOLE bigram pipeline
+    # once for the scalar and again in the real job (bg is not
+    # persisted; the in-plan branch shares the groupBy exchange via
+    # ReusedExchange instead). Same exact long → identical PMI micro.
+    totals = bg.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("_nt"))
     pre = bg.groupBy("w1").agg(F.sum("c").alias("c1"))
     suf = bg.groupBy("w2").agg(F.sum("c").alias("c2"))
     pmi = F.floor(
         F.log(
-            (F.col("c") * F.lit(float(n_total)))
+            (F.col("c") * F.col("_nt").cast("double"))
             / (F.col("c1") * F.col("c2")).cast("double")
         )
         * 1e6
@@ -1415,6 +1457,7 @@ def pmi_collocations(
         bg.filter(F.col("c") >= min_count)
         .join(pre, "w1")
         .join(suf, "w2")
+        .crossJoin(F.broadcast(totals))
         .select("w1", "w2", F.col("c").cast("long").alias("c"), pmi.alias("pmi_micro"))
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(k)
@@ -1869,6 +1912,13 @@ def _bm25_write_stats(spark, uri: str) -> dict:
         "stamp": manifest["version"] if manifest else 0,
         "n_docs": int(row["n"]),
         "sum_dl": int(row["s"]),
+        # r15 (ADVICE r14): the bucket count is part of the index's
+        # on-disk layout contract — persisted so an upsert under a
+        # CHANGED BM25_INDEX_BUCKETS constant fails loudly instead of
+        # silently stranding moved keys in their old partitions (the
+        # skipped stability check is licensed by bucket = crc32(term)
+        # % buckets being immutable per index).
+        "buckets": BM25_INDEX_BUCKETS,
     }
     pgfs.write_bytes_atomic(
         _bm25_stats_uri(uri), json.dumps(stats, sort_keys=True).encode()
@@ -1938,8 +1988,25 @@ def bm25_index_upsert(
     documents mutate (the SCD-1 limitation, documented not hidden —
     or rebuild through :func:`bm25_reindex_on_drift`, whose rebuild
     path replaces changed docs completely)."""
+    import json
+
+    from pg_parquet_spark.sources import fs as pgfs
     from pg_parquet_spark.sources.layout import merge_upsert
 
+    # r15 (ADVICE r14): the skipped partition-stability check below is
+    # only sound while the index's bucket count equals the current
+    # constant — verify against the persisted stats sidecar (one tiny
+    # read; a pre-r15 sidecar without the field passes as legacy).
+    if pgfs.exists(_bm25_stats_uri(uri)):
+        _st = json.loads(pgfs.read_bytes(_bm25_stats_uri(uri)))
+        if _st.get("buckets", BM25_INDEX_BUCKETS) != BM25_INDEX_BUCKETS:
+            raise ValueError(
+                f"BM25 index at {uri} was built with "
+                f"{_st['buckets']} term buckets but BM25_INDEX_BUCKETS "
+                f"is now {BM25_INDEX_BUCKETS}: upserting would move "
+                f"keys across partitions with the stability check "
+                f"disabled — rebuild the index instead"
+            )
     postings = _bm25_postings(new_docs, id_col, text_col)
     merge_upsert(
         spark,

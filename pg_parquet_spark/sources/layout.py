@@ -544,13 +544,16 @@ def _resolve_snapshot(spark, root_uri: str, manifest: dict) -> DataFrame:
 
 
 def _uniform_branch_parquet_schema(branch_uris: list[str]) -> bool:
-    """True iff every branch dir's first data file carries the SAME
-    parquet schema (physical+logical, compared as the footer schema
-    string). One pyarrow footer read per branch (~1 ms local, one GET
-    on object stores) — the probe that licenses the imposed-schema
-    fast path in _resolve_snapshot. A dir holds files from exactly one
-    snapshot write, so its first file is representative; anything
-    unreadable or empty returns False (→ the safe per-branch path)."""
+    """True iff every branch dir's data files carry the SAME parquet
+    schema (physical+logical, compared as the footer schema string).
+    Probes min(2, n_files) footers per branch (~1 ms each local, one
+    GET on object stores) — the probe that licenses the imposed-schema
+    fast path in _resolve_snapshot. A dir normally holds files from
+    exactly one snapshot write, so its first file is representative;
+    the second (first + LAST, r15 per ADVICE r14) catches a
+    partially-failed rewrite that left a mixed-schema dir without
+    paying a full per-file sweep. Anything unreadable or empty returns
+    False (→ the safe per-branch path)."""
     import pyarrow.parquet as pq
 
     from pg_parquet_spark.sources import fs as pgfs
@@ -558,24 +561,25 @@ def _uniform_branch_parquet_schema(branch_uris: list[str]) -> bool:
     try:
         ref = None
         for uri in branch_uris:
-            files = [
+            files = sorted(
                 c
                 for c, is_dir in pgfs.list_dir(uri)
                 if not is_dir and c.endswith(".parquet")
-            ]
+            )
             if not files:
                 return False
-            fs, path, _ = pgfs.resolve(files[0])
-            # drop str()'s first line — it embeds the wrapper object's
-            # memory address; the remainder is the full physical+logical
-            # schema listing
-            s = str(pq.ParquetFile(path, filesystem=fs).schema).split(
-                "\n", 1
-            )[1]
-            if ref is None:
-                ref = s
-            elif s != ref:
-                return False
+            for f in {files[0], files[-1]}:
+                fs, path, _ = pgfs.resolve(f)
+                # drop str()'s first line — it embeds the wrapper
+                # object's memory address; the remainder is the full
+                # physical+logical schema listing
+                s = str(pq.ParquetFile(path, filesystem=fs).schema).split(
+                    "\n", 1
+                )[1]
+                if ref is None:
+                    ref = s
+                elif s != ref:
+                    return False
         return True
     except Exception:  # noqa: BLE001 — unprobeable ⇒ take the safe path
         return False

@@ -863,6 +863,20 @@ def test_bm25_persisted_index_lifecycle(spark, tmp_path):
     with pytest.raises(ValueError, match="query term"):
         text.bm25_index_topk(spark, root, [])
 
+    # bucket-count contract (r15, ADVICE r14): an index whose persisted
+    # bucket count disagrees with BM25_INDEX_BUCKETS must refuse the
+    # upsert — the skipped stability check is only sound per constant
+    import json as _json
+
+    sp = os.path.join(root, "_bm25_stats.json")
+    st = _json.loads(open(sp).read())
+    st["buckets"] = text.BM25_INDEX_BUCKETS + 1
+    open(sp, "w").write(_json.dumps(st))
+    with pytest.raises(ValueError, match="term buckets"):
+        text.bm25_index_upsert(spark, docs.filter("doc_id % 2 = 1"), root)
+    st["buckets"] = text.BM25_INDEX_BUCKETS
+    open(sp, "w").write(_json.dumps(st))
+
 
 def test_funnel_steps_matches_oracle(spark):
     """r13: the strict ordered funnel (per-step min-completion chain)
